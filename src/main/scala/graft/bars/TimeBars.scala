@@ -1,0 +1,159 @@
+package graft.bars
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-bar construction — the engine's signature aggregation.
+  *
+  * The reference derives per-bar trade slices with a close-index array
+  * (`_time_bar_indexer`, finmlkit/bar/logic.py:12-51) and aggregates each
+  * slice in a Numba kernel (`comp_bar_ohlcv`, bar/base.py:306-407). Spark
+  * shape: a `bar_ts` (bar close timestamp) column = ceil(ts / interval), then
+  * one `groupBy(bar_ts)` — shuffle-parallel, no index materialization.
+  *
+  * Semantics preserved:
+  *  - bar (c-iv, c] is start-exclusive / end-inclusive: a trade exactly on a
+  *    grid point closes that bar (searchsorted side='right' − 1);
+  *  - empty intervals emit zero-volume bars carrying the previous close
+  *    (bar/base.py:352-361), re-created here with a generated grid + fill;
+  *  - open=first / close=last are made deterministic with min_by/max_by on ts.
+  */
+object TimeBars {
+
+  /** Bar close timestamp: smallest grid multiple >= ts (ts on the grid maps
+    * to itself). Pure long arithmetic — stays in whole-stage codegen.
+    */
+  def barTs(intervalNs: Long, ts: Column = col("ts")): Column =
+    // all-long arithmetic (a double division would lose ns precision):
+    // ts + ((iv - ts mod iv) mod iv)
+    ts + pmod(lit(intervalNs) - pmod(ts, lit(intervalNs)), lit(intervalNs))
+
+  /** OHLCV aggregation per bar. `fillEmpty` re-creates the reference's
+    * zero-volume empty bars over the full time grid.
+    */
+  def ohlcv(trades: DataFrame, intervalSec: Long, fillEmpty: Boolean = true): DataFrame = {
+    val iv = intervalSec * 1000000000L
+    val agg = trades
+      .withColumn("bar_ts", expr(s"((ts + ${iv - 1}L) div ${iv}L) * ${iv}L"))
+      .groupBy("bar_ts")
+      .agg(
+        min_by(col("price"), col("ts")).as("open"),
+        max("price").as("high"),
+        min("price").as("low"),
+        max_by(col("price"), col("ts")).as("close"),
+        sum("qty").as("volume"),
+        count(lit(1)).as("trades"),
+        median(col("qty")).as("median_trade_size"),
+        (sum(col("price") * col("qty")) / sum(col("qty"))).as("vwap"))
+    if (!fillEmpty) agg
+    else {
+      // grid of all bar closes in (floor(min/iv)*iv, ceil(max/iv)*iv]
+      val grid = trades
+        .agg(min("ts").as("mn"), max("ts").as("mx"))
+        .select(explode(sequence(
+          expr(s"((mn div ${iv}L) + 1) * ${iv}L"),
+          expr(s"((mx + ${iv - 1}L) div ${iv}L) * ${iv}L"),
+          lit(iv))).as("bar_ts"))
+      val w = Window.orderBy("bar_ts").rowsBetween(Window.unboundedPreceding, 0)
+      grid.join(agg, Seq("bar_ts"), "left")
+        .withColumn("__pc", last("close", ignoreNulls = true).over(w))
+        .select(
+          col("bar_ts"),
+          coalesce(col("open"), col("__pc")).as("open"),
+          coalesce(col("high"), col("__pc")).as("high"),
+          coalesce(col("low"), col("__pc")).as("low"),
+          coalesce(col("close"), col("__pc")).as("close"),
+          coalesce(col("volume"), lit(0.0)).as("volume"),
+          coalesce(col("trades"), lit(0L)).as("trades"),
+          coalesce(col("median_trade_size"), lit(0.0)).as("median_trade_size"),
+          coalesce(col("vwap"), lit(0.0)).as("vwap"))
+    }
+  }
+
+  /** Directional (order-flow) bar features — `comp_bar_directional_features`
+    * (bar/base.py:409-546). Conditional aggregates + one intra-bar running
+    * cumulative window for the path extrema. Spreads use the *global*
+    * previous trade (the reference reads prices[j-1] across the bar
+    * boundary), hence the unpartitioned lag before grouping.
+    */
+  def directional(tradesWithSide: DataFrame, intervalSec: Long): DataFrame = {
+    val iv = intervalSec * 1000000000L
+    val global = Window.orderBy("ts", "id")
+    val t = tradesWithSide
+      .withColumn("bar_ts", expr(s"((ts + ${iv - 1}L) div ${iv}L) * ${iv}L"))
+      .withColumn("__flip", col("side") =!= lag("side", 1).over(global))
+      .withColumn("__spread", when(col("__flip"), abs(col("price") - lag("price", 1).over(global))))
+      .withColumn("__signed_tick", when(col("side") === 1, 1).when(col("side") === -1, -1).otherwise(0))
+      .withColumn("__signed_vol", col("__signed_tick") * col("qty"))
+      .withColumn("__signed_dollar", col("__signed_tick") * col("price") * col("qty"))
+    val intra = Window.partitionBy("bar_ts").orderBy("ts", "id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val t2 = t
+      .withColumn("__cum_ticks", sum("__signed_tick").over(intra))
+      .withColumn("__cum_vol", sum("__signed_vol").over(intra))
+      .withColumn("__cum_dollar", sum("__signed_dollar").over(intra))
+    val isBuy = col("side") === 1
+    val isSell = col("side") === -1
+    val directed = col("side") =!= 0
+    t2.groupBy("bar_ts").agg(
+      sum(when(isBuy, 1L).otherwise(0L)).as("ticks_buy"),
+      sum(when(isSell, 1L).otherwise(0L)).as("ticks_sell"),
+      sum(when(isBuy, col("qty")).otherwise(0.0)).as("volume_buy"),
+      sum(when(isSell, col("qty")).otherwise(0.0)).as("volume_sell"),
+      sum(when(isBuy, col("price") * col("qty")).otherwise(0.0)).as("dollars_buy"),
+      sum(when(isSell, col("price") * col("qty")).otherwise(0.0)).as("dollars_sell"),
+      (sum(when(col("__flip"), col("__spread")).otherwise(0.0)) /
+        sum(when(directed, 1L).otherwise(0L))).as("mean_spread"),
+      max(coalesce(when(col("__flip"), col("__spread")), lit(0.0))).as("max_spread"),
+      min(when(directed, col("__cum_ticks"))).as("cum_ticks_min"),
+      max(when(directed, col("__cum_ticks"))).as("cum_ticks_max"),
+      min(when(directed, col("__cum_vol"))).as("cum_volume_min"),
+      max(when(directed, col("__cum_vol"))).as("cum_volume_max"),
+      min(when(directed, col("__cum_dollar"))).as("cum_dollars_min"),
+      max(when(directed, col("__cum_dollar"))).as("cum_dollars_max"))
+  }
+
+  /** Trade-size distribution features vs a typical-size threshold θ —
+    * `comp_bar_trade_size_features` (bar/base.py:549-612). θ here is the
+    * global mean trade size (a broadcast scalar), thr = θ·mult.
+    */
+  def tradeSize(trades: DataFrame, intervalSec: Long, thetaMult: Double = 5.0): DataFrame = {
+    val iv = intervalSec * 1000000000L
+    val theta = trades.agg((avg("qty") * lit(thetaMult)).as("thr"))
+    val t = trades
+      .withColumn("bar_ts", expr(s"((ts + ${iv - 1}L) div ${iv}L) * ${iv}L"))
+      .crossJoin(broadcast(theta))
+    // thr is a broadcast scalar: grouping by it keeps it referencable inside
+    // the aggregate expressions without a nested agg (same trick as the oracle)
+    t.groupBy("bar_ts", "thr").agg(
+      log1p(avg("qty") / col("thr")).as("mean_size_rel"),
+      log1p(percentile(col("qty"), lit(0.95)) / col("thr")).as("size_95_rel"),
+      (sum(when(col("qty") > col("thr"), col("qty")).otherwise(0.0)) /
+        sum("qty")).as("pct_block"),
+      when(count(lit(1)) === 1, 0.0)
+        .otherwise(lit(1.0) - sum(col("qty") * col("qty")) / (sum("qty") * sum("qty")))
+        .as("size_gini"))
+  }
+
+  /** Resample bars to a coarser timeframe — `TimeBarReader._resample`
+    * (bar/io.py:890-950): first/max/min/last + summed volume/trades,
+    * volume-weighted vwap recombination; empty periods dropped.
+    */
+  def resample(bars: DataFrame, fromSec: Long, toSec: Long): DataFrame = {
+    require(toSec % fromSec == 0, "target timeframe must be a multiple")
+    val iv = toSec * 1000000000L
+    bars
+      .where(col("trades") > 0) // resample over non-empty source bars
+      .withColumn("rs_ts", expr(s"((bar_ts + ${iv - 1}L) div ${iv}L) * ${iv}L"))
+      .groupBy("rs_ts")
+      .agg(
+        min_by(col("open"), col("bar_ts")).as("open"),
+        max("high").as("high"),
+        min("low").as("low"),
+        max_by(col("close"), col("bar_ts")).as("close"),
+        sum("volume").as("volume"),
+        sum("trades").as("trades"),
+        (sum(col("vwap") * col("volume")) / sum(col("volume"))).as("vwap"))
+  }
+}

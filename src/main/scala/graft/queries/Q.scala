@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared helpers for the driver-facing query/oracle pairs.
+  *
+  * Conventions that make Spark results hash-match the DuckDB oracle:
+  *  - every floating output is `r6` (NaN→NULL, round to 6 decimals) on BOTH
+  *    sides — window/agg summation-order ulp noise disappears at 1e-6;
+  *  - money-scale sums go through DECIMAL(18,6) accumulation (exact, order
+  *    independent) and are cast to DOUBLE once at the end;
+  *  - integer aggregates are cast to BIGINT on the DuckDB side (DuckDB
+  *    sum(int) returns HUGEINT which pandas can't hash-match to int64);
+  *  - every result carries a unique key column for row alignment.
+  */
+object Q {
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  /** NaN→null then round(6): the canonical float output normalizer. */
+  def r6(c: Column): Column = round(nanvl(c, lit(null).cast("double")), 6)
+
+  /** DuckDB-side mirror of [[r6]]. */
+  def rd(sql: String): String =
+    s"round(CASE WHEN isnan(CAST(($sql) AS DOUBLE)) THEN NULL ELSE ($sql) END, 6)"
+
+  /** Exact decimal sum cast to double — Spark side. */
+  def dsum(c: Column): Column = sum(c.cast("decimal(18,6)")).cast("double")
+
+  /** Exact decimal sum cast to double — DuckDB side. */
+  def dsumSql(expr: String): String =
+    s"CAST(sum(CAST(($expr) AS DECIMAL(18,6))) AS DOUBLE)"
+
+  /** The canonical trades CTE over the synthetic events table (DuckDB).
+    * Mirrors graft.trades.Trades.fromEvents exactly: ns epoch longs, price =
+    * value, qty synthesized from the id.
+    */
+  val tradesCte: String =
+    """trades AS (
+      |  SELECT epoch_ns(ts) AS ts, event_id AS id, value AS price,
+      |         CAST(1.0 AS DOUBLE) + CAST(event_id % 97 AS DOUBLE) * CAST(0.1 AS DOUBLE) AS qty,
+      |         user_id AS symbol
+      |  FROM events
+      |)""".stripMargin
+
+  /** Tick-rule side CTE chain (DuckDB) — mirrors Trades.withTickRuleSide. */
+  val sidedCte: String =
+    """sided AS (
+      |  SELECT ts, id, price, qty, symbol,
+      |         coalesce(last_value(tick IGNORE NULLS) OVER (
+      |           ORDER BY ts, id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS side
+      |  FROM (
+      |    SELECT *, CASE WHEN abs(dp) > 1e-12 THEN CAST(sign(dp) AS INT) END AS tick
+      |    FROM (SELECT *, price - lag(price) OVER (ORDER BY ts, id) AS dp FROM trades)
+      |  )
+      |)""".stripMargin
+
+  /** OHLCV bars CTE (DuckDB) with empty-bar fill — mirrors TimeBars.ohlcv.
+    * Produces CTE `bars(bar_ts, open, high, low, close, volume, trades,
+    * median_trade_size, vwap)`.
+    */
+  def barsCte(intervalSec: Long): String = {
+    val iv = intervalSec * 1000000000L
+    s"""bars0 AS (
+       |  SELECT ((ts + ${iv - 1}) // $iv) * $iv AS bar_ts,
+       |         arg_min(price, ts) AS open, max(price) AS high, min(price) AS low,
+       |         arg_max(price, ts) AS close, sum(qty) AS volume,
+       |         CAST(count(*) AS BIGINT) AS trades,
+       |         median(qty) AS median_trade_size,
+       |         sum(price * qty) / sum(qty) AS vwap
+       |  FROM trades GROUP BY 1
+       |), bounds AS (
+       |  SELECT (min(ts) // $iv + 1) * $iv AS lo,
+       |         ((max(ts) + ${iv - 1}) // $iv) * $iv AS hi
+       |  FROM trades
+       |), grid AS (
+       |  SELECT unnest(generate_series(lo, hi, $iv)) AS bar_ts FROM bounds
+       |), bars AS (
+       |  SELECT bar_ts,
+       |         coalesce(open, pc) AS open, coalesce(high, pc) AS high,
+       |         coalesce(low, pc) AS low, coalesce(close, pc) AS close,
+       |         coalesce(volume, 0.0) AS volume,
+       |         coalesce(trades, 0) AS trades,
+       |         coalesce(median_trade_size, 0.0) AS median_trade_size,
+       |         coalesce(vwap, 0.0) AS vwap
+       |  FROM (
+       |    SELECT g.bar_ts AS bar_ts, b.open, b.high, b.low, b.close, b.volume,
+       |           b.trades, b.median_trade_size, b.vwap,
+       |           last_value(b.close IGNORE NULLS) OVER (
+       |             ORDER BY g.bar_ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pc
+       |    FROM grid g LEFT JOIN bars0 b ON g.bar_ts = b.bar_ts
+       |  )
+       |)""".stripMargin
+  }
+}

@@ -1,0 +1,195 @@
+package graft.queries
+
+import graft.Tables
+import graft.trades.Trades
+import graft.bars.TimeBars
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Trades preprocessing + bar-construction coverage (SURVEY.md §2.2/§2.4). */
+object TradeQueries {
+
+  private def trades(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Trades.fromEvents(Tables.events(s, dir))
+
+  private def sided(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Trades.withTickRuleSide(trades(s, dir))
+
+  val queries: Map[String, QueryFn] = Map(
+    // Canonicalization + AFML tick-rule side inference (§2.2).
+    "trades_canonical" -> ((s, dir) =>
+      sided(s, dir).select(col("ts"), col("id"),
+        r6(col("price")).as("price"), r6(col("qty")).as("qty"),
+        col("symbol"), col("side"))),
+
+    // Split-trade merge: groupBy (ts, price, side) summing qty (§2.2).
+    "trades_split_merge" -> ((s, dir) =>
+      Trades.mergeSplitTrades(sided(s, dir)).select(
+        col("ts"), r6(col("price")).as("price"), col("side"),
+        r6(col("qty")).as("qty"), col("id"), col("symbol"), col("merged"))),
+
+    // OHLCV time bars, 5-minute grid, with empty-bar fill (§2.4).
+    "time_bars_5m" -> ((s, dir) =>
+      TimeBars.ohlcv(trades(s, dir), 300).select(
+        col("bar_ts"), r6(col("open")).as("open"), r6(col("high")).as("high"),
+        r6(col("low")).as("low"), r6(col("close")).as("close"),
+        r6(col("volume")).as("volume"), col("trades"),
+        r6(col("median_trade_size")).as("median_trade_size"),
+        r6(col("vwap")).as("vwap"))),
+
+    // Directional (order-flow) bar features (§2.4).
+    "time_bars_directional_1h" -> ((s, dir) =>
+      TimeBars.directional(sided(s, dir), 3600).select(
+        col("bar_ts"), col("ticks_buy"), col("ticks_sell"),
+        r6(col("volume_buy")).as("volume_buy"), r6(col("volume_sell")).as("volume_sell"),
+        r6(col("dollars_buy")).as("dollars_buy"), r6(col("dollars_sell")).as("dollars_sell"),
+        r6(col("mean_spread")).as("mean_spread"), r6(col("max_spread")).as("max_spread"),
+        col("cum_ticks_min"), col("cum_ticks_max"),
+        r6(col("cum_volume_min")).as("cum_volume_min"), r6(col("cum_volume_max")).as("cum_volume_max"),
+        r6(col("cum_dollars_min")).as("cum_dollars_min"), r6(col("cum_dollars_max")).as("cum_dollars_max"))),
+
+    // Trade-size distribution features (§2.4).
+    "time_bars_size_1h" -> ((s, dir) =>
+      TimeBars.tradeSize(trades(s, dir), 3600).select(
+        col("bar_ts"), r6(col("mean_size_rel")).as("mean_size_rel"),
+        r6(col("size_95_rel")).as("size_95_rel"), r6(col("pct_block")).as("pct_block"),
+        r6(col("size_gini")).as("size_gini"))),
+
+    // Resample 5m → 1h (§3.3 storage lifecycle / TimeBarReader._resample).
+    "resample_5m_to_1h" -> ((s, dir) =>
+      TimeBars.resample(TimeBars.ohlcv(trades(s, dir), 300), 300, 3600).select(
+        col("rs_ts"), r6(col("open")).as("open"), r6(col("high")).as("high"),
+        r6(col("low")).as("low"), r6(col("close")).as("close"),
+        r6(col("volume")).as("volume"), col("trades"), r6(col("vwap")).as("vwap"))),
+
+    // Time-gap integrity scan (§2.1 H5Inspector.inspect_gaps).
+    "integrity_time_gaps" -> ((s, dir) =>
+      Trades.timeGaps(trades(s, dir), 3600L * 1000000000L).select(
+        col("gap_start"), col("gap_end"), r6(col("gap_sec")).as("gap_sec"))),
+
+    // Trade-id gap scan on a filtered stream (ids become sparse) (§2.2).
+    "integrity_id_gaps" -> ((s, dir) => {
+      val t = Trades.fromEvents(
+        Tables.events(s, dir).where(col("event_type") =!= "error"))
+      Trades.idGaps(t).select(col("prev_id"), col("id"), col("missing"),
+        col("prev_ts"), col("ts"))
+    }),
+
+    // Tick-size estimation via scaled-integer GCD (§2.2).
+    "tick_size_gcd" -> ((s, dir) =>
+      Trades.tickSize(trades(s, dir)).select(r6(col("tick_size")).as("tick_size")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "trades_canonical" ->
+      s"""WITH $tradesCte, $sidedCte
+         |SELECT ts, id, ${rd("price")} AS price, ${rd("qty")} AS qty, symbol, side
+         |FROM sided""".stripMargin,
+
+    "trades_split_merge" ->
+      s"""WITH $tradesCte, $sidedCte
+         |SELECT ts, ${rd("price")} AS price, side, ${rd("sum(qty)")} AS qty,
+         |       min(id) AS id, min(symbol) AS symbol, CAST(count(*) AS BIGINT) AS merged
+         |FROM sided GROUP BY ts, price, side""".stripMargin,
+
+    "time_bars_5m" ->
+      s"""WITH $tradesCte, ${barsCte(300)}
+         |SELECT bar_ts, ${rd("open")} AS open, ${rd("high")} AS high,
+         |       ${rd("low")} AS low, ${rd("close")} AS close,
+         |       ${rd("volume")} AS volume, trades,
+         |       ${rd("median_trade_size")} AS median_trade_size, ${rd("vwap")} AS vwap
+         |FROM bars""".stripMargin,
+
+    "time_bars_directional_1h" -> {
+      val iv = 3600L * 1000000000L
+      s"""WITH $tradesCte, $sidedCte,
+         |flagged AS (
+         |  SELECT *,
+         |    ((ts + ${iv - 1}) // $iv) * $iv AS bar_ts,
+         |    side <> lag(side) OVER (ORDER BY ts, id) AS flip,
+         |    abs(price - lag(price) OVER (ORDER BY ts, id)) AS spr,
+         |    CASE WHEN side = 1 THEN 1 WHEN side = -1 THEN -1 ELSE 0 END AS st
+         |  FROM sided
+         |), cum AS (
+         |  SELECT *,
+         |    sum(st) OVER w AS cum_ticks,
+         |    sum(st * qty) OVER w AS cum_vol,
+         |    sum(st * price * qty) OVER w AS cum_dollar
+         |  FROM flagged
+         |  WINDOW w AS (PARTITION BY bar_ts ORDER BY ts, id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |)
+         |SELECT bar_ts,
+         |  CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ticks_buy,
+         |  CAST(sum(CASE WHEN side = -1 THEN 1 ELSE 0 END) AS BIGINT) AS ticks_sell,
+         |  ${rd("sum(CASE WHEN side = 1 THEN qty ELSE 0.0 END)")} AS volume_buy,
+         |  ${rd("sum(CASE WHEN side = -1 THEN qty ELSE 0.0 END)")} AS volume_sell,
+         |  ${rd("sum(CASE WHEN side = 1 THEN price * qty ELSE 0.0 END)")} AS dollars_buy,
+         |  ${rd("sum(CASE WHEN side = -1 THEN price * qty ELSE 0.0 END)")} AS dollars_sell,
+         |  ${rd("sum(CASE WHEN flip THEN spr ELSE 0.0 END) / sum(CASE WHEN side <> 0 THEN 1 ELSE 0 END)")} AS mean_spread,
+         |  ${rd("max(coalesce(CASE WHEN flip THEN spr END, 0.0))")} AS max_spread,
+         |  CAST(min(CASE WHEN side <> 0 THEN cum_ticks END) AS BIGINT) AS cum_ticks_min,
+         |  CAST(max(CASE WHEN side <> 0 THEN cum_ticks END) AS BIGINT) AS cum_ticks_max,
+         |  ${rd("min(CASE WHEN side <> 0 THEN cum_vol END)")} AS cum_volume_min,
+         |  ${rd("max(CASE WHEN side <> 0 THEN cum_vol END)")} AS cum_volume_max,
+         |  ${rd("min(CASE WHEN side <> 0 THEN cum_dollar END)")} AS cum_dollars_min,
+         |  ${rd("max(CASE WHEN side <> 0 THEN cum_dollar END)")} AS cum_dollars_max
+         |FROM cum GROUP BY bar_ts""".stripMargin
+    },
+
+    "time_bars_size_1h" -> {
+      val iv = 3600L * 1000000000L
+      s"""WITH $tradesCte,
+         |theta AS (SELECT avg(qty) * CAST(5.0 AS DOUBLE) AS thr FROM trades)
+         |SELECT ((ts + ${iv - 1}) // $iv) * $iv AS bar_ts,
+         |  ${rd("ln(1 + avg(qty) / thr)")} AS mean_size_rel,
+         |  ${rd("ln(1 + quantile_cont(qty, 0.95) / thr)")} AS size_95_rel,
+         |  ${rd("sum(CASE WHEN qty > thr THEN qty ELSE 0.0 END) / sum(qty)")} AS pct_block,
+         |  ${rd("CASE WHEN count(*) = 1 THEN 0.0 ELSE 1.0 - sum(qty * qty) / (sum(qty) * sum(qty)) END")} AS size_gini
+         |FROM trades, theta
+         |GROUP BY 1, thr""".stripMargin
+    },
+
+    "resample_5m_to_1h" -> {
+      val iv = 3600L * 1000000000L
+      s"""WITH $tradesCte, ${barsCte(300)}
+         |SELECT ((bar_ts + ${iv - 1}) // $iv) * $iv AS rs_ts,
+         |  ${rd("arg_min(open, bar_ts)")} AS open, ${rd("max(high)")} AS high,
+         |  ${rd("min(low)")} AS low, ${rd("arg_max(close, bar_ts)")} AS close,
+         |  ${rd("sum(volume)")} AS volume, CAST(sum(trades) AS BIGINT) AS trades,
+         |  ${rd("sum(vwap * volume) / sum(volume)")} AS vwap
+         |FROM bars WHERE trades > 0 GROUP BY 1""".stripMargin
+    },
+
+    "integrity_time_gaps" ->
+      s"""WITH $tradesCte
+         |SELECT prev_ts AS gap_start, ts AS gap_end, ${rd("(ts - prev_ts) / 1e9")} AS gap_sec
+         |FROM (SELECT ts, lag(ts) OVER (ORDER BY ts, id) AS prev_ts FROM trades)
+         |WHERE ts - prev_ts > ${3600L * 1000000000L}""".stripMargin,
+
+    "integrity_id_gaps" ->
+      """WITH trades AS (
+        |  SELECT epoch_ns(ts) AS ts, event_id AS id FROM events WHERE event_type <> 'error'
+        |)
+        |SELECT prev_id, id, id - prev_id - 1 AS missing, prev_ts, ts
+        |FROM (SELECT id, ts, lag(id) OVER (ORDER BY id) AS prev_id,
+        |             lag(ts) OVER (ORDER BY id) AS prev_ts FROM trades)
+        |WHERE id - prev_id > 1""".stripMargin,
+
+    "tick_size_gcd" ->
+      s"""WITH $tradesCte,
+         |sample AS (SELECT DISTINCT round(price, 12) AS p
+         |           FROM (SELECT price FROM trades ORDER BY ts, id LIMIT 10000)),
+         |diffs AS (
+         |  SELECT np - p AS d FROM (
+         |    SELECT p, lead(p) OVER (ORDER BY p) AS np FROM sample)
+         |  WHERE np IS NOT NULL AND np > p
+         |),
+         |scaled AS (
+         |  SELECT pow(10.0, -floor(log10(min(d)))) AS scale,
+         |         list(d) AS ds
+         |  FROM diffs
+         |)
+         |SELECT ${rd("list_reduce(list_transform(ds, d -> CAST(round(d * scale) AS BIGINT)), (a, b) -> gcd(a, b)) / scale")} AS tick_size
+         |FROM scaled""".stripMargin
+  )
+}

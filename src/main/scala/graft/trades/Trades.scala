@@ -1,0 +1,148 @@
+package graft.trades
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Raw-trades canonicalization and preprocessing.
+  *
+  * Re-expresses the reference's `TradesData` preprocessing pipeline
+  * (finmlkit/bar/data_model.py:174-183) as declarative DataFrame transforms:
+  * ns normalization, id-dedup, tick-rule side inference, split-trade merge.
+  * Canonical schema: (ts: Long ns, id: Long, price: Double, qty: Double,
+  * symbol: Long, [side: Int]).
+  */
+object Trades {
+
+  /** Canonical trades view over the synthetic `events` table: ts is already
+    * ns, `value` plays price, qty is synthesized deterministically from the
+    * id so that a DuckDB oracle can reproduce it bit-for-bit.
+    *
+    * ts is quantized to µs (ns div 1000 * 1000) because DuckDB 1.0 truncates
+    * parquet TIMESTAMP(NANOS) to µs on read — the oracle can only see µs, so
+    * the engine's canonical view adopts the same resolution for the synthetic
+    * tables. (The engine itself stays ns-native throughout.)
+    */
+  def fromEvents(events: DataFrame): DataFrame =
+    events.select(
+      expr("(ts div 1000) * 1000").as("ts"),
+      col("event_id").as("id"),
+      col("value").as("price"),
+      (lit(1.0) + (col("event_id") % 97).cast("double") * lit(0.1)).as("qty"),
+      col("user_id").as("symbol"))
+
+  /** ts * factor with unit inference from magnitude — mirrors
+    * `_convert_timestamps_to_ns` (data_model.py:346-418). Spark-first: the
+    * inference is one scalar agg, the conversion a projection.
+    */
+  def toNanos(df: DataFrame, tsCol: String = "ts"): DataFrame = {
+    // magnitude thresholds: s < 1e11 < ms < 1e14 < µs < 1e17 < ns
+    val factor = when(col(tsCol) < 100000000000L, 1000000000L)
+      .when(col(tsCol) < 100000000000000L, 1000000L)
+      .when(col(tsCol) < 100000000000000000L, 1000L)
+      .otherwise(1L)
+    df.withColumn(tsCol, (col(tsCol) * factor).cast("long"))
+  }
+
+  /** Round ts down to a resolution: (ts div res) * res (data_model.py:370-388). */
+  def applyResolution(df: DataFrame, resNs: Long, tsCol: String = "ts"): DataFrame =
+    df.withColumn(tsCol, expr(s"($tsCol div ${resNs}L) * ${resNs}L"))
+
+  /** Drop duplicate trade ids keeping the first occurrence in (ts, id) order
+    * — mirrors `_sort_trades` (data_model.py:294-324). Spark has no global
+    * "keep first": expressed as a row_number over an id-partitioned window,
+    * which shuffles by id (scales: no global sort needed).
+    */
+  def dedupIds(trades: DataFrame): DataFrame = {
+    val w = Window.partitionBy("id").orderBy("ts", "price")
+    trades.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** AFML tick rule (finmlkit/bar/utils.py:10-46): side = sign(Δprice) when
+    * |Δprice| > 1e-12 else carry the previous side; leading unresolved rows
+    * get 0. One pass of two window functions — the carry is
+    * `last(non-zero-sign, ignoreNulls)` over an unbounded-preceding frame.
+    *
+    * @param partCols optional symbol partitioning for multi-series data; the
+    *                 reference semantics are single-series (empty Seq).
+    */
+  def withTickRuleSide(trades: DataFrame, partCols: Seq[String] = Nil): DataFrame = {
+    val base = Window.partitionBy(partCols.map(col): _*).orderBy("ts", "id")
+    val dp = col("price") - lag("price", 1).over(base)
+    val carry = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    trades
+      .withColumn("__tick", when(abs(dp) > lit(1e-12), signum(dp).cast("int")))
+      .withColumn("side", coalesce(last(col("__tick"), ignoreNulls = true).over(carry), lit(0)))
+      .drop("__tick")
+  }
+
+  /** Merge adjacent trades with identical (ts, price, side) summing qty —
+    * `merge_split_trades` (bar/utils.py:263-329). Input is ts-sorted so equal
+    * keys are adjacent; a groupBy is equivalent and shuffle-parallel.
+    */
+  def mergeSplitTrades(trades: DataFrame, useSide: Boolean = true): DataFrame = {
+    val keys = if (useSide && trades.columns.contains("side"))
+      Seq("ts", "price", "side") else Seq("ts", "price")
+    trades.groupBy(keys.map(col): _*).agg(
+      sum("qty").as("qty"),
+      min("id").as("id"),
+      min("symbol").as("symbol"),
+      count(lit(1)).as("merged"))
+  }
+
+  /** Trade-id gap scan — `_validate_data` (data_model.py:254-292):
+    * rows where id jumps by >1, with surrounding timestamps.
+    */
+  def idGaps(trades: DataFrame): DataFrame = {
+    val w = Window.orderBy("id")
+    trades.select(
+        col("id"), col("ts"),
+        lag("id", 1).over(w).as("prev_id"),
+        lag("ts", 1).over(w).as("prev_ts"))
+      .where(col("id") - col("prev_id") > 1)
+      .select(
+        col("prev_id"), col("id"),
+        (col("id") - col("prev_id") - 1).as("missing"),
+        col("prev_ts"), col("ts"))
+  }
+
+  /** Time-gap scan over ts — `H5Inspector.inspect_gaps` (bar/io.py:200-223):
+    * consecutive-trade gaps above a threshold.
+    */
+  def timeGaps(trades: DataFrame, maxGapNs: Long): DataFrame = {
+    val w = Window.orderBy("ts", "id")
+    trades.select(col("ts"), lag("ts", 1).over(w).as("prev_ts"))
+      .where(col("ts") - col("prev_ts") > maxGapNs)
+      .select(col("prev_ts").as("gap_start"), col("ts").as("gap_end"),
+        ((col("ts") - col("prev_ts")) / lit(1e9)).as("gap_sec"))
+  }
+
+  /** Monotonic-timestamp check (bar/utils.py:227-237) as one scalar agg. */
+  def checkTimestampsOrder(trades: DataFrame): DataFrame = {
+    val w = Window.orderBy("id")
+    trades.select((col("ts") >= lag("ts", 1).over(w)).as("ok"))
+      .agg(coalesce(min(col("ok").cast("int")), lit(1)).cast("boolean").as("is_sorted"))
+  }
+
+  /** Tick-size estimate: GCD of scaled diffs of the first 10k unique prices —
+    * `comp_price_tick_size` (bar/utils.py:49-81). Sample-bounded by design in
+    * the reference; the 10k-row sample is a `limit`, the GCD a tiny agg.
+    */
+  def tickSize(trades: DataFrame): DataFrame = {
+    val sample = trades.orderBy("ts", "id").limit(10000)
+      .select(round(col("price"), 12).as("p")).distinct()
+    // scale so the smallest diff becomes >= 1, then integer GCD via
+    // aggregate() over the collected (small, <=10k) diff list.
+    val diffs = sample
+      .select(col("p"), lead("p", 1).over(Window.orderBy("p")).as("np"))
+      .where(col("np").isNotNull && col("np") > col("p"))
+      .select((col("np") - col("p")).as("d"))
+    val scale = diffs.agg(pow(lit(10.0), -floor(log10(min("d")))).as("scale"))
+    diffs.crossJoin(broadcast(scale))
+      .select(round(col("d") * col("scale")).cast("long").as("di"), col("scale"))
+      .groupBy("scale")
+      .agg(graft.functions.Aggs.gcd_agg(col("di")).as("g"))
+      .select((col("g").cast("double") / col("scale")).as("tick_size"))
+  }
+}
