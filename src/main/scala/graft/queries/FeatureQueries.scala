@@ -1,0 +1,300 @@
+package graft.queries
+
+import graft.Tables
+import graft.trades.Trades
+import graft.bars.TimeBars
+import graft.features.Features._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Window-feature coverage (SURVEY.md §2.5) — each query computes a family
+  * of features on 5-minute bars built from the canonical trades stream, and
+  * is mirrored by a DuckDB oracle over the identical CTE pipeline.
+  */
+object FeatureQueries {
+
+  private def bars5m(s: org.apache.spark.sql.SparkSession, dir: String) =
+    TimeBars.ohlcv(Trades.fromEvents(Tables.events(s, dir)), 300)
+
+  /** bars + rn + 1/4-bar log returns — the shared feature input. */
+  private def b(s: org.apache.spark.sql.SparkSession, dir: String) =
+    bars5m(s, dir)
+      .withColumn("rn", row_number().over(Window.orderBy("bar_ts")))
+      .withColumn("r1", log(col("close") / lag("close", 1).over(Window.orderBy("bar_ts"))))
+      .withColumn("r4", log(col("close") / lag("close", 4).over(Window.orderBy("bar_ts"))))
+      .withColumn("r1l", lag("r1", 1).over(Window.orderBy("bar_ts")))
+
+  /** DuckDB mirror of [[b]]. */
+  private val bCte: String =
+    """b0 AS (
+      |  SELECT *, row_number() OVER (ORDER BY bar_ts) AS rn,
+      |         ln(close / lag(close) OVER (ORDER BY bar_ts)) AS r1,
+      |         ln(close / lag(close, 4) OVER (ORDER BY bar_ts)) AS r4
+      |  FROM bars
+      |), b AS (
+      |  SELECT *, lag(r1) OVER (ORDER BY bar_ts) AS r1l FROM b0
+      |)""".stripMargin
+
+  private def withB(body: String): String =
+    s"WITH $tradesCte, ${barsCte(300)}, $bCte\n$body"
+
+  val queries: Map[String, QueryFn] = Map(
+    // Lag / Return / ROC / PctChange (§2.5 rows 1-5)
+    "f_returns" -> ((s, dir) =>
+      b(s, dir).select(col("bar_ts"),
+        r6(lagN(col("close"), 5)).as("lag5"),
+        r6(ret(col("close"), 1)).as("ret1"),
+        r6(logRet(col("close"), 1)).as("logret1"),
+        r6(roc(col("close"), 12)).as("roc12"),
+        r6(pctChange(col("close"), 3)).as("pctchg3"))),
+
+    // SMA / ZScore / MeanReversionZ / BurstRatio
+    "f_sma_zscore" -> ((s, dir) =>
+      b(s, dir).select(col("bar_ts"),
+        r6(sma(col("close"), 20)).as("sma20"),
+        r6(zscore(col("close"), 20)).as("z20"),
+        r6(zscore(col("volume"), 20, ddof = 1)).as("zvol20"),
+        r6(burstRatio(col("volume"), 20)).as("burst20"))),
+
+    // Bollinger %B + Parkinson range
+    "f_bollinger_parkinson" -> ((s, dir) =>
+      b(s, dir).select(col("bar_ts"),
+        r6(bollingerPercentB(col("close"), 20, 2.0)).as("pct_b"),
+        r6(parkinson).as("parkinson"))),
+
+    // StochK + true range + SMA-ATR
+    "f_stoch_atr" -> ((s, dir) =>
+      b(s, dir).select(col("bar_ts"),
+        r6(stochK(14)).as("stoch_k14"),
+        r6(trueRange()).as("tr"),
+        r6(atrSma(14)).as("atr_sma14"))),
+
+    // Realized vol / variance ratio / kurtosis / bipower variation
+    "f_volatility" -> ((s, dir) =>
+      b(s, dir).select(col("bar_ts"),
+        r6(realizedVol(col("r1"), 20)).as("rv20"),
+        r6(varianceRatio14(col("r1"), col("r4"), 20)).as("vr14"),
+        r6(rollingKurtosis(col("r1"), 20)).as("kurt20"),
+        r6(biPower(col("r1"), col("r1l"), 20)).as("bipower20"))),
+
+    // VWAP distance + price-volume correlation
+    "f_vwap_corr" -> ((s, dir) =>
+      b(s, dir).select(col("bar_ts"),
+        r6(vwapDistance(20)).as("vwap_dist20"),
+        r6(priceVolumeCorr(col("r1"), col("volume"), 20)).as("pv_corr20"))),
+
+    // VPIN + flow acceleration (needs per-bar buy/sell volumes)
+    "f_vpin_flow" -> ((s, dir) => {
+      val dir5 = TimeBars.directional(
+        Trades.withTickRuleSide(Trades.fromEvents(Tables.events(s, dir))), 300)
+      dir5.select(col("bar_ts"), col("volume_buy"), col("volume_sell"))
+        .withColumn("vpin20", vpin(col("volume_buy"), col("volume_sell"), 20))
+        .withColumn("flow_accel",
+          flowAcceleration(col("volume_buy") + col("volume_sell"), 20, 5))
+        .select(col("bar_ts"), r6(col("vpin20")).as("vpin20"),
+          r6(col("flow_accel")).as("flow_accel"))
+    }),
+
+    // Trend slope (rolling OLS, degrees) + directional run length
+    "f_trend" -> ((s, dir) => {
+      val base = b(s, dir)
+      withDirRunLen(base, col("r1"), "dir_run_len")
+        .select(col("bar_ts"),
+          r6(trendSlopeDegrees(col("close"), col("rn"), 20)).as("trend_slope20"),
+          col("dir_run_len"))
+    }),
+
+    // Time cues — 9 calendar features (core/time.py)
+    "f_time_cues" -> ((s, dir) => {
+      val base = b(s, dir)
+      val cues = timeCues("bar_ts")
+      base.select((col("bar_ts") +: cues.map { case (n, c) =>
+        (if (n.startsWith("sin") || n.startsWith("cos")) r6(c) else c.cast("boolean")).as(n)
+      }): _*)
+    }),
+
+    // Candle shape (4 outputs)
+    "f_candle_shape" -> ((s, dir) =>
+      b(s, dir).select((col("bar_ts") +: candleShape.map { case (n, c) => r6(c).as(n) }): _*)),
+
+    // Opening-range breakout flags
+    "f_orb_break" -> ((s, dir) =>
+      withOrbBreak(b(s, dir)).select(col("bar_ts"),
+        r6(col("orb_high")).as("orb_high"), r6(col("orb_low")).as("orb_low"),
+        col("orb_long"), col("orb_short"))),
+
+    // Daily overnight gap (fixed port of the reference's broken DailyGap)
+    "f_daily_gap" -> ((s, dir) =>
+      dailyGap(bars5m(s, dir)).select(col("day"), r6(col("daily_gap")).as("daily_gap"))),
+
+    // Trades-domain time-window features: as-of lagged return (ReturnT) and
+    // trailing-1h event rate (BarRate) — rangeBetween on the ns long.
+    "f_returnt_rate" -> ((s, dir) => {
+      val t = Trades.fromEvents(Tables.events(s, dir))
+      val hourNs = 3600L * 1000000000L
+      val wAsOf = Window.orderBy("ts").rangeBetween(Window.unboundedPreceding, -hourNs)
+      val wRate = Window.orderBy("ts").rangeBetween(-hourNs, 0)
+      t.select(col("ts"), col("id"), col("price"))
+        .withColumn("lag_price", last("price", ignoreNulls = true).over(wAsOf))
+        .withColumn("returnt_1h", when(col("lag_price") > 0, col("price") / col("lag_price") - 1))
+        .withColumn("rate_1h", count(lit(1)).over(wRate).cast("double"))
+        .select(col("ts"), col("id"), r6(col("returnt_1h")).as("returnt_1h"),
+          r6(col("rate_1h")).as("rate_1h"))
+    })
+  )
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracles
+  // ---------------------------------------------------------------------
+
+  private def fullCase(n: Int, expr: String, win: String = "wn"): String =
+    s"CASE WHEN count(*) OVER $win = $n THEN ($expr) END"
+
+  val oracles: Map[String, String] = Map(
+    "f_returns" -> withB(
+      """SELECT bar_ts,
+        |  round(lag(close, 5) OVER wo, 6) AS lag5,
+        |  round(close / lag(close, 1) OVER wo - 1, 6) AS ret1,
+        |  round(ln(close / lag(close, 1) OVER wo), 6) AS logret1,
+        |  round((close / lag(close, 12) OVER wo - 1) * 100, 6) AS roc12,
+        |  round(CASE WHEN lag(close, 3) OVER wo > 0 THEN close / lag(close, 3) OVER wo - 1 END, 6) AS pctchg3
+        |FROM b WINDOW wo AS (ORDER BY bar_ts)""".stripMargin),
+
+    "f_sma_zscore" -> withB(
+      s"""SELECT bar_ts,
+         |  round(${fullCase(20, "avg(close) OVER wn")}, 6) AS sma20,
+         |  round(${fullCase(20, "(close - avg(close) OVER wn) / nullif(stddev_pop(close) OVER wn, 0)")}, 6) AS z20,
+         |  round(${fullCase(20, "(volume - avg(volume) OVER wn) / nullif(stddev_samp(volume) OVER wn, 0)")}, 6) AS zvol20,
+         |  round(${fullCase(20, "volume / nullif(quantile_cont(volume, 0.5) OVER wn, 0)")}, 6) AS burst20
+         |FROM b WINDOW wn AS (ORDER BY bar_ts ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""".stripMargin),
+
+    "f_bollinger_parkinson" -> withB(
+      s"""SELECT bar_ts,
+         |  round(${fullCase(20, "(close - (avg(close) OVER wn - 2.0 * stddev_samp(close) OVER wn)) / nullif(4.0 * stddev_samp(close) OVER wn, 0)")}, 6) AS pct_b,
+         |  round(pow(ln(high / low), 2) / (4 * ln(2.0)), 6) AS parkinson
+         |FROM b WINDOW wn AS (ORDER BY bar_ts ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""".stripMargin),
+
+    "f_stoch_atr" -> withB(
+      s"""SELECT bar_ts,
+         |  round(${fullCase(14, "100 * (close - min(low) OVER wn) / nullif(max(high) OVER wn - min(low) OVER wn, 0)")}, 6) AS stoch_k14,
+         |  round(tr, 6) AS tr,
+         |  round(${fullCase(14, "avg(tr) OVER wn")}, 6) AS atr_sma14
+         |FROM (
+         |  SELECT *, coalesce(greatest(high - low, abs(high - lag(close) OVER (ORDER BY bar_ts)),
+         |                     abs(low - lag(close) OVER (ORDER BY bar_ts))), high - low) AS tr
+         |  FROM b
+         |) WINDOW wn AS (ORDER BY bar_ts ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)""".stripMargin),
+
+    "f_volatility" -> withB(
+      s"""SELECT bar_ts,
+         |  round(${fullCase(20, "sqrt(sum(r1 * r1) OVER wn / nullif(count(r1) OVER wn - 1, 0))")}, 6) AS rv20,
+         |  round(${fullCase(20, "var_samp(r1) OVER wn / nullif(var_samp(r4) OVER wn / 4, 0)")}, 6) AS vr14,
+         |  ${rd(fullCase(20, "kurtosis_pop(r1) OVER wn"))} AS kurt20,
+         |  round(${fullCase(20, "sqrt(pi() / 2) * sum(abs(r1) * abs(r1l)) OVER wn")}, 6) AS bipower20
+         |FROM b WINDOW wn AS (ORDER BY bar_ts ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""".stripMargin),
+
+    "f_vwap_corr" -> withB(
+      s"""SELECT bar_ts,
+         |  round(close / nullif(sum(vwap * volume) OVER wn / nullif(sum(volume) OVER wn, 0), 0) - 1, 6) AS vwap_dist20,
+         |  ${rd(fullCase(20, "corr(r1, volume) OVER wn"))} AS pv_corr20
+         |FROM b WINDOW wn AS (ORDER BY bar_ts ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""".stripMargin),
+
+    "f_vpin_flow" -> {
+      val iv = 300L * 1000000000L
+      s"""WITH $tradesCte, $sidedCte,
+         |d AS (
+         |  SELECT ((ts + ${iv - 1}) // $iv) * $iv AS bar_ts,
+         |    sum(CASE WHEN side = 1 THEN qty ELSE 0.0 END) AS volume_buy,
+         |    sum(CASE WHEN side = -1 THEN qty ELSE 0.0 END) AS volume_sell
+         |  FROM sided GROUP BY 1
+         |)
+         |SELECT bar_ts,
+         |  round(${fullCase(20, "sum(abs(volume_buy - volume_sell)) OVER wn / nullif(sum(volume_buy + volume_sell) OVER wn, 0)")}, 6) AS vpin20,
+         |  round(${fullCase(20, "ln((sum(volume_buy + volume_sell) OVER wr + 1e-12) / (sum(volume_buy + volume_sell) OVER wp + 1e-12))")}, 6) AS flow_accel
+         |FROM d WINDOW
+         |  wn AS (ORDER BY bar_ts ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+         |  wr AS (ORDER BY bar_ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         |  wp AS (ORDER BY bar_ts ROWS BETWEEN 19 PRECEDING AND 5 PRECEDING)""".stripMargin
+    },
+
+    "f_trend" -> withB(
+      s"""SELECT bar_ts,
+         |  round(${fullCase(20, "degrees(atan(covar_samp(CAST(rn AS DOUBLE), ln(close)) OVER wn / nullif(var_samp(CAST(rn AS DOUBLE)) OVER wn, 0)))")}, 6) AS trend_slope20,
+         |  CASE WHEN sgn IS NULL OR sgn = 0 THEN 0
+         |       ELSE CAST(row_number() OVER (PARTITION BY grp ORDER BY bar_ts) AS INT) END AS dir_run_len
+         |FROM (
+         |  SELECT *, sum(flip) OVER (ORDER BY bar_ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         |  FROM (
+         |    SELECT *, sign(r1) AS sgn,
+         |      CASE WHEN sign(r1) IS DISTINCT FROM lag(sign(r1)) OVER (ORDER BY bar_ts) THEN 1 ELSE 0 END AS flip
+         |    FROM b
+         |  )
+         |) WINDOW wn AS (ORDER BY bar_ts ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""".stripMargin),
+
+    "f_time_cues" -> withB(
+      """SELECT bar_ts,
+        |  round(sin(2 * pi() * (sec % 86400) / 86400.0), 6) AS sin_td,
+        |  round(cos(2 * pi() * (sec % 86400) / 86400.0), 6) AS cos_td,
+        |  round(sin(2 * pi() * ((sec // 86400 + 3) % 7) / 7.0), 6) AS sin_dw,
+        |  round(cos(2 * pi() * ((sec // 86400 + 3) % 7) / 7.0), 6) AS cos_dw,
+        |  hr >= 0 AND hr < 8 AS asia_session,
+        |  hr >= 7 AND hr < 15 AS eu_session,
+        |  hr >= 13 AND hr < 21 AS us_session,
+        |  hr IN (0, 7, 13) AND mi = 0 AS session_transition,
+        |  mi = 0 AS top_of_hour
+        |FROM (SELECT bar_ts, bar_ts // 1000000000 AS sec,
+        |             (bar_ts // 1000000000 % 86400) // 3600 AS hr,
+        |             (bar_ts // 1000000000 % 3600) // 60 AS mi
+        |      FROM b)""".stripMargin),
+
+    "f_candle_shape" -> withB(
+      """SELECT bar_ts,
+        |  round((high - greatest(open, close)) / (high - low + 1e-12), 6) AS wick_up,
+        |  round((least(open, close) - low) / (high - low + 1e-12), 6) AS wick_dn,
+        |  round(abs(close - open) / (high - low + 1e-12), 6) AS body,
+        |  round(CASE WHEN trades > 0 THEN (vwap - open) / open END, 6) AS vwap_drift
+        |FROM b""".stripMargin),
+
+    "f_orb_break" -> withB(
+      """SELECT bar_ts,
+        |  round(orb_high, 6) AS orb_high, round(orb_low, 6) AS orb_low,
+        |  CAST(rn > 4 AND close > orb_high AS INT) AS orb_long,
+        |  CAST(rn > 4 AND close < orb_low AS INT) AS orb_short
+        |FROM (
+        |  SELECT *,
+        |    max(CASE WHEN rn <= 4 THEN high END) OVER (PARTITION BY day) AS orb_high,
+        |    min(CASE WHEN rn <= 4 THEN low END) OVER (PARTITION BY day) AS orb_low
+        |  FROM (
+        |    SELECT *, bar_ts // 86400000000000 AS day,
+        |           row_number() OVER (PARTITION BY bar_ts // 86400000000000 ORDER BY bar_ts) AS rn
+        |    FROM bars
+        |  )
+        |)""".stripMargin),
+
+    "f_daily_gap" ->
+      s"""WITH $tradesCte, ${barsCte(300)}
+         |SELECT day, round((first_close - prev_last) / prev_last, 6) AS daily_gap
+         |FROM (
+         |  SELECT day, first_close, last_close,
+         |         lag(last_close) OVER (ORDER BY day) AS prev_last
+         |  FROM (
+         |    SELECT bar_ts // 86400000000000 AS day,
+         |           arg_min(close, bar_ts) AS first_close,
+         |           arg_max(close, bar_ts) AS last_close
+         |    FROM bars WHERE trades > 0 GROUP BY 1
+         |  )
+         |)""".stripMargin,
+
+    "f_returnt_rate" ->
+      s"""WITH $tradesCte
+         |SELECT ts, id,
+         |  round(CASE WHEN lag_price > 0 THEN price / lag_price - 1 END, 6) AS returnt_1h,
+         |  round(CAST(count(*) OVER (ORDER BY ts RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS rate_1h
+         |FROM (
+         |  SELECT ts, id, price,
+         |    last_value(price) OVER (ORDER BY ts RANGE BETWEEN UNBOUNDED PRECEDING AND 3600000000000 PRECEDING) AS lag_price
+         |  FROM trades
+         |)""".stripMargin
+  )
+}
