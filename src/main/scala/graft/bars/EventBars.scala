@@ -1,0 +1,191 @@
+package graft.bars
+
+import graft.features.Scan
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Event-driven bar indexers (tick / volume / dollar / CUSUM) —
+  * finmlkit/bar/logic.py. Semantics preserved exactly, including the
+  * reference's boundary convention: close-index list starts at row 0, bars
+  * are (close[k-1], close[k]] so the very first trade belongs to no bar, and
+  * the trailing partial bar is dropped (n_bars = len(closes) − 1).
+  *
+  * Tick bars reduce to pure arithmetic on row_number (closed-form — stays
+  * in whole-stage codegen). Volume/dollar/CUSUM are reset-on-trigger state
+  * machines (not mergeable, SURVEY.md §4.3 bucket 2): they run as ordered
+  * sequential kernels, parallel across symbols via [[Scan.keyOrdered]].
+  */
+object EventBars {
+
+  /** Tick bars: a new bar every `threshold` trades (logic.py:54-84).
+    * bar_id = rn0 div thr on the 0-based row number; row 0 excluded; the
+    * trailing partial bar dropped via max(rn0) check.
+    */
+  def tickBarIds(trades: DataFrame, threshold: Int): DataFrame =
+    trades
+      .withColumn("rn0", row_number().over(Window.orderBy("ts", "id")) - 1)
+      .where(col("rn0") >= 1)
+      .withColumn("bar_id", expr(s"rn0 div $threshold"))
+
+  /** OHLCV over explicit bar ids; close ts = last trade's ts. */
+  def ohlcvByBarId(withIds: DataFrame): DataFrame =
+    withIds.groupBy("bar_id").agg(
+      max("ts").as("bar_ts"),
+      min_by(col("price"), col("ts")).as("open"),
+      max("price").as("high"),
+      min("price").as("low"),
+      max_by(col("price"), col("ts")).as("close"),
+      sum("qty").as("volume"),
+      count(lit(1)).as("trades"),
+      median(col("qty")).as("median_trade_size"),
+      (sum(col("price") * col("qty")) / sum(col("qty"))).as("vwap"))
+
+  def tickBarsOhlcv(trades: DataFrame, threshold: Int): DataFrame = {
+    val ids = tickBarIds(trades, threshold)
+    // complete bars only: bar 0 has thr-1 rows (row 0 excluded), others thr
+    ohlcvByBarId(ids)
+      .where(col("trades") === lit(threshold.toLong) ||
+             (col("bar_id") === 0 && col("trades") === lit(threshold.toLong - 1)))
+  }
+
+  // --- sequential (reset-state) indexers --------------------------------
+
+  /** Volume bars (logic.py:87-115): running cum += qty, close when
+    * cum >= threshold, reset to 0 (NO carry-over). Emits per-trade bar_id
+    * (-1 for the unassigned row 0) + bar_closed on the closing row.
+    */
+  def volumeBarIds(trades: DataFrame, threshold: Double,
+                   keyCols: Seq[String] = Nil): DataFrame =
+    sequentialIds(trades, keyCols) { (rows, qtyIdx, _) =>
+      var cum = 0.0
+      var bar = 0L
+      var first = true
+      rows.map { r =>
+        if (first) { first = false; cum = r.getDouble(qtyIdx); (r, -1L, false) }
+        else {
+          cum += r.getDouble(qtyIdx)
+          val id = bar
+          val closed = cum >= threshold
+          if (closed) { bar += 1; cum = 0.0 }
+          (r, id, closed)
+        }
+      }
+    }
+
+  /** Dollar bars (logic.py:118-149): cum += price·qty, close when
+    * cum >= threshold, CARRY the remainder (cum −= threshold).
+    */
+  def dollarBarIds(trades: DataFrame, threshold: Double,
+                   keyCols: Seq[String] = Nil): DataFrame =
+    sequentialIds(trades, keyCols) { (rows, qtyIdx, priceIdx) =>
+      var cum = 0.0
+      var bar = 0L
+      var first = true
+      rows.map { r =>
+        if (first) { first = false; cum = r.getDouble(priceIdx) * r.getDouble(qtyIdx); (r, -1L, false) }
+        else {
+          cum += r.getDouble(priceIdx) * r.getDouble(qtyIdx)
+          val id = bar
+          val closed = cum >= threshold
+          if (closed) { bar += 1; cum -= threshold }
+          (r, id, closed)
+        }
+      }
+    }
+
+  /** Shared layout+kernel runner: key-ordered partitions, per-key reset,
+    * appends (bar_id, bar_closed). The kernel sees (rows, qtyIdx, priceIdx).
+    */
+  private def sequentialIds(trades: DataFrame, keyCols: Seq[String])(
+      kernel: (Iterator[Row], Int, Int) => Iterator[(Row, Long, Boolean)]): DataFrame = {
+    val laid = Scan.keyOrdered(trades, keyCols, Seq("ts", "id"))
+    val schema = laid.schema
+    val qtyIdx = schema.fieldIndex("qty")
+    val priceIdx = schema.fieldIndex("price")
+    val keyIdxs = keyCols.map(schema.fieldIndex)
+    val out = StructType(schema.fields :+
+      StructField("bar_id", LongType) :+ StructField("bar_closed", BooleanType))
+    laid.mapPartitions { it =>
+      // restart the kernel at each key change (keys are contiguous)
+      val grouped = new Iterator[Iterator[Row]] {
+        val buf = it.buffered
+        def hasNext: Boolean = buf.hasNext
+        def next(): Iterator[Row] = {
+          val k = keyIdxs.map(buf.head.get)
+          new Iterator[Row] {
+            def hasNext: Boolean = buf.hasNext && keyIdxs.map(buf.head.get) == k
+            def next(): Row = buf.next()
+          }
+        }
+      }
+      grouped.flatMap(g => kernel(g, qtyIdx, priceIdx).map {
+        case (r, id, closed) => Row.fromSeq(r.toSeq :+ id :+ closed)
+      })
+    }(Encoders.row(out)).toDF()
+  }
+
+  /** Drop the unassigned first trade and the trailing partial bar (a bar is
+    * complete iff its close fired), then aggregate — parity with the
+    * reference's n_bars = len(closes) − 1.
+    */
+  def completeBars(withIds: DataFrame): DataFrame = {
+    val flagged = withIds.where(col("bar_id") >= 0)
+      .groupBy("bar_id").agg(max(col("bar_closed")).as("__complete"))
+      .where(col("__complete"))
+    ohlcvByBarId(withIds.where(col("bar_id") >= 0))
+      .join(flagged.select("bar_id"), Seq("bar_id"))
+  }
+
+  /** Symmetric CUSUM filter on log returns (sampling/filters.py:6-70 and
+    * the bar indexer logic.py:152-221 share this state machine): emits the
+    * rows where either cumulative sum crosses ±max(mult·σ, floor).
+    * σ here is a per-row threshold column (NaN forward-filled like the
+    * reference); equal-timestamp print blocks cannot close (logic.py:207-209).
+    */
+  def cusumEventIds(trades: DataFrame, sigmaCol: String, sigmaMult: Double,
+                    sigmaFloor: Double, keyCols: Seq[String] = Nil): DataFrame = {
+    val laid = Scan.keyOrdered(trades, keyCols, Seq("ts", "id"))
+    val schema = laid.schema
+    val pIdx = schema.fieldIndex("price")
+    val tsIdx = schema.fieldIndex("ts")
+    val sIdx = schema.fieldIndex(sigmaCol)
+    val out = StructType(schema.fields :+ StructField("is_event", BooleanType))
+    laid.mapPartitions { it =>
+      val rows = it.buffered
+      var sPos = 0.0
+      var sNeg = 0.0
+      var prevPrice = Double.NaN
+      var prevSigma = Double.NaN
+      var seenFirst = false
+      new Iterator[Row] {
+        def hasNext: Boolean = rows.hasNext
+        def next(): Row = {
+          val r = rows.next()
+          val price = r.getDouble(pIdx)
+          val rawSigma = if (r.isNullAt(sIdx)) Double.NaN else r.getDouble(sIdx)
+          val sigma = if (rawSigma.isNaN) prevSigma else rawSigma
+          var event = false
+          if (!seenFirst) {
+            if (!sigma.isNaN) { seenFirst = true; event = true } // first valid row opens
+          } else {
+            val ret = math.log(price / prevPrice)
+            sPos = math.max(0.0, sPos + ret)
+            sNeg = math.min(0.0, sNeg + ret)
+            // cannot close inside an equal-timestamp print block
+            val inBlock = rows.hasNext && rows.head.getLong(tsIdx) == r.getLong(tsIdx)
+            if (!inBlock) {
+              val lam = math.max(sigmaMult * sigma, sigmaFloor)
+              if (sPos >= lam) { event = true; sPos = 0.0 }
+              else if (sNeg <= -lam) { event = true; sNeg = 0.0 }
+            }
+          }
+          if (seenFirst) { prevPrice = price }
+          prevSigma = sigma
+          Row.fromSeq(r.toSeq :+ event)
+        }
+      }
+    }(Encoders.row(out)).toDF()
+  }
+}

@@ -1,0 +1,282 @@
+package graft.features
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import Scan.Affine
+
+/** The recursive exponentially-weighted family (SURVEY.md §4.3 bucket 1):
+  * EWMA / EW-std (span), time-decay EW-std (half-life), Wilder smoothing.
+  *
+  * Exact variants run on [[Scan.affine]] — every recursion here is a vector
+  * of independent scalar-affine updates, so the distributed two-pass scan
+  * reproduces the reference's sequential kernels bit-for-bit at any
+  * partition count:
+  *
+  *   ewma  (core/ma.py:6-43):           u' = q·u + y ; v' = q·v + 1
+  *   ewms  (core/volatility.py:9-69):   S_w' = q·S_w + 1 ; S_w2' = q²·S_w2 + 1
+  *                                      S_y' = q·S_y + y ; S_y2' = q·S_y2 + y²
+  *   ewmst (core/volatility.py:139-219): same with α_t = 1 − exp(−Δt/halfLife)
+  *
+  * Windowed (truncated-tail) Column variants exist for the DuckDB oracle:
+  * with K chosen so q^K < 1e-17, the truncated sum differs from the exact
+  * recursion by far less than the 1e-6 output rounding.
+  */
+object Ewm {
+
+  // ---------------------------------------------------------------------
+  // Exact distributed scans
+  // ---------------------------------------------------------------------
+
+  /** pandas ewm(span, adjust=True).mean() — exact, distributed. */
+  def ewmaExact(df: DataFrame, valueCol: String, span: Int,
+                out: String = "ewma", numParts: Int = 32): DataFrame = {
+    val q = 1.0 - 2.0 / (span + 1.0)
+    val vIdx = df.schema.fieldIndex(valueCol)
+    Scan.affine(
+      df, Seq("ts", "id"), nStates = 2,
+      coefs = (r, _) => {
+        val y = r.getDouble(vIdx)
+        Array(Affine(q, y), Affine(q, 1.0))
+      },
+      init = Array(0.0, 0.0),
+      emit = (s, _) => s(0) / s(1),
+      outName = out, numParts = numParts)
+  }
+
+  /** pandas ewm(span, adjust=True).std() (bias=False) — exact, distributed. */
+  def ewmsExact(df: DataFrame, valueCol: String, span: Int,
+                out: String = "ewms", numParts: Int = 32): DataFrame = {
+    val q = 1.0 - 2.0 / (span + 1.0)
+    val vIdx = df.schema.fieldIndex(valueCol)
+    Scan.affine(
+      df, Seq("ts", "id"), nStates = 4,
+      coefs = (r, _) => {
+        val y = r.getDouble(vIdx)
+        val (w, wy, wyy) = if (java.lang.Double.isNaN(y)) (0.0, 0.0, 0.0) else (1.0, y, y * y)
+        Array(Affine(q, w), Affine(q * q, w), Affine(q, wy), Affine(q, wyy))
+      },
+      init = Array(0.0, 0.0, 0.0, 0.0),
+      emit = (s, _) => {
+        val (sw, sw2, sy, syy) = (s(0), s(1), s(2), s(3))
+        if (sw <= 0.0) Double.NaN
+        else {
+          val mean = sy / sw
+          val denom = sw - sw2 / sw
+          if (denom <= 0.0) Double.NaN
+          else math.sqrt(math.max((syy / sw - mean * mean) * sw / denom, 0.0))
+        }
+      },
+      outName = out, numParts = numParts)
+  }
+
+  /** Time-decay EW std with α_t = 1 − exp(−Δt/halfLife), adjust=True
+    * bias=False, σ floor — `ewmst` (core/volatility.py:139-219). The decay
+    * coefficient depends on the PREVIOUS row's timestamp: Scan.affine hands
+    * the true neighbor across partition boundaries, keeping it exact.
+    */
+  def ewmstExact(df: DataFrame, valueCol: String, halfLifeSec: Double,
+                 sigmaFloor: Double = 1e-12, out: String = "ewmst",
+                 numParts: Int = 32): DataFrame = {
+    val vIdx = df.schema.fieldIndex(valueCol)
+    val tIdx = df.schema.fieldIndex("ts")
+    Scan.affine(
+      df, Seq("ts", "id"), nStates = 4,
+      coefs = (r, prev) => {
+        if (prev == null) {
+          // first row overall: no Δt — state stays at init (a=1, b=0)
+          Array.fill(4)(Affine(1.0, 0.0))
+        } else {
+          val dt = (r.getLong(tIdx) - prev.getLong(tIdx)) / 1e9
+          val alpha = 1.0 - math.exp(-dt / halfLifeSec)
+          val om = 1.0 - alpha
+          val y = r.getDouble(vIdx)
+          if (java.lang.Double.isNaN(y))
+            Array(Affine(om, 0.0), Affine(om * om, 0.0), Affine(om, 0.0), Affine(om, 0.0))
+          else
+            Array(Affine(om, alpha), Affine(om * om, alpha * alpha),
+                  Affine(om, alpha * y), Affine(om, alpha * y * y))
+        }
+      },
+      init = Array(0.0, 0.0, 0.0, 0.0),
+      emit = (s, r) => {
+        val (v, v2, sy, syy) = (s(0), s(1), s(2), s(3))
+        if (v <= 0.0) Double.NaN
+        else {
+          val mean = sy / v
+          val varRaw = syy / v - mean * mean
+          val denom = v - v2 / v
+          val vr = if (denom > 0.0 && varRaw > 0.0) varRaw * (v / denom) else 0.0
+          math.max(math.sqrt(vr), sigmaFloor)
+        }
+      },
+      outName = out, numParts = numParts)
+  }
+
+  // ---------------------------------------------------------------------
+  // Windowed (oracle-checkable) Column variants
+  // ---------------------------------------------------------------------
+
+  /** Truncated-window EWMA as a pure Column expression: a K-row collected
+    * frame folded with weights q^(K−1−i). Matches the exact recursion to
+    * ~q^K relative error (q^400 ≈ 4e-18 for span 20).
+    */
+  def ewmaWindowed(c: Column, span: Int, k: Int = 400,
+                   p: Seq[String] = Nil): Column = {
+    val q = 1.0 - 2.0 / (span + 1.0)
+    val arr = collect_list(c).over(Features.w(p).rowsBetween(-(k - 1), 0))
+    val u = aggregate(
+      transform(arr, (y, i) => y * pow(lit(q), size(arr) - 1 - i)),
+      lit(0.0), (acc, x) => acc + x)
+    // v = sum_{j=0}^{m-1} q^j in closed form
+    val v = (lit(1.0) - pow(lit(q), size(arr))) / lit(1.0 - q)
+    u / v
+  }
+
+  /** Truncated-window EW std (adjust=True, bias=False). */
+  def ewmsWindowed(c: Column, span: Int, k: Int = 400,
+                   p: Seq[String] = Nil): Column = {
+    val q = 1.0 - 2.0 / (span + 1.0)
+    val arr = collect_list(c).over(Features.w(p).rowsBetween(-(k - 1), 0))
+    val m = size(arr)
+    val sy = aggregate(transform(arr, (y, i) => y * pow(lit(q), m - 1 - i)),
+      lit(0.0), (acc, x) => acc + x)
+    val syy = aggregate(transform(arr, (y, i) => y * y * pow(lit(q), m - 1 - i)),
+      lit(0.0), (acc, x) => acc + x)
+    val sw = (lit(1.0) - pow(lit(q), m)) / lit(1.0 - q)
+    val sw2 = (lit(1.0) - pow(lit(q * q), m)) / lit(1.0 - q * q)
+    val mean = sy / sw
+    val denom = sw - sw2 / sw
+    when(denom > 0,
+      sqrt(greatest((syy / sw - mean * mean) * sw / denom, lit(0.0))))
+  }
+
+  /** Truncated-window Wilder moving average (α = 1/w, steady state):
+    * avg_t ≈ (1/w)·Σ x_i q^(t-i), q = (w−1)/w — the seed term q^t is below
+    * double noise for K ≥ 400.
+    */
+  def wilderWindowed(c: Column, w: Int, k: Int = 600,
+                     p: Seq[String] = Nil): Column = {
+    val q = (w - 1.0) / w
+    val arr = collect_list(c).over(Features.w(p).rowsBetween(-(k - 1), 0))
+    aggregate(
+      transform(arr, (y, i) => y * pow(lit(q), size(arr) - 1 - i)),
+      lit(0.0), (acc, x) => acc + x) / w
+  }
+
+  /** Exact seeded Wilder RSI (core/momentum.py:25-65): seed = simple mean of
+    * the first w gains/losses, then avg' = ((w−1)avg + x)/w;
+    * NaN before row w and whenever avg_loss = 0.
+    */
+  def rsiExact(df: DataFrame, closeCol: String, w: Int,
+               orderCols: Seq[String], out: String = "rsi"): DataFrame =
+    Scan.seqDouble(df, orderCols, out) { (schema, rows) =>
+      val cIdx = schema.fieldIndex(closeCol)
+      var i = -1
+      var prev = Double.NaN
+      var sumG = 0.0
+      var sumL = 0.0
+      var avgG = Double.NaN
+      var avgL = Double.NaN
+      rows.map { r =>
+        val c = r.getDouble(cIdx)
+        i += 1
+        val v =
+          if (i == 0) Double.NaN
+          else {
+            val d = c - prev
+            if (i <= w) {
+              if (d > 0) sumG += d else sumL += -d
+              if (i == w) {
+                avgG = sumG / w; avgL = sumL / w
+                if (avgL > 0) 100.0 - 100.0 / (1.0 + avgG / avgL) else Double.NaN
+              } else Double.NaN
+            } else {
+              val g = if (d > 0) d else 0.0
+              val l = if (d < 0) -d else 0.0
+              avgG = ((w - 1) * avgG + g) / w
+              avgL = ((w - 1) * avgL + l) / w
+              if (avgL > 0) 100.0 - 100.0 / (1.0 + avgG / avgL) else Double.NaN
+            }
+          }
+        prev = c
+        (r, v)
+      }
+    }
+
+  /** Exact Wilder-smoothed ATR: TR per row, seed = SMA of the first w TRs,
+    * then ((w−1)·atr + tr)/w (core/volatility.py:352-437, EMA flavor).
+    */
+  def atrWilderExact(df: DataFrame, w: Int, orderCols: Seq[String],
+                     out: String = "atr"): DataFrame =
+    Scan.seqDouble(df, orderCols, out) { (schema, rows) =>
+      val hIdx = schema.fieldIndex("high")
+      val lIdx = schema.fieldIndex("low")
+      val cIdx = schema.fieldIndex("close")
+      var i = -1
+      var prevClose = Double.NaN
+      var acc = 0.0
+      var atr = Double.NaN
+      rows.map { r =>
+        val (h, l, c) = (r.getDouble(hIdx), r.getDouble(lIdx), r.getDouble(cIdx))
+        i += 1
+        val tr = if (i == 0) h - l
+          else math.max(h - l, math.max(math.abs(h - prevClose), math.abs(l - prevClose)))
+        val v =
+          if (i < w - 1) { acc += tr; Double.NaN }
+          else if (i == w - 1) { acc += tr; atr = acc / w; atr }
+          else { atr = ((w - 1) * atr + tr) / w; atr }
+        prevClose = c
+        (r, v)
+      }
+    }
+
+  /** Exact ADX (core/trend.py:8-96): Wilder-smoothed TR/±DM sums → DI → DX
+    * → Wilder-smoothed ADX (zeros before warm-up, like the reference).
+    */
+  def adxExact(df: DataFrame, len: Int, orderCols: Seq[String],
+               out: String = "adx"): DataFrame =
+    Scan.seqDouble(df, orderCols, out) { (schema, rows) =>
+      val hIdx = schema.fieldIndex("high")
+      val lIdx = schema.fieldIndex("low")
+      val cIdx = schema.fieldIndex("close")
+      var i = -1
+      var prevH, prevL, prevC = Double.NaN
+      var sTr, sPdm, sMdm = 0.0
+      var dxAcc = 0.0
+      var adx = 0.0
+      rows.map { r =>
+        val (h, l, c) = (r.getDouble(hIdx), r.getDouble(lIdx), r.getDouble(cIdx))
+        i += 1
+        var dx = 0.0
+        if (i >= 1) {
+          val tr = math.max(h - l, math.max(math.abs(h - prevC), math.abs(l - prevC)))
+          val hd = h - prevH
+          val ld = prevL - l
+          val pdm = if (hd > ld && hd > 0) hd else 0.0
+          val mdm = if (ld > hd && ld > 0) ld else 0.0
+          if (i <= len) {
+            sTr += tr; sPdm += pdm; sMdm += mdm
+          } else {
+            sTr = sTr - sTr / len + tr
+            sPdm = sPdm - sPdm / len + pdm
+            sMdm = sMdm - sMdm / len + mdm
+          }
+          if (i >= len && sTr > 0) {
+            val pdi = 100.0 * sPdm / sTr
+            val mdi = 100.0 * sMdm / sTr
+            if (pdi + mdi > 0) dx = 100.0 * math.abs(pdi - mdi) / (pdi + mdi)
+          }
+        }
+        val v =
+          if (i >= len && i <= 2 * len - 1) {
+            dxAcc += dx
+            if (i == 2 * len - 1) { adx = dxAcc / len; adx } else 0.0
+          } else if (i >= 2 * len) {
+            adx = (adx * (len - 1) + dx) / len
+            adx
+          } else 0.0
+        prevH = h; prevL = l; prevC = c
+        (r, v)
+      }
+    }
+}

@@ -1,0 +1,156 @@
+package graft.features
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Ordered-scan executors for the reference's sequential/stateful kernels
+  * (SURVEY.md §4.3 "custom" buckets 1-2, §7.0 `OrderedScan`).
+  *
+  * Two execution strategies, chosen by the algebra of the state:
+  *
+  *  1. [[affine]] — EXACT distributed prefix scan for *scalar-affine*
+  *     recurrences s' = a·s + b per state component (EWMA/EWMS/EWMST,
+  *     steady-state Wilder). Affine maps compose associatively, so each
+  *     range partition summarizes itself in O(1) state, a driver fold
+  *     stitches boundaries, and a second pass emits — two passes, no global
+  *     sort, scales to any data size (the per-partition summary is 2 doubles
+  *     per state component).
+  *
+  *  2. [[keyOrdered]] + a caller's `mapPartitions` kernel — for
+  *     reset-on-trigger state machines (CUSUM filter/indexer, volume/dollar
+  *     bar ids) whose state is NOT mergeable (finmlkit/bar/logic.py:87-221).
+  *     These are order-total per series: parallelism comes from the key
+  *     (symbol) dimension, matching the reference's own constraint.
+  */
+object Scan {
+
+  /** Layout a frame so each key's rows are contiguous and ordered: shuffle
+    * by key, sort (key, order...) within partitions. A sequential kernel can
+    * then stream each key-run with O(1) memory.
+    */
+  def keyOrdered(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String]): DataFrame = {
+    val sortCols = (keyCols ++ orderCols).map(col)
+    if (keyCols.isEmpty)
+      df.repartitionByRange(1, orderCols.map(col): _*)
+        .sortWithinPartitions(orderCols.map(col): _*)
+    else
+      df.repartition(keyCols.map(col): _*).sortWithinPartitions(sortCols: _*)
+  }
+
+  /** Global-ordered sequential scan appending one double column — for
+    * kernels whose state is neither affine nor reset-free (seeded Wilder
+    * RSI/ADX). Single partition per series by construction (the reference
+    * has the same order-total constraint); parallelism comes from symbols.
+    */
+  def seqDouble(df: DataFrame, orderCols: Seq[String], out: String)(
+      kernel: (StructType, Iterator[Row]) => Iterator[(Row, Double)]): DataFrame = {
+    val sorted = df.repartitionByRange(1, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+    val schema = sorted.schema
+    val outSchema = StructType(schema.fields :+ StructField(out, DoubleType))
+    sorted.mapPartitions { it =>
+      kernel(schema, it).map { case (r, v) => Row.fromSeq(r.toSeq :+ v) }
+    }(Encoders.row(outSchema)).toDF()
+  }
+
+  /** One scalar-affine state component: s' = a·s + b. */
+  final case class Affine(a: Double, b: Double) {
+    /** Composition: apply `this` AFTER `prev`. */
+    def after(prev: Affine): Affine = Affine(a * prev.a, a * prev.b + b)
+    def apply(s: Double): Double = a * s + b
+  }
+
+  /** Exact distributed scan for a vector of independent scalar-affine
+    * recurrences over a globally `orderCol`-ordered frame.
+    *
+    * @param coefs   per-row affine coefficients for each state component;
+    *                receives the row and the previous row (null for the
+    *                partition's first row — resolved exactly via the
+    *                boundary handoff, see `prevFields`)
+    * @param init    initial state vector
+    * @param emit    output value from (stateAfterUpdate, row)
+    * @param prevDependent if true, coefficients depend on the previous row
+    *                (e.g. Δt decay) — the first row of each partition is
+    *                excluded from the phase-A summary and replayed on the
+    *                driver with the true neighbor
+    */
+  def affine(
+      df: DataFrame,
+      orderCols: Seq[String],
+      nStates: Int,
+      coefs: (Row, Row) => Array[Affine],
+      init: Array[Double],
+      emit: (Array[Double], Row) => Any,
+      outName: String,
+      outType: DataType = DoubleType,
+      numParts: Int = 32): DataFrame = {
+
+    val sorted = df.repartitionByRange(numParts, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+      .cache()
+
+    // ---- phase A: per-partition summary ---------------------------------
+    // (partId, firstRow, lastRow, composed affine map of rows[1..] )
+    // NOTE: partition ids are bound with mapPartitionsWithIndex at the RDD
+    // level (not TaskContext.getPartitionId): a downstream coalesce would
+    // fuse several input partitions into one task and lie about the id.
+    val summaries = sorted.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      if (!rows.hasNext) Iterator.empty
+      else {
+        val first = rows.next()
+        var prev = first
+        val comp = Array.fill(nStates)(Affine(1.0, 0.0))
+        while (rows.hasNext) {
+          val r = rows.next()
+          val cs = coefs(r, prev)
+          var i = 0
+          while (i < nStates) { comp(i) = cs(i).after(comp(i)); i += 1 }
+          prev = r
+        }
+        Iterator.single((pid, first, prev, comp))
+      }
+    }.collect().sortBy(_._1)
+
+    // ---- driver fold: incoming state per partition -----------------------
+    // replays each partition's FIRST row (whose coefficients may depend on
+    // the previous partition's last row), then applies the composed map.
+    val incoming = scala.collection.mutable.Map[Int, Array[Double]]()
+    var state = init.clone()
+    var prevLast: Row = null
+    summaries.foreach { case (pid, first, last, comp) =>
+      incoming(pid) = state.clone()
+      val cs = coefs(first, prevLast)
+      var i = 0
+      while (i < nStates) { state(i) = cs(i)(state(i)); i += 1 }
+      i = 0
+      while (i < nStates) { state(i) = comp(i)(state(i)); i += 1 }
+      prevLast = last
+    }
+    val prevLastByPid: Map[Int, Row] = {
+      val pids = summaries.map(_._1)
+      pids.zipWithIndex.map { case (pid, idx) =>
+        pid -> (if (idx == 0) null else summaries(idx - 1)._3)
+      }.toMap
+    }
+
+    // ---- phase B: replay with exact incoming state -----------------------
+    val bIncoming = sorted.sparkSession.sparkContext.broadcast(
+      (incoming.toMap, prevLastByPid))
+    val outSchema = StructType(sorted.schema.fields :+ StructField(outName, outType))
+    val outRdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val (inc, prevMap) = bIncoming.value
+      val st = inc.getOrElse(pid, init.clone()).clone()
+      var prev: Row = prevMap.getOrElse(pid, null)
+      it.map { r =>
+        val cs = coefs(r, prev)
+        var i = 0
+        while (i < nStates) { st(i) = cs(i)(st(i)); i += 1 }
+        prev = r
+        Row.fromSeq(r.toSeq :+ emit(st, r))
+      }
+    }
+    sorted.sparkSession.createDataFrame(outRdd, outSchema)
+  }
+}

@@ -17,6 +17,15 @@ import org.apache.spark.sql.functions._
 object Q {
   type QueryFn = (SparkSession, String) => DataFrame
 
+  /** Render a double as a DuckDB DOUBLE literal. Bare decimal literals parse
+    * as DECIMAL, and DECIMAL→DOUBLE conversion is lossy above ~15 significant
+    * digits; scientific notation forces a direct DOUBLE parse.
+    */
+  def D(x: Double): String = {
+    val s = x.toString
+    if (s.contains('e') || s.contains('E')) s else s + "e0"
+  }
+
   /** NaN→null then round(6): the canonical float output normalizer. */
   def r6(c: Column): Column = round(nanvl(c, lit(null).cast("double")), 6)
 

@@ -1,0 +1,271 @@
+package graft.queries
+
+import graft.Tables
+import graft.trades.Trades
+import graft.bars.{EventBars, TimeBars}
+import graft.features.{Ewm, Features}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Recursive/stateful operator coverage (SURVEY.md §2.4 indexers, §2.5 EW
+  * family, §2.8 CUSUM) — SPARK SIDE runs the exact kernels (distributed
+  * affine scans / ordered sequential kernels); the DuckDB oracle recomputes
+  * the same quantities INDEPENDENTLY via truncated-tail windowed closed
+  * forms (tail < 1e-13 ≪ the 1e-6 output rounding), so the oracle actually
+  * validates the scan math instead of replaying it.
+  */
+object ScanQueries {
+
+  private val span = 100
+  private val q = 1.0 - 2.0 / (span + 1.0) // 0.98019801...
+  private val K = 1500                     // q^K ≈ 8e-14
+  private val wK = 600                     // Wilder (13/14)^600 ≈ e^-44
+  private val hlSec = 3600.0
+  private val hlCutNs = 108000000000000L   // 30 half-lives in ns
+
+  private def trades(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Trades.fromEvents(Tables.events(s, dir))
+
+  private def bars5m(s: org.apache.spark.sql.SparkSession, dir: String) =
+    TimeBars.ohlcv(Trades.fromEvents(Tables.events(s, dir)), 300)
+      .withColumn("rn", row_number().over(Window.orderBy("bar_ts")))
+
+  val queries: Map[String, QueryFn] = Map(
+    // pandas ewm(span=100, adjust=True).mean() — exact distributed scan
+    "ewma_scan" -> ((s, dir) =>
+      Ewm.ewmaExact(trades(s, dir), "price", span)
+        .select(col("ts"), col("id"), r6(col("ewma")).as("ewma"))),
+
+    // ewm(span=100).std(bias=False) — exact distributed scan
+    "ewms_scan" -> ((s, dir) =>
+      Ewm.ewmsExact(trades(s, dir), "price", span)
+        .select(col("ts"), col("id"), r6(col("ewms")).as("ewms"))),
+
+    // time-decay EW std (half-life 1h) on the irregular trades clock
+    "ewmst_scan" -> ((s, dir) =>
+      Ewm.ewmstExact(trades(s, dir), "price", hlSec)
+        .select(col("ts"), col("id"), r6(col("ewmst")).as("ewmst"))),
+
+    // Wilder RSI(14): exact seeded kernel, reported on the steady-state
+    // region (rn > 614) where the independent windowed oracle converges.
+    "f_rsi_wilder14" -> ((s, dir) =>
+      Ewm.rsiExact(bars5m(s, dir), "close", 14, Seq("bar_ts"))
+        .where(col("rn") > 614)
+        .select(col("bar_ts"), r6(col("rsi")).as("rsi14"))),
+
+    // Wilder-EMA ATR(14), steady-state region
+    "f_atr_wilder14" -> ((s, dir) =>
+      Ewm.atrWilderExact(bars5m(s, dir), 14, Seq("bar_ts"))
+        .where(col("rn") > 614)
+        .select(col("bar_ts"), r6(col("atr")).as("atr14"))),
+
+    // ADX(14) double Wilder smoothing, steady-state region
+    "f_adx14" -> ((s, dir) =>
+      Ewm.adxExact(bars5m(s, dir), 14, Seq("bar_ts"))
+        .where(col("rn") > 1250)
+        .select(col("bar_ts"), r6(col("adx")).as("adx14"))),
+
+    // Tick bars (every 300 trades) — closed-form bar ids, full oracle
+    "tick_bars_300" -> ((s, dir) =>
+      EventBars.tickBarsOhlcv(trades(s, dir), 300).select(
+        col("bar_id"), col("bar_ts"), r6(col("open")).as("open"),
+        r6(col("high")).as("high"), r6(col("low")).as("low"),
+        r6(col("close")).as("close"), r6(col("volume")).as("volume"),
+        col("trades"), r6(col("median_trade_size")).as("median_trade_size"),
+        r6(col("vwap")).as("vwap"))),
+
+    // Volume bars (cum qty >= 2000, reset, no carry) — reset-state scan;
+    // no SQL equivalent exists (driver rows-only check; ScalaTest-verified)
+    "volume_bars_2k" -> ((s, dir) =>
+      EventBars.completeBars(EventBars.volumeBarIds(trades(s, dir), 2000.0))
+        .select(col("bar_id"), col("bar_ts"), r6(col("open")).as("open"),
+          r6(col("close")).as("close"), r6(col("volume")).as("volume"),
+          col("trades"))),
+
+    // Dollar bars (cum price·qty >= 200k, carry remainder)
+    "dollar_bars_200k" -> ((s, dir) =>
+      EventBars.completeBars(EventBars.dollarBarIds(trades(s, dir), 200000.0))
+        .select(col("bar_id"), col("bar_ts"), r6(col("open")).as("open"),
+          r6(col("close")).as("close"), r6(col("volume")).as("volume"),
+          col("trades"))),
+
+    // Symmetric CUSUM event filter (constant threshold) — reset-state scan
+    "cusum_events" -> ((s, dir) =>
+      EventBars.cusumEventIds(
+          trades(s, dir).withColumn("sigma", lit(2.0)), "sigma", 1.0, 1e-12)
+        .where(col("is_event"))
+        .select(col("ts"), col("id"), r6(col("price")).as("price")))
+  )
+
+  // ---------------------------------------------------------------------
+  // Oracles: independent truncated-window recomputation in DuckDB
+  // ---------------------------------------------------------------------
+
+  val oracles: Map[String, String] = Map(
+    "ewma_scan" ->
+      s"""WITH $tradesCte,
+         |lw AS (
+         |  SELECT ts, id,
+         |         list(price) OVER (ORDER BY ts, id ROWS BETWEEN ${K - 1} PRECEDING AND CURRENT ROW) AS l
+         |  FROM trades
+         |)
+         |SELECT ts, id, ${rd(s"list_sum(list_transform(l, (y, i) -> y * pow(${D(q)}, len(l) - i))) / ((1 - pow(${D(q)}, len(l))) / ${D(1.0 - q)})")} AS ewma
+         |FROM lw""".stripMargin,
+
+    "ewms_scan" ->
+      s"""WITH $tradesCte,
+         |lw AS (
+         |  SELECT ts, id,
+         |         list(price) OVER (ORDER BY ts, id ROWS BETWEEN ${K - 1} PRECEDING AND CURRENT ROW) AS l
+         |  FROM trades
+         |),
+         |sums AS (
+         |  SELECT ts, id,
+         |    list_sum(list_transform(l, (y, i) -> y * pow(${D(q)}, len(l) - i))) AS sy,
+         |    list_sum(list_transform(l, (y, i) -> y * y * pow(${D(q)}, len(l) - i))) AS syy,
+         |    (1 - pow(${D(q)}, len(l))) / ${D(1.0 - q)} AS sw,
+         |    (1 - pow(${D(q * q)}, len(l))) / ${D(1.0 - q * q)} AS sw2
+         |  FROM lw
+         |)
+         |SELECT ts, id, ${rd("CASE WHEN sw - sw2 / sw > 0 THEN sqrt(greatest((syy / sw - (sy / sw) * (sy / sw)) * sw / (sw - sw2 / sw), 0.0)) END")} AS ewms
+         |FROM sums""".stripMargin,
+
+    "ewmst_scan" ->
+      s"""WITH $tradesCte,
+         |a AS (
+         |  SELECT ts, id, price,
+         |    CASE WHEN lag(ts) OVER (ORDER BY ts, id) IS NULL THEN NULL
+         |         ELSE 1 - exp(-((ts - lag(ts) OVER (ORDER BY ts, id)) / 1e9) / ${D(hlSec)}) END AS alpha
+         |  FROM trades
+         |),
+         |lw AS (
+         |  SELECT ts, id,
+         |    list(alpha) OVER w AS la, list(price) OVER w AS ly, list(ts) OVER w AS lt
+         |  FROM a
+         |  WINDOW w AS (ORDER BY ts RANGE BETWEEN $hlCutNs PRECEDING AND CURRENT ROW)
+         |),
+         |sums AS (
+         |  SELECT ts, id,
+         |    list_sum(list_transform(la, (x, i) -> CASE WHEN x IS NULL THEN 0.0 ELSE x * exp(-((ts - lt[i]) / 1e9) / ${D(hlSec)}) END)) AS v,
+         |    list_sum(list_transform(la, (x, i) -> CASE WHEN x IS NULL THEN 0.0 ELSE x * x * exp(-2 * ((ts - lt[i]) / 1e9) / ${D(hlSec)}) END)) AS v2,
+         |    list_sum(list_transform(la, (x, i) -> CASE WHEN x IS NULL THEN 0.0 ELSE x * ly[i] * exp(-((ts - lt[i]) / 1e9) / ${D(hlSec)}) END)) AS sy,
+         |    list_sum(list_transform(la, (x, i) -> CASE WHEN x IS NULL THEN 0.0 ELSE x * ly[i] * ly[i] * exp(-((ts - lt[i]) / 1e9) / ${D(hlSec)}) END)) AS syy
+         |  FROM lw
+         |)
+         |SELECT ts, id, ${rd(
+             """CASE WHEN v > 0 THEN greatest(
+               |  sqrt(CASE WHEN (v - v2 / v) > 0 AND (syy / v - (sy / v) * (sy / v)) > 0
+               |            THEN (syy / v - (sy / v) * (sy / v)) * v / (v - v2 / v) ELSE 0.0 END),
+               |  1e-12) END""".stripMargin)} AS ewmst
+         |FROM sums""".stripMargin,
+
+    "f_rsi_wilder14" -> {
+      val wq = 13.0 / 14.0
+      s"""WITH $tradesCte, ${barsCte(300)},
+         |d AS (
+         |  SELECT bar_ts, row_number() OVER (ORDER BY bar_ts) AS rn,
+         |         close - lag(close) OVER (ORDER BY bar_ts) AS diff
+         |  FROM bars
+         |),
+         |gl AS (
+         |  SELECT bar_ts, rn,
+         |    CASE WHEN diff IS NULL THEN NULL WHEN diff > 0 THEN diff ELSE 0.0 END AS g,
+         |    CASE WHEN diff IS NULL THEN NULL WHEN diff < 0 THEN -diff ELSE 0.0 END AS l
+         |  FROM d
+         |),
+         |lw AS (
+         |  SELECT bar_ts, rn,
+         |    list(g) OVER w AS lg, list(l) OVER w AS ll
+         |  FROM gl
+         |  WINDOW w AS (ORDER BY bar_ts ROWS BETWEEN ${wK - 1} PRECEDING AND CURRENT ROW)
+         |),
+         |sums AS (
+         |  SELECT bar_ts, rn,
+         |    list_sum(list_transform(lg, (x, i) -> coalesce(x, 0.0) * pow(${D(wq)}, len(lg) - i))) / 14 AS ag,
+         |    list_sum(list_transform(ll, (x, i) -> coalesce(x, 0.0) * pow(${D(wq)}, len(ll) - i))) / 14 AS al
+         |  FROM lw
+         |)
+         |SELECT bar_ts, ${rd("CASE WHEN al > 0 THEN 100 - 100 / (1 + ag / al) END")} AS rsi14
+         |FROM sums WHERE rn > 614""".stripMargin
+    },
+
+    "f_atr_wilder14" -> {
+      val wq = 13.0 / 14.0
+      s"""WITH $tradesCte, ${barsCte(300)},
+         |t AS (
+         |  SELECT bar_ts, row_number() OVER (ORDER BY bar_ts) AS rn,
+         |    coalesce(greatest(high - low, abs(high - lag(close) OVER (ORDER BY bar_ts)),
+         |                      abs(low - lag(close) OVER (ORDER BY bar_ts))), high - low) AS tr
+         |  FROM bars
+         |),
+         |lw AS (
+         |  SELECT bar_ts, rn, list(tr) OVER w AS ltr
+         |  FROM t WINDOW w AS (ORDER BY bar_ts ROWS BETWEEN ${wK - 1} PRECEDING AND CURRENT ROW)
+         |)
+         |SELECT bar_ts, ${rd(s"list_sum(list_transform(ltr, (x, i) -> x * pow(${D(wq)}, len(ltr) - i))) / 14")} AS atr14
+         |FROM lw WHERE rn > 614""".stripMargin
+    },
+
+    "f_adx14" -> {
+      val wq = 13.0 / 14.0
+      s"""WITH $tradesCte, ${barsCte(300)},
+         |l1 AS (
+         |  SELECT bar_ts, row_number() OVER (ORDER BY bar_ts) AS rn,
+         |    coalesce(greatest(high - low, abs(high - lag(close) OVER (ORDER BY bar_ts)),
+         |                      abs(low - lag(close) OVER (ORDER BY bar_ts))), 0.0) AS tr,
+         |    CASE WHEN (high - lag(high) OVER (ORDER BY bar_ts)) > (lag(low) OVER (ORDER BY bar_ts) - low)
+         |          AND (high - lag(high) OVER (ORDER BY bar_ts)) > 0
+         |         THEN high - lag(high) OVER (ORDER BY bar_ts) ELSE 0.0 END AS pdm,
+         |    CASE WHEN (lag(low) OVER (ORDER BY bar_ts) - low) > (high - lag(high) OVER (ORDER BY bar_ts))
+         |          AND (lag(low) OVER (ORDER BY bar_ts) - low) > 0
+         |         THEN lag(low) OVER (ORDER BY bar_ts) - low ELSE 0.0 END AS mdm
+         |  FROM bars
+         |),
+         |l2a AS (
+         |  SELECT bar_ts, rn, list(tr) OVER w AS ltr, list(pdm) OVER w AS lpdm, list(mdm) OVER w AS lmdm
+         |  FROM l1 WINDOW w AS (ORDER BY bar_ts ROWS BETWEEN ${wK - 1} PRECEDING AND CURRENT ROW)
+         |),
+         |l2 AS (
+         |  SELECT bar_ts, rn,
+         |    list_sum(list_transform(ltr, (x, i) -> x * pow(${D(wq)}, len(ltr) - i))) AS str,
+         |    list_sum(list_transform(lpdm, (x, i) -> x * pow(${D(wq)}, len(lpdm) - i))) AS spdm,
+         |    list_sum(list_transform(lmdm, (x, i) -> x * pow(${D(wq)}, len(lmdm) - i))) AS smdm
+         |  FROM l2a
+         |),
+         |l3 AS (
+         |  SELECT bar_ts, rn,
+         |    CASE WHEN str > 0 AND (100 * spdm / str + 100 * smdm / str) > 0
+         |         THEN 100 * abs(100 * spdm / str - 100 * smdm / str) / (100 * spdm / str + 100 * smdm / str)
+         |         ELSE 0.0 END AS dx
+         |  FROM l2
+         |),
+         |l4a AS (
+         |  SELECT bar_ts, rn, list(dx) OVER w AS ldx
+         |  FROM l3 WINDOW w AS (ORDER BY bar_ts ROWS BETWEEN ${wK - 1} PRECEDING AND CURRENT ROW)
+         |),
+         |l4 AS (
+         |  SELECT bar_ts, rn,
+         |    list_sum(list_transform(ldx, (x, i) -> x * pow(${D(wq)}, len(ldx) - i))) / 14 AS adx
+         |  FROM l4a
+         |)
+         |SELECT bar_ts, ${rd("adx")} AS adx14 FROM l4 WHERE rn > 1250""".stripMargin
+    },
+
+    "tick_bars_300" ->
+      s"""WITH $tradesCte,
+         |ids AS (
+         |  SELECT *, rn0 // 300 AS bar_id FROM (
+         |    SELECT *, row_number() OVER (ORDER BY ts, id) - 1 AS rn0 FROM trades
+         |  ) WHERE rn0 >= 1
+         |)
+         |SELECT bar_id, max(ts) AS bar_ts, ${rd("arg_min(price, ts)")} AS open,
+         |       ${rd("max(price)")} AS high, ${rd("min(price)")} AS low,
+         |       ${rd("arg_max(price, ts)")} AS close, ${rd("sum(qty)")} AS volume,
+         |       CAST(count(*) AS BIGINT) AS trades,
+         |       ${rd("median(qty)")} AS median_trade_size,
+         |       ${rd("sum(price * qty) / sum(qty)")} AS vwap
+         |FROM ids GROUP BY bar_id
+         |HAVING count(*) = 300 OR (bar_id = 0 AND count(*) = 299)""".stripMargin
+  )
+}

@@ -1,0 +1,156 @@
+package graft
+
+import graft.bars.EventBars
+import graft.features.{Ewm, Scan}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential tests for the sequential/stateful operators that have no SQL
+  * oracle (SURVEY.md §5 port strategy): tiny hand-computed cases + reference
+  * recursions re-implemented in plain Scala.
+  */
+class ScanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def tradesDf(qtys: Seq[Double], prices: Seq[Double] = Nil): DataFrame = {
+    val ps = if (prices.nonEmpty) prices else Seq.fill(qtys.size)(100.0)
+    qtys.zip(ps).zipWithIndex.map { case ((q, p), i) =>
+      (1000000000L * (i + 1), i.toLong, p, q, 0L)
+    }.toDF("ts", "id", "price", "qty", "symbol")
+  }
+
+  test("volume bars: reset without carry (logic.py:87-115)") {
+    // cum SEEDS with qty[0]=7 (the excluded boundary trade still counts):
+    // row1 cum=12>=9 close; row2 cum=4, row3 7, row4 14>=9 close; row5 partial
+    val t = tradesDf(Seq(7.0, 5.0, 4.0, 3.0, 7.0, 2.0))
+    val ids = EventBars.volumeBarIds(t, 9.0)
+      .orderBy("ts").select("id", "bar_id", "bar_closed").collect()
+    assert(ids.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq ==
+      Seq((0L, -1L, false), (1L, 0L, true), (2L, 1L, false),
+          (3L, 1L, false), (4L, 1L, true), (5L, 2L, false)))
+    val bars = EventBars.completeBars(EventBars.volumeBarIds(t, 9.0))
+      .orderBy("bar_id").collect()
+    assert(bars.length == 2) // partial bar 2 dropped
+    assert(bars(0).getAs[Double]("volume") == 5.0)  // trade 0 not aggregated
+    assert(bars(1).getAs[Double]("volume") == 14.0)
+  }
+
+  test("dollar bars: carry remainder (logic.py:118-149)") {
+    // price 10: dollars from row1: 50, 90(close,cum 140->50), 30 (80, no), 70 (150 close)
+    val t = tradesDf(Seq(1.0, 5.0, 9.0, 3.0, 7.0), prices = Seq.fill(5)(10.0))
+    val ids = EventBars.dollarBarIds(t, 100.0)
+      .orderBy("ts").select("id", "bar_id", "bar_closed").collect()
+    assert(ids.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq ==
+      Seq((0L, -1L, false), (1L, 0L, false), (2L, 0L, true),
+          (3L, 1L, false), (4L, 1L, true)))
+  }
+
+  test("tick bars: first bar has thr-1 rows, trailing partial dropped") {
+    val t = tradesDf(Seq.fill(11)(1.0))
+    val bars = EventBars.tickBarsOhlcv(t, 3).orderBy("bar_id").collect()
+    // rows 1..10; bars: {1,2}, {3,4,5}, {6,7,8}; {9,10} partial -> dropped
+    assert(bars.map(_.getAs[Long]("trades")).toSeq == Seq(2L, 3L, 3L))
+  }
+
+  test("cusum filter: fires on cumulative log-return breach and resets") {
+    // prices engineered: +5% steps; sigma 0.08 -> fires every 2 steps
+    val prices = Seq(100.0, 105.0, 110.25, 115.76, 121.55, 127.63)
+    val t = tradesDf(Seq.fill(6)(1.0), prices).withColumn("sigma", lit(0.08))
+    val ev = EventBars.cusumEventIds(t, "sigma", 1.0, 1e-12)
+      .where(col("is_event")).select("id").as[Long].collect().toSeq
+    // id0 opens; log(1.05)=0.04879: cum 0.0488(no), 0.0976(fire,reset), ...
+    assert(ev == Seq(0L, 2L, 4L))
+  }
+
+  test("ewma exact scan == plain sequential recursion, any partitioning") {
+    val rnd = new scala.util.Random(42)
+    val prices = Seq.fill(500)(50.0 + rnd.nextDouble() * 100)
+    val t = tradesDf(Seq.fill(500)(1.0), prices)
+    for (parts <- Seq(1, 7, 32)) {
+      val got = Ewm.ewmaExact(t, "price", 20, numParts = parts)
+        .orderBy("ts").select("ewma").as[Double].collect()
+      val q = 1.0 - 2.0 / 21.0
+      var u = 0.0; var v = 0.0
+      val exp = prices.map { y => u = y + q * u; v = 1 + q * v; u / v }
+      got.zip(exp).foreach { case (g, e) => assert(math.abs(g - e) < 1e-9, s"parts=$parts") }
+    }
+  }
+
+  test("ewms exact scan matches reference recursion (volatility.py:9-69)") {
+    val rnd = new scala.util.Random(7)
+    val prices = Seq.fill(300)(50.0 + rnd.nextDouble() * 100)
+    val t = tradesDf(Seq.fill(300)(1.0), prices)
+    val got = Ewm.ewmsExact(t, "price", 50, numParts = 5)
+      .orderBy("ts").select("ewms").as[Double].collect()
+    val q = 1.0 - 2.0 / 51.0
+    var sw = 0.0; var sw2 = 0.0; var sy = 0.0; var syy = 0.0
+    val exp = prices.map { y =>
+      sw = q * sw + 1; sw2 = q * q * sw2 + 1; sy = q * sy + y; syy = q * syy + y * y
+      val mean = sy / sw
+      val denom = sw - sw2 / sw
+      if (denom > 0) math.sqrt(math.max((syy / sw - mean * mean) * sw / denom, 0.0))
+      else Double.NaN
+    }
+    got.zip(exp).foreach { case (g, e) =>
+      if (e.isNaN) assert(g.isNaN) else assert(math.abs(g - e) < 1e-9)
+    }
+  }
+
+  test("ewmst: time-decay weights telescope across partition boundaries") {
+    val rnd = new scala.util.Random(11)
+    val n = 300
+    // irregular timestamps
+    var ts = 0L
+    val rows = (0 until n).map { i =>
+      ts += (1 + rnd.nextInt(1000)).toLong * 1000000000L
+      (ts, i.toLong, 50.0 + rnd.nextDouble() * 100, 1.0, 0L)
+    }
+    val t = rows.toDF("ts", "id", "price", "qty", "symbol")
+    val got = Ewm.ewmstExact(t, "price", 3600.0, numParts = 6)
+      .orderBy("ts").select("ewmst").as[Double].collect()
+    // reference recursion (volatility.py:139-219)
+    var v_ = 0.0; var v2_ = 0.0; var sy_ = 0.0; var syy_ = 0.0
+    var lastTs = rows.head._1
+    val exp2 = rows.zipWithIndex.map { case ((tsi, _, y, _, _), i) =>
+      if (i == 0) Double.NaN
+      else {
+        val dt = (tsi - lastTs) / 1e9
+        lastTs = tsi
+        val alpha = 1.0 - math.exp(-dt / 3600.0)
+        val om = 1.0 - alpha
+        v_ = alpha + om * v_; v2_ = alpha * alpha + om * om * v2_
+        sy_ = alpha * y + om * sy_; syy_ = alpha * y * y + om * syy_
+        val mean = sy_ / v_
+        val varRaw = syy_ / v_ - mean * mean
+        val denom = v_ - v2_ / v_
+        val vr = if (denom > 0 && varRaw > 0) varRaw * (v_ / denom) else 0.0
+        math.max(math.sqrt(vr), 1e-12)
+      }
+    }
+    got.zip(exp2).zipWithIndex.foreach { case ((g, e), i) =>
+      if (i == 0) assert(g.isNaN)
+      else assert(math.abs(g - e) < 1e-9, s"row $i")
+    }
+  }
+
+  test("windowed EWMA converges to the exact recursion") {
+    val rnd = new scala.util.Random(3)
+    val prices = Seq.fill(800)(50.0 + rnd.nextDouble() * 100)
+    val t = tradesDf(Seq.fill(800)(1.0), prices).withColumn("bar_ts", col("ts"))
+    val w = Ewm.ewmaWindowed(col("price"), span = 20, k = 400)
+    val got = t.select(col("ts"), w.as("e")).orderBy("ts").select("e").as[Double].collect()
+    val q = 1.0 - 2.0 / 21.0
+    var u = 0.0; var v = 0.0
+    val exp = prices.map { y => u = y + q * u; v = 1 + q * v; u / v }
+    got.zip(exp).foreach { case (g, e) => assert(math.abs(g - e) < 1e-8) }
+  }
+}
