@@ -1,0 +1,84 @@
+package graft.labels
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sample-weight pipeline (finmlkit/label/weights.py) — AFML ch.4 weights
+  * re-expressed with a sweep-line concurrency (linear, no interval-join
+  * explosion) + one bounded range join for the per-event means.
+  */
+object Weights {
+
+  /** Per-trade concurrency: how many event intervals [event_ts, touch_ts]
+    * (both ends inclusive, weights.py:34-38) cover each trade row.
+    * Sweep-line: +1 at event_ts (before the trade marker at equal ts),
+    * −1 at touch_ts ordered after it — one sort, no join.
+    */
+  def concurrency(trades: DataFrame, labeled: DataFrame): DataFrame = {
+    val deltas =
+      labeled.select(col("event_ts").as("ts"), lit(0).as("ord"), lit(1L).as("d"))
+        .unionByName(labeled.select(col("touch_ts").as("ts"), lit(2).as("ord"), lit(-1L).as("d")))
+    val stream = trades.select(col("ts"), lit(1).as("ord"), lit(0L).as("d"),
+        col("id"), col("price"))
+      .unionByName(deltas.withColumn("id", lit(null).cast("long"))
+        .withColumn("price", lit(null).cast("double")))
+    val w = Window.orderBy("ts", "ord").rowsBetween(Window.unboundedPreceding, 0)
+    stream
+      .withColumn("concurrency", sum("d").over(w))
+      .where(col("ord") === 1)
+      .select(col("ts"), col("id"), col("price"), col("concurrency"))
+  }
+
+  /** Per-event average uniqueness = mean(1/concurrency) over the event's
+    * covered trade rows [event_ts, touch_ts] (weights.py:7-49), plus the
+    * return attribution |Σ logret/concurrency| (weights.py:52-103).
+    */
+  def eventWeights(tradesWithConc: DataFrame, labeled: DataFrame): DataFrame = {
+    val logret = col("price") / lag("price", 1).over(Window.orderBy("ts", "id"))
+    val t = tradesWithConc
+      .withColumn("logret", log(logret))
+    val joined = labeled.select("event_ts", "event_id", "touch_ts").join(t,
+      t("ts") >= col("event_ts") && t("ts") <= col("touch_ts"))
+    joined.groupBy("event_id", "event_ts", "touch_ts").agg(
+      avg(lit(1.0) / col("concurrency")).as("avg_uniqueness"),
+      abs(sum(when(col("concurrency") > 0 && !isnan(col("logret")) && col("logret").isNotNull,
+        col("logret") / col("concurrency")).otherwise(0.0))).as("return_attribution"))
+  }
+
+  /** Linear time decay over cumulative avg-uniqueness (weights.py:106-142):
+    * newest = 1, oldest = lastWeight; negative lastWeight erases the oldest
+    * portion (clipped at 0).
+    */
+  def withTimeDecay(eventWeights: DataFrame, lastWeight: Double): DataFrame = {
+    val w = Window.orderBy("event_ts").rowsBetween(Window.unboundedPreceding, 0)
+    val total = eventWeights.agg(sum("avg_uniqueness").as("__total"))
+    val slope =
+      if (lastWeight >= 0) (lit(1.0) - lastWeight) / col("__total")
+      else lit(1.0) / (lit(lastWeight + 1.0) * col("__total"))
+    eventWeights
+      .crossJoin(broadcast(total))
+      .withColumn("__cum", sum("avg_uniqueness").over(w))
+      .withColumn("time_decay",
+        greatest(lit(if (lastWeight < 0) 0.0 else Double.MinValue),
+          lit(1.0) - slope * col("__total") + slope * col("__cum")))
+      .drop("__total", "__cum")
+  }
+
+  /** Class-balance weights (weights.py:146-187): per-class weighted counts →
+    * classWeight = total/(nClasses·classSum); final = base·classWeight.
+    */
+  def withClassBalance(labeledWeights: DataFrame, baseCol: String): DataFrame = {
+    val cls = labeledWeights.groupBy("label")
+      .agg(sum(baseCol).as("__class_sum"))
+    val tot = labeledWeights.agg(sum(baseCol).as("__total"),
+      countDistinct("label").as("__n_classes"))
+    labeledWeights
+      .join(broadcast(cls), Seq("label"))
+      .crossJoin(broadcast(tot))
+      .withColumn("class_weight",
+        col("__total") / (col("__n_classes") * col("__class_sum")))
+      .withColumn("weight", col(baseCol) * col("class_weight"))
+      .drop("__class_sum", "__total", "__n_classes")
+  }
+}

@@ -1,0 +1,209 @@
+package graft.queries
+
+import graft.Tables
+import graft.trades.Trades
+import graft.labels.{TripleBarrier, Weights}
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Labeling coverage (SURVEY.md §2.8): triple-barrier labels, meta-labels,
+  * sweep-line concurrency, uniqueness / attribution / decay / class-balance
+  * weights — every step oracle-checked end to end.
+  */
+object LabelQueries {
+
+  private val vertNs = 86400000000000L // 24h vertical barrier
+  private val top = 2.0
+  private val bot = 1.5
+
+  private def trades(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Trades.fromEvents(Tables.events(s, dir))
+
+  private def labeled(s: org.apache.spark.sql.SparkSession, dir: String,
+                      isMeta: Boolean) = {
+    val t = trades(s, dir)
+    TripleBarrier.label(t, TripleBarrier.syntheticEvents(t),
+      top, bot, vertBarrierSec = 86400.0, minCloseSec = 0.0,
+      minRet = 0.02, isMeta = isMeta)
+  }
+
+  val queries: Map[String, QueryFn] = Map(
+    "tbm_labels" -> ((s, dir) =>
+      labeled(s, dir, isMeta = false).select(
+        col("event_ts"), col("event_id"), col("label"), col("touch_ts"),
+        r6(col("ret")).as("ret"),
+        r6(col("vertical_touch_weight")).as("vertical_touch_weight"))),
+
+    "tbm_meta_labels" -> ((s, dir) =>
+      labeled(s, dir, isMeta = true).select(
+        col("event_ts"), col("event_id"), col("label"), col("touch_ts"),
+        r6(col("ret")).as("ret"))),
+
+    "label_concurrency" -> ((s, dir) => {
+      val t = trades(s, dir)
+      Weights.concurrency(t, labeled(s, dir, isMeta = false))
+        .select(col("ts"), col("id"), col("concurrency"))
+    }),
+
+    "label_weights" -> ((s, dir) => {
+      val t = trades(s, dir)
+      val lab = labeled(s, dir, isMeta = false)
+      val conc = Weights.concurrency(t, lab)
+      val ew = Weights.eventWeights(conc, lab)
+      val decayed = Weights.withTimeDecay(ew, lastWeight = 0.5)
+      val j = decayed.join(
+        lab.select(col("event_id").as("eid"), col("label"),
+          col("vertical_touch_weight")),
+        col("eid") === col("event_id")).drop("eid")
+        .withColumn("base",
+          col("time_decay") * col("return_attribution") * col("vertical_touch_weight"))
+      val norm = j.agg(sum("base").as("__s"), count(lit(1)).as("__n"))
+      val normalized = j.crossJoin(broadcast(norm))
+        .withColumn("base_norm", col("base") * col("__n") / col("__s"))
+        .drop("__s", "__n")
+      Weights.withClassBalance(normalized, "base_norm").select(
+        col("event_ts"), col("event_id"), col("label"),
+        r6(col("avg_uniqueness")).as("avg_uniqueness"),
+        r6(col("return_attribution")).as("return_attribution"),
+        r6(col("time_decay")).as("time_decay"),
+        r6(col("class_weight")).as("class_weight"),
+        r6(col("weight")).as("weight"))
+    })
+  )
+
+  // ---------------------------------------------------------------------
+  // Oracles
+  // ---------------------------------------------------------------------
+
+  /** Shared TBM CTE chain; `sideExpr` is "1" (side prediction) or "eside". */
+  private def tbmCtes(sideExpr: String): String =
+    s"""ev AS (
+       |  SELECT ts AS event_ts, id AS event_id, price AS p0,
+       |         CAST(0.05 AS DOUBLE) + CAST(id % 7 AS DOUBLE) * CAST(0.01 AS DOUBLE) AS tgt,
+       |         CASE WHEN id % 2 = 0 THEN 1 ELSE -1 END AS eside
+       |  FROM trades WHERE id % 29 = 0
+       |),
+       |ev2 AS (
+       |  SELECT ev.*, ${D(top)} * tgt AS up, ${D(-bot)} * tgt AS lo
+       |  FROM ev, (SELECT max(ts) AS mx FROM trades)
+       |  WHERE event_ts + $vertNs <= mx
+       |),
+       |path AS (
+       |  SELECT e.event_id, e.event_ts, e.up, e.lo, t.ts,
+       |         (ln(t.price) - ln(e.p0)) * ($sideExpr) AS ret
+       |  FROM ev2 e JOIN trades t
+       |    ON t.ts > e.event_ts AND t.ts <= e.event_ts + $vertNs
+       |),
+       |p1 AS (
+       |  SELECT event_id, event_ts, up, lo,
+       |         min(CASE WHEN ret >= up OR ret <= lo THEN ts END) AS touch0,
+       |         max(ts) AS vert_ts
+       |  FROM path GROUP BY event_id, event_ts, up, lo
+       |),
+       |p1b AS (SELECT *, coalesce(touch0, vert_ts) AS touch_ts FROM p1),
+       |p2 AS (
+       |  SELECT p.event_id, p.event_ts, p.touch0, p.touch_ts,
+       |         arg_max(q.ret, q.ts) AS ret_touch,
+       |         coalesce(max(CASE WHEN q.ret > 0 THEN q.ret / p.up END), 0.0) AS max_urbr,
+       |         coalesce(max(CASE WHEN q.ret < 0 THEN q.ret / p.lo END), 0.0) AS max_lrbr
+       |  FROM p1b p JOIN path q ON q.event_id = p.event_id AND q.ts <= p.touch_ts
+       |  GROUP BY p.event_id, p.event_ts, p.touch0, p.touch_ts
+       |)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "tbm_labels" ->
+      s"""WITH $tradesCte, ${tbmCtes("1")}
+         |SELECT event_ts, event_id,
+         |  CAST(CASE WHEN sign(ret_touch) = 0 THEN 1 ELSE sign(ret_touch) END AS INT) AS label,
+         |  touch_ts, ${rd("ret_touch")} AS ret,
+         |  ${rd("""CASE WHEN touch0 IS NULL THEN least(CASE WHEN ret_touch > 0
+             |    THEN max_urbr / (1 + max_lrbr) ELSE max_lrbr / (1 + max_urbr) END, 1.0)
+             |  ELSE 1.0 END""".stripMargin)} AS vertical_touch_weight
+         |FROM p2""".stripMargin,
+
+    "tbm_meta_labels" ->
+      s"""WITH $tradesCte, ${tbmCtes("eside")}
+         |SELECT event_ts, event_id,
+         |  CAST(CASE WHEN ret_touch >= ${D(0.02)} THEN 1 ELSE 0 END AS INT) AS label,
+         |  touch_ts, ${rd("ret_touch")} AS ret
+         |FROM p2""".stripMargin,
+
+    "label_concurrency" ->
+      s"""WITH $tradesCte, ${tbmCtes("1")},
+         |stream AS (
+         |  SELECT ts, 1 AS ord, CAST(0 AS BIGINT) AS d, id FROM trades
+         |  UNION ALL SELECT event_ts, 0, CAST(1 AS BIGINT), NULL FROM p1b
+         |  UNION ALL SELECT touch_ts, 2, CAST(-1 AS BIGINT), NULL FROM p1b
+         |)
+         |SELECT ts, id, CAST(conc AS BIGINT) AS concurrency FROM (
+         |  SELECT *, sum(d) OVER (ORDER BY ts, ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+         |  FROM stream
+         |) WHERE ord = 1""".stripMargin,
+
+    "label_weights" ->
+      s"""WITH $tradesCte, ${tbmCtes("1")},
+         |lab AS (
+         |  SELECT event_ts, event_id, touch_ts, touch0,
+         |    CAST(CASE WHEN sign(ret_touch) = 0 THEN 1 ELSE sign(ret_touch) END AS INT) AS label,
+         |    CASE WHEN touch0 IS NULL THEN least(CASE WHEN ret_touch > 0
+         |      THEN max_urbr / (1 + max_lrbr) ELSE max_lrbr / (1 + max_urbr) END, 1.0)
+         |    ELSE 1.0 END AS vtw
+         |  FROM p2
+         |),
+         |stream AS (
+         |  SELECT ts, 1 AS ord, CAST(0 AS BIGINT) AS d, id, price FROM trades
+         |  UNION ALL SELECT event_ts, 0, CAST(1 AS BIGINT), NULL, NULL FROM lab
+         |  UNION ALL SELECT touch_ts, 2, CAST(-1 AS BIGINT), NULL, NULL FROM lab
+         |),
+         |conc AS (
+         |  SELECT ts, id, price, conc, ln(price / lag(price) OVER (ORDER BY ts, id)) AS logret
+         |  FROM (
+         |    SELECT *, sum(d) OVER (ORDER BY ts, ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+         |    FROM stream
+         |  ) WHERE ord = 1
+         |),
+         |ew AS (
+         |  SELECT l.event_id, l.event_ts,
+         |    avg(1e0 / c.conc) AS avg_uniqueness,
+         |    abs(sum(CASE WHEN c.conc > 0 AND c.logret IS NOT NULL AND NOT isnan(c.logret)
+         |            THEN c.logret / c.conc ELSE 0.0 END)) AS return_attribution
+         |  FROM lab l JOIN conc c ON c.ts >= l.event_ts AND c.ts <= l.touch_ts
+         |  GROUP BY l.event_id, l.event_ts
+         |),
+         |decayed AS (
+         |  SELECT *,
+         |    1.0 - (${D(0.5)} / tot) * tot + (${D(0.5)} / tot) * cum AS time_decay
+         |  FROM (
+         |    SELECT *, sum(avg_uniqueness) OVER (ORDER BY event_ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |           sum(avg_uniqueness) OVER () AS tot
+         |    FROM ew
+         |  )
+         |),
+         |based AS (
+         |  SELECT d.event_ts, d.event_id, l.label, d.avg_uniqueness,
+         |         d.return_attribution, d.time_decay,
+         |         d.time_decay * d.return_attribution * l.vtw AS base
+         |  FROM decayed d JOIN lab l ON l.event_id = d.event_id
+         |),
+         |normed AS (
+         |  SELECT *, base * n / s AS base_norm FROM based,
+         |    (SELECT sum(base) AS s, count(*) AS n FROM based)
+         |),
+         |balanced AS (
+         |  SELECT *, tot2 / (ncls * cls_sum) AS class_weight
+         |  FROM (
+         |    SELECT *, sum(base_norm) OVER (PARTITION BY label) AS cls_sum,
+         |           sum(base_norm) OVER () AS tot2,
+         |           (SELECT count(DISTINCT label) FROM normed) AS ncls
+         |    FROM normed
+         |  )
+         |)
+         |SELECT event_ts, event_id, label,
+         |  ${rd("avg_uniqueness")} AS avg_uniqueness,
+         |  ${rd("return_attribution")} AS return_attribution,
+         |  ${rd("time_decay")} AS time_decay,
+         |  ${rd("class_weight")} AS class_weight,
+         |  ${rd("base_norm * class_weight")} AS weight
+         |FROM balanced""".stripMargin
+  )
+}
