@@ -1,0 +1,105 @@
+package graft.bars
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Order-flow footprints (finmlkit/bar/base.py:615-850) in exploded
+  * relational form: one row per (bar, integer tick-unit price level).
+  *
+  * The reference builds a dense [low..high] level grid per bar inside a
+  * serial Numba kernel (its own TODO notes it cannot parallelize,
+  * base.py:616). Exploded + groupBy(bar, level) shuffles and parallelizes
+  * naturally — the zero-volume grid rows are not materialized; everywhere
+  * their absence matters (diagonal neighbors, run breaks) the logic accounts
+  * for level gaps explicitly, so results are identical to the dense kernel.
+  */
+object Footprints {
+
+  /** Exploded footprint with diagonal bid-ask imbalance flags.
+    *
+    * Imbalance semantics (base.py:795-798): ascending-level table;
+    * sell_imb[l] = sell[l] > buy[l+1]·k (all but the bar's top level),
+    * buy_imb[l]  = buy[l]  > sell[l−1]·k (all but the bar's bottom level).
+    * Missing neighbor levels are zero-volume, so a lag/lead guarded by
+    * level-adjacency reproduces the dense grid exactly.
+    */
+  def build(tradesWithSide: DataFrame, intervalSec: Long, tickSize: Double,
+            imbalanceFactor: Double = 3.0): DataFrame = {
+    val iv = intervalSec * 1000000000L
+    val fp = tradesWithSide
+      .withColumn("bar_ts", expr(s"((ts + ${iv - 1}L) div ${iv}L) * ${iv}L"))
+      .withColumn("level", round(col("price") / tickSize).cast("int"))
+      .groupBy("bar_ts", "level")
+      .agg(
+        sum(when(col("side") === 1, col("qty")).otherwise(0.0)).as("buy_volume"),
+        sum(when(col("side") === -1, col("qty")).otherwise(0.0)).as("sell_volume"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("buy_ticks"),
+        sum(when(col("side") === -1, 1L).otherwise(0L)).as("sell_ticks"))
+    val wl = Window.partitionBy("bar_ts").orderBy("level")
+    val bar = Window.partitionBy("bar_ts")
+    val buyUp = when(lead("level", 1).over(wl) === col("level") + 1,
+      lead("buy_volume", 1).over(wl)).otherwise(0.0)
+    val sellDn = when(lag("level", 1).over(wl) === col("level") - 1,
+      lag("sell_volume", 1).over(wl)).otherwise(0.0)
+    fp
+      .withColumn("sell_imbalance",
+        col("level") < max("level").over(bar) &&
+        col("sell_volume") > buyUp * imbalanceFactor)
+      .withColumn("buy_imbalance",
+        col("level") > min("level").over(bar) &&
+        col("buy_volume") > sellDn * imbalanceFactor)
+  }
+
+  /** Per-bar footprint summary: imbalance counts, COT level (argmax total
+    * volume, first-lowest on ties like np.argmax), longest signed imbalance
+    * run (level gaps break runs — gap levels carry sign 0 on the dense
+    * grid), vp_skew and vp_gini (base.py:800-848).
+    */
+  def summary(footprint: DataFrame): DataFrame = {
+    val wl = Window.partitionBy("bar_ts").orderBy("level")
+    val sgn = when(col("buy_imbalance"), 1).when(col("sell_imbalance"), -1).otherwise(0)
+    val f = footprint
+      .withColumn("total_volume", col("buy_volume") + col("sell_volume"))
+      .withColumn("sgn", sgn)
+      .withColumn("brk",
+        when(col("sgn") === 0, 1)
+          .when(lag("sgn", 1).over(wl).isNull, 1)
+          .when(col("sgn") =!= lag("sgn", 1).over(wl), 1)
+          .when(col("level") =!= lag("level", 1).over(wl) + 1, 1)
+          .otherwise(0))
+      .withColumn("grp", sum("brk").over(wl.rowsBetween(Window.unboundedPreceding, 0)))
+    // per-island run lengths (nonzero signs only)
+    val islands = f.where(col("sgn") =!= 0)
+      .groupBy("bar_ts", "grp", "sgn")
+      .agg(count(lit(1)).as("len"), min("level").as("start_level"))
+    val bestRun = islands
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("bar_ts").orderBy(col("len").desc, col("start_level").asc)))
+      .where(col("rk") === 1)
+      .select(col("bar_ts"), (col("len") * col("sgn")).as("imb_max_run_signed"))
+    val perBar = f.groupBy("bar_ts").agg(
+      sum(col("buy_imbalance").cast("long")).as("buy_imbalances_sum"),
+      sum(col("sell_imbalance").cast("long")).as("sell_imbalances_sum"),
+      max("total_volume").as("__maxv"),
+      sum("total_volume").as("__sumv"),
+      (sum(col("level") * col("total_volume")) / sum("total_volume")).as("__vwap"),
+      sum(col("level") * col("total_volume")).as("__lv"),
+      (lit(1.0) - sum(col("total_volume") * col("total_volume")) /
+        (sum("total_volume") * sum("total_volume"))).as("vp_gini"))
+    val cot = f.join(perBar.select("bar_ts", "__maxv"), Seq("bar_ts"))
+      .where(col("total_volume") === col("__maxv"))
+      .groupBy("bar_ts").agg(min("level").as("cot_price_level"))
+    // vp_skew: Σ(level − vwap)·vol / Σvol — two-pass like the reference
+    // (algebraically ~0; kept for parity, see base.py:836-843)
+    val skew = f.join(perBar.select("bar_ts", "__vwap"), Seq("bar_ts"))
+      .groupBy("bar_ts")
+      .agg((sum((col("level") - col("__vwap")) * col("total_volume")) /
+        sum("total_volume")).as("vp_skew"))
+    perBar.drop("__maxv", "__sumv", "__vwap", "__lv")
+      .join(cot, Seq("bar_ts"))
+      .join(skew, Seq("bar_ts"))
+      .join(bestRun, Seq("bar_ts"), "left")
+      .withColumn("imb_max_run_signed", coalesce(col("imb_max_run_signed"), lit(0L)))
+  }
+}

@@ -1,0 +1,95 @@
+package graft.features
+
+import graft.functions.Aggs
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Volume-profile operators (finmlkit/feature/core/volume.py) over the
+  * exploded footprint table: profile aggregation across a bar set, POC,
+  * %-above-POC, greedy value area (HVA/LVA), rolling and anchored
+  * (developing) variants.
+  *
+  * All variants reduce to: select the contributing (bar, level, volume)
+  * rows, groupBy(key, level) to a profile, then per-key profile stats — the
+  * reference's per-window Numba loops (volume.py:393-456) become one shuffle
+  * each, which parallelizes the rolling case trivially.
+  */
+object VolumeProfile {
+
+  /** Profile aggregation over an arbitrary key: (key, level) total volume —
+    * `aggregate_footprint` (volume.py:133-203) generalized.
+    */
+  def profile(footprint: DataFrame, key: Column, keyName: String): DataFrame =
+    footprint
+      .groupBy(key.as(keyName), col("level"))
+      .agg(sum(col("buy_volume") + col("sell_volume")).as("volume"))
+
+  /** Re-bin levels into ~nBuckets odd-width integer buckets with midpoint
+    * labels — `bucket_price_levels` (volume.py:206-274).
+    */
+  def bucket(profile: DataFrame, keyName: String, nBuckets: Int = 30): DataFrame = {
+    val kw = Window.partitionBy(keyName)
+    val p = profile
+      .withColumn("__lo", min("level").over(kw))
+      .withColumn("__n", max("level").over(kw) - col("__lo") + 1)
+      .withColumn("__size", {
+        val raw = greatest(round(col("__n") / nBuckets).cast("int"), lit(1))
+        when(raw % 2 === 0, raw + 1).otherwise(raw)
+      })
+    p.groupBy(col(keyName),
+        (col("__lo") + ((col("level") - col("__lo")) / col("__size")).cast("int") * col("__size")
+          + (col("__size") / 2).cast("int")).as("level"))
+      .agg(sum("volume").as("volume"))
+  }
+
+  /** POC (argmax volume, lowest level on ties) + % of volume strictly above
+    * it (`calc_volume_percentage_above_poc`, volume.py:367-390).
+    */
+  def pocStats(profile: DataFrame, keyName: String): DataFrame = {
+    val mx = profile.groupBy(keyName).agg(max("volume").as("__maxv"))
+    val poc = profile.join(mx, Seq(keyName))
+      .where(col("volume") === col("__maxv"))
+      .groupBy(keyName).agg(min("level").as("poc_level"))
+    profile.join(poc, Seq(keyName))
+      .groupBy(keyName, "poc_level")
+      .agg(
+        (sum(when(col("level") > col("poc_level"), col("volume")).otherwise(0.0)) /
+          sum("volume")).as("pct_above_poc"),
+        sum("volume").as("total_volume"))
+  }
+
+  /** Full value area via the greedy Aggregator (volume.py:277-364). */
+  def valueArea(profile: DataFrame, keyName: String): DataFrame =
+    profile.groupBy(keyName)
+      .agg(Aggs.poc_hva_lva(col("level"), col("volume")).as("va"))
+      .select(col(keyName), col("va._1").as("poc_level"),
+        col("va._2").as("hva_level"), col("va._3").as("lva_level"))
+
+  /** Rolling profile: for each target bar, the profile of bars in
+    * (target − windowBars, target] — `volume_profile_rolling`
+    * (volume.py:393-456) with a bar-count window on the time grid.
+    */
+  def rolling(footprint: DataFrame, intervalSec: Long, windowBars: Int): DataFrame = {
+    val iv = intervalSec * 1000000000L
+    val targets = footprint.select(col("bar_ts").as("target_ts")).distinct()
+    val contrib = targets.join(footprint,
+      col("bar_ts") <= col("target_ts") &&
+      col("bar_ts") > col("target_ts") - lit(windowBars.toLong * iv))
+    contrib.groupBy(col("target_ts"), col("level"))
+      .agg(sum(col("buy_volume") + col("sell_volume")).as("volume"))
+  }
+
+  /** Anchored (developing) profile within each UTC day — cumulative
+    * profile up to each bar (`volume_profile_developing`, volume.py:462-569).
+    */
+  def developing(footprint: DataFrame): DataFrame = {
+    val day = expr("bar_ts div 86400000000000")
+    val f = footprint.withColumn("day", day)
+    val targets = f.select(col("day").as("tday"), col("bar_ts").as("target_ts")).distinct()
+    val contrib = targets.join(f,
+      col("day") === col("tday") && col("bar_ts") <= col("target_ts"))
+    contrib.groupBy(col("target_ts"), col("level"))
+      .agg(sum(col("buy_volume") + col("sell_volume")).as("volume"))
+  }
+}

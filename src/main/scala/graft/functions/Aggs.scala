@@ -26,4 +26,70 @@ object Aggs {
 
   lazy val gcdUdaf = udaf(GcdAgg)
   def gcd_agg(c: Column): Column = gcdUdaf(c)
+
+  /** POC / HVA / LVA of a volume profile — the reference's greedy
+    * two-levels-at-a-time value-area expansion (finmlkit/feature/core/
+    * volume.py:277-364), ported faithfully (including the ±2 stride, the
+    * -1 "exhausted side" sentinel and the equal-volume dual expansion).
+    * Runs over the DENSE [min..max] level grid like the reference.
+    * Profiles are small (the reference buckets to ~30 bins; raw intraday
+    * grids are a few thousand levels), so a collect-and-scan Aggregator is
+    * the idiomatic shape (SURVEY.md §7.3).
+    */
+  object PocHvaLvaAgg extends Aggregator[(Int, Double), Map[Int, Double], (Int, Int, Int)] {
+    def zero: Map[Int, Double] = Map.empty
+    def reduce(b: Map[Int, Double], a: (Int, Double)): Map[Int, Double] =
+      b.updated(a._1, b.getOrElse(a._1, 0.0) + a._2)
+    def merge(b1: Map[Int, Double], b2: Map[Int, Double]): Map[Int, Double] =
+      b2.foldLeft(b1) { case (m, (k, v)) => m.updated(k, m.getOrElse(k, 0.0) + v) }
+    def finish(m: Map[Int, Double]): (Int, Int, Int) = {
+      if (m.isEmpty) return (0, 0, 0)
+      val lo = m.keys.min
+      val hi = m.keys.max
+      val levels = (lo to hi).toArray
+      val vols = levels.map(l => m.getOrElse(l, 0.0))
+      val n = levels.length
+      val total = vols.sum
+      var pocIdx = 0
+      var i = 1
+      while (i < n) { if (vols(i) > vols(pocIdx)) pocIdx = i; i += 1 }
+      val vaThr = total * (68.34 / 100.0)
+      var cum = vols(pocIdx)
+      var hva = levels(pocIdx)
+      var lva = levels(pocIdx)
+      var up = pocIdx + 1
+      var dn = pocIdx - 1
+      def upVol(u: Int): Double =
+        if (u < n) vols(u) + (if (u + 1 < n) vols(u + 1) else 0.0) else -1.0
+      def dnVol(d: Int): Double =
+        if (d >= 0) vols(d) + (if (d - 1 >= 0) vols(d - 1) else 0.0) else -1.0
+      var cu = if (up < n) upVol(up) else 0.0
+      var cd = if (dn >= 0) dnVol(dn) else 0.0
+      var guard = 0
+      while (cum < vaThr && guard < 2 * n + 4) {
+        guard += 1
+        if (cu > cd) {
+          cum += cu; hva = levels(math.min(up + 1, n - 1)); up += 2; cu = upVol(up)
+        } else if (cu < cd) {
+          cum += cd; lva = levels(math.max(dn - 1, 0)); dn -= 2; cd = dnVol(dn)
+        } else if (cu == cd && cu != -1.0) {
+          cum += cu + cd
+          hva = levels(math.min(up + 1, n - 1)); lva = levels(math.max(dn - 1, 0))
+          up += 2; dn -= 2; cu = upVol(up); cd = dnVol(dn)
+        } else {
+          guard = Int.MaxValue // both sides exhausted (reference prints BUG)
+        }
+      }
+      (levels(pocIdx), hva, lva)
+    }
+    def bufferEncoder: Encoder[Map[Int, Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: Encoder[(Int, Int, Int)] = Encoders.tuple(
+      Encoders.scalaInt, Encoders.scalaInt, Encoders.scalaInt)
+  }
+
+  lazy val pocUdaf = udaf(PocHvaLvaAgg,
+    Encoders.tuple(Encoders.scalaInt, Encoders.scalaDouble))
+  /** returns struct(_1 = poc, _2 = hva, _3 = lva) */
+  def poc_hva_lva(level: Column, vol: Column): Column = pocUdaf(level, vol)
 }

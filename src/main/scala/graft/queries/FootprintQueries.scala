@@ -1,0 +1,229 @@
+package graft.queries
+
+import graft.Tables
+import graft.trades.Trades
+import graft.bars.Footprints
+import graft.features.VolumeProfile
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Footprint + volume-profile coverage (SURVEY.md §2.4 footprints, §2.5
+  * volume-profile operators). tick size fixed at 0.01 (the synthetic price
+  * grid), 1h bars, imbalance factor 3.
+  */
+object FootprintQueries {
+
+  private val tick = 0.01
+  private val k = 3.0
+  private val ivSec = 3600L
+
+  private def fp(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Footprints.build(
+      Trades.withTickRuleSide(Trades.fromEvents(Tables.events(s, dir))),
+      ivSec, tick, k)
+
+  val queries: Map[String, QueryFn] = Map(
+    // Exploded footprint rows with diagonal imbalance flags
+    "footprint_levels_1h" -> ((s, dir) =>
+      fp(s, dir).select(col("bar_ts"), col("level"),
+        r6(col("buy_volume")).as("buy_volume"), r6(col("sell_volume")).as("sell_volume"),
+        col("buy_ticks"), col("sell_ticks"),
+        col("buy_imbalance"), col("sell_imbalance"))),
+
+    // Per-bar footprint summary (COT, imbalance sums, signed max run, skew, gini)
+    "footprint_summary_1h" -> ((s, dir) =>
+      Footprints.summary(fp(s, dir)).select(col("bar_ts"),
+        col("buy_imbalances_sum"), col("sell_imbalances_sum"),
+        col("cot_price_level"), col("imb_max_run_signed"),
+        (r6(col("vp_skew")) + lit(0.0)).as("vp_skew"), // normalize -0.0
+        r6(col("vp_gini")).as("vp_gini"))),
+
+    // Daily volume profile: POC + % above POC
+    "vp_poc_day" -> ((s, dir) => {
+      val prof = VolumeProfile.profile(fp(s, dir),
+        expr("bar_ts div 86400000000000"), "day")
+      VolumeProfile.pocStats(prof, "day").select(col("day"), col("poc_level"),
+        r6(col("pct_above_poc")).as("pct_above_poc"),
+        r6(col("total_volume")).as("total_volume"))
+    }),
+
+    // Daily value area via the greedy Aggregator (no SQL equivalent —
+    // rows-only driver check; ScalaTest-verified against hand cases)
+    "vp_value_area_day" -> ((s, dir) => {
+      val prof = VolumeProfile.profile(fp(s, dir),
+        expr("bar_ts div 86400000000000"), "day")
+      VolumeProfile.valueArea(prof, "day")
+    }),
+
+    // Rolling 6-bar (6h) profile POC per target bar
+    "vp_rolling_6h" -> ((s, dir) => {
+      val prof = VolumeProfile.rolling(fp(s, dir), ivSec, 6)
+      VolumeProfile.pocStats(prof.withColumnRenamed("target_ts", "bar_ts"), "bar_ts")
+        .select(col("bar_ts"), col("poc_level"),
+          r6(col("pct_above_poc")).as("pct_above_poc"),
+          r6(col("total_volume")).as("total_volume"))
+    }),
+
+    // Developing (anchored intraday) profile POC per bar
+    "vp_developing_day" -> ((s, dir) => {
+      val prof = VolumeProfile.developing(fp(s, dir))
+      VolumeProfile.pocStats(prof.withColumnRenamed("target_ts", "bar_ts"), "bar_ts")
+        .select(col("bar_ts"), col("poc_level"),
+          r6(col("pct_above_poc")).as("pct_above_poc"),
+          r6(col("total_volume")).as("total_volume"))
+    })
+  )
+
+  // ---------------------------------------------------------------------
+  // Oracles
+  // ---------------------------------------------------------------------
+
+  private val iv = ivSec * 1000000000L
+
+  /** fp2 = exploded footprint with imbalance flags (mirrors Footprints.build). */
+  private val fpCte: String =
+    s"""fp AS (
+       |  SELECT ((ts + ${iv - 1}) // $iv) * $iv AS bar_ts,
+       |         CAST(round(price / ${D(tick)}) AS INT) AS level,
+       |         sum(CASE WHEN side = 1 THEN qty ELSE 0.0 END) AS buy_volume,
+       |         sum(CASE WHEN side = -1 THEN qty ELSE 0.0 END) AS sell_volume,
+       |         CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS buy_ticks,
+       |         CAST(sum(CASE WHEN side = -1 THEN 1 ELSE 0 END) AS BIGINT) AS sell_ticks
+       |  FROM sided GROUP BY 1, 2
+       |),
+       |fp2 AS (
+       |  SELECT *,
+       |    level < max(level) OVER (PARTITION BY bar_ts)
+       |      AND sell_volume > (CASE WHEN lead(level) OVER wl = level + 1
+       |                         THEN lead(buy_volume) OVER wl ELSE 0.0 END) * ${D(k)} AS sell_imbalance,
+       |    level > min(level) OVER (PARTITION BY bar_ts)
+       |      AND buy_volume > (CASE WHEN lag(level) OVER wl = level - 1
+       |                        THEN lag(sell_volume) OVER wl ELSE 0.0 END) * ${D(k)} AS buy_imbalance
+       |  FROM fp WINDOW wl AS (PARTITION BY bar_ts ORDER BY level)
+       |)""".stripMargin
+
+  private def withFp(body: String): String =
+    s"WITH $tradesCte, $sidedCte, $fpCte\n$body"
+
+  val oracles: Map[String, String] = Map(
+    "footprint_levels_1h" -> withFp(
+      s"""SELECT bar_ts, level, ${rd("buy_volume")} AS buy_volume,
+         |  ${rd("sell_volume")} AS sell_volume, buy_ticks, sell_ticks,
+         |  buy_imbalance, sell_imbalance
+         |FROM fp2""".stripMargin),
+
+    "footprint_summary_1h" -> withFp(
+      s""", f AS (
+         |  SELECT *, buy_volume + sell_volume AS total_volume,
+         |    CASE WHEN buy_imbalance THEN 1 WHEN sell_imbalance THEN -1 ELSE 0 END AS sgn
+         |  FROM fp2
+         |),
+         |f2 AS (
+         |  SELECT *, sum(brk) OVER (PARTITION BY bar_ts ORDER BY level
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         |  FROM (
+         |    SELECT *,
+         |      CASE WHEN sgn = 0 THEN 1
+         |           WHEN lag(sgn) OVER wl IS NULL THEN 1
+         |           WHEN sgn <> lag(sgn) OVER wl THEN 1
+         |           WHEN level <> lag(level) OVER wl + 1 THEN 1
+         |           ELSE 0 END AS brk
+         |    FROM f WINDOW wl AS (PARTITION BY bar_ts ORDER BY level)
+         |  )
+         |),
+         |islands AS (
+         |  SELECT bar_ts, grp, sgn, CAST(count(*) AS BIGINT) AS len, min(level) AS start_level
+         |  FROM f2 WHERE sgn <> 0 GROUP BY bar_ts, grp, sgn
+         |),
+         |best AS (
+         |  SELECT bar_ts, len * sgn AS imb_max_run_signed FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY bar_ts ORDER BY len DESC, start_level ASC) AS rk
+         |    FROM islands
+         |  ) WHERE rk = 1
+         |),
+         |per_bar AS (
+         |  SELECT bar_ts,
+         |    CAST(sum(CASE WHEN buy_imbalance THEN 1 ELSE 0 END) AS BIGINT) AS buy_imbalances_sum,
+         |    CAST(sum(CASE WHEN sell_imbalance THEN 1 ELSE 0 END) AS BIGINT) AS sell_imbalances_sum,
+         |    max(total_volume) AS maxv,
+         |    sum(level * total_volume) / sum(total_volume) AS vwap,
+         |    1.0 - sum(total_volume * total_volume) / (sum(total_volume) * sum(total_volume)) AS vp_gini
+         |  FROM f GROUP BY bar_ts
+         |),
+         |cot AS (
+         |  SELECT f.bar_ts, min(level) AS cot_price_level
+         |  FROM f JOIN per_bar p ON f.bar_ts = p.bar_ts AND f.total_volume = p.maxv
+         |  GROUP BY f.bar_ts
+         |),
+         |skew AS (
+         |  SELECT f.bar_ts, sum((f.level - p.vwap) * f.total_volume) / sum(f.total_volume) AS vp_skew
+         |  FROM f JOIN per_bar p ON f.bar_ts = p.bar_ts GROUP BY f.bar_ts
+         |)
+         |SELECT p.bar_ts, p.buy_imbalances_sum, p.sell_imbalances_sum,
+         |  c.cot_price_level, coalesce(b.imb_max_run_signed, 0) AS imb_max_run_signed,
+         |  ${rd("s.vp_skew")} + 0e0 AS vp_skew,
+         |  ${rd("p.vp_gini")} AS vp_gini
+         |FROM per_bar p
+         |JOIN cot c ON c.bar_ts = p.bar_ts
+         |JOIN skew s ON s.bar_ts = p.bar_ts
+         |LEFT JOIN best b ON b.bar_ts = p.bar_ts""".stripMargin),
+
+    "vp_poc_day" -> withFp(
+      s""", prof AS (
+         |  SELECT bar_ts // 86400000000000 AS day, level,
+         |         sum(buy_volume + sell_volume) AS volume
+         |  FROM fp2 GROUP BY 1, 2
+         |),
+         |mx AS (SELECT day, max(volume) AS maxv FROM prof GROUP BY day),
+         |poc AS (
+         |  SELECT prof.day, min(level) AS poc_level
+         |  FROM prof JOIN mx ON prof.day = mx.day AND prof.volume = mx.maxv
+         |  GROUP BY prof.day
+         |)
+         |SELECT prof.day AS day, poc.poc_level,
+         |  ${rd("sum(CASE WHEN level > poc_level THEN volume ELSE 0.0 END) / sum(volume)")} AS pct_above_poc,
+         |  ${rd("sum(volume)")} AS total_volume
+         |FROM prof JOIN poc ON prof.day = poc.day
+         |GROUP BY prof.day, poc.poc_level""".stripMargin),
+
+    "vp_rolling_6h" -> withFp(
+      s""", targets AS (SELECT DISTINCT bar_ts AS target_ts FROM fp2),
+         |prof AS (
+         |  SELECT t.target_ts AS bar_ts, f.level, sum(f.buy_volume + f.sell_volume) AS volume
+         |  FROM targets t JOIN fp2 f
+         |    ON f.bar_ts <= t.target_ts AND f.bar_ts > t.target_ts - ${6L * iv}
+         |  GROUP BY 1, 2
+         |),
+         |mx AS (SELECT bar_ts, max(volume) AS maxv FROM prof GROUP BY bar_ts),
+         |poc AS (
+         |  SELECT prof.bar_ts, min(level) AS poc_level
+         |  FROM prof JOIN mx ON prof.bar_ts = mx.bar_ts AND prof.volume = mx.maxv
+         |  GROUP BY prof.bar_ts
+         |)
+         |SELECT prof.bar_ts AS bar_ts, poc.poc_level,
+         |  ${rd("sum(CASE WHEN level > poc_level THEN volume ELSE 0.0 END) / sum(volume)")} AS pct_above_poc,
+         |  ${rd("sum(volume)")} AS total_volume
+         |FROM prof JOIN poc ON prof.bar_ts = poc.bar_ts
+         |GROUP BY prof.bar_ts, poc.poc_level""".stripMargin),
+
+    "vp_developing_day" -> withFp(
+      s""", f AS (SELECT *, bar_ts // 86400000000000 AS day FROM fp2),
+         |targets AS (SELECT DISTINCT day AS tday, bar_ts AS target_ts FROM f),
+         |prof AS (
+         |  SELECT t.target_ts AS bar_ts, f.level, sum(f.buy_volume + f.sell_volume) AS volume
+         |  FROM targets t JOIN f ON f.day = t.tday AND f.bar_ts <= t.target_ts
+         |  GROUP BY 1, 2
+         |),
+         |mx AS (SELECT bar_ts, max(volume) AS maxv FROM prof GROUP BY bar_ts),
+         |poc AS (
+         |  SELECT prof.bar_ts, min(level) AS poc_level
+         |  FROM prof JOIN mx ON prof.bar_ts = mx.bar_ts AND prof.volume = mx.maxv
+         |  GROUP BY prof.bar_ts
+         |)
+         |SELECT prof.bar_ts AS bar_ts, poc.poc_level,
+         |  ${rd("sum(CASE WHEN level > poc_level THEN volume ELSE 0.0 END) / sum(volume)")} AS pct_above_poc,
+         |  ${rd("sum(volume)")} AS total_volume
+         |FROM prof JOIN poc ON prof.bar_ts = poc.bar_ts
+         |GROUP BY prof.bar_ts, poc.poc_level""".stripMargin)
+  )
+}
