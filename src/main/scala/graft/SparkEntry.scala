@@ -20,12 +20,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TradeQueries.queries ++ FeatureQueries.queries ++
-      ScanQueries.queries ++ LabelQueries.queries ++ FootprintQueries.queries
+      ScanQueries.queries ++ LabelQueries.queries ++ FootprintQueries.queries ++
+      DocQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TradeQueries.oracles ++ FeatureQueries.oracles ++
-      ScanQueries.oracles ++ LabelQueries.oracles ++ FootprintQueries.oracles
+      ScanQueries.oracles ++ LabelQueries.oracles ++ FootprintQueries.oracles ++
+      DocQueries.oracles
 }

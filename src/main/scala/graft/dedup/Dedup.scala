@@ -1,0 +1,162 @@
+package graft.dedup
+
+import graft.text.TextOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact hash dedup,
+  * MinHash+LSH near-dup, SimHash near-dup, and n-gram Jaccard verification.
+  *
+  * Scale design (the point of doing this on Spark):
+  *  - exact dedup is ONE shuffle on a 128-bit content hash — never on the
+  *    text itself (hash first, shuffle 16 bytes/row, not documents);
+  *  - MinHash signatures and band keys are computed map-side inside the scan
+  *    stage (pure expressions); the only shuffle is the self-join on
+  *    (band, band_key), whose fan-out is bounded by bucket size — hot
+  *    buckets (boilerplate docs) are the skew risk, handled by AQE skew
+  *    join at runtime;
+  *  - candidate verification (exact Jaccard / Hamming) touches only the
+  *    candidate pairs, never all O(n²) pairs.
+  *
+  * The cross-engine hash primitive is md5 (identical hex output on any
+  * engine), so every step is oracle-checkable; xxhash64 would be faster but
+  * engine-specific.
+  */
+object Dedup {
+
+  /** Canonical content normalization before exact hashing. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Exact dedup annotation: per doc, its content hash, the size of its
+    * identical-content group, the canonical (min) doc id, and whether this
+    * row would be dropped by keep-first dedup.
+    */
+  def exactDupAnnotate(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("content_hash")
+    docs
+      .withColumn("content_hash", md5(normalized(col(textCol))))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("canonical_id", min(col(idCol)).over(w))
+      .withColumn("is_dup", col(idCol) > col("canonical_id"))
+  }
+
+  /** MinHash signature over word-n-gram shingles: sig[s] is the
+    * lexicographic min of md5(s ++ ":" ++ shingle) — k independent
+    * permutation approximations, all computed in one projection.
+    */
+  def minhashSignature(toks: Column, shingleN: Int, k: Int): Column = {
+    val sh = TextOps.shingles(toks, shingleN)
+    transform(sequence(lit(0), lit(k - 1)),
+      s => array_min(transform(sh, x => md5(concat(s.cast("string"), lit(":"), x)))))
+  }
+
+  /** (band, band_key) rows for LSH banding: k = bands × rowsPerBand; docs
+    * agreeing on any full band become candidates.
+    */
+  def bandRows(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"),
+        md5(concat_ws("|", slice(sig, b * rowsPerBand + lit(1), lit(rowsPerBand)))).as("band_key")))
+
+  /** LSH candidate pairs (a < b) from exploded band rows. The equi-join on
+    * (band, band_key) is the one shuffle; `distinct` collapses pairs that
+    * collide in several bands.
+    */
+  def lshCandidates(docs: DataFrame, idCol: String, toksCol: String,
+                    shingleN: Int, k: Int, bands: Int): DataFrame = {
+    val r = k / bands
+    val withBands = docs.select(col(idCol).as("id"),
+        explode(bandRows(minhashSignature(col(toksCol), shingleN, k), bands, r)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.band_key").as("band_key"))
+    val l = withBands.as("l")
+    val rr = withBands.as("r")
+    l.join(rr, col("l.band") === col("r.band") &&
+        col("l.band_key") === col("r.band_key") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard for candidate pairs: join the (distinct) shingle
+    * sets back and compute |∩| / |∪|. Only candidate pairs pay this cost.
+    */
+  def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
+                    toksCol: String, shingleN: Int): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      TextOps.shingles(col(toksCol), shingleN).as("sh"))
+    pairs
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("n_common")))
+      .select("id_a", "id_b", "n_common", "jaccard")
+  }
+
+  // -------------------------------------------------------------------
+  // SimHash
+  // -------------------------------------------------------------------
+
+  private val hexDigits = "0123456789abcdef"
+
+  /** 64-bit SimHash over (multiset) tokens, emitted as a 16-hex-char string.
+    *
+    * Token hash = first 16 hex chars of md5; per bit position the ±1
+    * contributions are summed with a conditional aggregate (integer math —
+    * exactly reproducible on any engine); sign of the sum is the output bit.
+    * One explode + one groupBy(doc) shuffle; the 64 sums are a single
+    * partial-aggregated pass.
+    */
+  def simhash(docs: DataFrame, idCol: String, toksCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"), explode(col(toksCol)).as("t"))
+      .withColumn("h", md5(col("t")))
+    val withNibs = (0 until 16).foldLeft(tok) { (d, j) =>
+      d.withColumn(s"n$j", conv(substring(col("h"), j + 1, 1), 16, 10).cast("int"))
+    }
+    val sums = (0 until 64).map { b =>
+      val j = b / 4; val s = 3 - (b % 4)
+      sum(shiftright(col(s"n$j"), s).bitwiseAND(lit(1)) * 2 - 1).as(s"s$b")
+    }
+    val agg = withNibs.groupBy("id").agg(sums.head, sums.tail: _*)
+    val hexArr = array(hexDigits.map(c => lit(c.toString)): _*)
+    val nibChars = (0 until 16).map { j =>
+      val nib = (0 until 4).map { i =>
+        when(col(s"s${4 * j + i}") > 0, 1 << (3 - i)).otherwise(0)
+      }.reduce(_ + _)
+      element_at(hexArr, nib + 1)
+    }
+    agg.select(col("id"), concat(nibChars: _*).as("simhash"))
+  }
+
+  /** Hamming distance between two 16-hex-char SimHashes (pure expression). */
+  def hammingHex(a: Column, b: Column): Column =
+    (0 until 16).map { j =>
+      bit_count(conv(substring(a, j + 1, 1), 16, 10).cast("int")
+        .bitwiseXOR(conv(substring(b, j + 1, 1), 16, 10).cast("int")))
+    }.reduce(_ + _).cast("int")
+
+  /** Near-dup pairs by SimHash: pigeonhole banding (16 hex chars → `bands`
+    * equal slices; Hamming ≤ h bits flips ≤ h nibbles, so any pair within
+    * maxHamming < bands shares a full band) makes the candidate join an
+    * equi-join, then exact Hamming verification filters.
+    */
+  def simhashPairs(sh: DataFrame, maxHamming: Int, bands: Int = 8): DataFrame = {
+    require(maxHamming < bands, "pigeonhole completeness needs maxHamming < bands")
+    val width = 16 / bands
+    val b = sh.select(col("id"), col("simhash"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          i => struct(i.as("band"),
+            col("simhash").substr(i * width + lit(1), lit(width)).as("bk")))).as("x"))
+      .select(col("id"), col("simhash"), col("x.band").as("band"), col("x.bk").as("bk"))
+    val l = b.as("l"); val r = b.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.bk") === col("r.bk") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.simhash").as("sh_a"), col("r.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", hammingHex(col("sh_a"), col("sh_b")))
+      .where(col("hamming") <= maxHamming)
+      .drop("sh_a", "sh_b")
+  }
+}

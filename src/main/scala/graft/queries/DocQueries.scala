@@ -1,0 +1,283 @@
+package graft.queries
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.ml.Similarity
+import graft.text.TextOps
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Training-data pipeline coverage over `documents` / `embeddings`:
+  * text analysis, exact + MinHash/SimHash/embedding dedup, similarity
+  * search. Every deterministic operator carries a DuckDB oracle mirroring
+  * the exact same algorithm (md5 is the shared hash primitive).
+  */
+object DocQueries {
+
+  private val shingleN = 3
+  private val minhashK = 16
+  private val minhashBands = 8 // r = 2 → candidates at modest jaccard
+  private val simhashMaxHamming = 3
+  private val embThreshold = 0.35 // demo threshold: synthetic max cos ≈ 0.51
+  private val annK = 5
+  private val annQueries = 20
+
+  private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.documents(s, dir)
+  private def emb(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.embeddings(s, dir)
+
+  val queries: Map[String, QueryFn] = Map(
+    "text_quality" -> ((s, dir) => {
+      val cols = TextOps.qualityColumns(col("text"))
+      docs(s, dir).select(Seq(col("doc_id")) ++ cols.map {
+        c => c // keep integer counts as-is; round float ratios
+      }: _*).select(col("doc_id"), col("n_ws_tokens"), col("n_bpe_tokens"),
+        r6(col("alpha_ratio")).as("alpha_ratio"),
+        r6(col("punct_ratio")).as("punct_ratio"),
+        r6(col("stopword_ratio")).as("stopword_ratio"),
+        r6(col("mean_word_len")).as("mean_word_len"),
+        r6(col("quality_score")).as("quality_score"))
+    }),
+
+    "text_langid" -> ((s, dir) =>
+      docs(s, dir).select(Seq(col("doc_id")) ++ TextOps.langIdColumns(col("text")): _*)),
+
+    "text_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(Seq(col("doc_id")) ++
+        TextOps.fingerprintColumns(col("text"), shingleN, 8): _*)),
+
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactDupAnnotate(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("content_hash"), col("group_size"),
+          col("canonical_id"), col("is_dup"))),
+
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("toks", TextOps.wsTokens(col("text")))
+      val cand = Dedup.lshCandidates(d, "doc_id", "toks", shingleN, minhashK, minhashBands)
+      Dedup.jaccardVerify(cand, d, "doc_id", "toks", shingleN)
+        .select(col("id_a"), col("id_b"), col("n_common"),
+          r6(col("jaccard")).as("jaccard"))
+    }),
+
+    "dedup_simhash" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("toks", TextOps.wsTokens(col("text")))
+      Dedup.simhash(d, "doc_id", "toks").withColumnRenamed("id", "doc_id")
+    }),
+
+    "dedup_simhash_pairs" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("toks", TextOps.wsTokens(col("text")))
+      Dedup.simhashPairs(Dedup.simhash(d, "doc_id", "toks"), simhashMaxHamming)
+    }),
+
+    "dedup_embedding_pairs" -> ((s, dir) =>
+      Similarity.nearDupPairs(emb(s, dir), "vec_id", "embedding", embThreshold - 0.01)
+        .select(col("id_a"), col("id_b"), r6(col("cos")).as("cos"))
+        .where(col("cos") >= embThreshold)),
+
+    "ann_topk_brute" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.bruteForceTopK(e.where(col("vec_id") < annQueries), e,
+          "vec_id", "embedding", annK)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          r6(col("cos")).as("cos"))
+    }),
+
+    // Approximate variant — no SQL oracle (recall-tested vs brute force in
+    // SimilaritySpec); driver records rows-only.
+    "ann_topk_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.lshTopK(e.where(col("vec_id") < annQueries), e,
+          "vec_id", "embedding", annK)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          r6(col("cos")).as("cos"))
+    })
+  )
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracles
+  // ---------------------------------------------------------------------
+
+  /** lower-cased whitespace tokens CTE over documents. */
+  private val toksCte =
+    """toks AS (
+      |  SELECT doc_id, text,
+      |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
+      |  FROM documents
+      |)""".stripMargin
+
+  /** distinct word-3-gram shingles CTE (mirrors TextOps.shingles). */
+  private val shCte =
+    s"""sh AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(range(1, greatest(len(toks) - $shingleN, 0) + 2),
+       |           i -> array_to_string(list_slice(toks, i, i + ${shingleN - 1}), ' '))) AS sh
+       |  FROM toks
+       |)""".stripMargin
+
+  private def inList(words: Seq[String]) =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  private val langs = TextOps.stopwords.keys.toSeq.sorted
+
+  /** CASE chain for argmax-with-alphabetical-tie-break over score_<lang>. */
+  private val predLangSql: String = {
+    val cases = langs.init.zipWithIndex.map { case (l, i) =>
+      val later = langs.drop(i + 1).map(x => s"score_$x")
+      val rhs = if (later.size == 1) later.head else s"greatest(${later.mkString(", ")})"
+      s"WHEN score_$l >= $rhs THEN '$l'"
+    }
+    s"CASE ${cases.mkString(" ")} ELSE '${langs.last}' END"
+  }
+
+  // SimHash SQL generation (mirrors Dedup.simhash bit-for-bit)
+  private val nibDefs = (0 until 16).map { j =>
+    s"instr('0123456789abcdef', substr(h, ${j + 1}, 1)) - 1 AS n$j"
+  }.mkString(",\n    ")
+  private val sumDefs = (0 until 64).map { b =>
+    val j = b / 4; val s = 3 - (b % 4)
+    s"CAST(sum(((n$j >> $s) & 1) * 2 - 1) AS BIGINT) AS s$b"
+  }.mkString(",\n    ")
+  private val hexRebuild = (0 until 16).map { j =>
+    val nib = (0 until 4).map(i => s"(CASE WHEN s${4 * j + i} > 0 THEN ${1 << (3 - i)} ELSE 0 END)").mkString(" + ")
+    s"substr('0123456789abcdef', ($nib) + 1, 1)"
+  }.mkString(" || ")
+
+  private val simhashCte =
+    s"""tokx AS (SELECT doc_id, unnest(toks) AS t FROM toks),
+       |th AS (SELECT doc_id, md5(t) AS h FROM tokx),
+       |nib AS (
+       |  SELECT doc_id,
+       |    $nibDefs
+       |  FROM th
+       |),
+       |sums AS (
+       |  SELECT doc_id,
+       |    $sumDefs
+       |  FROM nib GROUP BY doc_id
+       |),
+       |sim AS (SELECT doc_id, $hexRebuild AS simhash FROM sums)""".stripMargin
+
+  private def hammingSql(a: String, b: String): String =
+    (0 until 16).map { j =>
+      s"bit_count(xor(instr('0123456789abcdef', substr($a, ${j + 1}, 1)) - 1, " +
+        s"instr('0123456789abcdef', substr($b, ${j + 1}, 1)) - 1))"
+    }.mkString(" + ")
+
+  /** unit-normalized double vectors CTE over embeddings. */
+  private val nvCte =
+    """nv AS (
+      |  SELECT vec_id,
+      |    CASE WHEN sqrt(list_sum(list_transform(e, x -> x * x))) > 0
+      |         THEN list_transform(e, x -> x / sqrt(list_sum(list_transform(e, y -> y * y))))
+      |         ELSE e END AS nv
+      |  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+      |)""".stripMargin
+
+  private val dotSql = "list_sum(list_transform(range(1, 65), i -> a.nv[i] * b.nv[i]))"
+
+  val oracles: Map[String, String] = Map(
+    "text_quality" ->
+      s"""WITH $toksCte
+         |SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+         |  ${rd("CASE WHEN len(text) > 0 THEN len(regexp_replace(lower(text), '[^a-z]', '', 'g')) / CAST(len(text) AS DOUBLE) ELSE 0.0 END")} AS alpha_ratio,
+         |  ${rd("CASE WHEN len(text) > 0 THEN len(regexp_replace(lower(text), '[^.,!?;:]', '', 'g')) / CAST(len(text) AS DOUBLE) ELSE 0.0 END")} AS punct_ratio,
+         |  ${rd(s"CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> x IN ${inList(TextOps.stopwords("en"))})) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END")} AS stopword_ratio,
+         |  ${rd("CASE WHEN len(toks) > 0 THEN len(regexp_replace(text, '\\s+', '', 'g')) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END")} AS mean_word_len,
+         |  ${rd(s"least(len(toks) / 50.0, 1.0) * 0.4 + (CASE WHEN len(text) > 0 THEN len(regexp_replace(lower(text), '[^a-z]', '', 'g')) / CAST(len(text) AS DOUBLE) ELSE 0.0 END) * 0.3 + least((CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> x IN ${inList(TextOps.stopwords("en"))})) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END) * 4.0, 1.0) * 0.2 + (1.0 - (CASE WHEN len(text) > 0 THEN len(regexp_replace(lower(text), '[^.,!?;:]', '', 'g')) / CAST(len(text) AS DOUBLE) ELSE 0.0 END)) * 0.1")} AS quality_score
+         |FROM toks""".stripMargin,
+
+    "text_langid" ->
+      s"""WITH $toksCte,
+         |scores AS (
+         |  SELECT doc_id,
+         |    ${langs.map(l => s"CAST(len(list_filter(toks, x -> x IN ${inList(TextOps.stopwords(l))})) AS BIGINT) AS score_$l").mkString(",\n    ")}
+         |  FROM toks
+         |)
+         |SELECT doc_id, ${langs.map(l => s"score_$l").mkString(", ")},
+         |  $predLangSql AS pred_lang
+         |FROM scores""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""WITH $toksCte, $shCte,
+         |hs AS (
+         |  SELECT doc_id,
+         |    list_sort(list_transform(sh, x -> md5(x)))[1:8] AS bottom
+         |  FROM sh
+         |)
+         |SELECT doc_id, md5(array_to_string(bottom, '|')) AS fingerprint,
+         |  bottom[1] AS min_shingle_hash
+         |FROM hs""".stripMargin,
+
+    "dedup_exact" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash
+        |  FROM documents
+        |)
+        |SELECT doc_id, content_hash,
+        |  CAST(count(*) OVER (PARTITION BY content_hash) AS BIGINT) AS group_size,
+        |  min(doc_id) OVER (PARTITION BY content_hash) AS canonical_id,
+        |  doc_id > min(doc_id) OVER (PARTITION BY content_hash) AS is_dup
+        |FROM h""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      s"""WITH $toksCte, $shCte,
+         |shx AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+         |mh AS (
+         |  SELECT doc_id, seed, min(md5(seed || ':' || s)) AS mh
+         |  FROM shx CROSS JOIN (SELECT unnest(range(0, $minhashK)) AS seed) seeds
+         |  GROUP BY doc_id, seed
+         |),
+         |bands AS (
+         |  SELECT doc_id, seed // ${minhashK / minhashBands} AS band,
+         |         md5(string_agg(mh, '|' ORDER BY seed)) AS band_key
+         |  FROM mh GROUP BY doc_id, seed // ${minhashK / minhashBands}
+         |),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         |  FROM bands l JOIN bands r
+         |    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+         |)
+         |SELECT c.id_a, c.id_b,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
+         |  ${rd("len(list_intersect(a.sh, b.sh)) / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)")} AS jaccard
+         |FROM cand c
+         |JOIN sh a ON a.doc_id = c.id_a
+         |JOIN sh b ON b.doc_id = c.id_b""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH $toksCte,
+         |$simhashCte
+         |SELECT doc_id, simhash FROM sim""".stripMargin,
+
+    "dedup_simhash_pairs" ->
+      s"""WITH $toksCte,
+         |$simhashCte
+         |SELECT * FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(${hammingSql("a.simhash", "b.simhash")} AS INT) AS hamming
+         |  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |) WHERE hamming <= $simhashMaxHamming""".stripMargin,
+
+    "dedup_embedding_pairs" ->
+      s"""WITH $nvCte
+         |SELECT * FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${rd(dotSql)} AS cos
+         |  FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+         |) WHERE cos >= ${D(embThreshold)}""".stripMargin,
+
+    "ann_topk_brute" ->
+      s"""WITH $nvCte,
+         |scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $dotSql AS cos
+         |  FROM nv a JOIN nv b ON a.vec_id < $annQueries AND a.vec_id <> b.vec_id
+         |)
+         |SELECT query_id, rank, neighbor_id, ${rd("cos")} AS cos FROM (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+         |  FROM scored
+         |) WHERE rank <= $annK""".stripMargin
+  )
+}

@@ -1,0 +1,108 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines over the
+  * `documents` table: tokenization, quality scoring, n-gram language ID and
+  * document fingerprinting.
+  *
+  * Everything here is a pure `Column` expression (whole-stage codegen, no
+  * UDFs): at 100 TB these run map-side inside the Parquet scan stage with
+  * zero shuffles — the scan's own partitioning is the parallelism.
+  */
+object TextOps {
+
+  /** Per-language stopword profiles for the n-gram/stopword language-ID
+    * heuristic. Tiny on purpose: the operator shape (token ∈ profile
+    * scoring + deterministic argmax) is what matters; real deployments swap
+    * in fuller profiles without touching the plan.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "den"),
+    "en" -> Seq("the", "a", "an", "and", "of", "to", "is", "in"),
+    "es" -> Seq("el", "la", "de", "y", "que", "es", "un", "en"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "un", "en"),
+    "zh" -> Seq("的", "了", "是", "在", "我", "有", "和", "就"))
+
+  /** Lower-cased whitespace tokens, empties dropped. */
+  def wsTokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** BPE-ish pre-tokenization: letter runs | digit runs | single symbol. */
+  val bpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit(bpePattern), lit(0))
+
+  /** Count of tokens that appear in `words` (multiset count, not distinct). */
+  def tokenHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*)))
+
+  /** Ratio of characters matching `charClass` (Java/RE2-portable class). */
+  def charRatio(text: Column, charClass: String): Column =
+    when(length(text) > 0,
+      length(regexp_replace(lower(text), s"[^$charClass]", "")).cast("double") /
+        length(text)).otherwise(0.0)
+
+  /** Quality metrics in the style of Gopher/C4 document filters: length,
+    * alpha/digit/punct composition, mean word length, stopword density and
+    * a combined [0,1] score.
+    */
+  def qualityColumns(text: Column): Seq[Column] = {
+    val toks = wsTokens(text)
+    val nTok = size(toks)
+    val alphaRatio = charRatio(text, "a-z")
+    val punctRatio = charRatio(text, ".,!?;:")
+    val stopRatio = when(nTok > 0,
+      tokenHits(toks, stopwords("en")).cast("double") / nTok).otherwise(0.0)
+    val meanWordLen = when(nTok > 0,
+      length(regexp_replace(text, "\\s+", "")).cast("double") / nTok).otherwise(0.0)
+    val score =
+      least(nTok.cast("double") / 50.0, lit(1.0)) * 0.4 +
+        alphaRatio * 0.3 +
+        least(stopRatio * 4.0, lit(1.0)) * 0.2 +
+        (lit(1.0) - punctRatio) * 0.1
+    Seq(
+      nTok.cast("long").as("n_ws_tokens"),
+      size(bpeTokens(text)).cast("long").as("n_bpe_tokens"),
+      alphaRatio.as("alpha_ratio"),
+      punctRatio.as("punct_ratio"),
+      stopRatio.as("stopword_ratio"),
+      meanWordLen.as("mean_word_len"),
+      score.as("quality_score"))
+  }
+
+  /** Language-ID: per-language stopword-hit scores + argmax prediction with
+    * deterministic alphabetical tie-break (a fixed CASE chain, identical on
+    * any SQL engine).
+    */
+  def langIdColumns(text: Column): Seq[Column] = {
+    val toks = wsTokens(text)
+    val langs = stopwords.keys.toSeq.sorted
+    val score = langs.map(l => l -> tokenHits(toks, stopwords(l))).toMap
+    def maxOf(cs: Seq[Column]) = if (cs.size == 1) cs.head else greatest(cs: _*)
+    val pred = langs.init.foldRight(lit(langs.last): Column) { (l, rest) =>
+      val later = langs.drop(langs.indexOf(l) + 1).map(score)
+      when(score(l) >= maxOf(later), lit(l)).otherwise(rest)
+    }
+    langs.map(l => score(l).cast("long").as(s"score_$l")) :+ pred.as("pred_lang")
+  }
+
+  /** Word n-gram shingles (distinct), degenerating to one whole-text shingle
+    * for docs shorter than n tokens.
+    */
+  def shingles(toks: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+
+  /** Bottom-k sketch fingerprint: the k lexicographically-smallest md5s of
+    * the shingle set, plus their digest — a compact rolling-hash-style
+    * document signature whose equality ⇒ near-duplicate content.
+    */
+  def fingerprintColumns(text: Column, n: Int, k: Int): Seq[Column] = {
+    val sk = slice(array_sort(transform(shingles(wsTokens(text), n), md5 _)), 1, k)
+    Seq(md5(concat_ws("|", sk)).as("fingerprint"),
+      element_at(sk, 1).as("min_shingle_hash"))
+  }
+}

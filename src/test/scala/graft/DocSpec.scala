@@ -1,0 +1,115 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.ml.Similarity
+import graft.text.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit coverage for the training-data pipeline operators: hand-computed
+  * dedup cases and the ANN recall property the approximate LSH path must
+  * satisfy vs brute force.
+  */
+class DocSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def docsDf(texts: (Long, String)*): DataFrame =
+    texts.toDF("doc_id", "text")
+
+  test("exact dedup groups whitespace-normalized identical docs") {
+    val d = docsDf(
+      1L -> "Hello   world",
+      2L -> "hello world",
+      3L -> " HELLO WORLD \n",
+      4L -> "something else")
+    val out = Dedup.exactDupAnnotate(d, "doc_id", "text")
+      .select("doc_id", "group_size", "canonical_id", "is_dup")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(out == Set((1L, 3L, 1L, false), (2L, 3L, 1L, true),
+      (3L, 3L, 1L, true), (4L, 1L, 4L, false)))
+  }
+
+  test("minhash LSH finds a high-jaccard near-dup pair and skips disjoint docs") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 29).map(i => s"w$i").mkString(" ") + " w99"
+    val other = (100 to 130).map(i => s"v$i").mkString(" ")
+    val d = docsDf(1L -> base, 2L -> nearDup, 3L -> other)
+      .withColumn("toks", TextOps.wsTokens(col("text")))
+    val cand = Dedup.lshCandidates(d, "doc_id", "toks", 3, 16, 8)
+    val verified = Dedup.jaccardVerify(cand, d, "doc_id", "toks", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+    assert(verified.exists { case (a, b, j) => a == 1L && b == 2L && j > 0.8 })
+    assert(!verified.exists { case (a, b, _) => b == 3L || a == 3L })
+  }
+
+  test("simhash: identical docs collide, near-identical docs are close") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val tweaked = (1 to 38).map(i => s"w$i").mkString(" ") + " x1 x2"
+    val d = docsDf(1L -> base, 2L -> base, 3L -> tweaked)
+      .withColumn("toks", TextOps.wsTokens(col("text")))
+    val sh = Dedup.simhash(d, "doc_id", "toks").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sh(1L) == sh(2L))
+    assert(sh(1L).length == 16 && sh(1L).matches("[0-9a-f]{16}"))
+    val ham = spark.sql(s"SELECT 1").select(
+      Dedup.hammingHex(lit(sh(1L)), lit(sh(3L))).as("h")).head().getInt(0)
+    assert(ham > 0 && ham <= 16, s"hamming $ham should be small for 38/40 shared tokens")
+  }
+
+  test("langid picks the language with most stopword hits, ties alphabetical") {
+    val d = docsDf(
+      1L -> "the cat and the dog is in a house",
+      2L -> "el perro y la casa es un lugar en madrid",
+      3L -> "xyz qrs tuv") // zero everywhere → tie → 'de' (alphabetical first)
+    val out = d.select(col("doc_id"),
+        TextOps.langIdColumns(col("text")).last)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "es")
+    assert(out(3L) == "de")
+  }
+
+  test("ANN: LSH top-k recall vs brute force on clustered vectors") {
+    // 8 clusters of 12 vectors each: cluster centroid ± small deterministic noise
+    val dim = 64
+    def vec(cluster: Int, i: Int): Array[Float] =
+      Array.tabulate(dim) { d =>
+        val base = if (d % 8 == cluster % 8) 1.0f else 0.1f
+        base + 0.05f * (((cluster * 31 + i * 17 + d * 7) % 11) - 5)
+      }
+    val rows = for (c <- 0 until 8; i <- 0 until 12)
+      yield ((c * 12 + i).toLong, vec(c, i).toSeq)
+    val e = rows.toDF("vec_id", "embedding")
+    val queries = e.where(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(queries, e, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(queries, e, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & approx).size.toDouble / brute.size
+    assert(recall >= 0.5, s"LSH recall $recall too low (found ${approx.size} pairs)")
+  }
+
+  test("cosine is exact on hand vectors") {
+    val d = Seq((1L, Seq(1.0f, 0.0f), Seq(0.0f, 2.0f)),
+      (2L, Seq(1.0f, 1.0f), Seq(1.0f, 1.0f)),
+      (3L, Seq(3.0f, 4.0f), Seq(3.0f, 4.0f)))
+      .toDF("id", "a", "b")
+      .select(col("id"), Similarity.cosine(col("a"), col("b")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(d(1L)) < 1e-12)
+    assert(math.abs(d(2L) - 1.0) < 1e-12)
+    assert(math.abs(d(3L) - 1.0) < 1e-12)
+  }
+}
