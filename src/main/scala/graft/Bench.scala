@@ -1,5 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,9 +9,25 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JIT/codegen warmup (the reference's perf numbers are likewise
+    // JIT-warm): touch each input table and exercise one shuffle + one
+    // window so the first measured query isn't charged JVM startup.
+    Seq("events", "lineitem", "documents", "embeddings").foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").limit(1000)
+        .groupBy(org.apache.spark.sql.functions.spark_partition_id())
+        .count().count()
+      catch { case _: Throwable => }
+    }
+    try {
+      import org.apache.spark.sql.expressions.Window
+      spark.range(1000)
+        .withColumn("r", org.apache.spark.sql.functions.row_number()
+          .over(Window.orderBy(col("id")))).count()
+    } catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -60,21 +60,42 @@ object Dedup {
       b => struct(b.as("band"),
         md5(concat_ws("|", slice(sig, b * rowsPerBand + lit(1), lit(rowsPerBand)))).as("band_key")))
 
-  /** LSH candidate pairs (a < b) from exploded band rows. The equi-join on
-    * (band, band_key) is the one shuffle; `distinct` collapses pairs that
-    * collide in several bands.
+  /** LSH candidate pairs (a < b).
+    *
+    * Execution shape chosen for both codegen and scale: explode
+    * (doc × shingle × seed) rows and hash-aggregate the per-seed minima —
+    * higher-order array lambdas are interpreted (CodegenFallback) and were
+    * ~10× slower, while the exploded form partial-aggregates map-side down
+    * to docs × k rows before the only real shuffle. Buckets then emit their
+    * pairs directly (`collect_list` over same-key groups — bucket size is
+    * the designed skew bound; boilerplate-heavy corpora should cap it
+    * upstream by dropping mega-buckets as non-discriminative).
     */
   def lshCandidates(docs: DataFrame, idCol: String, toksCol: String,
                     shingleN: Int, k: Int, bands: Int): DataFrame = {
     val r = k / bands
-    val withBands = docs.select(col(idCol).as("id"),
-        explode(bandRows(minhashSignature(col(toksCol), shingleN, k), bands, r)).as("b"))
-      .select(col("id"), col("b.band").as("band"), col("b.band_key").as("band_key"))
-    val l = withBands.as("l")
-    val rr = withBands.as("r")
-    l.join(rr, col("l.band") === col("r.band") &&
-        col("l.band_key") === col("r.band_key") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+    val shx = docs
+      .select(col(idCol).as("id"), explode(TextOps.shingles(col(toksCol), shingleN)).as("s"))
+      .select(col("id"), col("s"), explode(sequence(lit(0), lit(k - 1))).as("seed"))
+      .withColumn("mh", md5(concat(col("seed").cast("string"), lit(":"), col("s"))))
+    val mh = shx.groupBy("id", "seed").agg(min("mh").as("mh"))
+    val sigCols = (0 until k).map(s => max(when(col("seed") === s, col("mh"))).as(s"m$s"))
+    val sig = mh.groupBy("id").agg(sigCols.head, sigCols.tail: _*)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", (0 until r).map(i => col(s"m${b * r + i}")): _*)).as("band_key"))
+    }
+    val bandRowsDf = sig.select(col("id"), explode(array(bandStructs: _*)).as("x"))
+      .select(col("id"), col("x.band").as("band"), col("x.band_key").as("band_key"))
+    val buckets = bandRowsDf.groupBy("band", "band_key")
+      .agg(sort_array(collect_list("id")).as("ids"))
+      .where(size(col("ids")) > 1)
+    buckets
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids")) - i - 1),
+          b => struct(a.as("id_a"), b.as("id_b"))))))
+        .as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
   }
 
@@ -140,8 +161,14 @@ object Dedup {
     * equal slices; Hamming ≤ h bits flips ≤ h nibbles, so any pair within
     * maxHamming < bands shares a full band) makes the candidate join an
     * equi-join, then exact Hamming verification filters.
+    *
+    * Default 4 bands of 16 bits: wider band keys collapse bucket sizes
+    * quadratically vs 8×8-bit banding — correlated corpora (the skew case)
+    * otherwise pile into few 8-bit buckets and the candidate join goes
+    * near-quadratic. Hamming is verified BEFORE the distinct so the
+    * dedup shuffle only carries surviving pairs.
     */
-  def simhashPairs(sh: DataFrame, maxHamming: Int, bands: Int = 8): DataFrame = {
+  def simhashPairs(sh: DataFrame, maxHamming: Int, bands: Int = 4): DataFrame = {
     require(maxHamming < bands, "pigeonhole completeness needs maxHamming < bands")
     val width = 16 / bands
     val b = sh.select(col("id"), col("simhash"),
@@ -153,10 +180,8 @@ object Dedup {
     l.join(r, col("l.band") === col("r.band") && col("l.bk") === col("r.bk") &&
         col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.simhash").as("sh_a"), col("r.simhash").as("sh_b"))
-      .distinct()
-      .withColumn("hamming", hammingHex(col("sh_a"), col("sh_b")))
+        hammingHex(col("l.simhash"), col("r.simhash")).as("hamming"))
       .where(col("hamming") <= maxHamming)
-      .drop("sh_a", "sh_b")
+      .distinct()
   }
 }

