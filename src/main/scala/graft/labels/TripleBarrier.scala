@@ -1,17 +1,20 @@
 package graft.labels
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Triple Barrier Method labeling (finmlkit/label/tbm.py:11-158) as a
-  * range join + two aggregation passes — no per-event sequential walk.
+  * bucketed range join + one windowed aggregation pass — no per-event
+  * sequential walk, no nested-loop join.
   *
-  * Pass 1 finds the first-touch timestamp per event with conditional `min`;
-  * pass 2 re-joins the (pruned) path up to the touch to recover the return
-  * at touch and the max return/barrier ratios the reference tracks for its
-  * soft vertical-touch weight. Both joins are range joins bounded by the
-  * vertical barrier, so the blow-up is |events| × avg path length — the same
-  * work the reference's kernel does, but shuffle-parallel.
+  * The event→path expansion is an equi-join on a vert-sized time bucket
+  * (each event probes its own bucket and the next), so it shuffles on the
+  * bucket key and scales with |events| × avg path length — the same work
+  * the reference's kernel does, but shuffle-parallel. First-touch and the
+  * post-touch max return/barrier ratios (the reference's soft
+  * vertical-touch weight) come from a single window + groupBy over the
+  * same event partitioning.
   *
   * Semantics preserved: barriers in log-return space multiplied by event
   * side; path is (t0, t0+vert] start-exclusive end-inclusive; rows closer
@@ -40,22 +43,35 @@ object TripleBarrier {
       .where(col("event_ts") + vertNs <= col("__max_ts"))
       .drop("__max_ts")
 
+    // Bucketed range join: a path row lives in (t0, t0+vert], so its trade
+    // falls in time-bucket DIV(t0,vert) or the next one. Duplicating each
+    // event into those two buckets turns the pure-range condition into an
+    // equi-join (shuffle hash/sort-merge, parallel, AQE-skew-safe) instead
+    // of a broadcast nested loop over |events| × |trades|.
     val t = trades.select(col("ts"), col("price"))
-    val path = ev.join(t,
+      .withColumn("__b", expr(s"ts DIV ${vertNs}L"))
+    val evb = ev
+      .withColumn("__eb", expr(s"event_ts DIV ${vertNs}L"))
+      .withColumn("__b", explode(array(col("__eb"), col("__eb") + 1)))
+      .drop("__eb")
+    val path = evb.join(t, Seq("__b"))
+      .where(
         t("ts") > col("event_ts") &&
         t("ts") <= col("event_ts") + vertNs &&
         t("ts") - col("event_ts") >= minCloseNs)
+      .drop("__b")
       .withColumn("ret", (log(col("price")) - log(col("p0"))) * col("eside"))
 
+    // First-touch + post-touch stats in ONE pass over the path: a window
+    // partitioned by event finds the touch timestamp, and the groupBy that
+    // follows reuses the same hash partitioning — no second join, no
+    // recomputation of the range join.
     val breach = col("ret") >= col("up") || col("ret") <= col("lo")
-    val p1 = path.groupBy("event_id", "event_ts", "p0", "tgt", "eside", "up", "lo")
-      .agg(
-        min(when(breach, col("ts"))).as("touch0"),
-        max(col("ts")).as("vert_ts"))
-      .withColumn("touch_ts", coalesce(col("touch0"), col("vert_ts")))
-
-    val p2 = p1.join(path.select(col("event_id").as("eid2"), col("ts"), col("ret")),
-        col("eid2") === col("event_id") && col("ts") <= col("touch_ts"))
+    val wEv = Window.partitionBy("event_id")
+    val p2 = path
+      .withColumn("touch0", min(when(breach, col("ts"))).over(wEv))
+      .withColumn("touch_ts", coalesce(col("touch0"), max(col("ts")).over(wEv)))
+      .where(col("ts") <= col("touch_ts"))
       .groupBy("event_id", "event_ts", "tgt", "eside", "up", "lo", "touch0", "touch_ts")
       .agg(
         max_by(col("ret"), col("ts")).as("ret_touch"),

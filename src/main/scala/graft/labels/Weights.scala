@@ -33,17 +33,54 @@ object Weights {
   /** Per-event average uniqueness = mean(1/concurrency) over the event's
     * covered trade rows [event_ts, touch_ts] (weights.py:7-49), plus the
     * return attribution |Σ logret/concurrency| (weights.py:52-103).
+    *
+    * Linear sweep instead of an event×trades interval join: prefix sums of
+    * 1/conc and logret/conc over the time-ordered trades, then each event's
+    * interval sum is the difference of the prefix at its two endpoint
+    * markers (start marker sorts before equal-ts trades → left-inclusive;
+    * end marker after → right-inclusive). One global sort, no join blow-up;
+    * at multi-symbol scale the sort partitions by symbol.
     */
   def eventWeights(tradesWithConc: DataFrame, labeled: DataFrame): DataFrame = {
-    val logret = col("price") / lag("price", 1).over(Window.orderBy("ts", "id"))
+    val ordW = Window.orderBy("ts", "id")
     val t = tradesWithConc
-      .withColumn("logret", log(logret))
-    val joined = labeled.select("event_ts", "event_id", "touch_ts").join(t,
-      t("ts") >= col("event_ts") && t("ts") <= col("touch_ts"))
-    joined.groupBy("event_id", "event_ts", "touch_ts").agg(
-      avg(lit(1.0) / col("concurrency")).as("avg_uniqueness"),
-      abs(sum(when(col("concurrency") > 0 && !isnan(col("logret")) && col("logret").isNotNull,
-        col("logret") / col("concurrency")).otherwise(0.0))).as("return_attribution"))
+      .withColumn("logret", log(col("price") / lag("price", 1).over(ordW)))
+      .withColumn("u", lit(1.0) / col("concurrency"))
+      .withColumn("r", when(col("concurrency") > 0 && !isnan(col("logret")) &&
+          col("logret").isNotNull,
+        col("logret") / col("concurrency")).otherwise(0.0))
+
+    val nullL = lit(null).cast("long")
+    val nullD = lit(null).cast("double")
+    val tr = t.select(col("ts"), lit(1).as("ord"), col("id"),
+      col("u"), col("r"), nullL.as("event_id"), nullL.as("event_ts"),
+      nullL.as("touch_ts"), lit(null).cast("int").as("kind"))
+    def marker(tsCol: String, ord: Int, kind: Int) =
+      labeled.select(col(tsCol).as("ts"), lit(ord).as("ord"), nullL.as("id"),
+        nullD.as("u"), nullD.as("r"), col("event_id"), col("event_ts"),
+        col("touch_ts"), lit(kind).as("kind"))
+    val stream = tr
+      .unionByName(marker("event_ts", 0, 0))
+      .unionByName(marker("touch_ts", 2, 1))
+
+    val sweep = Window.orderBy("ts", "ord", "id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = stream
+      .withColumn("cum_u", sum("u").over(sweep))
+      .withColumn("cum_r", sum("r").over(sweep))
+      .withColumn("cum_n", count("u").over(sweep))
+      .where(col("ord") =!= 1)
+
+    def at(kind: Int, c: String) = max(when(col("kind") === kind, col(c)))
+    cum.groupBy("event_id").agg(
+        max("event_ts").as("event_ts"), max("touch_ts").as("touch_ts"),
+        coalesce(at(0, "cum_u"), lit(0.0)).as("u0"), at(1, "cum_u").as("u1"),
+        coalesce(at(0, "cum_r"), lit(0.0)).as("r0"), at(1, "cum_r").as("r1"),
+        coalesce(at(0, "cum_n"), lit(0L)).as("n0"), at(1, "cum_n").as("n1"))
+      .where(col("n1") > col("n0"))
+      .select(col("event_id"), col("event_ts"), col("touch_ts"),
+        ((col("u1") - col("u0")) / (col("n1") - col("n0"))).as("avg_uniqueness"),
+        abs(col("r1") - col("r0")).as("return_attribution"))
   }
 
   /** Linear time decay over cumulative avg-uniqueness (weights.py:106-142):

@@ -41,13 +41,15 @@ object LabelQueries {
 
     "label_concurrency" -> ((s, dir) => {
       val t = trades(s, dir)
-      Weights.concurrency(t, labeled(s, dir, isMeta = false))
+      // The event table is tiny (|trades|/29) but expensive to derive —
+      // cache it so the two marker scans in the sweep don't re-run TBM.
+      Weights.concurrency(t, labeled(s, dir, isMeta = false).cache())
         .select(col("ts"), col("id"), col("concurrency"))
     }),
 
     "label_weights" -> ((s, dir) => {
       val t = trades(s, dir)
-      val lab = labeled(s, dir, isMeta = false)
+      val lab = labeled(s, dir, isMeta = false).cache()
       val conc = Weights.concurrency(t, lab)
       val ew = Weights.eventWeights(conc, lab)
       val decayed = Weights.withTimeDecay(ew, lastWeight = 0.5)
