@@ -74,7 +74,12 @@ object Dedup {
   def lshCandidates(docs: DataFrame, idCol: String, toksCol: String,
                     shingleN: Int, k: Int, bands: Int): DataFrame = {
     val r = k / bands
-    val shx = docs
+    // The doc×shingle×seed explode below multiplies CPU work ~1000× over
+    // the input rows; a small corpus arrives as ONE parquet split, which
+    // would serialize all of it into a single task. Spread docs across the
+    // cluster first — the shuffled payload is just the raw docs, cheap
+    // relative to the hash fan-out it parallelizes.
+    val shx = docs.repartition(col(idCol))
       .select(col(idCol).as("id"), explode(TextOps.shingles(col(toksCol), shingleN)).as("s"))
       .select(col("id"), col("s"), explode(sequence(lit(0), lit(k - 1))).as("seed"))
       .withColumn("mh", md5(concat(col("seed").cast("string"), lit(":"), col("s"))))
@@ -130,10 +135,18 @@ object Dedup {
     * partial-aggregated pass.
     */
   def simhash(docs: DataFrame, idCol: String, toksCol: String): DataFrame = {
-    val tok = docs.select(col(idCol).as("id"), explode(col(toksCol)).as("t"))
+    // Repartition before the token explode for the same single-split
+    // reason as [[lshCandidates]]; then reduce the 16-hex string to TWO
+    // 32-bit ints once per token — the 64 per-bit sums are pure integer
+    // shifts on those, keeping the generated aggregate small and fast.
+    val tok = docs.repartition(col(idCol))
+      .select(col(idCol).as("id"), explode(col(toksCol)).as("t"))
       .withColumn("h", md5(col("t")))
+      .withColumn("hi", conv(substring(col("h"), 1, 8), 16, 10).cast("long"))
+      .withColumn("lo", conv(substring(col("h"), 9, 8), 16, 10).cast("long"))
     val withNibs = (0 until 16).foldLeft(tok) { (d, j) =>
-      d.withColumn(s"n$j", conv(substring(col("h"), j + 1, 1), 16, 10).cast("int"))
+      val src = if (j < 8) col("hi") else col("lo")
+      d.withColumn(s"n$j", shiftright(src, 4 * (7 - (j % 8))).bitwiseAND(lit(15L)).cast("int"))
     }
     val sums = (0 until 64).map { b =>
       val j = b / 4; val s = 3 - (b % 4)
