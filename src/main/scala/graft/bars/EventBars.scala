@@ -33,10 +33,10 @@ object EventBars {
   def ohlcvByBarId(withIds: DataFrame): DataFrame =
     withIds.groupBy("bar_id").agg(
       max("ts").as("bar_ts"),
-      min_by(col("price"), col("ts")).as("open"),
+      min_by(col("price"), struct(col("ts"), col("id"))).as("open"),
       max("price").as("high"),
       min("price").as("low"),
-      max_by(col("price"), col("ts")).as("close"),
+      max_by(col("price"), struct(col("ts"), col("id"))).as("close"),
       sum("qty").as("volume"),
       count(lit(1)).as("trades"),
       median(col("qty")).as("median_trade_size"),

@@ -38,10 +38,12 @@ object TimeBars {
       .withColumn("bar_ts", expr(s"((ts + ${iv - 1}L) div ${iv}L) * ${iv}L"))
       .groupBy("bar_ts")
       .agg(
-        min_by(col("price"), col("ts")).as("open"),
+        // (ts, id) key: ts is µs-quantized so equal-timestamp trades exist;
+        // a bare ts key would leave open/close tie-broken arbitrarily.
+        min_by(col("price"), struct(col("ts"), col("id"))).as("open"),
         max("price").as("high"),
         min("price").as("low"),
-        max_by(col("price"), col("ts")).as("close"),
+        max_by(col("price"), struct(col("ts"), col("id"))).as("close"),
         sum("qty").as("volume"),
         count(lit(1)).as("trades"),
         median(col("qty")).as("median_trade_size"),

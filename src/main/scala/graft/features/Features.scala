@@ -157,8 +157,22 @@ object Features {
     * test-data special case at core/correlation.py:41-65 is deliberately NOT
     * reproduced; SURVEY.md §5 item 7).
     */
-  def priceVolumeCorr(r: Column, vol: Column, n: Int, p: Seq[String] = Nil): Column =
-    full(n, corr(r, vol).over(rows(n, p)), p)
+  def priceVolumeCorr(r: Column, vol: Column, n: Int, p: Seq[String] = Nil): Column = {
+    // covar/(sx·sy) instead of the built-in Corr: window aggregates are
+    // evaluated unconditionally (a when() guard can't short-circuit them),
+    // and ANSI-mode Corr raises DIVIDE_BY_ZERO on zero-variance windows
+    // (a run of empty bars) where DuckDB/pandas return NULL/NaN.
+    // Pairwise deletion: every moment is computed over rows where BOTH
+    // inputs are present, matching textbook/DuckDB corr (per-column null
+    // skipping would mix 19-point and 20-point moments at series edges).
+    val both = r.isNotNull && !isnan(r) && vol.isNotNull && !isnan(vol)
+    val rr = when(both, r)
+    val vv = when(both, vol)
+    val cov = covar_samp(rr, vv).over(rows(n, p))
+    val sx = stddev_samp(rr).over(rows(n, p))
+    val sy = stddev_samp(vv).over(rows(n, p))
+    full(n, cov / nullIfZero(sx * sy), p)
+  }
 
   // --- §2.5 trend / structure -------------------------------------------
 
@@ -264,6 +278,154 @@ object Features {
       .select((p.map(col) :+ col("day") :+
         ((col("first_close") - col("prev_last")) / col("prev_last")).as("daily_gap")): _*)
   }
+
+  // --- §2.5 long-memory / complexity / structural breaks ------------------
+
+  /** `HurstExponent` (transforms.py:1341-1397) — rolling aggregated-variance
+    * Hurst, expressed entirely with built-in window aggregates (no arrays,
+    * no UDF): the k-lag differences of the within-window cumsum path are
+    * exactly the k-bar rolling return sums, so τ(k) = √var_pop of the k-sum
+    * column over the trailing (n−k)-row frame, and the OLS slope of
+    * log τ vs log k over the fixed lags {1,2,4,8} collapses to a linear
+    * combination of the four log-τ values (equally spaced in log 2).
+    */
+  def withHurst(df: DataFrame, rCol: String, n: Int, out: String,
+                p: Seq[String] = Nil): DataFrame = {
+    val lags = Seq(1, 2, 4, 8)
+    require(lags.forall(_ < n), s"hurst window $n must exceed max lag 8")
+    val withSums = lags.foldLeft(df) { (d, k) =>
+      d.withColumn(s"__s$k", sum(col(rCol)).over(w(p).rowsBetween(-(k - 1), 0)))
+    }
+    val fullWin = rows(n, p)
+    val guard = count(lit(1)).over(fullWin) === n &&
+      count(col(rCol)).over(fullWin) === n
+    val taus = lags.map { k =>
+      sqrt(var_pop(col(s"__s$k")).over(w(p).rowsBetween(-(n - 1 - k), 0)))
+    }
+    val allPos = taus.map(_ > 0).reduce(_ && _)
+    // slope of ln τ on ln k for k = 2^j, j = 0..3: coefficients
+    // (−1.5, −0.5, 0.5, 1.5)/ (5 ln 2) — the closed-form OLS fit.
+    val coefs = Seq(-1.5, -0.5, 0.5, 1.5)
+    val slope = taus.zip(coefs).map { case (t, c) => log(t) * c }
+      .reduce(_ + _) / (5.0 * math.log(2.0))
+    withSums
+      .withColumn(out, when(guard && allPos, slope))
+      .drop(lags.map(k => s"__s$k"): _*)
+  }
+
+  /** `ApproximateEntropy` (transforms.py:1400-1457) — rolling ApEn with
+    * m-embedding Chebyshev matching and tolerance = tol·σ_pop(window),
+    * matching antropy.app_entropy (self-matches included, d ≤ r inclusive).
+    * O(n·w²) via a per-window buffer — the window is small by contract.
+    */
+  def withApEn(df: DataFrame, rCol: String, n: Int, m: Int, tol: Double,
+               out: String, p: Seq[String] = Nil): DataFrame = {
+    val apen = udf { arr: Seq[Double] =>
+      val ys = arr.toArray
+      val nn = ys.length
+      val mean = ys.sum / nn
+      val r = tol * math.sqrt(ys.map(y => (y - mean) * (y - mean)).sum / nn)
+      def phi(k: Int): Double = {
+        val big = nn - k + 1
+        var acc = 0.0
+        var i = 0
+        while (i < big) {
+          var cnt = 0
+          var j = 0
+          while (j < big) {
+            var d = 0.0
+            var t = 0
+            while (t < k) {
+              val dd = math.abs(ys(i + t) - ys(j + t))
+              if (dd > d) d = dd
+              t += 1
+            }
+            if (d <= r) cnt += 1
+            j += 1
+          }
+          acc += math.log(cnt.toDouble / big)
+          i += 1
+        }
+        acc / big
+      }
+      phi(m) - phi(m + 1)
+    }
+    val fullWin = rows(n, p)
+    val guard = count(lit(1)).over(fullWin) === n &&
+      count(col(rCol)).over(fullWin) === n
+    df.withColumn(out,
+      when(guard, apen(collect_list(col(rCol)).over(fullWin))))
+  }
+
+  /** `CUSUMTest` (transforms.py:631-708) — Chu-Stinchcombe-White CUSUM
+    * break statistics over a rolling window (cusum.py:11-274). The rolling
+    * and initial expanding phases unify: with the trailing min(t, W)+1 log
+    * prices, t_loc = len−1, σ̂ = √(Σ Δy² / (t_loc−1)), and the one-sided
+    * stats are maxima over n ∈ [1, t_loc−2] of ±(y_t − y_n)/(σ̂·√(t_loc−n)),
+    * each with the critical value √(4.6 + ln(t_loc−n)) at its argmax.
+    * Emits the reference's six features: clipped break scores, break flags,
+    * and bars-since-break ages (pandas groupby-cumsum gaps-and-islands).
+    */
+  def withCusumBreak(df: DataFrame, priceCol: String, windowSize: Int = 50,
+                     warmup: Int = 30, maxAge: Int = 144,
+                     prefix: String = "cumote", p: Seq[String] = Nil): DataFrame = {
+    val stat = udf { arr: Seq[Double] =>
+      val y = arr.toArray
+      val t = y.length - 1
+      if (t < warmup) None
+      else {
+        var css = 0.0
+        var j = 1
+        while (j <= t) { val d = y(j) - y(j - 1); css += d * d; j += 1 }
+        val sigma = math.sqrt(css / (t - 1))
+        var su = -1e-6; var sd = -1e-6; var cu = 0.0; var cd = 0.0
+        if (sigma > 0.0) {
+          var nIdx = 1
+          while (nIdx < t - 1) {
+            val denom = sigma * math.sqrt((t - nIdx).toDouble)
+            if (denom > 1e-16) {
+              val dyn = y(t) - y(nIdx)
+              val up = math.max(0.0, dyn) / denom
+              val dn = -math.min(0.0, dyn) / denom
+              if (up > su) { su = up; cu = math.sqrt(4.6 + math.log((t - nIdx).toDouble)) }
+              if (dn > sd) { sd = dn; cd = math.sqrt(4.6 + math.log((t - nIdx).toDouble)) }
+            }
+            nIdx += 1
+          }
+        }
+        Some((su - cu, sd - cd))
+      }
+    }
+    val win = w(p).rowsBetween(-windowSize, 0)
+    val base = df
+      .withColumn("__breaks", stat(collect_list(log(col(priceCol))).over(win)))
+      .withColumn("__bu", col("__breaks._1"))
+      .withColumn("__bd", col("__breaks._2"))
+    def clip10(c: Column) = when(c.isNotNull, least(greatest(c, lit(-10.0)), lit(10.0)))
+    val flagged = base
+      .withColumn(s"${prefix}_up_score", clip10(col("__bu")))
+      .withColumn(s"${prefix}_down_score", clip10(col("__bd")))
+      .withColumn(s"${prefix}_up_flag", coalesce(col("__bu") > 0, lit(false)))
+      .withColumn(s"${prefix}_down_flag", coalesce(col("__bd") > 0, lit(false)))
+    def age(flagCol: String, out: String)(d: DataFrame): DataFrame = {
+      val grp = sum(col(flagCol).cast("int"))
+        .over(w(p).rowsBetween(Window.unboundedPreceding, 0))
+      val d2 = d.withColumn("__grp", grp)
+      val ageW = Window.partitionBy((p.map(col) :+ col("__grp")): _*).orderBy("bar_ts")
+      d2.withColumn(out,
+        least(row_number().over(ageW) - 1, lit(maxAge)).cast("int"))
+        .drop("__grp")
+    }
+    age(s"${prefix}_down_flag", s"${prefix}_down_age")(
+      age(s"${prefix}_up_flag", s"${prefix}_up_age")(flagged))
+      .drop("__breaks", "__bu", "__bd")
+  }
+
+  /** `BarDuration` (transforms.py:1511-1548): n-bar timestamp difference in
+    * seconds on the ns-long bar clock.
+    */
+  def barDuration(n: Int, p: Seq[String] = Nil): Column =
+    (col("bar_ts") - lag("bar_ts", n).over(w(p))) / 1e9
 
   private def nullIfZero(c: Column): Column = when(c =!= 0, c)
 }

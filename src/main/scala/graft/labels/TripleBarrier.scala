@@ -48,19 +48,25 @@ object TripleBarrier {
     // event into those two buckets turns the pure-range condition into an
     // equi-join (shuffle hash/sort-merge, parallel, AQE-skew-safe) instead
     // of a broadcast nested loop over |events| × |trades|.
-    val t = trades.select(col("ts"), col("price"))
-      .withColumn("__b", expr(s"ts DIV ${vertNs}L"))
+    // The trade side is renamed (__t_*) before the join so no column
+    // reference is ambiguous — events derive from the same trades lineage,
+    // and dataframe-tagged references (t("ts")) trip the ambiguous-self-join
+    // detector once any shared fragment is cached elsewhere in the session.
+    val t = trades.select(col("ts").as("__t_ts"), col("price").as("__t_price"))
+      .withColumn("__b", expr(s"__t_ts DIV ${vertNs}L"))
     val evb = ev
       .withColumn("__eb", expr(s"event_ts DIV ${vertNs}L"))
       .withColumn("__b", explode(array(col("__eb"), col("__eb") + 1)))
       .drop("__eb")
     val path = evb.join(t, Seq("__b"))
       .where(
-        t("ts") > col("event_ts") &&
-        t("ts") <= col("event_ts") + vertNs &&
-        t("ts") - col("event_ts") >= minCloseNs)
+        col("__t_ts") > col("event_ts") &&
+        col("__t_ts") <= col("event_ts") + vertNs &&
+        col("__t_ts") - col("event_ts") >= minCloseNs)
       .drop("__b")
-      .withColumn("ret", (log(col("price")) - log(col("p0"))) * col("eside"))
+      .withColumn("ret", (log(col("__t_price")) - log(col("p0"))) * col("eside"))
+      .withColumnRenamed("__t_ts", "ts")
+      .drop("__t_price")
 
     // First-touch + post-touch stats in ONE pass over the path: a window
     // partitioned by event finds the touch timestamp, and the groupBy that
@@ -74,7 +80,9 @@ object TripleBarrier {
       .where(col("ts") <= col("touch_ts"))
       .groupBy("event_id", "event_ts", "tgt", "eside", "up", "lo", "touch0", "touch_ts")
       .agg(
-        max_by(col("ret"), col("ts")).as("ret_touch"),
+        // secondary ret key: equal-timestamp prints at the touch would
+        // otherwise make "return at touch" engine-dependent
+        max_by(col("ret"), struct(col("ts"), col("ret"))).as("ret_touch"),
         coalesce(max(when(col("ret") > 0, col("ret") / col("up"))), lit(0.0)).as("max_urbr"),
         coalesce(max(when(col("ret") < 0, col("ret") / col("lo"))), lit(0.0)).as("max_lrbr"))
 

@@ -45,7 +45,11 @@ object Weights {
     val ordW = Window.orderBy("ts", "id")
     val t = tradesWithConc
       .withColumn("logret", log(col("price") / lag("price", 1).over(ordW)))
-      .withColumn("u", lit(1.0) / col("concurrency"))
+      // conc = 0 ⇔ the trade is covered by no event interval, so it can
+      // never contribute to any event's sum — 0 keeps the prefix exact
+      // (and avoids ANSI divide-by-zero on sparse data).
+      .withColumn("u", when(col("concurrency") > 0,
+        lit(1.0) / col("concurrency")).otherwise(lit(0.0)))
       .withColumn("r", when(col("concurrency") > 0 && !isnan(col("logret")) &&
           col("logret").isNotNull,
         col("logret") / col("concurrency")).otherwise(0.0))

@@ -128,6 +128,39 @@ object FeatureQueries {
     "f_daily_gap" -> ((s, dir) =>
       dailyGap(bars5m(s, dir)).select(col("day"), r6(col("daily_gap")).as("daily_gap"))),
 
+    // Hurst exponent (aggregated variance, lags 1/2/4/8) + approximate
+    // entropy (m=2 Chebyshev, tol 0.2·σ) over 24-bar return windows.
+    "f_hurst_apen" -> ((s, dir) => {
+      val h = withHurst(b(s, dir), "r1", 24, "hurst24")
+      withApEn(h, "r1", 24, 2, 0.2, "apen24")
+        .select(col("bar_ts"), r6(col("hurst24")).as("hurst24"),
+          r6(col("apen24")).as("apen24"))
+    }),
+
+    // Chu-Stinchcombe-White CUSUM structural-break features (6 outputs)
+    "f_cusum_break" -> ((s, dir) =>
+      withCusumBreak(b(s, dir), "close", windowSize = 50, warmup = 30, maxAge = 144)
+        .select(col("bar_ts"),
+          r6(col("cumote_up_score")).as("up_score"),
+          r6(col("cumote_down_score")).as("down_score"),
+          col("cumote_up_flag").as("up_flag"),
+          col("cumote_down_flag").as("down_flag"),
+          col("cumote_up_age").as("up_age"),
+          col("cumote_down_age").as("down_age"))),
+
+    // Bar durations (1/5-bar, seconds) + EWMA(span 20) of the 1-bar duration
+    "f_bar_duration" -> ((s, dir) => {
+      val base = b(s, dir)
+        .withColumn("dur1", barDuration(1))
+        .withColumn("dur5", barDuration(5))
+      val ew = base.where(col("dur1").isNotNull)
+        .withColumn("dur_ewma20", graft.features.Ewm.ewmaWindowed(col("dur1"), 20))
+        .select(col("bar_ts"), col("dur_ewma20"))
+      base.join(ew, Seq("bar_ts"), "left")
+        .select(col("bar_ts"), r6(col("dur1")).as("dur1"),
+          r6(col("dur5")).as("dur5"), r6(col("dur_ewma20")).as("dur_ewma20"))
+    }),
+
     // Trades-domain time-window features: as-of lagged return (ReturnT) and
     // trailing-1h event rate (BarRate) — rangeBetween on the ns long.
     "f_returnt_rate" -> ((s, dir) => {
@@ -161,17 +194,20 @@ object FeatureQueries {
         |  round(CASE WHEN lag(close, 3) OVER wo > 0 THEN close / lag(close, 3) OVER wo - 1 END, 6) AS pctchg3
         |FROM b WINDOW wo AS (ORDER BY bar_ts)""".stripMargin),
 
+    // min<max guards: DuckDB's sliding-window stddev leaves cancellation
+    // residue on constant windows (σ ≈ 1e-15 instead of 0), turning 0/0
+    // into garbage where Spark's recomputed frame gives exact 0 → NULL.
     "f_sma_zscore" -> withB(
       s"""SELECT bar_ts,
          |  round(${fullCase(20, "avg(close) OVER wn")}, 6) AS sma20,
-         |  round(${fullCase(20, "(close - avg(close) OVER wn) / nullif(stddev_pop(close) OVER wn, 0)")}, 6) AS z20,
-         |  round(${fullCase(20, "(volume - avg(volume) OVER wn) / nullif(stddev_samp(volume) OVER wn, 0)")}, 6) AS zvol20,
+         |  round(${fullCase(20, "CASE WHEN min(close) OVER wn < max(close) OVER wn THEN (close - avg(close) OVER wn) / nullif(stddev_pop(close) OVER wn, 0) END")}, 6) AS z20,
+         |  round(${fullCase(20, "CASE WHEN min(volume) OVER wn < max(volume) OVER wn THEN (volume - avg(volume) OVER wn) / nullif(stddev_samp(volume) OVER wn, 0) END")}, 6) AS zvol20,
          |  round(${fullCase(20, "volume / nullif(quantile_cont(volume, 0.5) OVER wn, 0)")}, 6) AS burst20
          |FROM b WINDOW wn AS (ORDER BY bar_ts ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""".stripMargin),
 
     "f_bollinger_parkinson" -> withB(
       s"""SELECT bar_ts,
-         |  round(${fullCase(20, "(close - (avg(close) OVER wn - 2.0 * stddev_samp(close) OVER wn)) / nullif(4.0 * stddev_samp(close) OVER wn, 0)")}, 6) AS pct_b,
+         |  round(${fullCase(20, "CASE WHEN min(close) OVER wn < max(close) OVER wn THEN (close - (avg(close) OVER wn - 2.0 * stddev_samp(close) OVER wn)) / nullif(4.0 * stddev_samp(close) OVER wn, 0) END")}, 6) AS pct_b,
          |  round(pow(ln(high / low), 2) / (4 * ln(2.0)), 6) AS parkinson
          |FROM b WINDOW wn AS (ORDER BY bar_ts ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""".stripMargin),
 
@@ -197,7 +233,7 @@ object FeatureQueries {
     "f_vwap_corr" -> withB(
       s"""SELECT bar_ts,
          |  round(close / nullif(sum(vwap * volume) OVER wn / nullif(sum(volume) OVER wn, 0), 0) - 1, 6) AS vwap_dist20,
-         |  ${rd(fullCase(20, "corr(r1, volume) OVER wn"))} AS pv_corr20
+         |  ${rd(fullCase(20, "CASE WHEN min(r1) OVER wn < max(r1) OVER wn AND min(CASE WHEN r1 IS NOT NULL THEN volume END) OVER wn < max(CASE WHEN r1 IS NOT NULL THEN volume END) OVER wn THEN corr(r1, volume) OVER wn END"))} AS pv_corr20
          |FROM b WINDOW wn AS (ORDER BY bar_ts ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""".stripMargin),
 
     "f_vpin_flow" -> {
@@ -285,6 +321,121 @@ object FeatureQueries {
          |    FROM bars WHERE trades > 0 GROUP BY 1
          |  )
          |)""".stripMargin,
+
+    "f_hurst_apen" -> withB(
+      """, h0 AS (
+        |  SELECT bar_ts, rn, r1,
+        |    count(*) OVER wn AS c_all, count(r1) OVER wn AS c_r,
+        |    0.2 * stddev_pop(r1) OVER wn AS tolr,
+        |    sum(r1) OVER (ORDER BY bar_ts ROWS BETWEEN 0 PRECEDING AND CURRENT ROW) AS s1,
+        |    sum(r1) OVER (ORDER BY bar_ts ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s2,
+        |    sum(r1) OVER (ORDER BY bar_ts ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS s4,
+        |    sum(r1) OVER (ORDER BY bar_ts ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS s8,
+        |    lead(r1) OVER wo AS v1, lead(r1, 2) OVER wo AS v2
+        |  FROM b WINDOW
+        |    wn AS (ORDER BY bar_ts ROWS BETWEEN 23 PRECEDING AND CURRENT ROW),
+        |    wo AS (ORDER BY bar_ts)
+        |), h1 AS (
+        |  SELECT bar_ts, rn, c_all, c_r,
+        |    var_pop(s1) OVER (ORDER BY bar_ts ROWS BETWEEN 22 PRECEDING AND CURRENT ROW) AS v1,
+        |    var_pop(s2) OVER (ORDER BY bar_ts ROWS BETWEEN 21 PRECEDING AND CURRENT ROW) AS v2,
+        |    var_pop(s4) OVER (ORDER BY bar_ts ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS v4,
+        |    var_pop(s8) OVER (ORDER BY bar_ts ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS v8
+        |  FROM h0
+        |), att AS (
+        |  SELECT bar_ts, rn, tolr FROM h0 WHERE c_all = 24 AND c_r = 24
+        |), p2 AS (
+        |  SELECT t.bar_ts, t.rn, x.rn AS i,
+        |    CAST(count(*) FILTER (WHERE greatest(abs(x.r1 - y.r1), abs(x.v1 - y.v1)) <= t.tolr) AS DOUBLE) AS cnt
+        |  FROM att t
+        |  JOIN h0 x ON x.rn BETWEEN t.rn - 23 AND t.rn - 1
+        |  JOIN h0 y ON y.rn BETWEEN t.rn - 23 AND t.rn - 1
+        |  GROUP BY t.bar_ts, t.rn, x.rn
+        |), f2 AS (
+        |  SELECT bar_ts, avg(ln(cnt / 23.0)) AS phi2 FROM p2 GROUP BY bar_ts, rn
+        |), p3 AS (
+        |  SELECT t.bar_ts, t.rn, x.rn AS i,
+        |    CAST(count(*) FILTER (WHERE greatest(abs(x.r1 - y.r1), abs(x.v1 - y.v1), abs(x.v2 - y.v2)) <= t.tolr) AS DOUBLE) AS cnt
+        |  FROM att t
+        |  JOIN h0 x ON x.rn BETWEEN t.rn - 23 AND t.rn - 2
+        |  JOIN h0 y ON y.rn BETWEEN t.rn - 23 AND t.rn - 2
+        |  GROUP BY t.bar_ts, t.rn, x.rn
+        |), f3 AS (
+        |  SELECT bar_ts, avg(ln(cnt / 22.0)) AS phi3 FROM p3 GROUP BY bar_ts, rn
+        |)
+        |SELECT h1.bar_ts,
+        |  round(CASE WHEN c_all = 24 AND c_r = 24 AND v1 > 0 AND v2 > 0 AND v4 > 0 AND v8 > 0
+        |    THEN (-1.5 * ln(sqrt(v1)) - 0.5 * ln(sqrt(v2)) + 0.5 * ln(sqrt(v4)) + 1.5 * ln(sqrt(v8))) / (5 * ln(2.0))
+        |  END, 6) AS hurst24,
+        |  round(f2.phi2 - f3.phi3, 6) AS apen24
+        |FROM h1 LEFT JOIN f2 USING (bar_ts) LEFT JOIN f3 USING (bar_ts)""".stripMargin),
+
+    "f_cusum_break" -> withB(
+      """, c0 AS (
+        |  SELECT bar_ts, rn, ln(close) AS lp FROM b
+        |), c1 AS (
+        |  SELECT bar_ts, rn, lp, least(rn - 1, 50) AS tloc,
+        |    sum(d2) OVER (ORDER BY bar_ts ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS sd2
+        |  FROM (SELECT *, pow(lp - lag(lp) OVER (ORDER BY bar_ts), 2) AS d2 FROM c0)
+        |), c2 AS (
+        |  SELECT *, sqrt(sd2 / (tloc - 1)) AS sigma FROM c1 WHERE tloc >= 30
+        |), p AS (
+        |  SELECT t.bar_ts,
+        |    greatest(0, t.lp - x.lp) / (t.sigma * sqrt(CAST(t.rn - x.rn AS DOUBLE))) AS su,
+        |    -least(0, t.lp - x.lp) / (t.sigma * sqrt(CAST(t.rn - x.rn AS DOUBLE))) AS sd,
+        |    sqrt(4.6 + ln(CAST(t.rn - x.rn AS DOUBLE))) AS crit
+        |  FROM c2 t JOIN c0 x ON x.rn BETWEEN t.rn - t.tloc + 1 AND t.rn - 2
+        |  WHERE t.sigma * sqrt(CAST(t.rn - x.rn AS DOUBLE)) > 1e-16
+        |), m AS (
+        |  SELECT bar_ts, max(su) AS su, max(sd) AS sd FROM p GROUP BY bar_ts
+        |), c AS (
+        |  SELECT p.bar_ts, m.su, m.sd,
+        |    max(CASE WHEN p.su = m.su THEN p.crit END) AS cu,
+        |    max(CASE WHEN p.sd = m.sd THEN p.crit END) AS cd
+        |  FROM p JOIN m USING (bar_ts) GROUP BY p.bar_ts, m.su, m.sd
+        |), bk AS (
+        |  SELECT b.bar_ts,
+        |    CASE WHEN b.rn >= 31 THEN coalesce(c.su - c.cu, -1e-6) END AS bu,
+        |    CASE WHEN b.rn >= 31 THEN coalesce(c.sd - c.cd, -1e-6) END AS bd
+        |  FROM b LEFT JOIN c ON b.bar_ts = c.bar_ts
+        |), fl AS (
+        |  SELECT bar_ts,
+        |    CASE WHEN bu IS NOT NULL THEN least(greatest(bu, -10), 10) END AS up_score,
+        |    CASE WHEN bd IS NOT NULL THEN least(greatest(bd, -10), 10) END AS down_score,
+        |    coalesce(bu > 0, false) AS up_flag,
+        |    coalesce(bd > 0, false) AS down_flag
+        |  FROM bk
+        |), g AS (
+        |  SELECT *,
+        |    sum(CAST(up_flag AS INT)) OVER (ORDER BY bar_ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gu,
+        |    sum(CAST(down_flag AS INT)) OVER (ORDER BY bar_ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gd
+        |  FROM fl
+        |)
+        |SELECT bar_ts, round(up_score, 6) AS up_score, round(down_score, 6) AS down_score,
+        |  up_flag, down_flag,
+        |  CAST(least(row_number() OVER (PARTITION BY gu ORDER BY bar_ts) - 1, 144) AS INT) AS up_age,
+        |  CAST(least(row_number() OVER (PARTITION BY gd ORDER BY bar_ts) - 1, 144) AS INT) AS down_age
+        |FROM g""".stripMargin),
+
+    "f_bar_duration" -> withB(
+      s""", d AS (
+         |  SELECT bar_ts,
+         |    (bar_ts - lag(bar_ts) OVER wo) / 1e9 AS dur1,
+         |    (bar_ts - lag(bar_ts, 5) OVER wo) / 1e9 AS dur5
+         |  FROM b WINDOW wo AS (ORDER BY bar_ts)
+         |), e AS (
+         |  SELECT bar_ts,
+         |    list(dur1) OVER (ORDER BY bar_ts ROWS BETWEEN 399 PRECEDING AND CURRENT ROW) AS l
+         |  FROM d WHERE dur1 IS NOT NULL
+         |), e2 AS (
+         |  SELECT bar_ts,
+         |    list_sum(list_transform(l, (y, i) -> y * pow(${D(1.0 - 2.0 / 21.0)}, len(l) - i))) /
+         |      ((1 - pow(${D(1.0 - 2.0 / 21.0)}, len(l))) / ${D(2.0 / 21.0)}) AS dur_ewma20
+         |  FROM e
+         |)
+         |SELECT d.bar_ts, round(dur1, 6) AS dur1, round(dur5, 6) AS dur5,
+         |  round(dur_ewma20, 6) AS dur_ewma20
+         |FROM d LEFT JOIN e2 USING (bar_ts)""".stripMargin),
 
     "f_returnt_rate" ->
       s"""WITH $tradesCte

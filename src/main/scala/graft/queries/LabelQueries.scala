@@ -42,14 +42,15 @@ object LabelQueries {
     "label_concurrency" -> ((s, dir) => {
       val t = trades(s, dir)
       // The event table is tiny (|trades|/29) but expensive to derive —
-      // cache it so the two marker scans in the sweep don't re-run TBM.
-      Weights.concurrency(t, labeled(s, dir, isMeta = false).cache())
+      // localCheckpoint materializes it once AND truncates the lineage, so
+      // the marker scans neither re-run TBM nor trip self-join detection.
+      Weights.concurrency(t, labeled(s, dir, isMeta = false).localCheckpoint())
         .select(col("ts"), col("id"), col("concurrency"))
     }),
 
     "label_weights" -> ((s, dir) => {
       val t = trades(s, dir)
-      val lab = labeled(s, dir, isMeta = false).cache()
+      val lab = labeled(s, dir, isMeta = false).localCheckpoint()
       val conc = Weights.concurrency(t, lab)
       val ew = Weights.eventWeights(conc, lab)
       val decayed = Weights.withTimeDecay(ew, lastWeight = 0.5)
@@ -105,7 +106,7 @@ object LabelQueries {
        |p1b AS (SELECT *, coalesce(touch0, vert_ts) AS touch_ts FROM p1),
        |p2 AS (
        |  SELECT p.event_id, p.event_ts, p.touch0, p.touch_ts,
-       |         arg_max(q.ret, q.ts) AS ret_touch,
+       |         last(q.ret ORDER BY q.ts, q.ret) AS ret_touch,
        |         coalesce(max(CASE WHEN q.ret > 0 THEN q.ret / p.up END), 0.0) AS max_urbr,
        |         coalesce(max(CASE WHEN q.ret < 0 THEN q.ret / p.lo END), 0.0) AS max_lrbr
        |  FROM p1b p JOIN path q ON q.event_id = p.event_id AND q.ts <= p.touch_ts

@@ -72,8 +72,8 @@ object Q {
     val iv = intervalSec * 1000000000L
     s"""bars0 AS (
        |  SELECT ((ts + ${iv - 1}) // $iv) * $iv AS bar_ts,
-       |         arg_min(price, ts) AS open, max(price) AS high, min(price) AS low,
-       |         arg_max(price, ts) AS close, sum(qty) AS volume,
+       |         first(price ORDER BY ts, id) AS open, max(price) AS high, min(price) AS low,
+       |         last(price ORDER BY ts, id) AS close, sum(qty) AS volume,
        |         CAST(count(*) AS BIGINT) AS trades,
        |         median(qty) AS median_trade_size,
        |         sum(price * qty) / sum(qty) AS vwap

@@ -259,9 +259,9 @@ object ScanQueries {
          |    SELECT *, row_number() OVER (ORDER BY ts, id) - 1 AS rn0 FROM trades
          |  ) WHERE rn0 >= 1
          |)
-         |SELECT bar_id, max(ts) AS bar_ts, ${rd("arg_min(price, ts)")} AS open,
+         |SELECT bar_id, max(ts) AS bar_ts, ${rd("first(price ORDER BY ts, id)")} AS open,
          |       ${rd("max(price)")} AS high, ${rd("min(price)")} AS low,
-         |       ${rd("arg_max(price, ts)")} AS close, ${rd("sum(qty)")} AS volume,
+         |       ${rd("last(price ORDER BY ts, id)")} AS close, ${rd("sum(qty)")} AS volume,
          |       CAST(count(*) AS BIGINT) AS trades,
          |       ${rd("median(qty)")} AS median_trade_size,
          |       ${rd("sum(price * qty) / sum(qty)")} AS vwap
