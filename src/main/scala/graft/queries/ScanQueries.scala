@@ -95,7 +95,27 @@ object ScanQueries {
       EventBars.cusumEventIds(
           trades(s, dir).withColumn("sigma", lit(2.0)), "sigma", 1.0, 1e-12)
         .where(col("is_event"))
-        .select(col("ts"), col("id"), r6(col("price")).as("price")))
+        .select(col("ts"), col("id"), r6(col("price")).as("price"))),
+
+    // CUSUM event bars (§2.4 _cusum_bar_indexer): bar k = trades in
+    // (event_{k-1}, event_k], start-exclusive end-inclusive like time bars;
+    // the trailing partial bar (no closing event) is dropped.
+    "cusum_bars" -> ((s, dir) => {
+      val ev = EventBars.cusumEventIds(
+        trades(s, dir).withColumn("sigma", lit(2.0)), "sigma", 1.0, 1e-12)
+      val before = Window.orderBy("ts", "id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ids = ev.withColumn("bar_id",
+        coalesce(sum(col("is_event").cast("long")).over(before), lit(0L)))
+      val complete = ids.groupBy("bar_id")
+        .agg(max(col("is_event")).as("__closed")).where(col("__closed"))
+      EventBars.ohlcvByBarId(ids.where(col("bar_id") >= 1))
+        .join(complete.select("bar_id"), Seq("bar_id"))
+        .select(col("bar_id"), col("bar_ts"), r6(col("open")).as("open"),
+          r6(col("high")).as("high"), r6(col("low")).as("low"),
+          r6(col("close")).as("close"), r6(col("volume")).as("volume"),
+          col("trades"))
+    })
   )
 
   // ---------------------------------------------------------------------

@@ -77,7 +77,15 @@ object TradeQueries {
 
     // Tick-size estimation via scaled-integer GCD (§2.2).
     "tick_size_gcd" -> ((s, dir) =>
-      Trades.tickSize(trades(s, dir)).select(r6(col("tick_size")).as("tick_size")))
+      Trades.tickSize(trades(s, dir)).select(r6(col("tick_size")).as("tick_size"))),
+
+    // Monthly catalog report (§2.1 H5Inspector.get_statistics): the same
+    // aggregation Store.monthlyStats runs over the partitioned layout.
+    "catalog_months" -> ((s, dir) =>
+      graft.sources.Store.monthlyStats(trades(s, dir)).select(
+        col("month"), col("rows"), col("first_ts"), col("last_ts"),
+        r6(col("min_price")).as("min_price"), r6(col("max_price")).as("max_price"),
+        r6(col("total_qty")).as("total_qty")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -190,6 +198,15 @@ object TradeQueries {
          |  FROM diffs
          |)
          |SELECT ${rd("list_reduce(list_transform(ds, d -> CAST(round(d * scale) AS BIGINT)), (a, b) -> gcd(a, b)) / scale")} AS tick_size
-         |FROM scaled""".stripMargin
+         |FROM scaled""".stripMargin,
+
+    "catalog_months" ->
+      s"""WITH $tradesCte
+         |SELECT strftime(make_timestamp(ts // 1000), '%Y-%m') AS month,
+         |       CAST(count(*) AS BIGINT) AS rows,
+         |       min(ts) AS first_ts, max(ts) AS last_ts,
+         |       ${rd("min(price)")} AS min_price, ${rd("max(price)")} AS max_price,
+         |       ${rd(dsumSql("qty"))} AS total_qty
+         |FROM trades GROUP BY 1""".stripMargin
   )
 }

@@ -1,0 +1,106 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Partitioned trade store + catalog (SURVEY.md §2.1, M6).
+  *
+  * The reference persists trades as monthly HDF5 groups with per-group
+  * metadata and an integrity sidecar (bar/data_model.py:420-574), prunes
+  * partitions by timestamp range from that metadata (data_model.py:579-594),
+  * and maintains derived 1s-bar groups (bar/io.py:441-565). The Spark-native
+  * shape is a month-partitioned Parquet layout:
+  *
+  *  - `month=yyyy-MM` partition directories replace the HDF5 groups;
+  *  - Parquet footer min/max stats + partition pruning replace the
+  *    hand-rolled metadata pruning — [[readRange]] derives a month predicate
+  *    from the ns range so directory-level pruning kicks in before any
+  *    footer is read (visible as PartitionFilters in the plan);
+  *  - zstd compression replaces blosc:zstd;
+  *  - the catalog/integrity reports (H5Inspector, bar/io.py:101-308) are
+  *    plain aggregations over the store ([[monthlyStats]]).
+  *
+  * At 100 TB the month key alone leaves partitions too large; the same
+  * layout extends to (symbol, month) with `partitionBy("symbol", "month")`
+  * — every function below takes the partition columns from the data, not
+  * from a fixed schema.
+  */
+object Store {
+
+  /** `month` partition value (UTC yyyy-MM) from the canonical ns-long ts. */
+  def monthCol(ts: Column): Column =
+    date_format(timestamp_micros((ts / 1000L).cast("long")), "yyyy-MM")
+
+  /** Partitioned write, the `save_h5` equivalent. `mode` follows the
+    * reference's overwrite/append (data_model.py:441); dynamic partition
+    * overwrite only rewrites the months present in `df`.
+    */
+  def saveMonthly(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.withColumn("month", monthCol(col("ts")))
+      .repartition(col("month"))
+      .write
+      .partitionBy("month")
+      .mode(mode)
+      .option("compression", "zstd")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(path)
+
+  /** Time-range scan with explicit partition pruning — the
+    * `load_trades_h5` / `_keys_for_timerange` path. The month predicate is
+    * derived from the ns range so only intersecting month directories are
+    * listed; the ts predicate then pushes into the Parquet row groups.
+    */
+  def readRange(spark: SparkSession, path: String,
+                fromNs: Long, toNs: Long, tsCol: String = "ts"): DataFrame = {
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM")
+      .withZone(java.time.ZoneOffset.UTC)
+    val loMonth = fmt.format(java.time.Instant.ofEpochSecond(fromNs / 1000000000L))
+    val hiMonth = fmt.format(java.time.Instant.ofEpochSecond(toNs / 1000000000L))
+    spark.read.parquet(path)
+      .where(col("month").between(loMonth, hiMonth))
+      .where(col(tsCol).between(fromNs, toNs))
+  }
+
+  /** Catalog report, the `H5Inspector.get_statistics` equivalent: one row
+    * per month with row count, ts coverage and value ranges.
+    */
+  def monthlyStats(trades: DataFrame): DataFrame =
+    trades
+      .withColumn("month", monthCol(col("ts")))
+      .groupBy("month")
+      .agg(
+        count(lit(1)).as("rows"),
+        min("ts").as("first_ts"),
+        max("ts").as("last_ts"),
+        min("price").as("min_price"),
+        max("price").as("max_price"),
+        sum(col("qty").cast("decimal(18,6)")).cast("double").as("total_qty"))
+
+  /** Derived-bars materialization, the `AddTimeBarH5.process_all`
+    * equivalent: build `intervalSec` OHLCV bars from the store and persist
+    * them as their own month-partitioned table.
+    */
+  def materializeBars(spark: SparkSession, tradesPath: String, barsPath: String,
+                      intervalSec: Long, mode: String = "overwrite"): Unit = {
+    val trades = spark.read.parquet(tradesPath).drop("month")
+    val bars = graft.bars.TimeBars.ohlcv(trades, intervalSec)
+    bars.withColumn("month", monthCol(col("bar_ts")))
+      .repartition(col("month"))
+      .write.partitionBy("month").mode(mode)
+      .option("compression", "zstd")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(barsPath)
+  }
+
+  /** Derived-bars range reader with optional resample — the
+    * `TimeBarReader.read(timeframe=...)` equivalent.
+    */
+  def readBars(spark: SparkSession, barsPath: String, fromNs: Long, toNs: Long,
+               barSec: Long, resampleSec: Option[Long] = None): DataFrame = {
+    val base = readRange(spark, barsPath, fromNs, toNs, tsCol = "bar_ts")
+    resampleSec match {
+      case None => base
+      case Some(sec) => graft.bars.TimeBars.resample(base.drop("month"), barSec, sec)
+    }
+  }
+}

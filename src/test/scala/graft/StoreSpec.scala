@@ -1,0 +1,89 @@
+package graft
+
+import graft.sources.Store
+import graft.bars.TimeBars
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Round-trip + pruning tests for the partitioned store (SURVEY.md §2.1/M6). */
+class StoreSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private val dayNs = 86400000000000L
+
+  /** 120 days of hourly trades spanning 2024-01-01 .. 2024-04-30. */
+  private def tradesDf: DataFrame = {
+    val t0 = 1704067200000000000L // 2024-01-01T00:00Z in ns
+    (0 until 120 * 24).map { h =>
+      (t0 + h * 3600000000000L, h.toLong, 100.0 + (h % 37) * 0.25,
+        1.0 + (h % 5), 0L)
+    }.toDF("ts", "id", "price", "qty", "symbol")
+  }
+
+  test("monthly save/read round-trip preserves rows exactly") {
+    val dir = Files.createTempDirectory("store").toString
+    val t = tradesDf
+    Store.saveMonthly(t, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == t.count())
+    assert(back.select("month").distinct().count() == 4) // Jan..Apr
+    val a = t.orderBy("id").collect().map(_.getDouble(2)).toSeq
+    val b = back.orderBy("id").collect()
+      .map(_.getAs[Double]("price")).toSeq
+    assert(a == b)
+  }
+
+  test("readRange prunes month partitions and pushes the ts filter") {
+    val dir = Files.createTempDirectory("store").toString
+    Store.saveMonthly(tradesDf, dir)
+    val feb1 = 1706745600000000000L // 2024-02-01T00:00Z
+    val df = Store.readRange(spark, dir, feb1, feb1 + 10 * dayNs - 1)
+    // only February rows: 10 days of 24 trades
+    assert(df.count() == 240)
+    val plan = df.queryExecution.executedPlan.toString
+    // month predicate must land in PartitionFilters (directory pruning),
+    // ts predicate in PushedFilters (row-group stats pruning)
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("\\s", "").contains("PartitionFilters:[isnotnull(month"))
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(ts"))
+  }
+
+  test("append mode adds a new month without rewriting old ones") {
+    val dir = Files.createTempDirectory("store").toString
+    val t = tradesDf
+    Store.saveMonthly(t.where(col("ts") < lit(1706745600000000000L)), dir)
+    val janOnly = spark.read.parquet(dir).count()
+    Store.saveMonthly(t.where(col("ts") >= lit(1706745600000000000L)), dir,
+      mode = "append")
+    assert(spark.read.parquet(dir).count() == t.count())
+    assert(janOnly < t.count())
+  }
+
+  test("materializeBars + readBars with resample matches direct construction") {
+    val tdir = Files.createTempDirectory("store").toString
+    val bdir = Files.createTempDirectory("bars").toString
+    val t = tradesDf
+    Store.saveMonthly(t, tdir)
+    Store.materializeBars(spark, tdir, bdir, intervalSec = 3600)
+    val lo = 1704067200000000000L
+    val hi = lo + 120 * dayNs
+    val viaStore = Store.readBars(spark, bdir, lo, hi, barSec = 3600,
+      resampleSec = Some(86400))
+      .select("rs_ts", "open", "high", "low", "close", "volume", "trades")
+      .orderBy("rs_ts").collect().toSeq
+    val direct = TimeBars.resample(TimeBars.ohlcv(t, 3600), 3600, 86400)
+      .select("rs_ts", "open", "high", "low", "close", "volume", "trades")
+      .orderBy("rs_ts").collect().toSeq
+    assert(viaStore == direct)
+  }
+}
