@@ -161,6 +161,26 @@ object FeatureQueries {
           r6(col("dur5")).as("dur5"), r6(col("dur_ewma20")).as("dur_ewma20"))
     }),
 
+    // Feature-DSL pipeline (§2.10): authored with the operator DSL,
+    // serialized to JSON, parsed back, and THEN built — the verify gate
+    // exercises the round-trip itself, not just the happy path.
+    "feature_dsl_roundtrip" -> ((s, dir) => {
+      import graft.features.Dsl
+      val feats = Seq(
+        Dsl.col("close").logRet(1),
+        Dsl.col("close").sma(20),
+        ((Dsl.col("close") - Dsl.col("open")).abs /
+          (Dsl.col("high") - Dsl.col("low") + Dsl.const(1e-12))).clip(0.0, 1.0),
+        Dsl.col("volume").zscore(20),
+        Dsl.col("volume").rollMedian(20))
+      val parsed = Dsl.fromJson(Dsl.toJson(feats))
+      require(parsed.map(_.spec) == feats.map(_.spec), "dsl json round-trip drift")
+      val built = Dsl.build(bars5m(s, dir).withColumn("bar_ts", col("bar_ts")),
+        parsed, Seq("bar_ts"))
+      built.select(col("bar_ts") +:
+        parsed.map(f => r6(built.col(s"`${f.name}`")).as(f.name)): _*)
+    }),
+
     // Trades-domain time-window features: as-of lagged return (ReturnT) and
     // trailing-1h event rate (BarRate) — rangeBetween on the ns long.
     "f_returnt_rate" -> ((s, dir) => {
@@ -369,6 +389,17 @@ object FeatureQueries {
         |  END, 6) AS hurst24,
         |  round(f2.phi2 - f3.phi3, 6) AS apen24
         |FROM h1 LEFT JOIN f2 USING (bar_ts) LEFT JOIN f3 USING (bar_ts)""".stripMargin),
+
+    "feature_dsl_roundtrip" -> withB(
+      s"""SELECT bar_ts,
+         |  round(ln(close / lag(close) OVER wo), 6) AS "close_logret_1",
+         |  round(${fullCase(20, "avg(close) OVER wn")}, 6) AS "close_sma_20",
+         |  round(least(greatest(abs(close - open) / (high - low + 1e-12), 0.0e0), 1.0e0), 6) AS "clip(div(abs(sub(close,open)),add(sub(high,low),1.0E-12)),0.0,1.0)",
+         |  round(${fullCase(20, "CASE WHEN min(volume) OVER wn < max(volume) OVER wn THEN (volume - avg(volume) OVER wn) / nullif(stddev_pop(volume) OVER wn, 0) END")}, 6) AS "volume_zscore_20",
+         |  round(${fullCase(20, "quantile_cont(volume, 0.5) OVER wn")}, 6) AS "volume_median_20"
+         |FROM b WINDOW
+         |  wn AS (ORDER BY bar_ts ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+         |  wo AS (ORDER BY bar_ts)""".stripMargin),
 
     "f_cusum_break" -> withB(
       """, c0 AS (

@@ -1,0 +1,69 @@
+package graft
+
+import graft.features.{Dsl, Feature}
+import graft.features.FSpec._
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-trip + naming + execution tests for the feature DSL (SURVEY.md
+  * §2.10 — mirrors the reference's serialization tests, tests/features/
+  * test_feature_serialization_*.py).
+  */
+class DslSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private val pipeline: Seq[Feature] = Seq(
+    Dsl.col("close").logRet(1),
+    Dsl.col("close").sma(3),
+    (Dsl.col("close") / Dsl.col("vwap") - Dsl.const(1)).clip(-0.5, 0.5),
+    Dsl.col("volume").zscore(3).abs,
+    (Dsl.col("close").lag(2) + Dsl.const(0.25)).log,
+    Dsl.col("volume").ewma(10) min Dsl.col("volume").rollMax(4))
+
+  test("JSON round-trip is lossless for every node type") {
+    val json = Dsl.toJson(pipeline)
+    val back = Dsl.fromJson(json)
+    assert(back.map(_.spec) == pipeline.map(_.spec))
+    // and a second serialization is byte-identical (stable codec)
+    assert(Dsl.toJson(back) == json)
+  }
+
+  test("auto-naming follows the reference convention") {
+    assert(Dsl.col("close").sma(20).name == "close_sma_20")
+    assert((Dsl.col("a") + Dsl.col("b")).name == "add(a,b)")
+    assert(Dsl.col("close").logRet(1).name == "close_logret_1")
+    assert(Dsl.col("x").lag(5).name == "x_lag_5")
+    assert((Dsl.col("x") * Dsl.const(2)).name == "mul(x,2)")
+  }
+
+  test("build computes the same values as direct column expressions") {
+    val df = Seq(
+      (1L, 10.0, 10.0, 2.0), (2L, 11.0, 10.5, 3.0), (3L, 12.0, 11.0, 4.0),
+      (4L, 11.5, 11.2, 2.5), (5L, 12.5, 11.8, 5.0))
+      .toDF("bar_ts", "close", "vwap", "volume")
+    val feats = Seq(Dsl.col("close").sma(3), Dsl.col("close").ret(1))
+    val out = Dsl.build(df, Dsl.fromJson(Dsl.toJson(feats)), Seq("bar_ts"))
+      .orderBy("bar_ts").collect()
+    val sma = out.map(r => Option(r.getAs[java.lang.Double]("close_sma_3")).map(_.toDouble))
+    assert(sma(0).isEmpty && sma(1).isEmpty)
+    assert(math.abs(sma(2).get - 11.0) < 1e-12)
+    assert(math.abs(sma(4).get - 12.0) < 1e-12)
+    val ret = out.map(r => Option(r.getAs[java.lang.Double]("close_ret_1")).map(_.toDouble))
+    assert(ret(0).isEmpty)
+    assert(math.abs(ret(1).get - 0.1) < 1e-12)
+  }
+
+  test("unknown op in JSON is rejected") {
+    intercept[IllegalArgumentException] {
+      Dsl.fromJson("""[{"op":"mystery","x":{"op":"col","col":"c"}}]""")
+    }
+  }
+}
