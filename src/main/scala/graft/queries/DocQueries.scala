@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.dedup.Dedup
 import graft.ml.Similarity
+import graft.multimodal.Multimodal
 import graft.text.TextOps
 import org.apache.spark.sql.functions._
 import Q._
@@ -91,6 +92,32 @@ object DocQueries {
           "vec_id", "embedding", annK)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           r6(col("cos")).as("cos"))
+    }),
+
+    // Multimodal plumbing over opaque binary payloads (documents' UTF-8
+    // bytes stand in for image/audio containers): fixed-size frame slicing
+    // + first/mid/last frame sampling, all map-side expressions.
+    "mm_frames_sample" -> ((s, dir) => {
+      val media = docs(s, dir).select(col("doc_id"),
+        col("source").as("media_type"),
+        encode(col("text"), "UTF-8").as("payload"))
+      Multimodal.frameSample(Multimodal.frames(media, 256))
+    }),
+
+    // Batched per-partition STUB decode + resize planning: the typed
+    // mapPartitions kernel consumes payload batches and emits deterministic
+    // pseudo-metadata (real codec swaps into the same kernel).
+    "mm_decode_resize" -> ((s, dir) => {
+      val s2 = s
+      import s2.implicits._
+      val media = docs(s, dir).select(col("doc_id"),
+        col("source").as("media_type"),
+        encode(col("text"), "UTF-8").as("payload"))
+        .as[Multimodal.MediaRow]
+      Multimodal.resizePlan(Multimodal.decodeStub(media), maxSide = 128)
+        .select(col("doc_id"), col("media_type"), col("n_bytes"),
+          col("width"), col("height"), col("checksum"),
+          col("out_width"), col("out_height"))
     })
   )
 
@@ -278,6 +305,45 @@ object DocQueries {
          |  SELECT *, CAST(row_number() OVER (
          |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
          |  FROM scored
-         |) WHERE rank <= $annK""".stripMargin
+         |) WHERE rank <= $annK""".stripMargin,
+
+    // Text is all-ASCII in the synthetic corpus, so character substr on the
+    // DuckDB side mirrors the byte slices exactly (asserted by the checksum
+    // column: md5(text) == md5 of the utf-8 payload bytes).
+    "mm_frames_sample" ->
+      """WITH fr AS (
+        |  SELECT doc_id, CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_frames, text
+        |  FROM documents
+        |), fx AS (
+        |  SELECT doc_id, unnest(generate_series(0, n_frames - 1)) AS frame_idx, n_frames, text
+        |  FROM fr
+        |), ff AS (
+        |  SELECT doc_id, frame_idx, n_frames,
+        |         substring(text, CAST(frame_idx * 256 + 1 AS BIGINT), 256) AS fr_txt
+        |  FROM fx
+        |)
+        |SELECT doc_id, frame_idx,
+        |       CAST(length(fr_txt) AS BIGINT) AS frame_bytes,
+        |       md5(fr_txt) AS frame_md5
+        |FROM ff
+        |WHERE frame_idx = 0 OR frame_idx = n_frames - 1 OR frame_idx = (n_frames - 1) // 2""".stripMargin,
+
+    "mm_decode_resize" ->
+      """WITH d AS (
+        |  SELECT doc_id, source AS media_type,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |         CAST(64 + (octet_length(encode(text)) * 131 + doc_id) % 193 AS INT) AS width,
+        |         CAST(64 + (octet_length(encode(text)) * 37 + doc_id * 7) % 157 AS INT) AS height,
+        |         md5(text) AS checksum
+        |  FROM documents
+        |), sc AS (
+        |  SELECT *, CASE WHEN greatest(width, height) <= 128 THEN 1.0e0
+        |                 ELSE 128.0e0 / greatest(width, height) END AS scale
+        |  FROM d
+        |)
+        |SELECT doc_id, media_type, n_bytes, width, height, checksum,
+        |       CAST(floor(width * scale) AS INT) AS out_width,
+        |       CAST(floor(height * scale) AS INT) AS out_height
+        |FROM sc""".stripMargin
   )
 }

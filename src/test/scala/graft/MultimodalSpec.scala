@@ -1,0 +1,70 @@
+package graft
+
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Frame slicing / stub decode edge cases for the multimodal plumbing. */
+class MultimodalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def media(rows: (Long, String)*) =
+    rows.toDF("doc_id", "txt").select(col("doc_id"),
+      lit("image/test").as("media_type"),
+      encode(col("txt"), "UTF-8").as("payload"))
+
+  test("frame slicing: exact multiple, remainder, sub-frame, empty") {
+    val m = media(
+      (1L, "a" * 8),   // exactly 2 frames of 4
+      (2L, "b" * 10),  // 2 full + remainder 2
+      (3L, "c"),       // single sub-frame
+      (4L, ""))        // empty payload -> no frames
+    val f = Multimodal.frames(m, 4).orderBy("doc_id", "frame_idx").collect()
+    val byDoc = f.groupBy(_.getLong(0)).view.mapValues(_.map(r =>
+      (r.getLong(1), r.getLong(2))).toSeq).toMap
+    assert(byDoc(1L) == Seq((0L, 4L), (1L, 4L)))
+    assert(byDoc(2L) == Seq((0L, 4L), (1L, 4L), (2L, 2L)))
+    assert(byDoc(3L) == Seq((0L, 1L)))
+    assert(!byDoc.contains(4L))
+  }
+
+  test("frame sample picks first/mid/last, deduplicated for short payloads") {
+    val m = media((1L, "x" * 20)) // 5 frames of 4 -> idx 0, 2, 4
+    val s = Multimodal.frameSample(Multimodal.frames(m, 4))
+      .orderBy("frame_idx").collect().map(_.getLong(1)).toSeq
+    assert(s == Seq(0L, 2L, 4L))
+    val one = media((2L, "y")) // 1 frame -> single row, not triplicated
+    val s1 = Multimodal.frameSample(Multimodal.frames(one, 4)).collect()
+    assert(s1.length == 1 && s1(0).getLong(1) == 0L)
+  }
+
+  test("stub decode is deterministic and checksums match spark md5") {
+    val m = media((7L, "hello world"))
+    val d = Multimodal.decodeStub(m.as[Multimodal.MediaRow]).collect().head
+    assert(d.n_bytes == 11L)
+    assert(d.width == 64 + ((11 * 131 + 7) % 193))
+    val sparkMd5 = m.select(md5(col("payload"))).collect().head.getString(0)
+    assert(d.checksum == sparkMd5)
+  }
+
+  test("resize plan preserves aspect and caps the long side") {
+    val m = media((1L, "z" * 500))
+    val r = Multimodal.resizePlan(
+      Multimodal.decodeStub(m.as[Multimodal.MediaRow]), maxSide = 100)
+      .collect().head
+    val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+    val (ow, oh) = (r.getAs[Int]("out_width"), r.getAs[Int]("out_height"))
+    assert(math.max(ow, oh) <= 100)
+    if (math.max(w, h) <= 100) assert((ow, oh) == (w, h))
+    else assert(math.abs(ow.toDouble / oh - w.toDouble / h) < 0.05)
+  }
+}
