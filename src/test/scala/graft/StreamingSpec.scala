@@ -1,0 +1,93 @@
+package graft
+
+import graft.bars.{EventBars, TimeBars}
+import graft.features.Ewm
+import graft.streaming.StreamingBars
+import graft.streaming.StreamingBars.TradeIn
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Batch/streaming parity: the streaming executors must produce exactly the
+  * batch operators' results when fed the same (ordered) trades.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def trades(n: Int): Seq[TradeIn] =
+    (0 until n).map { i =>
+      TradeIn(1700000000000000000L + i * 60000000000L, i.toLong,
+        100.0 + 3.0 * math.sin(i * 0.7) + (i % 5) * 0.3, 1.0 + (i % 3), 0L)
+    }
+
+  test("streaming OHLCV bars equal batch bars (complete mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[TradeIn]
+    val q = StreamingBars.ohlcvStream(ms.toDF(), 300, watermarkDelay = None)
+      .writeStream.format("memory").queryName("bars_out")
+      .outputMode("complete").start()
+    val data = trades(40)
+    ms.addData(data.take(25))
+    q.processAllAvailable()
+    ms.addData(data.drop(25))
+    q.processAllAvailable()
+    val streamed = spark.table("bars_out")
+      .select("bar_ts", "open", "high", "low", "close", "volume", "trades", "vwap")
+      .orderBy("bar_ts").collect().toSeq
+    q.stop()
+    val batch = TimeBars.ohlcv(
+      data.toDF().withColumnRenamed("symbol", "sym"), 300, fillEmpty = false)
+      .select("bar_ts", "open", "high", "low", "close", "volume", "trades", "vwap")
+      .orderBy("bar_ts").collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("streaming EWMA state machine equals the batch exact scan") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[TradeIn]
+    val q = StreamingBars.ewmaStream(ms.toDS(), span = 10)
+      .writeStream.format("memory").queryName("ewma_out")
+      .outputMode("append").start()
+    val data = trades(50)
+    ms.addData(data.take(20)); q.processAllAvailable()
+    ms.addData(data.slice(20, 35)); q.processAllAvailable()
+    ms.addData(data.drop(35)); q.processAllAvailable()
+    val streamed = spark.table("ewma_out").orderBy("ts")
+      .collect().map(r => (r.getAs[Long]("ts"), r.getAs[Double]("ewma"))).toSeq
+    q.stop()
+    val batch = Ewm.ewmaExact(data.toDF(), "price", 10).orderBy("ts")
+      .collect().map(r => (r.getAs[Long]("ts"), r.getAs[Double]("ewma"))).toSeq
+    assert(streamed.size == batch.size)
+    streamed.zip(batch).foreach { case ((ts1, a), (ts2, b)) =>
+      assert(ts1 == ts2 && math.abs(a - b) < 1e-12, s"at $ts1: $a vs $b")
+    }
+  }
+
+  test("streaming CUSUM filter equals the batch ordered scan") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[TradeIn]
+    val q = StreamingBars.cusumStream(ms.toDS(), threshold = 0.02)
+      .writeStream.format("memory").queryName("cusum_out")
+      .outputMode("append").start()
+    val data = trades(60)
+    ms.addData(data.take(17)); q.processAllAvailable()
+    ms.addData(data.drop(17)); q.processAllAvailable()
+    val streamed = spark.table("cusum_out").where(col("isEvent"))
+      .orderBy("ts").collect().map(_.getAs[Long]("ts")).toSeq
+    q.stop()
+    val batch = EventBars.cusumEventIds(
+      data.toDF().withColumn("sigma", lit(0.02)), "sigma", 1.0, 1e-12)
+      .where(col("is_event")).orderBy("ts")
+      .collect().map(_.getAs[Long]("ts")).toSeq
+    assert(streamed == batch)
+  }
+}
