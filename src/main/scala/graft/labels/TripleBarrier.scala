@@ -52,7 +52,8 @@ object TripleBarrier {
     // reference is ambiguous — events derive from the same trades lineage,
     // and dataframe-tagged references (t("ts")) trip the ambiguous-self-join
     // detector once any shared fragment is cached elsewhere in the session.
-    val t = trades.select(col("ts").as("__t_ts"), col("price").as("__t_price"))
+    val t = trades.select(col("ts").as("__t_ts"), col("id").as("__t_id"),
+        col("price").as("__t_price"))
       .withColumn("__b", expr(s"__t_ts DIV ${vertNs}L"))
     val evb = ev
       .withColumn("__eb", expr(s"event_ts DIV ${vertNs}L"))
@@ -66,25 +67,47 @@ object TripleBarrier {
       .drop("__b")
       .withColumn("ret", (log(col("__t_price")) - log(col("p0"))) * col("eside"))
       .withColumnRenamed("__t_ts", "ts")
+      .withColumnRenamed("__t_id", "id")
       .drop("__t_price")
 
-    // First-touch + post-touch stats in ONE pass over the path: a window
-    // partitioned by event finds the touch timestamp, and the groupBy that
-    // follows reuses the same hash partitioning — no second join, no
-    // recomputation of the range join.
+    // Pass 1 — ONE hash-aggregated scan of the path (all fixed-width agg
+    // buffers: a struct-keyed min_by here would silently demote the whole
+    // pass to SortAggregate and sort |events|×path rows):
+    //  - touch0 = first breach ts, vert_ts = path end;
+    //  - the max return/barrier ratios feed the soft weight ONLY on a
+    //    vertical touch (tbm.py:146-156), where the walk covered the whole
+    //    path — so full-path maxima are exact, and horizontal touches take
+    //    weight 1.0 regardless.
     val breach = col("ret") >= col("up") || col("ret") <= col("lo")
-    val wEv = Window.partitionBy("event_id")
-    val p2 = path
-      .withColumn("touch0", min(when(breach, col("ts"))).over(wEv))
-      .withColumn("touch_ts", coalesce(col("touch0"), max(col("ts")).over(wEv)))
-      .where(col("ts") <= col("touch_ts"))
-      .groupBy("event_id", "event_ts", "tgt", "eside", "up", "lo", "touch0", "touch_ts")
+    val p1 = path
+      .groupBy("event_id", "event_ts", "tgt", "eside", "up", "lo")
       .agg(
-        // secondary ret key: equal-timestamp prints at the touch would
-        // otherwise make "return at touch" engine-dependent
-        max_by(col("ret"), struct(col("ts"), col("ret"))).as("ret_touch"),
+        min(when(breach, col("ts"))).as("touch0"),
+        max(col("ts")).as("vert_ts"),
         coalesce(max(when(col("ret") > 0, col("ret") / col("up"))), lit(0.0)).as("max_urbr"),
         coalesce(max(when(col("ret") < 0, col("ret") / col("lo"))), lit(0.0)).as("max_lrbr"))
+      .withColumn("touch_ts", coalesce(col("touch0"), col("vert_ts")))
+
+    // Pass 2 — return AT the touch: only path rows at the touch timestamp
+    // matter, so broadcasting the tiny per-event table and filtering on ts
+    // equality leaves a handful of rows; tie-break by trade id replays the
+    // reference kernel's walk order (first breaching print / last print,
+    // tbm.py:99-143), with fixed-width long keys for min_by/max_by.
+    val touch = path
+      .select(col("event_id").as("__eid"), col("ts"), col("id"), col("ret"))
+      .join(broadcast(p1.select(col("event_id").as("__peid"), col("touch0"),
+        col("touch_ts"), col("up").as("__up"), col("lo").as("__lo"))),
+        col("__eid") === col("__peid"))
+      .where(col("ts") === col("touch_ts"))
+      .withColumn("__breach", col("ret") >= col("__up") || col("ret") <= col("__lo"))
+      .groupBy(col("__eid").as("event_id"))
+      .agg(
+        min_by(col("ret"), when(col("__breach"), col("id"))).as("ret_breach"),
+        max_by(col("ret"), col("id")).as("ret_vert"))
+
+    val p2 = p1.join(broadcast(touch), Seq("event_id"))
+      .withColumn("ret_touch",
+        when(col("touch0").isNotNull, col("ret_breach")).otherwise(col("ret_vert")))
 
     val isVertical = col("touch0").isNull
     val rawLabel =

@@ -41,35 +41,40 @@ object Weights {
     * end marker after → right-inclusive). One global sort, no join blow-up;
     * at multi-symbol scale the sort partitions by symbol.
     */
-  def eventWeights(tradesWithConc: DataFrame, labeled: DataFrame): DataFrame = {
-    val ordW = Window.orderBy("ts", "id")
-    val t = tradesWithConc
-      .withColumn("logret", log(col("price") / lag("price", 1).over(ordW)))
+  def eventWeights(trades: DataFrame, labeled: DataFrame): DataFrame = {
+    val nullL = lit(null).cast("long")
+    val nullD = lit(null).cast("double")
+    // Fully fused sweep: the concurrency deltas, the previous-trade price
+    // (for log returns) and all three prefix sums ride ONE (ts, ord, id)
+    // ordering — consecutive Window operators with the same spec reuse the
+    // sort, so the whole pipeline costs a single global sort.
+    val tr = trades.select(col("ts"), lit(1).as("ord"), col("id"),
+      col("price"), lit(0L).as("d"), nullL.as("event_id"),
+      nullL.as("event_ts"), nullL.as("touch_ts"),
+      lit(null).cast("int").as("kind"))
+    def marker(tsCol: String, ord: Int, kind: Int, d: Long) =
+      labeled.select(col(tsCol).as("ts"), lit(ord).as("ord"), nullL.as("id"),
+        nullD.as("price"), lit(d).as("d"), col("event_id"), col("event_ts"),
+        col("touch_ts"), lit(kind).as("kind"))
+    val stream = tr
+      .unionByName(marker("event_ts", 0, 0, 1L))
+      .unionByName(marker("touch_ts", 2, 1, -1L))
+
+    val ord = Window.orderBy("ts", "ord", "id")
+    val sweep = ord.rowsBetween(Window.unboundedPreceding, 0)
+    val before = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val cum = stream
+      .withColumn("conc", sum("d").over(sweep))
+      .withColumn("prev_price", last("price", ignoreNulls = true).over(before))
+      .withColumn("logret", log(col("price") / col("prev_price")))
       // conc = 0 ⇔ the trade is covered by no event interval, so it can
       // never contribute to any event's sum — 0 keeps the prefix exact
       // (and avoids ANSI divide-by-zero on sparse data).
-      .withColumn("u", when(col("concurrency") > 0,
-        lit(1.0) / col("concurrency")).otherwise(lit(0.0)))
-      .withColumn("r", when(col("concurrency") > 0 && !isnan(col("logret")) &&
-          col("logret").isNotNull,
-        col("logret") / col("concurrency")).otherwise(0.0))
-
-    val nullL = lit(null).cast("long")
-    val nullD = lit(null).cast("double")
-    val tr = t.select(col("ts"), lit(1).as("ord"), col("id"),
-      col("u"), col("r"), nullL.as("event_id"), nullL.as("event_ts"),
-      nullL.as("touch_ts"), lit(null).cast("int").as("kind"))
-    def marker(tsCol: String, ord: Int, kind: Int) =
-      labeled.select(col(tsCol).as("ts"), lit(ord).as("ord"), nullL.as("id"),
-        nullD.as("u"), nullD.as("r"), col("event_id"), col("event_ts"),
-        col("touch_ts"), lit(kind).as("kind"))
-    val stream = tr
-      .unionByName(marker("event_ts", 0, 0))
-      .unionByName(marker("touch_ts", 2, 1))
-
-    val sweep = Window.orderBy("ts", "ord", "id")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val cum = stream
+      .withColumn("u", when(col("ord") === 1,
+        when(col("conc") > 0, lit(1.0) / col("conc")).otherwise(0.0)))
+      .withColumn("r", when(col("ord") === 1,
+        when(col("conc") > 0 && !isnan(col("logret")) && col("logret").isNotNull,
+          col("logret") / col("conc")).otherwise(0.0)))
       .withColumn("cum_u", sum("u").over(sweep))
       .withColumn("cum_r", sum("r").over(sweep))
       .withColumn("cum_n", count("u").over(sweep))
@@ -93,12 +98,15 @@ object Weights {
     */
   def withTimeDecay(eventWeights: DataFrame, lastWeight: Double): DataFrame = {
     val w = Window.orderBy("event_ts").rowsBetween(Window.unboundedPreceding, 0)
-    val total = eventWeights.agg(sum("avg_uniqueness").as("__total"))
+    // grand total via an OVER () window, NOT agg + crossJoin: a scalar
+    // branch would recompute the whole upstream chain once per consumer
+    // (the event table is small; one single-partition window is cheap).
+    val all = Window.partitionBy()
     val slope =
       if (lastWeight >= 0) (lit(1.0) - lastWeight) / col("__total")
       else lit(1.0) / (lit(lastWeight + 1.0) * col("__total"))
     eventWeights
-      .crossJoin(broadcast(total))
+      .withColumn("__total", sum("avg_uniqueness").over(all))
       .withColumn("__cum", sum("avg_uniqueness").over(w))
       .withColumn("time_decay",
         greatest(lit(if (lastWeight < 0) 0.0 else Double.MinValue),
@@ -110,13 +118,14 @@ object Weights {
     * classWeight = total/(nClasses·classSum); final = base·classWeight.
     */
   def withClassBalance(labeledWeights: DataFrame, baseCol: String): DataFrame = {
-    val cls = labeledWeights.groupBy("label")
-      .agg(sum(baseCol).as("__class_sum"))
-    val tot = labeledWeights.agg(sum(baseCol).as("__total"),
-      countDistinct("label").as("__n_classes"))
+    // per-class and grand totals as windows over the (small) event table —
+    // same no-branch rationale as withTimeDecay.
+    val all = Window.partitionBy()
+    val perClass = Window.partitionBy("label")
     labeledWeights
-      .join(broadcast(cls), Seq("label"))
-      .crossJoin(broadcast(tot))
+      .withColumn("__class_sum", sum(baseCol).over(perClass))
+      .withColumn("__total", sum(baseCol).over(all))
+      .withColumn("__n_classes", size(collect_set(col("label")).over(all)))
       .withColumn("class_weight",
         col("__total") / (col("__n_classes") * col("__class_sum")))
       .withColumn("weight", col(baseCol) * col("class_weight"))

@@ -42,17 +42,15 @@ object LabelQueries {
     "label_concurrency" -> ((s, dir) => {
       val t = trades(s, dir)
       // The event table is tiny (|trades|/29) but expensive to derive —
-      // localCheckpoint materializes it once AND truncates the lineage, so
-      // the marker scans neither re-run TBM nor trip self-join detection.
-      Weights.concurrency(t, labeled(s, dir, isMeta = false).localCheckpoint())
+      // cache it so the marker scans in the sweep don't re-run TBM.
+      Weights.concurrency(t, labeled(s, dir, isMeta = false).cache())
         .select(col("ts"), col("id"), col("concurrency"))
     }),
 
     "label_weights" -> ((s, dir) => {
       val t = trades(s, dir)
-      val lab = labeled(s, dir, isMeta = false).localCheckpoint()
-      val conc = Weights.concurrency(t, lab)
-      val ew = Weights.eventWeights(conc, lab)
+      val lab = labeled(s, dir, isMeta = false).cache()
+      val ew = Weights.eventWeights(t, lab)
       val decayed = Weights.withTimeDecay(ew, lastWeight = 0.5)
       val j = decayed.join(
         lab.select(col("event_id").as("eid"), col("label"),
@@ -60,10 +58,12 @@ object LabelQueries {
         col("eid") === col("event_id")).drop("eid")
         .withColumn("base",
           col("time_decay") * col("return_attribution") * col("vertical_touch_weight"))
-      val norm = j.agg(sum("base").as("__s"), count(lit(1)).as("__n"))
-      val normalized = j.crossJoin(broadcast(norm))
-        .withColumn("base_norm", col("base") * col("__n") / col("__s"))
-        .drop("__s", "__n")
+      // mean-normalization via OVER () windows — a scalar agg branch would
+      // recompute the whole weights chain per consumer
+      val all = org.apache.spark.sql.expressions.Window.partitionBy()
+      val normalized = j
+        .withColumn("base_norm",
+          col("base") * count(lit(1)).over(all) / sum("base").over(all))
       Weights.withClassBalance(normalized, "base_norm").select(
         col("event_ts"), col("event_id"), col("label"),
         r6(col("avg_uniqueness")).as("avg_uniqueness"),
@@ -92,26 +92,27 @@ object LabelQueries {
        |  WHERE event_ts + $vertNs <= mx
        |),
        |path AS (
-       |  SELECT e.event_id, e.event_ts, e.up, e.lo, t.ts,
+       |  SELECT e.event_id, e.event_ts, e.up, e.lo, t.ts, t.id,
        |         (ln(t.price) - ln(e.p0)) * ($sideExpr) AS ret
        |  FROM ev2 e JOIN trades t
        |    ON t.ts > e.event_ts AND t.ts <= e.event_ts + $vertNs
        |),
-       |p1 AS (
-       |  SELECT event_id, event_ts, up, lo,
+       |p2a AS (
+       |  SELECT event_id, event_ts,
        |         min(CASE WHEN ret >= up OR ret <= lo THEN ts END) AS touch0,
-       |         max(ts) AS vert_ts
-       |  FROM path GROUP BY event_id, event_ts, up, lo
+       |         max(ts) AS vert_ts,
+       |         first(ret ORDER BY ts, id) FILTER (WHERE ret >= up OR ret <= lo) AS ret_breach,
+       |         last(ret ORDER BY ts, id) AS ret_vert,
+       |         coalesce(max(CASE WHEN ret > 0 THEN ret / up END), 0.0) AS max_urbr,
+       |         coalesce(max(CASE WHEN ret < 0 THEN ret / lo END), 0.0) AS max_lrbr
+       |  FROM path GROUP BY event_id, event_ts
        |),
-       |p1b AS (SELECT *, coalesce(touch0, vert_ts) AS touch_ts FROM p1),
        |p2 AS (
-       |  SELECT p.event_id, p.event_ts, p.touch0, p.touch_ts,
-       |         last(q.ret ORDER BY q.ts, q.ret) AS ret_touch,
-       |         coalesce(max(CASE WHEN q.ret > 0 THEN q.ret / p.up END), 0.0) AS max_urbr,
-       |         coalesce(max(CASE WHEN q.ret < 0 THEN q.ret / p.lo END), 0.0) AS max_lrbr
-       |  FROM p1b p JOIN path q ON q.event_id = p.event_id AND q.ts <= p.touch_ts
-       |  GROUP BY p.event_id, p.event_ts, p.touch0, p.touch_ts
-       |)""".stripMargin
+       |  SELECT *, coalesce(touch0, vert_ts) AS touch_ts,
+       |         CASE WHEN touch0 IS NOT NULL THEN ret_breach ELSE ret_vert END AS ret_touch
+       |  FROM p2a
+       |),
+       |p1b AS (SELECT event_id, event_ts, touch_ts FROM p2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "tbm_labels" ->
