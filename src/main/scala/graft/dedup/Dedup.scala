@@ -163,12 +163,15 @@ object Dedup {
     agg.select(col("id"), concat(nibChars: _*).as("simhash"))
   }
 
-  /** Hamming distance between two 16-hex-char SimHashes (pure expression). */
-  def hammingHex(a: Column, b: Column): Column =
-    (0 until 16).map { j =>
-      bit_count(conv(substring(a, j + 1, 1), 16, 10).cast("int")
-        .bitwiseXOR(conv(substring(b, j + 1, 1), 16, 10).cast("int")))
-    }.reduce(_ + _).cast("int")
+  /** Hamming distance between two 16-hex-char SimHashes (pure expression):
+    * two 32-bit halves per operand → XOR → popcount, instead of 16 per-nibble
+    * string conversions per side.
+    */
+  def hammingHex(a: Column, b: Column): Column = {
+    def half(c: Column, pos: Int) = conv(substring(c, pos, 8), 16, 10).cast("long")
+    (bit_count(half(a, 1).bitwiseXOR(half(b, 1))) +
+      bit_count(half(a, 9).bitwiseXOR(half(b, 9)))).cast("int")
+  }
 
   /** Near-dup pairs by SimHash: pigeonhole banding (16 hex chars → `bands`
     * equal slices; Hamming ≤ h bits flips ≤ h nibbles, so any pair within
@@ -184,11 +187,16 @@ object Dedup {
   def simhashPairs(sh: DataFrame, maxHamming: Int, bands: Int = 4): DataFrame = {
     require(maxHamming < bands, "pigeonhole completeness needs maxHamming < bands")
     val width = 16 / bands
+    // cache the banded table: both sides of the self-join below would
+    // otherwise recompute the full upstream simhash aggregation. It is
+    // (bands) rows × ~30 bytes per doc — small at any corpus size worth
+    // self-joining.
     val b = sh.select(col("id"), col("simhash"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           i => struct(i.as("band"),
             col("simhash").substr(i * width + lit(1), lit(width)).as("bk")))).as("x"))
       .select(col("id"), col("simhash"), col("x.band").as("band"), col("x.bk").as("bk"))
+      .cache()
     val l = b.as("l"); val r = b.as("r")
     l.join(r, col("l.band") === col("r.band") && col("l.bk") === col("r.bk") &&
         col("l.id") < col("r.id"))
