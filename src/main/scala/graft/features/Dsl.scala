@@ -36,6 +36,10 @@ object FSpec {
   case class FRet(x: FSpec, n: Int, isLog: Boolean) extends FSpec
   /** sma / std / min / max / median / ewma / zscore / burst over n rows */
   case class FRoll(op: String, x: FSpec, n: Int) extends FSpec
+  /** named function from [[Dsl.register]] — the `ExternalFunction`
+    * equivalent (transforms.py:1668-1805): serialized by registry name.
+    */
+  case class FCall(fn: String, x: FSpec) extends FSpec
 }
 
 /** User-facing wrapper with the reference's operator surface. */
@@ -63,6 +67,7 @@ case class Feature(spec: FSpec) {
   def ewma(span: Int): Feature = Feature(FRoll("ewma", spec, span))
   def zscore(n: Int): Feature = Feature(FRoll("zscore", spec, n))
   def burst(n: Int): Feature = Feature(FRoll("burst", spec, n))
+  def call(fn: String): Feature = Feature(FCall(fn, spec))
   def name: String = Dsl.nameOf(spec)
 }
 
@@ -71,6 +76,21 @@ object Dsl {
 
   def col(c: String): Feature = Feature(FCol(c))
   def const(v: Double): Feature = Feature(FConst(v))
+
+  /** Named-function registry — the `ExternalFunction` surface: pipelines
+    * serialize the NAME; deserialization resolves it here, so a JSON plan
+    * only runs functions the receiving engine explicitly registered.
+    */
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, Column => Column]()
+
+  def register(name: String, f: Column => Column): Unit = registry.put(name, f)
+
+  private def resolveCall(name: String): Column => Column = {
+    val f = registry.get(name)
+    require(f != null, s"unregistered DSL function '$name'")
+    f
+  }
 
   /** Reference-style auto-naming (feature/base.py:485-492,1262). */
   def nameOf(s: FSpec): String = s match {
@@ -83,6 +103,7 @@ object Dsl {
     case FRet(x, n, true) => s"${nameOf(x)}_logret_$n"
     case FRet(x, n, false)=> s"${nameOf(x)}_ret_$n"
     case FRoll(op, x, n)  => s"${nameOf(x)}_${op}_$n"
+    case FCall(fn, x)     => s"$fn(${nameOf(x)})"
   }
 
   /** Lower a spec to a Catalyst Column (ordering by bar_ts, optional
@@ -119,6 +140,7 @@ object Dsl {
     case FRoll("zscore", x, n) => Features.zscore(compile(x, p), n, ddof = 0, p = p)
     case FRoll("burst", x, n)  => Features.burstRatio(compile(x, p), n, p)
     case FRoll(op, _, _)       => throw new IllegalArgumentException(s"roll op $op")
+    case FCall(fn, x)          => resolveCall(fn)(compile(x, p))
   }
 
   /** The `FeatureKit.build` equivalent: retained columns ∪ one aliased
@@ -146,6 +168,7 @@ object Dsl {
     case FLag(x, n)        => s"""{"op":"lag","x":${j(x)},"n":$n}"""
     case FRet(x, n, isLog) => s"""{"op":"ret","x":${j(x)},"n":$n,"log":$isLog}"""
     case FRoll(op, x, n)   => s"""{"op":"roll","roll":"${esc(op)}","x":${j(x)},"n":$n}"""
+    case FCall(fn, x)      => s"""{"op":"call","fn":"${esc(fn)}","x":${j(x)}}"""
   }
 
   def toJson(feats: Seq[Feature]): String =
@@ -239,6 +262,8 @@ object Dsl {
           fields("n").asInstanceOf[Double].toInt, fields("log").asInstanceOf[Boolean])
         case "roll"  => FRoll(fields("roll").asInstanceOf[String],
           fields("x").asInstanceOf[FSpec], fields("n").asInstanceOf[Double].toInt)
+        case "call"  => FCall(fields("fn").asInstanceOf[String],
+          fields("x").asInstanceOf[FSpec])
         case u if unaryOps(u)  => FUnary(u, fields("x").asInstanceOf[FSpec])
         case b if binaryOps(b) => FBinary(b, fields("a").asInstanceOf[FSpec],
           fields("b").asInstanceOf[FSpec])

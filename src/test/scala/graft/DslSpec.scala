@@ -66,4 +66,19 @@ class DslSpec extends AnyFunSuite {
       Dsl.fromJson("""[{"op":"mystery","x":{"op":"col","col":"c"}}]""")
     }
   }
+
+  test("registered external function round-trips by name and executes") {
+    Dsl.register("double_it", c => c * 2)
+    val f = Dsl.col("close").call("double_it")
+    assert(f.name == "double_it(close)")
+    val back = Dsl.fromJson(Dsl.toJson(Seq(f)))
+    assert(back.map(_.spec) == Seq(f.spec))
+    val df = Seq((1L, 10.0)).toDF("bar_ts", "close")
+    val out = Dsl.build(df, back, Seq("bar_ts")).collect().head
+    assert(out.getDouble(1) == 20.0)
+    // unregistered names are rejected at compile time, not silently null
+    intercept[IllegalArgumentException] {
+      Dsl.build(df, Seq(Dsl.col("close").call("nope")), Nil).collect()
+    }
+  }
 }
