@@ -29,18 +29,14 @@ object EventBars {
       .where(col("rn0") >= 1)
       .withColumn("bar_id", expr(s"rn0 div $threshold"))
 
-  /** OHLCV over explicit bar ids; close ts = last trade's ts. */
+  /** OHLCV over explicit bar ids; close ts = last trade's ts. Fixed-width
+    * two-pass aggregation (see TimeBars.ohlcvTwoPass) — no SortAggregate.
+    */
   def ohlcvByBarId(withIds: DataFrame): DataFrame =
-    withIds.groupBy("bar_id").agg(
-      max("ts").as("bar_ts"),
-      min_by(col("price"), struct(col("ts"), col("id"))).as("open"),
-      max("price").as("high"),
-      min("price").as("low"),
-      max_by(col("price"), struct(col("ts"), col("id"))).as("close"),
-      sum("qty").as("volume"),
-      count(lit(1)).as("trades"),
-      median(col("qty")).as("median_trade_size"),
-      (sum(col("price") * col("qty")) / sum(col("qty"))).as("vwap"))
+    TimeBars.ohlcvTwoPass(withIds, "bar_id")
+      .withColumn("bar_ts", col("__lts"))
+      .select("bar_id", "bar_ts", "open", "high", "low", "close", "volume",
+        "trades", "median_trade_size", "vwap")
 
   def tickBarsOhlcv(trades: DataFrame, threshold: Int): DataFrame = {
     val ids = tickBarIds(trades, threshold)
@@ -108,23 +104,28 @@ object EventBars {
     val out = StructType(schema.fields :+
       StructField("bar_id", LongType) :+ StructField("bar_closed", BooleanType))
     laid.mapPartitions { it =>
-      // restart the kernel at each key change (keys are contiguous)
-      val grouped = new Iterator[Iterator[Row]] {
-        val buf = it.buffered
-        def hasNext: Boolean = buf.hasNext
-        def next(): Iterator[Row] = {
-          val k = keyIdxs.map(buf.head.get)
-          new Iterator[Row] {
-            def hasNext: Boolean = buf.hasNext && keyIdxs.map(buf.head.get) == k
-            def next(): Row = buf.next()
-          }
-        }
-      }
-      grouped.flatMap(g => kernel(g, qtyIdx, priceIdx).map {
+      keyRuns(it, keyIdxs).flatMap(g => kernel(g, qtyIdx, priceIdx).map {
         case (r, id, closed) => Row.fromSeq(r.toSeq :+ id :+ closed)
       })
     }(Encoders.row(out)).toDF()
   }
+
+  /** Split a partition iterator into contiguous per-key runs so sequential
+    * kernels restart (state reset) at every key change. With empty keyIdxs
+    * the whole partition is one run.
+    */
+  private def keyRuns(it: Iterator[Row], keyIdxs: Seq[Int]): Iterator[Iterator[Row]] =
+    new Iterator[Iterator[Row]] {
+      val buf = it.buffered
+      def hasNext: Boolean = buf.hasNext
+      def next(): Iterator[Row] = {
+        val k = keyIdxs.map(buf.head.get)
+        new Iterator[Row] {
+          def hasNext: Boolean = buf.hasNext && keyIdxs.map(buf.head.get) == k
+          def next(): Row = buf.next()
+        }
+      }
+    }
 
   /** Drop the unassigned first trade and the trailing partial bar (a bar is
     * complete iff its close fired), then aggregate — parity with the
@@ -151,39 +152,44 @@ object EventBars {
     val pIdx = schema.fieldIndex("price")
     val tsIdx = schema.fieldIndex("ts")
     val sIdx = schema.fieldIndex(sigmaCol)
+    val keyIdxs = keyCols.map(schema.fieldIndex)
     val out = StructType(schema.fields :+ StructField("is_event", BooleanType))
     laid.mapPartitions { it =>
-      val rows = it.buffered
-      var sPos = 0.0
-      var sNeg = 0.0
-      var prevPrice = Double.NaN
-      var prevSigma = Double.NaN
-      var seenFirst = false
-      new Iterator[Row] {
-        def hasNext: Boolean = rows.hasNext
-        def next(): Row = {
-          val r = rows.next()
-          val price = r.getDouble(pIdx)
-          val rawSigma = if (r.isNullAt(sIdx)) Double.NaN else r.getDouble(sIdx)
-          val sigma = if (rawSigma.isNaN) prevSigma else rawSigma
-          var event = false
-          if (!seenFirst) {
-            if (!sigma.isNaN) { seenFirst = true; event = true } // first valid row opens
-          } else {
-            val ret = math.log(price / prevPrice)
-            sPos = math.max(0.0, sPos + ret)
-            sNeg = math.min(0.0, sNeg + ret)
-            // cannot close inside an equal-timestamp print block
-            val inBlock = rows.hasNext && rows.head.getLong(tsIdx) == r.getLong(tsIdx)
-            if (!inBlock) {
-              val lam = math.max(sigmaMult * sigma, sigmaFloor)
-              if (sPos >= lam) { event = true; sPos = 0.0 }
-              else if (sNeg <= -lam) { event = true; sNeg = 0.0 }
+      // state (cusum sums, prev price/sigma) resets at every key run —
+      // log-returns and thresholds must not leak across symbols
+      keyRuns(it, keyIdxs).flatMap { run =>
+        val rows = run.buffered
+        var sPos = 0.0
+        var sNeg = 0.0
+        var prevPrice = Double.NaN
+        var prevSigma = Double.NaN
+        var seenFirst = false
+        new Iterator[Row] {
+          def hasNext: Boolean = rows.hasNext
+          def next(): Row = {
+            val r = rows.next()
+            val price = r.getDouble(pIdx)
+            val rawSigma = if (r.isNullAt(sIdx)) Double.NaN else r.getDouble(sIdx)
+            val sigma = if (rawSigma.isNaN) prevSigma else rawSigma
+            var event = false
+            if (!seenFirst) {
+              if (!sigma.isNaN) { seenFirst = true; event = true } // first valid row opens
+            } else {
+              val ret = math.log(price / prevPrice)
+              sPos = math.max(0.0, sPos + ret)
+              sNeg = math.min(0.0, sNeg + ret)
+              // cannot close inside an equal-timestamp print block
+              val inBlock = rows.hasNext && rows.head.getLong(tsIdx) == r.getLong(tsIdx)
+              if (!inBlock) {
+                val lam = math.max(sigmaMult * sigma, sigmaFloor)
+                if (sPos >= lam) { event = true; sPos = 0.0 }
+                else if (sNeg <= -lam) { event = true; sNeg = 0.0 }
+              }
             }
+            if (seenFirst) { prevPrice = price }
+            prevSigma = sigma
+            Row.fromSeq(r.toSeq :+ event)
           }
-          if (seenFirst) { prevPrice = price }
-          prevSigma = sigma
-          Row.fromSeq(r.toSeq :+ event)
         }
       }
     }(Encoders.row(out)).toDF()

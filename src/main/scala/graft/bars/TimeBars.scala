@@ -29,25 +29,50 @@ object TimeBars {
     // ts + ((iv - ts mod iv) mod iv)
     ts + pmod(lit(intervalNs) - pmod(ts, lit(intervalNs)), lit(intervalNs))
 
+  /** Fixed-width two-pass OHLCV core shared by time/event bars.
+    *
+    * Pass 1 is all fixed-width-buffer aggregates over the full trade stream
+    * (hash aggregation; `median` rides along as an ObjectHashAggregate
+    * buffer). Open/close need a (ts, id) tie-break — µs-quantized equal-ts
+    * trades exist — but a struct-keyed `min_by`/`max_by` buffer demotes the
+    * ENTIRE aggregation to SortAggregate (a full per-partition sort of all
+    * trades). Instead pass 2 re-joins only the rows sitting at each group's
+    * first/last timestamp (a handful per group; the group table broadcasts
+    * under AQE) and tie-breaks those with a plain long `id` key.
+    */
+  private[graft] def ohlcvTwoPass(t: DataFrame, g: String): DataFrame = {
+    val agg = t.groupBy(g).agg(
+      min("ts").as("__fts"),
+      max("ts").as("__lts"),
+      max("price").as("high"),
+      min("price").as("low"),
+      sum("qty").as("volume"),
+      count(lit(1)).as("trades"),
+      median(col("qty")).as("median_trade_size"),
+      (sum(col("price") * col("qty")) / sum(col("qty"))).as("vwap"))
+    val oc = t.join(agg.select(col(g), col("__fts"), col("__lts")), Seq(g))
+      .where(col("ts") === col("__fts") || col("ts") === col("__lts"))
+      .groupBy(g).agg(
+        // min_by/max_by ignore rows whose ordering expression is null, so
+        // each picks only among its own boundary-timestamp rows
+        min_by(when(col("ts") === col("__fts"), col("price")),
+               when(col("ts") === col("__fts"), col("id"))).as("open"),
+        max_by(when(col("ts") === col("__lts"), col("price")),
+               when(col("ts") === col("__lts"), col("id"))).as("close"))
+    // __fts/__lts retained (first/last trade ts per group) — callers select
+    agg.join(oc, Seq(g))
+  }
+
   /** OHLCV aggregation per bar. `fillEmpty` re-creates the reference's
     * zero-volume empty bars over the full time grid.
     */
   def ohlcv(trades: DataFrame, intervalSec: Long, fillEmpty: Boolean = true): DataFrame = {
     val iv = intervalSec * 1000000000L
-    val agg = trades
-      .withColumn("bar_ts", expr(s"((ts + ${iv - 1}L) div ${iv}L) * ${iv}L"))
-      .groupBy("bar_ts")
-      .agg(
-        // (ts, id) key: ts is µs-quantized so equal-timestamp trades exist;
-        // a bare ts key would leave open/close tie-broken arbitrarily.
-        min_by(col("price"), struct(col("ts"), col("id"))).as("open"),
-        max("price").as("high"),
-        min("price").as("low"),
-        max_by(col("price"), struct(col("ts"), col("id"))).as("close"),
-        sum("qty").as("volume"),
-        count(lit(1)).as("trades"),
-        median(col("qty")).as("median_trade_size"),
-        (sum(col("price") * col("qty")) / sum(col("qty"))).as("vwap"))
+    val agg = ohlcvTwoPass(
+        trades.withColumn("bar_ts", expr(s"((ts + ${iv - 1}L) div ${iv}L) * ${iv}L")),
+        "bar_ts")
+      .select("bar_ts", "open", "high", "low", "close", "volume", "trades",
+        "median_trade_size", "vwap")
     if (!fillEmpty) agg
     else {
       // grid of all bar closes in (floor(min/iv)*iv, ceil(max/iv)*iv]
@@ -140,14 +165,26 @@ object TimeBars {
 
   /** Resample bars to a coarser timeframe — `TimeBarReader._resample`
     * (bar/io.py:890-950): first/max/min/last + summed volume/trades,
-    * volume-weighted vwap recombination; empty periods dropped.
+    * volume-weighted vwap recombination, trades-weighted median of the
+    * source bars' `median_trade_size` (io.py:931-944: cum-weight cutoff at
+    * half the total, searchsorted side='left'); empty periods dropped.
+    *
+    * One shuffle: the cum-weight window partitions by rs_ts and the groupBy
+    * reuses that partitioning. min_by/max_by keys are plain longs
+    * (fixed-width buffers → hash aggregation).
     */
   def resample(bars: DataFrame, fromSec: Long, toSec: Long): DataFrame = {
     require(toSec % fromSec == 0, "target timeframe must be a multiple")
     val iv = toSec * 1000000000L
-    bars
+    val src = bars
       .where(col("trades") > 0) // resample over non-empty source bars
       .withColumn("rs_ts", expr(s"((bar_ts + ${iv - 1}L) div ${iv}L) * ${iv}L"))
+    val wOrd = Window.partitionBy("rs_ts")
+      .orderBy(col("median_trade_size").asc, col("bar_ts").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    src
+      .withColumn("__cumw", sum(col("trades").cast("double")).over(wOrd))
+      .withColumn("__totw", sum(col("trades").cast("double")).over(Window.partitionBy("rs_ts")))
       .groupBy("rs_ts")
       .agg(
         min_by(col("open"), col("bar_ts")).as("open"),
@@ -156,6 +193,10 @@ object TimeBars {
         max_by(col("close"), col("bar_ts")).as("close"),
         sum("volume").as("volume"),
         sum("trades").as("trades"),
+        // weighted median = size of the first (size-ascending) row whose
+        // cumulative weight reaches half the total: min over qualifying rows
+        min(when(col("__cumw") >= col("__totw") * 0.5, col("median_trade_size")))
+          .as("median_trade_size"),
         (sum(col("vwap") * col("volume")) / sum(col("volume"))).as("vwap"))
   }
 }

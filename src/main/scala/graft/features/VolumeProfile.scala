@@ -76,12 +76,20 @@ object VolumeProfile {
     */
   def rolling(footprint: DataFrame, intervalSec: Long, windowBars: Int): DataFrame = {
     val iv = intervalSec * 1000000000L
+    // Each footprint row contributes to exactly `windowBars` targets on the
+    // bar grid: explode that target list per row and equi-join against the
+    // set of real bars. A pure range predicate here would be a
+    // BroadcastNestedLoopJoin — O(targets × rows) at scale; the explode is
+    // O(rows × windowBars) map-side work feeding an equi shuffle instead.
+    // Assumes bar_ts sits on the intervalSec grid (true for TimeBars output).
     val targets = footprint.select(col("bar_ts").as("target_ts")).distinct()
-    val contrib = targets.join(footprint,
-      col("bar_ts") <= col("target_ts") &&
-      col("bar_ts") > col("target_ts") - lit(windowBars.toLong * iv))
-    contrib.groupBy(col("target_ts"), col("level"))
-      .agg(sum(col("buy_volume") + col("sell_volume")).as("volume"))
+    val exploded = footprint.select(
+      explode(sequence(col("bar_ts"),
+        col("bar_ts") + lit((windowBars - 1).toLong * iv), lit(iv))).as("target_ts"),
+      col("level"), (col("buy_volume") + col("sell_volume")).as("v"))
+    exploded.join(targets, "target_ts") // drop phantom targets past the last bar / in gaps
+      .groupBy(col("target_ts"), col("level"))
+      .agg(sum(col("v")).as("volume"))
   }
 
   /** Anchored (developing) profile within each UTC day — cumulative

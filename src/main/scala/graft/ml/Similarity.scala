@@ -61,31 +61,91 @@ object Similarity {
   }
 
   /** All pairs (a < b) with cosine ≥ threshold — the embedding near-dup
-    * primitive. One side broadcast (sorted by id for the a<b scan), the
-    * other streamed partition-parallel.
+    * primitive, EXACT variant.
+    *
+    * Distributed block self-join: rows are hashed into `ceil(n/blockRows)`
+    * id-blocks; each row is replicated to every block-PAIR bucket containing
+    * its block, then each bucket task materializes its ≤ 2·blockRows rows
+    * and runs the tight pairwise loop. No driver collect, no broadcast of
+    * the corpus; per-task memory is bounded by `blockRows`, and compute /
+    * shuffle spread over B(B+1)/2 tasks. All-pairs is inherently O(n²) —
+    * at corpus scale use [[lshNearDupPairs]] (approximate) instead.
     */
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
-                   threshold: Double): DataFrame = {
+                   threshold: Double, blockRows: Int = 4096): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val v = unitVecs(emb, idCol, vecCol)
-    val bc = spark.sparkContext.broadcast(v.collect().sortBy(_._1))
-    v.mapPartitions { it =>
-      val arr = bc.value
-      it.flatMap { case (ida, va) =>
-        // first index with id > ida (ids are sorted, may be sparse)
-        var lo = 0; var hi = arr.length
-        while (lo < hi) {
-          val mid = (lo + hi) >>> 1
-          if (arr(mid)._1 <= ida) lo = mid + 1 else hi = mid
-        }
-        Iterator.range(lo, arr.length).flatMap { j =>
-          val c = dotArr(va, arr(j)._2)
-          if (c >= threshold) Some((ida, arr(j)._1, c)) else None
+    val n = v.count()
+    val nB = math.max(1, math.ceil(n.toDouble / blockRows).toInt)
+    v.flatMap { case (id, vec) =>
+        val b = java.lang.Math.floorMod(id, nB.toLong).toInt
+        Iterator.range(0, nB).map { o =>
+          val (i, j) = if (o < b) (o, b) else (b, o)
+          (i * nB + j, id, vec)
         }
       }
-    }.toDF("id_a", "id_b", "cos")
+      .groupByKey(_._1)
+      .flatMapGroups { (key, it) =>
+        val i = key / nB; val j = key % nB
+        val rows = it.map(r => (r._2, r._3)).toArray
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var a = 0
+        while (a < rows.length) {
+          val (ida, va) = rows(a)
+          val ba = java.lang.Math.floorMod(ida, nB.toLong).toInt
+          var bi = a + 1
+          while (bi < rows.length) {
+            val (idb, vb) = rows(bi)
+            // a pair is owned by exactly one bucket: the one keyed by its
+            // own (sorted) block pair — skip same-block pairs in mixed
+            // buckets so nothing is emitted twice
+            val bb = java.lang.Math.floorMod(idb, nB.toLong).toInt
+            if (i == j || ba != bb) {
+              val c = dotArr(va, vb)
+              if (c >= threshold) {
+                if (ida < idb) out += ((ida, idb, c)) else out += ((idb, ida, c))
+              }
+            }
+            bi += 1
+          }
+          a += 1
+        }
+        out.iterator
+      }.toDF("id_a", "id_b", "cos")
   }
+
+  /** Approximate near-dup pairs via sign-LSH banding: candidates = pairs
+    * sharing ≥1 signature band (id-only equi-self-join, vectors stay out of
+    * the band shuffle), then exact-cosine verification of candidates only.
+    * Recall < 1 by construction (property-tested vs [[nearDupPairs]]) —
+    * this is the 100 TB path; tune `nPlanes`/`bandBits` to the threshold
+    * (more bands → higher recall, more candidates).
+    */
+  def lshNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double, nPlanes: Int = 64, bandBits: Int = 4): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val planes = hyperplanes(nPlanes, vecDim(emb, vecCol))
+    val bands = lshBandRows(emb, idCol, vecCol, planes, bandBits)
+    val cand = bands.toDF("id_a", "band", "bk")
+      .join(bands.toDF("id_b", "band", "bk"), Seq("band", "bk"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val nv = unitVecs(emb, idCol, vecCol)
+    cand
+      .join(nv.toDF("id_a", "va"), "id_a")
+      .join(nv.toDF("id_b", "vb"), "id_b")
+      .select(col("id_a").cast("long"), col("id_b").cast("long"), col("va"), col("vb"))
+      .as[(Long, Long, Array[Double], Array[Double])]
+      .map { case (a, b, va, vb) => (a, b, dotArr(va, vb)) }
+      .toDF("id_a", "id_b", "cos")
+      .where(col("cos") >= threshold)
+  }
+
+  /** Embedding dimensionality observed on the first row. */
+  private def vecDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head().getInt(0)
 
   /** Brute-force cosine top-k: broadcast the (small) query set, stream the
     * corpus once keeping a bounded per-query top-k per partition, then take
@@ -178,7 +238,7 @@ object Similarity {
               vecCol: String, k: Int, nPlanes: Int = 16, bandBits: Int = 4): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val planes = hyperplanes(nPlanes, 64)
+    val planes = hyperplanes(nPlanes, vecDim(corpus, vecCol))
     val qBands = broadcast(lshBandRows(queries, idCol, vecCol, planes, bandBits)
       .withColumnRenamed("id", "query_id"))
     val cBands = lshBandRows(corpus, idCol, vecCol, planes, bandBits)

@@ -110,13 +110,16 @@ object FeatureQueries {
       val base = b(s, dir)
       val cues = timeCues("bar_ts")
       base.select((col("bar_ts") +: cues.map { case (n, c) =>
-        (if (n.startsWith("sin") || n.startsWith("cos")) r6(c) else c.cast("boolean")).as(n)
+        // + 0.0 folds -0.0 to +0.0 (Spark round() can differ from DuckDB's
+        // sign-preserving round at pi multiples); oracle normalizes likewise.
+        (if (n.startsWith("sin") || n.startsWith("cos")) r6(c) + lit(0.0) else c.cast("boolean")).as(n)
       }): _*)
     }),
 
     // Candle shape (4 outputs)
     "f_candle_shape" -> ((s, dir) =>
-      b(s, dir).select((col("bar_ts") +: candleShape.map { case (n, c) => r6(c).as(n) }): _*)),
+      // + 0.0 folds -0.0 (vwap == open) to +0.0, matching the oracle's + 0e0.
+      b(s, dir).select((col("bar_ts") +: candleShape.map { case (n, c) => (r6(c) + lit(0.0)).as(n) }): _*)),
 
     // Opening-range breakout flags
     "f_orb_break" -> ((s, dir) =>
@@ -290,10 +293,10 @@ object FeatureQueries {
 
     "f_time_cues" -> withB(
       """SELECT bar_ts,
-        |  round(sin(2 * pi() * (sec % 86400) / 86400.0), 6) AS sin_td,
-        |  round(cos(2 * pi() * (sec % 86400) / 86400.0), 6) AS cos_td,
-        |  round(sin(2 * pi() * ((sec // 86400 + 3) % 7) / 7.0), 6) AS sin_dw,
-        |  round(cos(2 * pi() * ((sec // 86400 + 3) % 7) / 7.0), 6) AS cos_dw,
+        |  round(sin(2 * pi() * (sec % 86400) / 86400.0), 6) + 0e0 AS sin_td,
+        |  round(cos(2 * pi() * (sec % 86400) / 86400.0), 6) + 0e0 AS cos_td,
+        |  round(sin(2 * pi() * ((sec // 86400 + 3) % 7) / 7.0), 6) + 0e0 AS sin_dw,
+        |  round(cos(2 * pi() * ((sec // 86400 + 3) % 7) / 7.0), 6) + 0e0 AS cos_dw,
         |  hr >= 0 AND hr < 8 AS asia_session,
         |  hr >= 7 AND hr < 15 AS eu_session,
         |  hr >= 13 AND hr < 21 AS us_session,
@@ -306,10 +309,10 @@ object FeatureQueries {
 
     "f_candle_shape" -> withB(
       """SELECT bar_ts,
-        |  round((high - greatest(open, close)) / (high - low + 1e-12), 6) AS wick_up,
-        |  round((least(open, close) - low) / (high - low + 1e-12), 6) AS wick_dn,
-        |  round(abs(close - open) / (high - low + 1e-12), 6) AS body,
-        |  round(CASE WHEN trades > 0 THEN (vwap - open) / open END, 6) AS vwap_drift
+        |  round((high - greatest(open, close)) / (high - low + 1e-12), 6) + 0e0 AS wick_up,
+        |  round((least(open, close) - low) / (high - low + 1e-12), 6) + 0e0 AS wick_dn,
+        |  round(abs(close - open) / (high - low + 1e-12), 6) + 0e0 AS body,
+        |  round(CASE WHEN trades > 0 THEN (vwap - open) / open END, 6) + 0e0 AS vwap_drift
         |FROM b""".stripMargin),
 
     "f_orb_break" -> withB(

@@ -60,7 +60,9 @@ object TradeQueries {
       TimeBars.resample(TimeBars.ohlcv(trades(s, dir), 300), 300, 3600).select(
         col("rs_ts"), r6(col("open")).as("open"), r6(col("high")).as("high"),
         r6(col("low")).as("low"), r6(col("close")).as("close"),
-        r6(col("volume")).as("volume"), col("trades"), r6(col("vwap")).as("vwap"))),
+        r6(col("volume")).as("volume"), col("trades"),
+        r6(col("median_trade_size")).as("median_trade_size"),
+        r6(col("vwap")).as("vwap"))),
 
     // Time-gap integrity scan (§2.1 H5Inspector.inspect_gaps).
     "integrity_time_gaps" -> ((s, dir) =>
@@ -159,13 +161,22 @@ object TradeQueries {
 
     "resample_5m_to_1h" -> {
       val iv = 3600L * 1000000000L
-      s"""WITH $tradesCte, ${barsCte(300)}
-         |SELECT ((bar_ts + ${iv - 1}) // $iv) * $iv AS rs_ts,
+      s"""WITH $tradesCte, ${barsCte(300)},
+         |src AS (
+         |  SELECT *, ((bar_ts + ${iv - 1}) // $iv) * $iv AS rs_ts,
+         |    sum(CAST(trades AS DOUBLE)) OVER (PARTITION BY ((bar_ts + ${iv - 1}) // $iv) * $iv
+         |      ORDER BY median_trade_size, bar_ts
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+         |    sum(CAST(trades AS DOUBLE)) OVER (PARTITION BY ((bar_ts + ${iv - 1}) // $iv) * $iv) AS totw
+         |  FROM bars WHERE trades > 0
+         |)
+         |SELECT rs_ts,
          |  ${rd("arg_min(open, bar_ts)")} AS open, ${rd("max(high)")} AS high,
          |  ${rd("min(low)")} AS low, ${rd("arg_max(close, bar_ts)")} AS close,
          |  ${rd("sum(volume)")} AS volume, CAST(sum(trades) AS BIGINT) AS trades,
+         |  ${rd("min(CASE WHEN cumw >= totw * 0.5 THEN median_trade_size END)")} AS median_trade_size,
          |  ${rd("sum(vwap * volume) / sum(volume)")} AS vwap
-         |FROM bars WHERE trades > 0 GROUP BY 1""".stripMargin
+         |FROM src GROUP BY 1""".stripMargin
     },
 
     "integrity_time_gaps" ->

@@ -101,6 +101,47 @@ class DocSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"LSH recall $recall too low (found ${approx.size} pairs)")
   }
 
+  test("blocked nearDupPairs matches single-block result and emits no duplicates") {
+    val dim = 16
+    def vec(cluster: Int, i: Int): Array[Float] =
+      Array.tabulate(dim) { d =>
+        val base = if (d % 4 == cluster % 4) 1.0f else 0.1f
+        base + 0.05f * (((cluster * 31 + i * 17 + d * 7) % 11) - 5)
+      }
+    val rows = for (c <- 0 until 4; i <- 0 until 10)
+      yield ((c * 10 + i).toLong, vec(c, i).toSeq)
+    val e = rows.toDF("vec_id", "embedding")
+    def pairs(blockRows: Int) =
+      Similarity.nearDupPairs(e, "vec_id", "embedding", 0.8, blockRows)
+        .collect().map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9)))
+    val single = pairs(1000) // 1 block: plain in-task double loop
+    val blocked = pairs(7)   // 6 blocks: replicated block-pair buckets
+    assert(single.nonEmpty)
+    assert(blocked.length == blocked.toSet.size, "duplicate pair emitted")
+    assert(single.toSet == blocked.toSet)
+    assert(blocked.forall { case (a, b, _) => a < b })
+  }
+
+  test("LSH nearDupPairs: subset of exact pairs, high recall on clustered vectors") {
+    val dim = 64
+    def vec(cluster: Int, i: Int): Array[Float] =
+      Array.tabulate(dim) { d =>
+        val base = if (d % 8 == cluster % 8) 1.0f else 0.1f
+        base + 0.05f * (((cluster * 31 + i * 17 + d * 7) % 11) - 5)
+      }
+    val rows = for (c <- 0 until 8; i <- 0 until 12)
+      yield ((c * 12 + i).toLong, vec(c, i).toSeq)
+    val e = rows.toDF("vec_id", "embedding")
+    val exact = Similarity.nearDupPairs(e, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshNearDupPairs(e, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(approx.subsetOf(exact), "LSH verify must never emit a below-threshold pair")
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"LSH near-dup recall $recall too low (${approx.size}/${exact.size})")
+  }
+
   test("cosine is exact on hand vectors") {
     val d = Seq((1L, Seq(1.0f, 0.0f), Seq(0.0f, 2.0f)),
       (2L, Seq(1.0f, 1.0f), Seq(1.0f, 1.0f)),

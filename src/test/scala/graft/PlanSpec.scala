@@ -1,0 +1,66 @@
+package graft
+
+import graft.bars.{EventBars, TimeBars}
+import graft.features.VolumeProfile
+import graft.trades.Trades
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape guards: the scale properties the operators promise
+  * (hash aggregation, no nested-loop joins) must survive refactors.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def trades(n: Int): DataFrame =
+    (0 until n).map { i =>
+      (i.toLong * 100000000L, i.toLong, 100.0 + (i % 7) * 0.01, 1.0 + (i % 3))
+    }.toDF("ts", "id", "price", "qty")
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("time-bar OHLCV aggregates hash-based (no SortAggregate)") {
+    val p = plan(TimeBars.ohlcv(trades(5000), 300, fillEmpty = false))
+    assert(!p.contains("SortAggregate"), s"SortAggregate in plan:\n$p")
+    assert(p.contains("HashAggregate"), s"no hash aggregate in plan:\n$p")
+  }
+
+  test("event-bar OHLCV aggregates hash-based (no SortAggregate)") {
+    val ids = trades(5000).withColumn("bar_id", expr("id div 500"))
+    val p = plan(EventBars.ohlcvByBarId(ids))
+    assert(!p.contains("SortAggregate"), s"SortAggregate in plan:\n$p")
+  }
+
+  test("rolling volume profile joins equi (no BroadcastNestedLoopJoin)") {
+    val t = Trades.withTickRuleSide(trades(5000))
+    val fp = graft.bars.Footprints.build(t, 300, 0.01, 3.0)
+    val p = plan(VolumeProfile.rolling(fp, 300, 6))
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ in plan:\n$p")
+  }
+
+  test("two-pass OHLCV equals struct-keyed reference on tie-heavy data") {
+    // many equal-ts trades: 10 prints per timestamp, distinct ids
+    val t = (0 until 2000).map { i =>
+      ((i / 10).toLong * 1000000000L, i.toLong, 100.0 + (i % 13) * 0.01, 1.0)
+    }.toDF("ts", "id", "price", "qty")
+    val twoPass = TimeBars.ohlcv(t, 60, fillEmpty = false)
+      .select("bar_ts", "open", "close")
+    val ref = t.withColumn("bar_ts", TimeBars.barTs(60L * 1000000000L))
+      .groupBy("bar_ts").agg(
+        min_by(col("price"), struct(col("ts"), col("id"))).as("open"),
+        max_by(col("price"), struct(col("ts"), col("id"))).as("close"))
+    val a = twoPass.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    val b = ref.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(a == b)
+  }
+}
