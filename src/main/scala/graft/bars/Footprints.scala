@@ -57,7 +57,12 @@ object Footprints {
     * grid), vp_skew and vp_gini (base.py:800-848).
     */
   def summary(footprint: DataFrame): DataFrame = {
+    // Single pass: the per-bar scalars the join-branch formulation derived by
+    // re-joining (POC volume, vwap, island run lengths) ride window columns
+    // alongside each row, and ONE groupBy folds everything — the branchy
+    // version recomputed the whole upstream footprint per branch (×4).
     val wl = Window.partitionBy("bar_ts").orderBy("level")
+    val bar = Window.partitionBy("bar_ts")
     val sgn = when(col("buy_imbalance"), 1).when(col("sell_imbalance"), -1).otherwise(0)
     val f = footprint
       .withColumn("total_volume", col("buy_volume") + col("sell_volume"))
@@ -69,37 +74,28 @@ object Footprints {
           .when(col("level") =!= lag("level", 1).over(wl) + 1, 1)
           .otherwise(0))
       .withColumn("grp", sum("brk").over(wl.rowsBetween(Window.unboundedPreceding, 0)))
-    // per-island run lengths (nonzero signs only)
-    val islands = f.where(col("sgn") =!= 0)
-      .groupBy("bar_ts", "grp", "sgn")
-      .agg(count(lit(1)).as("len"), min("level").as("start_level"))
-    val bestRun = islands
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("bar_ts").orderBy(col("len").desc, col("start_level").asc)))
-      .where(col("rk") === 1)
-      .select(col("bar_ts"), (col("len") * col("sgn")).as("imb_max_run_signed"))
-    val perBar = f.groupBy("bar_ts").agg(
+    val runW = Window.partitionBy("bar_ts", "grp")
+    val f2 = f
+      .withColumn("__maxv", max("total_volume").over(bar))
+      .withColumn("__vwap", sum(col("level") * col("total_volume")).over(bar) /
+        sum("total_volume").over(bar))
+      .withColumn("__runlen", count(lit(1)).over(runW))
+      .withColumn("__runstart", min("level").over(runW))
+    // island priority packed into ONE long (len desc, start_level asc) so the
+    // best-run argmax stays a fixed-width max_by (no struct key, no sort agg)
+    val islandKey = when(col("sgn") =!= 0,
+      col("__runlen") * lit(4294967296L) + (lit(2147483647L) - col("__runstart")))
+    f2.groupBy("bar_ts").agg(
       sum(col("buy_imbalance").cast("long")).as("buy_imbalances_sum"),
       sum(col("sell_imbalance").cast("long")).as("sell_imbalances_sum"),
-      max("total_volume").as("__maxv"),
-      sum("total_volume").as("__sumv"),
-      (sum(col("level") * col("total_volume")) / sum("total_volume")).as("__vwap"),
-      sum(col("level") * col("total_volume")).as("__lv"),
+      min(when(col("total_volume") === col("__maxv"), col("level"))).as("cot_price_level"),
+      coalesce(max_by(col("__runlen") * col("sgn"), islandKey), lit(0L))
+        .as("imb_max_run_signed"),
+      // vp_skew: Σ(level − vwap)·vol / Σvol — two-pass like the reference
+      // (algebraically ~0; kept for parity, see base.py:836-843)
+      (sum((col("level") - col("__vwap")) * col("total_volume")) /
+        sum("total_volume")).as("vp_skew"),
       (lit(1.0) - sum(col("total_volume") * col("total_volume")) /
         (sum("total_volume") * sum("total_volume"))).as("vp_gini"))
-    val cot = f.join(perBar.select("bar_ts", "__maxv"), Seq("bar_ts"))
-      .where(col("total_volume") === col("__maxv"))
-      .groupBy("bar_ts").agg(min("level").as("cot_price_level"))
-    // vp_skew: Σ(level − vwap)·vol / Σvol — two-pass like the reference
-    // (algebraically ~0; kept for parity, see base.py:836-843)
-    val skew = f.join(perBar.select("bar_ts", "__vwap"), Seq("bar_ts"))
-      .groupBy("bar_ts")
-      .agg((sum((col("level") - col("__vwap")) * col("total_volume")) /
-        sum("total_volume")).as("vp_skew"))
-    perBar.drop("__maxv", "__sumv", "__vwap", "__lv")
-      .join(cot, Seq("bar_ts"))
-      .join(skew, Seq("bar_ts"))
-      .join(bestRun, Seq("bar_ts"), "left")
-      .withColumn("imb_max_run_signed", coalesce(col("imb_max_run_signed"), lit(0L)))
   }
 }

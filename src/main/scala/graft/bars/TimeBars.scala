@@ -104,9 +104,12 @@ object TimeBars {
     * previous trade (the reference reads prices[j-1] across the bar
     * boundary), hence the unpartitioned lag before grouping.
     */
-  def directional(tradesWithSide: DataFrame, intervalSec: Long): DataFrame = {
+  def directional(tradesWithSide: DataFrame, intervalSec: Long,
+                  partCols: Seq[String] = Nil): DataFrame = {
     val iv = intervalSec * 1000000000L
-    val global = Window.orderBy("ts", "id")
+    // empty partCols = the reference's single-series order-total semantics;
+    // with partCols every window/group is per-symbol (shuffle-parallel)
+    val global = Window.partitionBy(partCols.map(col): _*).orderBy("ts", "id")
     val t = tradesWithSide
       .withColumn("bar_ts", expr(s"((ts + ${iv - 1}L) div ${iv}L) * ${iv}L"))
       .withColumn("__flip", col("side") =!= lag("side", 1).over(global))
@@ -114,7 +117,7 @@ object TimeBars {
       .withColumn("__signed_tick", when(col("side") === 1, 1).when(col("side") === -1, -1).otherwise(0))
       .withColumn("__signed_vol", col("__signed_tick") * col("qty"))
       .withColumn("__signed_dollar", col("__signed_tick") * col("price") * col("qty"))
-    val intra = Window.partitionBy("bar_ts").orderBy("ts", "id")
+    val intra = Window.partitionBy((partCols :+ "bar_ts").map(col): _*).orderBy("ts", "id")
       .rowsBetween(Window.unboundedPreceding, 0)
     val t2 = t
       .withColumn("__cum_ticks", sum("__signed_tick").over(intra))
@@ -123,15 +126,21 @@ object TimeBars {
     val isBuy = col("side") === 1
     val isSell = col("side") === -1
     val directed = col("side") =!= 0
-    t2.groupBy("bar_ts").agg(
+    t2.groupBy((partCols :+ "bar_ts").map(col): _*).agg(
       sum(when(isBuy, 1L).otherwise(0L)).as("ticks_buy"),
       sum(when(isSell, 1L).otherwise(0L)).as("ticks_sell"),
       sum(when(isBuy, col("qty")).otherwise(0.0)).as("volume_buy"),
       sum(when(isSell, col("qty")).otherwise(0.0)).as("volume_sell"),
       sum(when(isBuy, col("price") * col("qty")).otherwise(0.0)).as("dollars_buy"),
       sum(when(isSell, col("price") * col("qty")).otherwise(0.0)).as("dollars_sell"),
-      (sum(when(col("__flip"), col("__spread")).otherwise(0.0)) /
-        sum(when(directed, 1L).otherwise(0L))).as("mean_spread"),
+      {
+        // per-symbol groups can be all-undirected (leading side-0 run):
+        // guard the ANSI divide; NULL matches the oracle's NaN→NULL fold
+        val nDirected = sum(when(directed, 1L).otherwise(0L))
+        when(nDirected > 0,
+          sum(when(col("__flip"), col("__spread")).otherwise(0.0)) / nDirected)
+          .as("mean_spread")
+      },
       max(coalesce(when(col("__flip"), col("__spread")), lit(0.0))).as("max_spread"),
       min(when(directed, col("__cum_ticks"))).as("cum_ticks_min"),
       max(when(directed, col("__cum_ticks"))).as("cum_ticks_max"),

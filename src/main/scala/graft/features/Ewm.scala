@@ -112,6 +112,40 @@ object Ewm {
       outName = out, numParts = numParts)
   }
 
+  /** Zero-mean time-decay EW std — `ewmst_mean0`
+    * (core/volatility.py:72-136): σ_t² = U_t/V_t with
+    * U_t = α_t·y_t² + (1−α_t)·U_{t−1}, V_t = α_t + (1−α_t)·V_{t−1},
+    * α_t = 1 − exp(−Δt/halfLife); NaN/null y rows decay both states
+    * without contributing. First row (no Δt) emits NaN.
+    */
+  def ewmstMean0Exact(df: DataFrame, valueCol: String, halfLifeSec: Double,
+                      sigmaFloor: Double = 1e-12, out: String = "ewmst0",
+                      numParts: Int = 32): DataFrame = {
+    val vIdx = df.schema.fieldIndex(valueCol)
+    val tIdx = df.schema.fieldIndex("ts")
+    Scan.affine(
+      df, Seq("ts", "id"), nStates = 2,
+      coefs = (r, prev) => {
+        if (prev == null) {
+          Array.fill(2)(Affine(1.0, 0.0))
+        } else {
+          val dt = (r.getLong(tIdx) - prev.getLong(tIdx)) / 1e9
+          val alpha = 1.0 - math.exp(-dt / halfLifeSec)
+          val om = 1.0 - alpha
+          val y = if (r.isNullAt(vIdx)) Double.NaN else r.getDouble(vIdx)
+          if (java.lang.Double.isNaN(y)) Array(Affine(om, 0.0), Affine(om, 0.0))
+          else Array(Affine(om, alpha * y * y), Affine(om, alpha))
+        }
+      },
+      init = Array(0.0, 0.0),
+      emit = (s, _) => {
+        val (u, v) = (s(0), s(1))
+        if (v <= 0.0) Double.NaN
+        else math.max(math.sqrt(math.max(u / v, 0.0)), sigmaFloor)
+      },
+      outName = out, numParts = numParts)
+  }
+
   // ---------------------------------------------------------------------
   // Windowed (oracle-checkable) Column variants
   // ---------------------------------------------------------------------

@@ -35,7 +35,15 @@ object TripleBarrier {
     val minCloseNs = (minCloseSec * 1e9).toLong
 
     val maxTs = trades.agg(max("ts").as("__max_ts"))
+    // Event preprocessing (label/kit.py:154-178): drop events whose target
+    // can never reach the minimum return even at the widest barrier
+    // (abs(tgt)·max_mult < min_ret) and events with missing/NaN targets.
+    // NaN compares GREATER than any double in Spark — the isnan guard is
+    // load-bearing, not defensive.
+    val maxMult = math.max(topMult, botMult)
     val ev = events
+      .where(col("tgt").isNotNull && !isnan(col("tgt")) &&
+        abs(col("tgt")) * lit(maxMult) >= lit(minRet))
       .withColumn("eside", if (isMeta) col("eside") else lit(1))
       .withColumn("up", lit(topMult) * col("tgt"))
       .withColumn("lo", lit(-botMult) * col("tgt"))

@@ -14,6 +14,14 @@ object Weights {
     * (both ends inclusive, weights.py:34-38) cover each trade row.
     * Sweep-line: +1 at event_ts (before the trade marker at equal ts),
     * −1 at touch_ts ordered after it — one sort, no join.
+    *
+    * DOCUMENTED DEVIATION: intervals are timestamp-sliced, the reference
+    * slices by trade index (concurrency[start_idx:end_idx+1]). With
+    * µs-quantized equal-ts prints, trades sharing the endpoint timestamps
+    * but with ids outside the (event, touch) trade pair are included here
+    * and excluded by the reference. Replicating index semantics would need
+    * the touch TRADE id threaded through the labeler; the DuckDB oracles
+    * mirror the timestamp-slice definition used here.
     */
   def concurrency(trades: DataFrame, labeled: DataFrame): DataFrame = {
     val deltas =
@@ -109,7 +117,7 @@ object Weights {
       .withColumn("__total", sum("avg_uniqueness").over(all))
       .withColumn("__cum", sum("avg_uniqueness").over(w))
       .withColumn("time_decay",
-        greatest(lit(if (lastWeight < 0) 0.0 else Double.MinValue),
+        greatest(lit(if (lastWeight < 0) 0.0 else Double.NegativeInfinity),
           lit(1.0) - slope * col("__total") + slope * col("__cum")))
       .drop("__total", "__cum")
   }

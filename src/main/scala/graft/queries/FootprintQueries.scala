@@ -55,6 +55,15 @@ object FootprintQueries {
       VolumeProfile.valueArea(prof, "day")
     }),
 
+    // Daily profile re-binned into ~30 odd-width buckets with midpoint
+    // labels (bucket_price_levels, volume.py:206-274)
+    "vp_bucketed_day" -> ((s, dir) => {
+      val prof = VolumeProfile.profile(fp(s, dir),
+        expr("bar_ts div 86400000000000"), "day")
+      VolumeProfile.bucket(prof, "day", 30)
+        .select(col("day"), col("level"), r6(col("volume")).as("volume"))
+    }),
+
     // Rolling 6-bar (6h) profile POC per target bar
     "vp_rolling_6h" -> ((s, dir) => {
       val prof = VolumeProfile.rolling(fp(s, dir), ivSec, 6)
@@ -185,6 +194,25 @@ object FootprintQueries {
          |  ${rd("sum(volume)")} AS total_volume
          |FROM prof JOIN poc ON prof.day = poc.day
          |GROUP BY prof.day, poc.poc_level""".stripMargin),
+
+    "vp_bucketed_day" -> withFp(
+      s""", prof AS (
+         |  SELECT bar_ts // 86400000000000 AS day, level,
+         |         sum(buy_volume + sell_volume) AS volume
+         |  FROM fp2 GROUP BY 1, 2
+         |),
+         |ext AS (
+         |  SELECT *, min(level) OVER (PARTITION BY day) AS lo,
+         |         max(level) OVER (PARTITION BY day) - min(level) OVER (PARTITION BY day) + 1 AS n
+         |  FROM prof
+         |),
+         |sz AS (
+         |  SELECT *, CASE WHEN raw % 2 = 0 THEN raw + 1 ELSE raw END AS bsize
+         |  FROM (SELECT *, greatest(CAST(round(n / 30.0) AS INT), 1) AS raw FROM ext)
+         |)
+         |SELECT day, lo + ((level - lo) // bsize) * bsize + bsize // 2 AS level,
+         |  ${rd("sum(volume)")} AS volume
+         |FROM sz GROUP BY 1, 2""".stripMargin),
 
     "vp_rolling_6h" -> withFp(
       s""", targets AS (SELECT DISTINCT bar_ts AS target_ts FROM fp2),

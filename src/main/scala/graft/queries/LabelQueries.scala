@@ -39,6 +39,17 @@ object LabelQueries {
         col("event_ts"), col("event_id"), col("label"), col("touch_ts"),
         r6(col("ret")).as("ret"))),
 
+    // min_ret event preprocessing actually filtering: with tgt in
+    // [0.05, 0.11] and max_mult = 2, min_ret = 0.14 drops tgt < 0.07.
+    "tbm_labels_minret" -> ((s, dir) => {
+      val t = trades(s, dir)
+      TripleBarrier.label(t, TripleBarrier.syntheticEvents(t),
+        top, bot, vertBarrierSec = 86400.0, minCloseSec = 0.0,
+        minRet = 0.14, isMeta = false).select(
+        col("event_ts"), col("event_id"), col("label"), col("touch_ts"),
+        r6(col("ret")).as("ret"))
+    }),
+
     "label_concurrency" -> ((s, dir) => {
       val t = trades(s, dir)
       // The event table is tiny (|trades|/29) but expensive to derive —
@@ -78,8 +89,10 @@ object LabelQueries {
   // Oracles
   // ---------------------------------------------------------------------
 
-  /** Shared TBM CTE chain; `sideExpr` is "1" (side prediction) or "eside". */
-  private def tbmCtes(sideExpr: String): String =
+  /** Shared TBM CTE chain; `sideExpr` is "1" (side prediction) or "eside";
+    * `minRetFilter` mirrors the engine's event-preprocessing drop.
+    */
+  private def tbmCtes(sideExpr: String, minRetFilter: Double = 0.0): String =
     s"""ev AS (
        |  SELECT ts AS event_ts, id AS event_id, price AS p0,
        |         CAST(0.05 AS DOUBLE) + CAST(id % 7 AS DOUBLE) * CAST(0.01 AS DOUBLE) AS tgt,
@@ -90,6 +103,7 @@ object LabelQueries {
        |  SELECT ev.*, ${D(top)} * tgt AS up, ${D(-bot)} * tgt AS lo
        |  FROM ev, (SELECT max(ts) AS mx FROM trades)
        |  WHERE event_ts + $vertNs <= mx
+       |    AND abs(tgt) * ${D(math.max(top, bot))} >= ${D(minRetFilter)}
        |),
        |path AS (
        |  SELECT e.event_id, e.event_ts, e.up, e.lo, t.ts, t.id,
@@ -123,6 +137,13 @@ object LabelQueries {
          |  ${rd("""CASE WHEN touch0 IS NULL THEN least(CASE WHEN ret_touch > 0
              |    THEN max_urbr / (1 + max_lrbr) ELSE max_lrbr / (1 + max_urbr) END, 1.0)
              |  ELSE 1.0 END""".stripMargin)} AS vertical_touch_weight
+         |FROM p2""".stripMargin,
+
+    "tbm_labels_minret" ->
+      s"""WITH $tradesCte, ${tbmCtes("1", minRetFilter = 0.14)}
+         |SELECT event_ts, event_id,
+         |  CAST(CASE WHEN sign(ret_touch) = 0 THEN 1 ELSE sign(ret_touch) END AS INT) AS label,
+         |  touch_ts, ${rd("ret_touch")} AS ret
          |FROM p2""".stripMargin,
 
     "tbm_meta_labels" ->

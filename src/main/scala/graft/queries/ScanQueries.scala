@@ -47,6 +47,15 @@ object ScanQueries {
       Ewm.ewmstExact(trades(s, dir), "price", hlSec)
         .select(col("ts"), col("id"), r6(col("ewmst")).as("ewmst"))),
 
+    // zero-mean time-decay EW std over log-returns (core/volatility.py:72-136)
+    "ewmst0_scan" -> ((s, dir) => {
+      val w = Window.orderBy("ts", "id")
+      val withY = trades(s, dir)
+        .withColumn("y", log(col("price") / lag("price", 1).over(w)))
+      Ewm.ewmstMean0Exact(withY, "y", hlSec)
+        .select(col("ts"), col("id"), r6(col("ewmst0")).as("ewmst0"))
+    }),
+
     // Wilder RSI(14): exact seeded kernel, reported on the steady-state
     // region (rn > 614) where the independent windowed oracle converges.
     "f_rsi_wilder14" -> ((s, dir) =>
@@ -97,12 +106,16 @@ object ScanQueries {
         .where(col("is_event"))
         .select(col("ts"), col("id"), r6(col("price")).as("price"))),
 
-    // CUSUM event bars (§2.4 _cusum_bar_indexer): bar k = trades in
-    // (event_{k-1}, event_k], start-exclusive end-inclusive like time bars;
-    // the trailing partial bar (no closing event) is dropped.
+    // CUSUM event bars (§2.4 _cusum_bar_indexer) with the reference's
+    // ADAPTIVE threshold (bar/kit.py:140-181): per-row σ from the
+    // time-decay EW std of log-price, λ_i = max(mult·σ_i, floor) with the
+    // reference defaults mult=2, floor=5e-4. Bar k = trades in
+    // (event_{k-1}, event_k]; the trailing partial bar is dropped.
     "cusum_bars" -> ((s, dir) => {
-      val ev = EventBars.cusumEventIds(
-        trades(s, dir).withColumn("sigma", lit(2.0)), "sigma", 1.0, 1e-12)
+      val t = trades(s, dir).withColumn("__lp", log(col("price")))
+      val withSigma = Ewm.ewmstExact(t, "__lp", hlSec, out = "sigma").drop("__lp")
+      val ev = EventBars.cusumEventIds(withSigma, "sigma", 2.0, 5e-4)
+        .drop("sigma")
       val before = Window.orderBy("ts", "id")
         .rowsBetween(Window.unboundedPreceding, -1)
       val ids = ev.withColumn("bar_id",
@@ -178,6 +191,30 @@ object ScanQueries {
                |  sqrt(CASE WHEN (v - v2 / v) > 0 AND (syy / v - (sy / v) * (sy / v)) > 0
                |            THEN (syy / v - (sy / v) * (sy / v)) * v / (v - v2 / v) ELSE 0.0 END),
                |  1e-12) END""".stripMargin)} AS ewmst
+         |FROM sums""".stripMargin,
+
+    "ewmst0_scan" ->
+      s"""WITH $tradesCte,
+         |a AS (
+         |  SELECT ts, id,
+         |    ln(price / lag(price) OVER (ORDER BY ts, id)) AS y,
+         |    CASE WHEN lag(ts) OVER (ORDER BY ts, id) IS NULL THEN NULL
+         |         ELSE 1 - exp(-((ts - lag(ts) OVER (ORDER BY ts, id)) / 1e9) / ${D(hlSec)}) END AS alpha
+         |  FROM trades
+         |),
+         |lw AS (
+         |  SELECT ts, id,
+         |    list(alpha) OVER w AS la, list(y) OVER w AS ly, list(ts) OVER w AS lt
+         |  FROM a
+         |  WINDOW w AS (ORDER BY ts RANGE BETWEEN $hlCutNs PRECEDING AND CURRENT ROW)
+         |),
+         |sums AS (
+         |  SELECT ts, id,
+         |    list_sum(list_transform(la, (x, i) -> CASE WHEN x IS NULL OR ly[i] IS NULL OR isnan(ly[i]) THEN 0.0 ELSE x * exp(-((ts - lt[i]) / 1e9) / ${D(hlSec)}) END)) AS v,
+         |    list_sum(list_transform(la, (x, i) -> CASE WHEN x IS NULL OR ly[i] IS NULL OR isnan(ly[i]) THEN 0.0 ELSE x * ly[i] * ly[i] * exp(-((ts - lt[i]) / 1e9) / ${D(hlSec)}) END)) AS uu
+         |  FROM lw
+         |)
+         |SELECT ts, id, ${rd("CASE WHEN v > 0 THEN greatest(sqrt(greatest(uu / v, 0.0)), 1e-12) END")} AS ewmst0
          |FROM sums""".stripMargin,
 
     "f_rsi_wilder14" -> {

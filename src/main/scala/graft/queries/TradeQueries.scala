@@ -48,6 +48,18 @@ object TradeQueries {
         r6(col("cum_volume_min")).as("cum_volume_min"), r6(col("cum_volume_max")).as("cum_volume_max"),
         r6(col("cum_dollars_min")).as("cum_dollars_min"), r6(col("cum_dollars_max")).as("cum_dollars_max"))),
 
+    // Multi-symbol variant: tick-rule sides AND directional bars partitioned
+    // by symbol (user_id) — exercises the partCols paths; windows shuffle by
+    // symbol instead of single-partitioning the stream.
+    "time_bars_directional_sym" -> ((s, dir) =>
+      TimeBars.directional(
+          Trades.withTickRuleSide(trades(s, dir), Seq("symbol")), 86400, Seq("symbol"))
+        .select(
+          col("symbol"), col("bar_ts"), col("ticks_buy"), col("ticks_sell"),
+          r6(col("volume_buy")).as("volume_buy"), r6(col("volume_sell")).as("volume_sell"),
+          r6(col("mean_spread")).as("mean_spread"), r6(col("max_spread")).as("max_spread"),
+          col("cum_ticks_min"), col("cum_ticks_max"))),
+
     // Trade-size distribution features (§2.4).
     "time_bars_size_1h" -> ((s, dir) =>
       TimeBars.tradeSize(trades(s, dir), 3600).select(
@@ -75,6 +87,18 @@ object TradeQueries {
         Tables.events(s, dir).where(col("event_type") =!= "error"))
       Trades.idGaps(t).select(col("prev_id"), col("id"), col("missing"),
         col("prev_ts"), col("ts"))
+    }),
+
+    // Per-month integrity roll-up (§2.1 get_integrity_summary) over the
+    // error-filtered stream (ids become sparse → real discontinuities).
+    "integrity_summary" -> ((s, dir) => {
+      val t = Trades.fromEvents(
+        Tables.events(s, dir).where(col("event_type") =!= "error"))
+      graft.sources.Store.integritySummary(t, 3600L * 1000000000L).select(
+        col("month"), col("rows"), col("first_ts"), col("last_ts"),
+        col("missing_ids"), col("discontinuities"), col("time_gaps"),
+        col("max_time_gap_ns"), r6(col("missing_pct")).as("missing_pct"),
+        col("data_integrity_ok"))
     }),
 
     // Tick-size estimation via scaled-integer GCD (§2.2).
@@ -146,6 +170,42 @@ object TradeQueries {
          |FROM cum GROUP BY bar_ts""".stripMargin
     },
 
+    "time_bars_directional_sym" -> {
+      val iv = 86400L * 1000000000L
+      s"""WITH $tradesCte,
+         |sided AS (
+         |  SELECT ts, id, price, qty, symbol,
+         |         coalesce(last_value(tick IGNORE NULLS) OVER (
+         |           PARTITION BY symbol ORDER BY ts, id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS side
+         |  FROM (
+         |    SELECT *, CASE WHEN abs(dp) > 1e-12 THEN CAST(sign(dp) AS INT) END AS tick
+         |    FROM (SELECT *, price - lag(price) OVER (PARTITION BY symbol ORDER BY ts, id) AS dp FROM trades)
+         |  )
+         |),
+         |flagged AS (
+         |  SELECT *,
+         |    ((ts + ${iv - 1}) // $iv) * $iv AS bar_ts,
+         |    side <> lag(side) OVER (PARTITION BY symbol ORDER BY ts, id) AS flip,
+         |    abs(price - lag(price) OVER (PARTITION BY symbol ORDER BY ts, id)) AS spr,
+         |    CASE WHEN side = 1 THEN 1 WHEN side = -1 THEN -1 ELSE 0 END AS st
+         |  FROM sided
+         |), cum AS (
+         |  SELECT *, sum(st) OVER w AS cum_ticks
+         |  FROM flagged
+         |  WINDOW w AS (PARTITION BY symbol, bar_ts ORDER BY ts, id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |)
+         |SELECT symbol, bar_ts,
+         |  CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ticks_buy,
+         |  CAST(sum(CASE WHEN side = -1 THEN 1 ELSE 0 END) AS BIGINT) AS ticks_sell,
+         |  ${rd("sum(CASE WHEN side = 1 THEN qty ELSE 0.0 END)")} AS volume_buy,
+         |  ${rd("sum(CASE WHEN side = -1 THEN qty ELSE 0.0 END)")} AS volume_sell,
+         |  ${rd("sum(CASE WHEN flip THEN spr ELSE 0.0 END) / sum(CASE WHEN side <> 0 THEN 1 ELSE 0 END)")} AS mean_spread,
+         |  ${rd("max(coalesce(CASE WHEN flip THEN spr END, 0.0))")} AS max_spread,
+         |  CAST(min(CASE WHEN side <> 0 THEN cum_ticks END) AS BIGINT) AS cum_ticks_min,
+         |  CAST(max(CASE WHEN side <> 0 THEN cum_ticks END) AS BIGINT) AS cum_ticks_max
+         |FROM cum GROUP BY symbol, bar_ts""".stripMargin
+    },
+
     "time_bars_size_1h" -> {
       val iv = 3600L * 1000000000L
       s"""WITH $tradesCte,
@@ -193,6 +253,28 @@ object TradeQueries {
         |FROM (SELECT id, ts, lag(id) OVER (ORDER BY id) AS prev_id,
         |             lag(ts) OVER (ORDER BY id) AS prev_ts FROM trades)
         |WHERE id - prev_id > 1""".stripMargin,
+
+    "integrity_summary" ->
+      s"""WITH trades AS (
+         |  SELECT epoch_ns(ts) AS ts, event_id AS id FROM events WHERE event_type <> 'error'
+         |),
+         |g AS (
+         |  SELECT ts, id,
+         |    strftime(make_timestamp(ts // 1000), '%Y-%m') AS month,
+         |    id - lag(id) OVER (ORDER BY id) - 1 AS gap,
+         |    ts - lag(ts) OVER (ORDER BY ts, id) AS tgap
+         |  FROM trades
+         |)
+         |SELECT month, CAST(count(*) AS BIGINT) AS rows,
+         |  min(ts) AS first_ts, max(ts) AS last_ts,
+         |  CAST(sum(CASE WHEN gap > 0 THEN gap ELSE 0 END) AS BIGINT) AS missing_ids,
+         |  CAST(sum(CASE WHEN gap > 0 THEN 1 ELSE 0 END) AS BIGINT) AS discontinuities,
+         |  CAST(sum(CASE WHEN tgap > ${3600L * 1000000000L} THEN 1 ELSE 0 END) AS BIGINT) AS time_gaps,
+         |  CAST(max(CASE WHEN tgap > ${3600L * 1000000000L} THEN tgap ELSE 0 END) AS BIGINT) AS max_time_gap_ns,
+         |  ${rd("sum(CASE WHEN gap > 0 THEN gap ELSE 0 END) * 100.0 / (sum(CASE WHEN gap > 0 THEN gap ELSE 0 END) + count(*))")} AS missing_pct,
+         |  sum(CASE WHEN gap > 0 THEN gap ELSE 0 END) = 0
+         |    AND sum(CASE WHEN tgap > ${3600L * 1000000000L} THEN 1 ELSE 0 END) = 0 AS data_integrity_ok
+         |FROM g GROUP BY month""".stripMargin,
 
     "tick_size_gcd" ->
       s"""WITH $tradesCte,

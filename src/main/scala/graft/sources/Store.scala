@@ -76,6 +76,39 @@ object Store {
         max("price").as("max_price"),
         sum(col("qty").cast("decimal(18,6)")).cast("double").as("total_qty"))
 
+  /** Integrity roll-up, the `get_integrity_summary` equivalent
+    * (bar/io.py:225-308): one row per month with id-discontinuity counts,
+    * missing-id totals and percentage, and over-threshold time gaps; the
+    * reference's `data_integrity_ok` flag is the no-gaps conjunction. Gaps
+    * are detected on the global (id / ts) order so cross-month
+    * discontinuities attribute to the later month, exactly like the
+    * reference's per-partition metadata computed at ingest. At 100 TB
+    * partition both windows by symbol (they single-partition the stream,
+    * matching the reference's single-series semantics).
+    */
+  def integritySummary(trades: DataFrame, maxGapNs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wid = Window.orderBy("id")
+    val wts = Window.orderBy("ts", "id")
+    trades
+      .withColumn("month", monthCol(col("ts")))
+      .withColumn("__gap", col("id") - lag("id", 1).over(wid) - 1)
+      .withColumn("__tgap", col("ts") - lag("ts", 1).over(wts))
+      .groupBy("month")
+      .agg(
+        count(lit(1)).as("rows"),
+        min("ts").as("first_ts"),
+        max("ts").as("last_ts"),
+        sum(when(col("__gap") > 0, col("__gap")).otherwise(0L)).as("missing_ids"),
+        sum(when(col("__gap") > 0, 1L).otherwise(0L)).as("discontinuities"),
+        sum(when(col("__tgap") > maxGapNs, 1L).otherwise(0L)).as("time_gaps"),
+        max(when(col("__tgap") > maxGapNs, col("__tgap")).otherwise(0L)).as("max_time_gap_ns"))
+      .withColumn("missing_pct",
+        col("missing_ids") * lit(100.0) / (col("missing_ids") + col("rows")))
+      .withColumn("data_integrity_ok",
+        col("missing_ids") === 0 && col("time_gaps") === 0)
+  }
+
   /** Derived-bars materialization, the `AddTimeBarH5.process_all`
     * equivalent: build `intervalSec` OHLCV bars from the store and persist
     * them as their own month-partitioned table.

@@ -71,6 +71,83 @@ class ScanSpec extends AnyFunSuite {
     assert(ev == Seq(0L, 2L, 4L))
   }
 
+  test("cusum adaptive sigma: per-row thresholds match hand-rolled indexer") {
+    // varying sigma with leading NaNs — mirrors _cusum_bar_indexer
+    // (logic.py:150-221): ffill sigma, open at first valid row, lam =
+    // max(mult*sigma_i, floor) evaluated at the closing row
+    val rnd = new scala.util.Random(11)
+    val n = 400
+    val prices = Iterator.iterate(100.0)(p => p * (1.0 + (rnd.nextDouble() - 0.5) * 0.02)).take(n).toSeq
+    val sigmas = (0 until n).map(i => if (i < 3) Double.NaN else 0.002 + 0.004 * ((i * 13) % 10) / 10.0)
+    val mult = 2.0; val floor = 5e-4
+    val t = tradesDf(Seq.fill(n)(1.0), prices)
+      .withColumn("sigma", element_at(
+        typedLit(sigmas.map(x => if (x.isNaN) None else Some(x))), col("id").cast("int") + 1))
+    val got = EventBars.cusumEventIds(t, "sigma", mult, floor)
+      .where(col("is_event")).select("id").as[Long].collect().toSeq
+    // hand-rolled sequential reference
+    var sPos = 0.0; var sNeg = 0.0; var seen = false
+    var prevP = Double.NaN; var prevS = Double.NaN
+    val exp = (0 until n).flatMap { i =>
+      val s = if (sigmas(i).isNaN) prevS else sigmas(i)
+      var fire = false
+      if (!seen) { if (!s.isNaN) { seen = true; fire = true } }
+      else {
+        val ret = math.log(prices(i) / prevP)
+        sPos = math.max(0.0, sPos + ret); sNeg = math.min(0.0, sNeg + ret)
+        val lam = math.max(mult * s, floor)
+        if (sPos >= lam) { fire = true; sPos = 0.0 }
+        else if (sNeg <= -lam) { fire = true; sNeg = 0.0 }
+      }
+      if (seen) prevP = prices(i)
+      prevS = s
+      if (fire) Some(i.toLong) else None
+    }
+    assert(got == exp)
+    assert(got.length > 5, "test data should fire multiple events")
+  }
+
+  test("cusum filter resets state at key boundaries (multi-symbol)") {
+    // two symbols interleaved in one partition after keyOrdered layout:
+    // each must behave exactly like its solo run
+    val prices = Seq(100.0, 105.0, 110.25, 115.76, 121.55, 127.63)
+    def df(sym: Long) = prices.zipWithIndex.map { case (p, i) =>
+      (1000000000L * (i + 1), sym * 100 + i, p, 1.0, sym)
+    }.toDF("ts", "id", "price", "qty", "symbol")
+    val both = df(0L).union(df(1L)).withColumn("sigma", lit(0.08))
+    val got = EventBars.cusumEventIds(both, "sigma", 1.0, 1e-12, keyCols = Seq("symbol"))
+      .where(col("is_event")).select("symbol", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 0L), (0L, 2L), (0L, 4L), (1L, 100L), (1L, 102L), (1L, 104L)))
+  }
+
+  test("ewmst_mean0 exact scan matches reference recursion (volatility.py:72-136)") {
+    val rnd = new scala.util.Random(23)
+    val n = 300
+    val ys = Seq(Double.NaN) ++ Seq.fill(n - 1)((rnd.nextDouble() - 0.5) * 0.02)
+    val tss = Iterator.iterate(0L)(_ + 500000000L + rnd.nextInt(3) * 700000000L).take(n).toSeq
+    val t = tss.zip(ys).zipWithIndex.map { case ((ts, y), i) => (ts, i.toLong, y) }
+      .toDF("ts", "id", "y")
+    for (parts <- Seq(1, 8)) {
+      val got = Ewm.ewmstMean0Exact(t, "y", halfLifeSec = 2.0, numParts = parts)
+        .orderBy("ts").select("ewmst0").as[Double].collect()
+      // sequential reference
+      var u = 0.0; var v = 0.0
+      val exp = (0 until n).map { i =>
+        if (i == 0) Double.NaN
+        else {
+          val alpha = 1.0 - math.exp(-((tss(i) - tss(i - 1)) / 1e9) / 2.0)
+          if (ys(i).isNaN) { u *= (1 - alpha); v *= (1 - alpha) }
+          else { u = alpha * ys(i) * ys(i) + (1 - alpha) * u; v = alpha + (1 - alpha) * v }
+          if (v > 0) math.max(math.sqrt(math.max(u / v, 0.0)), 1e-12) else Double.NaN
+        }
+      }
+      got.zip(exp).foreach { case (g, e) =>
+        assert((g.isNaN && e.isNaN) || math.abs(g - e) < 1e-12, s"parts=$parts got=$g exp=$e")
+      }
+    }
+  }
+
   test("ewma exact scan == plain sequential recursion, any partitioning") {
     val rnd = new scala.util.Random(42)
     val prices = Seq.fill(500)(50.0 + rnd.nextDouble() * 100)
