@@ -24,10 +24,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingBars {
 
-  /** Streaming OHLCV time bars. `event_time` (µs timestamp of the bar close)
-    * carries the watermark; bars finalize `watermarkDelay` after their close
-    * in append mode, or stream continuously in update/complete mode when
-    * `watermarkDelay` is None.
+  /** Streaming OHLCV time bars as a declarative windowed aggregation.
+    * `event_time` (µs timestamp of the bar close) carries the watermark;
+    * bars finalize `watermarkDelay` after their close in append mode, or
+    * stream continuously in update/complete mode when `watermarkDelay` is
+    * None. The struct-keyed open/close tie-break sorts each micro-batch —
+    * bounded by batch size, fine for update/complete dashboards; the
+    * append-mode scale path is [[ohlcvStateStream]] (fixed-width state
+    * machine, no sort).
     */
   def ohlcvStream(trades: DataFrame, intervalSec: Long,
                   watermarkDelay: Option[String] = Some("1 minute")): DataFrame = {
@@ -51,6 +55,75 @@ object StreamingBars {
   }
 
   case class TradeIn(ts: Long, id: Long, price: Double, qty: Double, symbol: Long)
+  case class TradeBar(ts: Long, id: Long, price: Double, qty: Double, bar_ts: Long)
+  case class BarState(openTs: Long, openId: Long, openPx: Double,
+                      closeTs: Long, closeId: Long, closePx: Double,
+                      high: Double, low: Double, vol: Double, n: Long, pq: Double)
+  case class BarOut(bar_ts: Long, open: Double, high: Double, low: Double,
+                    close: Double, volume: Double, trades: Long, vwap: Double)
+
+  /** Streaming OHLCV as an explicit per-bar state machine — the scale path.
+    *
+    * [[ohlcvStream]]'s declarative agg needs a struct-keyed min_by/max_by
+    * for the (ts, id) open/close tie-break, which demotes each micro-batch
+    * to a SortAggregate. Here the bar state is a fixed-width record updated
+    * in one pass per batch (`flatMapGroupsWithState`), and bars emit exactly
+    * once in APPEND mode when the event-time watermark passes the bar close
+    * + delay — bounded state, no sort, late trades folded in until the
+    * timeout fires.
+    */
+  def ohlcvStateStream(trades: Dataset[TradeIn], intervalSec: Long,
+                       watermarkDelay: String = "1 minute"): Dataset[BarOut] = {
+    import trades.sparkSession.implicits._
+    val iv = intervalSec * 1000000000L
+    val based = trades
+      .withColumn("bar_ts", expr(s"((ts + ${iv - 1}L) div ${iv}L) * ${iv}L"))
+      .withColumn("event_time",
+        timestamp_micros((col("bar_ts") / 1000L).cast("long")))
+      .withWatermark("event_time", watermarkDelay)
+      .as[TradeBar]
+    based
+      .groupByKey(_.bar_ts)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (barTs: Long, rows: Iterator[TradeBar], state: GroupState[BarState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(BarOut(barTs, s.openPx, s.high, s.low, s.closePx,
+              s.vol, s.n, s.pq / s.vol))
+          } else {
+            var s = state.getOption.orNull
+            rows.foreach { r =>
+              s =
+                if (s == null)
+                  BarState(r.ts, r.id, r.price, r.ts, r.id, r.price,
+                    r.price, r.price, r.qty, 1L, r.price * r.qty)
+                else {
+                  // (ts, id) tie-break, exactly the batch two-pass semantics
+                  val isOpen = r.ts < s.openTs || (r.ts == s.openTs && r.id < s.openId)
+                  val isClose = r.ts > s.closeTs || (r.ts == s.closeTs && r.id > s.closeId)
+                  BarState(
+                    if (isOpen) r.ts else s.openTs,
+                    if (isOpen) r.id else s.openId,
+                    if (isOpen) r.price else s.openPx,
+                    if (isClose) r.ts else s.closeTs,
+                    if (isClose) r.id else s.closeId,
+                    if (isClose) r.price else s.closePx,
+                    math.max(s.high, r.price), math.min(s.low, r.price),
+                    s.vol + r.qty, s.n + 1L, s.pq + r.price * r.qty)
+                }
+            }
+            if (s != null) {
+              state.update(s)
+              // finalize when the watermark (already delayed) passes the bar
+              // close; clamp above the current watermark so the timeout is valid
+              val closeMs = barTs / 1000000L
+              state.setTimeoutTimestamp(math.max(closeMs, state.getCurrentWatermarkMs() + 1))
+            }
+            Iterator.empty
+          }
+      }
+  }
   case class EwmaOut(symbol: Long, ts: Long, id: Long, ewma: Double)
   case class EwState(u: Double, v: Double)
   case class CusumOut(symbol: Long, ts: Long, id: Long, isEvent: Boolean)

@@ -69,6 +69,33 @@ class StoreSpec extends AnyFunSuite {
     assert(janOnly < t.count())
   }
 
+  test("CSV ingestion: header/corrupt rows dropped, ms→ns, side, dedup, store") {
+    import graft.sources.Ingest
+    val csvDir = Files.createTempDirectory("csv").toString
+    val storeDir = Files.createTempDirectory("ingested").toString
+    // ms timestamps (Jan+Feb 2024), one header line, one corrupt line,
+    // one duplicate id; isBuyerMaker=true must become side=-1
+    val lines = Seq(
+      "id,price,qty,quoteQty,time,isBuyerMaker,isBestMatch", // header noise
+      "1,100.5,2.0,201.0,1704067200000,true,1",
+      "2,100.6,1.5,150.9,1704067260000,false,1",
+      "2,999.0,9.9,0.0,1704067261000,false,1",               // dup id -> dropped
+      "garbage,not,a,row,xx,yy,zz",                          // corrupt -> dropped
+      "3,100.7,3.0,302.1,1706745600000,True,1")              // Feb, 'True' variant
+    Files.write(java.nio.file.Paths.get(csvDir, "dump.csv"),
+      String.join("\n", lines: _*).getBytes)
+    Ingest.ingest(spark, csvDir, storeDir)
+    val got = spark.read.parquet(storeDir)
+      .select("ts", "id", "price", "qty", "side", "month")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getInt(4), r.getString(5)))
+    assert(got.toSeq == Seq(
+      (1704067200000000000L, 1L, 100.5, 2.0, -1, "2024-01"),
+      (1704067260000000000L, 2L, 100.6, 1.5, 1, "2024-01"),
+      (1706745600000000000L, 3L, 100.7, 3.0, -1, "2024-02")))
+  }
+
   test("materializeBars + readBars with resample matches direct construction") {
     val tdir = Files.createTempDirectory("store").toString
     val bdir = Files.createTempDirectory("bars").toString

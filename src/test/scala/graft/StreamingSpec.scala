@@ -51,6 +51,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming OHLCV state machine finalizes bars equal to batch (append mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[TradeIn]
+    // delay must cover a bar's open span (trades arrive up to 300s before
+    // the close event-time): a shorter delay can expire a bar mid-fill
+    val q = StreamingBars.ohlcvStateStream(ms.toDS(), 300, watermarkDelay = "5 minutes")
+      .writeStream.format("memory").queryName("bars_state_out")
+      .outputMode("append").start()
+    val data = trades(40)
+    ms.addData(data.take(25)); q.processAllAvailable()
+    ms.addData(data.drop(25)); q.processAllAvailable()
+    // watermark flush: two far-future batches so (a) the watermark advances
+    // past every real bar's timeout and (b) a subsequent batch fires them
+    val far = data.last.ts + 86400000000000L
+    ms.addData(Seq(TradeIn(far, 9000L, 1.0, 1.0, 0L))); q.processAllAvailable()
+    ms.addData(Seq(TradeIn(far + 60000000000L, 9001L, 1.0, 1.0, 0L))); q.processAllAvailable()
+    val lastRealBar = TimeBars.ohlcv(
+      data.toDF().withColumnRenamed("symbol", "sym"), 300, fillEmpty = false)
+      .agg(max("bar_ts")).head().getLong(0)
+    val streamed = spark.table("bars_state_out")
+      .where(col("bar_ts") <= lastRealBar)
+      .select("bar_ts", "open", "high", "low", "close", "volume", "trades", "vwap")
+      .orderBy("bar_ts").collect().toSeq
+    q.stop()
+    val batch = TimeBars.ohlcv(
+      data.toDF().withColumnRenamed("symbol", "sym"), 300, fillEmpty = false)
+      .select("bar_ts", "open", "high", "low", "close", "volume", "trades", "vwap")
+      .orderBy("bar_ts").collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("streaming EWMA state machine equals the batch exact scan") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[TradeIn]
