@@ -147,6 +147,50 @@ object Similarity {
   private def vecDim(df: DataFrame, vecCol: String): Int =
     df.select(size(col(vecCol))).head().getInt(0)
 
+  /** IVF(-flat) approximate top-k — the inverted-file alternative to
+    * [[lshTopK]]: a small deterministic centroid codebook partitions the
+    * corpus into `nlist` cells map-side (only the centroids broadcast, the
+    * corpus streams once); each query probes its `nprobe` nearest cells and
+    * scores exact cosine ONLY against vectors assigned there. Candidate
+    * generation is an equi-join on the cell id, so vectors never enter a
+    * pairwise shuffle. Recall < 1 by construction (cells are Voronoi-ish
+    * regions of unit vectors); raise `nprobe` toward `nlist` to trade speed
+    * for recall. Centroids here are the `nlist` lowest-id corpus vectors —
+    * deterministic and oracle-friendly; swap in k-means centroids for
+    * production recall without touching the plan shape.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, nlist: Int = 32, nprobe: Int = 8): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cv = unitVecs(corpus, idCol, vecCol)
+    val centroids = cv.orderBy("id").limit(nlist).collect() // nlist rows only
+    val bc = spark.sparkContext.broadcast(centroids)
+    def nearestCells(n: Int) = (v: Array[Double]) => {
+      val cs = bc.value
+      cs.map { case (cid, cvec) => (cid, dotArr(v, cvec)) }
+        .sortBy { case (cid, d) => (-d, cid) }.take(n).map(_._1)
+    }
+    val assigned = cv.map { case (id, v) => (nearestCells(1)(v).head, id, v) }
+      .toDF("cell", "neighbor_id", "nv")
+    val probes = broadcast(unitVecs(queries, idCol, vecCol)
+      .flatMap { case (qid, v) => nearestCells(nprobe)(v).map(c => (qid, c)) }
+      .toDF("query_id", "cell"))
+    val qMap = spark.sparkContext.broadcast(
+      unitVecs(queries, idCol, vecCol).collect().toMap)
+    val scored = assigned.join(probes, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"), col("nv"))
+      .as[(Long, Long, Array[Double])]
+      .map { case (qid, nid, nv) => (qid, nid, dotArr(qMap.value(qid), nv)) }
+      .toDF("query_id", "neighbor_id", "cos")
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   /** Brute-force cosine top-k: broadcast the (small) query set, stream the
     * corpus once keeping a bounded per-query top-k per partition, then take
     * the exact global top-k from the tiny candidate union. Ordering

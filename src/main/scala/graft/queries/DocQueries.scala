@@ -94,6 +94,16 @@ object DocQueries {
           r6(col("cos")).as("cos"))
     }),
 
+    // IVF inverted-file variant — approximate like ann_topk_lsh (no SQL
+    // oracle; recall-tested vs brute force in DocSpec); rows-only check.
+    "ann_topk_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfTopK(e.where(col("vec_id") < annQueries), e,
+          "vec_id", "embedding", annK)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          r6(col("cos")).as("cos"))
+    }),
+
     // Multimodal plumbing over opaque binary payloads (documents' UTF-8
     // bytes stand in for image/audio containers): fixed-size frame slicing
     // + first/mid/last frame sampling, all map-side expressions.
