@@ -45,11 +45,29 @@ object Dedup {
   /** MinHash signature over word-n-gram shingles: sig[s] is the
     * lexicographic min of md5(s ++ ":" ++ shingle) — k independent
     * permutation approximations, all computed in one projection.
+    * (Column-expression form; the scan path [[lshCandidates]] uses the
+    * cheaper universal-hash permutations below.)
     */
   def minhashSignature(toks: Column, shingleN: Int, k: Int): Column = {
     val sh = TextOps.shingles(toks, shingleN)
     transform(sequence(lit(0), lit(k - 1)),
       s => array_min(transform(sh, x => md5(concat(s.cast("string"), lit(":"), x)))))
+  }
+
+  /** Mersenne prime 2^61−1: (a·h + b) mod P with a, h < 2^31 stays inside
+    * a signed 64-bit long — exact on Spark and DuckDB alike.
+    */
+  val minhashP: Long = 2305843009213693951L
+
+  /** Deterministic 31-bit universal-hash coefficient for permutation `s`
+    * (md5-seeded; tag "a" coefficients are forced odd ⇒ nonzero).
+    */
+  def minhashCoef(tag: String, s: Int): Long = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$tag:$s".getBytes("UTF-8"))
+    val v = ((h(0) & 0xffL) << 24 | (h(1) & 0xffL) << 16 |
+      (h(2) & 0xffL) << 8 | (h(3) & 0xffL)) & 0x7fffffffL
+    if (tag == "a") v | 1L else v
   }
 
   /** (band, band_key) rows for LSH banding: k = bands × rowsPerBand; docs
@@ -70,10 +88,17 @@ object Dedup {
     * pairs directly (`collect_list` over same-key groups — bucket size is
     * the designed skew bound; boilerplate-heavy corpora should cap it
     * upstream by dropping mega-buckets as non-discriminative).
+    *
+    * Permutations are universal hashes (a_s·h + b_s) mod (2^61−1) over ONE
+    * md5 per shingle (31-bit prefix) — k integer ops replace k md5 string
+    * hashes per shingle, and the per-seed minima shuffle as longs, not
+    * 32-char strings.
     */
   def lshCandidates(docs: DataFrame, idCol: String, toksCol: String,
                     shingleN: Int, k: Int, bands: Int): DataFrame = {
     val r = k / bands
+    val aArr = (0 until k).map(minhashCoef("a", _))
+    val bArr = (0 until k).map(minhashCoef("b", _))
     // The doc×shingle×seed explode below multiplies CPU work ~1000× over
     // the input rows; a small corpus arrives as ONE parquet split, which
     // would serialize all of it into a single task. Spread docs across the
@@ -81,14 +106,18 @@ object Dedup {
     // relative to the hash fan-out it parallelizes.
     val shx = docs.repartition(col(idCol))
       .select(col(idCol).as("id"), explode(TextOps.shingles(col(toksCol), shingleN)).as("s"))
-      .select(col("id"), col("s"), explode(sequence(lit(0), lit(k - 1))).as("seed"))
-      .withColumn("mh", md5(concat(col("seed").cast("string"), lit(":"), col("s"))))
+      .withColumn("h", expr("conv(substring(md5(s), 1, 8), 16, 10)")
+        .cast("long").bitwiseAND(lit(0x7fffffffL)))
+      .select(col("id"), col("h"), explode(sequence(lit(0), lit(k - 1))).as("seed"))
+      .withColumn("mh",
+        (element_at(typedLit(aArr), col("seed") + 1) * col("h") +
+          element_at(typedLit(bArr), col("seed") + 1)) % lit(minhashP))
     val mh = shx.groupBy("id", "seed").agg(min("mh").as("mh"))
     val sigCols = (0 until k).map(s => max(when(col("seed") === s, col("mh"))).as(s"m$s"))
     val sig = mh.groupBy("id").agg(sigCols.head, sigCols.tail: _*)
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        md5(concat_ws("|", (0 until r).map(i => col(s"m${b * r + i}")): _*)).as("band_key"))
+        md5(concat_ws("|", (0 until r).map(i => col(s"m${b * r + i}").cast("string")): _*)).as("band_key"))
     }
     val bandRowsDf = sig.select(col("id"), explode(array(bandStructs: _*)).as("x"))
       .select(col("id"), col("x.band").as("band"), col("x.band_key").as("band_key"))

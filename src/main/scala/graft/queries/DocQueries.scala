@@ -259,17 +259,28 @@ object DocQueries {
         |  doc_id > min(doc_id) OVER (PARTITION BY content_hash) AS is_dup
         |FROM h""".stripMargin,
 
-    "dedup_minhash_lsh" ->
+    "dedup_minhash_lsh" -> {
+      // mirror of Dedup.lshCandidates' universal-hash permutations:
+      // h = 31-bit prefix of md5(shingle); mh_s = (a_s·h + b_s) mod 2^61−1
+      val hexToInt31 = (1 to 8).map { i =>
+        s"(instr('0123456789abcdef', substr(m, $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}"
+      }.mkString("(", " + ", ") & 2147483647")
+      val coefRows = (0 until minhashK).map { s =>
+        s"($s, ${Dedup.minhashCoef("a", s)}, ${Dedup.minhashCoef("b", s)})"
+      }.mkString(", ")
       s"""WITH $toksCte, $shCte,
          |shx AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+         |hv AS (SELECT doc_id, $hexToInt31 AS h FROM (SELECT doc_id, md5(s) AS m FROM shx)),
+         |coef AS (SELECT seed, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+         |         FROM (VALUES $coefRows) t(seed, a, b)),
          |mh AS (
-         |  SELECT doc_id, seed, min(md5(seed || ':' || s)) AS mh
-         |  FROM shx CROSS JOIN (SELECT unnest(range(0, $minhashK)) AS seed) seeds
+         |  SELECT doc_id, seed, min((a * h + b) % ${Dedup.minhashP}) AS mh
+         |  FROM hv CROSS JOIN coef
          |  GROUP BY doc_id, seed
          |),
          |bands AS (
          |  SELECT doc_id, seed // ${minhashK / minhashBands} AS band,
-         |         md5(string_agg(mh, '|' ORDER BY seed)) AS band_key
+         |         md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS band_key
          |  FROM mh GROUP BY doc_id, seed // ${minhashK / minhashBands}
          |),
          |cand AS (
@@ -282,7 +293,8 @@ object DocQueries {
          |  ${rd("len(list_intersect(a.sh, b.sh)) / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)")} AS jaccard
          |FROM cand c
          |JOIN sh a ON a.doc_id = c.id_a
-         |JOIN sh b ON b.doc_id = c.id_b""".stripMargin,
+         |JOIN sh b ON b.doc_id = c.id_b""".stripMargin
+    },
 
     "dedup_simhash" ->
       s"""WITH $toksCte,
