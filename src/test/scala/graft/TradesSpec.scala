@@ -1,0 +1,85 @@
+package graft
+
+import graft.trades.Trades
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit coverage for the trades-preprocessing plumbing that the driver gate
+  * exercises only implicitly (clean synthetic ids/timestamps never trigger
+  * these paths).
+  */
+class TradesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("toNanos infers unit from magnitude (s / ms / us / ns)") {
+    val rows = Seq(
+      1L -> 1700000000L,          // seconds
+      2L -> 1700000000000L,       // millis
+      3L -> 1700000000000000L,    // micros
+      4L -> 1700000000000000000L) // nanos
+    val got = Trades.toNanos(rows.toDF("id", "ts"))
+      .orderBy("id").select("ts").as[Long].collect().toSeq
+    assert(got == Seq.fill(4)(1700000000000000000L))
+  }
+
+  test("applyResolution truncates to the requested grid") {
+    val df = Seq((1L, 1700000001234567891L)).toDF("id", "ts")
+    val ms = Trades.applyResolution(df, 1000000L).select("ts").as[Long].head()
+    assert(ms == 1700000001234000000L)
+  }
+
+  test("dedupIds keeps the first (ts, price) occurrence per id") {
+    val df = Seq(
+      (10L, 5L, 100.0, 1.0, 0L),
+      (11L, 5L, 101.0, 2.0, 0L), // same id, later ts -> dropped
+      (12L, 6L, 102.0, 3.0, 0L))
+      .toDF("ts", "id", "price", "qty", "symbol")
+    val got = Trades.dedupIds(df).orderBy("id")
+      .select("id", "ts", "price").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((5L, 10L, 100.0), (6L, 12L, 102.0)))
+  }
+
+  test("resample weighted median = cum-weight cutoff of per-bar medians (io.py:931-944)") {
+    import org.apache.spark.sql.functions.col
+    // one 1h target bucket; per-bar medians 1.0(w3), 2.0(w1), 5.0(w2):
+    // sorted cum weights 3,4,6; cutoff 3 -> first cum>=3 is size 1.0
+    val bars = Seq(
+      (600000000000L, 10.0, 11.0, 9.0, 10.5, 3.0, 3L, 1.0, 10.2),
+      (1200000000000L, 10.5, 12.0, 10.0, 11.0, 1.0, 1L, 2.0, 11.1),
+      (1800000000000L, 11.0, 11.5, 10.5, 11.2, 2.0, 2L, 5.0, 11.0))
+      .toDF("bar_ts", "open", "high", "low", "close", "volume", "trades",
+        "median_trade_size", "vwap")
+    val out = graft.bars.TimeBars.resample(bars, 600, 3600)
+      .select("rs_ts", "median_trade_size", "trades").head()
+    assert(out.getLong(0) == 3600000000000L)
+    assert(out.getDouble(1) == 1.0)
+    assert(out.getLong(2) == 6L)
+    // cutoff exactly on a boundary: weights 1,1 -> cutoff 1 -> lower size
+    val b2 = Seq(
+      (600000000000L, 1.0, 1.0, 1.0, 1.0, 1.0, 1L, 3.0, 1.0),
+      (1200000000000L, 1.0, 1.0, 1.0, 1.0, 1.0, 1L, 7.0, 1.0))
+      .toDF("bar_ts", "open", "high", "low", "close", "volume", "trades",
+        "median_trade_size", "vwap")
+    assert(graft.bars.TimeBars.resample(b2, 600, 3600)
+      .select("median_trade_size").head().getDouble(0) == 3.0)
+  }
+
+  test("checkTimestampsOrder detects an out-of-order id sequence") {
+    def df(tss: Seq[Long]) = tss.zipWithIndex
+      .map { case (ts, i) => (ts, i.toLong) }.toDF("ts", "id")
+    assert(Trades.checkTimestampsOrder(df(Seq(1L, 2L, 3L)))
+      .head().getBoolean(0))
+    assert(!Trades.checkTimestampsOrder(df(Seq(1L, 3L, 2L)))
+      .head().getBoolean(0))
+    assert(Trades.checkTimestampsOrder(df(Seq(7L))).head().getBoolean(0))
+  }
+}
