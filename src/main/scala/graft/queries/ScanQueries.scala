@@ -106,6 +106,19 @@ object ScanQueries {
         .where(col("is_event"))
         .select(col("ts"), col("id"), r6(col("price")).as("price"))),
 
+    // Adaptive-threshold CUSUM events + per-event σ — the CUSUMBarKit
+    // adaptive path and its get_sigma accessor (kit.py:140-181): σ from the
+    // time-decay EW std of log-price, λ_i = max(2σ_i, 5e-4). Sequential
+    // scan → rows-only driver check; ScanSpec covers the kernel.
+    "cusum_events_adaptive" -> ((s, dir) => {
+      val t = trades(s, dir).withColumn("__lp", log(col("price")))
+      val withSigma = Ewm.ewmstExact(t, "__lp", hlSec, out = "sigma").drop("__lp")
+      EventBars.cusumEventIds(withSigma, "sigma", 2.0, 5e-4)
+        .where(col("is_event"))
+        .select(col("ts"), col("id"), r6(col("price")).as("price"),
+          r6(col("sigma")).as("sigma"))
+    }),
+
     // CUSUM event bars (§2.4 _cusum_bar_indexer) with the reference's
     // ADAPTIVE threshold (bar/kit.py:140-181): per-row σ from the
     // time-decay EW std of log-price, λ_i = max(mult·σ_i, floor) with the
