@@ -23,19 +23,26 @@ object Weights {
     * the touch TRADE id threaded through the labeler; the DuckDB oracles
     * mirror the timestamp-slice definition used here.
     */
-  def concurrency(trades: DataFrame, labeled: DataFrame): DataFrame = {
+  def concurrency(trades: DataFrame, labeled: DataFrame,
+                  partCols: Seq[String] = Nil): DataFrame = {
+    // partCols (e.g. symbol) must be present on BOTH trades and labeled;
+    // the sweep then partitions by it — shuffle-parallel across symbols
+    // instead of one global sort (empty = reference single-series order).
+    val pc = partCols.map(col)
     val deltas =
-      labeled.select(col("event_ts").as("ts"), lit(0).as("ord"), lit(1L).as("d"))
-        .unionByName(labeled.select(col("touch_ts").as("ts"), lit(2).as("ord"), lit(-1L).as("d")))
-    val stream = trades.select(col("ts"), lit(1).as("ord"), lit(0L).as("d"),
-        col("id"), col("price"))
+      labeled.select(pc :+ col("event_ts").as("ts") :+ lit(0).as("ord") :+ lit(1L).as("d"): _*)
+        .unionByName(labeled.select(
+          pc :+ col("touch_ts").as("ts") :+ lit(2).as("ord") :+ lit(-1L).as("d"): _*))
+    val stream = trades.select(pc :+ col("ts") :+ lit(1).as("ord") :+ lit(0L).as("d") :+
+        col("id") :+ col("price"): _*)
       .unionByName(deltas.withColumn("id", lit(null).cast("long"))
         .withColumn("price", lit(null).cast("double")))
-    val w = Window.orderBy("ts", "ord").rowsBetween(Window.unboundedPreceding, 0)
+    val w = Window.partitionBy(pc: _*).orderBy("ts", "ord")
+      .rowsBetween(Window.unboundedPreceding, 0)
     stream
       .withColumn("concurrency", sum("d").over(w))
       .where(col("ord") === 1)
-      .select(col("ts"), col("id"), col("price"), col("concurrency"))
+      .select(pc :+ col("ts") :+ col("id") :+ col("price") :+ col("concurrency"): _*)
   }
 
   /** Per-event average uniqueness = mean(1/concurrency) over the event's

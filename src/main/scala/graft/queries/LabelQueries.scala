@@ -58,6 +58,17 @@ object LabelQueries {
         .select(col("ts"), col("id"), col("concurrency"))
     }),
 
+    // Symbol-partitioned sweep: per-symbol synthetic intervals prove the
+    // partCols path (shuffle-parallel, no single global sort).
+    "label_concurrency_sym" -> ((s, dir) => {
+      val t = trades(s, dir)
+      val ev = t.where(col("id") % 37 === 0).select(
+        col("symbol"), col("ts").as("event_ts"),
+        (col("ts") + lit(7200000000000L)).as("touch_ts"))
+      Weights.concurrency(t, ev, Seq("symbol"))
+        .select(col("symbol"), col("ts"), col("id"), col("concurrency"))
+    }),
+
     "label_weights" -> ((s, dir) => {
       val t = trades(s, dir)
       val lab = labeled(s, dir, isMeta = false).cache()
@@ -162,6 +173,23 @@ object LabelQueries {
          |)
          |SELECT ts, id, CAST(conc AS BIGINT) AS concurrency FROM (
          |  SELECT *, sum(d) OVER (ORDER BY ts, ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+         |  FROM stream
+         |) WHERE ord = 1""".stripMargin,
+
+    "label_concurrency_sym" ->
+      s"""WITH $tradesCte,
+         |ev AS (
+         |  SELECT symbol, ts AS event_ts, ts + 7200000000000 AS touch_ts
+         |  FROM trades WHERE id % 37 = 0
+         |),
+         |stream AS (
+         |  SELECT symbol, ts, 1 AS ord, CAST(0 AS BIGINT) AS d, id FROM trades
+         |  UNION ALL SELECT symbol, event_ts, 0, CAST(1 AS BIGINT), NULL FROM ev
+         |  UNION ALL SELECT symbol, touch_ts, 2, CAST(-1 AS BIGINT), NULL FROM ev
+         |)
+         |SELECT symbol, ts, id, CAST(conc AS BIGINT) AS concurrency FROM (
+         |  SELECT *, sum(d) OVER (PARTITION BY symbol ORDER BY ts, ord
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
          |  FROM stream
          |) WHERE ord = 1""".stripMargin,
 
