@@ -21,15 +21,27 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // Cross-type BNLJ = the scalar crossJoin(broadcast(1-row-agg)) pattern
-    // (a pushed filter may appear as its condition — still O(n·1), fine).
-    // Any OTHER BNLJ type comes from a non-equi join() — O(n·m), flagged.
-    val condBnlj = """BroadcastNestedLoopJoin\s+\w+,\s+(?!Cross)\w+""".r
+    // A BNLJ is sanctioned only as the scalar crossJoin(broadcast(1-row
+    // agg)) pattern: Cross type AND a keyless HashAggregate in the nearby
+    // build subtree (a pushed filter may still appear as its condition —
+    // O(n·1), fine). Non-Cross types, or a Cross against anything that is
+    // not a scalar aggregate, are O(n·m) — flagged.
+    val crossType = """BroadcastNestedLoopJoin\s+\w+,\s+Cross""".r
+    def badBnlj(plan: String): Boolean = {
+      val lines = plan.split("\n")
+      lines.zipWithIndex.exists { case (l, i) =>
+        l.contains("BroadcastNestedLoopJoin") && {
+          val near = lines.slice(i, math.min(i + 15, lines.length))
+          val scalarBuild = near.exists(_.contains("HashAggregate(keys=[]"))
+          crossType.findFirstIn(l).isEmpty || !scalarBuild
+        }
+      }
+    }
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
         val hits = Seq(
-          if (condBnlj.findFirstIn(plan).isDefined) Some("conditioned-BNLJ") else None,
+          if (badBnlj(plan)) Some("non-scalar-BNLJ") else None,
           if (plan.contains("CartesianProduct")) Some("CartesianProduct") else None,
           if (plan.contains("SortAggregate")) Some("SortAggregate") else None).flatten
         println(s"AUDIT $name: ${if (hits.isEmpty) "clean" else hits.mkString(",")}")

@@ -76,10 +76,14 @@ object Similarity {
     val spark = emb.sparkSession
     import spark.implicits._
     val v = unitVecs(emb, idCol, vecCol)
-    val n = v.count()
+    val n = emb.count() // row count only — don't pay a normalization pass
     val nB = math.max(1, math.ceil(n.toDouble / blockRows).toInt)
+    // block by a MIXED id hash: raw id mod nB concentrates shard-allocated
+    // or stride-patterned ids into few blocks, breaking the per-task bound
+    def blockOf(id: Long): Int =
+      java.lang.Math.floorMod(scala.util.hashing.byteswap64(id), nB.toLong).toInt
     v.flatMap { case (id, vec) =>
-        val b = java.lang.Math.floorMod(id, nB.toLong).toInt
+        val b = blockOf(id)
         Iterator.range(0, nB).map { o =>
           val (i, j) = if (o < b) (o, b) else (b, o)
           (i * nB + j, id, vec)
@@ -93,14 +97,14 @@ object Similarity {
         var a = 0
         while (a < rows.length) {
           val (ida, va) = rows(a)
-          val ba = java.lang.Math.floorMod(ida, nB.toLong).toInt
+          val ba = blockOf(ida)
           var bi = a + 1
           while (bi < rows.length) {
             val (idb, vb) = rows(bi)
             // a pair is owned by exactly one bucket: the one keyed by its
             // own (sorted) block pair — skip same-block pairs in mixed
             // buckets so nothing is emitted twice
-            val bb = java.lang.Math.floorMod(idb, nB.toLong).toInt
+            val bb = blockOf(idb)
             if (i == j || ba != bb) {
               val c = dotArr(va, vb)
               if (c >= threshold) {
@@ -166,18 +170,17 @@ object Similarity {
     val cv = unitVecs(corpus, idCol, vecCol)
     val centroids = cv.orderBy("id").limit(nlist).collect() // nlist rows only
     val bc = spark.sparkContext.broadcast(centroids)
-    def nearestCells(n: Int) = (v: Array[Double]) => {
-      val cs = bc.value
+    def nearestCells(cs: Array[(Long, Array[Double])], n: Int, v: Array[Double]) =
       cs.map { case (cid, cvec) => (cid, dotArr(v, cvec)) }
         .sortBy { case (cid, d) => (-d, cid) }.take(n).map(_._1)
-    }
-    val assigned = cv.map { case (id, v) => (nearestCells(1)(v).head, id, v) }
+    val assigned = cv.map { case (id, v) => (nearestCells(bc.value, 1, v).head, id, v) }
       .toDF("cell", "neighbor_id", "nv")
-    val probes = broadcast(unitVecs(queries, idCol, vecCol)
-      .flatMap { case (qid, v) => nearestCells(nprobe)(v).map(c => (qid, c)) }
+    // queries collected ONCE: probes derive driver-side, the vector map broadcasts
+    val qArr = unitVecs(queries, idCol, vecCol).collect()
+    val probes = broadcast(qArr.toSeq
+      .flatMap { case (qid, v) => nearestCells(centroids, nprobe, v).map(c => (qid, c)) }
       .toDF("query_id", "cell"))
-    val qMap = spark.sparkContext.broadcast(
-      unitVecs(queries, idCol, vecCol).collect().toMap)
+    val qMap = spark.sparkContext.broadcast(qArr.toMap)
     val scored = assigned.join(probes, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id").cast("long"), col("neighbor_id").cast("long"), col("nv"))

@@ -29,7 +29,12 @@ object Ingest {
     val raw = spark.read.option("header", "false").csv(path)
     require(raw.columns.length >= 5,
       s"aggTrades CSV needs >= 5 positional columns, got ${raw.columns.length}")
-    val named = raw.toDF(aggTradeCols.take(raw.columns.length): _*)
+    // surplus columns (trailing commas, vendor extras) get throwaway names
+    val names = aggTradeCols ++
+      (aggTradeCols.length until raw.columns.length).map(i => s"c$i")
+    val named = raw.toDF(names.take(raw.columns.length): _*)
+    // no maker flag → side defaults to +1 downstream, matching the
+    // reference's is_buyer_maker = False fallback (binance2h5.py:187-189)
     val hasMaker = named.columns.contains("isBuyerMaker")
     named.select(
         expr("try_cast(time AS BIGINT)").as("ts"),
