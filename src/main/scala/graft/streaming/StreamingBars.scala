@@ -54,7 +54,39 @@ object StreamingBars {
       .drop("event_time")
   }
 
+  /** Streaming directional (order-flow) bars — the conditional-sum subset
+    * of TimeBars.directional that is declaratively streamable (all
+    * fixed-width buffers): per-bar buy/sell tick counts, volumes and
+    * dollars. The spread stats and intra-bar cumulative extrema need the
+    * cross-boundary lag / ordered path walk — state-machine territory, not
+    * a windowed aggregation — and are deliberately absent here. `side` must
+    * arrive on the input (exchange feeds carry it; the batch tick rule is a
+    * window function, which streams don't support).
+    */
+  def directionalStream(tradesWithSide: DataFrame, intervalSec: Long,
+                        watermarkDelay: Option[String] = Some("1 minute")): DataFrame = {
+    val iv = intervalSec * 1000000000L
+    val based = tradesWithSide
+      .withColumn("bar_ts", expr(s"((ts + ${iv - 1}L) div ${iv}L) * ${iv}L"))
+      .withColumn("event_time",
+        timestamp_micros((col("bar_ts") / 1000L).cast("long")))
+    val marked = watermarkDelay.fold(based)(d => based.withWatermark("event_time", d))
+    val isBuy = col("side") === 1
+    val isSell = col("side") === -1
+    marked
+      .groupBy(col("event_time"), col("bar_ts"))
+      .agg(
+        sum(when(isBuy, 1L).otherwise(0L)).as("ticks_buy"),
+        sum(when(isSell, 1L).otherwise(0L)).as("ticks_sell"),
+        sum(when(isBuy, col("qty")).otherwise(0.0)).as("volume_buy"),
+        sum(when(isSell, col("qty")).otherwise(0.0)).as("volume_sell"),
+        sum(when(isBuy, col("price") * col("qty")).otherwise(0.0)).as("dollars_buy"),
+        sum(when(isSell, col("price") * col("qty")).otherwise(0.0)).as("dollars_sell"))
+      .drop("event_time")
+  }
+
   case class TradeIn(ts: Long, id: Long, price: Double, qty: Double, symbol: Long)
+  case class SidedIn(ts: Long, id: Long, price: Double, qty: Double, side: Int)
   case class TradeBar(ts: Long, id: Long, price: Double, qty: Double, bar_ts: Long)
   case class BarState(openTs: Long, openId: Long, openPx: Double,
                       closeTs: Long, closeId: Long, closePx: Double,

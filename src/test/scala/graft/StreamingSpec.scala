@@ -82,6 +82,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming directional bars equal the batch conditional sums") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[StreamingBars.SidedIn]
+    val q = StreamingBars.directionalStream(ms.toDF(), 300, watermarkDelay = None)
+      .writeStream.format("memory").queryName("dir_out")
+      .outputMode("complete").start()
+    val data = trades(40)
+    // side computed batch-side (streams can't run the tick-rule window);
+    // the stream receives already-sided trades like a real exchange feed
+    val sidedRows = graft.trades.Trades.withTickRuleSide(
+        data.toDF().withColumnRenamed("symbol", "sym"))
+      .select("ts", "id", "price", "qty", "side")
+      .as[StreamingBars.SidedIn].collect().toSeq
+    ms.addData(sidedRows); q.processAllAvailable()
+    val streamed = spark.table("dir_out")
+      .select("bar_ts", "ticks_buy", "ticks_sell", "volume_buy", "volume_sell",
+        "dollars_buy", "dollars_sell")
+      .orderBy("bar_ts").collect().toSeq
+    q.stop()
+    val batch = TimeBars.directional(
+      graft.trades.Trades.withTickRuleSide(
+        data.toDF().withColumnRenamed("symbol", "sym")), 300)
+      .select("bar_ts", "ticks_buy", "ticks_sell", "volume_buy", "volume_sell",
+        "dollars_buy", "dollars_sell")
+      .orderBy("bar_ts").collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("streaming EWMA state machine equals the batch exact scan") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[TradeIn]
