@@ -25,29 +25,40 @@ import org.apache.spark.sql.functions._
 object TripleBarrier {
 
   /** @param events (event_ts, event_id, p0, tgt[, eside]) — eside ∈ {-1,1}
-    *               required when isMeta
+    *               required when isMeta; must also carry `partCols` columns
+    *               when those are given
+    * @param partCols optional symbol partitioning: barriers, paths and the
+    *                 end-of-data cutoff are evaluated per symbol (the
+    *                 bucketed join keys on (symbol, bucket)); empty = the
+    *                 reference's single-series semantics
     */
   def label(trades: DataFrame, events: DataFrame,
             topMult: Double, botMult: Double,
             vertBarrierSec: Double, minCloseSec: Double = 0.0,
-            minRet: Double = 0.0, isMeta: Boolean = false): DataFrame = {
+            minRet: Double = 0.0, isMeta: Boolean = false,
+            partCols: Seq[String] = Nil): DataFrame = {
     val vertNs = (vertBarrierSec * 1e9).toLong
     val minCloseNs = (minCloseSec * 1e9).toLong
+    val pc = partCols.map(col)
 
-    val maxTs = trades.agg(max("ts").as("__max_ts"))
     // Event preprocessing (label/kit.py:154-178): drop events whose target
     // can never reach the minimum return even at the widest barrier
     // (abs(tgt)·max_mult < min_ret) and events with missing/NaN targets.
     // NaN compares GREATER than any double in Spark — the isnan guard is
     // load-bearing, not defensive.
     val maxMult = math.max(topMult, botMult)
-    val ev = events
+    val ev0 = events
       .where(col("tgt").isNotNull && !isnan(col("tgt")) &&
         abs(col("tgt")) * lit(maxMult) >= lit(minRet))
       .withColumn("eside", if (isMeta) col("eside") else lit(1))
       .withColumn("up", lit(topMult) * col("tgt"))
       .withColumn("lo", lit(-botMult) * col("tgt"))
-      .crossJoin(broadcast(maxTs))
+    // end-of-data cutoff: global scalar, or per-symbol max when partitioned
+    val ev = (if (partCols.isEmpty)
+        ev0.crossJoin(broadcast(trades.agg(max("ts").as("__max_ts"))))
+      else
+        ev0.join(broadcast(trades.groupBy(pc: _*).agg(max("ts").as("__max_ts"))),
+          partCols))
       .where(col("event_ts") + vertNs <= col("__max_ts"))
       .drop("__max_ts")
 
@@ -60,14 +71,14 @@ object TripleBarrier {
     // reference is ambiguous — events derive from the same trades lineage,
     // and dataframe-tagged references (t("ts")) trip the ambiguous-self-join
     // detector once any shared fragment is cached elsewhere in the session.
-    val t = trades.select(col("ts").as("__t_ts"), col("id").as("__t_id"),
-        col("price").as("__t_price"))
+    val t = trades.select(pc :+ col("ts").as("__t_ts") :+ col("id").as("__t_id") :+
+        col("price").as("__t_price"): _*)
       .withColumn("__b", expr(s"__t_ts DIV ${vertNs}L"))
     val evb = ev
       .withColumn("__eb", expr(s"event_ts DIV ${vertNs}L"))
       .withColumn("__b", explode(array(col("__eb"), col("__eb") + 1)))
       .drop("__eb")
-    val path = evb.join(t, Seq("__b"))
+    val path = evb.join(t, "__b" +: partCols)
       .where(
         col("__t_ts") > col("event_ts") &&
         col("__t_ts") <= col("event_ts") + vertNs &&
@@ -88,7 +99,7 @@ object TripleBarrier {
     //    weight 1.0 regardless.
     val breach = col("ret") >= col("up") || col("ret") <= col("lo")
     val p1 = path
-      .groupBy("event_id", "event_ts", "tgt", "eside", "up", "lo")
+      .groupBy((partCols ++ Seq("event_id", "event_ts", "tgt", "eside", "up", "lo")).map(col): _*)
       .agg(
         min(when(breach, col("ts"))).as("touch0"),
         max(col("ts")).as("vert_ts"),
@@ -124,13 +135,13 @@ object TripleBarrier {
         .otherwise(signum(col("ret_touch")).cast("int"))
     val maxRbr = when(col("ret_touch") > 0, col("max_urbr") / (lit(1.0) + col("max_lrbr")))
       .otherwise(col("max_lrbr") / (lit(1.0) + col("max_urbr")))
-    p2.select(
+    p2.select(pc ++ Seq(
       col("event_ts"), col("event_id"),
       rawLabel.as("label"),
       col("touch_ts"),
       col("ret_touch").as("ret"),
       when(isVertical, least(maxRbr, lit(1.0))).otherwise(lit(1.0))
-        .as("vertical_touch_weight"))
+        .as("vertical_touch_weight")): _*)
   }
 
   /** The deterministic synthetic event set used by the driver queries:

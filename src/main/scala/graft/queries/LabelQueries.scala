@@ -58,6 +58,23 @@ object LabelQueries {
         .select(col("ts"), col("id"), col("concurrency"))
     }),
 
+    // Symbol-partitioned TBM: barriers walk only the event's own symbol's
+    // trades, end-of-data cutoff per symbol (7-day vertical barrier — the
+    // per-symbol stream is ~2 trades/day in the synthetic data).
+    "tbm_labels_sym" -> ((s, dir) => {
+      val t = trades(s, dir)
+      val ev = t.where(col("id") % 29 === 0).select(
+        col("symbol"), col("ts").as("event_ts"), col("id").as("event_id"),
+        col("price").as("p0"),
+        (lit(0.05) + (col("id") % 7).cast("double") * lit(0.01)).as("tgt"))
+      TripleBarrier.label(t, ev, top, bot, vertBarrierSec = 7 * 86400.0,
+          minCloseSec = 0.0, minRet = 0.02, isMeta = false,
+          partCols = Seq("symbol"))
+        .select(col("symbol"), col("event_ts"), col("event_id"), col("label"),
+          col("touch_ts"), r6(col("ret")).as("ret"),
+          r6(col("vertical_touch_weight")).as("vertical_touch_weight"))
+    }),
+
     // Symbol-partitioned sweep: per-symbol synthetic intervals prove the
     // partCols path (shuffle-parallel, no single global sort).
     "label_concurrency_sym" -> ((s, dir) => {
@@ -175,6 +192,51 @@ object LabelQueries {
          |  SELECT *, sum(d) OVER (ORDER BY ts, ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
          |  FROM stream
          |) WHERE ord = 1""".stripMargin,
+
+    "tbm_labels_sym" -> {
+      val vert = 7L * 86400000000000L
+      s"""WITH $tradesCte,
+         |ev AS (
+         |  SELECT symbol, ts AS event_ts, id AS event_id, price AS p0,
+         |         CAST(0.05 AS DOUBLE) + CAST(id % 7 AS DOUBLE) * CAST(0.01 AS DOUBLE) AS tgt
+         |  FROM trades WHERE id % 29 = 0
+         |),
+         |mx AS (SELECT symbol, max(ts) AS mxts FROM trades GROUP BY symbol),
+         |ev2 AS (
+         |  SELECT ev.*, ${D(top)} * tgt AS up, ${D(-bot)} * tgt AS lo
+         |  FROM ev JOIN mx USING (symbol)
+         |  WHERE event_ts + $vert <= mxts
+         |    AND abs(tgt) * ${D(math.max(top, bot))} >= ${D(0.02)}
+         |),
+         |path AS (
+         |  SELECT e.symbol, e.event_id, e.event_ts, e.up, e.lo, t.ts, t.id,
+         |         (ln(t.price) - ln(e.p0)) AS ret
+         |  FROM ev2 e JOIN trades t
+         |    ON t.symbol = e.symbol AND t.ts > e.event_ts AND t.ts <= e.event_ts + $vert
+         |),
+         |p2a AS (
+         |  SELECT symbol, event_id, event_ts,
+         |         min(CASE WHEN ret >= up OR ret <= lo THEN ts END) AS touch0,
+         |         max(ts) AS vert_ts,
+         |         first(ret ORDER BY ts, id) FILTER (WHERE ret >= up OR ret <= lo) AS ret_breach,
+         |         last(ret ORDER BY ts, id) AS ret_vert,
+         |         coalesce(max(CASE WHEN ret > 0 THEN ret / up END), 0.0) AS max_urbr,
+         |         coalesce(max(CASE WHEN ret < 0 THEN ret / lo END), 0.0) AS max_lrbr
+         |  FROM path GROUP BY symbol, event_id, event_ts
+         |),
+         |p2 AS (
+         |  SELECT *, coalesce(touch0, vert_ts) AS touch_ts,
+         |         CASE WHEN touch0 IS NOT NULL THEN ret_breach ELSE ret_vert END AS ret_touch
+         |  FROM p2a
+         |)
+         |SELECT symbol, event_ts, event_id,
+         |  CAST(CASE WHEN sign(ret_touch) = 0 THEN 1 ELSE sign(ret_touch) END AS INT) AS label,
+         |  touch_ts, ${rd("ret_touch")} AS ret,
+         |  ${rd("""CASE WHEN touch0 IS NULL THEN least(CASE WHEN ret_touch > 0
+             |    THEN max_urbr / (1 + max_lrbr) ELSE max_lrbr / (1 + max_urbr) END, 1.0)
+             |  ELSE 1.0 END""".stripMargin)} AS vertical_touch_weight
+         |FROM p2""".stripMargin
+    },
 
     "label_concurrency_sym" ->
       s"""WITH $tradesCte,
