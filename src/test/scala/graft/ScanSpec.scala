@@ -107,6 +107,21 @@ class ScanSpec extends AnyFunSuite {
     assert(got.length > 5, "test data should fire multiple events")
   }
 
+  test("volume bars reset per key: multi-symbol run equals solo runs") {
+    def df(sym: Long, qtys: Seq[Double]) = qtys.zipWithIndex.map { case (q, i) =>
+      (1000000000L * (i + 1), sym * 100 + i, 100.0, q, sym)
+    }.toDF("ts", "id", "price", "qty", "symbol")
+    val a = Seq(7.0, 5.0, 4.0, 3.0, 7.0, 2.0)
+    val b = Seq(2.0, 9.0, 1.0, 8.0, 5.0)
+    def ids(d: org.apache.spark.sql.DataFrame, keys: Seq[String]) =
+      EventBars.volumeBarIds(d, 9.0, keys)
+        .select("symbol", "id", "bar_id", "bar_closed").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    val solo = ids(df(0L, a), Nil) ++ ids(df(1L, b), Nil)
+    val merged = ids(df(0L, a).union(df(1L, b)), Seq("symbol"))
+    assert(merged == solo)
+  }
+
   test("cusum filter resets state at key boundaries (multi-symbol)") {
     // two symbols interleaved in one partition after keyOrdered layout:
     // each must behave exactly like its solo run
