@@ -94,8 +94,15 @@ object Dedup {
     * hashes per shingle, and the per-seed minima shuffle as longs, not
     * 32-char strings.
     */
+  /** @param maxBucket buckets larger than this are dropped as
+    *        non-discriminative (boilerplate/templated corpora): a bucket of
+    *        size m emits m(m−1)/2 pairs, so one mega-bucket can dominate the
+    *        whole job. Capped docs still pair through their other bands.
+    *        Default unbounded (exact banding semantics).
+    */
   def lshCandidates(docs: DataFrame, idCol: String, toksCol: String,
-                    shingleN: Int, k: Int, bands: Int): DataFrame = {
+                    shingleN: Int, k: Int, bands: Int,
+                    maxBucket: Int = Int.MaxValue): DataFrame = {
     val r = k / bands
     val aArr = (0 until k).map(minhashCoef("a", _))
     val bArr = (0 until k).map(minhashCoef("b", _))
@@ -123,7 +130,7 @@ object Dedup {
       .select(col("id"), col("x.band").as("band"), col("x.band_key").as("band_key"))
     val buckets = bandRowsDf.groupBy("band", "band_key")
       .agg(sort_array(collect_list("id")).as("ids"))
-      .where(size(col("ids")) > 1)
+      .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
     buckets
       .select(explode(flatten(transform(col("ids"), (a, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids")) - i - 1),

@@ -52,6 +52,26 @@ class DocSpec extends AnyFunSuite {
     assert(!verified.exists { case (a, b, _) => b == 3L || a == 3L })
   }
 
+  test("minhash LSH maxBucket drops mega-buckets but keeps other-band pairs") {
+    // 20 identical docs -> every band is one bucket of 20
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val d = docsDf((1L to 20L).map(_ -> base): _*)
+      .withColumn("toks", TextOps.wsTokens(col("text")))
+    val uncapped = Dedup.lshCandidates(d, "doc_id", "toks", 3, 16, 8).count()
+    assert(uncapped == 20L * 19 / 2)
+    val capped = Dedup.lshCandidates(d, "doc_id", "toks", 3, 16, 8, maxBucket = 10).count()
+    assert(capped == 0, "all buckets exceed the cap -> no candidates")
+    // mixed corpus: a small near-dup pair must survive the cap that kills
+    // the boilerplate cluster
+    val nearA = (1 to 29).map(i => s"v$i").mkString(" ")
+    val nearB = (1 to 28).map(i => s"v$i").mkString(" ") + " v99"
+    val mixed = docsDf(((1L to 20L).map(_ -> base) ++ Seq(100L -> nearA, 101L -> nearB)): _*)
+      .withColumn("toks", TextOps.wsTokens(col("text")))
+    val pairs = Dedup.lshCandidates(mixed, "doc_id", "toks", 3, 16, 8, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((100L, 101L)))
+  }
+
   test("simhash: identical docs collide, near-identical docs are close") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val tweaked = (1 to 38).map(i => s"w$i").mkString(" ") + " x1 x2"
