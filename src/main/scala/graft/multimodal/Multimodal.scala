@@ -15,11 +15,12 @@ import org.apache.spark.sql.functions._
   *  - the decode kernel is per-partition batched (one iterator pass, no
   *    per-row driver involvement), so at 100 TB it parallelizes by input
   *    split exactly like any scan;
-  *  - media libraries are NOT available in this environment, so
-  *    [[DecodedMedia]] extraction is a STUB: a deterministic pseudo-decoder
-  *    over the payload bytes. The schema, partitioning, kernel signature and
-  *    batch shape are the real contract; swap [[decodeStub]]'s body for a
-  *    real codec (JNI/ImageIO/ffmpeg) without touching anything else.
+  *  - [[decode]] parses real uncompressed container headers (BMP, PPM/PGM)
+  *    in pure JVM code and falls back to a deterministic pseudo-decode for
+  *    formats whose codecs aren't shipped here (JPEG/PNG/MP4 would slot
+  *    into the same kernel via JNI/ImageIO). The schema, partitioning,
+  *    kernel signature and batch shape are the production contract either
+  *    way.
   */
 object Multimodal {
 
@@ -67,25 +68,63 @@ object Multimodal {
       .select(col("doc_id"), col("frame_idx"), col("frame_bytes"), col("frame_md5"))
   }
 
-  /** Batched per-partition decode. STUB: pseudo-dimensions derived from the
-    * byte stream (a real decoder would parse container headers here); the
-    * iterator shape — consume a partition of payloads, emit one decoded row
-    * each, never materialize the partition — is the production contract.
+  /** Real header parsing for the uncompressed container formats a pure-JVM
+    * kernel can decode without native libs: BMP (little-endian int32 dims at
+    * offsets 18/22; negative height = top-down rows) and binary PPM/PGM
+    * ("P6"/"P5" ASCII header, '#' comments). Returns None for anything else.
     */
-  def decodeStub(media: Dataset[MediaRow]): Dataset[DecodedMedia] =
+  private[multimodal] def parseDims(p: Array[Byte]): Option[(Int, Int)] = {
+    def le32(o: Int): Int = (p(o) & 0xff) | (p(o + 1) & 0xff) << 8 |
+      (p(o + 2) & 0xff) << 16 | (p(o + 3) & 0xff) << 24
+    if (p.length >= 26 && p(0) == 'B'.toByte && p(1) == 'M'.toByte &&
+        le32(6) == 0 && Set(12, 40, 52, 56, 108, 124).contains(le32(14))) {
+      // reserved-zero + known DIB header size: text starting "BM" never
+      // carries four NUL bytes at offset 6, so no ASCII false positives
+      val (w, h) = (le32(18), math.abs(le32(22)))
+      if (w > 0 && h > 0) Some((w, h)) else None
+    } else if (p.length >= 10 && p(0) == 'P'.toByte &&
+        (p(1) == '5'.toByte || p(1) == '6'.toByte) &&
+        (p(2).toChar.isWhitespace || p(2) == '#'.toByte)) {
+      val vals = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var i = 2; var cur = -1
+      while (i < p.length && vals.length < 2) {
+        val c = p(i).toChar
+        if (c == '#') { while (i < p.length && p(i) != '\n'.toByte) i += 1 }
+        else if (c.isDigit) cur = (if (cur < 0) 0 else cur) * 10 + (c - '0')
+        else if (cur >= 0) { vals += cur; cur = -1 }
+        i += 1
+      }
+      if (cur >= 0 && vals.length < 2) vals += cur
+      if (vals.length >= 2 && vals(0) > 0 && vals(1) > 0) Some((vals(0), vals(1)))
+      else None
+    } else None
+  }
+
+  /** Batched per-partition decode: one iterator pass, one decoded row per
+    * payload, the partition never materialized. Real container headers
+    * (BMP, PPM/PGM) yield their true dimensions; unknown formats fall back
+    * to a deterministic pseudo-decode so synthetic corpora stay
+    * oracle-exact. Compressed codecs (JPEG/PNG/MP4) would slot into
+    * [[parseDims]] via JNI/ImageIO in an environment that ships them.
+    */
+  def decode(media: Dataset[MediaRow]): Dataset[DecodedMedia] =
     media.mapPartitions { it =>
       val digest = java.security.MessageDigest.getInstance("MD5")
       it.map { m =>
         val n = m.payload.length.toLong
-        // ---- STUB pseudo-decode (deterministic; replace with real codec) --
-        val width = 64 + ((n * 131L + m.doc_id) % 193L).toInt
-        val height = 64 + ((n * 37L + m.doc_id * 7L) % 157L).toInt
-        // -------------------------------------------------------------------
+        val (width, height) = parseDims(m.payload).getOrElse {
+          // deterministic pseudo-decode fallback (oracle-mirrored)
+          (64 + ((n * 131L + m.doc_id) % 193L).toInt,
+            64 + ((n * 37L + m.doc_id * 7L) % 157L).toInt)
+        }
         digest.reset()
         DecodedMedia(m.doc_id, m.media_type, n, width, height,
           digest.digest(m.payload).map("%02x".format(_)).mkString)
       }
     }(Encoders.product[DecodedMedia])
+
+  /** Former name of [[decode]], kept for source compatibility. */
+  def decodeStub(media: Dataset[MediaRow]): Dataset[DecodedMedia] = decode(media)
 
   /** Resize metadata stage (STUB decode downstream): target box scaling with
     * aspect preservation — pure arithmetic on the decoded metadata, the real

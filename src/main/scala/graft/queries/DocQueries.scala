@@ -114,9 +114,10 @@ object DocQueries {
       Multimodal.frameSample(Multimodal.frames(media, 256))
     }),
 
-    // Batched per-partition STUB decode + resize planning: the typed
-    // mapPartitions kernel consumes payload batches and emits deterministic
-    // pseudo-metadata (real codec swaps into the same kernel).
+    // Batched per-partition decode + resize planning: the typed
+    // mapPartitions kernel parses real headers (BMP/PPM) and pseudo-decodes
+    // unknown payloads deterministically — these text payloads take the
+    // fallback path, which the oracle mirrors.
     "mm_decode_resize" -> ((s, dir) => {
       val s2 = s
       import s2.implicits._
@@ -124,7 +125,7 @@ object DocQueries {
         col("source").as("media_type"),
         encode(col("text"), "UTF-8").as("payload"))
         .as[Multimodal.MediaRow]
-      Multimodal.resizePlan(Multimodal.decodeStub(media), maxSide = 128)
+      Multimodal.resizePlan(Multimodal.decode(media), maxSide = 128)
         .select(col("doc_id"), col("media_type"), col("n_bytes"),
           col("width"), col("height"), col("checksum"),
           col("out_width"), col("out_height"))

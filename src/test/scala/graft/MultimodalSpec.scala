@@ -56,6 +56,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(d.checksum == sparkMd5)
   }
 
+  test("decode parses real BMP and PPM headers; text falls back to pseudo") {
+    import spark.implicits._
+    // minimal BMP: magic, size, reserved=0, data offset, DIB=40, w=320, h=-240
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val bmp = "BM".getBytes("US-ASCII") ++ le32(60) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(320) ++ le32(-240) ++ Array.fill[Byte](30)(0)
+    val ppm = ("P6\n# a comment\n17 9\n255\n" + "x" * (17 * 9 * 3)).getBytes("US-ASCII")
+    val txt = "BMW is a carmaker, P6 is an engine layout".getBytes("UTF-8")
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", bmp),
+      Multimodal.MediaRow(2L, "image", ppm),
+      Multimodal.MediaRow(3L, "text", txt)).toDS()
+    val out = Multimodal.decode(rows).collect().map(d => d.doc_id -> d).toMap
+    assert((out(1L).width, out(1L).height) == (320, 240)) // top-down height folded
+    assert((out(2L).width, out(2L).height) == (17, 9))
+    val n = txt.length.toLong
+    assert(out(3L).width == 64 + ((n * 131 + 3) % 193).toInt, "text must pseudo-decode")
+  }
+
   test("resize plan preserves aspect and caps the long side") {
     val m = media((1L, "z" * 500))
     val r = Multimodal.resizePlan(
