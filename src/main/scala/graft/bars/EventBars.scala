@@ -21,11 +21,15 @@ object EventBars {
 
   /** Tick bars: a new bar every `threshold` trades (logic.py:54-84).
     * bar_id = rn0 div thr on the 0-based row number; row 0 excluded; the
-    * trailing partial bar dropped via max(rn0) check.
+    * trailing partial bar dropped via max(rn0) check. With `keyCols` the
+    * count restarts per symbol and the window shuffles by key instead of
+    * single-partitioning the stream.
     */
-  def tickBarIds(trades: DataFrame, threshold: Int): DataFrame =
+  def tickBarIds(trades: DataFrame, threshold: Int,
+                 keyCols: Seq[String] = Nil): DataFrame =
     trades
-      .withColumn("rn0", row_number().over(Window.orderBy("ts", "id")) - 1)
+      .withColumn("rn0", row_number().over(
+        Window.partitionBy(keyCols.map(col): _*).orderBy("ts", "id")) - 1)
       .where(col("rn0") >= 1)
       .withColumn("bar_id", expr(s"rn0 div $threshold"))
 

@@ -92,30 +92,34 @@ object Trades {
   }
 
   /** Trade-id gap scan — `_validate_data` (data_model.py:254-292):
-    * rows where id jumps by >1, with surrounding timestamps.
+    * rows where id jumps by >1, with surrounding timestamps. `partCols`
+    * runs the scan per symbol (shuffle-parallel) for multi-series stores.
     */
-  def idGaps(trades: DataFrame): DataFrame = {
-    val w = Window.orderBy("id")
-    trades.select(
+  def idGaps(trades: DataFrame, partCols: Seq[String] = Nil): DataFrame = {
+    val pc = partCols.map(col)
+    val w = Window.partitionBy(pc: _*).orderBy("id")
+    trades.select(pc ++ Seq(
         col("id"), col("ts"),
         lag("id", 1).over(w).as("prev_id"),
-        lag("ts", 1).over(w).as("prev_ts"))
+        lag("ts", 1).over(w).as("prev_ts")): _*)
       .where(col("id") - col("prev_id") > 1)
-      .select(
+      .select(pc ++ Seq(
         col("prev_id"), col("id"),
         (col("id") - col("prev_id") - 1).as("missing"),
-        col("prev_ts"), col("ts"))
+        col("prev_ts"), col("ts")): _*)
   }
 
   /** Time-gap scan over ts — `H5Inspector.inspect_gaps` (bar/io.py:200-223):
-    * consecutive-trade gaps above a threshold.
+    * consecutive-trade gaps above a threshold; `partCols` as in [[idGaps]].
     */
-  def timeGaps(trades: DataFrame, maxGapNs: Long): DataFrame = {
-    val w = Window.orderBy("ts", "id")
-    trades.select(col("ts"), lag("ts", 1).over(w).as("prev_ts"))
+  def timeGaps(trades: DataFrame, maxGapNs: Long,
+               partCols: Seq[String] = Nil): DataFrame = {
+    val pc = partCols.map(col)
+    val w = Window.partitionBy(pc: _*).orderBy("ts", "id")
+    trades.select(pc :+ col("ts") :+ lag("ts", 1).over(w).as("prev_ts"): _*)
       .where(col("ts") - col("prev_ts") > maxGapNs)
-      .select(col("prev_ts").as("gap_start"), col("ts").as("gap_end"),
-        ((col("ts") - col("prev_ts")) / lit(1e9)).as("gap_sec"))
+      .select(pc ++ Seq(col("prev_ts").as("gap_start"), col("ts").as("gap_end"),
+        ((col("ts") - col("prev_ts")) / lit(1e9)).as("gap_sec")): _*)
   }
 
   /** Monotonic-timestamp check (bar/utils.py:227-237) as one scalar agg. */
