@@ -35,17 +35,21 @@ object EventBars {
 
   /** OHLCV over explicit bar ids; close ts = last trade's ts. Fixed-width
     * two-pass aggregation (see TimeBars.ohlcvTwoPass) — no SortAggregate.
+    * With `keyCols` (per-symbol bar_id sequences restart at 0) the group
+    * key is (keys..., bar_id) — bar_id alone would mix symbols.
     */
-  def ohlcvByBarId(withIds: DataFrame): DataFrame =
-    TimeBars.ohlcvTwoPass(withIds, "bar_id")
+  def ohlcvByBarId(withIds: DataFrame, keyCols: Seq[String] = Nil): DataFrame =
+    TimeBars.ohlcvTwoPass(withIds, keyCols :+ "bar_id")
       .withColumn("bar_ts", col("__lts"))
-      .select("bar_id", "bar_ts", "open", "high", "low", "close", "volume",
-        "trades", "median_trade_size", "vwap")
+      .select((keyCols ++ Seq("bar_id", "bar_ts", "open", "high", "low", "close",
+        "volume", "trades", "median_trade_size", "vwap")).map(col): _*)
 
-  def tickBarsOhlcv(trades: DataFrame, threshold: Int): DataFrame = {
-    val ids = tickBarIds(trades, threshold)
-    // complete bars only: bar 0 has thr-1 rows (row 0 excluded), others thr
-    ohlcvByBarId(ids)
+  def tickBarsOhlcv(trades: DataFrame, threshold: Int,
+                    keyCols: Seq[String] = Nil): DataFrame = {
+    val ids = tickBarIds(trades, threshold, keyCols)
+    // complete bars only: bar 0 has thr-1 rows (row 0 excluded per key),
+    // others thr — the filter holds per key run
+    ohlcvByBarId(ids, keyCols)
       .where(col("trades") === lit(threshold.toLong) ||
              (col("bar_id") === 0 && col("trades") === lit(threshold.toLong - 1)))
   }
@@ -135,12 +139,13 @@ object EventBars {
     * complete iff its close fired), then aggregate — parity with the
     * reference's n_bars = len(closes) − 1.
     */
-  def completeBars(withIds: DataFrame): DataFrame = {
+  def completeBars(withIds: DataFrame, keyCols: Seq[String] = Nil): DataFrame = {
+    val keys = keyCols :+ "bar_id"
     val flagged = withIds.where(col("bar_id") >= 0)
-      .groupBy("bar_id").agg(max(col("bar_closed")).as("__complete"))
+      .groupBy(keys.map(col): _*).agg(max(col("bar_closed")).as("__complete"))
       .where(col("__complete"))
-    ohlcvByBarId(withIds.where(col("bar_id") >= 0))
-      .join(flagged.select("bar_id"), Seq("bar_id"))
+    ohlcvByBarId(withIds.where(col("bar_id") >= 0), keyCols)
+      .join(flagged.select(keys.map(col): _*), keys)
   }
 
   /** Symmetric CUSUM filter on log returns (sampling/filters.py:6-70 and

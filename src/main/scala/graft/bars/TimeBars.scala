@@ -40,8 +40,9 @@ object TimeBars {
     * first/last timestamp (a handful per group; the group table broadcasts
     * under AQE) and tie-breaks those with a plain long `id` key.
     */
-  private[graft] def ohlcvTwoPass(t: DataFrame, g: String): DataFrame = {
-    val agg = t.groupBy(g).agg(
+  private[graft] def ohlcvTwoPass(t: DataFrame, g: Seq[String]): DataFrame = {
+    val gc = g.map(col)
+    val agg = t.groupBy(gc: _*).agg(
       min("ts").as("__fts"),
       max("ts").as("__lts"),
       max("price").as("high"),
@@ -50,9 +51,9 @@ object TimeBars {
       count(lit(1)).as("trades"),
       median(col("qty")).as("median_trade_size"),
       (sum(col("price") * col("qty")) / sum(col("qty"))).as("vwap"))
-    val oc = t.join(agg.select(col(g), col("__fts"), col("__lts")), Seq(g))
+    val oc = t.join(agg.select(gc ++ Seq(col("__fts"), col("__lts")): _*), g)
       .where(col("ts") === col("__fts") || col("ts") === col("__lts"))
-      .groupBy(g).agg(
+      .groupBy(gc: _*).agg(
         // min_by/max_by ignore rows whose ordering expression is null, so
         // each picks only among its own boundary-timestamp rows
         min_by(when(col("ts") === col("__fts"), col("price")),
@@ -60,7 +61,7 @@ object TimeBars {
         max_by(when(col("ts") === col("__lts"), col("price")),
                when(col("ts") === col("__lts"), col("id"))).as("close"))
     // __fts/__lts retained (first/last trade ts per group) — callers select
-    agg.join(oc, Seq(g))
+    agg.join(oc, g)
   }
 
   /** OHLCV aggregation per bar. `fillEmpty` re-creates the reference's
@@ -70,7 +71,7 @@ object TimeBars {
     val iv = intervalSec * 1000000000L
     val agg = ohlcvTwoPass(
         trades.withColumn("bar_ts", expr(s"((ts + ${iv - 1}L) div ${iv}L) * ${iv}L")),
-        "bar_ts")
+        Seq("bar_ts"))
       .select("bar_ts", "open", "high", "low", "close", "volume", "trades",
         "median_trade_size", "vwap")
     if (!fillEmpty) agg

@@ -93,8 +93,8 @@ object Dedup {
     * md5 per shingle (31-bit prefix) — k integer ops replace k md5 string
     * hashes per shingle, and the per-seed minima shuffle as longs, not
     * 32-char strings.
-    */
-  /** @param maxBucket buckets larger than this are dropped as
+    *
+    * @param maxBucket buckets larger than this are dropped as
     *        non-discriminative (boilerplate/templated corpora): a bucket of
     *        size m emits m(m−1)/2 pairs, so one mega-bucket can dominate the
     *        whole job. Capped docs still pair through their other bands.

@@ -112,19 +112,25 @@ object TripleBarrier {
     // equality leaves a handful of rows; tie-break by trade id replays the
     // reference kernel's walk order (first breaching print / last print,
     // tbm.py:99-143), with fixed-width long keys for min_by/max_by.
+    // partCols ride the key everywhere here: event ids may restart per
+    // symbol in multi-series stores, so (partCols, event_id) is the only
+    // safe event identity.
+    val p1Side = p1.select(
+      partCols.map(c => col(c).as(s"__p_$c")) ++ Seq(col("event_id").as("__peid"),
+        col("touch0"), col("touch_ts"), col("up").as("__up"), col("lo").as("__lo")): _*)
+    val touchCond = partCols.map(c => col(c) === col(s"__p_$c"))
+      .foldLeft(col("__eid") === col("__peid"))(_ && _)
     val touch = path
-      .select(col("event_id").as("__eid"), col("ts"), col("id"), col("ret"))
-      .join(broadcast(p1.select(col("event_id").as("__peid"), col("touch0"),
-        col("touch_ts"), col("up").as("__up"), col("lo").as("__lo"))),
-        col("__eid") === col("__peid"))
+      .select(pc ++ Seq(col("event_id").as("__eid"), col("ts"), col("id"), col("ret")): _*)
+      .join(broadcast(p1Side), touchCond)
       .where(col("ts") === col("touch_ts"))
       .withColumn("__breach", col("ret") >= col("__up") || col("ret") <= col("__lo"))
-      .groupBy(col("__eid").as("event_id"))
+      .groupBy((pc :+ col("__eid").as("event_id")): _*)
       .agg(
         min_by(col("ret"), when(col("__breach"), col("id"))).as("ret_breach"),
         max_by(col("ret"), col("id")).as("ret_vert"))
 
-    val p2 = p1.join(broadcast(touch), Seq("event_id"))
+    val p2 = p1.join(broadcast(touch), partCols :+ "event_id")
       .withColumn("ret_touch",
         when(col("touch0").isNotNull, col("ret_breach")).otherwise(col("ret_vert")))
 

@@ -85,18 +85,31 @@ object Multimodal {
     } else if (p.length >= 10 && p(0) == 'P'.toByte &&
         (p(1) == '5'.toByte || p(1) == '6'.toByte) &&
         (p(2).toChar.isWhitespace || p(2) == '#'.toByte)) {
+      // parse w, h, maxval; '#' comments act as token separators (netpbm's
+      // pm_getc semantics), so a pending digit run flushes BEFORE the skip
       val vals = scala.collection.mutable.ArrayBuffer.empty[Int]
-      var i = 2; var cur = -1
-      while (i < p.length && vals.length < 2) {
+      var i = 2; var cur = -1; var bad = false
+      while (i < p.length && vals.length < 3 && !bad) {
         val c = p(i).toChar
-        if (c == '#') { while (i < p.length && p(i) != '\n'.toByte) i += 1 }
-        else if (c.isDigit) cur = (if (cur < 0) 0 else cur) * 10 + (c - '0')
-        else if (cur >= 0) { vals += cur; cur = -1 }
+        if (c == '#') {
+          if (cur >= 0) { vals += cur; cur = -1 }
+          while (i < p.length && p(i) != '\n'.toByte) i += 1
+        } else if (c.isDigit) {
+          cur = (if (cur < 0) 0 else cur) * 10 + (c - '0')
+          if (cur > (1 << 28)) bad = true // absurd dimension → not an image
+        } else if (cur >= 0) { vals += cur; cur = -1 }
         i += 1
       }
-      if (cur >= 0 && vals.length < 2) vals += cur
-      if (vals.length >= 2 && vals(0) > 0 && vals(1) > 0) Some((vals(0), vals(1)))
-      else None
+      if (cur >= 0 && vals.length < 3) vals += cur
+      // false-positive hardening (prose can start "P6 ..."): plausible
+      // maxval AND the payload must be large enough to hold the raster
+      if (!bad && vals.length >= 3 && vals(0) > 0 && vals(1) > 0 &&
+          vals(2) > 0 && vals(2) <= 65535) {
+        val channels = if (p(1) == '6'.toByte) 3L else 1L
+        val bps = if (vals(2) < 256) 1L else 2L
+        val need = vals(0).toLong * vals(1).toLong * channels * bps
+        if (p.length.toLong >= need) Some((vals(0), vals(1))) else None
+      } else None
     } else None
   }
 

@@ -75,6 +75,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(3L).width == 64 + ((n * 131 + 3) % 193).toInt, "text must pseudo-decode")
   }
 
+  test("PPM parser: comment abutting a token flushes it; prose never parses") {
+    import spark.implicits._
+    // '#' right after the width digits — netpbm reads (17, 9), not 179
+    val ppm = ("P6 17# a comment\n9\n255\n" + "x" * (17 * 9 * 3)).getBytes("US-ASCII")
+    // prose with three plausible ints but no raster payload behind them
+    val prose = "P5 10 20 30 short text".getBytes("UTF-8")
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", ppm),
+      Multimodal.MediaRow(2L, "text", prose)).toDS()
+    val out = Multimodal.decode(rows).collect().map(d => d.doc_id -> d).toMap
+    assert((out(1L).width, out(1L).height) == (17, 9))
+    val n = prose.length.toLong
+    assert(out(2L).width == 64 + ((n * 131 + 2) % 193).toInt,
+      "prose must take the pseudo-decode fallback")
+  }
+
   test("resize plan preserves aspect and caps the long side") {
     val m = media((1L, "z" * 500))
     val r = Multimodal.resizePlan(

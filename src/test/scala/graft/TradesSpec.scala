@@ -73,6 +73,40 @@ class TradesSpec extends AnyFunSuite {
       .select("median_trade_size").head().getDouble(0) == 3.0)
   }
 
+  test("idGaps/timeGaps with partCols equal per-symbol solo runs") {
+    def df(sym: Long, ids: Seq[Long]) = ids.zipWithIndex.map { case (id, i) =>
+      (1000000000L * (i + 1) * (sym + 1), id, 100.0, 1.0, sym)
+    }.toDF("ts", "id", "price", "qty", "symbol")
+    val a = df(0L, Seq(1L, 2L, 5L, 6L))   // gap 3-4
+    val b = df(1L, Seq(10L, 14L, 15L))    // gap 11-13
+    def gaps(d: org.apache.spark.sql.DataFrame, pc: Seq[String]) =
+      Trades.idGaps(d, pc).select("prev_id", "id", "missing").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gaps(a.union(b), Seq("symbol")) == (gaps(a, Nil) ++ gaps(b, Nil)))
+    assert(gaps(a.union(b), Seq("symbol")) == Set((2L, 5L, 2L), (10L, 14L, 3L)))
+    def tgaps(d: org.apache.spark.sql.DataFrame, pc: Seq[String]) =
+      Trades.timeGaps(d, 1500000000L, pc).select("gap_start", "gap_end").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tgaps(a.union(b), Seq("symbol")) == (tgaps(a, Nil) ++ tgaps(b, Nil)))
+  }
+
+  test("keyed tick bars compose: per-symbol OHLCV equals solo runs") {
+    def df(sym: Long) = (0 until 9).map { i =>
+      (1000000000L * (i + 1), sym * 100 + i, 100.0 + sym * 10 + i * 0.5, 1.0, sym)
+    }.toDF("ts", "id", "price", "qty", "symbol")
+    val merged = graft.bars.EventBars.tickBarsOhlcv(
+        df(0L).union(df(1L)), 4, keyCols = Seq("symbol"))
+      .select("symbol", "bar_id", "open", "close", "trades").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+      .toSet
+    val solo = Seq(0L, 1L).flatMap { s =>
+      graft.bars.EventBars.tickBarsOhlcv(df(s), 4)
+        .select("bar_id", "open", "close", "trades").collect()
+        .map(r => (s, r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    }.toSet
+    assert(merged == solo && merged.nonEmpty)
+  }
+
   test("checkTimestampsOrder detects an out-of-order id sequence") {
     def df(tss: Seq[Long]) = tss.zipWithIndex
       .map { case (ts, i) => (ts, i.toLong) }.toDF("ts", "id")
