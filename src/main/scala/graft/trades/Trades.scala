@@ -64,6 +64,14 @@ object Trades {
     * get 0. One pass of two window functions — the carry is
     * `last(non-zero-sign, ignoreNulls)` over an unbounded-preceding frame.
     *
+    * MEASURED: the carry state is affine (keep / overwrite-with-±1), so an
+    * exact two-pass Scan.affine variant exists in principle — benchmarked
+    * ~2× SLOWER end-to-end at sf0.1 (the scan's cached sorted materialization
+    * defeats downstream column pruning and pays two passes, vs one cheap
+    * single-partition sort at these row counts). Single-series order-total
+    * is the reference's own constraint; at multi-series scale pass
+    * `partCols` and the window shuffles by symbol.
+    *
     * @param partCols optional symbol partitioning for multi-series data; the
     *                 reference semantics are single-series (empty Seq).
     */
