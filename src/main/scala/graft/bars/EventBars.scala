@@ -118,22 +118,8 @@ object EventBars {
     }(Encoders.row(out)).toDF()
   }
 
-  /** Split a partition iterator into contiguous per-key runs so sequential
-    * kernels restart (state reset) at every key change. With empty keyIdxs
-    * the whole partition is one run.
-    */
-  private def keyRuns(it: Iterator[Row], keyIdxs: Seq[Int]): Iterator[Iterator[Row]] =
-    new Iterator[Iterator[Row]] {
-      val buf = it.buffered
-      def hasNext: Boolean = buf.hasNext
-      def next(): Iterator[Row] = {
-        val k = keyIdxs.map(buf.head.get)
-        new Iterator[Row] {
-          def hasNext: Boolean = buf.hasNext && keyIdxs.map(buf.head.get) == k
-          def next(): Row = buf.next()
-        }
-      }
-    }
+  private def keyRuns(it: Iterator[Row], keyIdxs: Seq[Int]) =
+    Scan.keyRuns(it, keyIdxs)
 
   /** Drop the unassigned first trade and the trailing partial bar (a bar is
     * complete iff its close fired), then aggregate — parity with the

@@ -202,8 +202,9 @@ object Ewm {
     * NaN before row w and whenever avg_loss = 0.
     */
   def rsiExact(df: DataFrame, closeCol: String, w: Int,
-               orderCols: Seq[String], out: String = "rsi"): DataFrame =
-    Scan.seqDouble(df, orderCols, out) { (schema, rows) =>
+               orderCols: Seq[String], out: String = "rsi",
+               keyCols: Seq[String] = Nil): DataFrame =
+    Scan.seqDouble(df, orderCols, out, keyCols) { (schema, rows) =>
       val cIdx = schema.fieldIndex(closeCol)
       var i = -1
       var prev = Double.NaN
@@ -241,8 +242,9 @@ object Ewm {
     * then ((w−1)·atr + tr)/w (core/volatility.py:352-437, EMA flavor).
     */
   def atrWilderExact(df: DataFrame, w: Int, orderCols: Seq[String],
-                     out: String = "atr"): DataFrame =
-    Scan.seqDouble(df, orderCols, out) { (schema, rows) =>
+                     out: String = "atr",
+                     keyCols: Seq[String] = Nil): DataFrame =
+    Scan.seqDouble(df, orderCols, out, keyCols) { (schema, rows) =>
       val hIdx = schema.fieldIndex("high")
       val lIdx = schema.fieldIndex("low")
       val cIdx = schema.fieldIndex("close")
@@ -268,8 +270,9 @@ object Ewm {
     * → Wilder-smoothed ADX (zeros before warm-up, like the reference).
     */
   def adxExact(df: DataFrame, len: Int, orderCols: Seq[String],
-               out: String = "adx"): DataFrame =
-    Scan.seqDouble(df, orderCols, out) { (schema, rows) =>
+               out: String = "adx",
+               keyCols: Seq[String] = Nil): DataFrame =
+    Scan.seqDouble(df, orderCols, out, keyCols) { (schema, rows) =>
       val hIdx = schema.fieldIndex("high")
       val lIdx = schema.fieldIndex("low")
       val cIdx = schema.fieldIndex("close")

@@ -39,19 +39,41 @@ object Scan {
       df.repartition(keyCols.map(col): _*).sortWithinPartitions(sortCols: _*)
   }
 
-  /** Global-ordered sequential scan appending one double column — for
-    * kernels whose state is neither affine nor reset-free (seeded Wilder
-    * RSI/ADX). Single partition per series by construction (the reference
-    * has the same order-total constraint); parallelism comes from symbols.
+  /** Split a partition iterator into contiguous per-key runs so sequential
+    * kernels restart (state reset) at every key change. With empty keyIdxs
+    * the whole partition is one run. Requires the [[keyOrdered]] layout
+    * (each key's rows contiguous within the partition).
     */
-  def seqDouble(df: DataFrame, orderCols: Seq[String], out: String)(
+  def keyRuns(it: Iterator[Row], keyIdxs: Seq[Int]): Iterator[Iterator[Row]] =
+    new Iterator[Iterator[Row]] {
+      val buf = it.buffered
+      def hasNext: Boolean = buf.hasNext
+      def next(): Iterator[Row] = {
+        val k = keyIdxs.map(buf.head.get)
+        new Iterator[Row] {
+          def hasNext: Boolean = buf.hasNext && keyIdxs.map(buf.head.get) == k
+          def next(): Row = buf.next()
+        }
+      }
+    }
+
+  /** Ordered sequential scan appending one double column — for kernels
+    * whose state is neither affine nor reset-free (seeded Wilder RSI/ADX).
+    * Order-total per series by construction (the reference has the same
+    * constraint); with `keyCols` the kernel restarts per key and the scan
+    * shuffles by key — parallel across symbols, as the reference's
+    * per-series loops are.
+    */
+  def seqDouble(df: DataFrame, orderCols: Seq[String], out: String,
+                keyCols: Seq[String] = Nil)(
       kernel: (StructType, Iterator[Row]) => Iterator[(Row, Double)]): DataFrame = {
-    val sorted = df.repartitionByRange(1, orderCols.map(col): _*)
-      .sortWithinPartitions(orderCols.map(col): _*)
+    val sorted = keyOrdered(df, keyCols, orderCols)
     val schema = sorted.schema
+    val keyIdxs = keyCols.map(schema.fieldIndex)
     val outSchema = StructType(schema.fields :+ StructField(out, DoubleType))
     sorted.mapPartitions { it =>
-      kernel(schema, it).map { case (r, v) => Row.fromSeq(r.toSeq :+ v) }
+      keyRuns(it, keyIdxs).flatMap(run =>
+        kernel(schema, run).map { case (r, v) => Row.fromSeq(r.toSeq :+ v) })
     }(Encoders.row(outSchema)).toDF()
   }
 

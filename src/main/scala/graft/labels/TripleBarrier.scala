@@ -99,7 +99,7 @@ object TripleBarrier {
     //    weight 1.0 regardless.
     val breach = col("ret") >= col("up") || col("ret") <= col("lo")
     val p1 = path
-      .groupBy((partCols ++ Seq("event_id", "event_ts", "tgt", "eside", "up", "lo")).map(col): _*)
+      .groupBy((partCols ++ Seq("event_id", "event_ts", "p0", "tgt", "eside", "up", "lo")).map(col): _*)
       .agg(
         min(when(breach, col("ts"))).as("touch0"),
         max(col("ts")).as("vert_ts"),
@@ -107,28 +107,35 @@ object TripleBarrier {
         coalesce(max(when(col("ret") < 0, col("ret") / col("lo"))), lit(0.0)).as("max_lrbr"))
       .withColumn("touch_ts", coalesce(col("touch0"), col("vert_ts")))
 
-    // Pass 2 — return AT the touch: only path rows at the touch timestamp
-    // matter, so broadcasting the tiny per-event table and filtering on ts
-    // equality leaves a handful of rows; tie-break by trade id replays the
-    // reference kernel's walk order (first breaching print / last print,
-    // tbm.py:99-143), with fixed-width long keys for min_by/max_by.
-    // partCols ride the key everywhere here: event ids may restart per
-    // symbol in multi-series stores, so (partCols, event_id) is the only
-    // safe event identity.
+    // Pass 2 — return AT the touch: only trades at the touch timestamp
+    // matter, so instead of re-deriving the whole path (a second bucketed
+    // join over |events| × path rows) we broadcast the tiny per-event table
+    // and hash-join it against the RAW trades on ts == touch_ts — one cheap
+    // scan of trades, recomputing ret only for the handful of touch prints.
+    // Tie-break by trade id replays the reference kernel's walk order
+    // (first breaching print / last print, tbm.py:99-143), with fixed-width
+    // long keys for min_by/max_by. partCols ride the key everywhere here:
+    // event ids may restart per symbol in multi-series stores, so
+    // (partCols, event_id) is the only safe event identity. Every trade at
+    // touch_ts satisfies the path filters by construction: touch_ts came
+    // from path rows, and the (minClose, vert] bounds depend on ts only.
     val p1Side = p1.select(
       partCols.map(c => col(c).as(s"__p_$c")) ++ Seq(col("event_id").as("__peid"),
+        col("p0").as("__p_p0"), col("eside").as("__p_eside"),
         col("touch0"), col("touch_ts"), col("up").as("__up"), col("lo").as("__lo")): _*)
-    val touchCond = partCols.map(c => col(c) === col(s"__p_$c"))
-      .foldLeft(col("__eid") === col("__peid"))(_ && _)
-    val touch = path
-      .select(pc ++ Seq(col("event_id").as("__eid"), col("ts"), col("id"), col("ret")): _*)
-      .join(broadcast(p1Side), touchCond)
-      .where(col("ts") === col("touch_ts"))
-      .withColumn("__breach", col("ret") >= col("__up") || col("ret") <= col("__lo"))
-      .groupBy((pc :+ col("__eid").as("event_id")): _*)
+    val touch = trades
+      .select(pc ++ Seq(col("ts").as("__t_ts2"), col("id").as("__t_id2"),
+        col("price").as("__t_price2")): _*)
+      .join(broadcast(p1Side),
+        partCols.map(c => col(c) === col(s"__p_$c"))
+          .foldLeft(col("__t_ts2") === col("touch_ts"))(_ && _))
+      .withColumn("__ret",
+        (log(col("__t_price2")) - log(col("__p_p0"))) * col("__p_eside"))
+      .withColumn("__breach", col("__ret") >= col("__up") || col("__ret") <= col("__lo"))
+      .groupBy((pc :+ col("__peid").as("event_id")): _*)
       .agg(
-        min_by(col("ret"), when(col("__breach"), col("id"))).as("ret_breach"),
-        max_by(col("ret"), col("id")).as("ret_vert"))
+        min_by(col("__ret"), when(col("__breach"), col("__t_id2"))).as("ret_breach"),
+        max_by(col("__ret"), col("__t_id2")).as("ret_vert"))
 
     val p2 = p1.join(broadcast(touch), partCols :+ "event_id")
       .withColumn("ret_touch",

@@ -53,29 +53,33 @@ object Weights {
     * 1/conc and logret/conc over the time-ordered trades, then each event's
     * interval sum is the difference of the prefix at its two endpoint
     * markers (start marker sorts before equal-ts trades → left-inclusive;
-    * end marker after → right-inclusive). One global sort, no join blow-up;
-    * at multi-symbol scale the sort partitions by symbol.
+    * end marker after → right-inclusive). One sort, no join blow-up; with
+    * `partCols` (e.g. symbol, present on BOTH inputs) the sweep shuffles by
+    * key — parallel across symbols, matching the reference's per-series
+    * order constraint (label/weights.py:7-103).
     */
-  def eventWeights(trades: DataFrame, labeled: DataFrame): DataFrame = {
+  def eventWeights(trades: DataFrame, labeled: DataFrame,
+                   partCols: Seq[String] = Nil): DataFrame = {
+    val pc = partCols.map(col)
     val nullL = lit(null).cast("long")
     val nullD = lit(null).cast("double")
     // Fully fused sweep: the concurrency deltas, the previous-trade price
     // (for log returns) and all three prefix sums ride ONE (ts, ord, id)
     // ordering — consecutive Window operators with the same spec reuse the
-    // sort, so the whole pipeline costs a single global sort.
-    val tr = trades.select(col("ts"), lit(1).as("ord"), col("id"),
+    // sort, so the whole pipeline costs a single keyed sort.
+    val tr = trades.select(pc ++ Seq(col("ts"), lit(1).as("ord"), col("id"),
       col("price"), lit(0L).as("d"), nullL.as("event_id"),
       nullL.as("event_ts"), nullL.as("touch_ts"),
-      lit(null).cast("int").as("kind"))
+      lit(null).cast("int").as("kind")): _*)
     def marker(tsCol: String, ord: Int, kind: Int, d: Long) =
-      labeled.select(col(tsCol).as("ts"), lit(ord).as("ord"), nullL.as("id"),
+      labeled.select(pc ++ Seq(col(tsCol).as("ts"), lit(ord).as("ord"), nullL.as("id"),
         nullD.as("price"), lit(d).as("d"), col("event_id"), col("event_ts"),
-        col("touch_ts"), lit(kind).as("kind"))
+        col("touch_ts"), lit(kind).as("kind")): _*)
     val stream = tr
       .unionByName(marker("event_ts", 0, 0, 1L))
       .unionByName(marker("touch_ts", 2, 1, -1L))
 
-    val ord = Window.orderBy("ts", "ord", "id")
+    val ord = Window.partitionBy(pc: _*).orderBy("ts", "ord", "id")
     val sweep = ord.rowsBetween(Window.unboundedPreceding, 0)
     val before = ord.rowsBetween(Window.unboundedPreceding, -1)
     val cum = stream
@@ -96,15 +100,15 @@ object Weights {
       .where(col("ord") =!= 1)
 
     def at(kind: Int, c: String) = max(when(col("kind") === kind, col(c)))
-    cum.groupBy("event_id").agg(
+    cum.groupBy(pc :+ col("event_id"): _*).agg(
         max("event_ts").as("event_ts"), max("touch_ts").as("touch_ts"),
         coalesce(at(0, "cum_u"), lit(0.0)).as("u0"), at(1, "cum_u").as("u1"),
         coalesce(at(0, "cum_r"), lit(0.0)).as("r0"), at(1, "cum_r").as("r1"),
         coalesce(at(0, "cum_n"), lit(0L)).as("n0"), at(1, "cum_n").as("n1"))
       .where(col("n1") > col("n0"))
-      .select(col("event_id"), col("event_ts"), col("touch_ts"),
+      .select(pc ++ Seq(col("event_id"), col("event_ts"), col("touch_ts"),
         ((col("u1") - col("u0")) / (col("n1") - col("n0"))).as("avg_uniqueness"),
-        abs(col("r1") - col("r0")).as("return_attribution"))
+        abs(col("r1") - col("r0")).as("return_attribution")): _*)
   }
 
   /** Linear time decay over cumulative avg-uniqueness (weights.py:106-142):

@@ -86,6 +86,19 @@ object LabelQueries {
         .select(col("symbol"), col("ts"), col("id"), col("concurrency"))
     }),
 
+    // Symbol-partitioned uniqueness/attribution sweep: the keyed
+    // eventWeights path (shuffle-parallel by symbol, no global sort).
+    "label_weights_sym" -> ((s, dir) => {
+      val t = trades(s, dir)
+      val ev = t.where(col("id") % 37 === 0).select(
+        col("symbol"), col("ts").as("event_ts"), col("id").as("event_id"),
+        (col("ts") + lit(7200000000000L)).as("touch_ts"))
+      Weights.eventWeights(t, ev, Seq("symbol"))
+        .select(col("symbol"), col("event_id"), col("event_ts"), col("touch_ts"),
+          r6(col("avg_uniqueness")).as("avg_uniqueness"),
+          r6(col("return_attribution")).as("return_attribution"))
+    }),
+
     "label_weights" -> ((s, dir) => {
       val t = trades(s, dir)
       val lab = labeled(s, dir, isMeta = false).cache()
@@ -254,6 +267,35 @@ object LabelQueries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
          |  FROM stream
          |) WHERE ord = 1""".stripMargin,
+
+    "label_weights_sym" ->
+      s"""WITH $tradesCte,
+         |ev AS (
+         |  SELECT symbol, ts AS event_ts, id AS event_id,
+         |         ts + 7200000000000 AS touch_ts
+         |  FROM trades WHERE id % 37 = 0
+         |),
+         |stream AS (
+         |  SELECT symbol, ts, 1 AS ord, CAST(0 AS BIGINT) AS d, id, price FROM trades
+         |  UNION ALL SELECT symbol, event_ts, 0, CAST(1 AS BIGINT), NULL, NULL FROM ev
+         |  UNION ALL SELECT symbol, touch_ts, 2, CAST(-1 AS BIGINT), NULL, NULL FROM ev
+         |),
+         |conc AS (
+         |  SELECT symbol, ts, id, price, conc,
+         |         ln(price / lag(price) OVER (PARTITION BY symbol ORDER BY ts, id)) AS logret
+         |  FROM (
+         |    SELECT *, sum(d) OVER (PARTITION BY symbol ORDER BY ts, ord
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+         |    FROM stream
+         |  ) WHERE ord = 1
+         |)
+         |SELECT l.symbol, l.event_id, l.event_ts, l.touch_ts,
+         |  ${rd("avg(1e0 / c.conc)")} AS avg_uniqueness,
+         |  ${rd("""abs(sum(CASE WHEN c.conc > 0 AND c.logret IS NOT NULL AND NOT isnan(c.logret)
+             |      THEN c.logret / c.conc ELSE 0.0 END))""".stripMargin)} AS return_attribution
+         |FROM ev l JOIN conc c
+         |  ON c.symbol = l.symbol AND c.ts >= l.event_ts AND c.ts <= l.touch_ts
+         |GROUP BY 1, 2, 3, 4""".stripMargin,
 
     "label_weights" ->
       s"""WITH $tradesCte, ${tbmCtes("1")},

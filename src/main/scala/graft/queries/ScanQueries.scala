@@ -63,6 +63,16 @@ object ScanQueries {
         .where(col("rn") > 614)
         .select(col("bar_ts"), r6(col("rsi")).as("rsi14"))),
 
+    // Per-symbol Wilder RSI(14) straight on the trade stream: the keyed
+    // seqDouble path — kernel restarts per symbol, scan shuffles by symbol
+    // (no single global sort). Oracle is the EXACT seeded closed form
+    // (feasible: per-symbol streams are tiny at oracle scale).
+    "f_rsi_wilder14_sym" -> ((s, dir) =>
+      Ewm.rsiExact(trades(s, dir), "price", 14, Seq("ts", "id"),
+          keyCols = Seq("symbol"))
+        .select(col("symbol"), col("ts"), col("id"),
+          r6(col("rsi")).as("rsi14"))),
+
     // Wilder-EMA ATR(14), steady-state region
     "f_atr_wilder14" -> ((s, dir) =>
       Ewm.atrWilderExact(bars5m(s, dir), 14, Seq("bar_ts"))
@@ -229,6 +239,39 @@ object ScanQueries {
          |)
          |SELECT ts, id, ${rd("CASE WHEN v > 0 THEN greatest(sqrt(greatest(uu / v, 0.0)), 1e-12) END")} AS ewmst0
          |FROM sums""".stripMargin,
+
+    // Exact seeded closed form per symbol: avgG_i = (1/w)·Σ_j g_j·q^(i−max(j,w))
+    // — the q^(i−w) factor on the first w diffs IS the simple-mean seed
+    // rolled forward. Per-symbol streams are ~67 rows at oracle scale, so
+    // the O(n²) list form is fine (the engine runs the O(n) keyed kernel).
+    "f_rsi_wilder14_sym" -> {
+      val wq = 13.0 / 14.0
+      s"""WITH $tradesCte,
+         |d AS (
+         |  SELECT symbol, ts, id,
+         |         price - lag(price) OVER (PARTITION BY symbol ORDER BY ts, id) AS diff
+         |  FROM trades
+         |),
+         |g AS (
+         |  SELECT symbol, ts, id,
+         |    list(CASE WHEN diff IS NULL THEN NULL ELSE greatest(diff, 0.0) END) OVER w AS lg,
+         |    list(CASE WHEN diff IS NULL THEN NULL ELSE greatest(-diff, 0.0) END) OVER w AS ll
+         |  FROM d
+         |  WINDOW w AS (PARTITION BY symbol ORDER BY ts, id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |),
+         |sums AS (
+         |  SELECT symbol, ts, id, len(lg) AS n,
+         |    list_sum(list_transform(lg, (x, i) -> CASE WHEN i >= 2
+         |      THEN x * pow(${D(wq)}, len(lg) - 1 - greatest(i - 1, 14)) ELSE 0.0 END)) / 14 AS ag,
+         |    list_sum(list_transform(ll, (x, i) -> CASE WHEN i >= 2
+         |      THEN x * pow(${D(wq)}, len(ll) - 1 - greatest(i - 1, 14)) ELSE 0.0 END)) / 14 AS al
+         |  FROM g
+         |)
+         |SELECT symbol, ts, id,
+         |  CASE WHEN n >= 15 THEN ${rd("CASE WHEN al > 0 THEN 100 - 100 / (1 + ag / al) END")} END AS rsi14
+         |FROM sums""".stripMargin
+    },
 
     "f_rsi_wilder14" -> {
       val wq = 13.0 / 14.0
