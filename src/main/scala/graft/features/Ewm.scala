@@ -29,7 +29,7 @@ object Ewm {
 
   /** pandas ewm(span, adjust=True).mean() — exact, distributed. */
   def ewmaExact(df: DataFrame, valueCol: String, span: Int,
-                out: String = "ewma", numParts: Int = 32): DataFrame = {
+                out: String = "ewma", numParts: Int = 0): DataFrame = {
     val q = 1.0 - 2.0 / (span + 1.0)
     val vIdx = df.schema.fieldIndex(valueCol)
     Scan.affine(
@@ -45,7 +45,7 @@ object Ewm {
 
   /** pandas ewm(span, adjust=True).std() (bias=False) — exact, distributed. */
   def ewmsExact(df: DataFrame, valueCol: String, span: Int,
-                out: String = "ewms", numParts: Int = 32): DataFrame = {
+                out: String = "ewms", numParts: Int = 0): DataFrame = {
     val q = 1.0 - 2.0 / (span + 1.0)
     val vIdx = df.schema.fieldIndex(valueCol)
     Scan.affine(
@@ -76,7 +76,7 @@ object Ewm {
     */
   def ewmstExact(df: DataFrame, valueCol: String, halfLifeSec: Double,
                  sigmaFloor: Double = 1e-12, out: String = "ewmst",
-                 numParts: Int = 32): DataFrame = {
+                 numParts: Int = 0): DataFrame = {
     val vIdx = df.schema.fieldIndex(valueCol)
     val tIdx = df.schema.fieldIndex("ts")
     Scan.affine(
@@ -120,7 +120,7 @@ object Ewm {
     */
   def ewmstMean0Exact(df: DataFrame, valueCol: String, halfLifeSec: Double,
                       sigmaFloor: Double = 1e-12, out: String = "ewmst0",
-                      numParts: Int = 32): DataFrame = {
+                      numParts: Int = 0): DataFrame = {
     val vIdx = df.schema.fieldIndex(valueCol)
     val tIdx = df.schema.fieldIndex("ts")
     Scan.affine(

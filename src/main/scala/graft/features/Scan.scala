@@ -97,6 +97,15 @@ object Scan {
     *                (e.g. Δt decay) — the first row of each partition is
     *                excluded from the phase-A summary and replayed on the
     *                driver with the true neighbor
+    * @param numParts scan partitions; <= 0 (default) derives from the input
+    *                (max of cluster parallelism and input partitions) so the
+    *                scan widens with data instead of pinning 32
+    * @param storage persistence for the sorted frame both phases must see
+    *                identically (phase B replays phase A's exact layout —
+    *                a recompute with different row order would break the
+    *                boundary handoff). MEMORY_AND_DISK locally; pass
+    *                DISK_ONLY at TB scale so the scan never competes with
+    *                the executors' working memory.
     */
   def affine(
       df: DataFrame,
@@ -107,11 +116,17 @@ object Scan {
       emit: (Array[Double], Row) => Any,
       outName: String,
       outType: DataType = DoubleType,
-      numParts: Int = 32): DataFrame = {
+      numParts: Int = 0,
+      storage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
 
-    val sorted = df.repartitionByRange(numParts, orderCols.map(col): _*)
+    val parts =
+      if (numParts > 0) numParts
+      else math.max(df.sparkSession.sparkContext.defaultParallelism,
+        df.rdd.getNumPartitions)
+    val sorted = df.repartitionByRange(parts, orderCols.map(col): _*)
       .sortWithinPartitions(orderCols.map(col): _*)
-      .cache()
+      .persist(storage)
 
     // ---- phase A: per-partition summary ---------------------------------
     // (partId, firstRow, lastRow, composed affine map of rows[1..] )

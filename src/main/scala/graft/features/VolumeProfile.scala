@@ -63,10 +63,16 @@ object VolumeProfile {
         sum("volume").as("total_volume"))
   }
 
-  /** Full value area via the greedy Aggregator (volume.py:277-364). */
-  def valueArea(profile: DataFrame, keyName: String): DataFrame =
+  /** Full value area via the greedy Aggregator (volume.py:277-364).
+    * `dense = true` for raw tick profiles (mirrors aggregate_footprint's
+    * dense grid); `dense = false` for bucketed profiles, whose bin
+    * midpoints are array-contiguous but not grid-contiguous.
+    */
+  def valueArea(profile: DataFrame, keyName: String,
+                dense: Boolean = true): DataFrame =
     profile.groupBy(keyName)
-      .agg(Aggs.poc_hva_lva(col("level"), col("volume")).as("va"))
+      .agg((if (dense) Aggs.poc_hva_lva(col("level"), col("volume"))
+            else Aggs.poc_hva_lva_positional(col("level"), col("volume"))).as("va"))
       .select(col(keyName), col("va._1").as("poc_level"),
         col("va._2").as("hva_level"), col("va._3").as("lva_level"))
 

@@ -31,12 +31,18 @@ object Aggs {
     * two-levels-at-a-time value-area expansion (finmlkit/feature/core/
     * volume.py:277-364), ported faithfully (including the ±2 stride, the
     * -1 "exhausted side" sentinel and the equal-volume dual expansion).
-    * Runs over the DENSE [min..max] level grid like the reference.
-    * Profiles are small (the reference buckets to ~30 bins; raw intraday
-    * grids are a few thousand levels), so a collect-and-scan Aggregator is
-    * the idiomatic shape (SURVEY.md §7.3).
+    * The kernel strides over ARRAY POSITIONS of the profile it is given,
+    * exactly like the reference: `dense = true` first expands the sparse
+    * (level, volume) pairs onto the full [min..max] tick grid (matching
+    * `aggregate_footprint`'s dense output, volume.py:185-195);
+    * `dense = false` walks the sorted PRESENT levels positionally
+    * (matching `bucket_price_levels` output, whose bin midpoints are
+    * array-contiguous but not grid-contiguous). Profiles are small
+    * (~30 bins bucketed; a few thousand ticks raw), so a collect-and-scan
+    * Aggregator is the idiomatic shape (SURVEY.md §7.3).
     */
-  object PocHvaLvaAgg extends Aggregator[(Int, Double), Map[Int, Double], (Int, Int, Int)] {
+  class PocHvaLvaAggBase(dense: Boolean)
+      extends Aggregator[(Int, Double), Map[Int, Double], (Int, Int, Int)] {
     def zero: Map[Int, Double] = Map.empty
     def reduce(b: Map[Int, Double], a: (Int, Double)): Map[Int, Double] =
       b.updated(a._1, b.getOrElse(a._1, 0.0) + a._2)
@@ -44,9 +50,9 @@ object Aggs {
       b2.foldLeft(b1) { case (m, (k, v)) => m.updated(k, m.getOrElse(k, 0.0) + v) }
     def finish(m: Map[Int, Double]): (Int, Int, Int) = {
       if (m.isEmpty) return (0, 0, 0)
-      val lo = m.keys.min
-      val hi = m.keys.max
-      val levels = (lo to hi).toArray
+      val levels =
+        if (dense) (m.keys.min to m.keys.max).toArray
+        else m.keys.toArray.sorted
       val vols = levels.map(l => m.getOrElse(l, 0.0))
       val n = levels.length
       val total = vols.sum
@@ -88,8 +94,16 @@ object Aggs {
       Encoders.scalaInt, Encoders.scalaInt, Encoders.scalaInt)
   }
 
+  object PocHvaLvaAgg extends PocHvaLvaAggBase(true)
+  object PocHvaLvaPositionalAgg extends PocHvaLvaAggBase(false)
+
   lazy val pocUdaf = udaf(PocHvaLvaAgg,
     Encoders.tuple(Encoders.scalaInt, Encoders.scalaDouble))
-  /** returns struct(_1 = poc, _2 = hva, _3 = lva) */
+  lazy val pocPositionalUdaf = udaf(PocHvaLvaPositionalAgg,
+    Encoders.tuple(Encoders.scalaInt, Encoders.scalaDouble))
+  /** returns struct(_1 = poc, _2 = hva, _3 = lva); dense [min..max] grid */
   def poc_hva_lva(level: Column, vol: Column): Column = pocUdaf(level, vol)
+  /** positional variant for bucketed (array-contiguous) profiles */
+  def poc_hva_lva_positional(level: Column, vol: Column): Column =
+    pocPositionalUdaf(level, vol)
 }

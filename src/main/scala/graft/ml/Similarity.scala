@@ -151,6 +151,57 @@ object Similarity {
   private def vecDim(df: DataFrame, vecCol: String): Int =
     df.select(size(col(vecCol))).head().getInt(0)
 
+  /** Deterministic spherical k-means codebook for [[ivfTopK]]: seeds are
+    * the `nlist` corpus vectors with the smallest mixed id hash (a fixed
+    * pseudo-random sample — no RNG state), then `iters` distributed Lloyd
+    * rounds. Each round broadcasts only the codebook and reduces the
+    * per-cell vector sums map-side (reduceByKey → an nlist-row shuffle),
+    * so the cost is `iters` corpus scans regardless of corpus size. Means
+    * re-normalize to unit length (cosine = dot on unit vectors); empty
+    * cells keep their previous centroid. Returns (cellId, centroid) with
+    * cellId = seed rank — plug straight into ivfTopK's `centroids`.
+    */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      nlist: Int, iters: Int = 5): Array[(Long, Array[Double])] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cv = unitVecs(corpus, idCol, vecCol)
+    var cents: Array[Array[Double]] = cv
+      .map { case (id, v) => (scala.util.hashing.byteswap64(id), id, v) }
+      .toDF("h", "id", "v").orderBy("h", "id").limit(nlist)
+      .as[(Long, Long, Array[Double])].collect().map(_._3)
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val sums = cv.rdd.map { case (_, v) =>
+        val cs = bc.value
+        var best = 0; var bestD = Double.NegativeInfinity; var c = 0
+        while (c < cs.length) {
+          val d = dotArr(v, cs(c))
+          if (d > bestD) { bestD = d; best = c }
+          c += 1
+        }
+        (best, (v, 1L))
+      }.reduceByKey { (x: (Array[Double], Long), y: (Array[Double], Long)) =>
+        val (a, na) = x; val (b, nb) = y
+        var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }
+        (a, na + nb)
+      }.collect()
+      val next = cents.map(_.clone())
+      sums.foreach { case (cell, (s, n)) =>
+        var i = 0; var nrm = 0.0
+        while (i < s.length) { s(i) /= n; nrm += s(i) * s(i); i += 1 }
+        nrm = math.sqrt(nrm)
+        if (nrm > 0) {
+          i = 0; while (i < s.length) { s(i) /= nrm; i += 1 }
+          next(cell) = s
+        }
+      }
+      bc.destroy()
+      cents = next
+    }
+    cents.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+  }
+
   /** IVF(-flat) approximate top-k — the inverted-file alternative to
     * [[lshTopK]]: a small deterministic centroid codebook partitions the
     * corpus into `nlist` cells map-side (only the centroids broadcast, the
@@ -159,17 +210,21 @@ object Similarity {
     * generation is an equi-join on the cell id, so vectors never enter a
     * pairwise shuffle. Recall < 1 by construction (cells are Voronoi-ish
     * regions of unit vectors); raise `nprobe` toward `nlist` to trade speed
-    * for recall. Centroids here are the `nlist` lowest-id corpus vectors —
-    * deterministic and oracle-friendly; swap in k-means centroids for
-    * production recall without touching the plan shape.
+    * for recall. The default codebook is the `nlist` lowest-id corpus
+    * vectors — deterministic and oracle-friendly; pass
+    * [[kmeansCentroids]]' output as `centroids` for production recall
+    * (same plan shape, recall property-tested in DocSpec).
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-              vecCol: String, k: Int, nlist: Int = 32, nprobe: Int = 8): DataFrame = {
+              vecCol: String, k: Int, nlist: Int = 32, nprobe: Int = 8,
+              centroids: Array[(Long, Array[Double])] = null): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val cv = unitVecs(corpus, idCol, vecCol)
-    val centroids = cv.orderBy("id").limit(nlist).collect() // nlist rows only
-    val bc = spark.sparkContext.broadcast(centroids)
+    val cents =
+      if (centroids != null) centroids
+      else cv.orderBy("id").limit(nlist).collect() // nlist rows only
+    val bc = spark.sparkContext.broadcast(cents)
     def nearestCells(cs: Array[(Long, Array[Double])], n: Int, v: Array[Double]) =
       cs.map { case (cid, cvec) => (cid, dotArr(v, cvec)) }
         .sortBy { case (cid, d) => (-d, cid) }.take(n).map(_._1)
@@ -178,7 +233,7 @@ object Similarity {
     // queries collected ONCE: probes derive driver-side, the vector map broadcasts
     val qArr = unitVecs(queries, idCol, vecCol).collect()
     val probes = broadcast(qArr.toSeq
-      .flatMap { case (qid, v) => nearestCells(centroids, nprobe, v).map(c => (qid, c)) }
+      .flatMap { case (qid, v) => nearestCells(cents, nprobe, v).map(c => (qid, c)) }
       .toDF("query_id", "cell"))
     val qMap = spark.sparkContext.broadcast(qArr.toMap)
     val scored = assigned.join(probes, Seq("cell"))

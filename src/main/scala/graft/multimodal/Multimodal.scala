@@ -113,19 +113,53 @@ object Multimodal {
     } else None
   }
 
+  /** Compressed-image dimensions via the JDK's built-in ImageIO readers —
+    * JPEG/PNG/GIF codecs ship with every JRE, no external dependency.
+    * Magic-byte sniff first so arbitrary binary payloads never reach a
+    * codec; the reader reads ONLY the header (getWidth/getHeight on a
+    * lazily-set input), not the pixel raster, so this is scan-speed.
+    */
+  private[multimodal] def imageIODims(p: Array[Byte]): Option[(Int, Int)] = {
+    val isJpeg = p.length >= 3 && (p(0) & 0xff) == 0xff &&
+      (p(1) & 0xff) == 0xd8 && (p(2) & 0xff) == 0xff
+    val isPng = p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P'.toByte &&
+      p(2) == 'N'.toByte && p(3) == 'G'.toByte
+    val isGif = p.length >= 6 && p(0) == 'G'.toByte && p(1) == 'I'.toByte &&
+      p(2) == 'F'.toByte && p(3) == '8'.toByte
+    if (!isJpeg && !isPng && !isGif) None
+    else {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(p))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis, true, true)
+            val (w, h) = (r.getWidth(0), r.getHeight(0))
+            if (w > 0 && h > 0) Some((w, h)) else None
+          } catch { case _: Exception => None } // truncated/corrupt payload
+          finally r.dispose()
+        }
+      } finally iis.close()
+    }
+  }
+
   /** Batched per-partition decode: one iterator pass, one decoded row per
     * payload, the partition never materialized. Real container headers
-    * (BMP, PPM/PGM) yield their true dimensions; unknown formats fall back
-    * to a deterministic pseudo-decode so synthetic corpora stay
-    * oracle-exact. Compressed codecs (JPEG/PNG/MP4) would slot into
-    * [[parseDims]] via JNI/ImageIO in an environment that ships them.
+    * (BMP, PPM/PGM in pure JVM code; JPEG/PNG/GIF via the JDK's ImageIO)
+    * yield their true dimensions; unknown formats (video/audio containers)
+    * fall back to a deterministic pseudo-decode so synthetic corpora stay
+    * oracle-exact.
     */
   def decode(media: Dataset[MediaRow]): Dataset[DecodedMedia] =
     media.mapPartitions { it =>
       val digest = java.security.MessageDigest.getInstance("MD5")
       it.map { m =>
         val n = m.payload.length.toLong
-        val (width, height) = parseDims(m.payload).getOrElse {
+        val (width, height) = parseDims(m.payload)
+          .orElse(imageIODims(m.payload)).getOrElse {
           // deterministic pseudo-decode fallback (oracle-mirrored)
           (64 + ((n * 131L + m.doc_id) % 193L).toInt,
             64 + ((n * 37L + m.doc_id * 7L) % 157L).toInt)

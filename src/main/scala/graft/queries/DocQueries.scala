@@ -22,6 +22,23 @@ object DocQueries {
   private val embThreshold = 0.35 // demo threshold: synthetic max cos ≈ 0.51
   private val annK = 5
   private val annQueries = 20
+  private val annRecallFloor = 0.2
+
+  /** Per-query top-k recall of `approx` against the brute-force truth,
+    * reduced to a boolean bound the DuckDB oracle can assert.
+    */
+  private def annRecallBound(brute: org.apache.spark.sql.DataFrame,
+                             approx: org.apache.spark.sql.DataFrame,
+                             floor: Double): org.apache.spark.sql.DataFrame = {
+    val hits = brute.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    brute.groupBy("query_id").agg(count(lit(1)).as("n"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("hits"), lit(0L)) / col("n") >= floor).as("recall_ok"))
+  }
 
   private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.documents(s, dir)
@@ -84,24 +101,30 @@ object DocQueries {
           r6(col("cos")).as("cos"))
     }),
 
-    // Approximate variant — no SQL oracle (recall-tested vs brute force in
-    // SimilaritySpec); driver records rows-only.
+    // Approximate variants emit a per-query RECALL BOUND against the
+    // brute-force truth computed in the same query (the oracle asserts the
+    // booleans, so the gate verifies the recall property on real data
+    // rather than recording rows-only). Floors sit well under the measured
+    // minima (LSH 64×4: min 0.4-0.6; IVF stub: min 0.4-0.8 across SFs) —
+    // the gate catches structural regressions, not banding noise. Exact
+    // top-k detail is fully hash-checked via ann_topk_brute.
     "ann_topk_lsh" -> ((s, dir) => {
       val e = emb(s, dir)
-      Similarity.lshTopK(e.where(col("vec_id") < annQueries), e,
-          "vec_id", "embedding", annK)
-        .select(col("query_id"), col("rank"), col("neighbor_id"),
-          r6(col("cos")).as("cos"))
+      val q = e.where(col("vec_id") < annQueries)
+      annRecallBound(
+        Similarity.bruteForceTopK(q, e, "vec_id", "embedding", annK),
+        Similarity.lshTopK(q, e, "vec_id", "embedding", annK,
+          nPlanes = 64, bandBits = 4),
+        annRecallFloor)
     }),
 
-    // IVF inverted-file variant — approximate like ann_topk_lsh (no SQL
-    // oracle; recall-tested vs brute force in DocSpec); rows-only check.
     "ann_topk_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
-      Similarity.ivfTopK(e.where(col("vec_id") < annQueries), e,
-          "vec_id", "embedding", annK)
-        .select(col("query_id"), col("rank"), col("neighbor_id"),
-          r6(col("cos")).as("cos"))
+      val q = e.where(col("vec_id") < annQueries)
+      annRecallBound(
+        Similarity.bruteForceTopK(q, e, "vec_id", "embedding", annK),
+        Similarity.ivfTopK(q, e, "vec_id", "embedding", annK),
+        annRecallFloor)
     }),
 
     // Multimodal plumbing over opaque binary payloads (documents' UTF-8
@@ -317,6 +340,17 @@ object DocQueries {
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${rd(dotSql)} AS cos
          |  FROM nv a JOIN nv b ON a.vec_id < b.vec_id
          |) WHERE cos >= ${D(embThreshold)}""".stripMargin,
+
+    // The approximate ANN rows assert their recall bound: Spark computes
+    // per-query recall vs brute force and emits booleans; the oracle
+    // asserts every query clears the floor.
+    "ann_topk_lsh" ->
+      s"""SELECT vec_id AS query_id, TRUE AS recall_ok
+         |FROM embeddings WHERE vec_id < $annQueries""".stripMargin,
+
+    "ann_topk_ivf" ->
+      s"""SELECT vec_id AS query_id, TRUE AS recall_ok
+         |FROM embeddings WHERE vec_id < $annQueries""".stripMargin,
 
     "ann_topk_brute" ->
       s"""WITH $nvCte,

@@ -47,12 +47,16 @@ object FootprintQueries {
         r6(col("total_volume")).as("total_volume"))
     }),
 
-    // Daily value area via the greedy Aggregator (no SQL equivalent —
-    // rows-only driver check; ScalaTest-verified against hand cases)
+    // Daily value area on the ~30-bin bucketed profile via the greedy
+    // positional Aggregator — oracle-checked against a DuckDB recursive CTE
+    // replaying the same expansion. (The dense raw-grid variant is
+    // ScalaTest-verified in FootprintSpec; its 49k-level state is too wide
+    // for a SQL recursion.)
     "vp_value_area_day" -> ((s, dir) => {
       val prof = VolumeProfile.profile(fp(s, dir),
         expr("bar_ts div 86400000000000"), "day")
-      VolumeProfile.valueArea(prof, "day")
+      VolumeProfile.valueArea(VolumeProfile.bucket(prof, "day", 30), "day",
+        dense = false)
     }),
 
     // Daily profile re-binned into ~30 odd-width buckets with midpoint
@@ -213,6 +217,77 @@ object FootprintQueries {
          |SELECT day, lo + ((level - lo) // bsize) * bsize + bsize // 2 AS level,
          |  ${rd("sum(volume)")} AS volume
          |FROM sz GROUP BY 1, 2""".stripMargin),
+
+    // Greedy value-area expansion replayed as a recursive CTE over the
+    // ~30-bin bucketed profile: state = (cum, hva/lva indices, up/dn
+    // cursors); cu/cd are recomputed from the cursors each step (kernel
+    // carries them, but they are pure functions of the cursor except the
+    // first-iteration 0.0-for-out-of-range nuance, handled via iter = 0).
+    "vp_value_area_day" ->
+      s"""WITH RECURSIVE $tradesCte, $sidedCte, $fpCte,
+         |prof AS (
+         |  SELECT bar_ts // 86400000000000 AS day, level,
+         |         sum(buy_volume + sell_volume) AS volume
+         |  FROM fp2 GROUP BY 1, 2
+         |),
+         |ext AS (
+         |  SELECT *, min(level) OVER (PARTITION BY day) AS lo,
+         |         max(level) OVER (PARTITION BY day) - min(level) OVER (PARTITION BY day) + 1 AS nlv
+         |  FROM prof
+         |),
+         |sz AS (
+         |  SELECT *, CASE WHEN raw % 2 = 0 THEN raw + 1 ELSE raw END AS bsize
+         |  FROM (SELECT *, greatest(CAST(round(nlv / 30.0) AS INT), 1) AS raw FROM ext)
+         |),
+         |bucketed AS (
+         |  SELECT day, lo + ((level - lo) // bsize) * bsize + bsize // 2 AS level,
+         |         sum(volume) AS volume
+         |  FROM sz GROUP BY 1, 2
+         |),
+         |arr AS (
+         |  SELECT day, list(volume ORDER BY level) AS vols,
+         |         list(level ORDER BY level) AS lvls,
+         |         CAST(count(*) AS BIGINT) AS n, sum(volume) AS total
+         |  FROM bucketed GROUP BY day
+         |),
+         |init AS (
+         |  -- pocidx from arr's OWN list (first max = lowest level, np.argmax
+         |  -- semantics): a separate max-join CTE would re-aggregate the
+         |  -- float sums in a different parallel order and miss the equality
+         |  SELECT day, vols, lvls, n, total * ${D(68.34 / 100.0)} AS thr,
+         |         CAST(list_position(vols, list_aggregate(vols, 'max')) - 1 AS BIGINT) AS pocidx
+         |  FROM arr
+         |),
+         |va AS (
+         |  SELECT day, vols, lvls, n, thr, pocidx,
+         |         vols[pocidx + 1] AS cum,
+         |         pocidx AS hvai, pocidx AS lvai,
+         |         pocidx + 1 AS up, pocidx - 1 AS dn,
+         |         CAST(0 AS BIGINT) AS iter
+         |  FROM init
+         |  UNION ALL
+         |  SELECT day, vols, lvls, n, thr, pocidx,
+         |         cum + CASE WHEN cu > cd THEN cu WHEN cu < cd THEN cd ELSE cu + cd END,
+         |         CASE WHEN cu >= cd THEN least(up + 1, n - 1) ELSE hvai END,
+         |         CASE WHEN cu <= cd THEN greatest(dn - 1, 0) ELSE lvai END,
+         |         CASE WHEN cu >= cd THEN up + 2 ELSE up END,
+         |         CASE WHEN cu <= cd THEN dn - 2 ELSE dn END,
+         |         iter + 1
+         |  FROM (
+         |    SELECT *,
+         |      CASE WHEN up < n THEN vols[up + 1] + CASE WHEN up + 1 < n THEN vols[up + 2] ELSE 0.0 END
+         |           WHEN iter = 0 THEN 0.0 ELSE -1.0 END AS cu,
+         |      CASE WHEN dn >= 0 THEN vols[dn + 1] + CASE WHEN dn - 1 >= 0 THEN vols[dn] ELSE 0.0 END
+         |           WHEN iter = 0 THEN 0.0 ELSE -1.0 END AS cd
+         |    FROM va
+         |  )
+         |  WHERE cum < thr AND NOT (cu = -1.0 AND cd = -1.0) AND iter < 2 * n + 4
+         |)
+         |SELECT day, CAST(lvls[pocidx + 1] AS INT) AS poc_level,
+         |       CAST(lvls[hvai + 1] AS INT) AS hva_level,
+         |       CAST(lvls[lvai + 1] AS INT) AS lva_level
+         |FROM (SELECT *, row_number() OVER (PARTITION BY day ORDER BY iter DESC) AS rk FROM va)
+         |WHERE rk = 1""".stripMargin,
 
     "vp_rolling_6h" -> withFp(
       s""", targets AS (SELECT DISTINCT bar_ts AS target_ts FROM fp2),

@@ -23,6 +23,8 @@ object ScanQueries {
   private val wK = 600                     // Wilder (13/14)^600 ≈ e^-44
   private val hlSec = 3600.0
   private val hlCutNs = 108000000000000L   // 30 half-lives in ns
+  private val volThr = 2000.37             // off the 0.1-decimal qty grid
+  private val dolThr = 200000.0617         // off the 3-decimal price·qty grid
 
   private def trades(s: org.apache.spark.sql.SparkSession, dir: String) =
     Trades.fromEvents(Tables.events(s, dir))
@@ -94,17 +96,22 @@ object ScanQueries {
         col("trades"), r6(col("median_trade_size")).as("median_trade_size"),
         r6(col("vwap")).as("vwap"))),
 
-    // Volume bars (cum qty >= 2000, reset, no carry) — reset-state scan;
-    // no SQL equivalent exists (driver rows-only check; ScalaTest-verified)
+    // Volume bars (reset, no carry) — reset-state scan, oracle-checked via
+    // a recursive CTE over the CLOSES (one iteration per bar, not per row).
+    // The threshold sits OFF the 0.1-decimal qty grid so cum can never land
+    // exactly on it: the kernel's fresh per-bar sums and the oracle's
+    // prefix-sum differences then always agree on every >= comparison.
     "volume_bars_2k" -> ((s, dir) =>
-      EventBars.completeBars(EventBars.volumeBarIds(trades(s, dir), 2000.0))
+      EventBars.completeBars(EventBars.volumeBarIds(trades(s, dir), volThr))
         .select(col("bar_id"), col("bar_ts"), r6(col("open")).as("open"),
           r6(col("close")).as("close"), r6(col("volume")).as("volume"),
           col("trades"))),
 
-    // Dollar bars (cum price·qty >= 200k, carry remainder)
+    // Dollar bars (carry remainder) — same oracle shape; the carry makes
+    // the running total a pure prefix sum minus k·threshold. Threshold off
+    // the 3-decimal price·qty grid for the same tie-safety reason.
     "dollar_bars_200k" -> ((s, dir) =>
-      EventBars.completeBars(EventBars.dollarBarIds(trades(s, dir), 200000.0))
+      EventBars.completeBars(EventBars.dollarBarIds(trades(s, dir), dolThr))
         .select(col("bar_id"), col("bar_ts"), r6(col("open")).as("open"),
           r6(col("close")).as("close"), r6(col("volume")).as("volume"),
           col("trades"))),
@@ -158,7 +165,46 @@ object ScanQueries {
   // Oracles: independent truncated-window recomputation in DuckDB
   // ---------------------------------------------------------------------
 
+  /** Reset-on-trigger threshold bars as a recursive CTE over the CLOSES:
+    * each iteration binary-searches the next close in the prefix-sum table,
+    * so the recursion depth is the bar count (~30), not the row count.
+    * No-carry state is `pre - pre(last close)`; carry state is
+    * `pre - k·threshold` (each close subtracts exactly the threshold).
+    * Row 1 never closes (crn starts at 1); the trailing partial bar never
+    * materializes (bars join on consecutive close pairs).
+    */
+  private def thresholdBarsOracle(measure: String, thr: Double, carry: Boolean): String = {
+    val cond = if (carry) s"pre - c.k * ${D(thr)}" else "pre - c.cpre"
+    s"""WITH RECURSIVE $tradesCte,
+       |p AS (
+       |  SELECT ts, id, price, qty, row_number() OVER (ORDER BY ts, id) AS rn,
+       |         sum($measure) OVER (ORDER BY ts, id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre
+       |  FROM trades
+       |),
+       |closes AS (
+       |  SELECT CAST(0 AS BIGINT) AS k, CAST(1 AS BIGINT) AS crn, CAST(0.0 AS DOUBLE) AS cpre
+       |  UNION ALL
+       |  SELECT c.k + 1, nx.rn, nx.pre
+       |  FROM closes c JOIN p nx ON nx.rn = (
+       |    SELECT min(rn) FROM p WHERE rn > c.crn AND $cond >= ${D(thr)}
+       |  )
+       |),
+       |bars AS (
+       |  SELECT c1.k - 1 AS bar_id, p.ts, p.id, p.price, p.qty
+       |  FROM p, closes c0, closes c1
+       |  WHERE c1.k = c0.k + 1 AND p.rn > c0.crn AND p.rn <= c1.crn
+       |)
+       |SELECT CAST(bar_id AS BIGINT) AS bar_id, max(ts) AS bar_ts,
+       |  ${rd("first(price ORDER BY ts, id)")} AS open,
+       |  ${rd("last(price ORDER BY ts, id)")} AS close,
+       |  ${rd("sum(qty)")} AS volume,
+       |  CAST(count(*) AS BIGINT) AS trades
+       |FROM bars GROUP BY bar_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "volume_bars_2k" -> thresholdBarsOracle("qty", volThr, carry = false),
+    "dollar_bars_200k" -> thresholdBarsOracle("price * qty", dolThr, carry = true),
     "ewma_scan" ->
       s"""WITH $tradesCte,
          |lw AS (

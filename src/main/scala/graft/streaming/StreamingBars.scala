@@ -182,6 +182,54 @@ object StreamingBars {
       }
   }
 
+  case class BarIdOut(symbol: Long, ts: Long, id: Long, bar_id: Long,
+                      bar_closed: Boolean)
+  case class CumState(cum: Double, bar: Long, seen: Boolean)
+
+  /** Shared reset-on-trigger threshold-bar state machine: per-symbol running
+    * `cum += measure(trade)`, close when cum >= threshold; `carry = false`
+    * resets to 0 (volume bars, bar/logic.py:87-115), `carry = true` keeps
+    * the remainder (dollar bars, logic.py:118-149). Row 0 seeds cum and is
+    * unassigned (bar_id = -1), exactly the batch kernels' convention —
+    * batch/stream parity is tested in StreamingSpec.
+    */
+  private def thresholdBarStream(trades: Dataset[TradeIn], threshold: Double,
+                                 carry: Boolean, dollars: Boolean): Dataset[BarIdOut] = {
+    import trades.sparkSession.implicits._
+    trades
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (symbol: Long, rows: Iterator[TradeIn], state: GroupState[CumState]) =>
+          var s = state.getOption.getOrElse(CumState(0.0, 0L, seen = false))
+          val out = rows.toArray.sortBy(r => (r.ts, r.id)).map { r =>
+            val m = if (dollars) r.price * r.qty else r.qty
+            if (!s.seen) {
+              s = CumState(m, 0L, seen = true)
+              BarIdOut(symbol, r.ts, r.id, -1L, bar_closed = false)
+            } else {
+              val cum = s.cum + m
+              val id = s.bar
+              val closed = cum >= threshold
+              s =
+                if (closed)
+                  CumState(if (carry) cum - threshold else 0.0, s.bar + 1, seen = true)
+                else CumState(cum, s.bar, seen = true)
+              BarIdOut(symbol, r.ts, r.id, id, closed)
+            }
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
+  /** Streaming volume bars (reset, no carry) — twin of EventBars.volumeBarIds. */
+  def volumeBarStream(trades: Dataset[TradeIn], threshold: Double): Dataset[BarIdOut] =
+    thresholdBarStream(trades, threshold, carry = false, dollars = false)
+
+  /** Streaming dollar bars (carry remainder) — twin of EventBars.dollarBarIds. */
+  def dollarBarStream(trades: Dataset[TradeIn], threshold: Double): Dataset[BarIdOut] =
+    thresholdBarStream(trades, threshold, carry = true, dollars = true)
+
   /** Symmetric CUSUM event filter (constant threshold) as a per-symbol
     * streaming state machine — the streaming twin of
     * EventBars.cusumEventIds' batch scan.

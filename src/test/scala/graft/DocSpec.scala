@@ -143,6 +143,29 @@ class DocSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall $recall too low (found ${ivf.size} pairs)")
   }
 
+  test("ANN: IVF with k-means centroids reaches high recall on clustered vectors") {
+    val dim = 64
+    def vec(cluster: Int, i: Int): Array[Float] =
+      Array.tabulate(dim) { d =>
+        val base = if (d % 8 == cluster % 8) 1.0f else 0.1f
+        base + 0.05f * (((cluster * 31 + i * 17 + d * 7) % 11) - 5)
+      }
+    val rows = for (c <- 0 until 8; i <- 0 until 12)
+      yield ((c * 12 + i).toLong, vec(c, i).toSeq)
+    val e = rows.toDF("vec_id", "embedding")
+    val queries = e.where(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(queries, e, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", 16, iters = 5)
+    val ivf = Similarity.ivfTopK(queries, e, "vec_id", "embedding", 5,
+        nprobe = 6, centroids = cents)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.9, s"k-means IVF recall $recall too low (found ${ivf.size} pairs)")
+  }
+
   test("blocked nearDupPairs matches single-block result and emits no duplicates") {
     val dim = 16
     def vec(cluster: Int, i: Int): Array[Float] =

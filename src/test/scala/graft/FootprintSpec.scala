@@ -45,4 +45,25 @@ class FootprintSpec extends AnyFunSuite {
     val (poc, _, _) = run(2 -> 5.0, 4 -> 5.0, 3 -> 1.0)
     assert(poc == 2)
   }
+
+  private def runPos(pairs: (Int, Double)*): (Int, Int, Int) =
+    graft.functions.Aggs.PocHvaLvaPositionalAgg.finish(pairs.toMap)
+
+  test("positional variant strides bucket positions, not the tick grid") {
+    // bucket midpoints 10,50,90,130 with vols 2,9,5,1 — array semantics:
+    // poc idx 1 (level 50), cum 9, thr 17*0.6834 = 11.62;
+    // cu = v[2]+v[3] = 6 > cd = v[0] = 2 -> cum 15 >= thr;
+    // hva = levels[min(3,3)] = 130, lva = poc = 50
+    assert(runPos(10 -> 2.0, 50 -> 9.0, 90 -> 5.0, 130 -> 1.0) == (50, 130, 50))
+    // the dense variant on the same input walks 121 tick levels instead:
+    // cu = v[51]+v[52] = 0, cd = v[49]+v[48] = 0 -> tie chains of zeros
+    // creep outward two ticks per step — positions, not prices, differ
+    val (pocD, hvaD, lvaD) = run(10 -> 2.0, 50 -> 9.0, 90 -> 5.0, 130 -> 1.0)
+    assert(pocD == 50 && (hvaD, lvaD) != (130, 50))
+  }
+
+  test("positional variant matches dense on a contiguous profile") {
+    val pairs = Seq(1 -> 1.0, 2 -> 2.0, 3 -> 10.0, 4 -> 2.0, 5 -> 1.0)
+    assert(runPos(pairs: _*) == run(pairs: _*))
+  }
 }

@@ -91,6 +91,34 @@ class MultimodalSpec extends AnyFunSuite {
       "prose must take the pseudo-decode fallback")
   }
 
+  test("decode reads real JPEG/PNG/GIF dims via the JDK's ImageIO") {
+    import spark.implicits._
+    def encodeImg(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(java.awt.Color.ORANGE); g.fillRect(0, 0, w, h); g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val jpg = encodeImg("jpg", 123, 45)
+    val png = encodeImg("png", 31, 77)
+    val gif = encodeImg("gif", 12, 8)
+    val truncated = jpg.take(8) // valid magic, unreadable header
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", jpg),
+      Multimodal.MediaRow(2L, "image", png),
+      Multimodal.MediaRow(3L, "image", gif),
+      Multimodal.MediaRow(4L, "image", truncated)).toDS()
+    val out = Multimodal.decode(rows).collect().map(d => d.doc_id -> d).toMap
+    assert((out(1L).width, out(1L).height) == (123, 45))
+    assert((out(2L).width, out(2L).height) == (31, 77))
+    assert((out(3L).width, out(3L).height) == (12, 8))
+    assert(out(4L).width == 64 + ((8 * 131 + 4) % 193).toInt,
+      "truncated payload must take the pseudo-decode fallback")
+  }
+
   test("resize plan preserves aspect and caps the long side") {
     val m = media((1L, "z" * 500))
     val r = Multimodal.resizePlan(

@@ -131,6 +131,41 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming volume/dollar bar ids equal the batch reset-state kernels") {
+    implicit val sqlCtx = spark.sqlContext
+    // two interleaved symbols — the stream must keep independent cum state
+    val data = (0 until 60).map { i =>
+      TradeIn(1700000000000000000L + i * 60000000000L, i.toLong,
+        100.0 + 3.0 * math.sin(i * 0.7), 1.0 + (i % 4), (i % 2).toLong)
+    }
+    def collectIds(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("symbol", "ts").collect().map(r => (r.getAs[Long]("symbol"),
+        r.getAs[Long]("ts"), r.getAs[Long]("bar_id"),
+        r.getAs[Boolean]("bar_closed"))).toSeq
+
+    val msV = MemoryStream[TradeIn]
+    val qv = StreamingBars.volumeBarStream(msV.toDS(), threshold = 6.0)
+      .writeStream.format("memory").queryName("vbar_out")
+      .outputMode("append").start()
+    msV.addData(data.take(23)); qv.processAllAvailable()
+    msV.addData(data.drop(23)); qv.processAllAvailable()
+    val streamedV = collectIds(spark.table("vbar_out"))
+    qv.stop()
+    assert(streamedV == collectIds(
+      EventBars.volumeBarIds(data.toDF(), 6.0, Seq("symbol"))))
+
+    val msD = MemoryStream[TradeIn]
+    val qd = StreamingBars.dollarBarStream(msD.toDS(), threshold = 700.0)
+      .writeStream.format("memory").queryName("dbar_out")
+      .outputMode("append").start()
+    msD.addData(data.take(31)); qd.processAllAvailable()
+    msD.addData(data.drop(31)); qd.processAllAvailable()
+    val streamedD = collectIds(spark.table("dbar_out"))
+    qd.stop()
+    assert(streamedD == collectIds(
+      EventBars.dollarBarIds(data.toDF(), 700.0, Seq("symbol"))))
+  }
+
   test("streaming CUSUM filter equals the batch ordered scan") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[TradeIn]
