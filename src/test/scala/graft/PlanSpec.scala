@@ -63,4 +63,31 @@ class PlanSpec extends AnyFunSuite {
     val b = ref.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
     assert(a == b)
   }
+
+  private def symTrades(n: Int): DataFrame =
+    (0 until n).map { i =>
+      (i.toLong * 100000000L, i.toLong, 100.0 + (i % 7) * 0.01, 1.0 + (i % 3),
+        (i % 8).toLong)
+    }.toDF("ts", "id", "price", "qty", "symbol")
+
+  test("keyed sequential scans shuffle by symbol, not a single range partition") {
+    val p = plan(graft.features.Ewm.rsiExact(symTrades(4000), "price", 14,
+      Seq("ts", "id"), keyCols = Seq("symbol")))
+    assert(p.contains("hashpartitioning(symbol"),
+      s"keyed scan must hash-partition by symbol:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"keyed scan must not fall back to a global range sort:\n$p")
+  }
+
+  test("keyed eventWeights sweep partitions its windows by symbol") {
+    val t = symTrades(4000)
+    val ev = t.where(col("id") % 37 === 0).select(
+      col("symbol"), col("ts").as("event_ts"), col("id").as("event_id"),
+      (col("ts") + lit(1000000000L)).as("touch_ts"))
+    val p = plan(graft.labels.Weights.eventWeights(t, ev, Seq("symbol")))
+    assert(p.contains("hashpartitioning(symbol"),
+      s"keyed sweep must hash-partition by symbol:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"keyed sweep must not move the stream to one partition:\n$p")
+  }
 }
