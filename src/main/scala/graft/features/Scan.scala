@@ -45,13 +45,27 @@ object Scan {
     * (each key's rows contiguous within the partition).
     */
   def keyRuns(it: Iterator[Row], keyIdxs: Seq[Int]): Iterator[Iterator[Row]] =
-    new Iterator[Iterator[Row]] {
-      val buf = it.buffered
+    if (keyIdxs.isEmpty) {
+      if (it.hasNext) Iterator.single(it) else Iterator.empty
+    } else new Iterator[Iterator[Row]] {
+      // per-row cost matters: this sits on the hot path of every keyed
+      // sequential kernel, so compare field-by-field in a while loop
+      // instead of building a fresh key collection per hasNext call
+      private val idxs = keyIdxs.toArray
+      private val buf = it.buffered
       def hasNext: Boolean = buf.hasNext
       def next(): Iterator[Row] = {
-        val k = keyIdxs.map(buf.head.get)
+        val k = new Array[Any](idxs.length)
+        var i = 0
+        while (i < idxs.length) { k(i) = buf.head.get(idxs(i)); i += 1 }
         new Iterator[Row] {
-          def hasNext: Boolean = buf.hasNext && keyIdxs.map(buf.head.get) == k
+          def hasNext: Boolean = buf.hasNext && {
+            val h = buf.head
+            var i = 0
+            var eq = true
+            while (eq && i < idxs.length) { eq = k(i) == h.get(idxs(i)); i += 1 }
+            eq
+          }
           def next(): Row = buf.next()
         }
       }
@@ -105,7 +119,13 @@ object Scan {
     *                a recompute with different row order would break the
     *                boundary handoff). MEMORY_AND_DISK locally; pass
     *                DISK_ONLY at TB scale so the scan never competes with
-    *                the executors' working memory.
+    *                the executors' working memory. On a cluster, a lost
+    *                persisted block recomputes from lineage: the range
+    *                sampler's seed is deterministic per partition index, so
+    *                the rebuilt layout is identical PROVIDED `df`'s own
+    *                lineage is deterministic (scans + narrow ops are; an
+    *                upstream shuffle with nondeterministic row order is
+    *                not — checkpoint such inputs first).
     */
   def affine(
       df: DataFrame,

@@ -165,7 +165,9 @@ object Similarity {
                       nlist: Int, iters: Int = 5): Array[(Long, Array[Double])] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cv = unitVecs(corpus, idCol, vecCol)
+    // persist the normalized view: the seed pass + every Lloyd round scans
+    // it, and re-normalizing the corpus iters+1 times would dominate
+    val cv = unitVecs(corpus, idCol, vecCol).persist()
     var cents: Array[Array[Double]] = cv
       .map { case (id, v) => (scala.util.hashing.byteswap64(id), id, v) }
       .toDF("h", "id", "v").orderBy("h", "id").limit(nlist)
@@ -199,6 +201,7 @@ object Similarity {
       bc.destroy()
       cents = next
     }
+    cv.unpersist(blocking = false)
     cents.zipWithIndex.map { case (v, i) => (i.toLong, v) }
   }
 

@@ -25,20 +25,20 @@ object DocQueries {
   private val annRecallFloor = 0.2
 
   /** Per-query top-k recall of `approx` against the brute-force truth,
-    * reduced to a boolean bound the DuckDB oracle can assert.
+    * reduced to a boolean bound the DuckDB oracle can assert. One left join
+    * + one groupBy so the expensive brute subtree evaluates exactly once
+    * (a hits/denominator split would run the corpus scan twice).
     */
   private def annRecallBound(brute: org.apache.spark.sql.DataFrame,
                              approx: org.apache.spark.sql.DataFrame,
-                             floor: Double): org.apache.spark.sql.DataFrame = {
-    val hits = brute.select(col("query_id"), col("neighbor_id"))
-      .join(approx.select(col("query_id"), col("neighbor_id")),
-        Seq("query_id", "neighbor_id"), "left_semi")
-      .groupBy("query_id").agg(count(lit(1)).as("hits"))
-    brute.groupBy("query_id").agg(count(lit(1)).as("n"))
-      .join(hits, Seq("query_id"), "left")
+                             floor: Double): org.apache.spark.sql.DataFrame =
+    brute.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id"), lit(1).as("__hit")),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n"), count(col("__hit")).as("hits"))
       .select(col("query_id"),
-        (coalesce(col("hits"), lit(0L)) / col("n") >= floor).as("recall_ok"))
-  }
+        (col("hits") / col("n") >= floor).as("recall_ok"))
 
   private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.documents(s, dir)

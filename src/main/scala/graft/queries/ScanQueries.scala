@@ -24,7 +24,11 @@ object ScanQueries {
   private val hlSec = 3600.0
   private val hlCutNs = 108000000000000L   // 30 half-lives in ns
   private val volThr = 2000.37             // off the 0.1-decimal qty grid
-  private val dolThr = 200000.0617         // off the 3-decimal price·qty grid
+  // Carry-path comparisons sit at (k+1)·thr, so the fraction must stay off
+  // the 3-decimal price·qty grid for EVERY multiple: 0.06170771 is coprime
+  // with 10 at 8 decimals — (k+1)·frac terminates at ≤3 decimals only when
+  // (k+1) is a multiple of 1e5, far beyond any realistic bar count.
+  private val dolThr = 200000.06170771
 
   private def trades(s: org.apache.spark.sql.SparkSession, dir: String) =
     Trades.fromEvents(Tables.events(s, dir))
