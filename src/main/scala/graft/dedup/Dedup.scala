@@ -81,17 +81,19 @@ object Dedup {
   /** LSH candidate pairs (a < b).
     *
     * Execution shape chosen for both codegen and scale: explode
-    * (doc × shingle × seed) rows and hash-aggregate the per-seed minima —
-    * higher-order array lambdas are interpreted (CodegenFallback) and were
-    * ~10× slower, while the exploded form partial-aggregates map-side down
-    * to docs × k rows before the only real shuffle. Buckets then emit their
-    * pairs directly (`collect_list` over same-key groups — bucket size is
-    * the designed skew bound; boilerplate-heavy corpora should cap it
-    * upstream by dropping mega-buckets as non-discriminative).
+    * (doc × shingle) rows once, evaluate all k permutations as COLUMNS of
+    * that row, and hash-aggregate k `min`s per doc — higher-order array
+    * lambdas are interpreted (CodegenFallback, ~10× slower), and a
+    * seed-explode variant costs k× the rows plus a second pivot shuffle;
+    * this form partial-aggregates map-side down to one row × k longs per
+    * doc before the only real shuffle. Buckets then emit their pairs
+    * directly (`collect_list` over same-key groups — bucket size is the
+    * designed skew bound; boilerplate-heavy corpora should cap it upstream
+    * by dropping mega-buckets as non-discriminative).
     *
     * Permutations are universal hashes (a_s·h + b_s) mod (2^61−1) over ONE
     * md5 per shingle (31-bit prefix) — k integer ops replace k md5 string
-    * hashes per shingle, and the per-seed minima shuffle as longs, not
+    * hashes per shingle, and the per-doc minima shuffle as longs, not
     * 32-char strings.
     *
     * @param maxBucket buckets larger than this are dropped as
@@ -115,13 +117,9 @@ object Dedup {
       .select(col(idCol).as("id"), explode(TextOps.shingles(col(toksCol), shingleN)).as("s"))
       .withColumn("h", expr("conv(substring(md5(s), 1, 8), 16, 10)")
         .cast("long").bitwiseAND(lit(0x7fffffffL)))
-      .select(col("id"), col("h"), explode(sequence(lit(0), lit(k - 1))).as("seed"))
-      .withColumn("mh",
-        (element_at(typedLit(aArr), col("seed") + 1) * col("h") +
-          element_at(typedLit(bArr), col("seed") + 1)) % lit(minhashP))
-    val mh = shx.groupBy("id", "seed").agg(min("mh").as("mh"))
-    val sigCols = (0 until k).map(s => max(when(col("seed") === s, col("mh"))).as(s"m$s"))
-    val sig = mh.groupBy("id").agg(sigCols.head, sigCols.tail: _*)
+    val sigCols = (0 until k).map(s =>
+      min((lit(aArr(s)) * col("h") + lit(bArr(s))) % lit(minhashP)).as(s"m$s"))
+    val sig = shx.groupBy("id").agg(sigCols.head, sigCols.tail: _*)
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws("|", (0 until r).map(i => col(s"m${b * r + i}").cast("string")): _*)).as("band_key"))

@@ -93,6 +93,21 @@ object DocQueries {
         .select(col("id_a"), col("id_b"), r6(col("cos")).as("cos"))
         .where(col("cos") >= embThreshold)),
 
+    // The LSH near-dup scale path asserts its pair recall against the
+    // exact block self-join (lshNearDupPairs verifies exact cosine before
+    // emitting, so precision is structurally 1 — the bound to watch is
+    // recall, measured 0.92-0.94 across SFs; floor 0.8).
+    "dedup_embedding_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val exact = Similarity.nearDupPairs(e, "vec_id", "embedding", embThreshold)
+        .select(col("id_a"), col("id_b"))
+      val lsh = Similarity.lshNearDupPairs(e, "vec_id", "embedding", embThreshold)
+        .select(col("id_a"), col("id_b"), lit(1).as("__hit"))
+      exact.join(lsh, Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n"), count(col("__hit")).as("hits"))
+        .select((col("hits") / col("n") >= 0.8).as("recall_ok"))
+    }),
+
     "ann_topk_brute" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.bruteForceTopK(e.where(col("vec_id") < annQueries), e,
@@ -340,6 +355,8 @@ object DocQueries {
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${rd(dotSql)} AS cos
          |  FROM nv a JOIN nv b ON a.vec_id < b.vec_id
          |) WHERE cos >= ${D(embThreshold)}""".stripMargin,
+
+    "dedup_embedding_lsh" -> "SELECT TRUE AS recall_ok",
 
     // The approximate ANN rows assert their recall bound: Spark computes
     // per-query recall vs brute force and emits booleans; the oracle

@@ -222,6 +222,37 @@ object StreamingBars {
       }
   }
 
+  /** Streaming tick bars — twin of EventBars.tickBarIds' closed form: a
+    * per-symbol trade counter; row 0 unassigned, bar_id = (count−1) div
+    * threshold thereafter, closing on the last trade of each bar.
+    */
+  def tickBarStream(trades: Dataset[TradeIn], threshold: Int): Dataset[BarIdOut] = {
+    import trades.sparkSession.implicits._
+    trades
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (symbol: Long, rows: Iterator[TradeIn], state: GroupState[CumState]) =>
+          var s = state.getOption.getOrElse(CumState(0.0, 0L, seen = false))
+          // CumState.bar counts rows AFTER the first (the batch kernel's
+          // rn0); cum is unused for tick bars
+          val out = rows.toArray.sortBy(r => (r.ts, r.id)).map { r =>
+            if (!s.seen) {
+              s = CumState(0.0, 0L, seen = true)
+              BarIdOut(symbol, r.ts, r.id, -1L, bar_closed = false)
+            } else {
+              val rn0 = s.bar + 1
+              s = CumState(0.0, rn0, seen = true)
+              // batch closed form: bar_id = rn0 div thr (bar 0 spans rn0
+              // 1..thr-1 — row 0 is excluded — all later bars thr rows)
+              BarIdOut(symbol, r.ts, r.id, rn0 / threshold,
+                bar_closed = (rn0 + 1) % threshold == 0)
+            }
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   /** Streaming volume bars (reset, no carry) — twin of EventBars.volumeBarIds. */
   def volumeBarStream(trades: Dataset[TradeIn], threshold: Double): Dataset[BarIdOut] =
     thresholdBarStream(trades, threshold, carry = false, dollars = false)

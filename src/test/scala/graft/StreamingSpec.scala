@@ -154,6 +154,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamedV == collectIds(
       EventBars.volumeBarIds(data.toDF(), 6.0, Seq("symbol"))))
 
+    // tick bars: stream ids must equal the batch closed form row-for-row
+    // (batch drops the unassigned row 0; the stream marks it bar_id = -1)
+    val msT = MemoryStream[TradeIn]
+    val qt = StreamingBars.tickBarStream(msT.toDS(), threshold = 7)
+      .writeStream.format("memory").queryName("tbar_out")
+      .outputMode("append").start()
+    msT.addData(data.take(11)); qt.processAllAvailable()
+    msT.addData(data.drop(11)); qt.processAllAvailable()
+    val streamIds = spark.table("tbar_out").where(col("bar_id") >= 0)
+      .orderBy("symbol", "ts").collect()
+      .map(r => (r.getAs[Long]("symbol"), r.getAs[Long]("ts"), r.getAs[Long]("bar_id"))).toSeq
+    qt.stop()
+    val batchIds = EventBars.tickBarIds(data.toDF(), 7, Seq("symbol"))
+      .orderBy("symbol", "ts").collect()
+      .map(r => (r.getAs[Long]("symbol"), r.getAs[Long]("ts"), r.getAs[Long]("bar_id"))).toSeq
+    assert(streamIds == batchIds)
+
     val msD = MemoryStream[TradeIn]
     val qd = StreamingBars.dollarBarStream(msD.toDS(), threshold = 700.0)
       .writeStream.format("memory").queryName("dbar_out")
