@@ -125,7 +125,17 @@ object Scan {
     *                the rebuilt layout is identical PROVIDED `df`'s own
     *                lineage is deterministic (scans + narrow ops are; an
     *                upstream shuffle with nondeterministic row order is
-    *                not — checkpoint such inputs first).
+    *                not — checkpoint such inputs first, or set `pinned`).
+    * @param pinned  fully deterministic mode: nothing is persisted; phase B
+    *                re-shuffles the input with a custom partitioner whose
+    *                boundaries are the first-row order keys phase A
+    *                OBSERVED, so its layout provably equals phase A's even
+    *                if every block is lost and the upstream shuffle replays
+    *                rows in a different order. Costs a second full shuffle
+    *                (plain-row serialization) instead of the cache —
+    *                the choice at TB scale when the input lineage is not
+    *                deterministic. Requires non-null, unique order keys
+    *                (ts, id) — which the engine's layouts guarantee.
     */
   def affine(
       df: DataFrame,
@@ -138,15 +148,16 @@ object Scan {
       outType: DataType = DoubleType,
       numParts: Int = 0,
       storage: org.apache.spark.storage.StorageLevel =
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
+      pinned: Boolean = false): DataFrame = {
 
     val parts =
       if (numParts > 0) numParts
       else math.max(df.sparkSession.sparkContext.defaultParallelism,
         df.rdd.getNumPartitions)
-    val sorted = df.repartitionByRange(parts, orderCols.map(col): _*)
+    val sortedA = df.repartitionByRange(parts, orderCols.map(col): _*)
       .sortWithinPartitions(orderCols.map(col): _*)
-      .persist(storage)
+    val sorted = if (pinned) sortedA else sortedA.persist(storage)
 
     // ---- phase A: per-partition summary ---------------------------------
     // (partId, firstRow, lastRow, composed affine map of rows[1..] )
@@ -170,36 +181,39 @@ object Scan {
       }
     }.collect().sortBy(_._1)
 
-    // ---- driver fold: incoming state per partition -----------------------
+    // ---- driver fold: incoming state per non-empty partition, in order --
     // replays each partition's FIRST row (whose coefficients may depend on
     // the previous partition's last row), then applies the composed map.
-    val incoming = scala.collection.mutable.Map[Int, Array[Double]]()
+    val m = summaries.length
+    val incomingSeq = new Array[Array[Double]](m)
+    val prevLastSeq = new Array[Row](m)
     var state = init.clone()
     var prevLast: Row = null
-    summaries.foreach { case (pid, first, last, comp) =>
-      incoming(pid) = state.clone()
+    var si = 0
+    while (si < m) {
+      val (_, first, _, comp) = summaries(si)
+      incomingSeq(si) = state.clone()
+      prevLastSeq(si) = prevLast
       val cs = coefs(first, prevLast)
       var i = 0
       while (i < nStates) { state(i) = cs(i)(state(i)); i += 1 }
       i = 0
       while (i < nStates) { state(i) = comp(i)(state(i)); i += 1 }
-      prevLast = last
-    }
-    val prevLastByPid: Map[Int, Row] = {
-      val pids = summaries.map(_._1)
-      pids.zipWithIndex.map { case (pid, idx) =>
-        pid -> (if (idx == 0) null else summaries(idx - 1)._3)
-      }.toMap
+      prevLast = summaries(si)._3
+      si += 1
     }
 
-    // ---- phase B: replay with exact incoming state -----------------------
-    val bIncoming = sorted.sparkSession.sparkContext.broadcast(
-      (incoming.toMap, prevLastByPid))
+    val spark = df.sparkSession
     val outSchema = StructType(sorted.schema.fields :+ StructField(outName, outType))
-    val outRdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
-      val (inc, prevMap) = bIncoming.value
-      val st = inc.getOrElse(pid, init.clone()).clone()
-      var prev: Row = prevMap.getOrElse(pid, null)
+    if (m == 0)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
+
+    // ---- phase B: replay with exact incoming state -----------------------
+    val bState = spark.sparkContext.broadcast((incomingSeq, prevLastSeq))
+    val replay: (Int, Iterator[Row]) => Iterator[Row] = { (idx, it) =>
+      val (inc, prevArr) = bState.value
+      val st = inc(idx).clone()
+      var prev: Row = prevArr(idx)
       it.map { r =>
         val cs = coefs(r, prev)
         var i = 0
@@ -208,6 +222,71 @@ object Scan {
         Row.fromSeq(r.toSeq :+ emit(st, r))
       }
     }
-    sorted.sparkSession.createDataFrame(outRdd, outSchema)
+    val outRdd =
+      if (!pinned) {
+        val pidToIdx = summaries.map(_._1).zipWithIndex.toMap
+        sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+          pidToIdx.get(pid) match {
+            case Some(idx) => replay(idx, it)
+            case None      => Iterator.empty // empty in phase A ⇒ empty here
+          }
+        }
+      } else {
+        // deterministic re-shuffle pinned to phase A's OBSERVED layout:
+        // partition p of the new shuffle = all rows with order key in
+        // [firstKey(p), firstKey(p+1)) — exactly phase A's membership,
+        // independent of upstream row order or lost blocks (keys unique).
+        val keyIdxs = orderCols.map(df.schema.fieldIndex).toArray
+        val keyOf = (r: Row) => {
+          val a = new Array[AnyRef](keyIdxs.length)
+          var i = 0
+          while (i < keyIdxs.length) {
+            a(i) = r.get(keyIdxs(i)).asInstanceOf[AnyRef]; i += 1
+          }
+          a
+        }
+        implicit val keyOrd: Ordering[Array[AnyRef]] = new LexKeyOrdering
+        val partitioner =
+          new BoundaryPartitioner(summaries.map(s => keyOf(s._2)), new LexKeyOrdering)
+        df.rdd.map(r => (keyOf(r), r))
+          .repartitionAndSortWithinPartitions(partitioner)
+          .mapPartitionsWithIndex((idx, it) => replay(idx, it.map(_._2)))
+      }
+    spark.createDataFrame(outRdd, outSchema)
+  }
+
+  /** Lexicographic ordering over boxed, non-null order-key vectors. */
+  private class LexKeyOrdering extends Ordering[Array[AnyRef]] {
+    def compare(x: Array[AnyRef], y: Array[AnyRef]): Int = {
+      var i = 0
+      while (i < x.length) {
+        val c = x(i).asInstanceOf[Comparable[AnyRef]].compareTo(y(i))
+        if (c != 0) return c
+        i += 1
+      }
+      0
+    }
+  }
+
+  /** Routes a key to the last boundary ≤ it (binary search); boundary p is
+    * partition p's first-row key from phase A, so membership reproduces
+    * phase A's layout exactly.
+    */
+  private class BoundaryPartitioner(bounds: Array[Array[AnyRef]],
+                                    ord: LexKeyOrdering)
+      extends org.apache.spark.Partitioner {
+    def numPartitions: Int = bounds.length
+    def getPartition(key: Any): Int = {
+      val k = key.asInstanceOf[Array[AnyRef]]
+      var lo = 0
+      var hi = bounds.length - 1
+      var res = 0
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (ord.compare(bounds(mid), k) <= 0) { res = mid; lo = mid + 1 }
+        else hi = mid - 1
+      }
+      res
+    }
   }
 }

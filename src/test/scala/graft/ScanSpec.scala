@@ -234,6 +234,40 @@ class ScanSpec extends AnyFunSuite {
     }
   }
 
+  test("pinned affine scan equals the persisted path (prev-dependent coefs)") {
+    // irregular timestamps so the Δt-decay coefficients exercise the
+    // prev-row handoff across the pinned re-shuffle's boundaries
+    val rnd = new scala.util.Random(23)
+    var ts = 0L
+    val rows = (0 until 400).map { i =>
+      ts += (1 + rnd.nextInt(500)).toLong * 1000000000L
+      (ts, i.toLong, 50.0 + rnd.nextDouble() * 100, 1.0, 0L)
+    }
+    val t = rows.toDF("ts", "id", "price", "qty", "symbol")
+    import graft.features.Scan
+    import graft.features.Scan.Affine
+    def run(pin: Boolean) = Scan.affine(
+      t, Seq("ts", "id"), nStates = 2,
+      coefs = (r, prev) => {
+        if (prev == null) Array.fill(2)(Affine(1.0, 0.0))
+        else {
+          val dt = (r.getLong(0) - prev.getLong(0)) / 1e9
+          val om = math.exp(-dt / 600.0)
+          Array(Affine(om, r.getDouble(2)), Affine(om, 1.0))
+        }
+      },
+      init = Array(0.0, 0.0),
+      emit = (s, _) => if (s(1) > 0) s(0) / s(1) else Double.NaN,
+      outName = "o", numParts = 7, pinned = pin)
+      .orderBy("ts").select("o").as[Double].collect().toSeq
+    val (a, b) = (run(false), run(true))
+    assert(a.size == b.size && a.size == 400)
+    a.zip(b).zipWithIndex.foreach { case ((x, y), i) =>
+      if (x.isNaN) assert(y.isNaN, s"row $i")
+      else assert(x == y, s"row $i: $x vs $y") // bit-identical, same fold order
+    }
+  }
+
   test("windowed EWMA converges to the exact recursion") {
     val rnd = new scala.util.Random(3)
     val prices = Seq.fill(800)(50.0 + rnd.nextDouble() * 100)
