@@ -85,6 +85,33 @@ object StreamingBars {
       .drop("event_time")
   }
 
+  /** Streaming footprint aggregation — the windowed-agg core of
+    * Footprints.build: per (bar, price level) buy/sell volumes and tick
+    * counts, finalized by the watermark in append mode. The diagonal
+    * imbalance flags need lead/lag over the FINISHED level grid (a per-bar
+    * window), so they belong to a post-finalize batch step — the same
+    * declarative/stateful split as directionalStream vs the path stats.
+    */
+  def footprintStream(tradesWithSide: DataFrame, intervalSec: Long,
+                      tickSize: Double,
+                      watermarkDelay: Option[String] = Some("1 minute")): DataFrame = {
+    val iv = intervalSec * 1000000000L
+    val based = tradesWithSide
+      .withColumn("bar_ts", expr(s"((ts + ${iv - 1}L) div ${iv}L) * ${iv}L"))
+      .withColumn("level", round(col("price") / tickSize).cast("int"))
+      .withColumn("event_time",
+        timestamp_micros((col("bar_ts") / 1000L).cast("long")))
+    val marked = watermarkDelay.fold(based)(d => based.withWatermark("event_time", d))
+    marked
+      .groupBy(col("event_time"), col("bar_ts"), col("level"))
+      .agg(
+        sum(when(col("side") === 1, col("qty")).otherwise(0.0)).as("buy_volume"),
+        sum(when(col("side") === -1, col("qty")).otherwise(0.0)).as("sell_volume"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("buy_ticks"),
+        sum(when(col("side") === -1, 1L).otherwise(0L)).as("sell_ticks"))
+      .drop("event_time")
+  }
+
   case class TradeIn(ts: Long, id: Long, price: Double, qty: Double, symbol: Long)
   case class SidedIn(ts: Long, id: Long, price: Double, qty: Double, side: Int)
   case class TradeBar(ts: Long, id: Long, price: Double, qty: Double, bar_ts: Long)

@@ -110,6 +110,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming footprint aggregation equals the batch (bar, level) sums") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[StreamingBars.SidedIn]
+    val q = StreamingBars.footprintStream(ms.toDF(), 300, 0.01,
+        watermarkDelay = None)
+      .writeStream.format("memory").queryName("fp_out")
+      .outputMode("complete").start()
+    val data = trades(60)
+    val sidedRows = graft.trades.Trades.withTickRuleSide(
+        data.toDF().withColumnRenamed("symbol", "sym"))
+      .select("ts", "id", "price", "qty", "side")
+      .as[StreamingBars.SidedIn].collect().toSeq
+    ms.addData(sidedRows.take(25)); q.processAllAvailable()
+    ms.addData(sidedRows.drop(25)); q.processAllAvailable()
+    val cols = Seq("bar_ts", "level", "buy_volume", "sell_volume",
+      "buy_ticks", "sell_ticks")
+    val streamed = spark.table("fp_out")
+      .select(cols.head, cols.tail: _*).orderBy("bar_ts", "level")
+      .collect().toSeq
+    q.stop()
+    val batch = graft.bars.Footprints.build(
+        graft.trades.Trades.withTickRuleSide(
+          data.toDF().withColumnRenamed("symbol", "sym")), 300, 0.01)
+      .select(cols.head, cols.tail: _*).orderBy("bar_ts", "level")
+      .collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("streaming EWMA state machine equals the batch exact scan") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[TradeIn]
