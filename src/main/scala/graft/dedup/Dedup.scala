@@ -108,11 +108,12 @@ object Dedup {
     val r = k / bands
     val aArr = (0 until k).map(minhashCoef("a", _))
     val bArr = (0 until k).map(minhashCoef("b", _))
-    // The doc×shingle×seed explode below multiplies CPU work ~1000× over
-    // the input rows; a small corpus arrives as ONE parquet split, which
-    // would serialize all of it into a single task. Spread docs across the
-    // cluster first — the shuffled payload is just the raw docs, cheap
-    // relative to the hash fan-out it parallelizes.
+    // The doc×shingle explode below (k permutation columns per row)
+    // multiplies CPU work far beyond the input rows; a small corpus
+    // arrives as ONE parquet split, which would serialize all of it into a
+    // single task. Spread docs across the cluster first — the shuffled
+    // payload is just the raw docs, cheap relative to the hash fan-out it
+    // parallelizes.
     val shx = docs.repartition(col(idCol))
       .select(col(idCol).as("id"), explode(TextOps.shingles(col(toksCol), shingleN)).as("s"))
       .withColumn("h", expr("conv(substring(md5(s), 1, 8), 16, 10)")

@@ -236,6 +236,15 @@ object Scan {
         // partition p of the new shuffle = all rows with order key in
         // [firstKey(p), firstKey(p+1)) — exactly phase A's membership,
         // independent of upstream row order or lost blocks (keys unique).
+        // Integral keys only: LexKeyOrdering compares via Java Comparable,
+        // which agrees with Spark's sort order for longs/ints but NOT for
+        // strings (UTF8 byte order vs UTF-16 code units) or doubles (-0.0).
+        orderCols.foreach { c =>
+          val dt = df.schema(c).dataType
+          require(dt == org.apache.spark.sql.types.LongType ||
+            dt == org.apache.spark.sql.types.IntegerType,
+            s"pinned affine scan requires integral order keys; '$c' is $dt")
+        }
         val keyIdxs = orderCols.map(df.schema.fieldIndex).toArray
         val keyOf = (r: Row) => {
           val a = new Array[AnyRef](keyIdxs.length)

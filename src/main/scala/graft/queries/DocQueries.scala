@@ -105,7 +105,10 @@ object DocQueries {
         .select(col("id_a"), col("id_b"), lit(1).as("__hit"))
       exact.join(lsh, Seq("id_a", "id_b"), "left")
         .agg(count(lit(1)).as("n"), count(col("__hit")).as("hits"))
-        .select((col("hits") / col("n") >= 0.8).as("recall_ok"))
+        // n = 0 (no exact pairs at the threshold) is vacuous-true recall —
+        // and an unguarded division would throw under ANSI
+        .select(coalesce(when(col("n") > 0, col("hits") / col("n") >= 0.8),
+          lit(true)).as("recall_ok"))
     }),
 
     "ann_topk_brute" -> ((s, dir) => {

@@ -190,14 +190,24 @@ class StreamingSpec extends AnyFunSuite {
       .outputMode("append").start()
     msT.addData(data.take(11)); qt.processAllAvailable()
     msT.addData(data.drop(11)); qt.processAllAvailable()
-    val streamIds = spark.table("tbar_out").where(col("bar_id") >= 0)
+    val streamRows = spark.table("tbar_out").where(col("bar_id") >= 0)
       .orderBy("symbol", "ts").collect()
-      .map(r => (r.getAs[Long]("symbol"), r.getAs[Long]("ts"), r.getAs[Long]("bar_id"))).toSeq
+      .map(r => (r.getAs[Long]("symbol"), r.getAs[Long]("ts"),
+        r.getAs[Long]("bar_id"), r.getAs[Boolean]("bar_closed"))).toSeq
     qt.stop()
     val batchIds = EventBars.tickBarIds(data.toDF(), 7, Seq("symbol"))
       .orderBy("symbol", "ts").collect()
       .map(r => (r.getAs[Long]("symbol"), r.getAs[Long]("ts"), r.getAs[Long]("bar_id"))).toSeq
-    assert(streamIds == batchIds)
+    assert(streamRows.map { case (s, t, b, _) => (s, t, b) } == batchIds)
+    // bar_closed fires exactly on each bar's last row: the NEXT surviving
+    // row of that symbol (if any) has a different bar_id
+    streamRows.groupBy(_._1).values.foreach { rows =>
+      rows.sliding(2).foreach {
+        case Seq((_, _, b1, closed), (_, _, b2, _)) =>
+          assert(closed == (b2 != b1), s"close flag at bar $b1 -> $b2")
+        case _ =>
+      }
+    }
 
     val msD = MemoryStream[TradeIn]
     val qd = StreamingBars.dollarBarStream(msD.toDS(), threshold = 700.0)
