@@ -78,6 +78,10 @@ object TripleBarrier {
       .withColumn("__eb", expr(s"event_ts DIV ${vertNs}L"))
       .withColumn("__b", explode(array(col("__eb"), col("__eb") + 1)))
       .drop("__eb")
+    // No broadcast hint on either side: events scale with trades (~1/29),
+    // so neither side is provably broadcastable at 100 TB — the bucketed
+    // equi-join stays AQE's choice (broadcast when one side is measured
+    // small, co-partitioned shuffle otherwise).
     val path = evb.join(t, "__b" +: partCols)
       .where(
         col("__t_ts") > col("event_ts") &&
@@ -106,6 +110,10 @@ object TripleBarrier {
         coalesce(max(when(col("ret") > 0, col("ret") / col("up"))), lit(0.0)).as("max_urbr"),
         coalesce(max(when(col("ret") < 0, col("ret") / col("lo"))), lit(0.0)).as("max_lrbr"))
       .withColumn("touch_ts", coalesce(col("touch0"), col("vert_ts")))
+      // p1 feeds BOTH pass 2 and the final join; without the cache the
+      // whole path join + aggregation runs twice. The cached frame is one
+      // row per event — trivial memory at any scale.
+      .cache()
 
     // Pass 2 — return AT the touch: only trades at the touch timestamp
     // matter, so instead of re-deriving the whole path (a second bucketed
