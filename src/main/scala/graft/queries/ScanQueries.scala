@@ -429,6 +429,142 @@ object ScanQueries {
          |       ${rd("median(qty)")} AS median_trade_size,
          |       ${rd("sum(price * qty) / sum(qty)")} AS vwap
          |FROM ids GROUP BY bar_id
-         |HAVING count(*) = 300 OR (bar_id = 0 AND count(*) = 299)""".stripMargin
+         |HAVING count(*) = 300 OR (bar_id = 0 AND count(*) = 299)""".stripMargin,
+
+    "cusum_events" ->
+      s"""WITH $tradesCte,
+         |${cusumSigmaConstCte(2.0)},
+         |${cusumFoldCtes(1.0, 1e-12)}
+         |SELECT p.ts, p.id, ${rd("p.price")} AS price
+         |FROM p JOIN ev USING (rn)""".stripMargin,
+
+    "cusum_events_adaptive" ->
+      s"""WITH $tradesCte,
+         |$cusumSigmaAdaptiveCte,
+         |${cusumFoldCtes(2.0, 5e-4)}
+         |SELECT p.ts, p.id, ${rd("p.price")} AS price, ${rd("p.sigma")} AS sigma
+         |FROM p JOIN ev USING (rn)""".stripMargin,
+
+    "cusum_bars" ->
+      s"""WITH $tradesCte,
+         |$cusumSigmaAdaptiveCte,
+         |${cusumFoldCtes(2.0, 5e-4)},
+         |withids AS (
+         |  SELECT p.ts, p.id, p.price, p.qty, p.rn,
+         |         (ev.rn IS NOT NULL) AS is_event,
+         |         coalesce(sum(CASE WHEN ev.rn IS NOT NULL THEN 1 ELSE 0 END)
+         |           OVER (ORDER BY p.rn ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bar_id
+         |  FROM p LEFT JOIN ev ON p.rn = ev.rn
+         |),
+         |complete AS (
+         |  SELECT bar_id FROM withids WHERE bar_id >= 1 GROUP BY bar_id HAVING bool_or(is_event)
+         |)
+         |SELECT CAST(w.bar_id AS BIGINT) AS bar_id, max(w.ts) AS bar_ts,
+         |  ${rd("first(w.price ORDER BY w.ts, w.id)")} AS open,
+         |  ${rd("max(w.price)")} AS high, ${rd("min(w.price)")} AS low,
+         |  ${rd("last(w.price ORDER BY w.ts, w.id)")} AS close,
+         |  ${rd("sum(w.qty)")} AS volume,
+         |  CAST(count(*) AS BIGINT) AS trades
+         |FROM withids w JOIN complete c USING (bar_id)
+         |GROUP BY w.bar_id""".stripMargin
   )
+
+  // ---------------------------------------------------------------------
+  // CUSUM fold oracle (DuckDB list_reduce replay of the reset state machine)
+  // ---------------------------------------------------------------------
+
+  /** Constant per-row threshold source: `sig(ts, id, price, qty, sigma)`. */
+  private def cusumSigmaConstCte(sigma: Double): String =
+    s"sig AS (SELECT ts, id, price, qty, CAST(${D(sigma)} AS DOUBLE) AS sigma FROM trades)"
+
+  /** Adaptive σ source mirroring the engine's `ewmstExact(log price)`
+    * (bar/kit.py:140-181 semantics) via the same truncated-tail closed form
+    * as the `ewmst_scan` oracle — tail < 1e-13, far inside the λ-comparison
+    * margins observed on the synthetic data.
+    */
+  private def cusumSigmaAdaptiveCte: String =
+    s"""sa AS (
+       |  SELECT ts, id, price, qty, ln(price) AS lp,
+       |    CASE WHEN lag(ts) OVER (ORDER BY ts, id) IS NULL THEN NULL
+       |         ELSE 1 - exp(-((ts - lag(ts) OVER (ORDER BY ts, id)) / 1e9) / ${D(hlSec)}) END AS alpha
+       |  FROM trades
+       |),
+       |slw AS (
+       |  SELECT ts, id, price, qty,
+       |    list(alpha) OVER w AS la, list(lp) OVER w AS ly, list(ts) OVER w AS lt
+       |  FROM sa
+       |  WINDOW w AS (ORDER BY ts RANGE BETWEEN $hlCutNs PRECEDING AND CURRENT ROW)
+       |),
+       |ssums AS (
+       |  SELECT ts, id, price, qty,
+       |    list_sum(list_transform(la, (x, i) -> CASE WHEN x IS NULL THEN 0.0 ELSE x * exp(-((ts - lt[i]) / 1e9) / ${D(hlSec)}) END)) AS v,
+       |    list_sum(list_transform(la, (x, i) -> CASE WHEN x IS NULL THEN 0.0 ELSE x * x * exp(-2 * ((ts - lt[i]) / 1e9) / ${D(hlSec)}) END)) AS v2,
+       |    list_sum(list_transform(la, (x, i) -> CASE WHEN x IS NULL THEN 0.0 ELSE x * ly[i] * exp(-((ts - lt[i]) / 1e9) / ${D(hlSec)}) END)) AS sy,
+       |    list_sum(list_transform(la, (x, i) -> CASE WHEN x IS NULL THEN 0.0 ELSE x * ly[i] * ly[i] * exp(-((ts - lt[i]) / 1e9) / ${D(hlSec)}) END)) AS syy
+       |  FROM slw
+       |),
+       |sig AS (
+       |  SELECT ts, id, price, qty,
+       |    CASE WHEN v > 0 THEN greatest(
+       |      sqrt(CASE WHEN (v - v2 / v) > 0 AND (syy / v - (sy / v) * (sy / v)) > 0
+       |                THEN (syy / v - (sy / v) * (sy / v)) * v / (v - v2 / v) ELSE 0.0 END),
+       |      1e-12) END AS sigma
+       |  FROM ssums
+       |)""".stripMargin
+
+  /** The CUSUM state machine (EventBars.cusumEventIds) replayed as ONE
+    * DuckDB `list_reduce` fold over the (ts, id)-ordered rows — a genuine
+    * sequential cross-check of the reset semantics, feasible because the
+    * state is O(1) plus the fired-row list. DuckDB 1.0's list_reduce drops
+    * nested-LIST accumulator state between steps (appends are lost), so the
+    * fired rns accumulate in a VARCHAR and are split back out at the end.
+    * Expects `sig(ts, id, price, qty, sigma)`; yields `p` (rn-numbered rows
+    * with `blk` = not-last-of-equal-ts-block) and `ev(rn)` (fired rows).
+    * λ = max(mult·σ_ffilled, floor); equal-ts blocks cannot close; the
+    * first σ-valid row opens the stream; only the breaching side resets.
+    */
+  private def cusumFoldCtes(mult: Double, floor: Double): String = {
+    val lam = s"greatest(${D(mult)} * coalesce(x.sig, a.ps), ${D(floor)})"
+    val z = "CAST(0.0 AS DOUBLE)"
+    val ret = "ln(x.price / a.pp)"
+    def step(sp: String, sn: String, fire: Boolean) = {
+      val ev = if (fire) "a.ev || ',' || CAST(x.rn AS VARCHAR)" else "a.ev"
+      s"{'sp': $sp, 'sn': $sn, 'pp': x.price, 'ps': coalesce(x.sig, a.ps), 'seen': true, " +
+        s"'ev': $ev, 'price': x.price, 'sig': x.sig, 'blk': x.blk, 'rn': x.rn}"
+    }
+    s"""p AS (
+       |  SELECT ts, id, price, qty, sigma,
+       |         row_number() OVER (ORDER BY ts, id) AS rn,
+       |         coalesce(lead(ts) OVER (ORDER BY ts, id) = ts, false) AS blk
+       |  FROM sig
+       |),
+       |folded AS (
+       |  SELECT list_reduce(
+       |    list_prepend(
+       |      {'sp': $z, 'sn': $z, 'pp': $z, 'ps': CAST(NULL AS DOUBLE), 'seen': false, 'ev': '',
+       |       'price': $z, 'sig': CAST(NULL AS DOUBLE), 'blk': false, 'rn': CAST(0 AS BIGINT)},
+       |      list({'sp': $z, 'sn': $z, 'pp': $z, 'ps': CAST(NULL AS DOUBLE), 'seen': false, 'ev': '',
+       |            'price': price, 'sig': sigma, 'blk': blk, 'rn': rn} ORDER BY rn)
+       |    ),
+       |    (a, x) -> CASE
+       |      WHEN NOT a.seen AND coalesce(x.sig, a.ps) IS NULL THEN
+       |        {'sp': $z, 'sn': $z, 'pp': a.pp, 'ps': coalesce(x.sig, a.ps), 'seen': false,
+       |         'ev': a.ev, 'price': x.price, 'sig': x.sig, 'blk': x.blk, 'rn': x.rn}
+       |      WHEN NOT a.seen THEN
+       |        ${step(z, z, fire = true)}
+       |      WHEN NOT x.blk AND greatest($z, a.sp + $ret) >= $lam THEN
+       |        ${step(z, s"least($z, a.sn + $ret)", fire = true)}
+       |      WHEN NOT x.blk AND least($z, a.sn + $ret) <= -$lam THEN
+       |        ${step(s"greatest($z, a.sp + $ret)", z, fire = true)}
+       |      ELSE
+       |        ${step(s"greatest($z, a.sp + $ret)", s"least($z, a.sn + $ret)", fire = false)}
+       |    END
+       |  ) AS st
+       |  FROM p
+       |),
+       |ev AS (
+       |  SELECT CAST(unnest(string_split(ltrim(st.ev, ','), ',')) AS BIGINT) AS rn
+       |  FROM folded WHERE st.ev <> ''
+       |)""".stripMargin
+  }
 }
