@@ -39,10 +39,17 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
     val selected = SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // noop sink, NOT count(): a count-only action lets Catalyst prune the
+    // query's own output columns (and skips materializing .cache() calls
+    // entirely), so count-mode times measured row counting, not the
+    // operator. The noop write computes every output column — the number a
+    // real consumer would pay.
+    var failed = List.empty[String]
     val results = selected.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => if (!failed.contains(name)) failed ::= name }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min
@@ -50,7 +57,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson}""")
+    if (failed.nonEmpty)
+      System.err.println(s"BENCH FAILURES: ${failed.sorted.mkString(", ")}")
     spark.stop()
   }
 }

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Key-dimension scaling harness: runs the per-symbol (`_sym`) gate queries
+  * and their single-series counterparts at several local[N] core counts,
+  * with a fresh SparkSession per N so JIT-warm caches don't leak across
+  * runs. The keyed variants shuffle by symbol (1500 keys at sf0.1) and
+  * should speed up with cores; the single-series variants are order-total
+  * by reference semantics and stay flat — which is the point: at 100 TB
+  * parallelism comes from the key dimension, exactly as the reference's
+  * own per-series loops would be sharded.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=… SPARK_GRAFT_SYM_CPUS=4,32 runMain graft.SymBench
+  * Prints one JSON line: {"metric":"sym_scaling","sf":…,"runs":{"4":{q:sec},…}}
+  */
+object SymBench {
+  private val keyed = Seq(
+    "f_rsi_wilder14_sym", "tbm_labels_sym", "label_weights_sym",
+    "label_concurrency_sym", "time_bars_directional_sym")
+  private val singleSeries = Seq(
+    "f_rsi_wilder14", "tbm_labels", "label_weights", "label_concurrency")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpuList = sys.env.getOrElse("SPARK_GRAFT_SYM_CPUS", "4,32")
+      .split(",").map(_.trim.toInt).toSeq
+    val names = keyed ++ singleSeries
+
+    val runs = cpuList.map { cpus =>
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      // warm the JIT on an untimed query so core-count runs compare plans,
+      // not JVM state (first run of the JVM pays codegen + classloading)
+      try SparkEntry.queries("time_bars_5m")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => }
+      val times = names.map { n =>
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(n)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => }
+        n -> (System.nanoTime() - t0) / 1e9
+      }
+      spark.stop()
+      cpus -> times
+    }
+
+    val runsJson = runs.map { case (cpus, times) =>
+      "\"" + cpus + "\":" +
+        times.map { case (n, t) => "\"" + n + "\":" + t }.mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"sym_scaling","sf":"$sfDir","runs":$runsJson}""")
+  }
+}

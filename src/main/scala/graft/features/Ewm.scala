@@ -35,11 +35,14 @@ object Ewm {
     Scan.affine(
       df, Seq("ts", "id"), nStates = 2,
       coefs = (r, _) => {
-        val y = r.getDouble(vIdx)
-        Array(Affine(q, y), Affine(q, 1.0))
+        // null/NaN rows decay both sums without contributing (pandas
+        // ignore_na=False adjust=True semantics; getDouble throws on null)
+        val y = if (r.isNullAt(vIdx)) Double.NaN else r.getDouble(vIdx)
+        if (java.lang.Double.isNaN(y)) Array(Affine(q, 0.0), Affine(q, 0.0))
+        else Array(Affine(q, y), Affine(q, 1.0))
       },
       init = Array(0.0, 0.0),
-      emit = (s, _) => s(0) / s(1),
+      emit = (s, _) => if (s(1) <= 0.0) Double.NaN else s(0) / s(1),
       outName = out, numParts = numParts)
   }
 
@@ -51,7 +54,7 @@ object Ewm {
     Scan.affine(
       df, Seq("ts", "id"), nStates = 4,
       coefs = (r, _) => {
-        val y = r.getDouble(vIdx)
+        val y = if (r.isNullAt(vIdx)) Double.NaN else r.getDouble(vIdx)
         val (w, wy, wyy) = if (java.lang.Double.isNaN(y)) (0.0, 0.0, 0.0) else (1.0, y, y * y)
         Array(Affine(q, w), Affine(q * q, w), Affine(q, wy), Affine(q, wyy))
       },
@@ -89,7 +92,10 @@ object Ewm {
           val dt = (r.getLong(tIdx) - prev.getLong(tIdx)) / 1e9
           val alpha = 1.0 - math.exp(-dt / halfLifeSec)
           val om = 1.0 - alpha
-          val y = r.getDouble(vIdx)
+          // null value (e.g. log of a zero/invalid print) = NaN row:
+          // decays the state without contributing, like the reference's
+          // NaN handling (getDouble throws on null)
+          val y = if (r.isNullAt(vIdx)) Double.NaN else r.getDouble(vIdx)
           if (java.lang.Double.isNaN(y))
             Array(Affine(om, 0.0), Affine(om * om, 0.0), Affine(om, 0.0), Affine(om, 0.0))
           else

@@ -106,9 +106,11 @@ object Features {
   def atrSma(n: Int, p: Seq[String] = Nil): Column =
     full(n, avg(trueRange(p)).over(rows(n, p)), p)
 
-  /** `ParkinsonRange` ln(h/l)^2 / (4 ln 2) per row (core/volatility.py:341-349) */
+  /** `ParkinsonRange` ln(h/l)^2 / (4 ln 2) per row (core/volatility.py:341-349).
+    * try_divide: a zero low (bad print) yields NULL instead of an ANSI error.
+    */
   def parkinson: Column =
-    pow(log(col("high") / col("low")), 2) / (lit(4) * log(lit(2.0)))
+    pow(log(try_divide(col("high"), col("low"))), 2) / (lit(4) * log(lit(2.0)))
 
   /** `RealizedVolatility` (core/volatility.py:256-287), NaN-aware count. */
   def realizedVol(r: Column, n: Int, ddof: Int = 1, p: Seq[String] = Nil): Column =

@@ -85,7 +85,9 @@ object Weights {
     val cum = stream
       .withColumn("conc", sum("d").over(sweep))
       .withColumn("prev_price", last("price", ignoreNulls = true).over(before))
-      .withColumn("logret", log(col("price") / col("prev_price")))
+      // try_divide: a zero/invalid previous print yields NULL (not an ANSI
+      // error), which the conc-guard below already maps to a 0 contribution
+      .withColumn("logret", log(try_divide(col("price"), col("prev_price"))))
       // conc = 0 ⇔ the trade is covered by no event interval, so it can
       // never contribute to any event's sum — 0 keeps the prefix exact
       // (and avoids ANSI divide-by-zero on sparse data).

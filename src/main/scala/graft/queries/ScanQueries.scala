@@ -57,7 +57,9 @@ object ScanQueries {
     "ewmst0_scan" -> ((s, dir) => {
       val w = Window.orderBy("ts", "id")
       val withY = trades(s, dir)
-        .withColumn("y", log(col("price") / lag("price", 1).over(w)))
+        // try_divide: a zero previous print yields NULL (NaN row for the
+        // scan kernel) instead of an ANSI divide-by-zero
+        .withColumn("y", log(try_divide(col("price"), lag("price", 1).over(w))))
       Ewm.ewmstMean0Exact(withY, "y", hlSec)
         .select(col("ts"), col("id"), r6(col("ewmst0")).as("ewmst0"))
     }),
