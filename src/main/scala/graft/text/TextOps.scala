@@ -90,11 +90,24 @@ object TextOps {
 
   /** Word n-gram shingles (distinct), degenerating to one whole-text shingle
     * for docs shorter than n tokens.
+    *
+    * Built by zipping n shifted slices of the token array, NOT by slicing
+    * inside a positional lambda: a lambda that captures a COMPUTED `toks`
+    * re-evaluates it once per shingle position, turning shingling quadratic
+    * in document length. Here `toks` evaluates n+2 times per row, the
+    * lambda touches only its own zipped element, and the shorter shifted
+    * tails zip as NULLs that concat_ws skips (reproducing the truncated
+    * final shingles).
     */
-  def shingles(toks: Column, n: Int): Column =
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(toks) - n, lit(0))),
-      i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+  def shingles(toks: Column, n: Int): Column = {
+    val s = greatest(size(toks) - n, lit(0)) + 1 // shingle positions
+    val shifted = (0 until n).map(j => slice(toks, lit(j + 1), s))
+    val zipped = array_distinct(transform(arrays_zip(shifted: _*),
+      e => concat_ws(" ", (0 until n).map(j => e.getField(j.toString)): _*)))
+    // empty docs: the positional form yields one empty shingle, the zip
+    // form none — keep the historical [""] so fingerprints are stable
+    when(size(toks) === 0, array(lit(""))).otherwise(zipped)
+  }
 
   /** Bottom-k sketch fingerprint: the k lexicographically-smallest md5s of
     * the shingle set, plus their digest — a compact rolling-hash-style
