@@ -29,11 +29,9 @@ object Bench {
           .over(Window.orderBy(col("id")))).count()
     } catch { case _: Throwable => }
     // optional comma-separated subset + repeat count for local iteration.
-    // reps > 1 reports the min — NOTE this is a warm number: identical
-    // plans re-registered on rep 2+ hit rep 1's materialized caches via
-    // the CacheManager, so min-of-N under-reports queries with internal
-    // persists vs the driver's cold single-rep gate. Use it to compare
-    // plan shapes, not to predict BENCH_r{N} numbers.
+    // reps > 1 reports the min of COLD runs: state is reset (cache cleared,
+    // RDDs unpersisted) before every rep, so min-of-N is comparable to the
+    // driver's single-rep gate — it averages out JIT/GC noise, not caches.
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).toSet)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
@@ -44,15 +42,34 @@ object Bench {
     // entirely), so count-mode times measured row counting, not the
     // operator. The noop write computes every output column — the number a
     // real consumer would pay.
+    // Per-query isolation: every rep starts with an empty CacheManager and
+    // no persisted RDDs. Without this, each query's internal .cache() stays
+    // registered for the rest of the run, and the accumulated memory/GC
+    // pressure lands on whichever query happens to run later — BENCH_r03's
+    // per-query attribution was off by up to 8x from exactly this. The
+    // clear + gc happen OUTSIDE the timed region.
+    def resetState(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
     var failed = List.empty[String]
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+    val results = selected.flatMap { case (name, fn) =>
+      // failed reps contribute no timing: a fast exception would otherwise
+      // deflate the min and the total while the query sits in `failed`.
+      val times = (1 to reps).flatMap { _ =>
+        resetState()
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => if (!failed.contains(name)) failed ::= name }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case _: Throwable =>
+            if (!failed.contains(name)) failed ::= name
+            None
+        }
       }
-      name -> times.min
+      if (times.nonEmpty) Some(name -> times.min) else None
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

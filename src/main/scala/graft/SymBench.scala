@@ -40,21 +40,35 @@ object SymBench {
       try SparkEntry.queries("time_bars_5m")(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }
-      val times = names.map { n =>
+      // failures are tracked, not swallowed: a missing query name or dataset
+      // would otherwise report its time-to-exception as a legitimate scaling
+      // number. Failed queries are dropped from the timings and listed.
+      var failedHere = List.empty[String]
+      val times = names.flatMap { n =>
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
         val t0 = System.nanoTime()
-        try SparkEntry.queries(n)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => }
-        n -> (System.nanoTime() - t0) / 1e9
+        try {
+          SparkEntry.queries(n)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          Some(n -> (System.nanoTime() - t0) / 1e9)
+        } catch {
+          case _: Throwable => failedHere ::= n; None
+        }
       }
       spark.stop()
-      cpus -> times
+      (cpus, times, failedHere.sorted)
     }
 
-    val runsJson = runs.map { case (cpus, times) =>
+    val runsJson = runs.map { case (cpus, times, _) =>
       "\"" + cpus + "\":" +
         times.map { case (n, t) => "\"" + n + "\":" + t }.mkString("{", ",", "}")
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"sym_scaling","sf":"$sfDir","runs":$runsJson}""")
+    val failed = runs.flatMap { case (cpus, _, fs) => fs.map(f => s"$cpus:$f") }
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"sym_scaling","sf":"$sfDir","runs":$runsJson,"failed":$failedJson}""")
+    if (failed.nonEmpty)
+      System.err.println(s"SYMBENCH FAILURES: ${failed.mkString(", ")}")
   }
 }

@@ -119,6 +119,50 @@ object Similarity {
       }.toDF("id_a", "id_b", "cos")
   }
 
+  /** Exact near-dup pairs RESTRICTED to a deterministic probe sample: the
+    * `nProbes` ids with the smallest mixed hash (same fixed pseudo-random
+    * sample rule as [[kmeansCentroids]]' seeds) are broadcast, and the
+    * corpus streams ONCE scoring each row against every probe — O(n·probes)
+    * instead of the all-pairs O(n²). This is the bounded ground truth for
+    * recall gates over [[lshNearDupPairs]]: at any corpus size the cost is
+    * one scan, so the gate query itself survives the scale-up it is meant
+    * to certify. Pairs where both ends are probes are emitted once (owned
+    * by the lower probe id).
+    */
+  def probeNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, nProbes: Int = 256): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val v = unitVecs(emb, idCol, vecCol)
+    val probes = v
+      .map { case (id, vec) => (scala.util.hashing.byteswap64(id), id, vec) }
+      .toDF("h", "id", "v").orderBy("h", "id").limit(nProbes)
+      .as[(Long, Long, Array[Double])].collect()
+      .map { case (_, id, vec) => (id, vec) }
+    val probeIds = probes.map(_._1).toSet
+    val bc = spark.sparkContext.broadcast(probes)
+    val bcIds = spark.sparkContext.broadcast(probeIds)
+    v.mapPartitions { it =>
+      val ps = bc.value
+      val pid = bcIds.value
+      it.flatMap { case (id, vec) =>
+        val isProbe = pid.contains(id)
+        ps.iterator.flatMap { case (p, pv) =>
+          // probe-probe pairs would be seen from both corpus rows; the
+          // higher-id row (paired against the lower probe) owns the pair
+          if (p == id || (isProbe && p > id)) Iterator.empty
+          else {
+            val c = dotArr(pv, vec)
+            if (c >= threshold) {
+              val (a, b) = if (p < id) (p, id) else (id, p)
+              Iterator.single((a, b, c))
+            } else Iterator.empty
+          }
+        }
+      }
+    }.toDF("id_a", "id_b", "cos")
+  }
+
   /** Approximate near-dup pairs via sign-LSH banding: candidates = pairs
     * sharing ≥1 signature band (id-only equi-self-join, vectors stay out of
     * the band shuffle), then exact-cosine verification of candidates only.

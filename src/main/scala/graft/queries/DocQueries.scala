@@ -93,20 +93,24 @@ object DocQueries {
         .select(col("id_a"), col("id_b"), r6(col("cos")).as("cos"))
         .where(col("cos") >= embThreshold)),
 
-    // The LSH near-dup scale path asserts its pair recall against the
-    // exact block self-join (lshNearDupPairs verifies exact cosine before
-    // emitting, so precision is structurally 1 — the bound to watch is
-    // recall, measured 0.92-0.94 across SFs; floor 0.8).
+    // The LSH near-dup scale path asserts its pair recall against a BOUNDED
+    // exact truth: probeNearDupPairs scores a deterministic 256-id probe
+    // sample against the streaming corpus (O(n·probes) — one scan), so the
+    // gate query itself scales with the operator it certifies instead of
+    // computing the all-pairs O(n²) truth in-plan. lshNearDupPairs verifies
+    // exact cosine before emitting, so precision is structurally 1 — the
+    // bound to watch is recall, measured 0.92-0.94 across SFs; floor 0.8.
     "dedup_embedding_lsh" -> ((s, dir) => {
       val e = emb(s, dir)
-      val exact = Similarity.nearDupPairs(e, "vec_id", "embedding", embThreshold)
+      val exact = Similarity.probeNearDupPairs(e, "vec_id", "embedding",
+          embThreshold, nProbes = 256)
         .select(col("id_a"), col("id_b"))
       val lsh = Similarity.lshNearDupPairs(e, "vec_id", "embedding", embThreshold)
         .select(col("id_a"), col("id_b"), lit(1).as("__hit"))
       exact.join(lsh, Seq("id_a", "id_b"), "left")
         .agg(count(lit(1)).as("n"), count(col("__hit")).as("hits"))
-        // n = 0 (no exact pairs at the threshold) is vacuous-true recall —
-        // and an unguarded division would throw under ANSI
+        // n = 0 (no exact pairs touching the probe sample) is vacuous-true
+        // recall — and an unguarded division would throw under ANSI
         .select(coalesce(when(col("n") > 0, col("hits") / col("n") >= 0.8),
           lit(true)).as("recall_ok"))
     }),

@@ -187,6 +187,34 @@ class DocSpec extends AnyFunSuite {
     assert(blocked.forall { case (a, b, _) => a < b })
   }
 
+  test("probeNearDupPairs: exact pairs restricted to the deterministic probe sample") {
+    val dim = 16
+    def vec(cluster: Int, i: Int): Array[Float] =
+      Array.tabulate(dim) { d =>
+        val base = if (d % 4 == cluster % 4) 1.0f else 0.1f
+        base + 0.05f * (((cluster * 31 + i * 17 + d * 7) % 11) - 5)
+      }
+    val rows = for (c <- 0 until 4; i <- 0 until 10)
+      yield ((c * 10 + i).toLong, vec(c, i).toSeq)
+    val e = rows.toDF("vec_id", "embedding")
+    val full = Similarity.nearDupPairs(e, "vec_id", "embedding", 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.nonEmpty)
+    // every-id-is-a-probe: the sampled truth IS the full truth, once each
+    val all = Similarity.probeNearDupPairs(e, "vec_id", "embedding", 0.8, nProbes = 1000)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(all.length == all.toSet.size, "duplicate pair emitted")
+    assert(all.toSet == full)
+    // bounded sample: exactly the full-truth pairs touching a probe id
+    val probeIds = rows.map(_._1)
+      .sortBy(id => (scala.util.hashing.byteswap64(id), id)).take(16).toSet
+    val sub = Similarity.probeNearDupPairs(e, "vec_id", "embedding", 0.8, nProbes = 16)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sub.length == sub.toSet.size, "duplicate pair emitted")
+    assert(sub.toSet == full.filter { case (a, b) => probeIds(a) || probeIds(b) })
+    assert(sub.forall { case (a, b) => a < b })
+  }
+
   test("LSH nearDupPairs: subset of exact pairs, high recall on clustered vectors") {
     val dim = 64
     def vec(cluster: Int, i: Int): Array[Float] =
