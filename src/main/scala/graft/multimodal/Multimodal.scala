@@ -68,6 +68,53 @@ object Multimodal {
       .select(col("doc_id"), col("frame_idx"), col("frame_bytes"), col("frame_md5"))
   }
 
+  /** Parsed netpbm binary header: dims, maxval, channel count and the byte
+    * offset where the raster begins (one whitespace after maxval).
+    */
+  private[multimodal] case class PnmHeader(w: Int, h: Int, maxval: Int,
+                                           channels: Int, rasterOff: Int)
+
+  /** Binary PPM/PGM ("P6"/"P5") header parse with '#' comments acting as
+    * token separators (netpbm's pm_getc semantics: a pending digit run
+    * flushes BEFORE the comment skip). False-positive hardened — prose can
+    * start "P6 ..." — by requiring a plausible maxval AND a payload large
+    * enough to hold the full raster after the header.
+    */
+  private[multimodal] def parsePnm(p: Array[Byte]): Option[PnmHeader] = {
+    if (!(p.length >= 10 && p(0) == 'P'.toByte &&
+        (p(1) == '5'.toByte || p(1) == '6'.toByte) &&
+        (p(2).toChar.isWhitespace || p(2) == '#'.toByte))) return None
+    val vals = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 2; var cur = -1; var bad = false; var rasterOff = -1
+    while (i < p.length && rasterOff < 0 && !bad) {
+      val c = p(i).toChar
+      if (c == '#') {
+        if (cur >= 0) { vals += cur; cur = -1 }
+        if (vals.length == 3) bad = true // maxval must end in whitespace
+        else while (i < p.length && p(i) != '\n'.toByte) i += 1
+      } else if (c.isDigit) {
+        cur = (if (cur < 0) 0 else cur) * 10 + (c - '0')
+        if (cur > (1 << 28)) bad = true // absurd dimension → not an image
+      } else if (cur >= 0) {
+        vals += cur; cur = -1
+        // the single whitespace byte terminating maxval: raster starts next
+        if (vals.length == 3) {
+          if (c.isWhitespace) rasterOff = i + 1 else bad = true
+        }
+      }
+      i += 1
+    }
+    if (!bad && rasterOff > 0 && vals(0) > 0 && vals(1) > 0 &&
+        vals(2) > 0 && vals(2) <= 65535) {
+      val channels = if (p(1) == '6'.toByte) 3 else 1
+      val bps = if (vals(2) < 256) 1L else 2L
+      val need = vals(0).toLong * vals(1).toLong * channels * bps
+      if ((p.length.toLong - rasterOff) >= need)
+        Some(PnmHeader(vals(0), vals(1), vals(2), channels, rasterOff))
+      else None
+    } else None
+  }
+
   /** Real header parsing for the uncompressed container formats a pure-JVM
     * kernel can decode without native libs: BMP (little-endian int32 dims at
     * offsets 18/22; negative height = top-down rows) and binary PPM/PGM
@@ -82,35 +129,7 @@ object Multimodal {
       // carries four NUL bytes at offset 6, so no ASCII false positives
       val (w, h) = (le32(18), math.abs(le32(22)))
       if (w > 0 && h > 0) Some((w, h)) else None
-    } else if (p.length >= 10 && p(0) == 'P'.toByte &&
-        (p(1) == '5'.toByte || p(1) == '6'.toByte) &&
-        (p(2).toChar.isWhitespace || p(2) == '#'.toByte)) {
-      // parse w, h, maxval; '#' comments act as token separators (netpbm's
-      // pm_getc semantics), so a pending digit run flushes BEFORE the skip
-      val vals = scala.collection.mutable.ArrayBuffer.empty[Int]
-      var i = 2; var cur = -1; var bad = false
-      while (i < p.length && vals.length < 3 && !bad) {
-        val c = p(i).toChar
-        if (c == '#') {
-          if (cur >= 0) { vals += cur; cur = -1 }
-          while (i < p.length && p(i) != '\n'.toByte) i += 1
-        } else if (c.isDigit) {
-          cur = (if (cur < 0) 0 else cur) * 10 + (c - '0')
-          if (cur > (1 << 28)) bad = true // absurd dimension → not an image
-        } else if (cur >= 0) { vals += cur; cur = -1 }
-        i += 1
-      }
-      if (cur >= 0 && vals.length < 3) vals += cur
-      // false-positive hardening (prose can start "P6 ..."): plausible
-      // maxval AND the payload must be large enough to hold the raster
-      if (!bad && vals.length >= 3 && vals(0) > 0 && vals(1) > 0 &&
-          vals(2) > 0 && vals(2) <= 65535) {
-        val channels = if (p(1) == '6'.toByte) 3L else 1L
-        val bps = if (vals(2) < 256) 1L else 2L
-        val need = vals(0).toLong * vals(1).toLong * channels * bps
-        if (p.length.toLong >= need) Some((vals(0), vals(1))) else None
-      } else None
-    } else None
+    } else parsePnm(p).map(hd => (hd.w, hd.h))
   }
 
   /** Compressed-image dimensions via the JDK's built-in ImageIO readers —
@@ -173,9 +192,147 @@ object Multimodal {
   /** Former name of [[decode]], kept for source compatibility. */
   def decodeStub(media: Dataset[MediaRow]): Dataset[DecodedMedia] = decode(media)
 
-  /** Resize metadata stage (STUB decode downstream): target box scaling with
-    * aspect preservation — pure arithmetic on the decoded metadata, the real
-    * pixel resample would live in the same mapPartitions kernel as decode.
+  /** Full pixel decode to a packed 0xRRGGBB row-major raster. Pure-JVM for
+    * binary PPM/PGM (8-bit maxval; 16-bit stays header-only), JDK ImageIO
+    * for JPEG/PNG/GIF/BMP (codecs ship with every JRE). Magic-byte sniff
+    * first so arbitrary binary payloads never reach a codec. Returns None
+    * for unknown/corrupt payloads — callers fall back to header-only or
+    * pseudo-decode metadata.
+    */
+  private[multimodal] def decodeRaster(p: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    parsePnm(p) match {
+      case Some(hd) if hd.maxval < 256 =>
+        val px = new Array[Int](hd.w * hd.h)
+        var i = 0
+        while (i < px.length) {
+          val o = hd.rasterOff + i * hd.channels
+          val r = p(o) & 0xff
+          val g = if (hd.channels == 3) p(o + 1) & 0xff else r
+          val b = if (hd.channels == 3) p(o + 2) & 0xff else r
+          px(i) = r << 16 | g << 8 | b
+          i += 1
+        }
+        Some((hd.w, hd.h, px))
+      case Some(_) => None // 16-bit netpbm: header-only path
+      case None =>
+        val sniffed = imageIODims(p).isDefined ||
+          (p.length >= 26 && p(0) == 'B'.toByte && p(1) == 'M'.toByte &&
+            parseDims(p).isDefined)
+        if (!sniffed) None
+        else try {
+          Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p)))
+            .map { img =>
+              val (w, h) = (img.getWidth, img.getHeight)
+              val px = img.getRGB(0, 0, w, h, null, 0, w)
+              var i = 0
+              while (i < px.length) { px(i) &= 0xffffff; i += 1 }
+              (w, h, px)
+            }
+        } catch { case _: Exception => None } // truncated/corrupt payload
+    }
+
+  /** Bilinear resample of a packed 0xRRGGBB raster — half-pixel-centered
+    * source mapping (the standard convention: src = (dst + 0.5)·ratio − 0.5,
+    * edge-clamped), per-channel interpolation, round-to-nearest.
+    */
+  private[multimodal] def bilinearResize(src: Array[Int], w: Int, h: Int,
+                                         ow: Int, oh: Int): Array[Int] = {
+    val out = new Array[Int](ow * oh)
+    val xr = w.toDouble / ow; val yr = h.toDouble / oh
+    var y = 0
+    while (y < oh) {
+      val sy = math.min(math.max((y + 0.5) * yr - 0.5, 0.0), h - 1.0)
+      val y0 = sy.toInt; val y1 = math.min(y0 + 1, h - 1); val fy = sy - y0
+      var x = 0
+      while (x < ow) {
+        val sx = math.min(math.max((x + 0.5) * xr - 0.5, 0.0), w - 1.0)
+        val x0 = sx.toInt; val x1 = math.min(x0 + 1, w - 1); val fx = sx - x0
+        val p00 = src(y0 * w + x0); val p01 = src(y0 * w + x1)
+        val p10 = src(y1 * w + x0); val p11 = src(y1 * w + x1)
+        var px = 0; var sh = 16
+        while (sh >= 0) {
+          val c00 = (p00 >> sh) & 0xff; val c01 = (p01 >> sh) & 0xff
+          val c10 = (p10 >> sh) & 0xff; val c11 = (p11 >> sh) & 0xff
+          val top = c00 + (c01 - c00) * fx
+          val bot = c10 + (c11 - c10) * fx
+          px |= math.round(top + (bot - top) * fy).toInt << sh
+          sh -= 8
+        }
+        out(y * ow + x) = px
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Decoded-and-resized media row: metadata + the resample result.
+    * `decoded` marks payloads whose pixel raster was actually read;
+    * `pixel_md5` is the checksum of the resized raster's row-major RGB
+    * triplets (None on the metadata-only fallback path).
+    */
+  case class ResizedMedia(doc_id: Long, media_type: String, n_bytes: Long,
+                          width: Int, height: Int, checksum: String,
+                          out_width: Int, out_height: Int,
+                          decoded: Boolean, pixel_md5: Option[String])
+
+  /** Decode + bilinear-resize kernel: one batched mapPartitions pass, the
+    * real raster for every payload [[decodeRaster]] can read (netpbm /
+    * JPEG / PNG / GIF / BMP), aspect-preserving box scale to `maxSide`,
+    * and an RGB checksum of the resampled pixels. Unknown formats keep the
+    * deterministic metadata path (same dims/out-dims rule as [[resizePlan]])
+    * with `decoded = false`. At 100 TB this parallelizes by input split like
+    * any scan — pixels never shuffle; only metadata + checksum leave the
+    * task.
+    */
+  def resize(media: Dataset[MediaRow], maxSide: Int): Dataset[ResizedMedia] =
+    media.mapPartitions { it =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      def hex(b: Array[Byte]): String = {
+        digest.reset(); digest.digest(b).map("%02x".format(_)).mkString
+      }
+      it.map { m =>
+        val n = m.payload.length.toLong
+        decodeRaster(m.payload) match {
+          case Some((w, h, px)) =>
+            val scale =
+              if (math.max(w, h) <= maxSide) 1.0
+              else maxSide.toDouble / math.max(w, h)
+            // real raster output needs >= 1px per side even at degenerate
+            // aspect ratios (metadata-only resizePlan reports the raw floor)
+            val ow = math.max(1, math.floor(w * scale).toInt)
+            val oh = math.max(1, math.floor(h * scale).toInt)
+            val out = if (ow == w && oh == h) px
+                      else bilinearResize(px, w, h, ow, oh)
+            val rgb = new Array[Byte](out.length * 3)
+            var i = 0
+            while (i < out.length) {
+              rgb(3 * i) = ((out(i) >> 16) & 0xff).toByte
+              rgb(3 * i + 1) = ((out(i) >> 8) & 0xff).toByte
+              rgb(3 * i + 2) = (out(i) & 0xff).toByte
+              i += 1
+            }
+            val pmd5 = hex(rgb)
+            ResizedMedia(m.doc_id, m.media_type, n, w, h, hex(m.payload),
+              ow, oh, decoded = true, Some(pmd5))
+          case None =>
+            val (w, h) = parseDims(m.payload).orElse(imageIODims(m.payload))
+              .getOrElse((64 + ((n * 131L + m.doc_id) % 193L).toInt,
+                64 + ((n * 37L + m.doc_id * 7L) % 157L).toInt))
+            val scale =
+              if (math.max(w, h) <= maxSide) 1.0
+              else maxSide.toDouble / math.max(w, h)
+            ResizedMedia(m.doc_id, m.media_type, n, w, h, hex(m.payload),
+              math.floor(w * scale).toInt, math.floor(h * scale).toInt,
+              decoded = false, None)
+        }
+      }
+    }(Encoders.product[ResizedMedia])
+
+  /** Resize metadata stage (header-only decode downstream): target box
+    * scaling with aspect preservation — pure arithmetic on the decoded
+    * metadata; [[resize]] is the full-raster variant in the same kernel
+    * family.
     */
   def resizePlan(decoded: Dataset[DecodedMedia], maxSide: Int): DataFrame =
     decoded.toDF()

@@ -119,6 +119,68 @@ class MultimodalSpec extends AnyFunSuite {
       "truncated payload must take the pseudo-decode fallback")
   }
 
+  test("resize decodes real pixels: identity PNG checksum, exact PGM bilinear") {
+    import spark.implicits._
+    // 3x2 PNG with distinct per-pixel colors; small enough that maxSide
+    // leaves it untouched, so pixel_md5 must equal the md5 of the ORIGINAL
+    // row-major RGB triplets — asserting the raster really was decoded
+    val colors = Array(0x102030, 0x405060, 0x708090, 0xa0b0c0, 0xd0e0f0, 0x112233)
+    val img = new java.awt.image.BufferedImage(
+      3, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 3) img.setRGB(x, y, colors(y * 3 + x))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val png = bos.toByteArray
+    val rgb = colors.flatMap(c => Array(
+      ((c >> 16) & 0xff).toByte, ((c >> 8) & 0xff).toByte, (c & 0xff).toByte))
+    val wantPng = java.security.MessageDigest.getInstance("MD5")
+      .digest(rgb).map("%02x".format(_)).mkString
+
+    // 2x2 PGM downscaled to 1x1: the half-pixel-centered bilinear of four
+    // pixels is their exact average → gray 85, checksum of [85,85,85]
+    val pgm = "P5\n2 2\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](0, 100.toByte, 200.toByte, 40)
+    val wantPgm = java.security.MessageDigest.getInstance("MD5")
+      .digest(Array[Byte](85, 85, 85)).map("%02x".format(_)).mkString
+
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", png),
+      Multimodal.MediaRow(2L, "image", pgm)).toDS()
+    val out1 = Multimodal.resize(rows, maxSide = 128).collect()
+      .map(d => d.doc_id -> d).toMap
+    assert(out1(1L).decoded && (out1(1L).out_width, out1(1L).out_height) == (3, 2))
+    assert(out1(1L).pixel_md5.contains(wantPng))
+    val out2 = Multimodal.resize(rows.filter(_.doc_id == 2L), maxSide = 1)
+      .collect().head
+    assert(out2.decoded && (out2.out_width, out2.out_height) == (1, 1))
+    assert(out2.pixel_md5.contains(wantPgm))
+  }
+
+  test("resize scales real rasters to the box; text keeps the fallback path") {
+    import spark.implicits._
+    // 200x100 PPM: maxSide 128 → scale 0.64 → 128x64
+    val ppm = ("P6\n200 100\n255\n").getBytes("US-ASCII") ++
+      Array.tabulate[Byte](200 * 100 * 3)(i => (i % 251).toByte)
+    val txt = "just some prose that is not an image".getBytes("UTF-8")
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", ppm),
+      Multimodal.MediaRow(2L, "text", txt)).toDS()
+    val out = Multimodal.resize(rows, maxSide = 128).collect()
+      .map(d => d.doc_id -> d).toMap
+    assert(out(1L).decoded)
+    assert((out(1L).width, out(1L).height) == (200, 100))
+    assert((out(1L).out_width, out(1L).out_height) == (128, 64))
+    assert(out(1L).pixel_md5.exists(_.length == 32))
+    // deterministic: same bytes → same resampled checksum on a second run
+    val again = Multimodal.resize(rows.filter(_.doc_id == 1L), maxSide = 128)
+      .collect().head
+    assert(again.pixel_md5 == out(1L).pixel_md5)
+    // text: pseudo dims, metadata-only resize, no pixel checksum
+    val n = txt.length.toLong
+    assert(!out(2L).decoded && out(2L).pixel_md5.isEmpty)
+    assert(out(2L).width == 64 + ((n * 131 + 2) % 193).toInt)
+  }
+
   test("resize plan preserves aspect and caps the long side") {
     val m = media((1L, "z" * 500))
     val r = Multimodal.resizePlan(
