@@ -141,14 +141,17 @@ object EventBars {
     * reference); equal-timestamp print blocks cannot close (logic.py:207-209).
     */
   def cusumEventIds(trades: DataFrame, sigmaCol: String, sigmaMult: Double,
-                    sigmaFloor: Double, keyCols: Seq[String] = Nil): DataFrame = {
+                    sigmaFloor: Double, keyCols: Seq[String] = Nil,
+                    emitSlack: Boolean = false): DataFrame = {
     val laid = Scan.keyOrdered(trades, keyCols, Seq("ts", "id"))
     val schema = laid.schema
     val pIdx = schema.fieldIndex("price")
     val tsIdx = schema.fieldIndex("ts")
     val sIdx = schema.fieldIndex(sigmaCol)
     val keyIdxs = keyCols.map(schema.fieldIndex)
-    val out = StructType(schema.fields :+ StructField("is_event", BooleanType))
+    val baseFields = schema.fields :+ StructField("is_event", BooleanType)
+    val out = StructType(
+      if (emitSlack) baseFields :+ StructField("slack", DoubleType) else baseFields)
     laid.mapPartitions { it =>
       // state (cusum sums, prev price/sigma) resets at every key run —
       // log-returns and thresholds must not leak across symbols
@@ -167,6 +170,11 @@ object EventBars {
             val rawSigma = if (r.isNullAt(sIdx)) Double.NaN else r.getDouble(sIdx)
             val sigma = if (rawSigma.isNaN) prevSigma else rawSigma
             var event = false
+            // distance of this row's fire decision from the ±λ boundaries
+            // (NaN when no comparison ran): an oracle recomputing s and λ
+            // with different numerics flips the decision only inside this
+            // margin, so its minimum certifies the gate's tie-safety
+            var slack = Double.NaN
             if (!seenFirst) {
               if (!sigma.isNaN) { seenFirst = true; event = true } // first valid row opens
             } else {
@@ -177,13 +185,15 @@ object EventBars {
               val inBlock = rows.hasNext && rows.head.getLong(tsIdx) == r.getLong(tsIdx)
               if (!inBlock) {
                 val lam = math.max(sigmaMult * sigma, sigmaFloor)
+                slack = math.min(math.abs(sPos - lam), math.abs(sNeg + lam))
                 if (sPos >= lam) { event = true; sPos = 0.0 }
                 else if (sNeg <= -lam) { event = true; sNeg = 0.0 }
               }
             }
             if (seenFirst) { prevPrice = price }
             prevSigma = sigma
-            Row.fromSeq(r.toSeq :+ event)
+            if (emitSlack) Row.fromSeq(r.toSeq :+ event :+ slack)
+            else Row.fromSeq(r.toSeq :+ event)
           }
         }
       }

@@ -91,6 +91,22 @@ object Scan {
     }(Encoders.row(outSchema)).toDF()
   }
 
+  /** True when the frame's lineage contains an operator that executes as a
+    * shuffle (join / aggregate / window / global sort / repartition). A
+    * shuffled lineage can replay rows in a DIFFERENT order when a lost
+    * block recomputes (map-output fetch order is nondeterministic), which
+    * breaks [[affine]]'s cached two-phase layout contract — such inputs
+    * default to pinned mode instead of relying on caller opt-in.
+    */
+  private[graft] def lineageHasShuffle(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    df.queryExecution.optimizedPlan.exists {
+      case _: Aggregate | _: Join | _: Window | _: Sort => true
+      case _: RepartitionOperation => true
+      case _ => false
+    }
+  }
+
   /** One scalar-affine state component: s' = a·s + b. */
   final case class Affine(a: Double, b: Double) {
     /** Composition: apply `this` AFTER `prev`. */
@@ -136,6 +152,11 @@ object Scan {
     *                the choice at TB scale when the input lineage is not
     *                deterministic. Requires non-null, unique order keys
     *                (ts, id) — which the engine's layouts guarantee.
+    *                AUTO-SELECTED (even when passed false) whenever the
+    *                input lineage contains a shuffle and the order keys are
+    *                integral: a recomputed shuffle replays rows in
+    *                nondeterministic order, so the cached path's layout
+    *                contract cannot be trusted there.
     */
   def affine(
       df: DataFrame,
@@ -155,9 +176,17 @@ object Scan {
       if (numParts > 0) numParts
       else math.max(df.sparkSession.sparkContext.defaultParallelism,
         df.rdd.getNumPartitions)
+    // auto-pin: a shuffle in the input lineage makes the cached layout
+    // untrustworthy under block loss (see `pinned` scaladoc); non-integral
+    // order keys can't pin and keep the cached path (plus its caveats)
+    val integralKeys = orderCols.forall { c =>
+      val dt = df.schema(c).dataType
+      dt == LongType || dt == IntegerType
+    }
+    val usePinned = pinned || (integralKeys && lineageHasShuffle(df))
     val sortedA = df.repartitionByRange(parts, orderCols.map(col): _*)
       .sortWithinPartitions(orderCols.map(col): _*)
-    val sorted = if (pinned) sortedA else sortedA.persist(storage)
+    val sorted = if (usePinned) sortedA else sortedA.persist(storage)
 
     // ---- phase A: per-partition summary ---------------------------------
     // (partId, firstRow, lastRow, composed affine map of rows[1..] )
@@ -223,7 +252,7 @@ object Scan {
       }
     }
     val outRdd =
-      if (!pinned) {
+      if (!usePinned) {
         val pidToIdx = summaries.map(_._1).zipWithIndex.toMap
         sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
           pidToIdx.get(pid) match {

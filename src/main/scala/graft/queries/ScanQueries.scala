@@ -142,6 +142,30 @@ object ScanQueries {
           r6(col("sigma")).as("sigma"))
     }),
 
+    // Knife-edge guard for the CUSUM oracle family (round-3 advice): the
+    // DuckDB fold recomputes s and λ with its own ln/exp and a truncated
+    // σ tail, so hash parity is only trustworthy while every fire decision
+    // clears the numeric noise. This row asserts the minimum |s−λ| slack
+    // across ALL compared rows exceeds 1e-9 (≫ the 1e-13 truncation bound)
+    // for both the constant and adaptive paths — a future dataset landing
+    // near a threshold fails HERE loudly instead of hash-mismatching the
+    // cusum_* rows mysteriously.
+    "cusum_slack" -> ((s, dir) => {
+      val tc = trades(s, dir)
+      val constSlack = EventBars.cusumEventIds(
+          tc.withColumn("sigma", lit(2.0)), "sigma", 1.0, 1e-12,
+          emitSlack = true)
+        .agg(min(when(!isnan(col("slack")), col("slack"))).as("ms"))
+        .select(lit("const").as("variant"), (col("ms") > 1e-9).as("slack_ok"))
+      val t = tc.withColumn("__lp", log(col("price")))
+      val withSigma = Ewm.ewmstExact(t, "__lp", hlSec, out = "sigma").drop("__lp")
+      val adaptSlack = EventBars.cusumEventIds(withSigma, "sigma", 2.0, 5e-4,
+          emitSlack = true)
+        .agg(min(when(!isnan(col("slack")), col("slack"))).as("ms"))
+        .select(lit("adaptive").as("variant"), (col("ms") > 1e-9).as("slack_ok"))
+      constSlack.unionByName(adaptSlack)
+    }),
+
     // CUSUM event bars (§2.4 _cusum_bar_indexer) with the reference's
     // ADAPTIVE threshold (bar/kit.py:140-181): per-row σ from the
     // time-decay EW std of log-price, λ_i = max(mult·σ_i, floor) with the
@@ -439,6 +463,13 @@ object ScanQueries {
          |${cusumFoldCtes(1.0, 1e-12)}
          |SELECT p.ts, p.id, ${rd("p.price")} AS price
          |FROM p JOIN ev USING (rn)""".stripMargin,
+
+    // the Spark side computes the real min |s−λ| margin; the oracle just
+    // asserts both variants clear it (see the cusum_slack query comment)
+    "cusum_slack" ->
+      """SELECT 'const' AS variant, TRUE AS slack_ok
+        |UNION ALL
+        |SELECT 'adaptive' AS variant, TRUE AS slack_ok""".stripMargin,
 
     "cusum_events_adaptive" ->
       s"""WITH $tradesCte,

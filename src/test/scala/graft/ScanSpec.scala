@@ -268,6 +268,36 @@ class ScanSpec extends AnyFunSuite {
     }
   }
 
+  test("affine auto-pins on shuffled lineage and stays exact") {
+    import graft.features.Scan
+    import graft.features.Scan.Affine
+    val rows = (0 until 300).map(i => (i.toLong * 1000000000L, i.toLong, 1.0 + (i % 17)))
+    val plain = rows.toDF("ts", "id", "price")
+    assert(!Scan.lineageHasShuffle(plain), "projection-only lineage must not flag")
+    // repartition = RoundRobin shuffle: replay order is nondeterministic,
+    // so the scan must take the pinned path without caller opt-in
+    val shuffled = plain.repartition(7)
+    assert(Scan.lineageHasShuffle(shuffled))
+    assert(Scan.lineageHasShuffle(
+      plain.groupBy("id").agg(max("ts").as("ts"), max("price").as("price"))))
+    // the auto-pinned run must equal the sequential recursion exactly
+    val q = 0.9
+    val got = Scan.affine(
+      shuffled, Seq("ts", "id"), nStates = 1,
+      coefs = (r, _) => Array(Affine(q, r.getDouble(2))),
+      init = Array(0.0),
+      emit = (s, _) => s(0),
+      outName = "o", numParts = 5)
+      .orderBy("ts").select("o").as[Double].collect().toSeq
+    var acc = 0.0
+    val exp = rows.map { case (_, _, p) => acc = q * acc + p; acc }
+    got.zip(exp).zipWithIndex.foreach { case ((g, e), i) =>
+      // affine maps compose in a different association order than the
+      // sequential recursion → ulp-level differences are expected
+      assert(math.abs(g - e) <= math.abs(e) * 1e-12, s"row $i: $g vs $e")
+    }
+  }
+
   test("windowed EWMA converges to the exact recursion") {
     val rnd = new scala.util.Random(3)
     val prices = Seq.fill(800)(50.0 + rnd.nextDouble() * 100)
