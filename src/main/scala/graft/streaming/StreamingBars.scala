@@ -288,6 +288,273 @@ object StreamingBars {
   def dollarBarStream(trades: Dataset[TradeIn], threshold: Double): Dataset[BarIdOut] =
     thresholdBarStream(trades, threshold, carry = true, dollars = true)
 
+  // -----------------------------------------------------------------------
+  // Directional path features — full TimeBars.directional parity
+  // -----------------------------------------------------------------------
+
+  case class SidedSymIn(ts: Long, id: Long, price: Double, qty: Double,
+                        side: Int, symbol: Long)
+  /** [[SidedSymIn]] with its assigned bar — public: the encoder's generated
+    * projections need constructor access.
+    */
+  case class SidedSymBar(ts: Long, id: Long, price: Double, qty: Double,
+                         side: Int, symbol: Long, bar_ts: Long)
+
+  /** One open bar's directional accumulators: conditional sums, spread
+    * stats, and the intra-bar signed cumulative paths with their extrema
+    * over directed rows (sentinels: MaxValue/∞ until the first directed
+    * row — nDirected gates the output).
+    */
+  case class DirAccum(ticksBuy: Long, ticksSell: Long,
+                      volBuy: Double, volSell: Double,
+                      dolBuy: Double, dolSell: Double,
+                      spreadSum: Double, spreadMax: Double, nDirected: Long,
+                      cumTicks: Long, cumVol: Double, cumDol: Double,
+                      ctMin: Long, ctMax: Long,
+                      cvMin: Double, cvMax: Double,
+                      cdMin: Double, cdMax: Double)
+
+  /** Per-symbol directional state: the globally-previous trade (spreads
+    * read price/side across bar boundaries, exactly the batch lag) plus
+    * every still-open bar's accumulator.
+    */
+  case class DirState(prevPrice: Double, prevSide: Int, hasPrev: Boolean,
+                      bars: Map[Long, DirAccum])
+
+  case class DirBarOut(symbol: Long, bar_ts: Long,
+                       ticks_buy: Long, ticks_sell: Long,
+                       volume_buy: Double, volume_sell: Double,
+                       dollars_buy: Double, dollars_sell: Double,
+                       mean_spread: Option[Double], max_spread: Double,
+                       cum_ticks_min: Option[Long], cum_ticks_max: Option[Long],
+                       cum_volume_min: Option[Double], cum_volume_max: Option[Double],
+                       cum_dollars_min: Option[Double], cum_dollars_max: Option[Double])
+
+  private val emptyDirAccum = DirAccum(0L, 0L, 0.0, 0.0, 0.0, 0.0,
+    0.0, 0.0, 0L, 0L, 0.0, 0.0,
+    Long.MaxValue, Long.MinValue,
+    Double.PositiveInfinity, Double.NegativeInfinity,
+    Double.PositiveInfinity, Double.NegativeInfinity)
+
+  private def dirFold(s: DirState, r: SidedSymBar): DirState = {
+    val acc = s.bars.getOrElse(r.bar_ts, emptyDirAccum)
+    val signed = if (r.side == 1) 1L else if (r.side == -1) -1L else 0L
+    val directed = r.side != 0
+    // flip/spread vs the GLOBAL previous trade of this symbol (the batch
+    // reads prices[j-1] across the bar boundary; first row has no lag)
+    val flip = s.hasPrev && r.side != s.prevSide
+    val spread = if (flip) math.abs(r.price - s.prevPrice) else 0.0
+    val ct = acc.cumTicks + signed
+    val cv = acc.cumVol + signed * r.qty
+    val cd = acc.cumDol + signed * r.price * r.qty
+    val next = DirAccum(
+      acc.ticksBuy + (if (r.side == 1) 1L else 0L),
+      acc.ticksSell + (if (r.side == -1) 1L else 0L),
+      acc.volBuy + (if (r.side == 1) r.qty else 0.0),
+      acc.volSell + (if (r.side == -1) r.qty else 0.0),
+      acc.dolBuy + (if (r.side == 1) r.price * r.qty else 0.0),
+      acc.dolSell + (if (r.side == -1) r.price * r.qty else 0.0),
+      acc.spreadSum + spread,
+      math.max(acc.spreadMax, spread),
+      acc.nDirected + (if (directed) 1L else 0L),
+      ct, cv, cd,
+      if (directed) math.min(acc.ctMin, ct) else acc.ctMin,
+      if (directed) math.max(acc.ctMax, ct) else acc.ctMax,
+      if (directed) math.min(acc.cvMin, cv) else acc.cvMin,
+      if (directed) math.max(acc.cvMax, cv) else acc.cvMax,
+      if (directed) math.min(acc.cdMin, cd) else acc.cdMin,
+      if (directed) math.max(acc.cdMax, cd) else acc.cdMax)
+    DirState(r.price, r.side, hasPrev = true, s.bars.updated(r.bar_ts, next))
+  }
+
+  private def dirEmit(symbol: Long, barTs: Long, a: DirAccum): DirBarOut = {
+    val some = a.nDirected > 0
+    DirBarOut(symbol, barTs, a.ticksBuy, a.ticksSell, a.volBuy, a.volSell,
+      a.dolBuy, a.dolSell,
+      if (some) Some(a.spreadSum / a.nDirected) else None,
+      a.spreadMax,
+      if (some) Some(a.ctMin) else None, if (some) Some(a.ctMax) else None,
+      if (some) Some(a.cvMin) else None, if (some) Some(a.cvMax) else None,
+      if (some) Some(a.cdMin) else None, if (some) Some(a.cdMax) else None)
+  }
+
+  /** Streaming directional (order-flow) bars with FULL batch parity — the
+    * state-machine completion of [[directionalStream]]'s conditional-sum
+    * subset: spread stats against the globally-previous trade and the
+    * intra-bar signed cumulative extrema (`TimeBars.directional`,
+    * bar/base.py:409-546). Keyed by symbol — the previous-trade handoff and
+    * the reference's order-total constraint live on the key, exactly like
+    * the batch `partCols` variant — with every open bar's fixed-width
+    * accumulator in state. Bars finalize in APPEND mode when the event-time
+    * watermark passes the bar close + delay.
+    */
+  def directionalStateStream(trades: Dataset[SidedSymIn], intervalSec: Long,
+                             watermarkDelay: String = "1 minute"): Dataset[DirBarOut] = {
+    import trades.sparkSession.implicits._
+    val iv = intervalSec * 1000000000L
+    val based = trades
+      .withColumn("bar_ts", expr(s"((ts + ${iv - 1}L) div ${iv}L) * ${iv}L"))
+      .withColumn("event_time",
+        timestamp_micros((col("bar_ts") / 1000L).cast("long")))
+      .withWatermark("event_time", watermarkDelay)
+      .as[SidedSymBar]
+    based
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (symbol: Long, rows: Iterator[SidedSymBar], state: GroupState[DirState]) =>
+          var s = state.getOption.getOrElse(
+            DirState(Double.NaN, 0, hasPrev = false, Map.empty))
+          if (!state.hasTimedOut)
+            rows.toArray.sortBy(r => (r.ts, r.id)).foreach { r => s = dirFold(s, r) }
+          // finalize every bar whose close event-time the watermark passed;
+          // the rest stay open (late trades within the delay still fold in)
+          val wmMs = state.getCurrentWatermarkMs()
+          val (done, open) = s.bars.partition { case (barTs, _) => barTs / 1000000L <= wmMs }
+          s = s.copy(bars = open)
+          state.update(s) // prev-trade handoff survives even with no open bars
+          if (open.nonEmpty) {
+            val nextCloseMs = open.keys.min / 1000000L
+            state.setTimeoutTimestamp(math.max(nextCloseMs, wmMs + 1))
+          }
+          done.toArray.sortBy(_._1).iterator
+            .map { case (barTs, acc) => dirEmit(symbol, barTs, acc) }
+      }
+  }
+
+  // -----------------------------------------------------------------------
+  // Footprint per-bar summary — full Footprints.summary parity
+  // -----------------------------------------------------------------------
+
+  case class LevelAcc(buyVol: Double, sellVol: Double,
+                      buyTicks: Long, sellTicks: Long)
+  case class FpState(levels: Map[Int, LevelAcc])
+  case class FpSummaryOut(bar_ts: Long, buy_imbalances_sum: Long,
+                          sell_imbalances_sum: Long, cot_price_level: Int,
+                          imb_max_run_signed: Long, vp_skew: Double,
+                          vp_gini: Double)
+
+  /** Fold a finalized level grid into the per-bar footprint feature row —
+    * diagonal imbalance flags (missing neighbor levels are zero-volume),
+    * COT argmax (first-lowest ties), longest signed imbalance run (level
+    * gaps and sign changes break runs), vp_skew and vp_gini — the same
+    * semantics as the batch `Footprints.build` + `Footprints.summary`
+    * pipeline (bar/base.py:755-850), computed in one walk over the sorted
+    * levels of ONE bar (bounded by the bar's price range).
+    */
+  private[streaming] def fpSummarize(barTs: Long, byLevel: Map[Int, LevelAcc],
+                                     k: Double): FpSummaryOut = {
+    val levels = byLevel.toArray.sortBy(_._1)
+    val minL = levels.head._1
+    val maxL = levels.last._1
+    def buyAt(l: Int) = byLevel.get(l).map(_.buyVol).getOrElse(0.0)
+    def sellAt(l: Int) = byLevel.get(l).map(_.sellVol).getOrElse(0.0)
+    var buySum = 0L; var sellSum = 0L
+    var totVol = 0.0; var totVol2 = 0.0; var lvlVol = 0.0
+    var maxv = Double.NegativeInfinity
+    val sgns = new Array[Int](levels.length)
+    val totals = new Array[Double](levels.length)
+    var i = 0
+    while (i < levels.length) {
+      val (l, a) = levels(i)
+      val buyImb = l > minL && a.buyVol > sellAt(l - 1) * k
+      val sellImb = l < maxL && a.sellVol > buyAt(l + 1) * k
+      if (buyImb) buySum += 1
+      if (sellImb) sellSum += 1
+      sgns(i) = if (buyImb) 1 else if (sellImb) -1 else 0
+      val tot = a.buyVol + a.sellVol
+      totals(i) = tot
+      totVol += tot; totVol2 += tot * tot; lvlVol += l.toDouble * tot
+      if (tot > maxv) maxv = tot
+      i += 1
+    }
+    // COT: first (lowest) level hitting the max total volume — np.argmax
+    var cot = levels(0)._1
+    i = 0
+    var found = false
+    while (i < levels.length && !found) {
+      if (totals(i) == maxv) { cot = levels(i)._1; found = true }
+      i += 1
+    }
+    // longest signed imbalance run: runs break on sign change, sgn 0, or a
+    // level gap (gap levels carry sign 0 on the dense grid); best run =
+    // max length, then lowest start level
+    var bestLen = 0L; var bestStart = Int.MaxValue; var bestSgn = 0
+    var runLen = 0L; var runStart = 0; var runSgn = 0; var prevLevel = Int.MinValue
+    def closeRun(): Unit =
+      if (runSgn != 0 &&
+          (runLen > bestLen || (runLen == bestLen && runStart < bestStart))) {
+        bestLen = runLen; bestStart = runStart; bestSgn = runSgn
+      }
+    i = 0
+    while (i < levels.length) {
+      val l = levels(i)._1
+      if (sgns(i) == 0 || sgns(i) != runSgn || l != prevLevel + 1) {
+        closeRun()
+        runSgn = sgns(i); runStart = l; runLen = if (sgns(i) == 0) 0L else 1L
+      } else runLen += 1
+      prevLevel = l
+      i += 1
+    }
+    closeRun()
+    val vwap = lvlVol / totVol
+    var skewNum = 0.0
+    i = 0
+    while (i < levels.length) {
+      skewNum += (levels(i)._1.toDouble - vwap) * totals(i)
+      i += 1
+    }
+    FpSummaryOut(barTs, buySum, sellSum, cot, bestLen * bestSgn,
+      skewNum / totVol, 1.0 - totVol2 / (totVol * totVol))
+  }
+
+  /** Streaming per-bar footprint features in APPEND mode: accumulate the
+    * (level → volumes/ticks) grid per bar in fixed-width state, and compute
+    * the full summary — imbalance counts, COT, longest signed run, skew,
+    * gini — from the FINISHED grid when the watermark finalizes the bar.
+    * This is the state-machine completion of [[footprintStream]], which
+    * emits the per-level sums but leaves the neighbor-dependent features to
+    * a post-finalize batch step.
+    */
+  def footprintSummaryStream(trades: Dataset[SidedSymIn], intervalSec: Long,
+                             tickSize: Double, imbalanceFactor: Double = 3.0,
+                             watermarkDelay: String = "1 minute"): Dataset[FpSummaryOut] = {
+    import trades.sparkSession.implicits._
+    val iv = intervalSec * 1000000000L
+    val based = trades
+      .withColumn("bar_ts", expr(s"((ts + ${iv - 1}L) div ${iv}L) * ${iv}L"))
+      .withColumn("event_time",
+        timestamp_micros((col("bar_ts") / 1000L).cast("long")))
+      .withWatermark("event_time", watermarkDelay)
+      .as[SidedSymBar]
+    based
+      .groupByKey(_.bar_ts)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (barTs: Long, rows: Iterator[SidedSymBar], state: GroupState[FpState]) =>
+          if (state.hasTimedOut) {
+            val grid = state.get.levels
+            state.remove()
+            Iterator.single(fpSummarize(barTs, grid, imbalanceFactor))
+          } else {
+            var levels = state.getOption.map(_.levels).getOrElse(Map.empty[Int, LevelAcc])
+            rows.foreach { r =>
+              val l = math.round(r.price / tickSize).toInt
+              val a = levels.getOrElse(l, LevelAcc(0.0, 0.0, 0L, 0L))
+              levels = levels.updated(l, LevelAcc(
+                a.buyVol + (if (r.side == 1) r.qty else 0.0),
+                a.sellVol + (if (r.side == -1) r.qty else 0.0),
+                a.buyTicks + (if (r.side == 1) 1L else 0L),
+                a.sellTicks + (if (r.side == -1) 1L else 0L)))
+            }
+            if (levels.nonEmpty) {
+              state.update(FpState(levels))
+              val closeMs = barTs / 1000000L
+              state.setTimeoutTimestamp(math.max(closeMs, state.getCurrentWatermarkMs() + 1))
+            }
+            Iterator.empty
+          }
+      }
+  }
+
   /** Symmetric CUSUM event filter (constant threshold) as a per-symbol
     * streaming state machine — the streaming twin of
     * EventBars.cusumEventIds' batch scan.

@@ -138,6 +138,99 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  private def assertRowsClose(streamed: Seq[org.apache.spark.sql.Row],
+                              batch: Seq[org.apache.spark.sql.Row],
+                              tol: Double = 1e-9): Unit = {
+    assert(streamed.size == batch.size,
+      s"row count ${streamed.size} vs ${batch.size}")
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.length == b.length)
+      (0 until s.length).foreach { i =>
+        (s.get(i), b.get(i)) match {
+          case (null, null) =>
+          case (x: Double, y: Double) =>
+            assert(math.abs(x - y) <= tol * math.max(1.0, math.abs(y)),
+              s"col $i: $x vs $y in $s vs $b")
+          case (x, y) => assert(x == y, s"col $i: $x vs $y in $s vs $b")
+        }
+      }
+    }
+  }
+
+  test("streaming directional state machine has full batch feature parity") {
+    implicit val sqlCtx = spark.sqlContext
+    val data = trades(60)
+    val sided = graft.trades.Trades.withTickRuleSide(
+        data.toDF().withColumnRenamed("symbol", "sym"))
+      .select(col("ts"), col("id"), col("price"), col("qty"), col("side"),
+        lit(0L).as("symbol"))
+      .as[StreamingBars.SidedSymIn].collect().toSeq
+    val ms = MemoryStream[StreamingBars.SidedSymIn]
+    val q = StreamingBars.directionalStateStream(ms.toDS(), 300,
+        watermarkDelay = "5 minutes")
+      .writeStream.format("memory").queryName("dir_state_out")
+      .outputMode("append").start()
+    ms.addData(sided.take(22)); q.processAllAvailable()
+    ms.addData(sided.drop(22)); q.processAllAvailable()
+    val far = data.last.ts + 86400000000000L
+    ms.addData(Seq(StreamingBars.SidedSymIn(far, 9000L, 1.0, 1.0, 1, 0L)))
+    q.processAllAvailable()
+    ms.addData(Seq(StreamingBars.SidedSymIn(far + 60000000000L, 9001L, 1.0, 1.0, 1, 0L)))
+    q.processAllAvailable()
+    val cols = Seq("bar_ts", "ticks_buy", "ticks_sell", "volume_buy",
+      "volume_sell", "dollars_buy", "dollars_sell", "mean_spread",
+      "max_spread", "cum_ticks_min", "cum_ticks_max", "cum_volume_min",
+      "cum_volume_max", "cum_dollars_min", "cum_dollars_max")
+    val batchDf = TimeBars.directional(
+      graft.trades.Trades.withTickRuleSide(
+        data.toDF().withColumnRenamed("symbol", "sym")), 300)
+    val lastRealBar = batchDf.agg(max("bar_ts")).head().getLong(0)
+    val streamed = spark.table("dir_state_out")
+      .where(col("bar_ts") <= lastRealBar)
+      .select(cols.head, cols.tail: _*).orderBy("bar_ts").collect().toSeq
+    q.stop()
+    val batch = batchDf
+      .select(cols.head, cols.tail: _*).orderBy("bar_ts").collect().toSeq
+    assert(streamed.nonEmpty)
+    assertRowsClose(streamed, batch)
+  }
+
+  test("streaming footprint summary equals the batch build+summary pipeline") {
+    implicit val sqlCtx = spark.sqlContext
+    val data = trades(60)
+    val sided = graft.trades.Trades.withTickRuleSide(
+        data.toDF().withColumnRenamed("symbol", "sym"))
+      .select(col("ts"), col("id"), col("price"), col("qty"), col("side"),
+        lit(0L).as("symbol"))
+      .as[StreamingBars.SidedSymIn].collect().toSeq
+    val ms = MemoryStream[StreamingBars.SidedSymIn]
+    val q = StreamingBars.footprintSummaryStream(ms.toDS(), 300, 0.01,
+        watermarkDelay = "5 minutes")
+      .writeStream.format("memory").queryName("fp_sum_out")
+      .outputMode("append").start()
+    ms.addData(sided.take(25)); q.processAllAvailable()
+    ms.addData(sided.drop(25)); q.processAllAvailable()
+    val far = data.last.ts + 86400000000000L
+    ms.addData(Seq(StreamingBars.SidedSymIn(far, 9000L, 1.0, 1.0, 1, 0L)))
+    q.processAllAvailable()
+    ms.addData(Seq(StreamingBars.SidedSymIn(far + 60000000000L, 9001L, 1.0, 1.0, 1, 0L)))
+    q.processAllAvailable()
+    val cols = Seq("bar_ts", "buy_imbalances_sum", "sell_imbalances_sum",
+      "cot_price_level", "imb_max_run_signed", "vp_skew", "vp_gini")
+    val batchDf = graft.bars.Footprints.summary(graft.bars.Footprints.build(
+      graft.trades.Trades.withTickRuleSide(
+        data.toDF().withColumnRenamed("symbol", "sym")), 300, 0.01))
+    val lastRealBar = batchDf.agg(max("bar_ts")).head().getLong(0)
+    val streamed = spark.table("fp_sum_out")
+      .where(col("bar_ts") <= lastRealBar)
+      .select(cols.head, cols.tail: _*).orderBy("bar_ts").collect().toSeq
+    q.stop()
+    val batch = batchDf
+      .select(cols.head, cols.tail: _*).orderBy("bar_ts").collect().toSeq
+    assert(streamed.nonEmpty)
+    assertRowsClose(streamed, batch)
+  }
+
   test("streaming EWMA state machine equals the batch exact scan") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[TradeIn]
