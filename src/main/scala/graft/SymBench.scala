@@ -13,6 +13,12 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage: SPARK_GRAFT_SF_DIR=… SPARK_GRAFT_SYM_CPUS=4,32 runMain graft.SymBench
   * Prints one JSON line: {"metric":"sym_scaling","sf":…,"runs":{"4":{q:sec},…}}
+  *
+  * With SPARK_GRAFT_SYM_FIXTURE=<dir> (a [[SymFixture]] output), the keyed
+  * queries read the symbol-exploded fixture — 32 symbols × the full stream,
+  * enough per-key work to measure core scaling — while the single-series
+  * queries keep reading SPARK_GRAFT_SF_DIR (order-total by reference
+  * semantics: they should stay flat, which is the point of the comparison).
   */
 object SymBench {
   private val keyed = Seq(
@@ -23,9 +29,14 @@ object SymBench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val fixture = sys.env.get("SPARK_GRAFT_SYM_FIXTURE")
     val cpuList = sys.env.getOrElse("SPARK_GRAFT_SYM_CPUS", "4,32")
       .split(",").map(_.trim.toInt).toSeq
-    val names = keyed ++ singleSeries
+    // single-series first: the heavy keyed queries leave GC debris that
+    // would otherwise inflate the small order-total runs measured after them
+    val names = singleSeries ++ keyed
+    def dirFor(name: String): String =
+      if (name.endsWith("_sym")) fixture.getOrElse(sfDir) else sfDir
 
     val runs = cpuList.map { cpus =>
       val spark = SparkSession.builder()
@@ -48,9 +59,10 @@ object SymBench {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
+        System.gc()
         val t0 = System.nanoTime()
         try {
-          SparkEntry.queries(n)(spark, sfDir)
+          SparkEntry.queries(n)(spark, dirFor(n))
             .write.format("noop").mode("overwrite").save()
           Some(n -> (System.nanoTime() - t0) / 1e9)
         } catch {
