@@ -26,6 +26,8 @@ import org.apache.spark.sql.types._
   */
 object Scan {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Layout a frame so each key's rows are contiguous and ordered: shuffle
     * by key, sort (key, order...) within partitions. A sequential kernel can
     * then stream each key-run with O(1) memory.
@@ -142,16 +144,20 @@ object Scan {
     *                lineage is deterministic (scans + narrow ops are; an
     *                upstream shuffle with nondeterministic row order is
     *                not — checkpoint such inputs first, or set `pinned`).
-    * @param pinned  fully deterministic mode: nothing is persisted; phase B
-    *                re-shuffles the input with a custom partitioner whose
-    *                boundaries are the first-row order keys phase A
-    *                OBSERVED, so its layout provably equals phase A's even
-    *                if every block is lost and the upstream shuffle replays
-    *                rows in a different order. Costs a second full shuffle
-    *                (plain-row serialization) instead of the cache —
+    * @param pinned  fully deterministic mode: nothing is persisted; the
+    *                input is shuffled ONCE through a FROZEN partitioner
+    *                (range bounds sampled a single time on the driver, then
+    *                plain constants) and sorted by the unique order keys, so
+    *                partition membership is a pure function of the key and
+    *                the within-partition order is total — a recompute after
+    *                block loss provably rebuilds phase A's exact layout even
+    *                if the upstream shuffle replays rows in a different
+    *                order. Phase B reuses the same shuffle files (the map
+    *                stage is skipped), so exactness costs ONE shuffle —
     *                the choice at TB scale when the input lineage is not
-    *                deterministic. Requires non-null, unique order keys
-    *                (ts, id) — which the engine's layouts guarantee.
+    *                deterministic. Requires non-null, UNIQUE order keys
+    *                (ts, id) — asserted during phase A (duplicates would
+    *                make the sort order nondeterministic under recompute).
     *                AUTO-SELECTED (even when passed false) whenever the
     *                input lineage contains a shuffle and the order keys are
     *                integral: a recomputed shuffle replays rows in
@@ -170,7 +176,29 @@ object Scan {
       numParts: Int = 0,
       storage: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
-      pinned: Boolean = false): DataFrame = {
+      pinned: Boolean = false): DataFrame =
+    affineWithFinal(df, orderCols, nStates, coefs, init, emit, outName,
+      outType, numParts, storage, pinned)._1
+
+  /** [[affine]] + the scan's FINAL state vector (the driver fold already
+    * computes it for free — it is the state after the last row). Callers
+    * that need a global total alongside the prefix scan (e.g. time-decay
+    * weights: cum and Σ of the same column) read it here instead of paying
+    * a second aggregation pass.
+    */
+  private[graft] def affineWithFinal(
+      df: DataFrame,
+      orderCols: Seq[String],
+      nStates: Int,
+      coefs: (Row, Row) => Array[Affine],
+      init: Array[Double],
+      emit: (Array[Double], Row) => Any,
+      outName: String,
+      outType: DataType = DoubleType,
+      numParts: Int = 0,
+      storage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
+      pinned: Boolean = false): (DataFrame, Array[Double]) = {
 
     val parts =
       if (numParts > 0) numParts
@@ -183,17 +211,71 @@ object Scan {
       val dt = df.schema(c).dataType
       dt == LongType || dt == IntegerType
     }
-    val usePinned = pinned || (integralKeys && lineageHasShuffle(df))
-    val sortedA = df.repartitionByRange(parts, orderCols.map(col): _*)
-      .sortWithinPartitions(orderCols.map(col): _*)
-    val sorted = if (usePinned) sortedA else sortedA.persist(storage)
+    val autoPinned = !pinned && integralKeys && lineageHasShuffle(df)
+    val usePinned = pinned || autoPinned
+    if (autoPinned)
+      log.info(s"affine scan '$outName': shuffled lineage detected — " +
+        "auto-selecting the pinned (deterministic re-shuffle) layout; " +
+        "order keys must be unique (asserted in phase A)")
+
+    // ---- the ONE layout both phases read --------------------------------
+    // cached mode: DataFrame range shuffle + persist (deterministic-lineage
+    //   caveat in the `storage` scaladoc). pinned mode: a single RDD shuffle
+    //   through a frozen partitioner; phase B re-reads the same shuffle
+    //   files, so no second shuffle is paid.
+    val keyIdxs = orderCols.map(df.schema.fieldIndex).toArray
+    val keyOf = (r: Row) => {
+      val a = new Array[AnyRef](keyIdxs.length)
+      var i = 0
+      while (i < keyIdxs.length) {
+        a(i) = r.get(keyIdxs(i)).asInstanceOf[AnyRef]; i += 1
+      }
+      a
+    }
+    val layout: org.apache.spark.rdd.RDD[Row] =
+      if (usePinned) {
+        // Integral keys only: LexKeyOrdering compares via Java Comparable,
+        // which agrees with Spark's sort order for longs/ints but NOT for
+        // strings (UTF8 byte order vs UTF-16 code units) or doubles (-0.0).
+        orderCols.foreach { c =>
+          val dt = df.schema(c).dataType
+          require(dt == LongType || dt == IntegerType,
+            s"pinned affine scan requires integral order keys; '$c' is $dt")
+        }
+        implicit val keyOrd: Ordering[Array[AnyRef]] = new LexKeyOrdering
+        // bounds are sampled ONCE here and then serialized as constants
+        // into the shuffle dependency — partition membership is thereafter
+        // a pure function of the key, independent of upstream row order.
+        // The sampling pass reads a column-pruned projection of the input
+        // (only the order keys): ANY bounds partition correctly — sampling
+        // affects balance, not membership — so the cheaper evaluation is
+        // free accuracy-wise.
+        val nKeys = keyIdxs.length
+        val keySample = df.select(orderCols.map(col): _*).rdd.map { r =>
+          val a = new Array[AnyRef](nKeys)
+          var i = 0
+          while (i < nKeys) { a(i) = r.get(i).asInstanceOf[AnyRef]; i += 1 }
+          (a, null)
+        }
+        val partitioner = new org.apache.spark.RangePartitioner(parts, keySample)
+        df.rdd.map(r => (keyOf(r), r))
+          .repartitionAndSortWithinPartitions(partitioner).map(_._2)
+      } else {
+        df.repartitionByRange(parts, orderCols.map(col): _*)
+          .sortWithinPartitions(orderCols.map(col): _*).persist(storage)
+          .rdd
+      }
 
     // ---- phase A: per-partition summary ---------------------------------
     // (partId, firstRow, lastRow, composed affine map of rows[1..] )
     // NOTE: partition ids are bound with mapPartitionsWithIndex at the RDD
     // level (not TaskContext.getPartitionId): a downstream coalesce would
     // fuse several input partitions into one task and lie about the id.
-    val summaries = sorted.rdd.mapPartitionsWithIndex { (pid, rows) =>
+    // In pinned mode the pass also asserts order-key uniqueness (duplicates
+    // are adjacent after the sort, and the partitioner routes equal keys to
+    // the same partition, so an adjacent compare is a complete check).
+    val nOrderKeys = keyIdxs.length
+    val summaries = layout.mapPartitionsWithIndex { (pid, rows) =>
       if (!rows.hasNext) Iterator.empty
       else {
         val first = rows.next()
@@ -201,6 +283,16 @@ object Scan {
         val comp = Array.fill(nStates)(Affine(1.0, 0.0))
         while (rows.hasNext) {
           val r = rows.next()
+          if (usePinned) {
+            var eq = true
+            var i = 0
+            while (eq && i < nOrderKeys) {
+              eq = r.get(keyIdxs(i)) == prev.get(keyIdxs(i)); i += 1
+            }
+            require(!eq, s"pinned affine scan '$outName' requires UNIQUE " +
+              s"order keys, found duplicate (${orderCols.mkString(", ")}) = " +
+              s"(${keyIdxs.map(r.get).mkString(", ")})")
+          }
           val cs = coefs(r, prev)
           var i = 0
           while (i < nStates) { comp(i) = cs(i).after(comp(i)); i += 1 }
@@ -233,11 +325,14 @@ object Scan {
     }
 
     val spark = df.sparkSession
-    val outSchema = StructType(sorted.schema.fields :+ StructField(outName, outType))
+    val outSchema = StructType(df.schema.fields :+ StructField(outName, outType))
     if (m == 0)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
+      return (spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema),
+        state)
 
     // ---- phase B: replay with exact incoming state -----------------------
+    // Reads the SAME layout as phase A: the persisted blocks in cached mode,
+    // the already-written shuffle files in pinned mode (map stage skipped).
     val bState = spark.sparkContext.broadcast((incomingSeq, prevLastSeq))
     val replay: (Int, Iterator[Row]) => Iterator[Row] = { (idx, it) =>
       val (inc, prevArr) = bState.value
@@ -251,46 +346,14 @@ object Scan {
         Row.fromSeq(r.toSeq :+ emit(st, r))
       }
     }
-    val outRdd =
-      if (!usePinned) {
-        val pidToIdx = summaries.map(_._1).zipWithIndex.toMap
-        sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
-          pidToIdx.get(pid) match {
-            case Some(idx) => replay(idx, it)
-            case None      => Iterator.empty // empty in phase A ⇒ empty here
-          }
-        }
-      } else {
-        // deterministic re-shuffle pinned to phase A's OBSERVED layout:
-        // partition p of the new shuffle = all rows with order key in
-        // [firstKey(p), firstKey(p+1)) — exactly phase A's membership,
-        // independent of upstream row order or lost blocks (keys unique).
-        // Integral keys only: LexKeyOrdering compares via Java Comparable,
-        // which agrees with Spark's sort order for longs/ints but NOT for
-        // strings (UTF8 byte order vs UTF-16 code units) or doubles (-0.0).
-        orderCols.foreach { c =>
-          val dt = df.schema(c).dataType
-          require(dt == org.apache.spark.sql.types.LongType ||
-            dt == org.apache.spark.sql.types.IntegerType,
-            s"pinned affine scan requires integral order keys; '$c' is $dt")
-        }
-        val keyIdxs = orderCols.map(df.schema.fieldIndex).toArray
-        val keyOf = (r: Row) => {
-          val a = new Array[AnyRef](keyIdxs.length)
-          var i = 0
-          while (i < keyIdxs.length) {
-            a(i) = r.get(keyIdxs(i)).asInstanceOf[AnyRef]; i += 1
-          }
-          a
-        }
-        implicit val keyOrd: Ordering[Array[AnyRef]] = new LexKeyOrdering
-        val partitioner =
-          new BoundaryPartitioner(summaries.map(s => keyOf(s._2)), new LexKeyOrdering)
-        df.rdd.map(r => (keyOf(r), r))
-          .repartitionAndSortWithinPartitions(partitioner)
-          .mapPartitionsWithIndex((idx, it) => replay(idx, it.map(_._2)))
+    val pidToIdx = summaries.map(_._1).zipWithIndex.toMap
+    val outRdd = layout.mapPartitionsWithIndex { (pid, it) =>
+      pidToIdx.get(pid) match {
+        case Some(idx) => replay(idx, it)
+        case None      => Iterator.empty // empty in phase A ⇒ empty here
       }
-    spark.createDataFrame(outRdd, outSchema)
+    }
+    (spark.createDataFrame(outRdd, outSchema), state)
   }
 
   /** Lexicographic ordering over boxed, non-null order-key vectors. */
@@ -306,25 +369,4 @@ object Scan {
     }
   }
 
-  /** Routes a key to the last boundary ≤ it (binary search); boundary p is
-    * partition p's first-row key from phase A, so membership reproduces
-    * phase A's layout exactly.
-    */
-  private class BoundaryPartitioner(bounds: Array[Array[AnyRef]],
-                                    ord: LexKeyOrdering)
-      extends org.apache.spark.Partitioner {
-    def numPartitions: Int = bounds.length
-    def getPartition(key: Any): Int = {
-      val k = key.asInstanceOf[Array[AnyRef]]
-      var lo = 0
-      var hi = bounds.length - 1
-      var res = 0
-      while (lo <= hi) {
-        val mid = (lo + hi) >>> 1
-        if (ord.compare(bounds(mid), k) <= 0) { res = mid; lo = mid + 1 }
-        else hi = mid - 1
-      }
-      res
-    }
-  }
 }

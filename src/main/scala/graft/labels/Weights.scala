@@ -116,40 +116,84 @@ object Weights {
   /** Linear time decay over cumulative avg-uniqueness (weights.py:106-142):
     * newest = 1, oldest = lastWeight; negative lastWeight erases the oldest
     * portion (clipped at 0).
+    *
+    * Scale shape: events grow with trades (~1/29 here), so neither the
+    * cumulative sum nor the grand total may ride a single-partition window.
+    *  - `partCols` nonEmpty (per-symbol decay): plain keyed windows —
+    *    shuffle-parallel across symbols.
+    *  - `partCols` empty (the reference's single-series semantics): the
+    *    cumulative sum is the affine recurrence s' = s + avgU, so it runs on
+    *    [[graft.features.Scan.affine]] (two passes, O(1) driver state, no
+    *    global sort); the grand total IS the scan's final fold state — free,
+    *    no extra aggregation pass. Callers should persist `eventWeights` if
+    *    its lineage is expensive (the scan's sample + shuffle passes each
+    *    evaluate it once).
     */
-  def withTimeDecay(eventWeights: DataFrame, lastWeight: Double): DataFrame = {
-    val w = Window.orderBy("event_ts").rowsBetween(Window.unboundedPreceding, 0)
-    // grand total via an OVER () window, NOT agg + crossJoin: a scalar
-    // branch would recompute the whole upstream chain once per consumer
-    // (the event table is small; one single-partition window is cheap).
-    val all = Window.partitionBy()
-    val slope =
-      if (lastWeight >= 0) (lit(1.0) - lastWeight) / col("__total")
-      else lit(1.0) / (lit(lastWeight + 1.0) * col("__total"))
-    eventWeights
-      .withColumn("__total", sum("avg_uniqueness").over(all))
-      .withColumn("__cum", sum("avg_uniqueness").over(w))
-      .withColumn("time_decay",
-        greatest(lit(if (lastWeight < 0) 0.0 else Double.NegativeInfinity),
-          lit(1.0) - slope * col("__total") + slope * col("__cum")))
-      .drop("__total", "__cum")
+  def withTimeDecay(eventWeights: DataFrame, lastWeight: Double,
+                    partCols: Seq[String] = Nil): DataFrame = {
+    if (partCols.nonEmpty) {
+      val pc = partCols.map(col)
+      val w = Window.partitionBy(pc: _*).orderBy("event_ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val all = Window.partitionBy(pc: _*)
+      val slope =
+        if (lastWeight >= 0) (lit(1.0) - lastWeight) / col("__total")
+        else lit(1.0) / (lit(lastWeight + 1.0) * col("__total"))
+      eventWeights
+        .withColumn("__total", sum("avg_uniqueness").over(all))
+        .withColumn("__cum", sum("avg_uniqueness").over(w))
+        .withColumn("time_decay",
+          greatest(lit(if (lastWeight < 0) 0.0 else Double.NegativeInfinity),
+            lit(1.0) - slope * col("__total") + slope * col("__cum")))
+        .drop("__total", "__cum")
+    } else {
+      val uIdx = eventWeights.schema.fieldIndex("avg_uniqueness")
+      val (withCum, fin) = graft.features.Scan.affineWithFinal(
+        eventWeights, Seq("event_ts", "event_id"), nStates = 1,
+        coefs = (r, _) => {
+          val u = if (r.isNullAt(uIdx)) 0.0 else r.getDouble(uIdx)
+          Array(graft.features.Scan.Affine(1.0, u))
+        },
+        init = Array(0.0),
+        emit = (s, _) => s(0),
+        outName = "__cum")
+      val total = fin(0)
+      val slope =
+        if (lastWeight >= 0) (1.0 - lastWeight) / total
+        else 1.0 / ((lastWeight + 1.0) * total)
+      withCum
+        .withColumn("time_decay",
+          greatest(lit(if (lastWeight < 0) 0.0 else Double.NegativeInfinity),
+            lit(1.0 - slope * total) + lit(slope) * col("__cum")))
+        .drop("__cum")
+    }
   }
 
   /** Class-balance weights (weights.py:146-187): per-class weighted counts →
-    * classWeight = total/(nClasses·classSum); final = base·classWeight.
+    * classWeight = total/(nClasses·classSum), 0 for an empty class
+    * (weights.py:181); final = base·classWeight.
+    *
+    * Two tiny aggregations + a broadcast join back — the class table is
+    * |classes|·|keys| rows, so the event table itself never moves through a
+    * single partition (SURVEY §2.8's prescription).
     */
-  def withClassBalance(labeledWeights: DataFrame, baseCol: String): DataFrame = {
-    // per-class and grand totals as windows over the (small) event table —
-    // same no-branch rationale as withTimeDecay.
-    val all = Window.partitionBy()
-    val perClass = Window.partitionBy("label")
-    labeledWeights
-      .withColumn("__class_sum", sum(baseCol).over(perClass))
-      .withColumn("__total", sum(baseCol).over(all))
-      .withColumn("__n_classes", size(collect_set(col("label")).over(all)))
-      .withColumn("class_weight",
+  def withClassBalance(labeledWeights: DataFrame, baseCol: String,
+                       partCols: Seq[String] = Nil): DataFrame = {
+    val pc = partCols.map(col)
+    val grp = (partCols :+ "label").map(col)
+    val perClass = labeledWeights.groupBy(grp: _*)
+      .agg(sum(baseCol).as("__class_sum"))
+    val totals = perClass.groupBy(pc: _*)
+      .agg(sum("__class_sum").as("__total"),
+        count(lit(1)).as("__n_classes"))
+    val cls =
+      if (partCols.isEmpty) perClass.crossJoin(broadcast(totals)) // 1-row scalar
+      else perClass.join(broadcast(totals), partCols)
+    val clsW = cls.select(grp :+
+      when(col("__class_sum") > 0,
         col("__total") / (col("__n_classes") * col("__class_sum")))
+        .otherwise(0.0).as("class_weight"): _*)
+    labeledWeights.join(broadcast(clsW), partCols :+ "label")
       .withColumn("weight", col(baseCol) * col("class_weight"))
-      .drop("__class_sum", "__total", "__n_classes")
   }
 }

@@ -99,23 +99,47 @@ object LabelQueries {
           r6(col("return_attribution")).as("return_attribution"))
     }),
 
+    // Keyed time decay: per-symbol cumulative-uniqueness windows — proves
+    // the partCols path (shuffle-parallel, no single-partition exchange).
+    "label_decay_sym" -> ((s, dir) => {
+      val t = trades(s, dir)
+      val ev = t.where(col("id") % 37 === 0).select(
+        col("symbol"), col("ts").as("event_ts"), col("id").as("event_id"),
+        (col("ts") + lit(7200000000000L)).as("touch_ts"))
+      val ew = Weights.eventWeights(t, ev, Seq("symbol"))
+      Weights.withTimeDecay(ew, lastWeight = 0.5, Seq("symbol"))
+        .select(col("symbol"), col("event_id"), col("event_ts"),
+          r6(col("avg_uniqueness")).as("avg_uniqueness"),
+          r6(col("time_decay")).as("time_decay"))
+    }),
+
     "label_weights" -> ((s, dir) => {
       val t = trades(s, dir)
       val lab = labeled(s, dir, isMeta = false).cache()
-      val ew = Weights.eventWeights(t, lab)
+      // the event-weights table is tiny (|trades|/29) but its sweep is the
+      // suite's most expensive chain — persist it so the decay scan's
+      // sample/shuffle passes and the scalar branches below read the cache
+      val ew = Weights.eventWeights(t, lab).cache()
       val decayed = Weights.withTimeDecay(ew, lastWeight = 0.5)
+      // cached: the normalization scalar and the class-balance group/join
+      // branches each re-read this event-level table (3 plan references);
+      // without the cache every reference replays the decay scan's shuffle
+      // and the joins
       val j = decayed.join(
         lab.select(col("event_id").as("eid"), col("label"),
           col("vertical_touch_weight")),
         col("eid") === col("event_id")).drop("eid")
         .withColumn("base",
           col("time_decay") * col("return_attribution") * col("vertical_touch_weight"))
-      // mean-normalization via OVER () windows — a scalar agg branch would
-      // recompute the whole weights chain per consumer
-      val all = org.apache.spark.sql.expressions.Window.partitionBy()
+        .cache()
+      // mean-normalization via a broadcast 1-row scalar: the recompute on
+      // the broadcast branch only reads the cache — no single-partition
+      // window on a table that scales with the data
       val normalized = j
-        .withColumn("base_norm",
-          col("base") * count(lit(1)).over(all) / sum("base").over(all))
+        .crossJoin(broadcast(j.agg(
+          count(lit(1)).as("__n"), sum("base").as("__s"))))
+        .withColumn("base_norm", col("base") * col("__n") / col("__s"))
+        .drop("__n", "__s")
       Weights.withClassBalance(normalized, "base_norm").select(
         col("event_ts"), col("event_id"), col("label"),
         r6(col("avg_uniqueness")).as("avg_uniqueness"),
@@ -296,6 +320,48 @@ object LabelQueries {
          |FROM ev l JOIN conc c
          |  ON c.symbol = l.symbol AND c.ts >= l.event_ts AND c.ts <= l.touch_ts
          |GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    "label_decay_sym" ->
+      s"""WITH $tradesCte,
+         |ev AS (
+         |  SELECT symbol, ts AS event_ts, id AS event_id,
+         |         ts + 7200000000000 AS touch_ts
+         |  FROM trades WHERE id % 37 = 0
+         |),
+         |stream AS (
+         |  SELECT symbol, ts, 1 AS ord, CAST(0 AS BIGINT) AS d, id FROM trades
+         |  UNION ALL SELECT symbol, event_ts, 0, CAST(1 AS BIGINT), NULL FROM ev
+         |  UNION ALL SELECT symbol, touch_ts, 2, CAST(-1 AS BIGINT), NULL FROM ev
+         |),
+         |conc AS (
+         |  SELECT symbol, ts, id, conc FROM (
+         |    SELECT *, sum(d) OVER (PARTITION BY symbol ORDER BY ts, ord
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+         |    FROM stream
+         |  ) WHERE ord = 1
+         |),
+         |ew AS (
+         |  SELECT l.symbol, l.event_id, l.event_ts,
+         |    avg(1e0 / c.conc) AS avg_uniqueness
+         |  FROM ev l JOIN conc c
+         |    ON c.symbol = l.symbol AND c.ts >= l.event_ts AND c.ts <= l.touch_ts
+         |  GROUP BY 1, 2, 3
+         |),
+         |decayed AS (
+         |  SELECT *,
+         |    1.0 - (${D(0.5)} / tot) * tot + (${D(0.5)} / tot) * cum AS time_decay
+         |  FROM (
+         |    SELECT *, sum(avg_uniqueness) OVER (PARTITION BY symbol
+         |      ORDER BY event_ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |           sum(avg_uniqueness) OVER (PARTITION BY symbol) AS tot
+         |    FROM ew
+         |  )
+         |)
+         |SELECT symbol, event_id, event_ts,
+         |  ${rd("avg_uniqueness")} AS avg_uniqueness,
+         |  ${rd("time_decay")} AS time_decay
+         |FROM decayed""".stripMargin,
 
     "label_weights" ->
       s"""WITH $tradesCte, ${tbmCtes("1")},

@@ -298,6 +298,40 @@ class ScanSpec extends AnyFunSuite {
     }
   }
 
+  test("pinned affine scan rejects duplicate order keys loudly") {
+    import graft.features.Scan
+    import graft.features.Scan.Affine
+    val t = Seq((1L, 1L, 1.0), (1L, 1L, 2.0), (2L, 2L, 3.0))
+      .toDF("ts", "id", "price")
+    val ex = intercept[Exception] {
+      Scan.affine(
+        t, Seq("ts", "id"), nStates = 1,
+        coefs = (r, _) => Array(Affine(1.0, r.getDouble(2))),
+        init = Array(0.0), emit = (s, _) => s(0),
+        outName = "o", numParts = 2, pinned = true)
+    }
+    def msgs(e: Throwable): Seq[String] =
+      if (e == null) Nil else Option(e.getMessage).toSeq ++ msgs(e.getCause)
+    assert(msgs(ex).exists(_.contains("UNIQUE")),
+      s"expected the uniqueness assert, got: ${msgs(ex).mkString(" | ")}")
+  }
+
+  test("affineWithFinal returns the scan's final state (global total)") {
+    import graft.features.Scan
+    import graft.features.Scan.Affine
+    val vals = (0 until 500).map(i => (i.toLong, i.toLong, 0.25 + (i % 9)))
+    val t = vals.toDF("ts", "id", "v").repartition(5) // shuffled → pinned
+    val (out, fin) = Scan.affineWithFinal(
+      t, Seq("ts", "id"), nStates = 1,
+      coefs = (r, _) => Array(Affine(1.0, r.getDouble(2))),
+      init = Array(0.0), emit = (s, _) => s(0),
+      outName = "cum", numParts = 4)
+    val total = vals.map(_._3).sum
+    assert(math.abs(fin(0) - total) < 1e-9)
+    val lastCum = out.orderBy(desc("ts")).select("cum").as[Double].head()
+    assert(math.abs(lastCum - total) < 1e-9)
+  }
+
   test("windowed EWMA converges to the exact recursion") {
     val rnd = new scala.util.Random(3)
     val prices = Seq.fill(800)(50.0 + rnd.nextDouble() * 100)
