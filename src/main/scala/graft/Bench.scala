@@ -75,7 +75,18 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson}"""
+    println(json)
+    // stdout gets truncated by callers that keep only a tail — persist the
+    // complete line so every run's numbers stay machine-readable
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")),
+      json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"BENCH_LOCAL write failed: ${e.getMessage}")
+    }
     if (failed.nonEmpty)
       System.err.println(s"BENCH FAILURES: ${failed.sorted.mkString(", ")}")
     spark.stop()

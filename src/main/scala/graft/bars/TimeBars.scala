@@ -83,9 +83,27 @@ object TimeBars {
           expr(s"((mn div ${iv}L) + 1) * ${iv}L"),
           expr(s"((mx + ${iv - 1}L) div ${iv}L) * ${iv}L"),
           lit(iv))).as("bar_ts"))
-      val w = Window.orderBy("bar_ts").rowsBetween(Window.unboundedPreceding, 0)
-      grid.join(agg, Seq("bar_ts"), "left")
-        .withColumn("__pc", last("close", ignoreNulls = true).over(w))
+      val joined = grid.join(agg, Seq("bar_ts"), "left")
+      // previous-close forward fill as an affine carry scan (s' = close on
+      // non-empty bars, else s) instead of an unpartitioned window: the
+      // grid is bounded by range/interval, but a multi-year fine grid would
+      // push ~10⁸ rows through one task — the scan stays parallel at any
+      // grid size and leading empties stay NULL like last(ignoreNulls).
+      import graft.features.Scan
+      val cIdx = joined.schema.fieldIndex("close")
+      // state = (carried close, seen flag); a NaN init sentinel would NOT
+      // work — the "set" map a=0 still computes 0·NaN + b = NaN
+      Scan.affine(
+        joined, Seq("bar_ts"), nStates = 2,
+        coefs = (r, _) =>
+          if (r.isNullAt(cIdx))
+            Array(Scan.Affine(1.0, 0.0), Scan.Affine(1.0, 0.0))
+          else
+            Array(Scan.Affine(0.0, r.getDouble(cIdx)), Scan.Affine(0.0, 1.0)),
+        init = Array(0.0, 0.0),
+        emit = (s, _) =>
+          if (s(1) == 0.0) null else java.lang.Double.valueOf(s(0)),
+        outName = "__pc")
         .select(
           col("bar_ts"),
           coalesce(col("open"), col("__pc")).as("open"),
@@ -182,13 +200,22 @@ object TimeBars {
     * One shuffle: the cum-weight window partitions by rs_ts and the groupBy
     * reuses that partitioning. min_by/max_by keys are plain longs
     * (fixed-width buffers → hash aggregation).
+    *
+    * @param maxTs keep only periods whose end-aligned label rs_ts ≤ maxTs —
+    *              the `TimeBarReader.read` incomplete-final-day drop for
+    *              daily+ frames (bar/io.py:877-885); [[graft.sources.Store.readBars]]
+    *              derives it from the requested range end. Applied BEFORE
+    *              the weighted-median windows so dropped periods never
+    *              shuffle.
     */
-  def resample(bars: DataFrame, fromSec: Long, toSec: Long): DataFrame = {
+  def resample(bars: DataFrame, fromSec: Long, toSec: Long,
+               maxTs: Option[Long] = None): DataFrame = {
     require(toSec % fromSec == 0, "target timeframe must be a multiple")
     val iv = toSec * 1000000000L
-    val src = bars
+    val src0 = bars
       .where(col("trades") > 0) // resample over non-empty source bars
       .withColumn("rs_ts", expr(s"((bar_ts + ${iv - 1}L) div ${iv}L) * ${iv}L"))
+    val src = maxTs.fold(src0)(m => src0.where(col("rs_ts") <= m))
     val wOrd = Window.partitionBy("rs_ts")
       .orderBy(col("median_trade_size").asc, col("bar_ts").asc)
       .rowsBetween(Window.unboundedPreceding, 0)

@@ -36,10 +36,13 @@ object FSpec {
   case class FRet(x: FSpec, n: Int, isLog: Boolean) extends FSpec
   /** sma / std / min / max / median / ewma / zscore / burst over n rows */
   case class FRoll(op: String, x: FSpec, n: Int) extends FSpec
-  /** named function from [[Dsl.register]] — the `ExternalFunction`
-    * equivalent (transforms.py:1668-1805): serialized by registry name.
+  /** named function from [[Dsl.register]]/[[Dsl.registerParam]] — the
+    * `ExternalFunction` equivalent (transforms.py:1668-1805): serialized by
+    * registry name plus its numeric arguments, so a parameterized call
+    * round-trips through JSON like the reference's args/kwargs
+    * (feature/utils.py:132-303).
     */
-  case class FCall(fn: String, x: FSpec) extends FSpec
+  case class FCall(fn: String, x: FSpec, args: Seq[Double] = Nil) extends FSpec
 }
 
 /** User-facing wrapper with the reference's operator surface. */
@@ -67,7 +70,7 @@ case class Feature(spec: FSpec) {
   def ewma(span: Int): Feature = Feature(FRoll("ewma", spec, span))
   def zscore(n: Int): Feature = Feature(FRoll("zscore", spec, n))
   def burst(n: Int): Feature = Feature(FRoll("burst", spec, n))
-  def call(fn: String): Feature = Feature(FCall(fn, spec))
+  def call(fn: String, args: Double*): Feature = Feature(FCall(fn, spec, args.toSeq))
   def name: String = Dsl.nameOf(spec)
 }
 
@@ -78,15 +81,28 @@ object Dsl {
   def const(v: Double): Feature = Feature(FConst(v))
 
   /** Named-function registry — the `ExternalFunction` surface: pipelines
-    * serialize the NAME; deserialization resolves it here, so a JSON plan
-    * only runs functions the receiving engine explicitly registered.
+    * serialize the NAME and the numeric ARGS (transforms.py:1668-1805);
+    * deserialization resolves the name here, so a JSON plan only runs
+    * functions the receiving engine explicitly registered, with the
+    * serialized parameters re-applied.
     */
   private val registry =
-    new java.util.concurrent.ConcurrentHashMap[String, Column => Column]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Column, Seq[Double]) => Column]()
 
-  def register(name: String, f: Column => Column): Unit = registry.put(name, f)
+  /** Register a no-parameter function (extra serialized args are rejected). */
+  def register(name: String, f: Column => Column): Unit =
+    registry.put(name, (c, args) => {
+      require(args.isEmpty, s"DSL function '$name' takes no parameters, got $args")
+      f(c)
+    })
 
-  private def resolveCall(name: String): Column => Column = {
+  /** Register a parameterized function — receives the input column and the
+    * call's serialized numeric arguments.
+    */
+  def registerParam(name: String, f: (Column, Seq[Double]) => Column): Unit =
+    registry.put(name, f)
+
+  private def resolveCall(name: String): (Column, Seq[Double]) => Column = {
     val f = registry.get(name)
     require(f != null, s"unregistered DSL function '$name'")
     f
@@ -103,7 +119,9 @@ object Dsl {
     case FRet(x, n, true) => s"${nameOf(x)}_logret_$n"
     case FRet(x, n, false)=> s"${nameOf(x)}_ret_$n"
     case FRoll(op, x, n)  => s"${nameOf(x)}_${op}_$n"
-    case FCall(fn, x)     => s"$fn(${nameOf(x)})"
+    case FCall(fn, x, Nil) => s"$fn(${nameOf(x)})"
+    case FCall(fn, x, as)  =>
+      s"$fn(${nameOf(x)},${as.map(a => nameOf(FConst(a))).mkString(",")})"
   }
 
   /** Lower a spec to a Catalyst Column (ordering by bar_ts, optional
@@ -140,7 +158,7 @@ object Dsl {
     case FRoll("zscore", x, n) => Features.zscore(compile(x, p), n, ddof = 0, p = p)
     case FRoll("burst", x, n)  => Features.burstRatio(compile(x, p), n, p)
     case FRoll(op, _, _)       => throw new IllegalArgumentException(s"roll op $op")
-    case FCall(fn, x)          => resolveCall(fn)(compile(x, p))
+    case FCall(fn, x, as)      => resolveCall(fn)(compile(x, p), as)
   }
 
   /** The `FeatureKit.build` equivalent: retained columns ∪ one aliased
@@ -168,7 +186,9 @@ object Dsl {
     case FLag(x, n)        => s"""{"op":"lag","x":${j(x)},"n":$n}"""
     case FRet(x, n, isLog) => s"""{"op":"ret","x":${j(x)},"n":$n,"log":$isLog}"""
     case FRoll(op, x, n)   => s"""{"op":"roll","roll":"${esc(op)}","x":${j(x)},"n":$n}"""
-    case FCall(fn, x)      => s"""{"op":"call","fn":"${esc(fn)}","x":${j(x)}}"""
+    case FCall(fn, x, Nil) => s"""{"op":"call","fn":"${esc(fn)}","x":${j(x)}}"""
+    case FCall(fn, x, as)  =>
+      s"""{"op":"call","fn":"${esc(fn)}","x":${j(x)},"args":${as.mkString("[", ",", "]")}}"""
   }
 
   def toJson(feats: Seq[Feature]): String =
@@ -213,6 +233,19 @@ object Dsl {
       while (i < s.length && (s(i).isDigit || "+-.eE".contains(s(i)))) i += 1
       s.substring(start, i).toDouble
     }
+    private def parseNumArray(): Seq[Double] = {
+      expect('[')
+      ws()
+      if (s(i) == ']') { i += 1; return Nil }
+      val buf = scala.collection.mutable.ArrayBuffer[Double]()
+      var done = false
+      while (!done) {
+        buf += parseNumber()
+        ws()
+        if (s(i) == ',') i += 1 else { expect(']'); done = true }
+      }
+      buf.toSeq
+    }
     private def parseBool(): Boolean = {
       ws()
       if (s.startsWith("true", i)) { i += 4; true }
@@ -244,6 +277,7 @@ object Dsl {
           case '{' => parseObject()
           case '"' => parseString()
           case 't' | 'f' => parseBool()
+          case '[' => parseNumArray()
           case _ => parseNumber()
         }
         fields(k) = v
@@ -263,7 +297,8 @@ object Dsl {
         case "roll"  => FRoll(fields("roll").asInstanceOf[String],
           fields("x").asInstanceOf[FSpec], fields("n").asInstanceOf[Double].toInt)
         case "call"  => FCall(fields("fn").asInstanceOf[String],
-          fields("x").asInstanceOf[FSpec])
+          fields("x").asInstanceOf[FSpec],
+          fields.get("args").map(_.asInstanceOf[Seq[Double]]).getOrElse(Nil))
         case u if unaryOps(u)  => FUnary(u, fields("x").asInstanceOf[FSpec])
         case b if binaryOps(b) => FBinary(b, fields("a").asInstanceOf[FSpec],
           fields("b").asInstanceOf[FSpec])

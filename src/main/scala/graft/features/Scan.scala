@@ -174,8 +174,7 @@ object Scan {
       outName: String,
       outType: DataType = DoubleType,
       numParts: Int = 0,
-      storage: org.apache.spark.storage.StorageLevel =
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
+      storage: org.apache.spark.storage.StorageLevel = graft.Conf.storageLevel,
       pinned: Boolean = false): DataFrame =
     affineWithFinal(df, orderCols, nStates, coefs, init, emit, outName,
       outType, numParts, storage, pinned)._1
@@ -196,8 +195,7 @@ object Scan {
       outName: String,
       outType: DataType = DoubleType,
       numParts: Int = 0,
-      storage: org.apache.spark.storage.StorageLevel =
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
+      storage: org.apache.spark.storage.StorageLevel = graft.Conf.storageLevel,
       pinned: Boolean = false): (DataFrame, Array[Double]) = {
 
     val parts =

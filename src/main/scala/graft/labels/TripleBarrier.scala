@@ -110,10 +110,11 @@ object TripleBarrier {
         coalesce(max(when(col("ret") > 0, col("ret") / col("up"))), lit(0.0)).as("max_urbr"),
         coalesce(max(when(col("ret") < 0, col("ret") / col("lo"))), lit(0.0)).as("max_lrbr"))
       .withColumn("touch_ts", coalesce(col("touch0"), col("vert_ts")))
-      // p1 feeds BOTH pass 2 and the final join; without the cache the
-      // whole path join + aggregation runs twice. The cached frame is one
-      // row per event — trivial memory at any scale.
-      .cache()
+      // p1 feeds BOTH pass 2 and the final join; without the persist the
+      // whole path join + aggregation runs twice. The frame is one row per
+      // event; SPARK_GRAFT_STORAGE=DISK_ONLY keeps it off-heap-safe when
+      // events reach TB scale (graft.Conf).
+      .persist(graft.Conf.storageLevel)
 
     // Pass 2 — return AT the touch: only trades at the touch timestamp
     // matter, so instead of re-deriving the whole path (a second bucketed

@@ -202,13 +202,19 @@ object Multimodal {
   private[multimodal] def decodeRaster(p: Array[Byte]): Option[(Int, Int, Array[Int])] =
     parsePnm(p) match {
       case Some(hd) if hd.maxval < 256 =>
+        // normalize to 8-bit like ImageIO does: scale by 255/maxval
+        // (round-half-up) so a maxval<255 PGM/PPM yields the same pixels —
+        // and pixel_md5 — as the same image through the ImageIO path.
+        // maxval=255 reduces to the identity.
+        val mv = hd.maxval
+        def s8(v: Int): Int = if (mv == 255) v else (v * 255 + mv / 2) / mv
         val px = new Array[Int](hd.w * hd.h)
         var i = 0
         while (i < px.length) {
           val o = hd.rasterOff + i * hd.channels
-          val r = p(o) & 0xff
-          val g = if (hd.channels == 3) p(o + 1) & 0xff else r
-          val b = if (hd.channels == 3) p(o + 2) & 0xff else r
+          val r = s8(p(o) & 0xff)
+          val g = if (hd.channels == 3) s8(p(o + 1) & 0xff) else r
+          val b = if (hd.channels == 3) s8(p(o + 2) & 0xff) else r
           px(i) = r << 16 | g << 8 | b
           i += 1
         }

@@ -53,8 +53,9 @@ object LabelQueries {
     "label_concurrency" -> ((s, dir) => {
       val t = trades(s, dir)
       // The event table is tiny (|trades|/29) but expensive to derive —
-      // cache it so the marker scans in the sweep don't re-run TBM.
-      Weights.concurrency(t, labeled(s, dir, isMeta = false).cache())
+      // persist it so the marker scans in the sweep don't re-run TBM.
+      Weights.concurrency(t,
+          labeled(s, dir, isMeta = false).persist(graft.Conf.storageLevel))
         .select(col("ts"), col("id"), col("concurrency"))
     }),
 
@@ -115,11 +116,11 @@ object LabelQueries {
 
     "label_weights" -> ((s, dir) => {
       val t = trades(s, dir)
-      val lab = labeled(s, dir, isMeta = false).cache()
+      val lab = labeled(s, dir, isMeta = false).persist(graft.Conf.storageLevel)
       // the event-weights table is tiny (|trades|/29) but its sweep is the
       // suite's most expensive chain — persist it so the decay scan's
       // sample/shuffle passes and the scalar branches below read the cache
-      val ew = Weights.eventWeights(t, lab).cache()
+      val ew = Weights.eventWeights(t, lab).persist(graft.Conf.storageLevel)
       val decayed = Weights.withTimeDecay(ew, lastWeight = 0.5)
       // cached: the normalization scalar and the class-balance group/join
       // branches each re-read this event-level table (3 plan references);
@@ -131,7 +132,7 @@ object LabelQueries {
         col("eid") === col("event_id")).drop("eid")
         .withColumn("base",
           col("time_decay") * col("return_attribution") * col("vertical_touch_weight"))
-        .cache()
+        .persist(graft.Conf.storageLevel)
       // mean-normalization via a broadcast 1-row scalar: the recompute on
       // the broadcast branch only reads the cache — no single-partition
       // window on a table that scales with the data

@@ -152,17 +152,21 @@ object ScanQueries {
     // cusum_* rows mysteriously.
     "cusum_slack" -> ((s, dir) => {
       val tc = trades(s, dir)
+      // coalesce: a dataset with NO compared rows (all slack NaN → min NULL)
+      // is vacuously safe — emit TRUE, not a NULL that hash-mismatches the
+      // oracle and reads as a mystery failure
+      def slackOk = coalesce(col("ms") > 1e-9, lit(true)).as("slack_ok")
       val constSlack = EventBars.cusumEventIds(
           tc.withColumn("sigma", lit(2.0)), "sigma", 1.0, 1e-12,
           emitSlack = true)
         .agg(min(when(!isnan(col("slack")), col("slack"))).as("ms"))
-        .select(lit("const").as("variant"), (col("ms") > 1e-9).as("slack_ok"))
+        .select(lit("const").as("variant"), slackOk)
       val t = tc.withColumn("__lp", log(col("price")))
       val withSigma = Ewm.ewmstExact(t, "__lp", hlSec, out = "sigma").drop("__lp")
       val adaptSlack = EventBars.cusumEventIds(withSigma, "sigma", 2.0, 5e-4,
           emitSlack = true)
         .agg(min(when(!isnan(col("slack")), col("slack"))).as("ms"))
-        .select(lit("adaptive").as("variant"), (col("ms") > 1e-9).as("slack_ok"))
+        .select(lit("adaptive").as("variant"), slackOk)
       constSlack.unionByName(adaptSlack)
     }),
 

@@ -76,6 +76,23 @@ object TradeQueries {
         r6(col("median_trade_size")).as("median_trade_size"),
         r6(col("vwap")).as("vwap"))),
 
+    // Resample 1h → 1d with the TimeBarReader daily semantics: a date-only
+    // range end means end-of-day-inclusive, and the incomplete final day is
+    // dropped (bar/io.py:829-885). The cut is the last full UTC midnight in
+    // the data — exactly what Store.readBars derives for a date-only end.
+    "resample_1h_to_1d" -> ((s, dir) => {
+      val dayNs = 86400L * 1000000000L
+      val t = trades(s, dir)
+      val endNs = (t.agg(max("ts")).first().getLong(0) / dayNs) * dayNs
+      TimeBars.resample(TimeBars.ohlcv(t, 3600), 3600, 86400, Some(endNs))
+        .select(
+          col("rs_ts"), r6(col("open")).as("open"), r6(col("high")).as("high"),
+          r6(col("low")).as("low"), r6(col("close")).as("close"),
+          r6(col("volume")).as("volume"), col("trades"),
+          r6(col("median_trade_size")).as("median_trade_size"),
+          r6(col("vwap")).as("vwap"))
+    }),
+
     // Time-gap integrity scan (§2.1 H5Inspector.inspect_gaps).
     "integrity_time_gaps" -> ((s, dir) =>
       Trades.timeGaps(trades(s, dir), 3600L * 1000000000L).select(
@@ -99,6 +116,20 @@ object TradeQueries {
         col("missing_ids"), col("discontinuities"), col("time_gaps"),
         col("max_time_gap_ns"), r6(col("missing_pct")).as("missing_pct"),
         col("data_integrity_ok"))
+    }),
+
+    // Keyed integrity roll-up: per-symbol gap windows (shuffle-parallel —
+    // the 100 TB shape). Ids are globally dense, so per-symbol streams see
+    // real id discontinuities everywhere.
+    "integrity_summary_sym" -> ((s, dir) => {
+      val t = Trades.fromEvents(
+        Tables.events(s, dir).where(col("event_type") =!= "error"))
+      graft.sources.Store.integritySummary(t, 3600L * 1000000000L,
+          Seq("symbol")).select(
+        col("symbol"), col("month"), col("rows"), col("first_ts"),
+        col("last_ts"), col("missing_ids"), col("discontinuities"),
+        col("time_gaps"), col("max_time_gap_ns"),
+        r6(col("missing_pct")).as("missing_pct"), col("data_integrity_ok"))
     }),
 
     // Tick-size estimation via scaled-integer GCD (§2.2).
@@ -239,6 +270,27 @@ object TradeQueries {
          |FROM src GROUP BY 1""".stripMargin
     },
 
+    "resample_1h_to_1d" -> {
+      val iv = 86400L * 1000000000L
+      s"""WITH $tradesCte, ${barsCte(3600)},
+         |mx AS (SELECT (max(ts) // $iv) * $iv AS end_ns FROM trades),
+         |src AS (
+         |  SELECT *, ((bar_ts + ${iv - 1}) // $iv) * $iv AS rs_ts,
+         |    sum(CAST(trades AS DOUBLE)) OVER (PARTITION BY ((bar_ts + ${iv - 1}) // $iv) * $iv
+         |      ORDER BY median_trade_size, bar_ts
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+         |    sum(CAST(trades AS DOUBLE)) OVER (PARTITION BY ((bar_ts + ${iv - 1}) // $iv) * $iv) AS totw
+         |  FROM bars WHERE trades > 0
+         |)
+         |SELECT rs_ts,
+         |  ${rd("arg_min(open, bar_ts)")} AS open, ${rd("max(high)")} AS high,
+         |  ${rd("min(low)")} AS low, ${rd("arg_max(close, bar_ts)")} AS close,
+         |  ${rd("sum(volume)")} AS volume, CAST(sum(trades) AS BIGINT) AS trades,
+         |  ${rd("min(CASE WHEN cumw >= totw * 0.5 THEN median_trade_size END)")} AS median_trade_size,
+         |  ${rd("sum(vwap * volume) / sum(volume)")} AS vwap
+         |FROM src, mx WHERE rs_ts <= end_ns GROUP BY rs_ts""".stripMargin
+    },
+
     "integrity_time_gaps" ->
       s"""WITH $tradesCte
          |SELECT prev_ts AS gap_start, ts AS gap_end, ${rd("(ts - prev_ts) / 1e9")} AS gap_sec
@@ -275,6 +327,29 @@ object TradeQueries {
          |  sum(CASE WHEN gap > 0 THEN gap ELSE 0 END) = 0
          |    AND sum(CASE WHEN tgap > ${3600L * 1000000000L} THEN 1 ELSE 0 END) = 0 AS data_integrity_ok
          |FROM g GROUP BY month""".stripMargin,
+
+    "integrity_summary_sym" ->
+      s"""WITH trades AS (
+         |  SELECT epoch_ns(ts) AS ts, event_id AS id, user_id AS symbol
+         |  FROM events WHERE event_type <> 'error'
+         |),
+         |g AS (
+         |  SELECT symbol, ts, id,
+         |    strftime(make_timestamp(ts // 1000), '%Y-%m') AS month,
+         |    id - lag(id) OVER (PARTITION BY symbol ORDER BY id) - 1 AS gap,
+         |    ts - lag(ts) OVER (PARTITION BY symbol ORDER BY ts, id) AS tgap
+         |  FROM trades
+         |)
+         |SELECT symbol, month, CAST(count(*) AS BIGINT) AS rows,
+         |  min(ts) AS first_ts, max(ts) AS last_ts,
+         |  CAST(sum(CASE WHEN gap > 0 THEN gap ELSE 0 END) AS BIGINT) AS missing_ids,
+         |  CAST(sum(CASE WHEN gap > 0 THEN 1 ELSE 0 END) AS BIGINT) AS discontinuities,
+         |  CAST(sum(CASE WHEN tgap > ${3600L * 1000000000L} THEN 1 ELSE 0 END) AS BIGINT) AS time_gaps,
+         |  CAST(max(CASE WHEN tgap > ${3600L * 1000000000L} THEN tgap ELSE 0 END) AS BIGINT) AS max_time_gap_ns,
+         |  ${rd("sum(CASE WHEN gap > 0 THEN gap ELSE 0 END) * 100.0 / (sum(CASE WHEN gap > 0 THEN gap ELSE 0 END) + count(*))")} AS missing_pct,
+         |  sum(CASE WHEN gap > 0 THEN gap ELSE 0 END) = 0
+         |    AND sum(CASE WHEN tgap > ${3600L * 1000000000L} THEN 1 ELSE 0 END) = 0 AS data_integrity_ok
+         |FROM g GROUP BY symbol, month""".stripMargin,
 
     "tick_size_gcd" ->
       s"""WITH $tradesCte,

@@ -80,21 +80,26 @@ object Store {
     * (bar/io.py:225-308): one row per month with id-discontinuity counts,
     * missing-id totals and percentage, and over-threshold time gaps; the
     * reference's `data_integrity_ok` flag is the no-gaps conjunction. Gaps
-    * are detected on the global (id / ts) order so cross-month
-    * discontinuities attribute to the later month, exactly like the
-    * reference's per-partition metadata computed at ingest. At 100 TB
-    * partition both windows by symbol (they single-partition the stream,
-    * matching the reference's single-series semantics).
+    * are detected on the (id / ts) order so cross-month discontinuities
+    * attribute to the later month, exactly like the reference's
+    * per-partition metadata computed at ingest.
+    *
+    * Empty `partCols` = the reference's single-series semantics (both lag
+    * windows single-partition the stream); at 100 TB pass the symbol
+    * column(s) — every window and the roll-up then shuffle by key,
+    * parallel across symbols, like `Trades.timeGaps`/`idGaps`.
     */
-  def integritySummary(trades: DataFrame, maxGapNs: Long): DataFrame = {
+  def integritySummary(trades: DataFrame, maxGapNs: Long,
+                       partCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val wid = Window.orderBy("id")
-    val wts = Window.orderBy("ts", "id")
+    val pc = partCols.map(col)
+    val wid = Window.partitionBy(pc: _*).orderBy("id")
+    val wts = Window.partitionBy(pc: _*).orderBy("ts", "id")
     trades
       .withColumn("month", monthCol(col("ts")))
       .withColumn("__gap", col("id") - lag("id", 1).over(wid) - 1)
       .withColumn("__tgap", col("ts") - lag("ts", 1).over(wts))
-      .groupBy("month")
+      .groupBy((partCols :+ "month").map(col): _*)
       .agg(
         count(lit(1)).as("rows"),
         min("ts").as("first_ts"),
@@ -126,14 +131,30 @@ object Store {
   }
 
   /** Derived-bars range reader with optional resample — the
-    * `TimeBarReader.read(timeframe=...)` equivalent.
+    * `TimeBarReader.read(timeframe=...)` equivalent, including its
+    * day-granular range semantics:
+    *
+    *  - a range end landing exactly on a UTC midnight means "through the
+    *    end of that day" (the reference detects a date-only end_time and
+    *    expands it by `1 day − 1 µs`, bar/io.py:836-841) — the scan range
+    *    widens to `toNs + 1 day − 1`;
+    *  - for daily-or-coarser resample targets with such an end, the
+    *    incomplete final period is dropped (bar/io.py:877-885). With this
+    *    engine's end-aligned period labels the reference's
+    *    `index <= end − 1 day` cut on floor labels is exactly
+    *    `rs_ts <= toNs`.
     */
   def readBars(spark: SparkSession, barsPath: String, fromNs: Long, toNs: Long,
                barSec: Long, resampleSec: Option[Long] = None): DataFrame = {
-    val base = readRange(spark, barsPath, fromNs, toNs, tsCol = "bar_ts")
+    val dayNs = 86400L * 1000000000L
+    val dayEnd = toNs % dayNs == 0
+    val effTo = if (dayEnd) toNs + dayNs - 1 else toNs
+    val base = readRange(spark, barsPath, fromNs, effTo, tsCol = "bar_ts")
     resampleSec match {
       case None => base
-      case Some(sec) => graft.bars.TimeBars.resample(base.drop("month"), barSec, sec)
+      case Some(sec) =>
+        val cut = if (sec >= 86400 && dayEnd) Some(toNs) else None
+        graft.bars.TimeBars.resample(base.drop("month"), barSec, sec, cut)
     }
   }
 }

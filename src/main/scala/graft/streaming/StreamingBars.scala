@@ -378,15 +378,25 @@ object StreamingBars {
       if (some) Some(a.cdMin) else None, if (some) Some(a.cdMax) else None)
   }
 
-  /** Streaming directional (order-flow) bars with FULL batch parity — the
-    * state-machine completion of [[directionalStream]]'s conditional-sum
-    * subset: spread stats against the globally-previous trade and the
-    * intra-bar signed cumulative extrema (`TimeBars.directional`,
-    * bar/base.py:409-546). Keyed by symbol — the previous-trade handoff and
-    * the reference's order-total constraint live on the key, exactly like
-    * the batch `partCols` variant — with every open bar's fixed-width
-    * accumulator in state. Bars finalize in APPEND mode when the event-time
-    * watermark passes the bar close + delay.
+  /** Streaming directional (order-flow) bars with batch parity FOR
+    * IN-ORDER-ACROSS-BATCHES input — the state-machine completion of
+    * [[directionalStream]]'s conditional-sum subset: spread stats against
+    * the globally-previous trade and the intra-bar signed cumulative
+    * extrema (`TimeBars.directional`, bar/base.py:409-546). Keyed by
+    * symbol — the previous-trade handoff and the reference's order-total
+    * constraint live on the key, exactly like the batch `partCols` variant
+    * — with every open bar's fixed-width accumulator in state. Bars
+    * finalize in APPEND mode when the event-time watermark passes the bar
+    * close + delay.
+    *
+    * ORDERING ASSUMPTION (parity precondition): rows are sorted (ts, id)
+    * WITHIN each micro-batch, but the fold consumes batches in arrival
+    * order — a late-but-within-watermark trade that belongs BEFORE already
+    * -folded rows silently lands at the tail of the sequence, shifting the
+    * prev-trade spread handoff and the cumulative extrema relative to the
+    * batch operator. Feed per-key in-order streams (the reference's own
+    * constraint for its sequential kernels), or buffer out-of-order
+    * sources until the watermark before this operator.
     */
   def directionalStateStream(trades: Dataset[SidedSymIn], intervalSec: Long,
                              watermarkDelay: String = "1 minute"): Dataset[DirBarOut] = {
@@ -537,7 +547,11 @@ object StreamingBars {
           } else {
             var levels = state.getOption.map(_.levels).getOrElse(Map.empty[Int, LevelAcc])
             rows.foreach { r =>
-              val l = math.round(r.price / tickSize).toInt
+              // HALF_UP away from zero, matching the batch operator's Spark
+              // round() (Footprints.build) — math.round would send negative
+              // exact half-ticks to a different level
+              val x = r.price / tickSize
+              val l = (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toInt
               val a = levels.getOrElse(l, LevelAcc(0.0, 0.0, 0L, 0L))
               levels = levels.updated(l, LevelAcc(
                 a.buyVol + (if (r.side == 1) r.qty else 0.0),

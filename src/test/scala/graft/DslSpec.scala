@@ -81,4 +81,24 @@ class DslSpec extends AnyFunSuite {
       Dsl.build(df, Seq(Dsl.col("close").call("nope")), Nil).collect()
     }
   }
+
+  test("parameterized external function serializes its args (transforms.py:1668-1805)") {
+    Dsl.registerParam("scale_pow", (c, args) =>
+      org.apache.spark.sql.functions.pow(c * args(0), args(1)))
+    val f = Dsl.col("close").call("scale_pow", 2.0, 3.0)
+    assert(f.name == "scale_pow(close,2,3)")
+    val json = Dsl.toJson(Seq(f))
+    assert(json.contains(""""args":[2.0,3.0]"""), json)
+    val back = Dsl.fromJson(json)
+    assert(back.map(_.spec) == Seq(f.spec))
+    assert(Dsl.toJson(back) == json) // lossless both ways
+    val df = Seq((1L, 5.0)).toDF("bar_ts", "close")
+    val out = Dsl.build(df, back, Seq("bar_ts")).collect().head
+    assert(out.getDouble(1) == 1000.0) // (5*2)^3
+    // arg-count misuse of a no-arg registration fails loudly
+    Dsl.register("noargs", c => c)
+    intercept[IllegalArgumentException] {
+      Dsl.build(df, Seq(Dsl.col("close").call("noargs", 1.0)), Nil).collect()
+    }
+  }
 }

@@ -79,6 +79,49 @@ class PlanSpec extends AnyFunSuite {
       s"keyed scan must not fall back to a global range sort:\n$p")
   }
 
+  test("keyed time decay partitions by symbol — no single-partition exchange") {
+    val ew = (0 until 400).map { i =>
+      ((i % 8).toLong, i.toLong * 1000000000L, i.toLong, 0.1 + (i % 5) * 0.05)
+    }.toDF("symbol", "event_ts", "event_id", "avg_uniqueness")
+    val p = plan(graft.labels.Weights.withTimeDecay(ew, 0.5, Seq("symbol")))
+    assert(p.contains("hashpartitioning(symbol"),
+      s"keyed decay must hash-partition by symbol:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"keyed decay must not move the event table to one partition:\n$p")
+  }
+
+  test("global time decay runs on the affine scan — no Window operator") {
+    val ew = (0 until 400).map { i =>
+      (i.toLong * 1000000000L, i.toLong, 0.1 + (i % 5) * 0.05)
+    }.toDF("event_ts", "event_id", "avg_uniqueness")
+      // a shuffle in the lineage mirrors the real chain (groupBy upstream)
+      .repartition(col("event_id"))
+    val p = plan(graft.labels.Weights.withTimeDecay(ew, 0.5))
+    assert(!p.contains("Window"),
+      s"global decay must not use a window (single-partition sort):\n$p")
+  }
+
+  test("keyed class balance joins broadcast — no single-partition exchange") {
+    val lw = (0 until 400).map { i =>
+      ((i % 8).toLong, i.toLong, (i % 3) - 1, 0.5 + (i % 7) * 0.1)
+    }.toDF("symbol", "event_id", "label", "base")
+    val p = plan(graft.labels.Weights.withClassBalance(lw, "base", Seq("symbol")))
+    assert(p.contains("BroadcastHashJoin"),
+      s"class balance must broadcast the class table:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"keyed class balance must not single-partition the event table:\n$p")
+    assert(!p.contains("Window"), s"class balance must not use windows:\n$p")
+  }
+
+  test("keyed integrity summary partitions its windows by symbol") {
+    val p = plan(graft.sources.Store.integritySummary(
+      symTrades(4000), 3600L * 1000000000L, Seq("symbol")))
+    assert(p.contains("hashpartitioning(symbol"),
+      s"keyed integrity summary must hash-partition by symbol:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"keyed integrity summary must not single-partition the stream:\n$p")
+  }
+
   test("keyed eventWeights sweep partitions its windows by symbol") {
     val t = symTrades(4000)
     val ev = t.where(col("id") % 37 === 0).select(

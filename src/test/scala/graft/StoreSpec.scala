@@ -96,6 +96,28 @@ class StoreSpec extends AnyFunSuite {
       (1706745600000000000L, 3L, 100.7, 3.0, -1, "2024-02")))
   }
 
+  test("readBars daily semantics: end-of-day range expansion + partial-day drop") {
+    val tdir = Files.createTempDirectory("store").toString
+    val bdir = Files.createTempDirectory("bars").toString
+    val t0 = 1704067200000000000L // 2024-01-01T00:00Z
+    // 10 full days + a PARTIAL 11th day (12 hours) of hourly trades
+    val t = (0 until (10 * 24 + 12)).map { h =>
+      (t0 + h * 3600000000000L, h.toLong, 100.0 + h, 1.0, 0L)
+    }.toDF("ts", "id", "price", "qty", "symbol")
+    Store.saveMonthly(t, tdir)
+    Store.materializeBars(spark, tdir, bdir, intervalSec = 3600)
+    val end = t0 + 10 * dayNs // a midnight = date-only end (bar/io.py:836)
+    // daily resample: the incomplete final day is dropped (bar/io.py:877-885)
+    val daily = Store.readBars(spark, bdir, t0, end, barSec = 3600,
+      resampleSec = Some(86400))
+    val rs = daily.select("rs_ts").orderBy("rs_ts").as[Long].collect().toSeq
+    assert(rs.last == end, "partial final day must be dropped")
+    // sub-daily read with the same date-only end keeps the whole end day
+    val hourly = Store.readBars(spark, bdir, t0, end, barSec = 3600)
+    val mxBar = hourly.agg(max("bar_ts")).as[Long].head()
+    assert(mxBar > end, "date-only end must expand to end-of-day for 1h bars")
+  }
+
   test("materializeBars + readBars with resample matches direct construction") {
     val tdir = Files.createTempDirectory("store").toString
     val bdir = Files.createTempDirectory("bars").toString
