@@ -135,9 +135,10 @@ object Scan {
     * @param storage persistence for the sorted frame both phases must see
     *                identically (phase B replays phase A's exact layout —
     *                a recompute with different row order would break the
-    *                boundary handoff). MEMORY_AND_DISK locally; pass
-    *                DISK_ONLY at TB scale so the scan never competes with
-    *                the executors' working memory. On a cluster, a lost
+    *                boundary handoff). Defaults to [[graft.Conf.storageLevel]]
+    *                (MEMORY_AND_DISK; SPARK_GRAFT_STORAGE=DISK_ONLY at TB
+    *                scale so the scan never competes with the executors'
+    *                working memory). On a cluster, a lost
     *                persisted block recomputes from lineage: the range
     *                sampler's seed is deterministic per partition index, so
     *                the rebuilt layout is identical PROVIDED `df`'s own
