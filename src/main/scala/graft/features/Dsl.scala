@@ -36,13 +36,18 @@ object FSpec {
   case class FRet(x: FSpec, n: Int, isLog: Boolean) extends FSpec
   /** sma / std / min / max / median / ewma / zscore / burst over n rows */
   case class FRoll(op: String, x: FSpec, n: Int) extends FSpec
-  /** named function from [[Dsl.register]]/[[Dsl.registerParam]] — the
-    * `ExternalFunction` equivalent (transforms.py:1668-1805): serialized by
-    * registry name plus its numeric arguments, so a parameterized call
-    * round-trips through JSON like the reference's args/kwargs
-    * (feature/utils.py:132-303).
+  /** named function from [[Dsl.register]]/[[Dsl.registerParam]]/
+    * [[Dsl.registerExt]] — the `ExternalFunction` equivalent
+    * (transforms.py:1668-1805): serialized by registry name plus its
+    * positional numeric args and named kwargs, over one or more input
+    * specs (the reference passes multiple `input_cols` as positional
+    * arguments, transforms.py:1770-1780), so a parameterized multi-input
+    * call round-trips through JSON like the reference's pipeline configs
+    * (feature/utils.py:132-303). `kwargs` is an ordered Seq so the JSON
+    * form is deterministic.
     */
-  case class FCall(fn: String, x: FSpec, args: Seq[Double] = Nil) extends FSpec
+  case class FCall(fn: String, xs: Seq[FSpec], args: Seq[Double] = Nil,
+                   kwargs: Seq[(String, Double)] = Nil) extends FSpec
 }
 
 /** User-facing wrapper with the reference's operator surface. */
@@ -70,7 +75,10 @@ case class Feature(spec: FSpec) {
   def ewma(span: Int): Feature = Feature(FRoll("ewma", spec, span))
   def zscore(n: Int): Feature = Feature(FRoll("zscore", spec, n))
   def burst(n: Int): Feature = Feature(FRoll("burst", spec, n))
-  def call(fn: String, args: Double*): Feature = Feature(FCall(fn, spec, args.toSeq))
+  def call(fn: String, args: Double*): Feature =
+    Feature(FCall(fn, Seq(spec), args.toSeq))
+  def callKw(fn: String, kwargs: (String, Double)*): Feature =
+    Feature(FCall(fn, Seq(spec), Nil, kwargs.toSeq))
   def name: String = Dsl.nameOf(spec)
 }
 
@@ -81,28 +89,49 @@ object Dsl {
   def const(v: Double): Feature = Feature(FConst(v))
 
   /** Named-function registry — the `ExternalFunction` surface: pipelines
-    * serialize the NAME and the numeric ARGS (transforms.py:1668-1805);
-    * deserialization resolves the name here, so a JSON plan only runs
-    * functions the receiving engine explicitly registered, with the
-    * serialized parameters re-applied.
+    * serialize the NAME, the input specs, the positional numeric ARGS and
+    * the named KWARGS (transforms.py:1668-1805); deserialization resolves
+    * the name here, so a JSON plan only runs functions the receiving
+    * engine explicitly registered, with the serialized parameters
+    * re-applied.
     */
-  private val registry =
-    new java.util.concurrent.ConcurrentHashMap[String, (Column, Seq[Double]) => Column]()
+  private val registry = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[Column], Seq[Double], Map[String, Double]) => Column]()
 
-  /** Register a no-parameter function (extra serialized args are rejected). */
+  /** Register a unary no-parameter function (serialized args/kwargs and
+    * extra inputs are rejected loudly).
+    */
   def register(name: String, f: Column => Column): Unit =
-    registry.put(name, (c, args) => {
-      require(args.isEmpty, s"DSL function '$name' takes no parameters, got $args")
-      f(c)
+    registry.put(name, (cs, args, kw) => {
+      require(cs.length == 1 && args.isEmpty && kw.isEmpty,
+        s"DSL function '$name' is unary with no parameters, got " +
+          s"${cs.length} inputs, args=$args, kwargs=$kw")
+      f(cs.head)
     })
 
-  /** Register a parameterized function — receives the input column and the
-    * call's serialized numeric arguments.
-    */
+  /** Register a unary function with positional numeric parameters. */
   def registerParam(name: String, f: (Column, Seq[Double]) => Column): Unit =
+    registry.put(name, (cs, args, kw) => {
+      require(cs.length == 1 && kw.isEmpty,
+        s"DSL function '$name' is unary/positional, got ${cs.length} " +
+          s"inputs, kwargs=$kw")
+      f(cs.head, args)
+    })
+
+  /** Full `ExternalFunction` form: multiple input columns (positional,
+    * like the reference's `input_cols`), positional args, named kwargs.
+    */
+  def registerExt(name: String,
+      f: (Seq[Column], Seq[Double], Map[String, Double]) => Column): Unit =
     registry.put(name, f)
 
-  private def resolveCall(name: String): (Column, Seq[Double]) => Column = {
+  /** Multi-input call builder (the `input_cols: Sequence[str]` shape). */
+  def call(fn: String, inputs: Seq[Feature], args: Seq[Double] = Nil,
+           kwargs: Seq[(String, Double)] = Nil): Feature =
+    Feature(FCall(fn, inputs.map(_.spec), args, kwargs))
+
+  private def resolveCall(name: String)
+      : (Seq[Column], Seq[Double], Map[String, Double]) => Column = {
     val f = registry.get(name)
     require(f != null, s"unregistered DSL function '$name'")
     f
@@ -119,9 +148,10 @@ object Dsl {
     case FRet(x, n, true) => s"${nameOf(x)}_logret_$n"
     case FRet(x, n, false)=> s"${nameOf(x)}_ret_$n"
     case FRoll(op, x, n)  => s"${nameOf(x)}_${op}_$n"
-    case FCall(fn, x, Nil) => s"$fn(${nameOf(x)})"
-    case FCall(fn, x, as)  =>
-      s"$fn(${nameOf(x)},${as.map(a => nameOf(FConst(a))).mkString(",")})"
+    case FCall(fn, xs, as, kw) =>
+      val parts = xs.map(nameOf) ++ as.map(a => nameOf(FConst(a))) ++
+        kw.map { case (k, v) => s"$k=${nameOf(FConst(v))}" }
+      s"$fn(${parts.mkString(",")})"
   }
 
   /** Lower a spec to a Catalyst Column (ordering by bar_ts, optional
@@ -158,7 +188,8 @@ object Dsl {
     case FRoll("zscore", x, n) => Features.zscore(compile(x, p), n, ddof = 0, p = p)
     case FRoll("burst", x, n)  => Features.burstRatio(compile(x, p), n, p)
     case FRoll(op, _, _)       => throw new IllegalArgumentException(s"roll op $op")
-    case FCall(fn, x, as)      => resolveCall(fn)(compile(x, p), as)
+    case FCall(fn, xs, as, kw) =>
+      resolveCall(fn)(xs.map(compile(_, p)), as, kw.toMap)
   }
 
   /** The `FeatureKit.build` equivalent: retained columns ∪ one aliased
@@ -186,9 +217,16 @@ object Dsl {
     case FLag(x, n)        => s"""{"op":"lag","x":${j(x)},"n":$n}"""
     case FRet(x, n, isLog) => s"""{"op":"ret","x":${j(x)},"n":$n,"log":$isLog}"""
     case FRoll(op, x, n)   => s"""{"op":"roll","roll":"${esc(op)}","x":${j(x)},"n":$n}"""
-    case FCall(fn, x, Nil) => s"""{"op":"call","fn":"${esc(fn)}","x":${j(x)}}"""
-    case FCall(fn, x, as)  =>
-      s"""{"op":"call","fn":"${esc(fn)}","x":${j(x)},"args":${as.mkString("[", ",", "]")}}"""
+    case FCall(fn, xs, as, kw) =>
+      val in =
+        if (xs.length == 1) s""""x":${j(xs.head)}"""
+        else s""""xs":${xs.map(j).mkString("[", ",", "]")}"""
+      val tail =
+        (if (as.nonEmpty) Seq(s""""args":${as.mkString("[", ",", "]")}""") else Nil) ++
+        (if (kw.nonEmpty)
+          Seq(s""""kwargs":{${kw.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString(",")}}""")
+         else Nil)
+      (s"""{"op":"call","fn":"${esc(fn)}",$in""" +: tail).mkString("", ",", "}")
   }
 
   def toJson(feats: Seq[Feature]): String =
@@ -233,6 +271,22 @@ object Dsl {
       while (i < s.length && (s(i).isDigit || "+-.eE".contains(s(i)))) i += 1
       s.substring(start, i).toDouble
     }
+    private def parseNumObject(): Seq[(String, Double)] = {
+      expect('{')
+      ws()
+      if (s(i) == '}') { i += 1; return Nil }
+      val buf = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+      var done = false
+      while (!done) {
+        ws()
+        val k = parseString()
+        expect(':')
+        buf += (k -> parseNumber())
+        ws()
+        if (s(i) == ',') i += 1 else { expect('}'); done = true }
+      }
+      buf.toSeq
+    }
     private def parseNumArray(): Seq[Double] = {
       expect('[')
       ws()
@@ -273,12 +327,18 @@ object Dsl {
         val k = parseString()
         expect(':')
         ws()
-        val v: Any = s(i) match {
-          case '{' => parseObject()
-          case '"' => parseString()
-          case 't' | 'f' => parseBool()
-          case '[' => parseNumArray()
-          case _ => parseNumber()
+        // "xs" is an array of SPECS and "kwargs" an object of numbers —
+        // both would misparse under the generic value dispatch below
+        val v: Any = k match {
+          case "xs"     => parseArray()
+          case "kwargs" => parseNumObject()
+          case _ => s(i) match {
+            case '{' => parseObject()
+            case '"' => parseString()
+            case 't' | 'f' => parseBool()
+            case '[' => parseNumArray()
+            case _ => parseNumber()
+          }
         }
         fields(k) = v
         ws()
@@ -297,8 +357,11 @@ object Dsl {
         case "roll"  => FRoll(fields("roll").asInstanceOf[String],
           fields("x").asInstanceOf[FSpec], fields("n").asInstanceOf[Double].toInt)
         case "call"  => FCall(fields("fn").asInstanceOf[String],
-          fields("x").asInstanceOf[FSpec],
-          fields.get("args").map(_.asInstanceOf[Seq[Double]]).getOrElse(Nil))
+          fields.get("xs").map(_.asInstanceOf[Seq[FSpec]])
+            .getOrElse(Seq(fields("x").asInstanceOf[FSpec])),
+          fields.get("args").map(_.asInstanceOf[Seq[Double]]).getOrElse(Nil),
+          fields.get("kwargs").map(_.asInstanceOf[Seq[(String, Double)]])
+            .getOrElse(Nil))
         case u if unaryOps(u)  => FUnary(u, fields("x").asInstanceOf[FSpec])
         case b if binaryOps(b) => FBinary(b, fields("a").asInstanceOf[FSpec],
           fields("b").asInstanceOf[FSpec])

@@ -169,9 +169,12 @@ object FeatureQueries {
     // exercises the round-trip itself, not just the happy path.
     "feature_dsl_roundtrip" -> ((s, dir) => {
       import graft.features.Dsl
-      // parameterized registry entry — the ExternalFunction args surface
-      // (transforms.py:1668-1805): the exponent serializes with the call
+      // parameterized registry entries — the ExternalFunction surface
+      // (transforms.py:1668-1805): positional args, multiple input
+      // columns, and named kwargs all serialize with the call
       Dsl.registerParam("powc", (c, args) => pow(c, args.head))
+      Dsl.registerExt("wavg", (cs, _, kw) =>
+        cs(0) * kw("w0") + cs(1) * kw("w1"))
       val feats = Seq(
         Dsl.col("close").logRet(1),
         Dsl.col("close").sma(20),
@@ -179,7 +182,9 @@ object FeatureQueries {
           (Dsl.col("high") - Dsl.col("low") + Dsl.const(1e-12))).clip(0.0, 1.0),
         Dsl.col("volume").zscore(20),
         Dsl.col("volume").rollMedian(20),
-        Dsl.col("close").call("powc", 2.0))
+        Dsl.col("close").call("powc", 2.0),
+        Dsl.call("wavg", Seq(Dsl.col("high"), Dsl.col("low")),
+          kwargs = Seq("w0" -> 0.3, "w1" -> 0.7)))
       val parsed = Dsl.fromJson(Dsl.toJson(feats))
       require(parsed.map(_.spec) == feats.map(_.spec), "dsl json round-trip drift")
       val built = Dsl.build(bars5m(s, dir).withColumn("bar_ts", col("bar_ts")),
@@ -404,7 +409,8 @@ object FeatureQueries {
          |  round(least(greatest(abs(close - open) / (high - low + 1e-12), 0.0e0), 1.0e0), 6) AS "clip(div(abs(sub(close,open)),add(sub(high,low),1.0E-12)),0.0,1.0)",
          |  round(${fullCase(20, "CASE WHEN min(volume) OVER wn < max(volume) OVER wn THEN (volume - avg(volume) OVER wn) / nullif(stddev_pop(volume) OVER wn, 0) END")}, 6) AS "volume_zscore_20",
          |  round(${fullCase(20, "quantile_cont(volume, 0.5) OVER wn")}, 6) AS "volume_median_20",
-         |  round(pow(close, 2.0), 6) AS "powc(close,2)"
+         |  round(pow(close, 2.0), 6) AS "powc(close,2)",
+         |  round(high * 0.3e0 + low * 0.7e0, 6) AS "wavg(high,low,w0=0.3,w1=0.7)"
          |FROM b WINDOW
          |  wn AS (ORDER BY bar_ts ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
          |  wo AS (ORDER BY bar_ts)""".stripMargin),

@@ -395,8 +395,9 @@ object StreamingBars {
     * -folded rows silently lands at the tail of the sequence, shifting the
     * prev-trade spread handoff and the cumulative extrema relative to the
     * batch operator. Feed per-key in-order streams (the reference's own
-    * constraint for its sequential kernels), or buffer out-of-order
-    * sources until the watermark before this operator.
+    * constraint for its sequential kernels), or use
+    * [[directionalBufferedStream]], which buffers rows until the watermark
+    * and is exact under any cross-batch arrival order.
     */
   def directionalStateStream(trades: Dataset[SidedSymIn], intervalSec: Long,
                              watermarkDelay: String = "1 minute"): Dataset[DirBarOut] = {
@@ -427,6 +428,59 @@ object StreamingBars {
             state.setTimeoutTimestamp(math.max(nextCloseMs, wmMs + 1))
           }
           done.toArray.sortBy(_._1).iterator
+            .map { case (barTs, acc) => dirEmit(symbol, barTs, acc) }
+      }
+  }
+
+  /** Buffered rows of still-open bars + the prev-trade carried past all
+    * already-finalized bars.
+    */
+  case class DirBufState(prevPrice: Double, prevSide: Int, hasPrev: Boolean,
+                         rows: Vector[SidedSymBar])
+
+  /** [[directionalStateStream]] without its ordering precondition: rows are
+    * BUFFERED per symbol until the event-time watermark passes their bar's
+    * close, and each finalized bar is folded in full (ts, id) order at
+    * that point — a late-but-within-watermark trade lands in its correct
+    * position, so the prev-trade spread handoff and the cumulative extrema
+    * match the batch operator under ANY cross-batch arrival order (up to
+    * watermark lateness, where Spark drops rows for every stateful op).
+    *
+    * Cost: state holds the raw rows of open bars (bounded by
+    * bars-per-watermark × trades-per-bar per symbol) instead of O(1)
+    * accumulators — the standard buffer-vs-order tradeoff. Pick this for
+    * out-of-order sources, [[directionalStateStream]] for per-key ordered
+    * ones. Bar intervals partition the timeline, so folding finalized bars
+    * before still-open ones preserves the exact global row order.
+    */
+  def directionalBufferedStream(trades: Dataset[SidedSymIn], intervalSec: Long,
+                                watermarkDelay: String = "1 minute"): Dataset[DirBarOut] = {
+    import trades.sparkSession.implicits._
+    val iv = intervalSec * 1000000000L
+    val based = trades
+      .withColumn("bar_ts", expr(s"((ts + ${iv - 1}L) div ${iv}L) * ${iv}L"))
+      .withColumn("event_time",
+        timestamp_micros((col("bar_ts") / 1000L).cast("long")))
+      .withWatermark("event_time", watermarkDelay)
+      .as[SidedSymBar]
+    based
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (symbol: Long, rows: Iterator[SidedSymBar], state: GroupState[DirBufState]) =>
+          val s = state.getOption.getOrElse(
+            DirBufState(Double.NaN, 0, hasPrev = false, Vector.empty))
+          val buf = if (state.hasTimedOut) s.rows else s.rows ++ rows
+          val wmMs = state.getCurrentWatermarkMs()
+          val (doneRows, openRows) =
+            buf.partition(r => r.bar_ts / 1000000L <= wmMs)
+          var st = DirState(s.prevPrice, s.prevSide, s.hasPrev, Map.empty)
+          doneRows.sortBy(r => (r.ts, r.id)).foreach { r => st = dirFold(st, r) }
+          state.update(DirBufState(st.prevPrice, st.prevSide, st.hasPrev, openRows))
+          if (openRows.nonEmpty) {
+            val nextCloseMs = openRows.map(_.bar_ts).min / 1000000L
+            state.setTimeoutTimestamp(math.max(nextCloseMs, wmMs + 1))
+          }
+          st.bars.toArray.sortBy(_._1).iterator
             .map { case (barTs, acc) => dirEmit(symbol, barTs, acc) }
       }
   }

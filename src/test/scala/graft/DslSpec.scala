@@ -101,4 +101,28 @@ class DslSpec extends AnyFunSuite {
       Dsl.build(df, Seq(Dsl.col("close").call("noargs", 1.0)), Nil).collect()
     }
   }
+
+  test("multi-input call with kwargs round-trips (ExternalFunction input_cols/kwargs)") {
+    import org.apache.spark.sql.functions.{pow => spow}
+    Dsl.registerExt("scaled_diff", (cs, args, kw) =>
+      spow(cs(0) - cs(1), args.head) * kw("scale"))
+    val f = Dsl.call("scaled_diff", Seq(Dsl.col("high"), Dsl.col("low")),
+      args = Seq(2.0), kwargs = Seq("scale" -> 0.5))
+    assert(f.name == "scaled_diff(high,low,2,scale=0.5)")
+    val json = Dsl.toJson(Seq(f))
+    assert(json.contains(""""xs":["""), json)
+    assert(json.contains(""""kwargs":{"scale":0.5}"""), json)
+    val back = Dsl.fromJson(json)
+    assert(back.map(_.spec) == Seq(f.spec))
+    assert(Dsl.toJson(back) == json)
+    val df = Seq((1L, 7.0, 3.0)).toDF("bar_ts", "high", "low")
+    val out = Dsl.build(df, back, Seq("bar_ts")).collect().head
+    assert(out.getDouble(1) == 8.0) // (7-3)^2 * 0.5
+    // single-input legacy "x" JSON still parses
+    Dsl.register("ident", c => c)
+    val legacy = Dsl.fromJson(
+      """[{"op":"call","fn":"ident","x":{"op":"col","col":"high"}}]""")
+    assert(legacy.head.spec ==
+      graft.features.FSpec.FCall("ident", Seq(graft.features.FSpec.FCol("high"))))
+  }
 }

@@ -195,6 +195,51 @@ class StreamingSpec extends AnyFunSuite {
     assertRowsClose(streamed, batch)
   }
 
+  test("buffered directional stream matches batch under cross-batch disorder") {
+    implicit val sqlCtx = spark.sqlContext
+    val data = trades(60)
+    val sided = graft.trades.Trades.withTickRuleSide(
+        data.toDF().withColumnRenamed("symbol", "sym"))
+      .select(col("ts"), col("id"), col("price"), col("qty"), col("side"),
+        lit(0L).as("symbol"))
+      .as[StreamingBars.SidedSymIn].collect().toSeq
+    val ms = MemoryStream[StreamingBars.SidedSymIn]
+    // generous watermark so the deliberately disordered delivery below is
+    // all "late but within watermark" — the case the unbuffered state
+    // machine documents as corrupting and this operator must absorb
+    val q = StreamingBars.directionalBufferedStream(ms.toDS(), 300,
+        watermarkDelay = "2 hours")
+      .writeStream.format("memory").queryName("dir_buf_out")
+      .outputMode("append").start()
+    // cross-batch disorder: batch 1 gets the evens (including the tail of
+    // the timeline), batch 2 delivers the odds — each older than rows
+    // already processed in batch 1
+    val (evens, odds) = sided.zipWithIndex.partition(_._2 % 2 == 0)
+    ms.addData(evens.map(_._1)); q.processAllAvailable()
+    ms.addData(odds.map(_._1)); q.processAllAvailable()
+    val far = data.last.ts + 86400000000000L
+    ms.addData(Seq(StreamingBars.SidedSymIn(far, 9000L, 1.0, 1.0, 1, 0L)))
+    q.processAllAvailable()
+    ms.addData(Seq(StreamingBars.SidedSymIn(far + 60000000000L, 9001L, 1.0, 1.0, 1, 0L)))
+    q.processAllAvailable()
+    val cols = Seq("bar_ts", "ticks_buy", "ticks_sell", "volume_buy",
+      "volume_sell", "dollars_buy", "dollars_sell", "mean_spread",
+      "max_spread", "cum_ticks_min", "cum_ticks_max", "cum_volume_min",
+      "cum_volume_max", "cum_dollars_min", "cum_dollars_max")
+    val batchDf = TimeBars.directional(
+      graft.trades.Trades.withTickRuleSide(
+        data.toDF().withColumnRenamed("symbol", "sym")), 300)
+    val lastRealBar = batchDf.agg(max("bar_ts")).head().getLong(0)
+    val streamed = spark.table("dir_buf_out")
+      .where(col("bar_ts") <= lastRealBar)
+      .select(cols.head, cols.tail: _*).orderBy("bar_ts").collect().toSeq
+    q.stop()
+    val batch = batchDf
+      .select(cols.head, cols.tail: _*).orderBy("bar_ts").collect().toSeq
+    assert(streamed.nonEmpty)
+    assertRowsClose(streamed, batch)
+  }
+
   test("streaming footprint summary equals the batch build+summary pipeline") {
     implicit val sqlCtx = spark.sqlContext
     val data = trades(60)
