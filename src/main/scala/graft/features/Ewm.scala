@@ -152,6 +152,44 @@ object Ewm {
       outName = out, numParts = numParts)
   }
 
+  /** [[ewmstMean0Exact]] over log-returns of `priceCol`, with the return
+    * computed INSIDE the scan from the previous row (the kernel already
+    * receives it for the Δt decay) — no global lag window, so the one
+    * remaining single-partition pass of the ewmst0 pipeline disappears.
+    * Row 1 has no Δt and no return: identity, exactly like feeding a
+    * NULL first `y` to [[ewmstMean0Exact]].
+    */
+  def ewmstMean0LogRet(df: DataFrame, priceCol: String, halfLifeSec: Double,
+                       sigmaFloor: Double = 1e-12, out: String = "ewmst0",
+                       numParts: Int = 0): DataFrame = {
+    val pIdx = df.schema.fieldIndex(priceCol)
+    val tIdx = df.schema.fieldIndex("ts")
+    Scan.affine(
+      df, Seq("ts", "id"), nStates = 2,
+      coefs = (r, prev) => {
+        if (prev == null) {
+          Array.fill(2)(Affine(1.0, 0.0))
+        } else {
+          val dt = (r.getLong(tIdx) - prev.getLong(tIdx)) / 1e9
+          val alpha = 1.0 - math.exp(-dt / halfLifeSec)
+          val om = 1.0 - alpha
+          val p = if (r.isNullAt(pIdx)) Double.NaN else r.getDouble(pIdx)
+          val p0 = if (prev.isNullAt(pIdx)) Double.NaN else prev.getDouble(pIdx)
+          val y = math.log(p / p0) // NaN/±Inf on invalid prints
+          if (java.lang.Double.isNaN(y) || java.lang.Double.isInfinite(y))
+            Array(Affine(om, 0.0), Affine(om, 0.0))
+          else Array(Affine(om, alpha * y * y), Affine(om, alpha))
+        }
+      },
+      init = Array(0.0, 0.0),
+      emit = (s, _) => {
+        val (u, v) = (s(0), s(1))
+        if (v <= 0.0) Double.NaN
+        else math.max(math.sqrt(math.max(u / v, 0.0)), sigmaFloor)
+      },
+      outName = out, numParts = numParts)
+  }
+
   // ---------------------------------------------------------------------
   // Windowed (oracle-checkable) Column variants
   // ---------------------------------------------------------------------

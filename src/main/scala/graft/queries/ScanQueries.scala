@@ -54,15 +54,11 @@ object ScanQueries {
         .select(col("ts"), col("id"), r6(col("ewmst")).as("ewmst"))),
 
     // zero-mean time-decay EW std over log-returns (core/volatility.py:72-136)
-    "ewmst0_scan" -> ((s, dir) => {
-      val w = Window.orderBy("ts", "id")
-      val withY = trades(s, dir)
-        // try_divide: a zero previous print yields NULL (NaN row for the
-        // scan kernel) instead of an ANSI divide-by-zero
-        .withColumn("y", log(try_divide(col("price"), lag("price", 1).over(w))))
-      Ewm.ewmstMean0Exact(withY, "y", hlSec)
-        .select(col("ts"), col("id"), r6(col("ewmst0")).as("ewmst0"))
-    }),
+    // — the return is computed inside the scan from the prev-row handoff,
+    // so the pipeline carries NO single-partition lag window
+    "ewmst0_scan" -> ((s, dir) =>
+      Ewm.ewmstMean0LogRet(trades(s, dir), "price", hlSec)
+        .select(col("ts"), col("id"), r6(col("ewmst0")).as("ewmst0"))),
 
     // Wilder RSI(14): exact seeded kernel, reported on the steady-state
     // region (rn > 614) where the independent windowed oracle converges.

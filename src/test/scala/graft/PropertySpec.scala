@@ -84,4 +84,50 @@ class PropertySpec extends AnyFunSuite {
       assert(got == ref, s"seed=$seed")
     }
   }
+
+  test("time decay: affine-scan global path equals keyed-window path (random weights)") {
+    import graft.labels.Weights
+    for (seed <- Seq(7L, 123L, 4040L); lastWeight <- Seq(0.5, -0.25)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 20 + rnd.nextInt(150)
+      val ew = (0 until n).map { i =>
+        (i.toLong * 1000000000L + rnd.nextInt(1000), i.toLong,
+          rnd.nextDouble() * 0.9 + 0.05)
+      }.toDF("event_ts", "event_id", "avg_uniqueness")
+      // the two code paths share no machinery: affine scan + literal total
+      // vs keyed windows (single constant key = the same total order)
+      val global = Weights.withTimeDecay(ew, lastWeight)
+        .select("event_id", "time_decay").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val keyed = Weights.withTimeDecay(ew.withColumn("k", lit(1L)),
+          lastWeight, Seq("k"))
+        .select("event_id", "time_decay").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(global.keySet == keyed.keySet, s"seed=$seed lw=$lastWeight")
+      global.foreach { case (id, g) =>
+        val k = keyed(id)
+        assert(math.abs(g - k) <= 1e-9 * math.max(1.0, math.abs(k)),
+          s"seed=$seed lw=$lastWeight event=$id: $g vs $k")
+      }
+    }
+  }
+
+  test("class balance: per-class weighted mass equalizes (weights.py invariant)") {
+    import graft.labels.Weights
+    for (seed <- Seq(11L, 808L)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 30 + rnd.nextInt(100)
+      val lw = (0 until n).map { i =>
+        (i.toLong, rnd.nextInt(3) - 1, rnd.nextDouble() + 0.01)
+      }.toDF("event_id", "label", "base")
+      val out = Weights.withClassBalance(lw, "base")
+      // sum(weight) per class = total/nClasses for every non-empty class —
+      // the definition of balance (weights.py:146-187)
+      val perClass = out.groupBy("label").agg(sum("weight").as("s"))
+        .collect().map(r => r.getDouble(1))
+      val expected = lw.agg(sum("base")).head().getDouble(0) / perClass.length
+      perClass.foreach(s =>
+        assert(math.abs(s - expected) <= 1e-9 * expected, s"seed=$seed: $s vs $expected"))
+    }
+  }
 }

@@ -298,6 +298,32 @@ class ScanSpec extends AnyFunSuite {
     }
   }
 
+  test("in-kernel log-return ewmst0 equals the lag-window formulation") {
+    import graft.features.Ewm
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(41)
+    var ts = 0L
+    val rows = (0 until 500).map { i =>
+      ts += (1 + rnd.nextInt(300)).toLong * 1000000000L
+      (ts, i.toLong, 50.0 + rnd.nextDouble() * 10)
+    }
+    val t = rows.toDF("ts", "id", "price")
+    val w = Window.orderBy("ts", "id")
+    val viaLag = Ewm.ewmstMean0Exact(
+        t.withColumn("y", log(try_divide(col("price"), lag("price", 1).over(w)))),
+        "y", 600.0)
+      .orderBy("ts").select("ewmst0").as[Double].collect().toSeq
+    val inKernel = Ewm.ewmstMean0LogRet(t, "price", 600.0, numParts = 7)
+      .orderBy("ts").select("ewmst0").as[Double].collect().toSeq
+    assert(viaLag.size == inKernel.size)
+    viaLag.zip(inKernel).zipWithIndex.foreach { case ((a, b), i) =>
+      if (a.isNaN) assert(b.isNaN, s"row $i")
+      // different partition boundaries → different affine association
+      // order → ulp-level drift (same caveat as the auto-pin test)
+      else assert(math.abs(a - b) <= math.abs(a) * 1e-12, s"row $i: $a vs $b")
+    }
+  }
+
   test("pinned affine scan rejects duplicate order keys loudly") {
     import graft.features.Scan
     import graft.features.Scan.Affine
