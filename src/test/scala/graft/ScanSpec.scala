@@ -324,6 +324,36 @@ class ScanSpec extends AnyFunSuite {
     }
   }
 
+  test("pinned affine scan adds exactly ONE shuffle over its input") {
+    import graft.features.Scan
+    import graft.features.Scan.Affine
+    def shuffles(rdd: org.apache.spark.rdd.RDD[_]): Int = {
+      val seen = scala.collection.mutable.Set[Int]()
+      def go(r: org.apache.spark.rdd.RDD[_]): Int =
+        if (!seen.add(r.id)) 0
+        else r.dependencies.map { d =>
+          (if (d.isInstanceOf[org.apache.spark.ShuffleDependency[_, _, _]]) 1 else 0) +
+            go(d.rdd)
+        }.sum
+      go(rdd)
+    }
+    val input = (0 until 300)
+      .map(i => (i.toLong, i.toLong, 1.0 + (i % 17)))
+      .toDF("ts", "id", "price")
+      .repartition(5) // shuffled lineage → auto-pin
+    val base = shuffles(input.rdd)
+    val out = Scan.affine(
+      input, Seq("ts", "id"), nStates = 1,
+      coefs = (r, _) => Array(Affine(0.9, r.getDouble(2))),
+      init = Array(0.0), emit = (s, _) => s(0),
+      outName = "o", numParts = 4)
+    // the r4 pinned path paid TWO shuffles (phase-A range + phase-B
+    // boundary re-shuffle); the frozen-partitioner layout costs one
+    assert(shuffles(out.rdd) == base + 1,
+      s"pinned scan must add exactly one shuffle (input=$base, " +
+        s"out=${shuffles(out.rdd)})")
+  }
+
   test("pinned affine scan rejects duplicate order keys loudly") {
     import graft.features.Scan
     import graft.features.Scan.Affine
