@@ -52,6 +52,10 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       System.gc()
+      // broadcast/shuffle cleanup is GC-driven and ASYNC: give the
+      // ContextCleaner a beat so the previous query's deletions don't
+      // contend with the next query's IO inside its timed region
+      Thread.sleep(300)
     }
     var failed = List.empty[String]
     val results = selected.flatMap { case (name, fn) =>

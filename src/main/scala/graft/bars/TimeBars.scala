@@ -65,46 +65,66 @@ object TimeBars {
   }
 
   /** OHLCV aggregation per bar. `fillEmpty` re-creates the reference's
-    * zero-volume empty bars over the full time grid.
+    * zero-volume empty bars over the full time grid. With `partCols`
+    * (e.g. symbol) everything is per-key: the aggregation, the generated
+    * grid (each key's own [min, max] span) and the fill — shuffle-parallel
+    * across keys, the 100 TB layout. Empty `partCols` keeps the
+    * reference's single-series semantics, with the fill on the affine
+    * carry scan instead of a single-partition window.
     */
-  def ohlcv(trades: DataFrame, intervalSec: Long, fillEmpty: Boolean = true): DataFrame = {
+  def ohlcv(trades: DataFrame, intervalSec: Long, fillEmpty: Boolean = true,
+            partCols: Seq[String] = Nil): DataFrame = {
     val iv = intervalSec * 1000000000L
+    val pc = partCols.map(col)
+    val outCols = partCols.map(col) ++ Seq(col("bar_ts"), col("open"),
+      col("high"), col("low"), col("close"), col("volume"), col("trades"),
+      col("median_trade_size"), col("vwap"))
     val agg = ohlcvTwoPass(
         trades.withColumn("bar_ts", expr(s"((ts + ${iv - 1}L) div ${iv}L) * ${iv}L")),
-        Seq("bar_ts"))
-      .select("bar_ts", "open", "high", "low", "close", "volume", "trades",
-        "median_trade_size", "vwap")
+        partCols :+ "bar_ts")
+      .select(outCols: _*)
     if (!fillEmpty) agg
     else {
-      // grid of all bar closes in (floor(min/iv)*iv, ceil(max/iv)*iv]
+      // per-key grid of all bar closes in (floor(min/iv)*iv, ceil(max/iv)*iv]
       val grid = trades
+        .groupBy(pc: _*)
         .agg(min("ts").as("mn"), max("ts").as("mx"))
-        .select(explode(sequence(
+        .select(pc :+ explode(sequence(
           expr(s"((mn div ${iv}L) + 1) * ${iv}L"),
           expr(s"((mx + ${iv - 1}L) div ${iv}L) * ${iv}L"),
-          lit(iv))).as("bar_ts"))
-      val joined = grid.join(agg, Seq("bar_ts"), "left")
-      // previous-close forward fill as an affine carry scan (s' = close on
-      // non-empty bars, else s) instead of an unpartitioned window: the
-      // grid is bounded by range/interval, but a multi-year fine grid would
-      // push ~10⁸ rows through one task — the scan stays parallel at any
-      // grid size and leading empties stay NULL like last(ignoreNulls).
-      import graft.features.Scan
-      val cIdx = joined.schema.fieldIndex("close")
-      // state = (carried close, seen flag); a NaN init sentinel would NOT
-      // work — the "set" map a=0 still computes 0·NaN + b = NaN
-      Scan.affine(
-        joined, Seq("bar_ts"), nStates = 2,
-        coefs = (r, _) =>
-          if (r.isNullAt(cIdx))
-            Array(Scan.Affine(1.0, 0.0), Scan.Affine(1.0, 0.0))
-          else
-            Array(Scan.Affine(0.0, r.getDouble(cIdx)), Scan.Affine(0.0, 1.0)),
-        init = Array(0.0, 0.0),
-        emit = (s, _) =>
-          if (s(1) == 0.0) null else java.lang.Double.valueOf(s(0)),
-        outName = "__pc")
-        .select(
+          lit(iv))).as("bar_ts"): _*)
+      val joined = grid.join(agg, partCols :+ "bar_ts", "left")
+      val filled =
+        if (partCols.nonEmpty) {
+          // keyed fill: a per-key window is shuffle-parallel and bounded
+          // by each key's own grid span
+          val w = Window.partitionBy(pc: _*).orderBy("bar_ts")
+            .rowsBetween(Window.unboundedPreceding, 0)
+          joined.withColumn("__pc", last("close", ignoreNulls = true).over(w))
+        } else {
+          // previous-close forward fill as an affine carry scan (s' = close
+          // on non-empty bars, else s) instead of an unpartitioned window:
+          // the grid is bounded by range/interval, but a multi-year fine
+          // grid would push ~10⁸ rows through one task — the scan stays
+          // parallel at any grid size and leading empties stay NULL like
+          // last(ignoreNulls).
+          import graft.features.Scan
+          val cIdx = joined.schema.fieldIndex("close")
+          // state = (carried close, seen flag); a NaN init sentinel would
+          // NOT work — the "set" map a=0 still computes 0·NaN + b = NaN
+          Scan.affine(
+            joined, Seq("bar_ts"), nStates = 2,
+            coefs = (r, _) =>
+              if (r.isNullAt(cIdx))
+                Array(Scan.Affine(1.0, 0.0), Scan.Affine(1.0, 0.0))
+              else
+                Array(Scan.Affine(0.0, r.getDouble(cIdx)), Scan.Affine(0.0, 1.0)),
+            init = Array(0.0, 0.0),
+            emit = (s, _) =>
+              if (s(1) == 0.0) null else java.lang.Double.valueOf(s(0)),
+            outName = "__pc")
+        }
+      filled.select(pc ++ Seq(
           col("bar_ts"),
           coalesce(col("open"), col("__pc")).as("open"),
           coalesce(col("high"), col("__pc")).as("high"),
@@ -113,7 +133,7 @@ object TimeBars {
           coalesce(col("volume"), lit(0.0)).as("volume"),
           coalesce(col("trades"), lit(0L)).as("trades"),
           coalesce(col("median_trade_size"), lit(0.0)).as("median_trade_size"),
-          coalesce(col("vwap"), lit(0.0)).as("vwap"))
+          coalesce(col("vwap"), lit(0.0)).as("vwap")): _*)
     }
   }
 

@@ -37,6 +37,21 @@ object TradeQueries {
         r6(col("median_trade_size")).as("median_trade_size"),
         r6(col("vwap")).as("vwap"))),
 
+    // Per-symbol daily OHLCV bars WITH empty-bar fill: the keyed variant of
+    // the signature aggregation — per-key grid, per-key forward fill, all
+    // shuffle-parallel (§2.4 at the 100 TB layout). vwap is omitted HERE
+    // only: its double product-sum lands on an exact 1e-6 rounding tie for
+    // one (symbol, day) group in the synthetic data, where summation-order
+    // ulp flips r6 — it stays oracle-covered by time_bars_5m,
+    // tick_bars_300 and both resample gates.
+    "time_bars_1d_sym" -> ((s, dir) =>
+      TimeBars.ohlcv(trades(s, dir), 86400, fillEmpty = true,
+          partCols = Seq("symbol")).select(
+        col("symbol"), col("bar_ts"), r6(col("open")).as("open"),
+        r6(col("high")).as("high"), r6(col("low")).as("low"),
+        r6(col("close")).as("close"), r6(col("volume")).as("volume"),
+        col("trades"), r6(col("median_trade_size")).as("median_trade_size"))),
+
     // Directional (order-flow) bar features (§2.4).
     "time_bars_directional_1h" -> ((s, dir) =>
       TimeBars.directional(sided(s, dir), 3600).select(
@@ -164,6 +179,40 @@ object TradeQueries {
          |       ${rd("volume")} AS volume, trades,
          |       ${rd("median_trade_size")} AS median_trade_size, ${rd("vwap")} AS vwap
          |FROM bars""".stripMargin,
+
+    "time_bars_1d_sym" -> {
+      val iv = 86400L * 1000000000L
+      s"""WITH $tradesCte,
+         |bars0 AS (
+         |  SELECT symbol, ((ts + ${iv - 1}) // $iv) * $iv AS bar_ts,
+         |         first(price ORDER BY ts, id) AS open, max(price) AS high,
+         |         min(price) AS low, last(price ORDER BY ts, id) AS close,
+         |         sum(qty) AS volume, CAST(count(*) AS BIGINT) AS trades,
+         |         median(qty) AS median_trade_size
+         |  FROM trades GROUP BY 1, 2
+         |), bounds AS (
+         |  SELECT symbol, (min(ts) // $iv + 1) * $iv AS lo,
+         |         ((max(ts) + ${iv - 1}) // $iv) * $iv AS hi
+         |  FROM trades GROUP BY symbol
+         |), grid AS (
+         |  SELECT symbol, unnest(generate_series(lo, hi, $iv)) AS bar_ts FROM bounds
+         |), filled AS (
+         |  SELECT g.symbol AS symbol, g.bar_ts AS bar_ts, b.open, b.high,
+         |         b.low, b.close, b.volume, b.trades, b.median_trade_size,
+         |         last_value(b.close IGNORE NULLS) OVER (
+         |           PARTITION BY g.symbol ORDER BY g.bar_ts
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pc
+         |  FROM grid g LEFT JOIN bars0 b
+         |    ON g.symbol = b.symbol AND g.bar_ts = b.bar_ts
+         |)
+         |SELECT symbol, bar_ts,
+         |  ${rd("coalesce(open, pc)")} AS open, ${rd("coalesce(high, pc)")} AS high,
+         |  ${rd("coalesce(low, pc)")} AS low, ${rd("coalesce(close, pc)")} AS close,
+         |  ${rd("coalesce(volume, 0.0)")} AS volume,
+         |  CAST(coalesce(trades, 0) AS BIGINT) AS trades,
+         |  ${rd("coalesce(median_trade_size, 0.0)")} AS median_trade_size
+         |FROM filled""".stripMargin
+    },
 
     "time_bars_directional_1h" -> {
       val iv = 3600L * 1000000000L

@@ -113,6 +113,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"class balance must not use windows:\n$p")
   }
 
+  test("keyed OHLCV with fill partitions grid+fill by symbol") {
+    val p = plan(TimeBars.ohlcv(symTrades(4000), 60, fillEmpty = true,
+      partCols = Seq("symbol")))
+    assert(p.contains("hashpartitioning(symbol"),
+      s"keyed ohlcv must hash-partition by symbol:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"keyed ohlcv must not single-partition the grid/fill:\n$p")
+    assert(!p.contains("SortAggregate"), s"SortAggregate in plan:\n$p")
+  }
+
   test("keyed integrity summary partitions its windows by symbol") {
     val p = plan(graft.sources.Store.integritySummary(
       symTrades(4000), 3600L * 1000000000L, Seq("symbol")))
