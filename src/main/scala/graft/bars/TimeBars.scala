@@ -190,18 +190,25 @@ object TimeBars {
   }
 
   /** Trade-size distribution features vs a typical-size threshold θ —
-    * `comp_bar_trade_size_features` (bar/base.py:549-612). θ here is the
-    * global mean trade size (a broadcast scalar), thr = θ·mult.
+    * `comp_bar_trade_size_features` (bar/base.py:549-612). θ is the mean
+    * trade size (thr = θ·mult): a broadcast scalar in the single-series
+    * default, a per-key broadcast dimension table with `partCols` (each
+    * symbol measured against its own typical size — the multi-asset
+    * reading of the reference's single-series θ).
     */
-  def tradeSize(trades: DataFrame, intervalSec: Long, thetaMult: Double = 5.0): DataFrame = {
+  def tradeSize(trades: DataFrame, intervalSec: Long, thetaMult: Double = 5.0,
+                partCols: Seq[String] = Nil): DataFrame = {
     val iv = intervalSec * 1000000000L
-    val theta = trades.agg((avg("qty") * lit(thetaMult)).as("thr"))
-    val t = trades
+    val pc = partCols.map(col)
+    val theta = trades.groupBy(pc: _*).agg((avg("qty") * lit(thetaMult)).as("thr"))
+    val based = trades
       .withColumn("bar_ts", expr(s"((ts + ${iv - 1}L) div ${iv}L) * ${iv}L"))
-      .crossJoin(broadcast(theta))
-    // thr is a broadcast scalar: grouping by it keeps it referencable inside
+    val t =
+      if (partCols.isEmpty) based.crossJoin(broadcast(theta))
+      else based.join(broadcast(theta), partCols)
+    // thr is a broadcast column: grouping by it keeps it referencable inside
     // the aggregate expressions without a nested agg (same trick as the oracle)
-    t.groupBy("bar_ts", "thr").agg(
+    t.groupBy((pc :+ col("bar_ts")) :+ col("thr"): _*).agg(
       log1p(avg("qty") / col("thr")).as("mean_size_rel"),
       log1p(percentile(col("qty"), lit(0.95)) / col("thr")).as("size_95_rel"),
       (sum(when(col("qty") > col("thr"), col("qty")).otherwise(0.0)) /

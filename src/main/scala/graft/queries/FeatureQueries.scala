@@ -206,6 +206,24 @@ object FeatureQueries {
         .withColumn("rate_1h", count(lit(1)).over(wRate).cast("double"))
         .select(col("ts"), col("id"), r6(col("returnt_1h")).as("returnt_1h"),
           r6(col("rate_1h")).as("rate_1h"))
+    }),
+
+    // Keyed ReturnT/BarRate: the as-of and trailing-rate range windows
+    // partition by symbol (24h horizon — per-symbol streams are ~2
+    // trades/day) — shuffle-parallel, no single-partition range window.
+    "f_returnt_rate_sym" -> ((s, dir) => {
+      val t = Trades.fromEvents(Tables.events(s, dir))
+      val dayNs = 86400L * 1000000000L
+      val wAsOf = Window.partitionBy("symbol").orderBy("ts")
+        .rangeBetween(Window.unboundedPreceding, -dayNs)
+      val wRate = Window.partitionBy("symbol").orderBy("ts")
+        .rangeBetween(-dayNs, 0)
+      t.select(col("symbol"), col("ts"), col("id"), col("price"))
+        .withColumn("lag_price", last("price", ignoreNulls = true).over(wAsOf))
+        .withColumn("returnt_1d", when(col("lag_price") > 0, col("price") / col("lag_price") - 1))
+        .withColumn("rate_1d", count(lit(1)).over(wRate).cast("double"))
+        .select(col("symbol"), col("ts"), col("id"),
+          r6(col("returnt_1d")).as("returnt_1d"), r6(col("rate_1d")).as("rate_1d"))
     })
   )
 
@@ -490,6 +508,19 @@ object FeatureQueries {
          |FROM (
          |  SELECT ts, id, price,
          |    last_value(price) OVER (ORDER BY ts RANGE BETWEEN UNBOUNDED PRECEDING AND 3600000000000 PRECEDING) AS lag_price
+         |  FROM trades
+         |)""".stripMargin,
+
+    "f_returnt_rate_sym" ->
+      s"""WITH $tradesCte
+         |SELECT symbol, ts, id,
+         |  round(CASE WHEN lag_price > 0 THEN price / lag_price - 1 END, 6) AS returnt_1d,
+         |  round(CAST(count(*) OVER (PARTITION BY symbol ORDER BY ts
+         |    RANGE BETWEEN 86400000000000 PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS rate_1d
+         |FROM (
+         |  SELECT symbol, ts, id, price,
+         |    last_value(price) OVER (PARTITION BY symbol ORDER BY ts
+         |      RANGE BETWEEN UNBOUNDED PRECEDING AND 86400000000000 PRECEDING) AS lag_price
          |  FROM trades
          |)""".stripMargin
   )

@@ -82,6 +82,17 @@ object TradeQueries {
         r6(col("size_95_rel")).as("size_95_rel"), r6(col("pct_block")).as("pct_block"),
         r6(col("size_gini")).as("size_gini"))),
 
+    // Keyed trade-size features: per-symbol θ (broadcast dimension table)
+    // and per-(symbol, day) distribution stats — shuffle-parallel.
+    "time_bars_size_sym" -> ((s, dir) =>
+      TimeBars.tradeSize(trades(s, dir), 86400, partCols = Seq("symbol"))
+        .select(
+          col("symbol"), col("bar_ts"),
+          r6(col("mean_size_rel")).as("mean_size_rel"),
+          r6(col("size_95_rel")).as("size_95_rel"),
+          r6(col("pct_block")).as("pct_block"),
+          r6(col("size_gini")).as("size_gini"))),
+
     // Resample 5m → 1h (§3.3 storage lifecycle / TimeBarReader._resample).
     "resample_5m_to_1h" -> ((s, dir) =>
       TimeBars.resample(TimeBars.ohlcv(trades(s, dir), 300), 300, 3600).select(
@@ -297,6 +308,20 @@ object TradeQueries {
          |  ${rd("CASE WHEN count(*) = 1 THEN 0.0 ELSE 1.0 - sum(qty * qty) / (sum(qty) * sum(qty)) END")} AS size_gini
          |FROM trades, theta
          |GROUP BY 1, thr""".stripMargin
+    },
+
+    "time_bars_size_sym" -> {
+      val iv = 86400L * 1000000000L
+      s"""WITH $tradesCte,
+         |theta AS (SELECT symbol, avg(qty) * CAST(5.0 AS DOUBLE) AS thr
+         |          FROM trades GROUP BY symbol)
+         |SELECT symbol, ((ts + ${iv - 1}) // $iv) * $iv AS bar_ts,
+         |  ${rd("ln(1 + avg(qty) / thr)")} AS mean_size_rel,
+         |  ${rd("ln(1 + quantile_cont(qty, 0.95) / thr)")} AS size_95_rel,
+         |  ${rd("sum(CASE WHEN qty > thr THEN qty ELSE 0.0 END) / sum(qty)")} AS pct_block,
+         |  ${rd("CASE WHEN count(*) = 1 THEN 0.0 ELSE 1.0 - sum(qty * qty) / (sum(qty) * sum(qty)) END")} AS size_gini
+         |FROM trades t JOIN theta USING (symbol)
+         |GROUP BY 1, 2, thr""".stripMargin
     },
 
     "resample_5m_to_1h" -> {
