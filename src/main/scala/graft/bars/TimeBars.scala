@@ -234,22 +234,29 @@ object TimeBars {
     *              derives it from the requested range end. Applied BEFORE
     *              the weighted-median windows so dropped periods never
     *              shuffle.
+    * @param partCols per-key resample for multi-symbol bars tables: every
+    *              window and the groupBy key on (partCols, rs_ts) — the
+    *              single-series default is already shuffle-parallel across
+    *              periods, this keeps it parallel across symbols too.
     */
   def resample(bars: DataFrame, fromSec: Long, toSec: Long,
-               maxTs: Option[Long] = None): DataFrame = {
+               maxTs: Option[Long] = None,
+               partCols: Seq[String] = Nil): DataFrame = {
     require(toSec % fromSec == 0, "target timeframe must be a multiple")
     val iv = toSec * 1000000000L
+    val pc = partCols.map(col)
+    val grp = (partCols :+ "rs_ts").map(col)
     val src0 = bars
       .where(col("trades") > 0) // resample over non-empty source bars
       .withColumn("rs_ts", expr(s"((bar_ts + ${iv - 1}L) div ${iv}L) * ${iv}L"))
     val src = maxTs.fold(src0)(m => src0.where(col("rs_ts") <= m))
-    val wOrd = Window.partitionBy("rs_ts")
+    val wOrd = Window.partitionBy(grp: _*)
       .orderBy(col("median_trade_size").asc, col("bar_ts").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
     src
       .withColumn("__cumw", sum(col("trades").cast("double")).over(wOrd))
-      .withColumn("__totw", sum(col("trades").cast("double")).over(Window.partitionBy("rs_ts")))
-      .groupBy("rs_ts")
+      .withColumn("__totw", sum(col("trades").cast("double")).over(Window.partitionBy(grp: _*)))
+      .groupBy(grp: _*)
       .agg(
         min_by(col("open"), col("bar_ts")).as("open"),
         max("high").as("high"),

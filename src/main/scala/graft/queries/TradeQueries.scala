@@ -119,6 +119,22 @@ object TradeQueries {
           r6(col("vwap")).as("vwap"))
     }),
 
+    // Keyed resample: per-symbol daily bars re-binned to 7-day periods —
+    // windows and groupBy on (symbol, rs_ts), shuffle-parallel across
+    // symbols AND periods. vwap omitted for the same double-sum rounding
+    // -tie reason as time_bars_1d_sym (covered by the unkeyed resamples).
+    "resample_1d_to_1w_sym" -> ((s, dir) => {
+      val daily = TimeBars.ohlcv(trades(s, dir), 86400, fillEmpty = true,
+        partCols = Seq("symbol"))
+      TimeBars.resample(daily, 86400, 7 * 86400, partCols = Seq("symbol"))
+        .select(
+          col("symbol"), col("rs_ts"), r6(col("open")).as("open"),
+          r6(col("high")).as("high"), r6(col("low")).as("low"),
+          r6(col("close")).as("close"), r6(col("volume")).as("volume"),
+          col("trades"),
+          r6(col("median_trade_size")).as("median_trade_size"))
+    }),
+
     // Time-gap integrity scan (§2.1 H5Inspector.inspect_gaps).
     "integrity_time_gaps" -> ((s, dir) =>
       Trades.timeGaps(trades(s, dir), 3600L * 1000000000L).select(
@@ -342,6 +358,39 @@ object TradeQueries {
          |  ${rd("min(CASE WHEN cumw >= totw * 0.5 THEN median_trade_size END)")} AS median_trade_size,
          |  ${rd("sum(vwap * volume) / sum(volume)")} AS vwap
          |FROM src GROUP BY 1""".stripMargin
+    },
+
+    "resample_1d_to_1w_sym" -> {
+      val dv = 86400L * 1000000000L
+      val wv = 7L * dv
+      // the engine resamples FILLED per-symbol daily bars, but resample
+      // filters trades > 0, which strips every filled empty — so the
+      // oracle can work from the raw per-symbol daily aggregation
+      s"""WITH $tradesCte,
+         |bars0 AS (
+         |  SELECT symbol, ((ts + ${dv - 1}) // $dv) * $dv AS bar_ts,
+         |         first(price ORDER BY ts, id) AS open, max(price) AS high,
+         |         min(price) AS low, last(price ORDER BY ts, id) AS close,
+         |         sum(qty) AS volume, CAST(count(*) AS BIGINT) AS trades,
+         |         median(qty) AS median_trade_size
+         |  FROM trades GROUP BY 1, 2
+         |),
+         |src AS (
+         |  SELECT *, ((bar_ts + ${wv - 1}) // $wv) * $wv AS rs_ts,
+         |    sum(CAST(trades AS DOUBLE)) OVER (
+         |      PARTITION BY symbol, ((bar_ts + ${wv - 1}) // $wv) * $wv
+         |      ORDER BY median_trade_size, bar_ts
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+         |    sum(CAST(trades AS DOUBLE)) OVER (
+         |      PARTITION BY symbol, ((bar_ts + ${wv - 1}) // $wv) * $wv) AS totw
+         |  FROM bars0
+         |)
+         |SELECT symbol, rs_ts,
+         |  ${rd("arg_min(open, bar_ts)")} AS open, ${rd("max(high)")} AS high,
+         |  ${rd("min(low)")} AS low, ${rd("arg_max(close, bar_ts)")} AS close,
+         |  ${rd("sum(volume)")} AS volume, CAST(sum(trades) AS BIGINT) AS trades,
+         |  ${rd("min(CASE WHEN cumw >= totw * 0.5 THEN median_trade_size END)")} AS median_trade_size
+         |FROM src GROUP BY symbol, rs_ts""".stripMargin
     },
 
     "resample_1h_to_1d" -> {
