@@ -145,6 +145,12 @@ object Scan {
     *                lineage is deterministic (scans + narrow ops are; an
     *                upstream shuffle with nondeterministic row order is
     *                not — checkpoint such inputs first, or set `pinned`).
+    *                The persisted layout stays registered after the scan
+    *                (phase B reads it lazily); long-running sessions
+    *                issuing many cached-mode scans should
+    *                `spark.catalog.clearCache()` between batches — the
+    *                pinned mode (and every auto-pinned scan) persists
+    *                nothing.
     * @param pinned  fully deterministic mode: nothing is persisted; the
     *                input is shuffled ONCE through a FROZEN partitioner
     *                (range bounds sampled a single time on the driver, then
