@@ -60,6 +60,9 @@ object SymBench {
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
         System.gc()
+        // async broadcast/shuffle cleanup must not contend with the next
+        // query's IO inside its timed region (same isolation as Bench)
+        Thread.sleep(300)
         val t0 = System.nanoTime()
         try {
           SparkEntry.queries(n)(spark, dirFor(n))
