@@ -178,6 +178,48 @@ object TradeQueries {
     "tick_size_gcd" -> ((s, dir) =>
       Trades.tickSize(trades(s, dir)).select(r6(col("tick_size")).as("tick_size"))),
 
+    // END-TO-END store round-trip (§2.1 save_h5 → catalog): canonical
+    // trades are WRITTEN through Store.saveMonthly (month-partitioned zstd
+    // parquet, dynamic overwrite) and read back; the catalog over the
+    // round-tripped table must hash-match the oracle computed from the raw
+    // events — a corrupted write/read path fails here, not just in
+    // StoreSpec. Fixed temp path + overwrite keeps reruns idempotent.
+    "store_roundtrip_catalog" -> ((s, dir) => {
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_gate_store").getAbsolutePath
+      graft.sources.Store.saveMonthly(trades(s, dir), tmp)
+      graft.sources.Store.monthlyStats(s.read.parquet(tmp).drop("month"))
+        .select(
+          col("month"), col("rows"), col("first_ts"), col("last_ts"),
+          r6(col("min_price")).as("min_price"), r6(col("max_price")).as("max_price"),
+          r6(col("total_qty")).as("total_qty"))
+    }),
+
+    // END-TO-END derived-bars lifecycle (§2.1 AddTimeBarH5 → TimeBarReader):
+    // trades store → materialized 1h bars store → readBars with a date-only
+    // end and a daily resample (end-of-day expansion + incomplete-final-day
+    // drop) — the full reference storage lifecycle, hash-matched against
+    // the raw-events oracle (same SQL as resample_1h_to_1d).
+    "store_readback_1d" -> ((s, dir) => {
+      val dayNs = 86400L * 1000000000L
+      val tdir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_gate_trades").getAbsolutePath
+      val bdir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_gate_bars").getAbsolutePath
+      val t = trades(s, dir)
+      graft.sources.Store.saveMonthly(t, tdir)
+      graft.sources.Store.materializeBars(s, tdir, bdir, intervalSec = 3600)
+      val endNs = (t.agg(max("ts")).first().getLong(0) / dayNs) * dayNs
+      graft.sources.Store.readBars(s, bdir, 0L, endNs, barSec = 3600,
+          resampleSec = Some(86400))
+        .select(
+          col("rs_ts"), r6(col("open")).as("open"), r6(col("high")).as("high"),
+          r6(col("low")).as("low"), r6(col("close")).as("close"),
+          r6(col("volume")).as("volume"), col("trades"),
+          r6(col("median_trade_size")).as("median_trade_size"),
+          r6(col("vwap")).as("vwap"))
+    }),
+
     // Monthly catalog report (§2.1 H5Inspector.get_statistics): the same
     // aggregation Store.monthlyStats runs over the partitioned layout.
     "catalog_months" -> ((s, dir) =>
@@ -187,7 +229,47 @@ object TradeQueries {
         r6(col("total_qty")).as("total_qty")))
   )
 
+  /** Shared by `catalog_months` and the `store_roundtrip_catalog` write
+    * path gate: the write→read must be lossless, so the same SQL is the
+    * truth for both.
+    */
+  private val catalogSql: String =
+    s"""WITH $tradesCte
+       |SELECT strftime(make_timestamp(ts // 1000), '%Y-%m') AS month,
+       |       CAST(count(*) AS BIGINT) AS rows,
+       |       min(ts) AS first_ts, max(ts) AS last_ts,
+       |       ${rd("min(price)")} AS min_price, ${rd("max(price)")} AS max_price,
+       |       ${rd(dsumSql("qty"))} AS total_qty
+       |FROM trades GROUP BY 1""".stripMargin
+
+  /** Shared by `resample_1h_to_1d` and the `store_readback_1d` lifecycle
+    * gate (trades store → bars store → ranged daily read): both must equal
+    * the direct computation from raw events.
+    */
+  private val resample1dSql: String = {
+    val iv = 86400L * 1000000000L
+    s"""WITH $tradesCte, ${barsCte(3600)},
+       |mx AS (SELECT (max(ts) // $iv) * $iv AS end_ns FROM trades),
+       |src AS (
+       |  SELECT *, ((bar_ts + ${iv - 1}) // $iv) * $iv AS rs_ts,
+       |    sum(CAST(trades AS DOUBLE)) OVER (PARTITION BY ((bar_ts + ${iv - 1}) // $iv) * $iv
+       |      ORDER BY median_trade_size, bar_ts
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+       |    sum(CAST(trades AS DOUBLE)) OVER (PARTITION BY ((bar_ts + ${iv - 1}) // $iv) * $iv) AS totw
+       |  FROM bars WHERE trades > 0
+       |)
+       |SELECT rs_ts,
+       |  ${rd("arg_min(open, bar_ts)")} AS open, ${rd("max(high)")} AS high,
+       |  ${rd("min(low)")} AS low, ${rd("arg_max(close, bar_ts)")} AS close,
+       |  ${rd("sum(volume)")} AS volume, CAST(sum(trades) AS BIGINT) AS trades,
+       |  ${rd("min(CASE WHEN cumw >= totw * 0.5 THEN median_trade_size END)")} AS median_trade_size,
+       |  ${rd("sum(vwap * volume) / sum(volume)")} AS vwap
+       |FROM src, mx WHERE rs_ts <= end_ns GROUP BY rs_ts""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "store_roundtrip_catalog" -> catalogSql,
+    "store_readback_1d" -> resample1dSql,
     "trades_canonical" ->
       s"""WITH $tradesCte, $sidedCte
          |SELECT ts, id, ${rd("price")} AS price, ${rd("qty")} AS qty, symbol, side
@@ -393,26 +475,7 @@ object TradeQueries {
          |FROM src GROUP BY symbol, rs_ts""".stripMargin
     },
 
-    "resample_1h_to_1d" -> {
-      val iv = 86400L * 1000000000L
-      s"""WITH $tradesCte, ${barsCte(3600)},
-         |mx AS (SELECT (max(ts) // $iv) * $iv AS end_ns FROM trades),
-         |src AS (
-         |  SELECT *, ((bar_ts + ${iv - 1}) // $iv) * $iv AS rs_ts,
-         |    sum(CAST(trades AS DOUBLE)) OVER (PARTITION BY ((bar_ts + ${iv - 1}) // $iv) * $iv
-         |      ORDER BY median_trade_size, bar_ts
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
-         |    sum(CAST(trades AS DOUBLE)) OVER (PARTITION BY ((bar_ts + ${iv - 1}) // $iv) * $iv) AS totw
-         |  FROM bars WHERE trades > 0
-         |)
-         |SELECT rs_ts,
-         |  ${rd("arg_min(open, bar_ts)")} AS open, ${rd("max(high)")} AS high,
-         |  ${rd("min(low)")} AS low, ${rd("arg_max(close, bar_ts)")} AS close,
-         |  ${rd("sum(volume)")} AS volume, CAST(sum(trades) AS BIGINT) AS trades,
-         |  ${rd("min(CASE WHEN cumw >= totw * 0.5 THEN median_trade_size END)")} AS median_trade_size,
-         |  ${rd("sum(vwap * volume) / sum(volume)")} AS vwap
-         |FROM src, mx WHERE rs_ts <= end_ns GROUP BY rs_ts""".stripMargin
-    },
+    "resample_1h_to_1d" -> resample1dSql,
 
     "integrity_time_gaps" ->
       s"""WITH $tradesCte
@@ -491,13 +554,6 @@ object TradeQueries {
          |SELECT ${rd("list_reduce(list_transform(ds, d -> CAST(round(d * scale) AS BIGINT)), (a, b) -> gcd(a, b)) / scale")} AS tick_size
          |FROM scaled""".stripMargin,
 
-    "catalog_months" ->
-      s"""WITH $tradesCte
-         |SELECT strftime(make_timestamp(ts // 1000), '%Y-%m') AS month,
-         |       CAST(count(*) AS BIGINT) AS rows,
-         |       min(ts) AS first_ts, max(ts) AS last_ts,
-         |       ${rd("min(price)")} AS min_price, ${rd("max(price)")} AS max_price,
-         |       ${rd(dsumSql("qty"))} AS total_qty
-         |FROM trades GROUP BY 1""".stripMargin
+    "catalog_months" -> catalogSql
   )
 }
