@@ -37,17 +37,27 @@ object FSpec {
   /** sma / std / min / max / median / ewma / zscore / burst over n rows */
   case class FRoll(op: String, x: FSpec, n: Int) extends FSpec
   /** named function from [[Dsl.register]]/[[Dsl.registerParam]]/
-    * [[Dsl.registerExt]] — the `ExternalFunction` equivalent
-    * (transforms.py:1668-1805): serialized by registry name plus its
-    * positional numeric args and named kwargs, over one or more input
+    * [[Dsl.registerExt]]/[[Dsl.registerExtFull]] — the `ExternalFunction`
+    * equivalent (transforms.py:1668-1805): serialized by registry name plus
+    * its positional numeric args, named numeric kwargs and named STRING
+    * kwargs (the reference serializes arbitrary kwargs incl. string enums
+    * like mode flags, feature/utils.py:132-303), over one or more input
     * specs (the reference passes multiple `input_cols` as positional
     * arguments, transforms.py:1770-1780), so a parameterized multi-input
-    * call round-trips through JSON like the reference's pipeline configs
-    * (feature/utils.py:132-303). `kwargs` is an ordered Seq so the JSON
-    * form is deterministic.
+    * call round-trips through JSON like the reference's pipeline configs.
+    * `kwargs`/`skwargs` are ordered Seqs so the JSON form is deterministic.
+    *
+    * Numeric parameters must be FINITE: Double.toString renders NaN/±Inf
+    * as bare unquoted tokens — invalid JSON that would fail toJson's own
+    * round-trip — so non-finite values are rejected at construction.
     */
   case class FCall(fn: String, xs: Seq[FSpec], args: Seq[Double] = Nil,
-                   kwargs: Seq[(String, Double)] = Nil) extends FSpec
+                   kwargs: Seq[(String, Double)] = Nil,
+                   skwargs: Seq[(String, String)] = Nil) extends FSpec {
+    require((args ++ kwargs.map(_._2)).forall(v => !v.isNaN && !v.isInfinite),
+      s"FCall($fn): NaN/Infinity parameters cannot round-trip through JSON " +
+        s"(args=$args, kwargs=$kwargs)")
+  }
 }
 
 /** User-facing wrapper with the reference's operator surface. */
@@ -79,6 +89,8 @@ case class Feature(spec: FSpec) {
     Feature(FCall(fn, Seq(spec), args.toSeq))
   def callKw(fn: String, kwargs: (String, Double)*): Feature =
     Feature(FCall(fn, Seq(spec), Nil, kwargs.toSeq))
+  def callStrKw(fn: String, skwargs: (String, String)*): Feature =
+    Feature(FCall(fn, Seq(spec), Nil, Nil, skwargs.toSeq))
   def name: String = Dsl.nameOf(spec)
 }
 
@@ -96,42 +108,60 @@ object Dsl {
     * re-applied.
     */
   private val registry = new java.util.concurrent.ConcurrentHashMap[
-    String, (Seq[Column], Seq[Double], Map[String, Double]) => Column]()
+    String,
+    (Seq[Column], Seq[Double], Map[String, Double], Map[String, String]) => Column]()
 
   /** Register a unary no-parameter function (serialized args/kwargs and
     * extra inputs are rejected loudly).
     */
   def register(name: String, f: Column => Column): Unit =
-    registry.put(name, (cs, args, kw) => {
-      require(cs.length == 1 && args.isEmpty && kw.isEmpty,
+    registry.put(name, (cs, args, kw, skw) => {
+      require(cs.length == 1 && args.isEmpty && kw.isEmpty && skw.isEmpty,
         s"DSL function '$name' is unary with no parameters, got " +
-          s"${cs.length} inputs, args=$args, kwargs=$kw")
+          s"${cs.length} inputs, args=$args, kwargs=$kw, skwargs=$skw")
       f(cs.head)
     })
 
   /** Register a unary function with positional numeric parameters. */
   def registerParam(name: String, f: (Column, Seq[Double]) => Column): Unit =
-    registry.put(name, (cs, args, kw) => {
-      require(cs.length == 1 && kw.isEmpty,
+    registry.put(name, (cs, args, kw, skw) => {
+      require(cs.length == 1 && kw.isEmpty && skw.isEmpty,
         s"DSL function '$name' is unary/positional, got ${cs.length} " +
-          s"inputs, kwargs=$kw")
+          s"inputs, kwargs=$kw, skwargs=$skw")
       f(cs.head, args)
     })
 
-  /** Full `ExternalFunction` form: multiple input columns (positional,
-    * like the reference's `input_cols`), positional args, named kwargs.
+  /** Multi-input numeric `ExternalFunction` form: multiple input columns
+    * (positional, like the reference's `input_cols`), positional args,
+    * named numeric kwargs. String kwargs are rejected — use
+    * [[registerExtFull]] for functions taking string/enum parameters.
     */
   def registerExt(name: String,
       f: (Seq[Column], Seq[Double], Map[String, Double]) => Column): Unit =
+    registry.put(name, (cs, args, kw, skw) => {
+      require(skw.isEmpty,
+        s"DSL function '$name' takes no string kwargs, got $skw")
+      f(cs, args, kw)
+    })
+
+  /** The complete `ExternalFunction` call shape (transforms.py:1668-1805):
+    * multiple input columns, positional numeric args, named numeric kwargs
+    * AND named string kwargs (the reference accepts arbitrary kwargs — a
+    * string enum such as a mode flag serializes with the call and
+    * round-trips through the JSON pipeline config, feature/utils.py:132-303).
+    */
+  def registerExtFull(name: String,
+      f: (Seq[Column], Seq[Double], Map[String, Double], Map[String, String]) => Column): Unit =
     registry.put(name, f)
 
   /** Multi-input call builder (the `input_cols: Sequence[str]` shape). */
   def call(fn: String, inputs: Seq[Feature], args: Seq[Double] = Nil,
-           kwargs: Seq[(String, Double)] = Nil): Feature =
-    Feature(FCall(fn, inputs.map(_.spec), args, kwargs))
+           kwargs: Seq[(String, Double)] = Nil,
+           skwargs: Seq[(String, String)] = Nil): Feature =
+    Feature(FCall(fn, inputs.map(_.spec), args, kwargs, skwargs))
 
   private def resolveCall(name: String)
-      : (Seq[Column], Seq[Double], Map[String, Double]) => Column = {
+      : (Seq[Column], Seq[Double], Map[String, Double], Map[String, String]) => Column = {
     val f = registry.get(name)
     require(f != null, s"unregistered DSL function '$name'")
     f
@@ -148,9 +178,10 @@ object Dsl {
     case FRet(x, n, true) => s"${nameOf(x)}_logret_$n"
     case FRet(x, n, false)=> s"${nameOf(x)}_ret_$n"
     case FRoll(op, x, n)  => s"${nameOf(x)}_${op}_$n"
-    case FCall(fn, xs, as, kw) =>
+    case FCall(fn, xs, as, kw, skw) =>
       val parts = xs.map(nameOf) ++ as.map(a => nameOf(FConst(a))) ++
-        kw.map { case (k, v) => s"$k=${nameOf(FConst(v))}" }
+        kw.map { case (k, v) => s"$k=${nameOf(FConst(v))}" } ++
+        skw.map { case (k, v) => s"$k=$v" }
       s"$fn(${parts.mkString(",")})"
   }
 
@@ -188,8 +219,8 @@ object Dsl {
     case FRoll("zscore", x, n) => Features.zscore(compile(x, p), n, ddof = 0, p = p)
     case FRoll("burst", x, n)  => Features.burstRatio(compile(x, p), n, p)
     case FRoll(op, _, _)       => throw new IllegalArgumentException(s"roll op $op")
-    case FCall(fn, xs, as, kw) =>
-      resolveCall(fn)(xs.map(compile(_, p)), as, kw.toMap)
+    case FCall(fn, xs, as, kw, skw) =>
+      resolveCall(fn)(xs.map(compile(_, p)), as, kw.toMap, skw.toMap)
   }
 
   /** The `FeatureKit.build` equivalent: retained columns ∪ one aliased
@@ -217,7 +248,7 @@ object Dsl {
     case FLag(x, n)        => s"""{"op":"lag","x":${j(x)},"n":$n}"""
     case FRet(x, n, isLog) => s"""{"op":"ret","x":${j(x)},"n":$n,"log":$isLog}"""
     case FRoll(op, x, n)   => s"""{"op":"roll","roll":"${esc(op)}","x":${j(x)},"n":$n}"""
-    case FCall(fn, xs, as, kw) =>
+    case FCall(fn, xs, as, kw, skw) =>
       val in =
         if (xs.length == 1) s""""x":${j(xs.head)}"""
         else s""""xs":${xs.map(j).mkString("[", ",", "]")}"""
@@ -225,6 +256,9 @@ object Dsl {
         (if (as.nonEmpty) Seq(s""""args":${as.mkString("[", ",", "]")}""") else Nil) ++
         (if (kw.nonEmpty)
           Seq(s""""kwargs":{${kw.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString(",")}}""")
+         else Nil) ++
+        (if (skw.nonEmpty)
+          Seq(s""""skwargs":{${skw.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString(",")}}""")
          else Nil)
       (s"""{"op":"call","fn":"${esc(fn)}",$in""" +: tail).mkString("", ",", "}")
   }
@@ -287,6 +321,23 @@ object Dsl {
       }
       buf.toSeq
     }
+    private def parseStrObject(): Seq[(String, String)] = {
+      expect('{')
+      ws()
+      if (s(i) == '}') { i += 1; return Nil }
+      val buf = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      var done = false
+      while (!done) {
+        ws()
+        val k = parseString()
+        expect(':')
+        ws()
+        buf += (k -> parseString())
+        ws()
+        if (s(i) == ',') i += 1 else { expect('}'); done = true }
+      }
+      buf.toSeq
+    }
     private def parseNumArray(): Seq[Double] = {
       expect('[')
       ws()
@@ -330,8 +381,9 @@ object Dsl {
         // "xs" is an array of SPECS and "kwargs" an object of numbers —
         // both would misparse under the generic value dispatch below
         val v: Any = k match {
-          case "xs"     => parseArray()
-          case "kwargs" => parseNumObject()
+          case "xs"      => parseArray()
+          case "kwargs"  => parseNumObject()
+          case "skwargs" => parseStrObject()
           case _ => s(i) match {
             case '{' => parseObject()
             case '"' => parseString()
@@ -361,6 +413,8 @@ object Dsl {
             .getOrElse(Seq(fields("x").asInstanceOf[FSpec])),
           fields.get("args").map(_.asInstanceOf[Seq[Double]]).getOrElse(Nil),
           fields.get("kwargs").map(_.asInstanceOf[Seq[(String, Double)]])
+            .getOrElse(Nil),
+          fields.get("skwargs").map(_.asInstanceOf[Seq[(String, String)]])
             .getOrElse(Nil))
         case u if unaryOps(u)  => FUnary(u, fields("x").asInstanceOf[FSpec])
         case b if binaryOps(b) => FBinary(b, fields("a").asInstanceOf[FSpec],

@@ -119,6 +119,13 @@ object Scan {
   /** Exact distributed scan for a vector of independent scalar-affine
     * recurrences over a globally `orderCol`-ordered frame.
     *
+    * COST NOTE (pinned / auto-pinned mode): the range bounds are sampled
+    * from a column-pruned projection of `df` BEFORE the main shuffle pass —
+    * the input lineage is evaluated TWICE (once to sample bounds, once to
+    * shuffle). When the upstream chain is expensive, persist `df` first (or
+    * pass a cheap equivalent); the sample projection reads only the order
+    * keys, so a persisted input makes the extra pass near-free.
+    *
     * @param coefs   per-row affine coefficients for each state component;
     *                receives the row and the previous row (null for the
     *                partition's first row — resolved exactly via the

@@ -118,9 +118,14 @@ object TripleBarrier {
 
     // Pass 2 — return AT the touch: only trades at the touch timestamp
     // matter, so instead of re-deriving the whole path (a second bucketed
-    // join over |events| × path rows) we broadcast the tiny per-event table
-    // and hash-join it against the RAW trades on ts == touch_ts — one cheap
-    // scan of trades, recomputing ret only for the handful of touch prints.
+    // join over |events| × path rows) we equi-join the per-event table
+    // against the RAW trades on ts == touch_ts — one cheap scan of trades,
+    // recomputing ret only for the handful of touch prints. NO broadcast
+    // hint: the event table scales with trades (~1/29 — the same argument
+    // as the path join above), so a forced broadcast is a driver OOM at
+    // 100 TB. The condition is pure-equi, so AQE broadcasts when the
+    // measured size allows and shuffle-hash-joins otherwise (PlanSpec pins
+    // the small-scale broadcast shape).
     // Tie-break by trade id replays the reference kernel's walk order
     // (first breaching print / last print, tbm.py:99-143), with fixed-width
     // long keys for min_by/max_by. partCols ride the key everywhere here:
@@ -135,7 +140,7 @@ object TripleBarrier {
     val touch = trades
       .select(pc ++ Seq(col("ts").as("__t_ts2"), col("id").as("__t_id2"),
         col("price").as("__t_price2")): _*)
-      .join(broadcast(p1Side),
+      .join(p1Side,
         partCols.map(c => col(c) === col(s"__p_$c"))
           .foldLeft(col("__t_ts2") === col("touch_ts"))(_ && _))
       .withColumn("__ret",
@@ -146,7 +151,7 @@ object TripleBarrier {
         min_by(col("__ret"), when(col("__breach"), col("__t_id2"))).as("ret_breach"),
         max_by(col("__ret"), col("__t_id2")).as("ret_vert"))
 
-    val p2 = p1.join(broadcast(touch), partCols :+ "event_id")
+    val p2 = p1.join(touch, partCols :+ "event_id")
       .withColumn("ret_touch",
         when(col("touch0").isNotNull, col("ret_breach")).otherwise(col("ret_vert")))
 

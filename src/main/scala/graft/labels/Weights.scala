@@ -193,7 +193,11 @@ object Weights {
       when(col("__class_sum") > 0,
         col("__total") / (col("__n_classes") * col("__class_sum")))
         .otherwise(0.0).as("class_weight"): _*)
-    labeledWeights.join(broadcast(clsW), partCols :+ "label")
+    // LEFT join: a NULL label (or NULL key column) never equi-matches, and
+    // an inner join would silently drop such rows. Unlabeled events keep
+    // their row with class_weight 0 — the reference's empty-class weight.
+    labeledWeights.join(broadcast(clsW), partCols :+ "label", "left")
+      .withColumn("class_weight", coalesce(col("class_weight"), lit(0.0)))
       .withColumn("weight", col(baseCol) * col("class_weight"))
   }
 }

@@ -175,6 +175,13 @@ object FeatureQueries {
       Dsl.registerParam("powc", (c, args) => pow(c, args.head))
       Dsl.registerExt("wavg", (cs, _, kw) =>
         cs(0) * kw("w0") + cs(1) * kw("w1"))
+      // string-enum kwarg (mode flag) — the reference's ExternalFunction
+      // accepts arbitrary kwargs incl. strings (feature/utils.py:132-303)
+      Dsl.registerExtFull("scl", (cs, _, kw, skw) => skw("mode") match {
+        case "sqrt"  => sqrt(cs(0) * kw("k"))
+        case "log"   => log(cs(0) * kw("k"))
+        case other   => throw new IllegalArgumentException(s"scl mode $other")
+      })
       val feats = Seq(
         Dsl.col("close").logRet(1),
         Dsl.col("close").sma(20),
@@ -184,7 +191,9 @@ object FeatureQueries {
         Dsl.col("volume").rollMedian(20),
         Dsl.col("close").call("powc", 2.0),
         Dsl.call("wavg", Seq(Dsl.col("high"), Dsl.col("low")),
-          kwargs = Seq("w0" -> 0.3, "w1" -> 0.7)))
+          kwargs = Seq("w0" -> 0.3, "w1" -> 0.7)),
+        Dsl.call("scl", Seq(Dsl.col("close")),
+          kwargs = Seq("k" -> 2.0), skwargs = Seq("mode" -> "sqrt")))
       val parsed = Dsl.fromJson(Dsl.toJson(feats))
       require(parsed.map(_.spec) == feats.map(_.spec), "dsl json round-trip drift")
       val built = Dsl.build(bars5m(s, dir).withColumn("bar_ts", col("bar_ts")),
@@ -428,7 +437,8 @@ object FeatureQueries {
          |  round(${fullCase(20, "CASE WHEN min(volume) OVER wn < max(volume) OVER wn THEN (volume - avg(volume) OVER wn) / nullif(stddev_pop(volume) OVER wn, 0) END")}, 6) AS "volume_zscore_20",
          |  round(${fullCase(20, "quantile_cont(volume, 0.5) OVER wn")}, 6) AS "volume_median_20",
          |  round(pow(close, 2.0), 6) AS "powc(close,2)",
-         |  round(high * 0.3e0 + low * 0.7e0, 6) AS "wavg(high,low,w0=0.3,w1=0.7)"
+         |  round(high * 0.3e0 + low * 0.7e0, 6) AS "wavg(high,low,w0=0.3,w1=0.7)",
+         |  round(sqrt(close * 2.0e0), 6) AS "scl(close,k=2,mode=sqrt)"
          |FROM b WINDOW
          |  wn AS (ORDER BY bar_ts ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
          |  wo AS (ORDER BY bar_ts)""".stripMargin),

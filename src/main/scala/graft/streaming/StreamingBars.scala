@@ -471,8 +471,16 @@ object StreamingBars {
             DirBufState(Double.NaN, 0, hasPrev = false, Vector.empty))
           val buf = if (state.hasTimedOut) s.rows else s.rows ++ rows
           val wmMs = state.getCurrentWatermarkMs()
+          // STRICT <: Spark's stateful late-row filter drops only rows
+          // strictly older than the watermark, so a row whose event time
+          // EQUALS the watermark can still arrive in a later batch. With
+          // bar-aligned event times and a grid-aligned watermark that
+          // equality is common — finalizing at == would emit the bar and
+          // then fold the late row out of order / duplicate the bar. A bar
+          // closes one watermark advance later, never before Spark
+          // guarantees no more rows for it.
           val (doneRows, openRows) =
-            buf.partition(r => r.bar_ts / 1000000L <= wmMs)
+            buf.partition(r => r.bar_ts / 1000000L < wmMs)
           var st = DirState(s.prevPrice, s.prevSide, s.hasPrev, Map.empty)
           doneRows.sortBy(r => (r.ts, r.id)).foreach { r => st = dirFold(st, r) }
           state.update(DirBufState(st.prevPrice, st.prevSide, st.hasPrev, openRows))

@@ -125,4 +125,43 @@ class DslSpec extends AnyFunSuite {
     assert(legacy.head.spec ==
       graft.features.FSpec.FCall("ident", Seq(graft.features.FSpec.FCol("high"))))
   }
+
+  test("string kwargs round-trip and dispatch (ExternalFunction string params)") {
+    import org.apache.spark.sql.functions.{sqrt => ssqrt, log => slog}
+    Dsl.registerExtFull("mode_scale", (cs, _, kw, skw) => skw("mode") match {
+      case "sqrt" => ssqrt(cs(0) * kw("k"))
+      case "log"  => slog(cs(0) * kw("k"))
+      case other  => throw new IllegalArgumentException(s"mode $other")
+    })
+    val f = Dsl.call("mode_scale", Seq(Dsl.col("close")),
+      kwargs = Seq("k" -> 4.0), skwargs = Seq("mode" -> "sqrt"))
+    assert(f.name == "mode_scale(close,k=4,mode=sqrt)")
+    val json = Dsl.toJson(Seq(f))
+    assert(json.contains(""""skwargs":{"mode":"sqrt"}"""), json)
+    val back = Dsl.fromJson(json)
+    assert(back.map(_.spec) == Seq(f.spec))
+    assert(Dsl.toJson(back) == json)
+    val df = Seq((1L, 9.0)).toDF("bar_ts", "close")
+    val out = Dsl.build(df, back, Seq("bar_ts")).collect().head
+    assert(out.getDouble(1) == 6.0) // sqrt(9*4)
+    // escapes survive the round-trip
+    val esc = Dsl.call("mode_scale", Seq(Dsl.col("close")),
+      kwargs = Seq("k" -> 1.0), skwargs = Seq("mode" -> "a\"b\\c"))
+    assert(Dsl.fromJson(Dsl.toJson(Seq(esc))).map(_.spec) == Seq(esc.spec))
+    // numeric-only registrations reject string kwargs loudly
+    Dsl.registerExt("numeric_only", (cs, _, _) => cs.head)
+    intercept[IllegalArgumentException] {
+      Dsl.build(df, Seq(Dsl.call("numeric_only", Seq(Dsl.col("close")),
+        skwargs = Seq("mode" -> "x"))), Nil).collect()
+    }
+  }
+
+  test("non-finite call parameters are rejected at construction") {
+    intercept[IllegalArgumentException] {
+      Dsl.col("close").call("powc", Double.NaN)
+    }
+    intercept[IllegalArgumentException] {
+      Dsl.col("close").callKw("powc", "k" -> Double.PositiveInfinity)
+    }
+  }
 }

@@ -132,6 +132,22 @@ class PlanSpec extends AnyFunSuite {
       s"keyed integrity summary must not single-partition the stream:\n$p")
   }
 
+  test("TBM pass-2 touch joins broadcast under AQE with no forced hint") {
+    // The join code carries NO broadcast() hint (an event-scaled table is
+    // not provably broadcastable at 100 TB) — at small scale AQE must still
+    // pick a broadcast hash join from the measured sizes, so the perf shape
+    // is pinned without the OOM-prone hint.
+    val t = trades(8000)
+    val lab = graft.labels.TripleBarrier.label(
+      t, graft.labels.TripleBarrier.syntheticEvents(t),
+      2.0, 1.5, vertBarrierSec = 600.0)
+    lab.collect()
+    val p = lab.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"AQE should broadcast the touch join at small scale:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in TBM plan:\n$p")
+  }
+
   test("keyed eventWeights sweep partitions its windows by symbol") {
     val t = symTrades(4000)
     val ev = t.where(col("id") % 37 === 0).select(
