@@ -236,105 +236,18 @@ object Scan {
     //   through a frozen partitioner; phase B re-reads the same shuffle
     //   files, so no second shuffle is paid.
     val keyIdxs = orderCols.map(df.schema.fieldIndex).toArray
-    val keyOf = (r: Row) => {
-      val a = new Array[AnyRef](keyIdxs.length)
-      var i = 0
-      while (i < keyIdxs.length) {
-        a(i) = r.get(keyIdxs(i)).asInstanceOf[AnyRef]; i += 1
-      }
-      a
-    }
     val layout: org.apache.spark.rdd.RDD[Row] =
-      if (usePinned) {
-        // Integral keys only: LexKeyOrdering compares via Java Comparable,
-        // which agrees with Spark's sort order for longs/ints but NOT for
-        // strings (UTF8 byte order vs UTF-16 code units) or doubles (-0.0).
-        orderCols.foreach { c =>
-          val dt = df.schema(c).dataType
-          require(dt == LongType || dt == IntegerType,
-            s"pinned affine scan requires integral order keys; '$c' is $dt")
-        }
-        implicit val keyOrd: Ordering[Array[AnyRef]] = new LexKeyOrdering
-        // bounds are sampled ONCE here and then serialized as constants
-        // into the shuffle dependency — partition membership is thereafter
-        // a pure function of the key, independent of upstream row order.
-        // The sampling pass reads a column-pruned projection of the input
-        // (only the order keys): ANY bounds partition correctly — sampling
-        // affects balance, not membership — so the cheaper evaluation is
-        // free accuracy-wise.
-        val nKeys = keyIdxs.length
-        val keySample = df.select(orderCols.map(col): _*).rdd.map { r =>
-          val a = new Array[AnyRef](nKeys)
-          var i = 0
-          while (i < nKeys) { a(i) = r.get(i).asInstanceOf[AnyRef]; i += 1 }
-          (a, null)
-        }
-        val partitioner = new org.apache.spark.RangePartitioner(parts, keySample)
-        df.rdd.map(r => (keyOf(r), r))
-          .repartitionAndSortWithinPartitions(partitioner).map(_._2)
-      } else {
+      if (usePinned) pinnedLayoutRdd(df, orderCols, parts)
+      else
         df.repartitionByRange(parts, orderCols.map(col): _*)
           .sortWithinPartitions(orderCols.map(col): _*).persist(storage)
           .rdd
-      }
 
-    // ---- phase A: per-partition summary ---------------------------------
-    // (partId, firstRow, lastRow, composed affine map of rows[1..] )
-    // NOTE: partition ids are bound with mapPartitionsWithIndex at the RDD
-    // level (not TaskContext.getPartitionId): a downstream coalesce would
-    // fuse several input partitions into one task and lie about the id.
-    // In pinned mode the pass also asserts order-key uniqueness (duplicates
-    // are adjacent after the sort, and the partitioner routes equal keys to
-    // the same partition, so an adjacent compare is a complete check).
-    val nOrderKeys = keyIdxs.length
-    val summaries = layout.mapPartitionsWithIndex { (pid, rows) =>
-      if (!rows.hasNext) Iterator.empty
-      else {
-        val first = rows.next()
-        var prev = first
-        val comp = Array.fill(nStates)(Affine(1.0, 0.0))
-        while (rows.hasNext) {
-          val r = rows.next()
-          if (usePinned) {
-            var eq = true
-            var i = 0
-            while (eq && i < nOrderKeys) {
-              eq = r.get(keyIdxs(i)) == prev.get(keyIdxs(i)); i += 1
-            }
-            require(!eq, s"pinned affine scan '$outName' requires UNIQUE " +
-              s"order keys, found duplicate (${orderCols.mkString(", ")}) = " +
-              s"(${keyIdxs.map(r.get).mkString(", ")})")
-          }
-          val cs = coefs(r, prev)
-          var i = 0
-          while (i < nStates) { comp(i) = cs(i).after(comp(i)); i += 1 }
-          prev = r
-        }
-        Iterator.single((pid, first, prev, comp))
-      }
-    }.collect().sortBy(_._1)
-
-    // ---- driver fold: incoming state per non-empty partition, in order --
-    // replays each partition's FIRST row (whose coefficients may depend on
-    // the previous partition's last row), then applies the composed map.
+    val summaries = phaseASummaries(layout, keyIdxs, nStates, coefs,
+      assertUnique = usePinned, outName, orderCols)
+    val (incomingSeq, prevLastSeq, state) =
+      foldIncoming(summaries, nStates, coefs, init)
     val m = summaries.length
-    val incomingSeq = new Array[Array[Double]](m)
-    val prevLastSeq = new Array[Row](m)
-    var state = init.clone()
-    var prevLast: Row = null
-    var si = 0
-    while (si < m) {
-      val (_, first, _, comp) = summaries(si)
-      incomingSeq(si) = state.clone()
-      prevLastSeq(si) = prevLast
-      val cs = coefs(first, prevLast)
-      var i = 0
-      while (i < nStates) { state(i) = cs(i)(state(i)); i += 1 }
-      i = 0
-      while (i < nStates) { state(i) = comp(i)(state(i)); i += 1 }
-      prevLast = summaries(si)._3
-      si += 1
-    }
 
     val spark = df.sparkSession
     val outSchema = StructType(df.schema.fields :+ StructField(outName, outType))
@@ -366,6 +279,237 @@ object Scan {
       }
     }
     (spark.createDataFrame(outRdd, outSchema), state)
+  }
+
+  /** The pinned layout: ONE RDD shuffle through a frozen RangePartitioner
+    * whose bounds are sampled once on the driver and then serialized as
+    * constants into the shuffle dependency — partition membership is a pure
+    * function of the key, independent of upstream row order, so a recompute
+    * after block loss provably rebuilds the same layout. The sampling pass
+    * reads a column-pruned projection of the input (only the order keys):
+    * ANY bounds partition correctly — sampling affects balance, not
+    * membership — so the cheaper evaluation is free accuracy-wise.
+    *
+    * Integral keys only: LexKeyOrdering compares via Java Comparable, which
+    * agrees with Spark's sort order for longs/ints but NOT for strings
+    * (UTF8 byte order vs UTF-16 code units) or doubles (-0.0).
+    */
+  private def pinnedLayoutRdd(df: DataFrame, orderCols: Seq[String],
+                              parts: Int): org.apache.spark.rdd.RDD[Row] = {
+    orderCols.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(dt == LongType || dt == IntegerType,
+        s"pinned affine scan requires integral order keys; '$c' is $dt")
+    }
+    val keyIdxs = orderCols.map(df.schema.fieldIndex).toArray
+    val keyOf = (r: Row) => {
+      val a = new Array[AnyRef](keyIdxs.length)
+      var i = 0
+      while (i < keyIdxs.length) {
+        a(i) = r.get(keyIdxs(i)).asInstanceOf[AnyRef]; i += 1
+      }
+      a
+    }
+    implicit val keyOrd: Ordering[Array[AnyRef]] = new LexKeyOrdering
+    val nKeys = keyIdxs.length
+    val keySample = df.select(orderCols.map(col): _*).rdd.map { r =>
+      val a = new Array[AnyRef](nKeys)
+      var i = 0
+      while (i < nKeys) { a(i) = r.get(i).asInstanceOf[AnyRef]; i += 1 }
+      (a, null)
+    }
+    val partitioner = new org.apache.spark.RangePartitioner(parts, keySample)
+    df.rdd.map(r => (keyOf(r), r))
+      .repartitionAndSortWithinPartitions(partitioner).map(_._2)
+  }
+
+  /** Phase A: per-partition (partId, firstRow, lastRow, composed affine map
+    * of rows[1..]). The first row is excluded because its coefficients may
+    * depend on the previous partition's last row — the driver fold replays
+    * it with the true neighbor. Partition ids are bound with
+    * mapPartitionsWithIndex at the RDD level (not TaskContext
+    * .getPartitionId): a downstream coalesce would fuse several input
+    * partitions into one task and lie about the id. With `assertUnique`
+    * the pass also asserts order-key uniqueness (duplicates are adjacent
+    * after the sort, and the partitioner routes equal keys to the same
+    * partition, so an adjacent compare is a complete check).
+    */
+  private def phaseASummaries(layout: org.apache.spark.rdd.RDD[Row],
+      keyIdxs: Array[Int], nStates: Int, coefs: (Row, Row) => Array[Affine],
+      assertUnique: Boolean, outName: String, orderCols: Seq[String])
+      : Array[(Int, Row, Row, Array[Affine])] = {
+    val nOrderKeys = keyIdxs.length
+    layout.mapPartitionsWithIndex { (pid, rows) =>
+      if (!rows.hasNext) Iterator.empty
+      else {
+        val first = rows.next()
+        var prev = first
+        val comp = Array.fill(nStates)(Affine(1.0, 0.0))
+        while (rows.hasNext) {
+          val r = rows.next()
+          if (assertUnique) {
+            var eq = true
+            var i = 0
+            while (eq && i < nOrderKeys) {
+              eq = r.get(keyIdxs(i)) == prev.get(keyIdxs(i)); i += 1
+            }
+            require(!eq, s"pinned affine scan '$outName' requires UNIQUE " +
+              s"order keys, found duplicate (${orderCols.mkString(", ")}) = " +
+              s"(${keyIdxs.map(r.get).mkString(", ")})")
+          }
+          val cs = coefs(r, prev)
+          var i = 0
+          while (i < nStates) { comp(i) = cs(i).after(comp(i)); i += 1 }
+          prev = r
+        }
+        Iterator.single((pid, first, prev, comp))
+      }
+    }.collect().sortBy(_._1)
+  }
+
+  /** Driver fold: incoming state per non-empty partition, in order —
+    * replays each partition's FIRST row (whose coefficients may depend on
+    * the previous partition's last row), then applies the composed map.
+    * Returns (incoming states, previous-partition last rows, final state).
+    */
+  private def foldIncoming(summaries: Array[(Int, Row, Row, Array[Affine])],
+      nStates: Int, coefs: (Row, Row) => Array[Affine], init: Array[Double])
+      : (Array[Array[Double]], Array[Row], Array[Double]) = {
+    val m = summaries.length
+    val incomingSeq = new Array[Array[Double]](m)
+    val prevLastSeq = new Array[Row](m)
+    var state = init.clone()
+    var prevLast: Row = null
+    var si = 0
+    while (si < m) {
+      val (_, first, _, comp) = summaries(si)
+      incomingSeq(si) = state.clone()
+      prevLastSeq(si) = prevLast
+      val cs = coefs(first, prevLast)
+      var i = 0
+      while (i < nStates) { state(i) = cs(i)(state(i)); i += 1 }
+      i = 0
+      while (i < nStates) { state(i) = comp(i)(state(i)); i += 1 }
+      prevLast = summaries(si)._3
+      si += 1
+    }
+    (incomingSeq, prevLastSeq, state)
+  }
+
+  /** TWO chained affine scans sharing ONE pinned layout — for recurrences
+    * whose stage-2 coefficients read a stage-1 state value (e.g. the AFML
+    * sample-weight sweep: conc is a running sum, and cum_u accumulates
+    * 1/conc — not expressible as independent affine components in one
+    * pass, because a per-partition summary of Σ 1/(conc_in + prefix) is
+    * not affine in the unknown incoming conc_in).
+    *
+    * Exactness costs ONE shuffle and three passes over its files:
+    *   A1  summarize stage 1 (composed maps)      → driver fold 1
+    *   A2  replay stage 1 exactly, summarize stage 2 → driver fold 2
+    *   B   replay both stages, emit
+    * All passes read the same frozen-partitioner shuffle files (map stage
+    * skipped), so recompute after block loss rebuilds the identical layout
+    * — the same determinism contract as pinned [[affine]]. Requires
+    * non-null UNIQUE integral order keys (asserted in A1).
+    *
+    * COST NOTE: as with pinned [[affine]], range bounds are sampled from a
+    * column-pruned projection BEFORE the shuffle — the input lineage is
+    * evaluated twice; persist expensive inputs first.
+    *
+    * @param coefs1 stage-1 coefficients from (row, prevRow) — prevRow is
+    *               null only before the very first row of the scan
+    * @param coefs2 stage-2 coefficients from (row, stage-1 state AFTER the
+    *               row's stage-1 update)
+    * @param emit   output from (state1, state2, row), both post-update
+    */
+  private[graft] def affine2(
+      df: DataFrame,
+      orderCols: Seq[String],
+      n1: Int,
+      coefs1: (Row, Row) => Array[Affine],
+      init1: Array[Double],
+      n2: Int,
+      coefs2: (Row, Array[Double]) => Array[Affine],
+      init2: Array[Double],
+      emit: (Array[Double], Array[Double], Row) => Any,
+      outName: String,
+      outType: DataType,
+      numParts: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val parts =
+      if (numParts > 0) numParts
+      else math.max(spark.sparkContext.defaultParallelism,
+        df.rdd.getNumPartitions)
+    val keyIdxs = orderCols.map(df.schema.fieldIndex).toArray
+    val layout = pinnedLayoutRdd(df, orderCols, parts)
+
+    val summaries = phaseASummaries(layout, keyIdxs, n1, coefs1,
+      assertUnique = true, outName, orderCols)
+    val (incoming1, prevLast1, _) = foldIncoming(summaries, n1, coefs1, init1)
+    val m = summaries.length
+    val outSchema = StructType(df.schema.fields :+ StructField(outName, outType))
+    if (m == 0)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
+
+    val b1 = spark.sparkContext.broadcast((incoming1, prevLast1))
+    val pidToIdx = summaries.map(_._1).zipWithIndex.toMap
+
+    // ---- phase A2: exact stage-1 replay, stage-2 composition ------------
+    // incoming1 is exact, so stage-2 coefficients are concrete for EVERY
+    // row — the composed map covers the whole partition (no first-row
+    // exclusion) and fold 2 is a plain map application.
+    val comp2s = layout.mapPartitionsWithIndex { (pid, it) =>
+      pidToIdx.get(pid) match {
+        case None => Iterator.empty
+        case Some(idx) =>
+          val (inc, pl) = b1.value
+          val st1 = inc(idx).clone()
+          var prev: Row = pl(idx)
+          val comp = Array.fill(n2)(Affine(1.0, 0.0))
+          it.foreach { r =>
+            val cs1 = coefs1(r, prev)
+            var i = 0
+            while (i < n1) { st1(i) = cs1(i)(st1(i)); i += 1 }
+            val cs2 = coefs2(r, st1)
+            i = 0
+            while (i < n2) { comp(i) = cs2(i).after(comp(i)); i += 1 }
+            prev = r
+          }
+          Iterator.single((idx, comp))
+      }
+    }.collect().sortBy(_._1)
+
+    val incoming2 = new Array[Array[Double]](m)
+    var st2 = init2.clone()
+    comp2s.foreach { case (idx, comp) =>
+      incoming2(idx) = st2.clone()
+      var i = 0
+      while (i < n2) { st2(i) = comp(i)(st2(i)); i += 1 }
+    }
+
+    // ---- phase B: replay both stages with exact incoming state ----------
+    val b2 = spark.sparkContext.broadcast(incoming2)
+    val outRdd = layout.mapPartitionsWithIndex { (pid, it) =>
+      pidToIdx.get(pid) match {
+        case None => Iterator.empty
+        case Some(idx) =>
+          val (inc, pl) = b1.value
+          val st1 = inc(idx).clone()
+          val s2 = b2.value(idx).clone()
+          var prev: Row = pl(idx)
+          it.map { r =>
+            val cs1 = coefs1(r, prev)
+            var i = 0
+            while (i < n1) { st1(i) = cs1(i)(st1(i)); i += 1 }
+            val cs2 = coefs2(r, st1)
+            i = 0
+            while (i < n2) { s2(i) = cs2(i)(s2(i)); i += 1 }
+            prev = r
+            Row.fromSeq(r.toSeq :+ emit(st1, s2, r))
+          }
+      }
+    }
+    spark.createDataFrame(outRdd, outSchema)
   }
 
   /** Lexicographic ordering over boxed, non-null order-key vectors. */

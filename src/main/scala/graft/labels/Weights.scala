@@ -1,8 +1,10 @@
 package graft.labels
 
-import org.apache.spark.sql.{DataFrame}
+import graft.features.Scan
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Sample-weight pipeline (finmlkit/label/weights.py) — AFML ch.4 weights
   * re-expressed with a sweep-line concurrency (linear, no interval-join
@@ -27,22 +29,53 @@ object Weights {
                   partCols: Seq[String] = Nil): DataFrame = {
     // partCols (e.g. symbol) must be present on BOTH trades and labeled;
     // the sweep then partitions by it — shuffle-parallel across symbols
-    // instead of one global sort (empty = reference single-series order).
+    // (empty = reference single-series order, which runs on the exact
+    // distributed affine scan: the running sum s' = s + d is affine, so
+    // the FULL trade stream never moves through a single partition).
     val pc = partCols.map(col)
-    val deltas =
-      labeled.select(pc :+ col("event_ts").as("ts") :+ lit(0).as("ord") :+ lit(1L).as("d"): _*)
-        .unionByName(labeled.select(
-          pc :+ col("touch_ts").as("ts") :+ lit(2).as("ord") :+ lit(-1L).as("d"): _*))
-    val stream = trades.select(pc :+ col("ts") :+ lit(1).as("ord") :+ lit(0L).as("d") :+
-        col("id") :+ col("price"): _*)
-      .unionByName(deltas.withColumn("id", lit(null).cast("long"))
-        .withColumn("price", lit(null).cast("double")))
-    val w = Window.partitionBy(pc: _*).orderBy("ts", "ord")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    stream
-      .withColumn("concurrency", sum("d").over(w))
-      .where(col("ord") === 1)
-      .select(pc :+ col("ts") :+ col("id") :+ col("price") :+ col("concurrency"): _*)
+    if (partCols.nonEmpty) {
+      val deltas =
+        labeled.select(pc :+ col("event_ts").as("ts") :+ lit(0).as("ord") :+ lit(1L).as("d"): _*)
+          .unionByName(labeled.select(
+            pc :+ col("touch_ts").as("ts") :+ lit(2).as("ord") :+ lit(-1L).as("d"): _*))
+      val stream = trades.select(pc :+ col("ts") :+ lit(1).as("ord") :+ lit(0L).as("d") :+
+          col("id") :+ col("price"): _*)
+        .unionByName(deltas.withColumn("id", lit(null).cast("long"))
+          .withColumn("price", lit(null).cast("double")))
+      val w = Window.partitionBy(pc: _*).orderBy("ts", "ord")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      stream
+        .withColumn("concurrency", sum("d").over(w))
+        .where(col("ord") === 1)
+        .select(pc :+ col("ts") :+ col("id") :+ col("price") :+ col("concurrency"): _*)
+    } else {
+      // Markers ride the scan with id := event_id so (ts, ord, id) is a
+      // total UNIQUE integral key (the pinned layout's determinism
+      // contract). Tie order within an equal (ts, ord) group cannot change
+      // any output row: trade rows all carry d = 0, and the cumulative sum
+      // at a trade row includes every marker sorting before it regardless
+      // of intra-group order.
+      require(labeled.columns.contains("event_id"),
+        "unkeyed concurrency sweep needs an event_id column for the " +
+          "deterministic scan order (ts, ord, event_id)")
+      val deltas =
+        labeled.select(col("event_ts").as("ts"), lit(0).as("ord"),
+            col("event_id").as("id"), lit(1L).as("d"))
+          .unionByName(labeled.select(col("touch_ts").as("ts"), lit(2).as("ord"),
+            col("event_id").as("id"), lit(-1L).as("d")))
+          .withColumn("price", lit(null).cast("double"))
+      val stream = trades.select(col("ts"), lit(1).as("ord"), col("id"),
+          lit(0L).as("d"), col("price"))
+        .unionByName(deltas)
+      val dIdx = stream.schema.fieldIndex("d")
+      Scan.affine(stream, Seq("ts", "ord", "id"), nStates = 1,
+          coefs = (r, _) => Array(Scan.Affine(1.0, r.getLong(dIdx).toDouble)),
+          init = Array(0.0),
+          emit = (s, _) => s(0).toLong,
+          outName = "concurrency", outType = LongType, pinned = true)
+        .where(col("ord") === 1)
+        .select(col("ts"), col("id"), col("price"), col("concurrency"))
+    }
   }
 
   /** Per-event average uniqueness = mean(1/concurrency) over the event's
@@ -53,64 +86,157 @@ object Weights {
     * 1/conc and logret/conc over the time-ordered trades, then each event's
     * interval sum is the difference of the prefix at its two endpoint
     * markers (start marker sorts before equal-ts trades → left-inclusive;
-    * end marker after → right-inclusive). One sort, no join blow-up; with
-    * `partCols` (e.g. symbol, present on BOTH inputs) the sweep shuffles by
-    * key — parallel across symbols, matching the reference's per-series
-    * order constraint (label/weights.py:7-103).
+    * end marker after → right-inclusive). No join blow-up; with `partCols`
+    * (e.g. symbol, present on BOTH inputs) the sweep shuffles by key —
+    * parallel across symbols, matching the reference's per-series order
+    * constraint (label/weights.py:7-103).
+    *
+    * Scale shape of the UNKEYED (reference single-series) path: the sweep
+    * runs on [[Scan.affine2]] — conc / prev-price / row-count are stage-1
+    * affine states, and the cum_u / cum_r prefix sums (whose increments
+    * read conc) are stage 2 over the same pinned layout. One shuffle,
+    * three passes over its files, no single-partition window on the
+    * trade-scaled stream; only the |events|-sized marker extract moves
+    * through the final hash aggregation.
     */
   def eventWeights(trades: DataFrame, labeled: DataFrame,
                    partCols: Seq[String] = Nil): DataFrame = {
     val pc = partCols.map(col)
     val nullL = lit(null).cast("long")
     val nullD = lit(null).cast("double")
-    // Fully fused sweep: the concurrency deltas, the previous-trade price
-    // (for log returns) and all three prefix sums ride ONE (ts, ord, id)
-    // ordering — consecutive Window operators with the same spec reuse the
-    // sort, so the whole pipeline costs a single keyed sort.
-    val tr = trades.select(pc ++ Seq(col("ts"), lit(1).as("ord"), col("id"),
-      col("price"), lit(0L).as("d"), nullL.as("event_id"),
-      nullL.as("event_ts"), nullL.as("touch_ts"),
-      lit(null).cast("int").as("kind")): _*)
-    def marker(tsCol: String, ord: Int, kind: Int, d: Long) =
-      labeled.select(pc ++ Seq(col(tsCol).as("ts"), lit(ord).as("ord"), nullL.as("id"),
-        nullD.as("price"), lit(d).as("d"), col("event_id"), col("event_ts"),
-        col("touch_ts"), lit(kind).as("kind")): _*)
-    val stream = tr
-      .unionByName(marker("event_ts", 0, 0, 1L))
-      .unionByName(marker("touch_ts", 2, 1, -1L))
-
-    val ord = Window.partitionBy(pc: _*).orderBy("ts", "ord", "id")
-    val sweep = ord.rowsBetween(Window.unboundedPreceding, 0)
-    val before = ord.rowsBetween(Window.unboundedPreceding, -1)
-    val cum = stream
-      .withColumn("conc", sum("d").over(sweep))
-      .withColumn("prev_price", last("price", ignoreNulls = true).over(before))
-      // try_divide: a zero/invalid previous print yields NULL (not an ANSI
-      // error), which the conc-guard below already maps to a 0 contribution
-      .withColumn("logret", log(try_divide(col("price"), col("prev_price"))))
-      // conc = 0 ⇔ the trade is covered by no event interval, so it can
-      // never contribute to any event's sum — 0 keeps the prefix exact
-      // (and avoids ANSI divide-by-zero on sparse data).
-      .withColumn("u", when(col("ord") === 1,
-        when(col("conc") > 0, lit(1.0) / col("conc")).otherwise(0.0)))
-      .withColumn("r", when(col("ord") === 1,
-        when(col("conc") > 0 && !isnan(col("logret")) && col("logret").isNotNull,
-          col("logret") / col("conc")).otherwise(0.0)))
-      .withColumn("cum_u", sum("u").over(sweep))
-      .withColumn("cum_r", sum("r").over(sweep))
-      .withColumn("cum_n", count("u").over(sweep))
-      .where(col("ord") =!= 1)
-
     def at(kind: Int, c: String) = max(when(col("kind") === kind, col(c)))
-    cum.groupBy(pc :+ col("event_id"): _*).agg(
-        max("event_ts").as("event_ts"), max("touch_ts").as("touch_ts"),
-        coalesce(at(0, "cum_u"), lit(0.0)).as("u0"), at(1, "cum_u").as("u1"),
-        coalesce(at(0, "cum_r"), lit(0.0)).as("r0"), at(1, "cum_r").as("r1"),
-        coalesce(at(0, "cum_n"), lit(0L)).as("n0"), at(1, "cum_n").as("n1"))
-      .where(col("n1") > col("n0"))
-      .select(pc ++ Seq(col("event_id"), col("event_ts"), col("touch_ts"),
-        ((col("u1") - col("u0")) / (col("n1") - col("n0"))).as("avg_uniqueness"),
-        abs(col("r1") - col("r0")).as("return_attribution")): _*)
+    if (partCols.nonEmpty) {
+      // Fully fused sweep: the concurrency deltas, the previous-trade price
+      // (for log returns) and all three prefix sums ride ONE (ts, ord, id)
+      // ordering — consecutive Window operators with the same spec reuse
+      // the sort, so the whole pipeline costs a single keyed sort.
+      val tr = trades.select(pc ++ Seq(col("ts"), lit(1).as("ord"), col("id"),
+        col("price"), lit(0L).as("d"), nullL.as("event_id"),
+        nullL.as("event_ts"), nullL.as("touch_ts"),
+        lit(null).cast("int").as("kind")): _*)
+      def marker(tsCol: String, ord: Int, kind: Int, d: Long) =
+        labeled.select(pc ++ Seq(col(tsCol).as("ts"), lit(ord).as("ord"), nullL.as("id"),
+          nullD.as("price"), lit(d).as("d"), col("event_id"), col("event_ts"),
+          col("touch_ts"), lit(kind).as("kind")): _*)
+      val stream = tr
+        .unionByName(marker("event_ts", 0, 0, 1L))
+        .unionByName(marker("touch_ts", 2, 1, -1L))
+
+      val ord = Window.partitionBy(pc: _*).orderBy("ts", "ord", "id")
+      val sweep = ord.rowsBetween(Window.unboundedPreceding, 0)
+      val before = ord.rowsBetween(Window.unboundedPreceding, -1)
+      val cum = stream
+        .withColumn("conc", sum("d").over(sweep))
+        .withColumn("prev_price", last("price", ignoreNulls = true).over(before))
+        // try_divide: a zero/invalid previous print yields NULL (not an ANSI
+        // error), which the conc-guard below already maps to a 0 contribution
+        .withColumn("logret", log(try_divide(col("price"), col("prev_price"))))
+        // conc = 0 ⇔ the trade is covered by no event interval, so it can
+        // never contribute to any event's sum — 0 keeps the prefix exact
+        // (and avoids ANSI divide-by-zero on sparse data).
+        .withColumn("u", when(col("ord") === 1,
+          when(col("conc") > 0, lit(1.0) / col("conc")).otherwise(0.0)))
+        .withColumn("r", when(col("ord") === 1,
+          when(col("conc") > 0 && !isnan(col("logret")) && col("logret").isNotNull,
+            col("logret") / col("conc")).otherwise(0.0)))
+        .withColumn("cum_u", sum("u").over(sweep))
+        .withColumn("cum_r", sum("r").over(sweep))
+        .withColumn("cum_n", count("u").over(sweep))
+        .where(col("ord") =!= 1)
+
+      cum.groupBy(pc :+ col("event_id"): _*).agg(
+          max("event_ts").as("event_ts"), max("touch_ts").as("touch_ts"),
+          coalesce(at(0, "cum_u"), lit(0.0)).as("u0"), at(1, "cum_u").as("u1"),
+          coalesce(at(0, "cum_r"), lit(0.0)).as("r0"), at(1, "cum_r").as("r1"),
+          coalesce(at(0, "cum_n"), lit(0L)).as("n0"), at(1, "cum_n").as("n1"))
+        .where(col("n1") > col("n0"))
+        .select(pc ++ Seq(col("event_id"), col("event_ts"), col("touch_ts"),
+          ((col("u1") - col("u0")) / (col("n1") - col("n0"))).as("avg_uniqueness"),
+          abs(col("r1") - col("r0")).as("return_attribution")): _*)
+    } else {
+      // Unkeyed sweep on the two-stage pinned scan. Markers take
+      // id := event_id so (ts, ord, id) is total, unique and integral;
+      // intra-group tie order cannot change outputs (markers contribute 0
+      // to u/r/n, trades contribute 0 to conc, and the extracted cum_*
+      // values sit at marker rows whose prefix is tie-order invariant).
+      require(labeled.columns.contains("event_id"),
+        "unkeyed eventWeights sweep needs an event_id column for the " +
+          "deterministic scan order (ts, ord, event_id)")
+      val tr = trades.select(col("ts"), lit(1).as("ord"), col("id"),
+        col("price"), lit(0L).as("d"), nullL.as("event_id"),
+        nullL.as("event_ts"), nullL.as("touch_ts"),
+        lit(null).cast("int").as("kind"))
+      def marker(tsCol: String, ord: Int, kind: Int, d: Long) =
+        labeled.select(col(tsCol).as("ts"), lit(ord).as("ord"),
+          col("event_id").as("id"), nullD.as("price"), lit(d).as("d"),
+          col("event_id"), col("event_ts"), col("touch_ts"),
+          lit(kind).as("kind"))
+      val stream = tr
+        .unionByName(marker("event_ts", 0, 0, 1L))
+        .unionByName(marker("touch_ts", 2, 1, -1L))
+
+      val sch = stream.schema
+      val ordIdx = sch.fieldIndex("ord")
+      val priceIdx = sch.fieldIndex("price")
+      val dIdx = sch.fieldIndex("d")
+      val keep = Scan.Affine(1.0, 0.0)
+      // stage 1: conc (running Σd), prev-trade seen flag + price (a held
+      // state, NEVER seeded with NaN: a = 0 set maps would turn 0·NaN + b
+      // into NaN and poison every later hold), trade-row count
+      val coefs1 = (r: Row, prev: Row) => {
+        val conc = Scan.Affine(1.0, r.getLong(dIdx).toDouble)
+        val (seen, held) =
+          if (prev != null && prev.getInt(ordIdx) == 1)
+            (Scan.Affine(0.0, 1.0), Scan.Affine(0.0, prev.getDouble(priceIdx)))
+          else (keep, keep)
+        val n =
+          if (r.getInt(ordIdx) == 1) Scan.Affine(1.0, 1.0) else keep
+        Array(conc, seen, held, n)
+      }
+      // stage 2: cum_u / cum_r prefix sums — increments read stage-1 conc
+      // and the held previous price, mirroring the keyed branch's guards:
+      // conc <= 0 → 0; no previous trade / zero prev price (try_divide
+      // NULL) / NaN log-ratio → 0.
+      val coefs2 = (r: Row, st1: Array[Double]) => {
+        if (r.getInt(ordIdx) != 1) Array(keep, keep)
+        else {
+          val conc = st1(0)
+          if (conc <= 0) Array(keep, keep)
+          else {
+            val u = 1.0 / conc
+            val rInc =
+              if (st1(1) != 1.0 || st1(2) == 0.0) 0.0
+              else {
+                val lr = math.log(r.getDouble(priceIdx) / st1(2))
+                if (lr.isNaN) 0.0 else lr / conc
+              }
+            Array(Scan.Affine(1.0, u), Scan.Affine(1.0, rInc))
+          }
+        }
+      }
+      val outType = StructType(Seq(
+        StructField("cum_u", DoubleType), StructField("cum_r", DoubleType),
+        StructField("cum_n", LongType)))
+      val scanned = Scan.affine2(stream, Seq("ts", "ord", "id"),
+        n1 = 4, coefs1, init1 = Array(0.0, 0.0, 0.0, 0.0),
+        n2 = 2, coefs2, init2 = Array(0.0, 0.0),
+        emit = (st1, st2, _) => Row(st2(0), st2(1), st1(3).toLong),
+        outName = "__sw", outType = outType)
+
+      scanned.where(col("ord") =!= 1)
+        .select(col("event_id"), col("event_ts"), col("touch_ts"), col("kind"),
+          col("__sw.cum_u").as("cum_u"), col("__sw.cum_r").as("cum_r"),
+          col("__sw.cum_n").as("cum_n"))
+        .groupBy(col("event_id")).agg(
+          max("event_ts").as("event_ts"), max("touch_ts").as("touch_ts"),
+          coalesce(at(0, "cum_u"), lit(0.0)).as("u0"), at(1, "cum_u").as("u1"),
+          coalesce(at(0, "cum_r"), lit(0.0)).as("r0"), at(1, "cum_r").as("r1"),
+          coalesce(at(0, "cum_n"), lit(0L)).as("n0"), at(1, "cum_n").as("n1"))
+        .where(col("n1") > col("n0"))
+        .select(col("event_id"), col("event_ts"), col("touch_ts"),
+          ((col("u1") - col("u0")) / (col("n1") - col("n0"))).as("avg_uniqueness"),
+          abs(col("r1") - col("r0")).as("return_attribution"))
+    }
   }
 
   /** Linear time decay over cumulative avg-uniqueness (weights.py:106-142):

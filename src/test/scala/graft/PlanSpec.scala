@@ -132,6 +132,19 @@ class PlanSpec extends AnyFunSuite {
       s"keyed integrity summary must not single-partition the stream:\n$p")
   }
 
+  test("unkeyed concurrency/eventWeights sweeps run on the scan — no Window") {
+    val t = trades(2000)
+    val ev = t.where(col("id") % 29 === 0).select(
+      col("ts").as("event_ts"), col("id").as("event_id"),
+      (col("ts") + lit(5000000000L)).as("touch_ts"))
+    val pc = plan(graft.labels.Weights.concurrency(t, ev))
+    assert(!pc.contains("Window"),
+      s"unkeyed concurrency must not use a window (single-partition sort):\n$pc")
+    val pw = plan(graft.labels.Weights.eventWeights(t, ev))
+    assert(!pw.contains("Window"),
+      s"unkeyed eventWeights must not use a window (single-partition sort):\n$pw")
+  }
+
   test("TBM pass-2 touch joins broadcast under AQE with no forced hint") {
     // The join code carries NO broadcast() hint (an event-scaled table is
     // not provably broadcastable at 100 TB) — at small scale AQE must still

@@ -388,6 +388,86 @@ class ScanSpec extends AnyFunSuite {
     assert(math.abs(lastCum - total) < 1e-9)
   }
 
+  test("affine2 chained scan equals the sequential two-stage recursion") {
+    import graft.features.Scan
+    import graft.features.Scan.Affine
+    // stage 1: running sum of d; stage 2: prefix sum of 1/s1 over rows
+    // where s1 > 0 — the sample-weight sweep's exact dependency shape
+    // (stage-2 increments read a stage-1 state), across many partitions.
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 700).map { i =>
+      (i.toLong, i.toLong, if (rnd.nextBoolean()) 1L else -1L)
+    }
+    val df = rows.toDF("ts", "id", "d").repartition(7)
+    val out = Scan.affine2(df, Seq("ts", "id"),
+      n1 = 1, (r, _) => Array(Affine(1.0, r.getLong(2).toDouble)), Array(0.0),
+      n2 = 1, (_, st1) =>
+        Array(if (st1(0) > 0) Affine(1.0, 1.0 / st1(0)) else Affine(1.0, 0.0)),
+      Array(0.0),
+      emit = (_, st2, _) => st2(0),
+      outName = "cum", outType = org.apache.spark.sql.types.DoubleType,
+      numParts = 5)
+    val got = out.orderBy("ts").select("cum").as[Double].collect()
+    var s1 = 0.0; var s2 = 0.0
+    val exp = rows.map { case (_, _, d) =>
+      s1 += d
+      if (s1 > 0) s2 += 1.0 / s1
+      s2
+    }
+    got.zip(exp).foreach { case (g, e) => assert(math.abs(g - e) < 1e-12) }
+  }
+
+  test("affine2 adds exactly ONE shuffle over its input") {
+    import graft.features.Scan
+    import graft.features.Scan.Affine
+    def shuffles(rdd: org.apache.spark.rdd.RDD[_]): Int = {
+      val seen = scala.collection.mutable.Set[Int]()
+      def go(r: org.apache.spark.rdd.RDD[_]): Int =
+        if (!seen.add(r.id)) 0
+        else r.dependencies.map { d =>
+          (if (d.isInstanceOf[org.apache.spark.ShuffleDependency[_, _, _]]) 1 else 0) +
+            go(d.rdd)
+        }.sum
+      go(rdd)
+    }
+    val input = (0 until 300).map(i => (i.toLong, i.toLong, 1L))
+      .toDF("ts", "id", "d").repartition(4)
+    val base = shuffles(input.rdd)
+    val out = Scan.affine2(input, Seq("ts", "id"),
+      n1 = 1, (r, _) => Array(Affine(1.0, r.getLong(2).toDouble)), Array(0.0),
+      n2 = 1, (_, s1) => Array(Affine(1.0, s1(0))), Array(0.0),
+      emit = (_, s2, _) => s2(0),
+      outName = "o", outType = org.apache.spark.sql.types.DoubleType,
+      numParts = 4)
+    assert(shuffles(out.rdd) == base + 1,
+      s"affine2 must add exactly one shuffle (input=$base, out=${shuffles(out.rdd)})")
+  }
+
+  test("unkeyed weights sweep equals the keyed window path on one symbol") {
+    // same inputs, constant symbol: the affine2 scan path (partCols = Nil)
+    // must agree with the window path (partCols = symbol) row for row.
+    val rnd = new scala.util.Random(5)
+    val prices = Seq.fill(600)(100.0 + rnd.nextDouble() * 10)
+    val t = tradesDf(Seq.fill(600)(1.0), prices)
+    val ev = t.where(col("id") % 23 === 0).select(
+      col("symbol"), col("ts").as("event_ts"), col("id").as("event_id"),
+      (col("ts") + lit(40000000000L)).as("touch_ts"))
+    val keyed = graft.labels.Weights.eventWeights(t, ev, Seq("symbol"))
+      .select("event_id", "avg_uniqueness", "return_attribution")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val unkeyed = graft.labels.Weights.eventWeights(t, ev.drop("symbol"))
+      .select("event_id", "avg_uniqueness", "return_attribution")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(keyed.length == unkeyed.length && keyed.nonEmpty)
+    keyed.zip(unkeyed).foreach { case ((ka, ku, kr), (ua, uu, ur)) =>
+      assert(ka == ua)
+      assert(math.abs(ku - uu) < 1e-12, s"event $ka uniqueness $ku vs $uu")
+      assert(math.abs(kr - ur) < 1e-12, s"event $ka attribution $kr vs $ur")
+    }
+  }
+
   test("windowed EWMA converges to the exact recursion") {
     val rnd = new scala.util.Random(3)
     val prices = Seq.fill(800)(50.0 + rnd.nextDouble() * 100)
