@@ -512,6 +512,53 @@ object Scan {
     spark.createDataFrame(outRdd, outSchema)
   }
 
+  /** Previous-ROW access over a total integral order, distributed: the
+    * pinned layout's boundary handoff already threads each partition's
+    * predecessor row, so a lag-style operator needs NO affine state at all
+    * — `out(row, prevRow)` sees the exact previous row (null before the
+    * very first), with full-precision longs (an affine double state would
+    * corrupt ns epochs > 2^53). One shuffle, two passes over its files;
+    * requires non-null UNIQUE integral order keys (asserted).
+    */
+  private[graft] def withPrevRow(
+      df: DataFrame,
+      orderCols: Seq[String],
+      out: (Row, Row) => Any,
+      outName: String,
+      outType: DataType,
+      numParts: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val parts =
+      if (numParts > 0) numParts
+      else math.max(spark.sparkContext.defaultParallelism,
+        df.rdd.getNumPartitions)
+    val keyIdxs = orderCols.map(df.schema.fieldIndex).toArray
+    val layout = pinnedLayoutRdd(df, orderCols, parts)
+    val noStates = (_: Row, _: Row) => Array.empty[Affine]
+    val summaries = phaseASummaries(layout, keyIdxs, 0, noStates,
+      assertUnique = true, outName, orderCols)
+    val (_, prevLastSeq, _) =
+      foldIncoming(summaries, 0, noStates, Array.empty)
+    val outSchema = StructType(df.schema.fields :+ StructField(outName, outType))
+    if (summaries.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
+    val bPrev = spark.sparkContext.broadcast(prevLastSeq)
+    val pidToIdx = summaries.map(_._1).zipWithIndex.toMap
+    val outRdd = layout.mapPartitionsWithIndex { (pid, it) =>
+      pidToIdx.get(pid) match {
+        case None => Iterator.empty
+        case Some(idx) =>
+          var prev: Row = bPrev.value(idx)
+          it.map { r =>
+            val o = out(r, prev)
+            prev = r
+            Row.fromSeq(r.toSeq :+ o)
+          }
+      }
+    }
+    spark.createDataFrame(outRdd, outSchema)
+  }
+
   /** Lexicographic ordering over boxed, non-null order-key vectors. */
   private class LexKeyOrdering extends Ordering[Array[AnyRef]] {
     def compare(x: Array[AnyRef], y: Array[AnyRef]): Int = {

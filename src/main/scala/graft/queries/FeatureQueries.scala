@@ -203,18 +203,67 @@ object FeatureQueries {
     }),
 
     // Trades-domain time-window features: as-of lagged return (ReturnT) and
-    // trailing-1h event rate (BarRate) — rangeBetween on the ns long.
+    // trailing-1h event rate (BarRate). The unkeyed (reference
+    // single-series) path rides ONE pinned affine scan instead of
+    // single-partition range windows: each trade plants three markers —
+    //   lo   at (ts−1h, ord 0): trades strictly before ts−1h (rate lower
+    //        bound; the range frame's −1h end is inclusive, so the marker
+    //        sorts BEFORE the tie group),
+    //   asof at (ts−1h, ord 2): held last-trade price at ts ≤ ts−1h (the
+    //        as-of upper bound is inclusive → marker AFTER the tie group),
+    //   hi   at (ts,    ord 2): trades at ts ≤ own ts incl. the full tie
+    //        group (range frames span ties in both directions) —
+    // and a per-trade hash aggregation differences the prefix counts.
+    // States: trade count (row-local) + seen-flag/held price (prev-
+    // dependent holds). One shuffle; the groupBy is hash-parallel.
     "f_returnt_rate" -> ((s, dir) => {
+      import graft.features.Scan
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
       val t = Trades.fromEvents(Tables.events(s, dir))
+        .select(col("ts"), col("id"), col("price"))
       val hourNs = 3600L * 1000000000L
-      val wAsOf = Window.orderBy("ts").rangeBetween(Window.unboundedPreceding, -hourNs)
-      val wRate = Window.orderBy("ts").rangeBetween(-hourNs, 0)
-      t.select(col("ts"), col("id"), col("price"))
-        .withColumn("lag_price", last("price", ignoreNulls = true).over(wAsOf))
-        .withColumn("returnt_1h", when(col("lag_price") > 0, col("price") / col("lag_price") - 1))
-        .withColumn("rate_1h", count(lit(1)).over(wRate).cast("double"))
-        .select(col("ts"), col("id"), r6(col("returnt_1h")).as("returnt_1h"),
-          r6(col("rate_1h")).as("rate_1h"))
+      val nullD = lit(null).cast("double")
+      val tr = t.select(col("ts"), lit(1).as("ord"), col("id"), col("price"),
+        lit(null).cast("int").as("mk"), lit(null).cast("long").as("qid"),
+        lit(null).cast("long").as("qts"), nullD.as("qprice"))
+      def mrk(tsE: org.apache.spark.sql.Column, ord: Int, mk: Int) =
+        t.select(tsE.as("ts"), lit(ord).as("ord"), col("id"), nullD.as("price"),
+          lit(mk).as("mk"), col("id").as("qid"), col("ts").as("qts"),
+          col("price").as("qprice"))
+      val stream = tr
+        .unionByName(mrk(col("ts") - hourNs, 0, 0))
+        .unionByName(mrk(col("ts") - hourNs, 2, 1))
+        .unionByName(mrk(col("ts"), 2, 2))
+      val sch = stream.schema
+      val ordIdx = sch.fieldIndex("ord")
+      val priceIdx = sch.fieldIndex("price")
+      val keep = Scan.Affine(1.0, 0.0)
+      val coefs = (r: Row, prev: Row) => {
+        val cnt = if (r.getInt(ordIdx) == 1) Scan.Affine(1.0, 1.0) else keep
+        val (seen, held) =
+          if (prev != null && prev.getInt(ordIdx) == 1)
+            (Scan.Affine(0.0, 1.0), Scan.Affine(0.0, prev.getDouble(priceIdx)))
+          else (keep, keep)
+        Array(cnt, seen, held)
+      }
+      val scanned = Scan.affine(stream, Seq("ts", "ord", "id"),
+        nStates = 3, coefs, init = Array(0.0, 0.0, 0.0),
+        emit = (s, _) => Row(s(0).toLong,
+          if (s(1) == 1.0) java.lang.Double.valueOf(s(2)) else null),
+        outName = "__s", outType = StructType(Seq(
+          StructField("cnt", LongType), StructField("held", DoubleType))),
+        pinned = true)
+      scanned.where(col("mk").isNotNull)
+        .groupBy(col("qid"))
+        .agg(max("qts").as("ts"), max("qprice").as("price"),
+          max(when(col("mk") === 2, col("__s.cnt"))).as("cnt_hi"),
+          max(when(col("mk") === 0, col("__s.cnt"))).as("cnt_lo"),
+          max(when(col("mk") === 1, col("__s.held"))).as("lag_price"))
+        .select(col("ts"), col("qid").as("id"),
+          r6(when(col("lag_price") > 0, col("price") / col("lag_price") - 1))
+            .as("returnt_1h"),
+          r6((col("cnt_hi") - col("cnt_lo")).cast("double")).as("rate_1h"))
     }),
 
     // Keyed ReturnT/BarRate: the as-of and trailing-rate range windows

@@ -84,30 +84,63 @@ object Store {
     * attribute to the later month, exactly like the reference's
     * per-partition metadata computed at ingest.
     *
-    * Empty `partCols` = the reference's single-series semantics (both lag
-    * windows single-partition the stream); at 100 TB pass the symbol
-    * column(s) — every window and the roll-up then shuffle by key,
-    * parallel across symbols, like `Trades.timeGaps`/`idGaps`.
+    * Empty `partCols` = the reference's single-series semantics; the two
+    * lag passes then ride `Trades.lagGapFrames`-style pinned affine scans
+    * (one parallel shuffle each) and only the tiny per-month summaries
+    * join — the data-scaled stream never moves through a single-partition
+    * window. At 100 TB pass the symbol column(s) — every window and the
+    * roll-up then shuffle by key, parallel across symbols, like
+    * `Trades.timeGaps`/`idGaps`.
     */
   def integritySummary(trades: DataFrame, maxGapNs: Long,
                        partCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pc = partCols.map(col)
-    val wid = Window.partitionBy(pc: _*).orderBy("id")
-    val wts = Window.partitionBy(pc: _*).orderBy("ts", "id")
-    trades
-      .withColumn("month", monthCol(col("ts")))
-      .withColumn("__gap", col("id") - lag("id", 1).over(wid) - 1)
-      .withColumn("__tgap", col("ts") - lag("ts", 1).over(wts))
-      .groupBy((partCols :+ "month").map(col): _*)
-      .agg(
-        count(lit(1)).as("rows"),
-        min("ts").as("first_ts"),
-        max("ts").as("last_ts"),
-        sum(when(col("__gap") > 0, col("__gap")).otherwise(0L)).as("missing_ids"),
-        sum(when(col("__gap") > 0, 1L).otherwise(0L)).as("discontinuities"),
-        sum(when(col("__tgap") > maxGapNs, 1L).otherwise(0L)).as("time_gaps"),
-        max(when(col("__tgap") > maxGapNs, col("__tgap")).otherwise(0L)).as("max_time_gap_ns"))
+    val summarized =
+      if (partCols.nonEmpty) {
+        val wid = Window.partitionBy(pc: _*).orderBy("id")
+        val wts = Window.partitionBy(pc: _*).orderBy("ts", "id")
+        trades
+          .withColumn("month", monthCol(col("ts")))
+          .withColumn("__gap", col("id") - lag("id", 1).over(wid) - 1)
+          .withColumn("__tgap", col("ts") - lag("ts", 1).over(wts))
+          .groupBy((partCols :+ "month").map(col): _*)
+          .agg(
+            count(lit(1)).as("rows"),
+            min("ts").as("first_ts"),
+            max("ts").as("last_ts"),
+            sum(when(col("__gap") > 0, col("__gap")).otherwise(0L)).as("missing_ids"),
+            sum(when(col("__gap") > 0, 1L).otherwise(0L)).as("discontinuities"),
+            sum(when(col("__tgap") > maxGapNs, 1L).otherwise(0L)).as("time_gaps"),
+            max(when(col("__tgap") > maxGapNs, col("__tgap")).otherwise(0L)).as("max_time_gap_ns"))
+      } else {
+        // Unkeyed: two pinned lag scans (id order; ts order) aggregated to
+        // per-month partials independently, then an equi-join of the tiny
+        // month tables. Cross-month discontinuities attribute to the later
+        // month exactly as the window formulation (the lag rides the global
+        // order; the month key comes from the current row).
+        val idSide = graft.trades.Trades
+          .lagged(trades.select(col("id"), col("ts")), Seq("id"), Seq("id"))
+          .withColumn("month", monthCol(col("ts")))
+          .withColumn("__gap", col("id") - col("prev_id") - 1)
+          .groupBy(col("month"))
+          .agg(
+            count(lit(1)).as("rows"),
+            min("ts").as("first_ts"),
+            max("ts").as("last_ts"),
+            sum(when(col("__gap") > 0, col("__gap")).otherwise(0L)).as("missing_ids"),
+            sum(when(col("__gap") > 0, 1L).otherwise(0L)).as("discontinuities"))
+        val tsSide = graft.trades.Trades
+          .lagged(trades.select(col("ts"), col("id")), Seq("ts", "id"), Seq("ts"))
+          .withColumn("month", monthCol(col("ts")))
+          .withColumn("__tgap", col("ts") - col("prev_ts"))
+          .groupBy(col("month"))
+          .agg(
+            sum(when(col("__tgap") > maxGapNs, 1L).otherwise(0L)).as("time_gaps"),
+            max(when(col("__tgap") > maxGapNs, col("__tgap")).otherwise(0L)).as("max_time_gap_ns"))
+        idSide.join(tsSide, Seq("month"))
+      }
+    summarized
       .withColumn("missing_pct",
         col("missing_ids") * lit(100.0) / (col("missing_ids") + col("rows")))
       .withColumn("data_integrity_ok",

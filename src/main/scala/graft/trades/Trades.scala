@@ -99,17 +99,49 @@ object Trades {
       count(lit(1)).as("merged"))
   }
 
+  /** Lag-by-one of long columns over a total integral order, distributed:
+    * the pinned scan layout's boundary handoff threads the exact previous
+    * ROW (no affine double state — ns epochs exceed 2^53 and would lose
+    * precision). One parallel shuffle — the data-scaled stream never moves
+    * through a single-partition window. Appends `prev_<c>` (null on the
+    * first row) per lag column. Requires UNIQUE order keys (asserted by
+    * the pinned layout).
+    */
+  private[graft] def lagged(df: DataFrame, orderCols: Seq[String],
+                            lagCols: Seq[String]): DataFrame = {
+    import graft.features.Scan
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val idxs = lagCols.map(df.schema.fieldIndex).toArray
+    val n = idxs.length
+    Scan.withPrevRow(df, orderCols,
+        out = (_, prev) =>
+          if (prev == null) Row.fromSeq(Seq.fill(n)(null))
+          else Row.fromSeq(idxs.toSeq.map(i => prev.getLong(i))),
+        outName = "__lag",
+        outType = StructType(lagCols.map(c => StructField(s"prev_$c", LongType))))
+      .select(df.columns.map(col) ++
+        lagCols.map(c => col(s"__lag.prev_$c").as(s"prev_$c")): _*)
+  }
+
   /** Trade-id gap scan — `_validate_data` (data_model.py:254-292):
     * rows where id jumps by >1, with surrounding timestamps. `partCols`
-    * runs the scan per symbol (shuffle-parallel) for multi-series stores.
+    * runs the scan per symbol (shuffle-parallel) for multi-series stores;
+    * the unkeyed (reference single-series) path rides the pinned affine
+    * scan — one parallel shuffle, no single-partition window.
     */
   def idGaps(trades: DataFrame, partCols: Seq[String] = Nil): DataFrame = {
     val pc = partCols.map(col)
-    val w = Window.partitionBy(pc: _*).orderBy("id")
-    trades.select(pc ++ Seq(
-        col("id"), col("ts"),
-        lag("id", 1).over(w).as("prev_id"),
-        lag("ts", 1).over(w).as("prev_ts")): _*)
+    val withPrev =
+      if (partCols.nonEmpty) {
+        val w = Window.partitionBy(pc: _*).orderBy("id")
+        trades.select(pc ++ Seq(
+          col("id"), col("ts"),
+          lag("id", 1).over(w).as("prev_id"),
+          lag("ts", 1).over(w).as("prev_ts")): _*)
+      } else
+        lagged(trades.select(col("id"), col("ts")), Seq("id"), Seq("id", "ts"))
+    withPrev
       .where(col("id") - col("prev_id") > 1)
       .select(pc ++ Seq(
         col("prev_id"), col("id"),
@@ -123,18 +155,61 @@ object Trades {
   def timeGaps(trades: DataFrame, maxGapNs: Long,
                partCols: Seq[String] = Nil): DataFrame = {
     val pc = partCols.map(col)
-    val w = Window.partitionBy(pc: _*).orderBy("ts", "id")
-    trades.select(pc :+ col("ts") :+ lag("ts", 1).over(w).as("prev_ts"): _*)
+    val withPrev =
+      if (partCols.nonEmpty) {
+        val w = Window.partitionBy(pc: _*).orderBy("ts", "id")
+        trades.select(pc :+ col("ts") :+ lag("ts", 1).over(w).as("prev_ts"): _*)
+      } else
+        lagged(trades.select(col("ts"), col("id")), Seq("ts", "id"), Seq("ts"))
+    withPrev
       .where(col("ts") - col("prev_ts") > maxGapNs)
       .select(pc ++ Seq(col("prev_ts").as("gap_start"), col("ts").as("gap_end"),
         ((col("ts") - col("prev_ts")) / lit(1e9)).as("gap_sec")): _*)
   }
 
-  /** Monotonic-timestamp check (bar/utils.py:227-237) as one scalar agg. */
+  /** Monotonic-timestamp check (bar/utils.py:227-237): per-partition
+    * adjacent compares over a range-partitioned (id, ts) layout + a tiny
+    * boundary roll-up — the data-scaled stream is checked in parallel; only
+    * the ≤|partitions| summary rows move through one partition.
+    */
   def checkTimestampsOrder(trades: DataFrame): DataFrame = {
-    val w = Window.orderBy("id")
-    trades.select((col("ts") >= lag("ts", 1).over(w)).as("ok"))
-      .agg(coalesce(min(col("ok").cast("int")), lit(1)).cast("boolean").as("is_sorted"))
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val spark = trades.sparkSession
+    val parts = math.max(spark.sparkContext.defaultParallelism,
+      trades.rdd.getNumPartitions)
+    val laid = trades.select(col("id"), col("ts"))
+      .repartitionByRange(parts, col("id"), col("ts"))
+      .sortWithinPartitions("id", "ts")
+    val summSchema = StructType(Seq(StructField("pid", IntegerType),
+      StructField("first_ts", LongType), StructField("last_ts", LongType),
+      StructField("viol", LongType)))
+    val summ = laid.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val firstTs = it.next().getLong(1)
+        var prevTs = firstTs
+        var viol = 0L
+        while (it.hasNext) {
+          val t = it.next().getLong(1)
+          if (t < prevTs) viol += 1
+          prevTs = t
+        }
+        Iterator.single(Row(pid, firstTs, prevTs, viol))
+      }
+    }(Encoders.row(summSchema))
+    // repartition (NOT coalesce: coalesce would fuse the parallel scan
+    // itself into one task) the tiny summary, then one ordered pass
+    summ.repartition(1).sortWithinPartitions("pid").mapPartitions { it =>
+      var ok = true
+      var prevLast = Long.MinValue
+      it.foreach { r =>
+        if (r.getLong(3) > 0 || r.getLong(1) < prevLast) ok = false
+        prevLast = r.getLong(2)
+      }
+      Iterator.single(Row(ok))
+    }(Encoders.row(StructType(Seq(StructField("is_sorted", BooleanType))))).toDF()
   }
 
   /** Tick-size estimate: GCD of scaled diffs of the first 10k unique prices —
