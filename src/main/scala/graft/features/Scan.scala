@@ -434,7 +434,29 @@ object Scan {
       emit: (Array[Double], Array[Double], Row) => Any,
       outName: String,
       outType: DataType,
-      numParts: Int = 0): DataFrame = {
+      numParts: Int = 0): DataFrame =
+    affine2WithFinal(df, orderCols, n1, coefs1, init1, n2, coefs2, init2,
+      emit, outName, outType, numParts)._1
+
+  /** [[affine2]] + both stages' FINAL state vectors — the driver folds
+    * already compute them; callers needing global totals alongside the
+    * prefix scan (e.g. normalization scalars over a decay-weighted column)
+    * read them here instead of paying a separate aggregation pass over the
+    * scan's output lineage.
+    */
+  private[graft] def affine2WithFinal(
+      df: DataFrame,
+      orderCols: Seq[String],
+      n1: Int,
+      coefs1: (Row, Row) => Array[Affine],
+      init1: Array[Double],
+      n2: Int,
+      coefs2: (Row, Array[Double]) => Array[Affine],
+      init2: Array[Double],
+      emit: (Array[Double], Array[Double], Row) => Any,
+      outName: String,
+      outType: DataType,
+      numParts: Int = 0): (DataFrame, Array[Double], Array[Double]) = {
     val spark = df.sparkSession
     val parts =
       if (numParts > 0) numParts
@@ -445,11 +467,12 @@ object Scan {
 
     val summaries = phaseASummaries(layout, keyIdxs, n1, coefs1,
       assertUnique = true, outName, orderCols)
-    val (incoming1, prevLast1, _) = foldIncoming(summaries, n1, coefs1, init1)
+    val (incoming1, prevLast1, fin1) = foldIncoming(summaries, n1, coefs1, init1)
     val m = summaries.length
     val outSchema = StructType(df.schema.fields :+ StructField(outName, outType))
     if (m == 0)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
+      return (spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema),
+        fin1, init2.clone())
 
     val b1 = spark.sparkContext.broadcast((incoming1, prevLast1))
     val pidToIdx = summaries.map(_._1).zipWithIndex.toMap
@@ -509,7 +532,7 @@ object Scan {
           }
       }
     }
-    spark.createDataFrame(outRdd, outSchema)
+    (spark.createDataFrame(outRdd, outSchema), fin1, st2)
   }
 
   /** Previous-ROW access over a total integral order, distributed: the

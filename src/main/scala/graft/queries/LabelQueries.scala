@@ -115,33 +115,66 @@ object LabelQueries {
     }),
 
     "label_weights" -> ((s, dir) => {
+      import graft.features.Scan
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.DoubleType
+      val lastWeight = 0.5
       val t = trades(s, dir)
       val lab = labeled(s, dir, isMeta = false).persist(graft.Conf.storageLevel)
-      // the event-weights table is tiny (|trades|/29) but its sweep is the
-      // suite's most expensive chain — persist it so the decay scan's
-      // sample/shuffle passes and the scalar branches below read the cache
-      val ew = Weights.eventWeights(t, lab).persist(graft.Conf.storageLevel)
-      val decayed = Weights.withTimeDecay(ew, lastWeight = 0.5)
-      // cached: the normalization scalar and the class-balance group/join
-      // branches each re-read this event-level table (3 plan references);
-      // without the cache every reference replays the decay scan's shuffle
-      // and the joins
-      val j = decayed.join(
+      val ew = Weights.eventWeights(t, lab)
+      // Join the labels in BEFORE the decay scan and persist ONCE: the
+      // scan's bounds sample + shuffle and the class-balance branches all
+      // read this one event-scaled cache (|trades|/29 rows), so the sweep
+      // runs exactly once and no later pass replays the trade stream.
+      val j = ew.join(
         lab.select(col("event_id").as("eid"), col("label"),
           col("vertical_touch_weight")),
         col("eid") === col("event_id")).drop("eid")
-        .withColumn("base",
-          col("time_decay") * col("return_attribution") * col("vertical_touch_weight"))
+        .withColumn("av",
+          col("return_attribution") * col("vertical_touch_weight"))
         .persist(graft.Conf.storageLevel)
-      // mean-normalization via a broadcast 1-row scalar: the recompute on
-      // the broadcast branch only reads the cache — no single-partition
-      // window on a table that scales with the data
-      val normalized = j
-        .crossJoin(broadcast(j.agg(
-          count(lit(1)).as("__n"), sum("base").as("__s"))))
-        .withColumn("base_norm", col("base") * col("__n") / col("__s"))
-        .drop("__n", "__s")
-      Weights.withClassBalance(normalized, "base_norm").select(
+      // ONE scan computes the decay prefix AND every normalization scalar
+      // as final fold states — no separate aggregation pass:
+      //   stage 1: cumU (running Σ avg_uniqueness), Σ av, n
+      //   stage 2: Σ av·cumU  (reads stage-1 cumU)
+      // With time_decay = c0 + slope·cumU (c0 = 1 − slope·totalU):
+      //   Σ base = Σ av·time_decay = c0·Σav + slope·Σ(av·cumU) — exact from
+      // the finals, so base_norm = av·time_decay·(n/Σbase) is a pure
+      // projection over the scan output.
+      val sch = j.schema
+      val uIdx = sch.fieldIndex("avg_uniqueness")
+      val avIdx = sch.fieldIndex("av")
+      val keep = Scan.Affine(1.0, 0.0)
+      val coefs1 = (r: Row, _: Row) => {
+        val u = if (r.isNullAt(uIdx)) 0.0 else r.getDouble(uIdx)
+        Array(Scan.Affine(1.0, u), Scan.Affine(1.0, r.getDouble(avIdx)),
+          Scan.Affine(1.0, 1.0))
+      }
+      val coefs2 = (r: Row, st1: Array[Double]) =>
+        Array(Scan.Affine(1.0, r.getDouble(avIdx) * st1(0)))
+      val (scanned, fin1, fin2) = Scan.affine2WithFinal(
+        j, Seq("event_ts", "event_id"),
+        n1 = 3, coefs1, init1 = Array(0.0, 0.0, 0.0),
+        n2 = 1, coefs2, init2 = Array(0.0),
+        emit = (st1, _, _) => st1(0),
+        outName = "__cum", outType = DoubleType)
+      val totalU = fin1(0)
+      // the closed-form Σbase below assumes the decay is never clipped —
+      // true for lastWeight ≥ 0 (decay ∈ [lastWeight, 1]); a negative
+      // lastWeight clips at 0 and would need the clipped prefix folded
+      require(lastWeight >= 0, "closed-form normalization needs lastWeight >= 0")
+      val slope = (1.0 - lastWeight) / totalU
+      val c0 = 1.0 - slope * totalU
+      val sumBase = c0 * fin1(1) + slope * fin2(0)
+      val normFactor = fin1(2) / sumBase
+      val clipFloor = if (lastWeight < 0) 0.0 else Double.NegativeInfinity
+      val decayed = scanned
+        .withColumn("time_decay",
+          greatest(lit(clipFloor), lit(c0) + lit(slope) * col("__cum")))
+        .withColumn("base_norm",
+          col("av") * col("time_decay") * lit(normFactor))
+        .drop("__cum")
+      Weights.withClassBalance(decayed, "base_norm").select(
         col("event_ts"), col("event_id"), col("label"),
         r6(col("avg_uniqueness")).as("avg_uniqueness"),
         r6(col("return_attribution")).as("return_attribution"),
