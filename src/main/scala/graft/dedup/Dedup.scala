@@ -218,20 +218,36 @@ object Dedup {
     * otherwise pile into few 8-bit buckets and the candidate join goes
     * near-quadratic. Hamming is verified BEFORE the distinct so the
     * dedup shuffle only carries surviving pairs.
+    *
+    * @param maxBucket band buckets larger than this are dropped as
+    *        non-discriminative before the self-join — a boilerplate/template
+    *        cluster of m near-identical docs otherwise lands in ONE bucket
+    *        per band and the join emits ~m²·bands rows (the same mega-bucket
+    *        argument as [[lshCandidates]]). Capped docs can still pair
+    *        through their other, surviving bands; pigeonhole completeness
+    *        (any pair ≤ maxHamming shares a full band) then holds only
+    *        through those. Default unbounded (exact banding semantics).
     */
-  def simhashPairs(sh: DataFrame, maxHamming: Int, bands: Int = 4): DataFrame = {
+  def simhashPairs(sh: DataFrame, maxHamming: Int, bands: Int = 4,
+                   maxBucket: Int = Int.MaxValue): DataFrame = {
     require(maxHamming < bands, "pigeonhole completeness needs maxHamming < bands")
     val width = 16 / bands
     // cache the banded table: both sides of the self-join below would
     // otherwise recompute the full upstream simhash aggregation. It is
     // (bands) rows × ~30 bytes per doc — small at any corpus size worth
     // self-joining.
-    val b = sh.select(col("id"), col("simhash"),
+    val b0 = sh.select(col("id"), col("simhash"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           i => struct(i.as("band"),
             col("simhash").substr(i * width + lit(1), lit(width)).as("bk")))).as("x"))
       .select(col("id"), col("simhash"), col("x.band").as("band"), col("x.bk").as("bk"))
       .cache()
+    val b =
+      if (maxBucket == Int.MaxValue) b0
+      else b0.join(
+        b0.groupBy("band", "bk").agg(count(lit(1)).as("__bs"))
+          .where(col("__bs") <= maxBucket).drop("__bs"),
+        Seq("band", "bk"))
     val l = b.as("l"); val r = b.as("r")
     l.join(r, col("l.band") === col("r.band") && col("l.bk") === col("r.bk") &&
         col("l.id") < col("r.id"))

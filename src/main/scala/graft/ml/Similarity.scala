@@ -169,15 +169,29 @@ object Similarity {
     * Recall < 1 by construction (property-tested vs [[nearDupPairs]]) —
     * this is the 100 TB path; tune `nPlanes`/`bandBits` to the threshold
     * (more bands → higher recall, more candidates).
+    *
+    * @param maxBucket band buckets larger than this are dropped as
+    *        non-discriminative before the self-join: a cluster of m
+    *        near-identical vectors (boilerplate embeddings) shares every
+    *        sign band and would emit ~m²·bands candidate rows. Capped
+    *        vectors still pair through smaller bands. Default unbounded.
     */
   def lshNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
-                      threshold: Double, nPlanes: Int = 64, bandBits: Int = 4): DataFrame = {
+                      threshold: Double, nPlanes: Int = 64, bandBits: Int = 4,
+                      maxBucket: Int = Int.MaxValue): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val planes = hyperplanes(nPlanes, vecDim(emb, vecCol))
-    val bands = lshBandRows(emb, idCol, vecCol, planes, bandBits)
-    val cand = bands.toDF("id_a", "band", "bk")
-      .join(bands.toDF("id_b", "band", "bk"), Seq("band", "bk"))
+    val bands0 = lshBandRows(emb, idCol, vecCol, planes, bandBits).toDF("id", "band", "bk")
+    val bands =
+      if (maxBucket == Int.MaxValue) bands0
+      else bands0.join(
+        bands0.groupBy("band", "bk").agg(count(lit(1)).as("__bs"))
+          .where(col("__bs") <= maxBucket).drop("__bs"),
+        Seq("band", "bk"))
+    val cand = bands.select(col("id").as("id_a"), col("band"), col("bk"))
+      .join(bands.select(col("id").as("id_b"), col("band"), col("bk")),
+        Seq("band", "bk"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     val nv = unitVecs(emb, idCol, vecCol)

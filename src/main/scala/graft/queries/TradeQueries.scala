@@ -220,6 +220,25 @@ object TradeQueries {
           r6(col("vwap")).as("vwap"))
     }),
 
+    // END-TO-END ranged read through the store (§2.1 load_trades_h5 /
+    // _keys_for_timerange): write via saveMonthly, read a mid-range slice
+    // back through readRange (month-directory pruning + ts pushdown) and
+    // hash-match the rows against the oracle's filtered scan of the raw
+    // events — a pruning bug that drops or duplicates rows fails HERE, not
+    // just in StoreSpec's PartitionFilters plan assert. Bounds derive from
+    // min(ts) so the oracle reproduces them exactly.
+    "store_readrange_prune" -> ((s, dir) => {
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_gate_store_rr").getAbsolutePath
+      val t = trades(s, dir)
+      graft.sources.Store.saveMonthly(t, tmp)
+      val dayNs = 86400L * 1000000000L
+      val minTs = t.agg(min("ts")).first().getLong(0)
+      graft.sources.Store.readRange(s, tmp, minTs + 7 * dayNs, minTs + 14 * dayNs)
+        .select(col("ts"), col("id"), r6(col("price")).as("price"),
+          r6(col("qty")).as("qty"), col("symbol"))
+    }),
+
     // Monthly catalog report (§2.1 H5Inspector.get_statistics): the same
     // aggregation Store.monthlyStats runs over the partitioned layout.
     "catalog_months" -> ((s, dir) =>
@@ -270,6 +289,14 @@ object TradeQueries {
   val oracles: Map[String, String] = Map(
     "store_roundtrip_catalog" -> catalogSql,
     "store_readback_1d" -> resample1dSql,
+    "store_readrange_prune" -> {
+      val dayNs = 86400L * 1000000000L
+      s"""WITH $tradesCte,
+         |b AS (SELECT min(ts) AS mn FROM trades)
+         |SELECT ts, id, ${rd("price")} AS price, ${rd("qty")} AS qty, symbol
+         |FROM trades, b
+         |WHERE ts BETWEEN mn + ${7 * dayNs} AND mn + ${14 * dayNs}""".stripMargin
+    },
     "trades_canonical" ->
       s"""WITH $tradesCte, $sidedCte
          |SELECT ts, id, ${rd("price")} AS price, ${rd("qty")} AS qty, symbol, side

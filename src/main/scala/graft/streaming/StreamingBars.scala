@@ -471,14 +471,14 @@ object StreamingBars {
             DirBufState(Double.NaN, 0, hasPrev = false, Vector.empty))
           val buf = if (state.hasTimedOut) s.rows else s.rows ++ rows
           val wmMs = state.getCurrentWatermarkMs()
-          // STRICT <: Spark's stateful late-row filter drops only rows
-          // strictly older than the watermark, so a row whose event time
-          // EQUALS the watermark can still arrive in a later batch. With
-          // bar-aligned event times and a grid-aligned watermark that
-          // equality is common — finalizing at == would emit the bar and
-          // then fold the late row out of order / duplicate the bar. A bar
-          // closes one watermark advance later, never before Spark
-          // guarantees no more rows for it.
+          // STRICT <: whether a row with event time EQUAL to the watermark
+          // reaches a stateful operator is a boundary convention of
+          // Spark's late-row filter (MEASURED on Spark 4.1: equal rows are
+          // DROPPED — StreamingSpec's watermark-boundary test pins it).
+          // Finalizing strictly below the watermark is duplicate-free
+          // under EITHER convention: a bar whose close sits exactly on the
+          // watermark stays buffered one extra advance rather than racing
+          // the filter's boundary semantics across Spark versions.
           val (doneRows, openRows) =
             buf.partition(r => r.bar_ts / 1000000L < wmMs)
           var st = DirState(s.prevPrice, s.prevSide, s.hasPrev, Map.empty)

@@ -72,6 +72,46 @@ class DocSpec extends AnyFunSuite {
     assert(pairs == Set((100L, 101L)))
   }
 
+  test("simhash pairs maxBucket drops the boilerplate cluster, keeps others") {
+    // 12 identical docs share every 16-bit band -> four buckets of 12;
+    // a separate near-identical pair lives in its own small buckets
+    val boiler = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearA = (1 to 40).map(i => s"v$i").mkString(" ")
+    val nearB = (1 to 39).map(i => s"v$i").mkString(" ") + " v99"
+    val d = docsDf(((1L to 12L).map(_ -> boiler) ++
+        Seq(100L -> nearA, 101L -> nearB)): _*)
+      .withColumn("toks", TextOps.wsTokens(col("text")))
+    val sh = Dedup.simhash(d, "doc_id", "toks")
+    val uncapped = Dedup.simhashPairs(sh, maxHamming = 3).count()
+    assert(uncapped >= 12L * 11 / 2, s"identical cluster must pair: $uncapped")
+    val capped = Dedup.simhashPairs(sh, maxHamming = 3, maxBucket = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.exists { case (a, b) => a <= 12 && b <= 12 },
+      s"mega-bucket pairs must be dropped: $capped")
+    assert(capped.contains((100L, 101L)),
+      s"small-bucket near-dup pair must survive the cap: $capped")
+  }
+
+  test("embedding LSH maxBucket drops the identical-vector cluster") {
+    val boiler = Array.tabulate(16)(i => math.sin(i).toFloat)
+    def noise(seed: Int) =
+      Array.tabulate(16)(i => (((seed * 31 + i * 7) % 13) - 6).toFloat / 3f)
+    val near = Array.tabulate(16)(i => noise(77)(i) + 0.01f * i)
+    val rows = (1L to 12L).map(id => (id, boiler)) ++
+      Seq(100L -> noise(77), 101L -> near, 200L -> noise(3), 201L -> noise(9))
+    val e = rows.toDF("vec_id", "embedding")
+    val uncapped = Similarity.lshNearDupPairs(e, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.exists { case (a, b) => a <= 12 && b <= 12 })
+    val capped = Similarity.lshNearDupPairs(e, "vec_id", "embedding", 0.95,
+        maxBucket = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.exists { case (a, b) => a <= 12 && b <= 12 },
+      s"identical-vector mega-bucket must be dropped: $capped")
+    assert(capped.contains((100L, 101L)),
+      s"small-bucket near-dup pair must survive: $capped")
+  }
+
   test("simhash: identical docs collide, near-identical docs are close") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val tweaked = (1 to 38).map(i => s"w$i").mkString(" ") + " x1 x2"

@@ -240,6 +240,47 @@ class StreamingSpec extends AnyFunSuite {
     assertRowsClose(streamed, batch)
   }
 
+  test("buffered stream watermark boundary: one bar row, strict-< finalize") {
+    // Pins the MEASURED Spark 4.1 boundary convention: a row whose event
+    // time EQUALS the watermark is DROPPED by the stateful late filter
+    // (probed both ways — at a 6-minute delay the same straggler is kept
+    // and folds to 3 ticks). The operator finalizes strictly BELOW the
+    // watermark, which is duplicate-free under either convention; a future
+    // Spark that keeps equal rows would fold them into the still-buffered
+    // bar instead of duplicating it, flipping the tick assert below.
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[StreamingBars.SidedSymIn]
+    val q = StreamingBars.directionalBufferedStream(ms.toDS(), 300,
+        watermarkDelay = "5 minutes")
+      .writeStream.format("memory").queryName("dir_wm_eq")
+      .outputMode("append").start()
+    def in(ts: Long, id: Long, sym: Long) =
+      StreamingBars.SidedSymIn(ts, id, 100.0, 1.0, 1, sym)
+    // bar(0,300s] for sym 0; the sym-1 row pushes max event to 600 s so the
+    // watermark lands exactly ON the 300 s bar close (600 s − 5 min)
+    ms.addData(Seq(in(100000000000L, 1, 0), in(200000000000L, 2, 0),
+      in(350000000000L, 3, 1)))
+    q.processAllAvailable()
+    // invoke sym 0's group at wm == 300 s without advancing the watermark —
+    // the strict-< finalize must keep bar 300 buffered here
+    ms.addData(Seq(in(550000000000L, 4, 0)))
+    q.processAllAvailable()
+    // straggler with event_time == watermark (== 300 s): dropped by Spark
+    ms.addData(Seq(in(250000000000L, 5, 0)))
+    q.processAllAvailable()
+    // advance the watermark far; everything flushes
+    ms.addData(Seq(in(10000000000000L, 6, 0)))
+    q.processAllAvailable()
+    val rows = spark.table("dir_wm_eq")
+      .where(col("symbol") === 0 && col("bar_ts") === 300000000000L)
+      .select(col("ticks_buy") + col("ticks_sell")).collect()
+    q.stop()
+    assert(rows.length == 1, s"duplicate rows for one bar: ${rows.length}")
+    assert(rows.head.getLong(0) == 2,
+      "Spark 4.1 drops the equal-to-watermark straggler; exactly the two " +
+        "on-time rows fold into the bar")
+  }
+
   test("streaming footprint summary equals the batch build+summary pipeline") {
     implicit val sqlCtx = spark.sqlContext
     val data = trades(60)
