@@ -64,13 +64,17 @@ object Trades {
     * get 0. One pass of two window functions — the carry is
     * `last(non-zero-sign, ignoreNulls)` over an unbounded-preceding frame.
     *
-    * MEASURED: the carry state is affine (keep / overwrite-with-±1), so an
-    * exact two-pass Scan.affine variant exists in principle — benchmarked
-    * ~2× SLOWER end-to-end at sf0.1 (the scan's cached sorted materialization
-    * defeats downstream column pruning and pays two passes, vs one cheap
-    * single-partition sort at these row counts). Single-series order-total
-    * is the reference's own constraint; at multi-series scale pass
-    * `partCols` and the window shuffles by symbol.
+    * MEASURED (r6, one-shuffle pinned scan): the carry is ONE prev-dependent
+    * affine state, so the exact `Scan.affine` variant is a 10-line drop-in —
+    * benchmarked min-of-3 at sf0.1 across the four downstream gate chains
+    * (canonical/directional/footprint/profile): scan 6.65 s vs window
+    * 3.05 s. Every consumer branch re-reads the scan's non-codegen Row
+    * output, while the window stays inside one whole-stage-codegen plan —
+    * the r4 2× measurement still holds with the cheaper scan. The unkeyed
+    * single-partition window is therefore a DOCUMENTED, allowlisted
+    * (PlanAudit "tick-rule" reason) tradeoff: single-series order-total is
+    * the reference's own constraint, and at multi-series scale `partCols`
+    * shuffles the window by symbol.
     *
     * @param partCols optional symbol partitioning for multi-series data; the
     *                 reference semantics are single-series (empty Seq).
