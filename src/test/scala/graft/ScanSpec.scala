@@ -443,6 +443,48 @@ class ScanSpec extends AnyFunSuite {
       s"affine2 must add exactly one shuffle (input=$base, out=${shuffles(out.rdd)})")
   }
 
+  test("affine2 and withPrevRow handle empty and single-row inputs") {
+    import graft.features.Scan
+    import graft.features.Scan.Affine
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val empty = Seq.empty[(Long, Long, Long)].toDF("ts", "id", "d")
+    val one = Seq((5L, 5L, 2L)).toDF("ts", "id", "d")
+    def run2(df: org.apache.spark.sql.DataFrame) = Scan.affine2(
+      df, Seq("ts", "id"),
+      n1 = 1, (r, _) => Array(Affine(1.0, r.getLong(2).toDouble)), Array(0.0),
+      n2 = 1, (_, s1) => Array(Affine(1.0, s1(0))), Array(0.0),
+      emit = (_, s2, _) => s2(0), outName = "o", outType = DoubleType,
+      numParts = 4)
+    assert(run2(empty).count() == 0)
+    val r1 = run2(one).select("o").as[Double].collect()
+    assert(r1.toSeq == Seq(2.0)) // stage1 = 2, stage2 += 2
+    def runPrev(df: org.apache.spark.sql.DataFrame) = Scan.withPrevRow(
+      df, Seq("ts", "id"),
+      out = (_, prev) => if (prev == null) null else java.lang.Long.valueOf(prev.getLong(0)),
+      outName = "prev_ts", outType = LongType, numParts = 4)
+    assert(runPrev(empty).count() == 0)
+    val p1 = runPrev(one).select("prev_ts").collect()
+    assert(p1.length == 1 && p1.head.isNullAt(0))
+  }
+
+  test("withPrevRow threads exact longs across partition boundaries") {
+    import graft.features.Scan
+    import org.apache.spark.sql.types.LongType
+    // ns-epoch magnitudes (> 2^53): a double state would corrupt these
+    val base = 1704067200000000000L
+    val rows = (0 until 500).map(i => (base + i * 1000L + 1L, i.toLong))
+    val df = rows.toDF("ts", "id").repartition(7)
+    val out = Scan.withPrevRow(df, Seq("ts", "id"),
+      out = (_, prev) => if (prev == null) null else java.lang.Long.valueOf(prev.getLong(0)),
+      outName = "prev_ts", outType = LongType, numParts = 5)
+      .orderBy("ts").select("ts", "prev_ts").collect()
+    assert(out.head.isNullAt(1))
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(1) == a.getLong(0),
+        s"prev_ts must be the exact previous ts: ${b.getLong(1)} vs ${a.getLong(0)}")
+    }
+  }
+
   test("unkeyed weights sweep equals the keyed window path on one symbol") {
     // same inputs, constant symbol: the affine2 scan path (partCols = Nil)
     // must agree with the window path (partCols = symbol) row for row.
