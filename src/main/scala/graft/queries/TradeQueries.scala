@@ -140,6 +140,15 @@ object TradeQueries {
       Trades.timeGaps(trades(s, dir), 3600L * 1000000000L).select(
         col("gap_start"), col("gap_end"), r6(col("gap_sec")).as("gap_sec"))),
 
+    // Keyed time-gap scan: per-symbol gap windows (shuffle-parallel — the
+    // 100 TB shape). Per-symbol streams are sparse (~2 trades/day in the
+    // synthetic data), so a 3-day threshold yields real per-symbol gaps.
+    "integrity_time_gaps_sym" -> ((s, dir) =>
+      Trades.timeGaps(trades(s, dir), 3L * 86400L * 1000000000L,
+          Seq("symbol")).select(
+        col("symbol"), col("gap_start"), col("gap_end"),
+        r6(col("gap_sec")).as("gap_sec"))),
+
     // Trade-id gap scan on a filtered stream (ids become sparse) (§2.2).
     "integrity_id_gaps" -> ((s, dir) => {
       val t = Trades.fromEvents(
@@ -509,6 +518,15 @@ object TradeQueries {
          |SELECT prev_ts AS gap_start, ts AS gap_end, ${rd("(ts - prev_ts) / 1e9")} AS gap_sec
          |FROM (SELECT ts, lag(ts) OVER (ORDER BY ts, id) AS prev_ts FROM trades)
          |WHERE ts - prev_ts > ${3600L * 1000000000L}""".stripMargin,
+
+    "integrity_time_gaps_sym" ->
+      s"""WITH $tradesCte
+         |SELECT symbol, prev_ts AS gap_start, ts AS gap_end,
+         |       ${rd("(ts - prev_ts) / 1e9")} AS gap_sec
+         |FROM (SELECT symbol, ts,
+         |        lag(ts) OVER (PARTITION BY symbol ORDER BY ts, id) AS prev_ts
+         |      FROM trades)
+         |WHERE ts - prev_ts > ${3L * 86400L * 1000000000L}""".stripMargin,
 
     "integrity_id_gaps" ->
       """WITH trades AS (

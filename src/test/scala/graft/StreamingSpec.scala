@@ -281,6 +281,50 @@ class StreamingSpec extends AnyFunSuite {
         "on-time rows fold into the bar")
   }
 
+  test("streaming integrity alerts equal the batch keyed gap scans") {
+    import graft.streaming.StreamingIntegrity
+    implicit val sqlCtx = spark.sqlContext
+    // two symbols, co-monotonic (ts, id) per symbol, with planted time
+    // gaps (> 100 s) and id jumps; delivered across three batches
+    val ticks = Seq(
+      // sym 0
+      StreamingIntegrity.TickIn(10000000000L, 1, 0),
+      StreamingIntegrity.TickIn(20000000000L, 2, 0),
+      StreamingIntegrity.TickIn(140000000000L, 3, 0),  // time gap 120 s
+      StreamingIntegrity.TickIn(150000000000L, 7, 0),  // id gap (3 missing)
+      StreamingIntegrity.TickIn(160000000000L, 8, 0),
+      // sym 1
+      StreamingIntegrity.TickIn(15000000000L, 100, 1),
+      StreamingIntegrity.TickIn(260000000000L, 101, 1), // time gap 245 s
+      StreamingIntegrity.TickIn(270000000000L, 110, 1)) // id gap (8 missing)
+    val ms = MemoryStream[StreamingIntegrity.TickIn]
+    val q = StreamingIntegrity.alerts(ms.toDS(), maxGapNs = 100000000000L)
+      .writeStream.format("memory").queryName("integ_alerts")
+      .outputMode("append").start()
+    ticks.grouped(3).foreach { b => ms.addData(b); q.processAllAvailable() }
+    val streamed = spark.table("integ_alerts")
+      .select("symbol", "kind", "prev_ts", "ts", "prev_id", "id",
+        "missing_ids", "gap_sec")
+      .collect().map(_.toSeq).toSet
+    q.stop()
+    val t = ticks.toDF("ts", "id", "symbol")
+    val timeGaps = graft.trades.Trades
+      .timeGaps(t, 100000000000L, Seq("symbol"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val idGaps = graft.trades.Trades.idGaps(t, Seq("symbol"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed.count(_(1) == "time_gap") == timeGaps.size && timeGaps.size == 2)
+    assert(streamed.count(_(1) == "id_gap") == idGaps.size && idGaps.size == 2)
+    timeGaps.foreach { case (sym, gs, ge) =>
+      assert(streamed.exists(a => a(0) == sym && a(1) == "time_gap" &&
+        a(2) == gs && a(3) == ge), s"missing time gap $sym $gs-$ge")
+    }
+    idGaps.foreach { case (sym, pid, id) =>
+      assert(streamed.exists(a => a(0) == sym && a(1) == "id_gap" &&
+        a(4) == pid && a(5) == id), s"missing id gap $sym $pid-$id")
+    }
+  }
+
   test("streaming footprint summary equals the batch build+summary pipeline") {
     implicit val sqlCtx = spark.sqlContext
     val data = trades(60)
