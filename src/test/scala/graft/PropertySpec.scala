@@ -41,6 +41,46 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("affine2: equals the sequential recursion, invariant to partitions (random coefs)") {
+    import graft.features.Scan
+    import graft.features.Scan.Affine
+    // random affine stage-1 maps (a in {0.3..1.2}, b in [-1,1]); stage-2
+    // increment is a random function of the stage-1 state — the exact
+    // dependency shape affine2 exists for. Result must match the plain
+    // two-variable loop and be independent of input partitioning and scan
+    // partition count.
+    for (seed <- Seq(7L, 99L)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 300 + rnd.nextInt(300)
+      val rows = (0 until n).map { i =>
+        (i.toLong, i.toLong, 0.3 + rnd.nextDouble() * 0.9, rnd.nextDouble() * 2 - 1)
+      }
+      var s1 = 0.5; var s2 = 0.0
+      val exp = rows.map { case (_, _, a, b) =>
+        s1 = a * s1 + b
+        s2 += 0.25 * s1 + 0.1
+        s2
+      }
+      def run(inputParts: Int, scanParts: Int) = {
+        val df = rows.toDF("ts", "id", "a", "b").repartition(inputParts)
+        Scan.affine2(df, Seq("ts", "id"),
+          n1 = 1, (r, _) => Array(Affine(r.getDouble(2), r.getDouble(3))),
+          Array(0.5),
+          n2 = 1, (_, st1) => Array(Affine(1.0, 0.25 * st1(0) + 0.1)),
+          Array(0.0),
+          emit = (_, st2, _) => st2(0),
+          outName = "o", outType = org.apache.spark.sql.types.DoubleType,
+          numParts = scanParts)
+          .orderBy("ts").select("o").as[Double].collect().toSeq
+      }
+      val base = run(3, 4)
+      base.zip(exp).foreach { case (g, e) =>
+        assert(math.abs(g - e) < 1e-9, s"seed=$seed") }
+      assert(run(7, 2).zip(base).forall { case (x, y) => math.abs(x - y) < 1e-9 },
+        s"seed=$seed must be partition-invariant")
+    }
+  }
+
   test("weighted-median resample equals the sequential reference (random weights)") {
     for (seed <- 1L to 8L) {
       val rnd = new scala.util.Random(seed)
