@@ -115,5 +115,11 @@ class TradesSpec extends AnyFunSuite {
     assert(!Trades.checkTimestampsOrder(df(Seq(1L, 3L, 2L)))
       .head().getBoolean(0))
     assert(Trades.checkTimestampsOrder(df(Seq(7L))).head().getBoolean(0))
+    // larger-than-partition-count inputs: a single mid-stream swap must be
+    // caught INSIDE one range partition, not just at boundaries
+    val ordered = (0L until 200L).map(i => i * 10L)
+    assert(Trades.checkTimestampsOrder(df(ordered)).head().getBoolean(0))
+    val swapped = ordered.updated(101, ordered(102)).updated(102, ordered(101))
+    assert(!Trades.checkTimestampsOrder(df(swapped)).head().getBoolean(0))
   }
 }
