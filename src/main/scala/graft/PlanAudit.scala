@@ -99,6 +99,8 @@ object PlanAudit {
       "— scan variant 2x slower end-to-end at sf0.1; keyed twin is the " +
       "multi-series layout"
     val limited = "limit-bounded sample (reference itself caps at 10k rows)"
+    val boundedRollup = "boundary roll-up: input is the per-partition " +
+      "summary (≤ 1 row per task), not the data-scaled stream"
     val allow: Map[String, String] = Map(
       // feature families over the 5m/1h/1d bar grids
       "f_returns" -> barGrid, "f_sma_zscore" -> barGrid,
@@ -120,7 +122,8 @@ object PlanAudit {
       "cusum_bars" -> resetKernel, "cusum_slack" -> resetKernel,
       "volume_bars_2k" -> resetKernel, "dollar_bars_200k" -> resetKernel,
       "tick_bars_300" -> resetKernel,
-      "tick_size_gcd" -> limited)
+      "tick_size_gcd" -> limited,
+      "integrity_ts_order" -> boundedRollup)
 
     var bad = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -49,9 +49,10 @@ object FootprintQueries {
 
     // Daily value area on the ~30-bin bucketed profile via the greedy
     // positional Aggregator — oracle-checked against a DuckDB recursive CTE
-    // replaying the same expansion. (The dense raw-grid variant is
-    // ScalaTest-verified in FootprintSpec; its 49k-level state is too wide
-    // for a SQL recursion.)
+    // replaying the same expansion. (The dense raw-grid variant is gated at
+    // a coarser tick by vp_value_area_day_dense — the 49k-level 0.01-tick
+    // state is too wide for a SQL recursion — and ScalaTest-verified at
+    // full resolution in FootprintSpec.)
     "vp_value_area_day" -> ((s, dir) => {
       val prof = VolumeProfile.profile(fp(s, dir),
         expr("bar_ts div 86400000000000"), "day")
@@ -84,6 +85,21 @@ object FootprintQueries {
         .select(col("bar_ts"), col("poc_level"),
           r6(col("pct_above_poc")).as("pct_above_poc"),
           r6(col("total_volume")).as("total_volume"))
+    }),
+
+    // Daily value area on the DENSE [min..max] tick grid — the raw-profile
+    // variant of the greedy kernel (volume.py:185-195 dense expansion +
+    // 277-364 expansion loop). A 1.0 tick keeps the grid small enough for
+    // the oracle's recursive-CTE replay (~560 levels/day), and volumes are
+    // round(qty*10) — integer-valued doubles, so every cu/cd comparison in
+    // BOTH engines is exact regardless of summation order.
+    "vp_value_area_day_dense" -> ((s, dir) => {
+      val prof = Trades.fromEvents(Tables.events(s, dir)).select(
+          expr("ts div 86400000000000").as("day"),
+          round(col("price") / 1.0).cast("int").as("level"),
+          round(col("qty") * 10).as("v"))
+        .groupBy("day", "level").agg(sum("v").as("volume"))
+      VolumeProfile.valueArea(prof, "day", dense = true)
     })
   )
 
@@ -254,6 +270,65 @@ object FootprintQueries {
          |  -- pocidx from arr's OWN list (first max = lowest level, np.argmax
          |  -- semantics): a separate max-join CTE would re-aggregate the
          |  -- float sums in a different parallel order and miss the equality
+         |  SELECT day, vols, lvls, n, total * ${D(68.34 / 100.0)} AS thr,
+         |         CAST(list_position(vols, list_aggregate(vols, 'max')) - 1 AS BIGINT) AS pocidx
+         |  FROM arr
+         |),
+         |va AS (
+         |  SELECT day, vols, lvls, n, thr, pocidx,
+         |         vols[pocidx + 1] AS cum,
+         |         pocidx AS hvai, pocidx AS lvai,
+         |         pocidx + 1 AS up, pocidx - 1 AS dn,
+         |         CAST(0 AS BIGINT) AS iter
+         |  FROM init
+         |  UNION ALL
+         |  SELECT day, vols, lvls, n, thr, pocidx,
+         |         cum + CASE WHEN cu > cd THEN cu WHEN cu < cd THEN cd ELSE cu + cd END,
+         |         CASE WHEN cu >= cd THEN least(up + 1, n - 1) ELSE hvai END,
+         |         CASE WHEN cu <= cd THEN greatest(dn - 1, 0) ELSE lvai END,
+         |         CASE WHEN cu >= cd THEN up + 2 ELSE up END,
+         |         CASE WHEN cu <= cd THEN dn - 2 ELSE dn END,
+         |         iter + 1
+         |  FROM (
+         |    SELECT *,
+         |      CASE WHEN up < n THEN vols[up + 1] + CASE WHEN up + 1 < n THEN vols[up + 2] ELSE 0.0 END
+         |           WHEN iter = 0 THEN 0.0 ELSE -1.0 END AS cu,
+         |      CASE WHEN dn >= 0 THEN vols[dn + 1] + CASE WHEN dn - 1 >= 0 THEN vols[dn] ELSE 0.0 END
+         |           WHEN iter = 0 THEN 0.0 ELSE -1.0 END AS cd
+         |    FROM va
+         |  )
+         |  WHERE cum < thr AND NOT (cu = -1.0 AND cd = -1.0) AND iter < 2 * n + 4
+         |)
+         |SELECT day, CAST(lvls[pocidx + 1] AS INT) AS poc_level,
+         |       CAST(lvls[hvai + 1] AS INT) AS hva_level,
+         |       CAST(lvls[lvai + 1] AS INT) AS lva_level
+         |FROM (SELECT *, row_number() OVER (PARTITION BY day ORDER BY iter DESC) AS rk FROM va)
+         |WHERE rk = 1""".stripMargin,
+
+    // Same recursion as vp_value_area_day, but over the dense [min..max]
+    // grid (zero-filled) instead of the bucketed bins — integer-valued
+    // volumes make every comparison exact in both engines.
+    "vp_value_area_day_dense" ->
+      s"""WITH RECURSIVE $tradesCte,
+         |prof AS (
+         |  SELECT ts // 86400000000000 AS day,
+         |         CAST(round(price / 1.0e0) AS INT) AS level,
+         |         sum(round(qty * 10)) AS volume
+         |  FROM trades GROUP BY 1, 2
+         |),
+         |bounds AS (SELECT day, min(level) AS lo, max(level) AS hi FROM prof GROUP BY day),
+         |grid AS (SELECT day, unnest(generate_series(lo, hi)) AS level FROM bounds),
+         |filled AS (
+         |  SELECT g.day, g.level, coalesce(p.volume, 0.0) AS volume
+         |  FROM grid g LEFT JOIN prof p ON g.day = p.day AND g.level = p.level
+         |),
+         |arr AS (
+         |  SELECT day, list(volume ORDER BY level) AS vols,
+         |         list(level ORDER BY level) AS lvls,
+         |         CAST(count(*) AS BIGINT) AS n, sum(volume) AS total
+         |  FROM filled GROUP BY day
+         |),
+         |init AS (
          |  SELECT day, vols, lvls, n, total * ${D(68.34 / 100.0)} AS thr,
          |         CAST(list_position(vols, list_aggregate(vols, 'max')) - 1 AS BIGINT) AS pocidx
          |  FROM arr

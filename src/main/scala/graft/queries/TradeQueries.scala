@@ -254,7 +254,44 @@ object TradeQueries {
       graft.sources.Store.monthlyStats(trades(s, dir)).select(
         col("month"), col("rows"), col("first_ts"), col("last_ts"),
         r6(col("min_price")).as("min_price"), r6(col("max_price")).as("max_price"),
-        r6(col("total_qty")).as("total_qty")))
+        r6(col("total_qty")).as("total_qty"))),
+
+    // END-TO-END CSV ingest (§2.1 binance2h5 core): canonical trades are
+    // round-tripped through the Binance aggTrades positional CSV format —
+    // written WITH header lines (one per part file) that the tolerant
+    // coercion must drop — then re-read, unit-inferred to ns, sided from
+    // the maker flag and id-deduped. A parse/coercion/unit bug fails here
+    // against the raw-events oracle, not just in TradesSpec. Java's
+    // Double.toString guarantees parse-exact round-trips, so price/qty
+    // hash-match bit-for-bit.
+    "ingest_csv_canonical" -> ((s, dir) => {
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_gate_csv").getAbsolutePath
+      trades(s, dir).select(
+          col("id"), col("price"), col("qty"),
+          (col("price") * col("qty")).as("quoteQty"), col("ts").as("time"),
+          (col("id") % 2 === 0).cast("string").as("isBuyerMaker"),
+          lit("true").as("isBestMatch"))
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      graft.sources.Ingest.canonicalize(
+          graft.sources.Ingest.readAggTradesCsv(s, tmp))
+        .select(col("ts"), col("id"), r6(col("price")).as("price"),
+          r6(col("qty")).as("qty"), col("symbol"), col("side"))
+    }),
+
+    // Timestamp-resolution quantization (§2.2 _apply_timestamp_resolution):
+    // ts floored to a 1 s grid — the whole stream, hash-matched.
+    "trades_ts_resolution" -> ((s, dir) =>
+      Trades.applyResolution(trades(s, dir), 1000000000L).select(
+        col("ts"), col("id"), r6(col("price")).as("price"),
+        r6(col("qty")).as("qty"), col("symbol"))),
+
+    // Monotonic-timestamp check (§2.2 check_timestamps_order) over the real
+    // stream: parallel per-partition compares + boundary roll-up must agree
+    // with the oracle's sequential lag scan. (The violation branch is
+    // pinned by TradesSpec's mid-partition swap cases.)
+    "integrity_ts_order" -> ((s, dir) =>
+      Trades.checkTimestampsOrder(trades(s, dir)))
   )
 
   /** Shared by `catalog_months` and the `store_roundtrip_catalog` write
@@ -599,6 +636,27 @@ object TradeQueries {
          |SELECT ${rd("list_reduce(list_transform(ds, d -> CAST(round(d * scale) AS BIGINT)), (a, b) -> gcd(a, b)) / scale")} AS tick_size
          |FROM scaled""".stripMargin,
 
-    "catalog_months" -> catalogSql
+    "catalog_months" -> catalogSql,
+
+    // CSV round-trip is lossless (Double.toString parse-exact), the maker
+    // flag is id%2, the ingest symbol defaults to 0 — the canonical stream
+    // itself is the truth.
+    "ingest_csv_canonical" ->
+      s"""WITH $tradesCte
+         |SELECT ts, id, ${rd("price")} AS price, ${rd("qty")} AS qty,
+         |       CAST(0 AS BIGINT) AS symbol,
+         |       CAST(CASE WHEN id % 2 = 0 THEN -1 ELSE 1 END AS INT) AS side
+         |FROM trades""".stripMargin,
+
+    "trades_ts_resolution" ->
+      s"""WITH $tradesCte
+         |SELECT (ts // 1000000000) * 1000000000 AS ts, id,
+         |       ${rd("price")} AS price, ${rd("qty")} AS qty, symbol
+         |FROM trades""".stripMargin,
+
+    "integrity_ts_order" ->
+      s"""WITH $tradesCte
+         |SELECT coalesce(bool_and(ts >= prev_ts), TRUE) AS is_sorted
+         |FROM (SELECT ts, lag(ts) OVER (ORDER BY id, ts) AS prev_ts FROM trades)""".stripMargin
   )
 }
