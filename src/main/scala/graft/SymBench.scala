@@ -55,22 +55,32 @@ object SymBench {
       // would otherwise report its time-to-exception as a legitimate scaling
       // number. Failed queries are dropped from the timings and listed.
       var failedHere = List.empty[String]
+      // SPARK_GRAFT_SYM_REPS > 1 reports the min of COLD reps per query
+      // (state reset before each), the same noise defense as Bench: a
+      // co-tenant burst once read 9x on a single-rep scaling line. Default
+      // 1 because fixture sweeps are long; use 2+ for lines of record.
+      val reps = sys.env.getOrElse("SPARK_GRAFT_SYM_REPS", "1").toInt
       val times = names.flatMap { n =>
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = true))
-        System.gc()
-        // async broadcast/shuffle cleanup must not contend with the next
-        // query's IO inside its timed region (same isolation as Bench)
-        Thread.sleep(300)
-        val t0 = System.nanoTime()
-        try {
-          SparkEntry.queries(n)(spark, dirFor(n))
-            .write.format("noop").mode("overwrite").save()
-          Some(n -> (System.nanoTime() - t0) / 1e9)
-        } catch {
-          case _: Throwable => failedHere ::= n; None
+        val ts = (1 to reps).flatMap { _ =>
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = true))
+          System.gc()
+          // async broadcast/shuffle cleanup must not contend with the next
+          // query's IO inside its timed region (same isolation as Bench)
+          Thread.sleep(300)
+          val t0 = System.nanoTime()
+          try {
+            SparkEntry.queries(n)(spark, dirFor(n))
+              .write.format("noop").mode("overwrite").save()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch {
+            case _: Throwable =>
+              if (!failedHere.contains(n)) failedHere ::= n
+              None
+          }
         }
+        if (ts.nonEmpty) Some(n -> ts.min) else None
       }
       spark.stop()
       (cpus, times, failedHere.sorted)

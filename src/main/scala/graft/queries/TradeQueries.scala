@@ -28,6 +28,17 @@ object TradeQueries {
         col("ts"), r6(col("price")).as("price"), col("side"),
         r6(col("qty")).as("qty"), col("id"), col("symbol"), col("merged"))),
 
+    // Keyed split-trade merge: per-symbol group keys — equal-(ts, price,
+    // side) prints of DIFFERENT symbols stay separate (the reference's
+    // per-series semantics on a multi-symbol store). Sides are also
+    // per-symbol here, matching that layout.
+    "trades_split_merge_sym" -> ((s, dir) =>
+      Trades.mergeSplitTrades(
+          Trades.withTickRuleSide(trades(s, dir), Seq("symbol")),
+          partCols = Seq("symbol")).select(
+        col("symbol"), col("ts"), r6(col("price")).as("price"), col("side"),
+        r6(col("qty")).as("qty"), col("id"), col("merged"))),
+
     // OHLCV time bars, 5-minute grid, with empty-bar fill (§2.4).
     "time_bars_5m" -> ((s, dir) =>
       TimeBars.ohlcv(trades(s, dir), 300).select(
@@ -353,6 +364,21 @@ object TradeQueries {
          |SELECT ts, ${rd("price")} AS price, side, ${rd("sum(qty)")} AS qty,
          |       min(id) AS id, min(symbol) AS symbol, CAST(count(*) AS BIGINT) AS merged
          |FROM sided GROUP BY ts, price, side""".stripMargin,
+
+    "trades_split_merge_sym" ->
+      s"""WITH $tradesCte,
+         |sided AS (
+         |  SELECT ts, id, price, qty, symbol,
+         |         coalesce(last_value(tick IGNORE NULLS) OVER (
+         |           PARTITION BY symbol ORDER BY ts, id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS side
+         |  FROM (
+         |    SELECT *, CASE WHEN abs(dp) > 1e-12 THEN CAST(sign(dp) AS INT) END AS tick
+         |    FROM (SELECT *, price - lag(price) OVER (PARTITION BY symbol ORDER BY ts, id) AS dp FROM trades)
+         |  )
+         |)
+         |SELECT symbol, ts, ${rd("price")} AS price, side, ${rd("sum(qty)")} AS qty,
+         |       min(id) AS id, CAST(count(*) AS BIGINT) AS merged
+         |FROM sided GROUP BY symbol, ts, price, side""".stripMargin,
 
     "time_bars_5m" ->
       s"""WITH $tradesCte, ${barsCte(300)}

@@ -92,15 +92,22 @@ object Trades {
   /** Merge adjacent trades with identical (ts, price, side) summing qty —
     * `merge_split_trades` (bar/utils.py:263-329). Input is ts-sorted so equal
     * keys are adjacent; a groupBy is equivalent and shuffle-parallel.
+    *
+    * The reference semantics are per-series: on a multi-symbol store pass
+    * `partCols = Seq("symbol")` so trades of different symbols that share
+    * (ts, price, side) — equal-ts prints are common after µs quantization —
+    * are never fused across series. The group keys then carry the symbol
+    * and the shuffle stays keyed (the 100 TB layout).
     */
-  def mergeSplitTrades(trades: DataFrame, useSide: Boolean = true): DataFrame = {
-    val keys = if (useSide && trades.columns.contains("side"))
-      Seq("ts", "price", "side") else Seq("ts", "price")
-    trades.groupBy(keys.map(col): _*).agg(
-      sum("qty").as("qty"),
-      min("id").as("id"),
-      min("symbol").as("symbol"),
-      count(lit(1)).as("merged"))
+  def mergeSplitTrades(trades: DataFrame, useSide: Boolean = true,
+                       partCols: Seq[String] = Nil): DataFrame = {
+    val keys = partCols ++ (if (useSide && trades.columns.contains("side"))
+      Seq("ts", "price", "side") else Seq("ts", "price"))
+    val symAgg =
+      if (partCols.contains("symbol")) Nil else Seq(min("symbol").as("symbol"))
+    val aggs = Seq(sum("qty").as("qty"), min("id").as("id")) ++ symAgg :+
+      count(lit(1)).as("merged")
+    trades.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Lag-by-one of long columns over a total integral order, distributed:
