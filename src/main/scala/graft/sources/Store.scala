@@ -147,6 +147,51 @@ object Store {
         col("missing_ids") === 0 && col("time_gaps") === 0)
   }
 
+  /** Small-file compaction for a partitioned store. Incremental ingests
+    * (`saveMonthly(mode = "append")`) and streaming writers fragment month
+    * directories into many small parquet files; at 100 TB the FILE COUNT
+    * becomes its own bottleneck — listings, footer reads and task
+    * scheduling all scale with it. Each month whose file count exceeds
+    * ceil(bytes / targetBytes) is rewritten as exactly that many files;
+    * months already at-or-under target are left byte-identical. Dynamic
+    * partition overwrite replaces one month atomically per job, so a
+    * failure mid-compaction leaves every month either old or new, never
+    * mixed. The driver loop is bounded by the month count (the reference's
+    * own `process_all` iterates the same keys, bar/io.py:441-565).
+    *
+    * Returns one row per inspected month:
+    * (month, files_before, bytes, files_after).
+    */
+  def compact(spark: SparkSession, path: String,
+              targetBytes: Long = 128L << 20,
+              months: Option[Seq[String]] = None): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val monthDirs = fs.listStatus(root)
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("month="))
+      .filter(d => months.forall(_.contains(d.getPath.getName.stripPrefix("month="))))
+      .sortBy(_.getPath.getName)
+    val report = monthDirs.map { d =>
+      val m = d.getPath.getName.stripPrefix("month=")
+      val files = fs.listStatus(d.getPath)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      val bytes = files.map(_.getLen).sum
+      val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      if (files.length > nOut) {
+        spark.read.parquet(d.getPath.toString)
+          .withColumn("month", lit(m))
+          .repartition(nOut)
+          .write.partitionBy("month").mode("overwrite")
+          .option("compression", "zstd")
+          .option("partitionOverwriteMode", "dynamic")
+          .parquet(path)
+        (m, files.length, bytes, nOut)
+      } else (m, files.length, bytes, files.length)
+    }
+    spark.createDataFrame(report.toSeq)
+      .toDF("month", "files_before", "bytes", "files_after")
+  }
+
   /** Derived-bars materialization, the `AddTimeBarH5.process_all`
     * equivalent: build `intervalSec` OHLCV bars from the store and persist
     * them as their own month-partitioned table.

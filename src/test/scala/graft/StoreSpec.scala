@@ -43,6 +43,39 @@ class StoreSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("compact rewrites fragmented months, preserves rows, skips tight ones") {
+    val dir = Files.createTempDirectory("store").toString
+    val t = tradesDf
+    // fragment: five appends → ≥5 files per month
+    Store.saveMonthly(t.where(col("id") % 5 === 0), dir)
+    (1 to 4).foreach(k =>
+      Store.saveMonthly(t.where(col("id") % 5 === k), dir, mode = "append"))
+    def filesPerMonth: Map[String, Int] = {
+      val root = new java.io.File(dir)
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("month="))
+        .map(d => d.getName.stripPrefix("month=") ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    }
+    val before = filesPerMonth
+    assert(before.values.forall(_ >= 5))
+    val report = Store.compact(spark, dir) // huge default target → 1 file/month
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(3))).toList
+    assert(report.map(_._1).sorted ==
+      List("2024-01", "2024-02", "2024-03", "2024-04"))
+    assert(report.forall { case (m, fb, fa) => fb == before(m) && fa == 1 })
+    val after = filesPerMonth
+    assert(after.values.forall(_ == 1))
+    // data identical after the rewrite
+    val back = spark.read.parquet(dir)
+    assert(back.count() == t.count())
+    assert(back.orderBy("id").collect().map(_.getAs[Double]("price")).toSeq ==
+      t.orderBy("id").collect().map(_.getDouble(2)).toSeq)
+    // second pass: everything at target already — no month rewritten
+    val report2 = Store.compact(spark, dir)
+      .collect().map(r => (r.getInt(1), r.getInt(3))).toList
+    assert(report2.forall { case (fb, fa) => fb == 1 && fa == 1 })
+  }
+
   test("readRange prunes month partitions and pushes the ts filter") {
     val dir = Files.createTempDirectory("store").toString
     Store.saveMonthly(tradesDf, dir)
