@@ -267,6 +267,26 @@ object TradeQueries {
         r6(col("min_price")).as("min_price"), r6(col("max_price")).as("max_price"),
         r6(col("total_qty")).as("total_qty"))),
 
+    // END-TO-END compaction lifecycle: the store is fragmented by five
+    // modulo-sliced appends, compacted back to one file per month, and the
+    // catalog over the compacted table must STILL hash-match the oracle
+    // computed from the raw events — a compaction that drops, duplicates
+    // or corrupts rows fails here, not just in StoreSpec.
+    "store_compact_catalog" -> ((s, dir) => {
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_gate_compact").getAbsolutePath
+      val t = trades(s, dir)
+      graft.sources.Store.saveMonthly(t.where(col("id") % 5 === 0), tmp)
+      (1 to 4).foreach(k => graft.sources.Store.saveMonthly(
+        t.where(col("id") % 5 === k), tmp, mode = "append"))
+      graft.sources.Store.compact(s, tmp)
+      graft.sources.Store.monthlyStats(s.read.parquet(tmp).drop("month"))
+        .select(
+          col("month"), col("rows"), col("first_ts"), col("last_ts"),
+          r6(col("min_price")).as("min_price"), r6(col("max_price")).as("max_price"),
+          r6(col("total_qty")).as("total_qty"))
+    }),
+
     // END-TO-END CSV ingest (§2.1 binance2h5 core): canonical trades are
     // round-tripped through the Binance aggTrades positional CSV format —
     // written WITH header lines (one per part file) that the tolerant
@@ -305,9 +325,10 @@ object TradeQueries {
       Trades.checkTimestampsOrder(trades(s, dir)))
   )
 
-  /** Shared by `catalog_months` and the `store_roundtrip_catalog` write
-    * path gate: the write→read must be lossless, so the same SQL is the
-    * truth for both.
+  /** Shared by `catalog_months` and the `store_roundtrip_catalog` /
+    * `store_compact_catalog` lifecycle gates: write→read (and
+    * fragment→compact→read) must be lossless, so the same SQL is the
+    * truth for all three.
     */
   private val catalogSql: String =
     s"""WITH $tradesCte
@@ -663,6 +684,7 @@ object TradeQueries {
          |FROM scaled""".stripMargin,
 
     "catalog_months" -> catalogSql,
+    "store_compact_catalog" -> catalogSql,
 
     // CSV round-trip is lossless (Double.toString parse-exact), the maker
     // flag is id%2, the ingest symbol defaults to 0 — the canonical stream

@@ -41,6 +41,36 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("minhash band keys: stream per-row form equals batch banding (random corpora)") {
+    import graft.dedup.Dedup
+    import graft.streaming.StreamingDedup
+    import graft.text.TextOps
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    for (seed <- Seq(7L, 99L)) {
+      val rnd = new scala.util.Random(seed)
+      // template + mutated copies → real shingle overlap; some short docs
+      // (< n tokens) must drop out of banding identically on both sides
+      val base = Seq.fill(8 + rnd.nextInt(5))(vocab(rnd.nextInt(vocab.size)))
+      val docs = (0 until 12).map { i =>
+        val words =
+          if (i % 4 == 3) Seq.fill(1 + rnd.nextInt(2))(vocab(rnd.nextInt(vocab.size)))
+          else base.map(w =>
+            if (rnd.nextDouble() < 0.15) vocab(rnd.nextInt(vocab.size)) else w)
+        (i.toLong, words.mkString(" "))
+      }.toDF("doc_id", "text")
+        .withColumn("toks", TextOps.wsTokens(col("text")))
+      val batch = Dedup.lshCandidates(docs, "doc_id", "toks", 3, 16, 8)
+        .as[(Long, Long)].collect().toSet
+      val banded = docs.select(col("doc_id").as("docId"),
+          explode(StreamingDedup.minhashBuckets(col("toks"), 3, 16, 8)).as("bucket"))
+        .as[StreamingDedup.BandedDoc]
+      val stream = StreamingDedup.lshCandidateStream(banded, maxBucket = 1000)
+        .select("id_a", "id_b").distinct().as[(Long, Long)].collect().toSet
+      assert(stream == batch, s"seed=$seed")
+    }
+  }
+
   test("affine2: equals the sequential recursion, invariant to partitions (random coefs)") {
     import graft.features.Scan
     import graft.features.Scan.Affine
