@@ -44,28 +44,17 @@ object StreamingDedup {
     * with md5 — the permutation constants, shingle hash and band-key
     * encoding are IDENTICAL to the batch `Dedup.lshCandidates`, so a
     * stream-computed bucket equals the batch bucket for the same text
-    * (StreamingSpec pins this equality). Stateless and shuffle-free: the
-    * k·|shingles| work rides the row, which is what makes it streamable.
-    * Returns an array of "band:band_key" bucket strings; empty for docs
-    * with fewer than n tokens (the batch twin likewise emits no signature).
+    * (StreamingDedupSpec/PropertySpec pin this equality). Stateless and
+    * shuffle-free: the k·|shingles| work rides the row, which is what
+    * makes it streamable — and it runs as the native codegen'd
+    * [[graft.functions.MinhashBuckets]] expression (one generated loop
+    * instead of k interpreted `transform` traversals). Returns an array of
+    * "band:band_key" bucket strings; docs shorter than n tokens band via
+    * their degenerate whole-text shingle, exactly like the batch twin.
     */
-  def minhashBuckets(toks: Column, shingleN: Int, k: Int, bands: Int): Column = {
-    val r = k / bands
-    val hs = transform(TextOps.shingles(toks, shingleN), s =>
-      conv(substring(md5(s), 1, 8), 16, 10)
-        .cast("long").bitwiseAND(lit(0x7fffffffL)))
-    val mins = (0 until k).map { s =>
-      array_min(transform(hs, h =>
-        (lit(Dedup.minhashCoef("a", s)) * h + lit(Dedup.minhashCoef("b", s)))
-          % lit(Dedup.minhashP)))
-    }
-    val buckets = (0 until bands).map { b =>
-      concat_ws(":", lit(b),
-        md5(concat_ws("|", (0 until r).map(i => mins(b * r + i).cast("string")): _*)))
-    }
-    when(size(TextOps.shingles(toks, shingleN)) > 0, array(buckets: _*))
-      .otherwise(array().cast("array<string>"))
-  }
+  def minhashBuckets(toks: Column, shingleN: Int, k: Int, bands: Int): Column =
+    graft.functions.MinhashBuckets.minhashBucketsExpr(
+      TextOps.shingles(toks, shingleN), k, bands)
 
   case class BandedDoc(bucket: String, docId: Long)
   case class CandidatePair(id_a: Long, id_b: Long, bucket: String)

@@ -75,6 +75,40 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(streamPairs == batchPairs)
   }
 
+  test("MinhashBuckets expression: codegen path equals interpreted eval") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val texts = Seq("alpha beta gamma delta epsilon", "alpha beta", "x", "")
+    val df = texts.toDF("text").withColumn("toks", TextOps.wsTokens(col("text")))
+    // DataFrame path runs the generated code inside the projection
+    val viaCodegen = df
+      .select(StreamingDedup.minhashBuckets(col("toks"), 2, 16, 8).as("b"))
+      .as[Seq[String]].collect().toSeq
+    // direct expression eval is the interpreted nullSafeEval path
+    val shingled = df.select(TextOps.shingles(col("toks"), 2).as("s"))
+      .as[Seq[String]].collect().toSeq
+    val viaEval = shingled.map { sh =>
+      val arr = ArrayData.toArrayData(sh.map(UTF8String.fromString).toArray)
+      graft.functions.MinhashBuckets(
+          Literal.create(arr, ArrayType(StringType)), 16, 8)
+        .eval(null).asInstanceOf[ArrayData]
+        .toObjectArray(StringType).map(_.toString).toSeq
+    }
+    assert(viaCodegen == viaEval)
+    // every doc is banded: shingles degenerate to one whole-text shingle
+    // for short docs (TextOps.shingles), so each row gets `bands` buckets
+    assert(viaCodegen.forall(b => b.size == 8 && b.forall(_.contains(":"))))
+    // a genuinely empty input array (not reachable via shingles) is the
+    // defensive no-bucket case
+    val empty = graft.functions.MinhashBuckets(
+        Literal.create(ArrayData.toArrayData(Array.empty[UTF8String]),
+          ArrayType(StringType)), 16, 8)
+      .eval(null).asInstanceOf[ArrayData]
+    assert(empty.numElements() == 0)
+  }
+
   test("lsh candidate stream: cross-batch pairing, saturated buckets stop") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[BandedDoc]
