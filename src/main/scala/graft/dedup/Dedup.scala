@@ -80,21 +80,25 @@ object Dedup {
 
   /** LSH candidate pairs (a < b).
     *
-    * Execution shape chosen for both codegen and scale: explode
-    * (doc × shingle) rows once, evaluate all k permutations as COLUMNS of
-    * that row, and hash-aggregate k `min`s per doc — higher-order array
-    * lambdas are interpreted (CodegenFallback, ~10× slower), and a
-    * seed-explode variant costs k× the rows plus a second pivot shuffle;
-    * this form partial-aggregates map-side down to one row × k longs per
-    * doc before the only real shuffle. Buckets then emit their pairs
-    * directly (`collect_list` over same-key groups — bucket size is the
-    * designed skew bound; boilerplate-heavy corpora should cap it upstream
-    * by dropping mega-buckets as non-discriminative).
+    * Execution shape: the whole signature — k universal-hash minima over
+    * the shingle set, banded into "band:md5(minima)" bucket keys — rides
+    * the MAP side as the native codegen'd
+    * [[graft.functions.MinhashBuckets]] expression (one generated loop per
+    * doc), so the ONLY shuffle is |docs| × bands bucket rows. The previous
+    * form exploded doc × shingle rows through a k-column hash aggregate;
+    * its map-side combine already kept that shuffle small, so the rework
+    * is mostly a PLAN simplification (one implementation shared with the
+    * streaming twin, one fewer wide aggregate; ~20% on the 1.5M-doc
+    * DocFixture at 32 cores, within box noise) — the structural point is
+    * that batch and stream now band through literally the same expression.
+    * Bucket keys are bit-identical across the twins — gate-, spec- and
+    * property-pinned. Buckets then emit their pairs directly
+    * (`collect_list` over same-key groups — bucket size is the designed
+    * skew bound).
     *
     * Permutations are universal hashes (a_s·h + b_s) mod (2^61−1) over ONE
     * md5 per shingle (31-bit prefix) — k integer ops replace k md5 string
-    * hashes per shingle, and the per-doc minima shuffle as longs, not
-    * 32-char strings.
+    * hashes per shingle.
     *
     * @param maxBucket buckets larger than this are dropped as
     *        non-discriminative (boilerplate/templated corpora): a bucket of
@@ -105,29 +109,17 @@ object Dedup {
   def lshCandidates(docs: DataFrame, idCol: String, toksCol: String,
                     shingleN: Int, k: Int, bands: Int,
                     maxBucket: Int = Int.MaxValue): DataFrame = {
-    val r = k / bands
-    val aArr = (0 until k).map(minhashCoef("a", _))
-    val bArr = (0 until k).map(minhashCoef("b", _))
-    // The doc×shingle explode below (k permutation columns per row)
-    // multiplies CPU work far beyond the input rows; a small corpus
-    // arrives as ONE parquet split, which would serialize all of it into a
-    // single task. Spread docs across the cluster first — the shuffled
-    // payload is just the raw docs, cheap relative to the hash fan-out it
-    // parallelizes.
-    val shx = docs.repartition(col(idCol))
-      .select(col(idCol).as("id"), explode(TextOps.shingles(col(toksCol), shingleN)).as("s"))
-      .withColumn("h", expr("conv(substring(md5(s), 1, 8), 16, 10)")
-        .cast("long").bitwiseAND(lit(0x7fffffffL)))
-    val sigCols = (0 until k).map(s =>
-      min((lit(aArr(s)) * col("h") + lit(bArr(s))) % lit(minhashP)).as(s"m$s"))
-    val sig = shx.groupBy("id").agg(sigCols.head, sigCols.tail: _*)
-    val bandStructs = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        md5(concat_ws("|", (0 until r).map(i => col(s"m${b * r + i}").cast("string")): _*)).as("band_key"))
-    }
-    val bandRowsDf = sig.select(col("id"), explode(array(bandStructs: _*)).as("x"))
-      .select(col("id"), col("x.band").as("band"), col("x.band_key").as("band_key"))
-    val buckets = bandRowsDf.groupBy("band", "band_key")
+    // repartition first: a small corpus arrives as one parquet split, which
+    // would serialize the per-doc hash fan-out into a single task; the
+    // shuffled payload is just the raw docs, cheap relative to the k·|sh|
+    // work it parallelizes.
+    val bandRowsDf = docs.repartition(col(idCol))
+      .select(col(idCol).as("id"),
+        explode(graft.functions.MinhashBuckets.minhashBucketsExpr(
+          TextOps.shingles(col(toksCol), shingleN), k, bands)).as("bucket"))
+    // the bucket string embeds the band index, so grouping by it is the
+    // (band, band_key) grouping of the previous form
+    val buckets = bandRowsDf.groupBy("bucket")
       .agg(sort_array(collect_list("id")).as("ids"))
       .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
     buckets
@@ -140,12 +132,21 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard for candidate pairs: join the (distinct) shingle
-    * sets back and compute |∩| / |∪|. Only candidate pairs pay this cost.
+    * sets back and compute |∩| / |∪|. Only candidate pairs pay this cost —
+    * literally: docs are semi-joined down to the ids that appear in some
+    * pair BEFORE shingling, so the corpus-wide cost of the verify stage is
+    * a column scan, not a re-shingling of every document per join side.
+    * No forced broadcast: with the maxBucket cap the id set is tiny and
+    * AQE broadcasts it; without the cap it is not provably bounded, and
+    * the semi join degrades gracefully to a shuffle instead of an OOM.
     */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
                     toksCol: String, shingleN: Int): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      TextOps.shingles(col(toksCol), shingleN).as("sh"))
+    val ids = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct()
+    val sh = docs.join(ids, col(idCol) === col("id"), "leftsemi")
+      .select(col(idCol).as("id"),
+        TextOps.shingles(col(toksCol), shingleN).as("sh"))
     pairs
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
