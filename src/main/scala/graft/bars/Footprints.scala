@@ -23,21 +23,28 @@ object Footprints {
     * buy_imb[l]  = buy[l]  > sell[l−1]·k (all but the bar's bottom level).
     * Missing neighbor levels are zero-volume, so a lag/lead guarded by
     * level-adjacency reproduces the dense grid exactly.
+    *
+    * `partCols` prepends grouping keys (e.g. symbol) to every grouping and
+    * window — the multi-symbol store layout: each (symbol, bar) footprint
+    * is independent, so the whole build shuffles once on (partCols, bar_ts)
+    * and parallelizes across symbols at any scale.
     */
   def build(tradesWithSide: DataFrame, intervalSec: Long, tickSize: Double,
-            imbalanceFactor: Double = 3.0): DataFrame = {
+            imbalanceFactor: Double = 3.0,
+            partCols: Seq[String] = Nil): DataFrame = {
     val iv = intervalSec * 1000000000L
+    val barKeys = partCols :+ "bar_ts"
     val fp = tradesWithSide
       .withColumn("bar_ts", expr(s"((ts + ${iv - 1}L) div ${iv}L) * ${iv}L"))
       .withColumn("level", round(col("price") / tickSize).cast("int"))
-      .groupBy("bar_ts", "level")
+      .groupBy((barKeys :+ "level").map(col): _*)
       .agg(
         sum(when(col("side") === 1, col("qty")).otherwise(0.0)).as("buy_volume"),
         sum(when(col("side") === -1, col("qty")).otherwise(0.0)).as("sell_volume"),
         sum(when(col("side") === 1, 1L).otherwise(0L)).as("buy_ticks"),
         sum(when(col("side") === -1, 1L).otherwise(0L)).as("sell_ticks"))
-    val wl = Window.partitionBy("bar_ts").orderBy("level")
-    val bar = Window.partitionBy("bar_ts")
+    val wl = Window.partitionBy(barKeys.map(col): _*).orderBy("level")
+    val bar = Window.partitionBy(barKeys.map(col): _*)
     val buyUp = when(lead("level", 1).over(wl) === col("level") + 1,
       lead("buy_volume", 1).over(wl)).otherwise(0.0)
     val sellDn = when(lag("level", 1).over(wl) === col("level") - 1,
@@ -56,13 +63,14 @@ object Footprints {
     * run (level gaps break runs — gap levels carry sign 0 on the dense
     * grid), vp_skew and vp_gini (base.py:800-848).
     */
-  def summary(footprint: DataFrame): DataFrame = {
+  def summary(footprint: DataFrame, partCols: Seq[String] = Nil): DataFrame = {
     // Single pass: the per-bar scalars the join-branch formulation derived by
     // re-joining (POC volume, vwap, island run lengths) ride window columns
     // alongside each row, and ONE groupBy folds everything — the branchy
     // version recomputed the whole upstream footprint per branch (×4).
-    val wl = Window.partitionBy("bar_ts").orderBy("level")
-    val bar = Window.partitionBy("bar_ts")
+    val barKeys = partCols :+ "bar_ts"
+    val wl = Window.partitionBy(barKeys.map(col): _*).orderBy("level")
+    val bar = Window.partitionBy(barKeys.map(col): _*)
     val sgn = when(col("buy_imbalance"), 1).when(col("sell_imbalance"), -1).otherwise(0)
     val f = footprint
       .withColumn("total_volume", col("buy_volume") + col("sell_volume"))
@@ -74,18 +82,22 @@ object Footprints {
           .when(col("level") =!= lag("level", 1).over(wl) + 1, 1)
           .otherwise(0))
       .withColumn("grp", sum("brk").over(wl.rowsBetween(Window.unboundedPreceding, 0)))
-    val runW = Window.partitionBy("bar_ts", "grp")
+    val runW = Window.partitionBy((barKeys :+ "grp").map(col): _*)
     val f2 = f
       .withColumn("__maxv", max("total_volume").over(bar))
-      .withColumn("__vwap", sum(col("level") * col("total_volume")).over(bar) /
-        sum("total_volume").over(bar))
+      // try_divide: a keyed bar whose trades are ALL pre-first-tick (side 0,
+      // so zero attributed volume) would otherwise throw under ANSI; the
+      // NULL propagates to vp_skew/vp_gini, matching the oracle's NaN→NULL
+      .withColumn("__vwap", try_divide(
+        sum(col("level") * col("total_volume")).over(bar),
+        sum("total_volume").over(bar)))
       .withColumn("__runlen", count(lit(1)).over(runW))
       .withColumn("__runstart", min("level").over(runW))
     // island priority packed into ONE long (len desc, start_level asc) so the
     // best-run argmax stays a fixed-width max_by (no struct key, no sort agg)
     val islandKey = when(col("sgn") =!= 0,
       col("__runlen") * lit(4294967296L) + (lit(2147483647L) - col("__runstart")))
-    f2.groupBy("bar_ts").agg(
+    f2.groupBy(barKeys.map(col): _*).agg(
       sum(col("buy_imbalance").cast("long")).as("buy_imbalances_sum"),
       sum(col("sell_imbalance").cast("long")).as("sell_imbalances_sum"),
       min(when(col("total_volume") === col("__maxv"), col("level"))).as("cot_price_level"),
@@ -93,9 +105,9 @@ object Footprints {
         .as("imb_max_run_signed"),
       // vp_skew: Σ(level − vwap)·vol / Σvol — two-pass like the reference
       // (algebraically ~0; kept for parity, see base.py:836-843)
-      (sum((col("level") - col("__vwap")) * col("total_volume")) /
+      try_divide(sum((col("level") - col("__vwap")) * col("total_volume")),
         sum("total_volume")).as("vp_skew"),
-      (lit(1.0) - sum(col("total_volume") * col("total_volume")) /
-        (sum("total_volume") * sum("total_volume"))).as("vp_gini"))
+      (lit(1.0) - try_divide(sum(col("total_volume") * col("total_volume")),
+        sum("total_volume") * sum("total_volume"))).as("vp_gini"))
   }
 }

@@ -22,6 +22,15 @@ object FootprintQueries {
       Trades.withTickRuleSide(Trades.fromEvents(Tables.events(s, dir))),
       ivSec, tick, k)
 
+  /** Keyed twin: per-symbol tick-rule sides, daily bars, symbol-keyed
+    * footprint — the multi-symbol store layout (one shuffle on
+    * (symbol, bar_ts), parallel across symbols).
+    */
+  private def fpSym(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Footprints.build(
+      Trades.withTickRuleSide(Trades.fromEvents(Tables.events(s, dir)), Seq("symbol")),
+      86400L, tick, k, Seq("symbol"))
+
   val queries: Map[String, QueryFn] = Map(
     // Exploded footprint rows with diagonal imbalance flags
     "footprint_levels_1h" -> ((s, dir) =>
@@ -36,6 +45,23 @@ object FootprintQueries {
         col("buy_imbalances_sum"), col("sell_imbalances_sum"),
         col("cot_price_level"), col("imb_max_run_signed"),
         (r6(col("vp_skew")) + lit(0.0)).as("vp_skew"), // normalize -0.0
+        r6(col("vp_gini")).as("vp_gini"))),
+
+    // Keyed twins (§2.4 footprints at the multi-symbol layout): per-symbol
+    // daily footprints and their summaries, everything partitioned by
+    // (symbol, bar_ts) — no cross-symbol window anywhere in the plan.
+    "footprint_levels_sym" -> ((s, dir) =>
+      fpSym(s, dir).select(col("symbol"), col("bar_ts"), col("level"),
+        r6(col("buy_volume")).as("buy_volume"), r6(col("sell_volume")).as("sell_volume"),
+        col("buy_ticks"), col("sell_ticks"),
+        col("buy_imbalance"), col("sell_imbalance"))),
+
+    "footprint_summary_sym" -> ((s, dir) =>
+      Footprints.summary(fpSym(s, dir), Seq("symbol")).select(
+        col("symbol"), col("bar_ts"),
+        col("buy_imbalances_sum"), col("sell_imbalances_sum"),
+        col("cot_price_level"), col("imb_max_run_signed"),
+        (r6(col("vp_skew")) + lit(0.0)).as("vp_skew"),
         r6(col("vp_gini")).as("vp_gini"))),
 
     // Daily volume profile: POC + % above POC
@@ -134,6 +160,45 @@ object FootprintQueries {
   private def withFp(body: String): String =
     s"WITH $tradesCte, $sidedCte, $fpCte\n$body"
 
+  /** Symbol-keyed mirror of sided+fp2: per-symbol tick rule, daily bars,
+    * every window/group carries the symbol key.
+    */
+  private val symIv = 86400L * 1000000000L
+  private val symFpCte: String =
+    s"""sided AS (
+       |  SELECT ts, id, price, qty, symbol,
+       |         coalesce(last_value(tick IGNORE NULLS) OVER (
+       |           PARTITION BY symbol ORDER BY ts, id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS side
+       |  FROM (
+       |    SELECT *, CASE WHEN abs(dp) > 1e-12 THEN CAST(sign(dp) AS INT) END AS tick
+       |    FROM (SELECT *, price - lag(price) OVER (PARTITION BY symbol ORDER BY ts, id) AS dp
+       |          FROM trades)
+       |  )
+       |),
+       |fp AS (
+       |  SELECT symbol, ((ts + ${symIv - 1}) // $symIv) * $symIv AS bar_ts,
+       |         CAST(round(price / ${D(tick)}) AS INT) AS level,
+       |         sum(CASE WHEN side = 1 THEN qty ELSE 0.0 END) AS buy_volume,
+       |         sum(CASE WHEN side = -1 THEN qty ELSE 0.0 END) AS sell_volume,
+       |         CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS buy_ticks,
+       |         CAST(sum(CASE WHEN side = -1 THEN 1 ELSE 0 END) AS BIGINT) AS sell_ticks
+       |  FROM sided GROUP BY 1, 2, 3
+       |),
+       |fp2 AS (
+       |  SELECT *,
+       |    level < max(level) OVER (PARTITION BY symbol, bar_ts)
+       |      AND sell_volume > (CASE WHEN lead(level) OVER wl = level + 1
+       |                         THEN lead(buy_volume) OVER wl ELSE 0.0 END) * ${D(k)} AS sell_imbalance,
+       |    level > min(level) OVER (PARTITION BY symbol, bar_ts)
+       |      AND buy_volume > (CASE WHEN lag(level) OVER wl = level - 1
+       |                        THEN lag(sell_volume) OVER wl ELSE 0.0 END) * ${D(k)} AS buy_imbalance
+       |  FROM fp WINDOW wl AS (PARTITION BY symbol, bar_ts ORDER BY level)
+       |)""".stripMargin
+
+  private def withSymFp(body: String): String =
+    s"WITH $tradesCte, $symFpCte\n$body"
+
   val oracles: Map[String, String] = Map(
     "footprint_levels_1h" -> withFp(
       s"""SELECT bar_ts, level, ${rd("buy_volume")} AS buy_volume,
@@ -196,6 +261,73 @@ object FootprintQueries {
          |JOIN cot c ON c.bar_ts = p.bar_ts
          |JOIN skew s ON s.bar_ts = p.bar_ts
          |LEFT JOIN best b ON b.bar_ts = p.bar_ts""".stripMargin),
+
+    "footprint_levels_sym" -> withSymFp(
+      s"""SELECT symbol, bar_ts, level, ${rd("buy_volume")} AS buy_volume,
+         |  ${rd("sell_volume")} AS sell_volume, buy_ticks, sell_ticks,
+         |  buy_imbalance, sell_imbalance
+         |FROM fp2""".stripMargin),
+
+    "footprint_summary_sym" -> withSymFp(
+      s""", f AS (
+         |  SELECT *, buy_volume + sell_volume AS total_volume,
+         |    CASE WHEN buy_imbalance THEN 1 WHEN sell_imbalance THEN -1 ELSE 0 END AS sgn
+         |  FROM fp2
+         |),
+         |f2 AS (
+         |  SELECT *, sum(brk) OVER (PARTITION BY symbol, bar_ts ORDER BY level
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         |  FROM (
+         |    SELECT *,
+         |      CASE WHEN sgn = 0 THEN 1
+         |           WHEN lag(sgn) OVER wl IS NULL THEN 1
+         |           WHEN sgn <> lag(sgn) OVER wl THEN 1
+         |           WHEN level <> lag(level) OVER wl + 1 THEN 1
+         |           ELSE 0 END AS brk
+         |    FROM f WINDOW wl AS (PARTITION BY symbol, bar_ts ORDER BY level)
+         |  )
+         |),
+         |islands AS (
+         |  SELECT symbol, bar_ts, grp, sgn, CAST(count(*) AS BIGINT) AS len,
+         |         min(level) AS start_level
+         |  FROM f2 WHERE sgn <> 0 GROUP BY symbol, bar_ts, grp, sgn
+         |),
+         |best AS (
+         |  SELECT symbol, bar_ts, len * sgn AS imb_max_run_signed FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY symbol, bar_ts
+         |      ORDER BY len DESC, start_level ASC) AS rk
+         |    FROM islands
+         |  ) WHERE rk = 1
+         |),
+         |per_bar AS (
+         |  SELECT symbol, bar_ts,
+         |    CAST(sum(CASE WHEN buy_imbalance THEN 1 ELSE 0 END) AS BIGINT) AS buy_imbalances_sum,
+         |    CAST(sum(CASE WHEN sell_imbalance THEN 1 ELSE 0 END) AS BIGINT) AS sell_imbalances_sum,
+         |    max(total_volume) AS maxv,
+         |    sum(level * total_volume) / sum(total_volume) AS vwap,
+         |    1.0 - sum(total_volume * total_volume) / (sum(total_volume) * sum(total_volume)) AS vp_gini
+         |  FROM f GROUP BY symbol, bar_ts
+         |),
+         |cot AS (
+         |  SELECT f.symbol, f.bar_ts, min(level) AS cot_price_level
+         |  FROM f JOIN per_bar p ON f.symbol = p.symbol AND f.bar_ts = p.bar_ts
+         |    AND f.total_volume = p.maxv
+         |  GROUP BY f.symbol, f.bar_ts
+         |),
+         |skew AS (
+         |  SELECT f.symbol, f.bar_ts,
+         |    sum((f.level - p.vwap) * f.total_volume) / sum(f.total_volume) AS vp_skew
+         |  FROM f JOIN per_bar p ON f.symbol = p.symbol AND f.bar_ts = p.bar_ts
+         |  GROUP BY f.symbol, f.bar_ts
+         |)
+         |SELECT p.symbol, p.bar_ts, p.buy_imbalances_sum, p.sell_imbalances_sum,
+         |  c.cot_price_level, coalesce(b.imb_max_run_signed, 0) AS imb_max_run_signed,
+         |  ${rd("s.vp_skew")} + 0e0 AS vp_skew,
+         |  ${rd("p.vp_gini")} AS vp_gini
+         |FROM per_bar p
+         |JOIN cot c ON c.symbol = p.symbol AND c.bar_ts = p.bar_ts
+         |JOIN skew s ON s.symbol = p.symbol AND s.bar_ts = p.bar_ts
+         |LEFT JOIN best b ON b.symbol = p.symbol AND b.bar_ts = p.bar_ts""".stripMargin),
 
     "vp_poc_day" -> withFp(
       s""", prof AS (
