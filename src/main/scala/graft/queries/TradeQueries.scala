@@ -259,6 +259,29 @@ object TradeQueries {
           r6(col("qty")).as("qty"), col("symbol"))
     }),
 
+    // BUCKETED layout lifecycle: trades written bucketBy(symbol) +
+    // sortBy(symbol, ts, id), read back through the catalog, per-(symbol,
+    // day) roll-up — the co-located 100 TB layout. The roll-up plans with
+    // ZERO shuffle (bucket distribution satisfies the grouping; StoreSpec
+    // asserts no Exchange) and the result hash-matches the raw-events
+    // oracle, proving the bucketed files carry exactly the canonical rows.
+    "store_bucketed_sym" -> ((s, dir) => {
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_gate_bucketed").getAbsolutePath
+      graft.sources.Store.saveBucketed(trades(s, dir), "graft_gate_bucketed_trades",
+        tmp, buckets = 8, Seq("symbol"), Seq("symbol", "ts", "id"))
+      val dayNs = 86400L * 1000000000L
+      s.table("graft_gate_bucketed_trades")
+        .groupBy(col("symbol"), expr(s"ts div ${dayNs}L").as("day"))
+        .agg(
+          count(lit(1)).as("rows"),
+          min("ts").as("first_ts"),
+          max("ts").as("last_ts"),
+          r6(min("price")).as("min_price"),
+          r6(max("price")).as("max_price"),
+          dsum(col("qty")).as("total_qty"))
+    }),
+
     // Monthly catalog report (§2.1 H5Inspector.get_statistics): the same
     // aggregation Store.monthlyStats runs over the partitioned layout.
     "catalog_months" -> ((s, dir) =>
@@ -367,6 +390,15 @@ object TradeQueries {
   val oracles: Map[String, String] = Map(
     "store_roundtrip_catalog" -> catalogSql,
     "store_readback_1d" -> resample1dSql,
+    "store_bucketed_sym" ->
+      s"""WITH $tradesCte
+         |SELECT symbol, ts // 86400000000000 AS day,
+         |  CAST(count(*) AS BIGINT) AS rows,
+         |  min(ts) AS first_ts, max(ts) AS last_ts,
+         |  ${rd("min(price)")} AS min_price, ${rd("max(price)")} AS max_price,
+         |  ${dsumSql("qty")} AS total_qty
+         |FROM trades GROUP BY 1, 2""".stripMargin,
+
     "store_readrange_prune" -> {
       val dayNs = 86400L * 1000000000L
       s"""WITH $tradesCte,

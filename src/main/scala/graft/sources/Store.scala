@@ -192,6 +192,43 @@ object Store {
       .toDF("month", "files_before", "bytes", "files_after")
   }
 
+  /** Bucketed-by-key table layout — the co-located join/aggregate story at
+    * 100 TB. Writing trades (and every derived table) bucketed by the symbol
+    * key pins a hash distribution INTO the files: any later groupBy/join
+    * whose keys start with the bucket column reads that distribution from
+    * the catalog and plans with ZERO Exchange — per-symbol bars, TBM's
+    * event/trade join, integrity roll-ups all become map-side over one scan.
+    * Same role as the reference's one-file-per-symbol HDF5 layout
+    * (data_model.py:420-574), but cluster-parallel: a bucket is a unit of
+    * scheduling, not a single local file, and `sortBy` pre-orders rows
+    * within each bucket so per-symbol windows sort runs of one bucket file
+    * instead of the whole partition.
+    *
+    * Uses the session catalog (in-memory or Hive) with an EXTERNAL path —
+    * the parquet files live where every other store table lives; only the
+    * bucket spec rides the catalog entry.
+    */
+  def saveBucketed(df: DataFrame, table: String, path: String,
+                   buckets: Int, bucketCols: Seq[String],
+                   sortCols: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // overwrite semantics like saveMonthly: a stale external dir (e.g. a
+    // previous JVM's table whose catalog entry died with the session) would
+    // otherwise fail CTAS's non-empty-location check
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    df.write
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(sortCols.head, sortCols.tail: _*)
+      .option("path", path)
+      .option("compression", "zstd")
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
   /** Derived-bars materialization, the `AddTimeBarH5.process_all`
     * equivalent: build `intervalSec` OHLCV bars from the store and persist
     * them as their own month-partitioned table.

@@ -91,6 +91,47 @@ class StoreSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(ts"))
   }
 
+  test("bucketed layout: symbol-keyed agg and self-join plan with zero Exchange") {
+    val dir = Files.createTempDirectory("bucketed").toString
+    // multi-symbol stream: 8 symbols interleaved
+    val t = tradesDf.withColumn("symbol", col("id") % 8)
+    Store.saveBucketed(t, "storespec_bucketed", dir + "/t",
+      buckets = 4, Seq("symbol"), Seq("symbol", "ts", "id"))
+    val back = spark.table("storespec_bucketed")
+    assert(back.count() == t.count())
+
+    // per-(symbol, day) roll-up: bucket distribution on symbol satisfies the
+    // grouping's clustered requirement — the whole agg is map-side, no shuffle
+    val agg = back.groupBy(col("symbol"), expr(s"ts div ${dayNs}L").as("day"))
+      .agg(count(lit(1)).as("n"), max("price").as("hi"))
+    agg.collect()
+    val aggPlan = agg.queryExecution.executedPlan.toString
+    assert(!aggPlan.contains("Exchange"), s"agg shuffled:\n$aggPlan")
+
+    // symbol equi-join of two identically-bucketed tables: both sides read
+    // co-located — with broadcast disabled (the 100 TB case: neither side
+    // small) the join is a sort-merge over bucket distributions with no
+    // Exchange of ANY kind; within-bucket sortBy order spares the big
+    // side's SortExec too
+    Store.saveBucketed(
+      t.groupBy("symbol").agg(avg("price").as("ref_price")),
+      "storespec_bucketed_dim", dir + "/d",
+      buckets = 4, Seq("symbol"), Seq("symbol"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = back.join(spark.table("storespec_bucketed_dim"), "symbol")
+        .groupBy("symbol").agg(max(col("price") - col("ref_price")).as("dev"))
+      joined.collect()
+      val jPlan = joined.queryExecution.executedPlan.toString
+      assert(!jPlan.contains("Exchange"), s"join shuffled:\n$jPlan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS storespec_bucketed")
+      spark.sql("DROP TABLE IF EXISTS storespec_bucketed_dim")
+    }
+  }
+
   test("append mode adds a new month without rewriting old ones") {
     val dir = Files.createTempDirectory("store").toString
     val t = tradesDf
