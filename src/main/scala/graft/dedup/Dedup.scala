@@ -156,6 +156,108 @@ object Dedup {
       .select("id_a", "id_b", "n_common", "jaccard")
   }
 
+  /** EXACT n-gram Jaccard similarity self-join: every pair with
+    * J(sh(a), sh(b)) ≥ threshold, no approximation — the deterministic
+    * sibling of [[lshCandidates]] (which trades exactness for a fixed
+    * signature cost).
+    *
+    * Scale shape (AllPairs/PPJoin prefix filtering, Bayardo et al. WWW'07;
+    * reference has no equivalent — this is pipeline-scale surface):
+    * brute force is O(n²) in documents; instead each doc sorts its shingle
+    * set by GLOBAL document frequency (rarest first, shingle string
+    * tie-break) and emits only its first |sh| − ⌈t·|sh|⌉ + 1 shingles as
+    * join keys — any pair with J ≥ t provably shares one of these prefix
+    * keys, so the candidate join touches rare shingles almost exclusively
+    * (a shingle shared by half the corpus never lands in a prefix unless a
+    * doc is nearly all boilerplate). Candidates then pay one exact
+    * [[jaccardVerify]]; a length filter (J ≥ t ⟹ t·|a| ≤ |b| ≤ |a|/t)
+    * prunes before the verify join.
+    *
+    * Shuffles: shingle document-frequency groupBy, the df join back onto
+    * the exploded shingles (both corpus-scaled but row-narrow: (id, hash)
+    * pairs), the per-doc regroup, the prefix-key self-join, and the verify
+    * joins — all equi-joins/aggregations on keys Catalyst shuffles
+    * hash-partitioned; nothing is ever all-pairs.
+    *
+    * threshold must be exactly representable in binary (0.5, 0.25, …) so
+    * ⌈t·|sh|⌉ is exact integer arithmetic on every engine — enforced.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, toksCol: String,
+                        shingleN: Int, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
+    require(math.ceil(threshold * 64) == threshold * 64,
+      s"threshold must be an exact binary fraction (k/64), got $threshold")
+    val sh = docs.repartition(col(idCol))
+      .select(col(idCol).as("id"),
+        TextOps.shingles(col(toksCol), shingleN).as("sh"))
+      .where(size(col("sh")) > 0)
+    val ex = sh.select(col("id"), explode(col("sh")).as("s"))
+    val df = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    // rarest-first canonical order; prefix = the shingles a matching pair
+    // MUST share at least one of (both-side probe-prefix form)
+    val prefix = ex.join(df, "s")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ord"))
+      .select(col("id"), size(col("ord")).as("m"),
+        slice(col("ord"), lit(1),
+          (size(col("ord")) - ceil(lit(threshold) * size(col("ord"))) + 1)
+            .cast("int")).as("pre"))
+      .select(col("id"), col("m"), explode(col("pre.s")).as("s"))
+    val cand = prefix.as("l")
+      .join(prefix.as("r"),
+        col("l.s") === col("r.s") && col("l.id") < col("r.id") &&
+          col("l.m") * threshold <= col("r.m") &&
+          col("r.m") * threshold <= col("l.m"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    jaccardVerify(cand, docs, idCol, toksCol, shingleN)
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Connected components over an undirected pair list — the "which doc
+    * survives" step of a dedup pipeline: near-dup PAIRS (from
+    * [[ngramJaccardPairs]], [[lshCandidates]]+verify, or
+    * [[simhashPairs]]) become per-doc cluster assignments, so keep-first
+    * dedup can drop everything but each cluster's canonical doc.
+    *
+    * Min-label propagation: every vertex starts as its own label; each
+    * round labels flow across edges and each vertex keeps the minimum it
+    * has seen; fixpoint when a round changes nothing. Rounds = graph
+    * diameter — near-dup graphs are star/clique-shaped (a template and its
+    * copies), so 2-3 rounds in practice; a pathological chain of D docs
+    * costs D rounds, where the large-star/small-star rewiring (Kiveris et
+    * al., SoCC'14) would give O(log D) — noted, not needed for dedup-shaped
+    * graphs. Each round is one join + one groupBy(min) on (vertex, label)
+    * longs; `localCheckpoint` truncates the per-round lineage so the plan
+    * does not grow with iterations, and the driver sees only one scalar
+    * (changed-count) per round.
+    *
+    * @return (id, component) — component = min vertex id reachable.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    val und = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val incoming = und.join(labels, und("src") === labels("id"))
+        .groupBy(col("dst")).agg(min(col("lbl")).as("cand"))
+      val next = labels.join(incoming, labels("id") === incoming("dst"), "left")
+        .select(labels("id"),
+          least(col("lbl"), coalesce(col("cand"), col("lbl"))).as("nlbl"),
+          (coalesce(col("cand"), col("lbl")) < col("lbl")).as("chg"))
+      val mat = next.localCheckpoint()
+      changed = mat.where(col("chg")).count()
+      labels = mat.select(col("id"), col("nlbl").as("lbl"))
+      iter += 1
+    }
+    und.unpersist()
+    labels.select(col("id"), col("lbl").as("component"))
+  }
+
   // -------------------------------------------------------------------
   // SimHash
   // -------------------------------------------------------------------

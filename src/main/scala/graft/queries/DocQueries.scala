@@ -19,6 +19,7 @@ object DocQueries {
   private val minhashK = 16
   private val minhashBands = 8 // r = 2 → candidates at modest jaccard
   private val simhashMaxHamming = 3
+  private val jaccThreshold = 0.5 // exact binary fraction: ⌈t·m⌉ identical on every engine
   private val embThreshold = 0.35 // demo threshold: synthetic max cos ≈ 0.51
   private val annK = 5
   private val annQueries = 20
@@ -86,6 +87,32 @@ object DocQueries {
     "dedup_simhash_pairs" -> ((s, dir) => {
       val d = docs(s, dir).withColumn("toks", TextOps.wsTokens(col("text")))
       Dedup.simhashPairs(Dedup.simhash(d, "doc_id", "toks"), simhashMaxHamming)
+    }),
+
+    // EXACT n-gram Jaccard self-join (prefix-filtered) — the oracle is the
+    // O(n²) brute force, so the gate proves the pruning loses no pair.
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("toks", TextOps.wsTokens(col("text")))
+      Dedup.ngramJaccardPairs(d, "doc_id", "toks", shingleN, jaccThreshold)
+        .select(col("id_a"), col("id_b"), col("n_common"),
+          r6(col("jaccard")).as("jaccard"))
+    }),
+
+    // Near-dup pairs → per-doc cluster assignment (connected components,
+    // min-label propagation) — the keep/drop decision of a dedup pipeline.
+    // The oracle recomputes reachability with a recursive CTE.
+    "dedup_clusters" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("toks", TextOps.wsTokens(col("text")))
+      val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "toks", shingleN, jaccThreshold)
+      val comp = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+        .withColumnRenamed("id", "doc_id")
+      val assign = d.select(col("doc_id")).join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      val sizes = assign.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      assign.join(sizes, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          (col("doc_id") === col("cluster_id")).as("is_canonical"))
     }),
 
     "dedup_embedding_pairs" -> ((s, dir) =>
@@ -375,6 +402,36 @@ object DocQueries {
          |    CAST(${hammingSql("a.simhash", "b.simhash")} AS INT) AS hamming
          |  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
          |) WHERE hamming <= $simhashMaxHamming""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH $toksCte, $shCte,
+         |ne AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0)
+         |SELECT id_a, id_b, n_common, ${rd("j_raw")} AS jaccard FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
+         |    len(list_intersect(a.sh, b.sh)) / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS j_raw
+         |  FROM ne a JOIN ne b ON a.doc_id < b.doc_id
+         |) WHERE j_raw >= ${D(jaccThreshold)}""".stripMargin,
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $toksCte, $shCte,
+         |ne AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+         |pairs AS (
+         |  SELECT a.doc_id AS ia, b.doc_id AS ib
+         |  FROM ne a JOIN ne b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh)) / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= ${D(jaccThreshold)}
+         |),
+         |edges AS (SELECT ia AS a, ib AS b FROM pairs UNION ALL SELECT ib, ia FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id
+         |),
+         |comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+         |SELECT doc_id, cluster_id,
+         |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+         |  doc_id = cluster_id AS is_canonical
+         |FROM comp""".stripMargin,
 
     "dedup_embedding_pairs" ->
       s"""WITH $nvCte

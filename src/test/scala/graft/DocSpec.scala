@@ -286,4 +286,56 @@ class DocSpec extends AnyFunSuite {
     assert(math.abs(d(2L) - 1.0) < 1e-12)
     assert(math.abs(d(3L) - 1.0) < 1e-12)
   }
+
+  test("ngram jaccard prefix filter loses no pair vs brute force") {
+    // deterministic corpus of overlapping word sequences: doc i covers
+    // words [i, i+14] over a 40-word vocabulary -> a smooth range of true
+    // jaccard values across pairs, plus two exact dups and one disjoint doc
+    val rows = (0 until 25).map { i =>
+      (i.toLong, (i until i + 15).map(w => s"w${w % 40}").mkString(" "))
+    } ++ Seq(100L -> "z1 z2 z3 z4 z5 z6", 101L -> "z1 z2 z3 z4 z5 z6",
+      200L -> "q1 q2 q3 q4 q5")
+    val d = docsDf(rows: _*).withColumn("toks", TextOps.wsTokens(col("text")))
+    for (t <- Seq(0.25, 0.5, 0.75)) {
+      val fast = Dedup.ngramJaccardPairs(d, "doc_id", "toks", 3, t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val sh = d.select(col("doc_id"),
+        TextOps.shingles(col("toks"), 3).as("sh")).where(size(col("sh")) > 0)
+      val brute = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id"),
+          (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+            (size(col("a.sh")) + size(col("b.sh")) -
+              size(array_intersect(col("a.sh"), col("b.sh"))))).as("j"))
+        .where(col("j") >= t)
+        .select("a.doc_id", "b.doc_id").as[(Long, Long)].collect().toSet
+      assert(fast == brute, s"threshold $t: prefix-filtered != brute")
+      if (t == 0.5) assert(fast.contains(100L -> 101L) && !fast.exists(p => p._1 == 200L || p._2 == 200L))
+    }
+  }
+
+  test("ngram jaccard rejects non-binary thresholds") {
+    val d = docsDf(1L -> "a b c d").withColumn("toks", TextOps.wsTokens(col("text")))
+    intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(d, "doc_id", "toks", 3, 0.3)
+    }
+  }
+
+  test("connected components labels chains, cliques and leaves singletons out") {
+    // chain 1-2-3-4, clique {10,11,12}, pair {20,21}; vertex 30 never appears
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (21L, 20L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comp(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(comp(_) == 10L))
+    assert(Seq(20L, 21L).forall(comp(_) == 20L))
+    assert(!comp.contains(30L))
+  }
+
+  test("connected components converges on a long chain within diameter rounds") {
+    val n = 12
+    val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    assert((1 to n).forall(i => comp(i.toLong) == 1L))
+  }
 }
