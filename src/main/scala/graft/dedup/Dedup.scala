@@ -106,9 +106,15 @@ object Dedup {
     *        whole job. Capped docs still pair through their other bands.
     *        Default unbounded (exact banding semantics).
     */
-  def lshCandidates(docs: DataFrame, idCol: String, toksCol: String,
-                    shingleN: Int, k: Int, bands: Int,
-                    maxBucket: Int = Int.MaxValue): DataFrame = {
+  /** Shared LSH bucket build: (bucket, sorted member ids) for every
+    * multi-member band bucket within the size cap. The per-doc signature
+    * rides the map side as the native codegen'd
+    * [[graft.functions.MinhashBuckets]] expression; the only shuffle is
+    * |docs| × bands bucket rows.
+    */
+  private def lshBuckets(docs: DataFrame, idCol: String, toksCol: String,
+                         shingleN: Int, k: Int, bands: Int,
+                         maxBucket: Int): DataFrame = {
     // repartition first: a small corpus arrives as one parquet split, which
     // would serialize the per-doc hash fan-out into a single task; the
     // shuffled payload is just the raw docs, cheap relative to the k·|sh|
@@ -119,9 +125,15 @@ object Dedup {
           TextOps.shingles(col(toksCol), shingleN), k, bands)).as("bucket"))
     // the bucket string embeds the band index, so grouping by it is the
     // (band, band_key) grouping of the previous form
-    val buckets = bandRowsDf.groupBy("bucket")
+    bandRowsDf.groupBy("bucket")
       .agg(sort_array(collect_list("id")).as("ids"))
       .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+  }
+
+  def lshCandidates(docs: DataFrame, idCol: String, toksCol: String,
+                    shingleN: Int, k: Int, bands: Int,
+                    maxBucket: Int = Int.MaxValue): DataFrame = {
+    val buckets = lshBuckets(docs, idCol, toksCol, shingleN, k, bands, maxBucket)
     buckets
       .select(explode(flatten(transform(col("ids"), (a, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids")) - i - 1),
@@ -129,6 +141,35 @@ object Dedup {
         .as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
+  }
+
+  /** MinHash-LSH cluster assignment WITHOUT pair materialization — the
+    * form large-scale corpus dedup actually runs (C4/Pile/BigCode-style:
+    * bucket-level union-find, no verify step). A bucket of m docs links its
+    * members in a STAR to its minimum id — m−1 edges instead of the
+    * m(m−1)/2 candidate pairs — and connected components over the union of
+    * all bucket stars yields exactly the same clusters as components over
+    * [[lshCandidates]] output (within a bucket, star and clique have the
+    * same connectivity; across buckets both union the same groups).
+    *
+    * That identity is the scale point: a boilerplate mega-bucket of 100k
+    * docs contributes 100k−1 edges here vs ~5·10⁹ pairs there, so cluster
+    * assignment stays LINEAR in corpus size even under template skew, and
+    * `maxBucket` becomes optional rather than load-bearing. Use this when
+    * the decision is keep/drop per doc; use [[lshCandidates]] +
+    * [[jaccardVerify]] when per-pair similarity scores are the product.
+    *
+    * @return (id, component) for every doc that shares ≥1 bucket;
+    *         docs in no multi-member bucket are absent (singletons).
+    */
+  def lshClusters(docs: DataFrame, idCol: String, toksCol: String,
+                  shingleN: Int, k: Int, bands: Int,
+                  maxBucket: Int = Int.MaxValue): DataFrame = {
+    val buckets = lshBuckets(docs, idCol, toksCol, shingleN, k, bands, maxBucket)
+    val edges = buckets.select(
+      element_at(col("ids"), 1).as("id_a"),
+      explode(slice(col("ids"), lit(2), size(col("ids")) - 1)).as("id_b"))
+    connectedComponents(edges)
   }
 
   /** Exact n-gram Jaccard for candidate pairs: join the (distinct) shingle

@@ -41,6 +41,22 @@ object DocQueries {
       .select(col("query_id"),
         (col("hits") / col("n") >= floor).as("recall_ok"))
 
+  /** (id, component) → full-corpus cluster rows: every doc gets a cluster
+    * id (singletons keep their own), the cluster's size, and the
+    * keep-first canonical flag (doc == min id of its cluster).
+    */
+  private def clusterAssign(d: org.apache.spark.sql.DataFrame,
+                            comp: org.apache.spark.sql.DataFrame) = {
+    val assign = d.select(col("doc_id"))
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"))
+    val sizes = assign.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    assign.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+  }
+
   private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.documents(s, dir)
   private def emb(s: org.apache.spark.sql.SparkSession, dir: String) =
@@ -104,15 +120,15 @@ object DocQueries {
     "dedup_clusters" -> ((s, dir) => {
       val d = docs(s, dir).withColumn("toks", TextOps.wsTokens(col("text")))
       val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "toks", shingleN, jaccThreshold)
-      val comp = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
-        .withColumnRenamed("id", "doc_id")
-      val assign = d.select(col("doc_id")).join(comp, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("component"), col("doc_id")).as("cluster_id"))
-      val sizes = assign.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
-      assign.join(sizes, "cluster_id")
-        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
-          (col("doc_id") === col("cluster_id")).as("is_canonical"))
+      clusterAssign(d, Dedup.connectedComponents(pairs.select("id_a", "id_b")))
+    }),
+
+    // Bucket-level union-find (star edges per LSH bucket, no pair
+    // materialization, no verify) — the linear-cost corpus-dedup shape.
+    "dedup_lsh_clusters" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("toks", TextOps.wsTokens(col("text")))
+      clusterAssign(d,
+        Dedup.lshClusters(d, "doc_id", "toks", shingleN, minhashK, minhashBands))
     }),
 
     "dedup_embedding_pairs" -> ((s, dir) =>
@@ -245,6 +261,34 @@ object DocQueries {
        |  FROM toks
        |)""".stripMargin
 
+  /** MinHash band CTE chain (needs toks + sh in scope) — mirror of
+    * Dedup.lshCandidates' universal-hash permutations: h = 31-bit prefix of
+    * md5(shingle); mh_s = (a_s·h + b_s) mod 2^61−1; band_key =
+    * md5(joined minima). Produces CTE `bands(doc_id, band, band_key)`.
+    */
+  private val minhashBandsCtes: String = {
+    val hexToInt31 = (1 to 8).map { i =>
+      s"(instr('0123456789abcdef', substr(m, $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}"
+    }.mkString("(", " + ", ") & 2147483647")
+    val coefRows = (0 until minhashK).map { s =>
+      s"($s, ${Dedup.minhashCoef("a", s)}, ${Dedup.minhashCoef("b", s)})"
+    }.mkString(", ")
+    s"""shx AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       |hv AS (SELECT doc_id, $hexToInt31 AS h FROM (SELECT doc_id, md5(s) AS m FROM shx)),
+       |coef AS (SELECT seed, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+       |         FROM (VALUES $coefRows) t(seed, a, b)),
+       |mh AS (
+       |  SELECT doc_id, seed, min((a * h + b) % ${Dedup.minhashP}) AS mh
+       |  FROM hv CROSS JOIN coef
+       |  GROUP BY doc_id, seed
+       |),
+       |bands AS (
+       |  SELECT doc_id, seed // ${minhashK / minhashBands} AS band,
+       |         md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS band_key
+       |  FROM mh GROUP BY doc_id, seed // ${minhashK / minhashBands}
+       |)""".stripMargin
+  }
+
   private def inList(words: Seq[String]) =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
@@ -352,30 +396,8 @@ object DocQueries {
         |  doc_id > min(doc_id) OVER (PARTITION BY content_hash) AS is_dup
         |FROM h""".stripMargin,
 
-    "dedup_minhash_lsh" -> {
-      // mirror of Dedup.lshCandidates' universal-hash permutations:
-      // h = 31-bit prefix of md5(shingle); mh_s = (a_s·h + b_s) mod 2^61−1
-      val hexToInt31 = (1 to 8).map { i =>
-        s"(instr('0123456789abcdef', substr(m, $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}"
-      }.mkString("(", " + ", ") & 2147483647")
-      val coefRows = (0 until minhashK).map { s =>
-        s"($s, ${Dedup.minhashCoef("a", s)}, ${Dedup.minhashCoef("b", s)})"
-      }.mkString(", ")
-      s"""WITH $toksCte, $shCte,
-         |shx AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-         |hv AS (SELECT doc_id, $hexToInt31 AS h FROM (SELECT doc_id, md5(s) AS m FROM shx)),
-         |coef AS (SELECT seed, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
-         |         FROM (VALUES $coefRows) t(seed, a, b)),
-         |mh AS (
-         |  SELECT doc_id, seed, min((a * h + b) % ${Dedup.minhashP}) AS mh
-         |  FROM hv CROSS JOIN coef
-         |  GROUP BY doc_id, seed
-         |),
-         |bands AS (
-         |  SELECT doc_id, seed // ${minhashK / minhashBands} AS band,
-         |         md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS band_key
-         |  FROM mh GROUP BY doc_id, seed // ${minhashK / minhashBands}
-         |),
+    "dedup_minhash_lsh" ->
+      s"""WITH $toksCte, $shCte, $minhashBandsCtes,
          |cand AS (
          |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
          |  FROM bands l JOIN bands r
@@ -386,8 +408,26 @@ object DocQueries {
          |  ${rd("len(list_intersect(a.sh, b.sh)) / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)")} AS jaccard
          |FROM cand c
          |JOIN sh a ON a.doc_id = c.id_a
-         |JOIN sh b ON b.doc_id = c.id_b""".stripMargin
-    },
+         |JOIN sh b ON b.doc_id = c.id_b""".stripMargin,
+
+    "dedup_lsh_clusters" ->
+      s"""WITH RECURSIVE $toksCte, $shCte, $minhashBandsCtes,
+         |bk AS (
+         |  SELECT list_sort(list(doc_id)) AS ids
+         |  FROM bands GROUP BY band, band_key HAVING count(*) > 1
+         |),
+         |star AS (SELECT ids[1] AS a, unnest(ids[2:]) AS b FROM bk),
+         |edges AS (SELECT a, b FROM star UNION ALL SELECT b, a FROM star),
+         |reach(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id
+         |),
+         |comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+         |SELECT doc_id, cluster_id,
+         |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+         |  doc_id = cluster_id AS is_canonical
+         |FROM comp""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH $toksCte,

@@ -332,6 +332,27 @@ class DocSpec extends AnyFunSuite {
     assert(!comp.contains(30L))
   }
 
+  test("lshClusters equals components over materialized candidate pairs") {
+    // two near-dup families + noise docs: star edges per bucket must yield
+    // exactly the clusters the full candidate-pair graph yields
+    val famA = (0 to 3).map(i => (i.toLong,
+      (1 to 30).map(w => s"w$w").mkString(" ") + s" extra$i"))
+    val famB = (10 to 12).map(i => (i.toLong,
+      (1 to 25).map(w => s"v$w").mkString(" ") + s" tail$i"))
+    val noise = (20 to 24).map(i => (i.toLong,
+      (1 to 20).map(w => s"n${i}_$w").mkString(" ")))
+    val d = docsDf(famA ++ famB ++ noise: _*)
+      .withColumn("toks", TextOps.wsTokens(col("text")))
+    val viaStars = Dedup.lshClusters(d, "doc_id", "toks", 3, 16, 8)
+      .as[(Long, Long)].collect().toMap
+    val pairs = Dedup.lshCandidates(d, "doc_id", "toks", 3, 16, 8)
+    val viaPairs = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(viaStars == viaPairs)
+    assert(viaStars.nonEmpty && viaStars.keySet.forall(_ <= 12L),
+      "noise docs must not cluster")
+  }
+
   test("connected components converges on a long chain within diameter rounds") {
     val n = 12
     val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
