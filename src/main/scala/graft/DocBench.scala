@@ -65,7 +65,13 @@ object DocBench {
         "dedup_embedding_lsh_capped" -> (() =>
           Similarity.lshNearDupPairs(embs, "vec_id", "embedding",
             threshold = 0.9, nPlanes = 64, bandBits = 16,
-            maxBucket = maxBucket).count()))
+            maxBucket = maxBucket).count()),
+        // UNCAPPED on purpose: star edges keep the mega-bucket linear
+        // (m−1 edges), so cluster assignment survives the exact skew that
+        // makes uncapped pair enumeration infeasible above.
+        "dedup_lsh_clusters_uncapped" -> (() =>
+          Dedup.lshClusters(docs, "doc_id", "toks", shingleN,
+            minhashK, minhashBands).count()))
       val times = queries.filter { case (n, _) => only.forall(_.contains(n)) }
           .flatMap { case (name, run) =>
         spark.catalog.clearCache()

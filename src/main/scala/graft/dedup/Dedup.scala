@@ -112,23 +112,29 @@ object Dedup {
     * [[graft.functions.MinhashBuckets]] expression; the only shuffle is
     * |docs| × bands bucket rows.
     */
-  private def lshBuckets(docs: DataFrame, idCol: String, toksCol: String,
-                         shingleN: Int, k: Int, bands: Int,
-                         maxBucket: Int): DataFrame = {
+  /** (id, bucket) band-key rows — the map-side LSH banding shared by pair
+    * emission and cluster assignment.
+    */
+  private def lshBandRows(docs: DataFrame, idCol: String, toksCol: String,
+                          shingleN: Int, k: Int, bands: Int): DataFrame =
     // repartition first: a small corpus arrives as one parquet split, which
     // would serialize the per-doc hash fan-out into a single task; the
     // shuffled payload is just the raw docs, cheap relative to the k·|sh|
     // work it parallelizes.
-    val bandRowsDf = docs.repartition(col(idCol))
+    docs.repartition(col(idCol))
       .select(col(idCol).as("id"),
         explode(graft.functions.MinhashBuckets.minhashBucketsExpr(
           TextOps.shingles(col(toksCol), shingleN), k, bands)).as("bucket"))
+
+  private def lshBuckets(docs: DataFrame, idCol: String, toksCol: String,
+                         shingleN: Int, k: Int, bands: Int,
+                         maxBucket: Int): DataFrame =
     // the bucket string embeds the band index, so grouping by it is the
     // (band, band_key) grouping of the previous form
-    bandRowsDf.groupBy("bucket")
+    lshBandRows(docs, idCol, toksCol, shingleN, k, bands)
+      .groupBy("bucket")
       .agg(sort_array(collect_list("id")).as("ids"))
       .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
-  }
 
   def lshCandidates(docs: DataFrame, idCol: String, toksCol: String,
                     shingleN: Int, k: Int, bands: Int,
@@ -159,16 +165,26 @@ object Dedup {
     * the decision is keep/drop per doc; use [[lshCandidates]] +
     * [[jaccardVerify]] when per-pair similarity scores are the product.
     *
+    * The stars are built with a per-bucket min + join back — never a
+    * per-bucket collected array (a mega-bucket's member list in one row is
+    * exactly the OOM this path exists to avoid); the mega-bucket's edges
+    * spread across all tasks holding its band rows.
+    *
     * @return (id, component) for every doc that shares ≥1 bucket;
     *         docs in no multi-member bucket are absent (singletons).
     */
   def lshClusters(docs: DataFrame, idCol: String, toksCol: String,
                   shingleN: Int, k: Int, bands: Int,
                   maxBucket: Int = Int.MaxValue): DataFrame = {
-    val buckets = lshBuckets(docs, idCol, toksCol, shingleN, k, bands, maxBucket)
-    val edges = buckets.select(
-      element_at(col("ids"), 1).as("id_a"),
-      explode(slice(col("ids"), lit(2), size(col("ids")) - 1)).as("id_b"))
+    val br = lshBandRows(docs, idCol, toksCol, shingleN, k, bands)
+    val stats = br.groupBy("bucket")
+      .agg(min(col("id")).as("min_id"), count(lit(1)).as("n"))
+      .where(col("n") > 1 && col("n") <= maxBucket)
+      .select("bucket", "min_id")
+    val edges = br.join(stats, "bucket")
+      .where(col("id") =!= col("min_id"))
+      .select(col("min_id").as("id_a"), col("id").as("id_b"))
+      .distinct()
     connectedComponents(edges)
   }
 
