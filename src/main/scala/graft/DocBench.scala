@@ -71,7 +71,10 @@ object DocBench {
         // makes uncapped pair enumeration infeasible above.
         "dedup_lsh_clusters_uncapped" -> (() =>
           Dedup.lshClusters(docs, "doc_id", "toks", shingleN,
-            minhashK, minhashBands).count()))
+            minhashK, minhashBands).count()),
+        "dedup_emb_clusters_uncapped" -> (() =>
+          Similarity.lshEmbeddingClusters(embs, "vec_id", "embedding",
+            threshold = 0.9, nPlanes = 64, bandBits = 16).count()))
       val times = queries.filter { case (n, _) => only.forall(_.contains(n)) }
           .flatMap { case (name, run) =>
         spark.catalog.clearCache()

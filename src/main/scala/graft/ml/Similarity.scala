@@ -391,6 +391,51 @@ object Similarity {
     }.toDF("id", "band", "bk")
   }
 
+  /** Embedding cluster assignment with VERIFIED star edges — the vector
+    * twin of [[graft.dedup.Dedup.lshClusters]]: per sign-LSH band bucket,
+    * each member links to the bucket's min id (m−1 edges, never m(m−1)/2
+    * pairs, never a collected member array), each star edge is verified by
+    * exact cosine ≥ threshold BEFORE it enters the graph, and connected
+    * components over the surviving edges yield per-vector cluster ids.
+    *
+    * Semantics: precision is structural (every edge in the graph is a true
+    * ≥-threshold pair, so every cluster is connected through verified
+    * near-dups); recall is approximate twice — a pair can miss every
+    * shared band (sign-LSH recall) or share a bucket whose min-id hub is
+    * similar to neither (star recall). That trade is what keeps the job
+    * LINEAR under boilerplate skew: a mega-cluster of m identical vectors
+    * costs m−1 cosine evaluations instead of m²/2, so `maxBucket` is
+    * optional here. For per-pair scores use [[lshNearDupPairs]].
+    */
+  def lshEmbeddingClusters(emb: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double, nPlanes: Int = 64,
+                           bandBits: Int = 16,
+                           maxBucket: Int = Int.MaxValue): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val planes = hyperplanes(nPlanes, vecDim(emb, vecCol))
+    val br = lshBandRows(emb, idCol, vecCol, planes, bandBits)
+    val stats = br.groupBy("band", "bk")
+      .agg(min(col("id")).as("min_id"), count(lit(1)).as("n"))
+      .where(col("n") > 1 && col("n") <= maxBucket)
+      .select("band", "bk", "min_id")
+    val star = br.join(stats, Seq("band", "bk"))
+      .where(col("id") =!= col("min_id"))
+      .select(col("min_id").as("id_a"), col("id").as("id_b"))
+      .distinct()
+    val nv = unitVecs(emb, idCol, vecCol)
+    val verified = star
+      .join(nv.toDF("id_a", "va"), "id_a")
+      .join(nv.toDF("id_b", "vb"), "id_b")
+      .select(col("id_a").cast("long"), col("id_b").cast("long"), col("va"), col("vb"))
+      .as[(Long, Long, Array[Double], Array[Double])]
+      .map { case (a, b, va, vb) => (a, b, dotArr(va, vb)) }
+      .toDF("id_a", "id_b", "cos")
+      .where(col("cos") >= threshold)
+      .select("id_a", "id_b")
+    graft.dedup.Dedup.connectedComponents(verified)
+  }
+
   /** LSH-bucketed approximate top-k: candidates = corpus rows sharing ≥1
     * signature band with a query (id-only equi-join — vectors never enter
     * the shuffle); exact cosine rank within candidates. Recall < 1 by

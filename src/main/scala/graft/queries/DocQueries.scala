@@ -20,6 +20,7 @@ object DocQueries {
   private val minhashBands = 8 // r = 2 → candidates at modest jaccard
   private val simhashMaxHamming = 3
   private val jaccThreshold = 0.5 // exact binary fraction: ⌈t·m⌉ identical on every engine
+  private val twinOffset = 1048576L // planted-twin id shift for the cluster gate
   private val embThreshold = 0.35 // demo threshold: synthetic max cos ≈ 0.51
   private val annK = 5
   private val annQueries = 20
@@ -156,6 +157,29 @@ object DocQueries {
         // recall — and an unguarded division would throw under ANSI
         .select(coalesce(when(col("n") > 0, col("hits") / col("n") >= 0.8),
           lit(true)).as("recall_ok"))
+    }),
+
+    // Verified-star cluster assignment for embeddings, exercised in its
+    // actual regime (TIGHT near-dup thresholds — star-hub transitivity is
+    // meaningless at the corpus's loose cos≈0.35-0.51 range, measured 8%
+    // pair recall there): the gate plants an exact twin of every vector
+    // (id + 2^20, same embedding) and requires every twin pair to land in
+    // the same component at threshold 0.999. Deterministic — identical
+    // vectors share all sign bands, and a twin-pair bucket's star edge is
+    // cos 1.0; measured 500/500 at sf0.01.
+    "dedup_embedding_clusters" -> ((s, dir) => {
+      val e0 = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val twin = e0.select((col("vec_id") + twinOffset).as("vec_id"),
+        col("embedding"))
+      val comp = Similarity.lshEmbeddingClusters(e0.union(twin),
+        "vec_id", "embedding", threshold = 0.999)
+      e0.select(col("vec_id"))
+        .join(comp.toDF("vec_id", "comp_a"), Seq("vec_id"), "left")
+        .join(comp.select((col("id") - twinOffset).as("vec_id"),
+          col("component").as("comp_b")), Seq("vec_id"), "left")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("comp_a") === col("comp_b"), 1).otherwise(0)).as("hits"))
+        .select((col("hits") === col("n")).as("twins_coclustered"))
     }),
 
     "ann_topk_brute" -> ((s, dir) => {
@@ -481,6 +505,8 @@ object DocQueries {
          |) WHERE cos >= ${D(embThreshold)}""".stripMargin,
 
     "dedup_embedding_lsh" -> "SELECT TRUE AS recall_ok",
+
+    "dedup_embedding_clusters" -> "SELECT TRUE AS twins_coclustered",
 
     // The approximate ANN rows assert their recall bound: Spark computes
     // per-query recall vs brute force and emits booleans; the oracle

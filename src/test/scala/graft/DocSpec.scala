@@ -332,6 +332,32 @@ class DocSpec extends AnyFunSuite {
     assert(!comp.contains(30L))
   }
 
+  test("lshEmbeddingClusters: tight duplicate groups co-cluster, precision is structural") {
+    // 3 groups of exact duplicates (+ tiny last-dim jitter keeping cos >
+    // 0.999) and 6 spread singletons; verified stars must recover exactly
+    // the duplicate groups at a tight threshold
+    val dim = 32
+    def base(g: Int): Array[Float] =
+      Array.tabulate(dim)(d => if (d % 4 == g) 1.0f else 0.05f * ((g * 13 + d) % 7))
+    val rows =
+      (for (g <- 0 until 3; i <- 0 until 4) yield {
+        val v = base(g).clone(); v(dim - 1) = v(dim - 1) + 0.0005f * i
+        ((g * 10 + i).toLong, v.toSeq)
+      }) ++ (for (s <- 0 until 6) yield {
+        // hash-decorrelated directions (sinusoids of one frequency alias)
+        ((100 + s).toLong, Array.tabulate(dim) { d =>
+          (((scala.util.hashing.byteswap32(s * 101 + d) % 1000) / 500.0) - 1.0).toFloat
+        }.toSeq)
+      })
+    val e = rows.toDF("vec_id", "embedding")
+    val comp = Similarity.lshEmbeddingClusters(e, "vec_id", "embedding",
+        threshold = 0.999, bandBits = 8)
+      .as[(Long, Long)].collect().toMap
+    for (g <- 0 until 3; i <- 0 until 4)
+      assert(comp(g * 10L + i) == g * 10L, s"member $g/$i must join its group head")
+    assert(!(100L until 106L).exists(comp.contains), "singletons stay out")
+  }
+
   test("lshClusters equals components over materialized candidate pairs") {
     // two near-dup families + noise docs: star edges per bucket must yield
     // exactly the clusters the full candidate-pair graph yields
