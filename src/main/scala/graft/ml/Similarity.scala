@@ -310,6 +310,76 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** Materialize an IVF index as a PARQUET LAYOUT: unit-normalized vectors
+    * written `partitionBy(cell)` (cell = nearest centroid), centroids
+    * alongside. This is ANN as Spark-native storage design — the "index" is
+    * directory structure, so a query never touches more than its probed
+    * cells: at 100 TB of embeddings a `cell IN (probes)` scan reads
+    * nprobe/nlist of the data and Catalyst shows it as PartitionFilters
+    * (spec-asserted), the same pruning contract as the trades store.
+    * Index build is one write; incremental append = writing new rows into
+    * their cell directories.
+    */
+  def ivfIndexWrite(emb: DataFrame, idCol: String, vecCol: String,
+                    centroids: Array[(Long, Array[Double])], dir: String): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    unitVecs(emb, idCol, vecCol)
+      .map { case (id, v) =>
+        val cs = bc.value
+        var best = 0L; var bestD = Double.NegativeInfinity
+        var i = 0
+        while (i < cs.length) {
+          val d = dotArr(v, cs(i)._2)
+          if (d > bestD || (d == bestD && cs(i)._1 < best)) { best = cs(i)._1; bestD = d }
+          i += 1
+        }
+        (best, id, v)
+      }
+      .toDF("cell", "id", "nv")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/cells")
+    centroids.toSeq.toDF("cell", "cvec")
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Top-k through the parquet IVF index: centroids load driver-side
+    * (nlist rows), probe cells derive per query, and the scan reads ONLY
+    * `cell IN (probes)` — partition-pruned at the source. Same candidate
+    * sets as [[ivfTopK]] with the same centroids/nprobe, so results are
+    * bit-identical to the in-memory path (the parity the gate asserts).
+    */
+  def ivfIndexTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   queries: DataFrame, idCol: String, vecCol: String,
+                   k: Int, nprobe: Int = 8): DataFrame = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .select(col("cell").cast("long"), col("cvec"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    def nearestCells(n: Int, v: Array[Double]) =
+      cents.map { case (cid, cvec) => (cid, dotArr(v, cvec)) }
+        .sortBy { case (cid, d) => (-d, cid) }.take(n).map(_._1)
+    val qArr = unitVecs(queries, idCol, vecCol).collect()
+    val probePairs = qArr.toSeq
+      .flatMap { case (qid, v) => nearestCells(nprobe, v).map(c => (qid, c)) }
+    val cells = probePairs.map(_._2).distinct.sorted
+    val probes = broadcast(probePairs.toDF("query_id", "cell"))
+    val qMap = spark.sparkContext.broadcast(qArr.toMap)
+    val scan = spark.read.parquet(s"$dir/cells")
+      .where(col("cell").isin(cells: _*)) // -> PartitionFilters, prunes dirs
+    scan.join(probes, Seq("cell"))
+      .where(col("query_id") =!= col("id"))
+      .select(col("query_id").cast("long"), col("id").cast("long"), col("nv"))
+      .as[(Long, Long, Array[Double])]
+      .map { case (qid, nid, nv) => (qid, nid, dotArr(qMap.value(qid), nv)) }
+      .toDF("query_id", "neighbor_id", "cos")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   /** Brute-force cosine top-k: broadcast the (small) query set, stream the
     * corpus once keeping a bounded per-query top-k per partition, then take
     * the exact global top-k from the tiny candidate union. Ordering

@@ -233,6 +233,34 @@ object DocQueries {
         annRecallFloor)
     }),
 
+    // END-TO-END IVF index lifecycle: k-means centroids → parquet index
+    // partitioned by cell → top-k through a partition-pruned `cell IN
+    // (probes)` scan. The gate asserts exact parity with the in-memory IVF
+    // path per query (same centroids + nprobe ⇒ identical candidate sets
+    // ⇒ identical ranks); the pruning itself is plan-asserted in DocSpec.
+    "ann_topk_ivf_store" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") < annQueries)
+      val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+        nlist = 32, iters = 5)
+      val idx = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_gate_ivf").getAbsolutePath
+      Similarity.ivfIndexWrite(e, "vec_id", "embedding", cents, idx)
+      def canon(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.select(col("query_id"), col("rank"), col("neighbor_id"),
+          r6(col("cos")).as("cos"), lit(1).as(tag))
+      canon(Similarity.ivfIndexTopK(s, idx, q, "vec_id", "embedding",
+          annK, nprobe = 16), "__s")
+        .join(canon(Similarity.ivfTopK(q, e, "vec_id", "embedding", annK,
+          nprobe = 16, centroids = cents), "__m"),
+          Seq("query_id", "rank", "neighbor_id", "cos"), "full")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("__s").isNotNull && col("__m").isNotNull, 1)
+            .otherwise(0)).as("both"))
+        .select(col("query_id"), (col("n") === col("both")).as("store_matches_memory"))
+    }),
+
     // Multimodal plumbing over opaque binary payloads (documents' UTF-8
     // bytes stand in for image/audio containers): fixed-size frame slicing
     // + first/mid/last frame sampling, all map-side expressions.
@@ -521,6 +549,10 @@ object DocQueries {
 
     "ann_topk_ivf_km" ->
       s"""SELECT vec_id AS query_id, TRUE AS recall_ok
+         |FROM embeddings WHERE vec_id < $annQueries""".stripMargin,
+
+    "ann_topk_ivf_store" ->
+      s"""SELECT vec_id AS query_id, TRUE AS store_matches_memory
          |FROM embeddings WHERE vec_id < $annQueries""".stripMargin,
 
     "ann_topk_brute" ->

@@ -332,6 +332,32 @@ class DocSpec extends AnyFunSuite {
     assert(!comp.contains(30L))
   }
 
+  test("IVF parquet index: pruned scan, bit-identical to in-memory IVF") {
+    val dim = 64
+    def vec(cluster: Int, i: Int): Array[Float] =
+      Array.tabulate(dim) { d =>
+        val base = if (d % 8 == cluster % 8) 1.0f else 0.1f
+        base + 0.05f * (((cluster * 31 + i * 17 + d * 7) % 11) - 5)
+      }
+    val rows = for (c <- 0 until 8; i <- 0 until 12)
+      yield ((c * 12 + i).toLong, vec(c, i).toSeq)
+    val e = rows.toDF("vec_id", "embedding")
+    val q = e.where(col("vec_id") < 6)
+    val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", nlist = 8, iters = 4)
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    Similarity.ivfIndexWrite(e, "vec_id", "embedding", cents, dir)
+    val store = Similarity.ivfIndexTopK(spark, dir, q, "vec_id", "embedding", 5, nprobe = 2)
+    val mem = Similarity.ivfTopK(q, e, "vec_id", "embedding", 5, nprobe = 2, centroids = cents)
+    val sRows = store.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val mRows = mem.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(sRows == mRows, "store path must reproduce the in-memory IVF exactly")
+    // the probe restriction must reach the scan as directory pruning
+    val plan = store.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("\\s", "").matches("(?s).*PartitionFilters:\\[.*cell.*"),
+      "cell IN (probes) must land in PartitionFilters")
+  }
+
   test("lshEmbeddingClusters: tight duplicate groups co-cluster, precision is structural") {
     // 3 groups of exact duplicates (+ tiny last-dim jitter keeping cos >
     // 0.999) and 6 spread singletons; verified stars must recover exactly
