@@ -233,6 +233,30 @@ object DocQueries {
         annRecallFloor)
     }),
 
+    // END-TO-END corpus cleaning — the training-data prep pipeline as ONE
+    // query: quality + language filter (cheap, first) → exact dedup
+    // keep-first → n-gram-Jaccard near-dup clustering keep-first. The
+    // oracle recomputes the whole chain, recursive reachability included,
+    // so a drift anywhere in the composition fails the hash.
+    "corpus_clean" -> ((s, dir) => {
+      val scored = docs(s, dir).select(
+        Seq(col("doc_id"), col("text")) ++ TextOps.qualityColumns(col("text")) ++
+          Seq(TextOps.langIdColumns(col("text")).last): _*)
+      val kept = scored
+        .where(col("pred_lang") === "en" && col("quality_score") >= 0.5)
+      val exact = Dedup.exactDupAnnotate(kept, "doc_id", "text")
+        .where(!col("is_dup"))
+        .withColumn("toks", TextOps.wsTokens(col("text")))
+      val pairs = Dedup.ngramJaccardPairs(exact, "doc_id", "toks",
+        shingleN, jaccThreshold)
+      val comp = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+        .withColumnRenamed("id", "doc_id")
+      exact.join(comp, Seq("doc_id"), "left")
+        .where(col("component").isNull || col("component") === col("doc_id"))
+        .select(col("doc_id"), col("pred_lang"), col("n_ws_tokens"),
+          r6(col("quality_score")).as("quality_score"))
+    }),
+
     // END-TO-END IVF index lifecycle: k-means centroids → parquet index
     // partitioned by cell → top-k through a partition-pruned `cell IN
     // (probes)` scan. The gate asserts exact parity with the in-memory IVF
@@ -344,6 +368,17 @@ object DocQueries {
   private def inList(words: Seq[String]) =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  // raw (unrounded) quality sub-expressions, shared by the text_quality
+  // oracle and the corpus_clean pipeline filter (needs toks in scope)
+  private lazy val alphaSql =
+    "CASE WHEN len(text) > 0 THEN len(regexp_replace(lower(text), '[^a-z]', '', 'g')) / CAST(len(text) AS DOUBLE) ELSE 0.0 END"
+  private lazy val punctSql =
+    "CASE WHEN len(text) > 0 THEN len(regexp_replace(lower(text), '[^.,!?;:]', '', 'g')) / CAST(len(text) AS DOUBLE) ELSE 0.0 END"
+  private lazy val stopSql =
+    s"CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> x IN ${inList(TextOps.stopwords("en"))})) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END"
+  private lazy val qualitySql =
+    s"least(len(toks) / 50.0, 1.0) * 0.4 + ($alphaSql) * 0.3 + least(($stopSql) * 4.0, 1.0) * 0.2 + (1.0 - ($punctSql)) * 0.1"
+
   private val langs = TextOps.stopwords.keys.toSeq.sorted
 
   /** CASE chain for argmax-with-alphabetical-tie-break over score_<lang>. */
@@ -408,11 +443,11 @@ object DocQueries {
          |SELECT doc_id,
          |  CAST(len(toks) AS BIGINT) AS n_ws_tokens,
          |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
-         |  ${rd("CASE WHEN len(text) > 0 THEN len(regexp_replace(lower(text), '[^a-z]', '', 'g')) / CAST(len(text) AS DOUBLE) ELSE 0.0 END")} AS alpha_ratio,
-         |  ${rd("CASE WHEN len(text) > 0 THEN len(regexp_replace(lower(text), '[^.,!?;:]', '', 'g')) / CAST(len(text) AS DOUBLE) ELSE 0.0 END")} AS punct_ratio,
-         |  ${rd(s"CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> x IN ${inList(TextOps.stopwords("en"))})) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END")} AS stopword_ratio,
+         |  ${rd(alphaSql)} AS alpha_ratio,
+         |  ${rd(punctSql)} AS punct_ratio,
+         |  ${rd(stopSql)} AS stopword_ratio,
          |  ${rd("CASE WHEN len(toks) > 0 THEN len(regexp_replace(text, '\\s+', '', 'g')) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END")} AS mean_word_len,
-         |  ${rd(s"least(len(toks) / 50.0, 1.0) * 0.4 + (CASE WHEN len(text) > 0 THEN len(regexp_replace(lower(text), '[^a-z]', '', 'g')) / CAST(len(text) AS DOUBLE) ELSE 0.0 END) * 0.3 + least((CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> x IN ${inList(TextOps.stopwords("en"))})) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END) * 4.0, 1.0) * 0.2 + (1.0 - (CASE WHEN len(text) > 0 THEN len(regexp_replace(lower(text), '[^.,!?;:]', '', 'g')) / CAST(len(text) AS DOUBLE) ELSE 0.0 END)) * 0.1")} AS quality_score
+         |  ${rd(qualitySql)} AS quality_score
          |FROM toks""".stripMargin,
 
     "text_langid" ->
@@ -554,6 +589,50 @@ object DocQueries {
     "ann_topk_ivf_store" ->
       s"""SELECT vec_id AS query_id, TRUE AS store_matches_memory
          |FROM embeddings WHERE vec_id < $annQueries""".stripMargin,
+
+    "corpus_clean" ->
+      s"""WITH RECURSIVE $toksCte,
+         |scores AS (
+         |  SELECT doc_id, text, toks,
+         |    CAST(len(toks) AS BIGINT) AS n_ws_tokens,
+         |    $qualitySql AS q_raw,
+         |    ${langs.map(l => s"CAST(len(list_filter(toks, x -> x IN ${inList(TextOps.stopwords(l))})) AS BIGINT) AS score_$l").mkString(",\n    ")}
+         |  FROM toks
+         |),
+         |kept AS (
+         |  SELECT doc_id, text, toks, n_ws_tokens, q_raw, pred_lang FROM (
+         |    SELECT *, $predLangSql AS pred_lang FROM scores
+         |  ) WHERE pred_lang = 'en' AND q_raw >= 0.5e0
+         |),
+         |exact AS (
+         |  SELECT doc_id, toks, n_ws_tokens, q_raw, pred_lang FROM (
+         |    SELECT *, min(doc_id) OVER (PARTITION BY
+         |      md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS canon
+         |    FROM kept
+         |  ) WHERE doc_id = canon
+         |),
+         |sh2 AS (
+         |  SELECT doc_id,
+         |         list_distinct(list_transform(range(1, greatest(len(toks) - $shingleN, 0) + 2),
+         |           i -> array_to_string(list_slice(toks, i, i + ${shingleN - 1}), ' '))) AS sh
+         |  FROM exact
+         |),
+         |ne AS (SELECT doc_id, sh FROM sh2 WHERE len(sh) > 0),
+         |pairs AS (
+         |  SELECT a.doc_id AS ia, b.doc_id AS ib
+         |  FROM ne a JOIN ne b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh)) / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= ${D(jaccThreshold)}
+         |),
+         |edges AS (SELECT ia AS a, ib AS b FROM pairs UNION ALL SELECT ib, ia FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM exact
+         |  UNION
+         |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id
+         |),
+         |comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+         |SELECT x.doc_id, x.pred_lang, x.n_ws_tokens, ${rd("x.q_raw")} AS quality_score
+         |FROM exact x JOIN comp c ON c.doc_id = x.doc_id
+         |WHERE c.cluster_id = x.doc_id""".stripMargin,
 
     "ann_topk_brute" ->
       s"""WITH $nvCte,
