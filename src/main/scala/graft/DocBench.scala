@@ -74,7 +74,26 @@ object DocBench {
             minhashK, minhashBands).count()),
         "dedup_emb_clusters_uncapped" -> (() =>
           Similarity.lshEmbeddingClusters(embs, "vec_id", "embedding",
-            threshold = 0.9, nPlanes = 64, bandBits = 16).count()))
+            threshold = 0.9, nPlanes = 64, bandBits = 16).count()),
+        // the full corpus-prep pipeline (quality/lang filter → exact dedup
+        // → UNCAPPED bucket union-find keep-first) against the mega-cluster
+        // corpus; returns surviving docs
+        "corpus_clean_lsh_uncapped" -> (() => {
+          val scored = docs.select(
+            Seq(col("doc_id"), col("text"), col("toks")) ++
+              TextOps.qualityColumns(col("text")) ++
+              Seq(TextOps.langIdColumns(col("text")).last): _*)
+          val kept = scored
+            .where(col("pred_lang") === "en" && col("quality_score") >= 0.5)
+          val exact = Dedup.exactDupAnnotate(kept, "doc_id", "text")
+            .where(!col("is_dup"))
+          val comp = Dedup.lshClusters(exact, "doc_id", "toks",
+              shingleN, minhashK, minhashBands)
+            .withColumnRenamed("id", "doc_id")
+          exact.join(comp, Seq("doc_id"), "left")
+            .where(col("component").isNull || col("component") === col("doc_id"))
+            .count()
+        }))
       val times = queries.filter { case (n, _) => only.forall(_.contains(n)) }
           .flatMap { case (name, run) =>
         spark.catalog.clearCache()

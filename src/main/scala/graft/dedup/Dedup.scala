@@ -234,10 +234,18 @@ object Dedup {
     * the exploded shingles (both corpus-scaled but row-narrow: (id, hash)
     * pairs), the per-doc regroup, the prefix-key self-join, and the verify
     * joins — all equi-joins/aggregations on keys Catalyst shuffles
-    * hash-partitioned; nothing is ever all-pairs.
+    * hash-partitioned; nothing is ever all-pairs. The per-doc shingle sets
+    * are computed ONCE and persisted at [[graft.Conf.storageLevel]]
+    * (MEMORY_AND_DISK locally, DISK_ONLY at TB scale) — the df pass, the
+    * prefix pass and the verify stage all read that one layout instead of
+    * re-shingling the corpus three times.
     *
     * threshold must be exactly representable in binary (0.5, 0.25, …) so
     * ⌈t·|sh|⌉ is exact integer arithmetic on every engine — enforced.
+    * A corpus with a near-identical boilerplate mega-cluster has a
+    * QUADRATIC true answer here (every template pair clears the
+    * threshold) — no pair-listing algorithm beats that; route keep/drop
+    * decisions on such corpora through [[lshClusters]] instead.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, toksCol: String,
                         shingleN: Int, threshold: Double): DataFrame = {
@@ -248,6 +256,7 @@ object Dedup {
       .select(col(idCol).as("id"),
         TextOps.shingles(col(toksCol), shingleN).as("sh"))
       .where(size(col("sh")) > 0)
+      .persist(graft.Conf.storageLevel)
     val ex = sh.select(col("id"), explode(col("sh")).as("s"))
     val df = ex.groupBy("s").agg(count(lit(1)).as("df"))
     // rarest-first canonical order; prefix = the shingles a matching pair
@@ -267,7 +276,15 @@ object Dedup {
           col("r.m") * threshold <= col("l.m"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
-    jaccardVerify(cand, docs, idCol, toksCol, shingleN)
+    // verify against the SAME persisted shingle layout (no re-shingling)
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("n_common",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("n_common")))
+      .select("id_a", "id_b", "n_common", "jaccard")
       .where(col("jaccard") >= threshold)
   }
 

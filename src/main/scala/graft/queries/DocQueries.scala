@@ -257,6 +257,29 @@ object DocQueries {
           r6(col("quality_score")).as("quality_score"))
     }),
 
+    // The SCALE-PATH variant of corpus_clean: near-dup stage is the
+    // bucket-level union-find (star edges, no pair materialization, no
+    // bucket cap needed) instead of the exact Jaccard join — the
+    // composition that survives a boilerplate mega-cluster, where the
+    // exact pipeline's true pair answer is quadratic by definition.
+    "corpus_clean_lsh" -> ((s, dir) => {
+      val scored = docs(s, dir).select(
+        Seq(col("doc_id"), col("text")) ++ TextOps.qualityColumns(col("text")) ++
+          Seq(TextOps.langIdColumns(col("text")).last): _*)
+      val kept = scored
+        .where(col("pred_lang") === "en" && col("quality_score") >= 0.5)
+      val exact = Dedup.exactDupAnnotate(kept, "doc_id", "text")
+        .where(!col("is_dup"))
+        .withColumn("toks", TextOps.wsTokens(col("text")))
+      val comp = Dedup.lshClusters(exact, "doc_id", "toks",
+          shingleN, minhashK, minhashBands)
+        .withColumnRenamed("id", "doc_id")
+      exact.join(comp, Seq("doc_id"), "left")
+        .where(col("component").isNull || col("component") === col("doc_id"))
+        .select(col("doc_id"), col("pred_lang"), col("n_ws_tokens"),
+          r6(col("quality_score")).as("quality_score"))
+    }),
+
     // END-TO-END IVF index lifecycle: k-means centroids → parquet index
     // partitioned by cell → top-k through a partition-pruned `cell IN
     // (probes)` scan. The gate asserts exact parity with the in-memory IVF
@@ -589,6 +612,50 @@ object DocQueries {
     "ann_topk_ivf_store" ->
       s"""SELECT vec_id AS query_id, TRUE AS store_matches_memory
          |FROM embeddings WHERE vec_id < $annQueries""".stripMargin,
+
+    "corpus_clean_lsh" ->
+      s"""WITH RECURSIVE $toksCte,
+         |scores AS (
+         |  SELECT doc_id, text, toks,
+         |    CAST(len(toks) AS BIGINT) AS n_ws_tokens,
+         |    $qualitySql AS q_raw,
+         |    ${langs.map(l => s"CAST(len(list_filter(toks, x -> x IN ${inList(TextOps.stopwords(l))})) AS BIGINT) AS score_$l").mkString(",\n    ")}
+         |  FROM toks
+         |),
+         |kept AS (
+         |  SELECT doc_id, text, toks, n_ws_tokens, q_raw, pred_lang FROM (
+         |    SELECT *, $predLangSql AS pred_lang FROM scores
+         |  ) WHERE pred_lang = 'en' AND q_raw >= 0.5e0
+         |),
+         |exact AS (
+         |  SELECT doc_id, toks, n_ws_tokens, q_raw, pred_lang FROM (
+         |    SELECT *, min(doc_id) OVER (PARTITION BY
+         |      md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS canon
+         |    FROM kept
+         |  ) WHERE doc_id = canon
+         |),
+         |sh AS (
+         |  SELECT doc_id,
+         |         list_distinct(list_transform(range(1, greatest(len(toks) - $shingleN, 0) + 2),
+         |           i -> array_to_string(list_slice(toks, i, i + ${shingleN - 1}), ' '))) AS sh
+         |  FROM exact
+         |),
+         |$minhashBandsCtes,
+         |bk AS (
+         |  SELECT list_sort(list(doc_id)) AS ids
+         |  FROM bands GROUP BY band, band_key HAVING count(*) > 1
+         |),
+         |star AS (SELECT ids[1] AS a, unnest(ids[2:]) AS b FROM bk),
+         |edges AS (SELECT a, b FROM star UNION ALL SELECT b, a FROM star),
+         |reach(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM exact
+         |  UNION
+         |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id
+         |),
+         |comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+         |SELECT x.doc_id, x.pred_lang, x.n_ws_tokens, ${rd("x.q_raw")} AS quality_score
+         |FROM exact x JOIN comp c ON c.doc_id = x.doc_id
+         |WHERE c.cluster_id = x.doc_id""".stripMargin,
 
     "corpus_clean" ->
       s"""WITH RECURSIVE $toksCte,
