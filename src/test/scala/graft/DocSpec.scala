@@ -405,10 +405,38 @@ class DocSpec extends AnyFunSuite {
       "noise docs must not cluster")
   }
 
-  test("connected components converges on a long chain within diameter rounds") {
-    val n = 12
+  test("connected components: pointer jumping converges a 300-chain inside maxIter 30") {
+    // diameter 299 — plain min-propagation would need 299 rounds and
+    // silently return unconverged labels at maxIter 30; pointer jumping
+    // needs ~log2(299) ≈ 9
+    val n = 300
     val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
     val comp = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
     assert((1 to n).forall(i => comp(i.toLong) == 1L))
+  }
+
+  test("connected components match union-find truth on random graphs") {
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 80
+      val es = Seq.fill(60)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find truth
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val truth = (0 until n).map(i => i.toLong ->
+        (0 until n).filter(j => find(j) == find(i)).min.toLong).toMap
+      val touched = es.flatMap(e => Seq(e._1, e._2)).toSet
+      val comp = Dedup.connectedComponents(es.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(comp.keySet == touched, s"seed $seed: vertex set mismatch")
+      touched.foreach { v =>
+        assert(comp(v) == truth(v), s"seed $seed: vertex $v -> ${comp(v)}, want ${truth(v)}")
+      }
+    }
   }
 }
