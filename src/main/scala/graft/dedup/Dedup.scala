@@ -31,10 +31,16 @@ object Dedup {
   /** Exact dedup annotation: per doc, its content hash, the size of its
     * identical-content group, the canonical (min) doc id, and whether this
     * row would be dropped by keep-first dedup.
+    *
+    * @param partCols dedup SCOPE columns (e.g. source/crawl): identical
+    *        content in different scopes is NOT a duplicate — the standard
+    *        "dedupe within a source, keep across sources" rule. Empty =
+    *        corpus-global dedup.
     */
-  def exactDupAnnotate(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def exactDupAnnotate(docs: DataFrame, idCol: String, textCol: String,
+                       partCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("content_hash")
+    val w = Window.partitionBy(("content_hash" +: partCols).map(col): _*)
     docs
       .withColumn("content_hash", md5(normalized(col(textCol))))
       .withColumn("group_size", count(lit(1)).over(w))

@@ -88,6 +88,24 @@ object DocQueries {
         .select(col("doc_id"), col("content_hash"), col("group_size"),
           col("canonical_id"), col("is_dup"))),
 
+    // SCOPED exact dedup: identical content only counts as duplicate
+    // within the same source (dedupe-within-a-crawl, keep across) — the
+    // keyed twin of dedup_exact, same shape as the trades-side *_sym gates.
+    "dedup_exact_source" -> ((s, dir) =>
+      Dedup.exactDupAnnotate(docs(s, dir), "doc_id", "text", Seq("source"))
+        .select(col("doc_id"), col("source"), col("content_hash"),
+          col("group_size"), col("canonical_id"), col("is_dup"))),
+
+    // langid EVALUATION against the dataset's ground-truth lang column:
+    // per (truth, predicted) confusion cell with counts — fully
+    // deterministic, so the oracle recomputes the whole confusion matrix.
+    "text_langid_accuracy" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TextOps.langIdColumns(col("text")).last)
+        .groupBy("lang", "pred_lang")
+        .agg(count(lit(1)).as("n"))),
+
     "dedup_minhash_lsh" -> ((s, dir) => {
       val d = docs(s, dir).withColumn("toks", TextOps.wsTokens(col("text")))
       val cand = Dedup.lshCandidates(d, "doc_id", "toks", shingleN, minhashK, minhashBands)
@@ -505,6 +523,28 @@ object DocQueries {
         |  min(doc_id) OVER (PARTITION BY content_hash) AS canonical_id,
         |  doc_id > min(doc_id) OVER (PARTITION BY content_hash) AS is_dup
         |FROM h""".stripMargin,
+
+    "dedup_exact_source" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash
+        |  FROM documents
+        |)
+        |SELECT doc_id, source, content_hash,
+        |  CAST(count(*) OVER (PARTITION BY content_hash, source) AS BIGINT) AS group_size,
+        |  min(doc_id) OVER (PARTITION BY content_hash, source) AS canonical_id,
+        |  doc_id > min(doc_id) OVER (PARTITION BY content_hash, source) AS is_dup
+        |FROM h""".stripMargin,
+
+    "text_langid_accuracy" ->
+      s"""WITH $toksCte,
+         |scores AS (
+         |  SELECT t.doc_id, d.lang,
+         |    ${langs.map(l => s"CAST(len(list_filter(toks, x -> x IN ${inList(TextOps.stopwords(l))})) AS BIGINT) AS score_$l").mkString(",\n    ")}
+         |  FROM toks t JOIN documents d ON d.doc_id = t.doc_id
+         |)
+         |SELECT lang, $predLangSql AS pred_lang, CAST(count(*) AS BIGINT) AS n
+         |FROM scores GROUP BY lang, $predLangSql""".stripMargin,
 
     "dedup_minhash_lsh" ->
       s"""WITH $toksCte, $shCte, $minhashBandsCtes,
