@@ -1,0 +1,74 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, reproducible sampling for training-data pipelines.
+  *
+  * Selection is a PURE FUNCTION of (salt, id): a 32-bit hash from md5,
+  * compared against integer thresholds precomputed from the requested
+  * rates. No RNG state, no partition-order sensitivity, no float
+  * comparison anywhere in the plan — the same row lands in the same
+  * sample/split on any engine, any cluster size, any rerun, and the
+  * DuckDB oracles reproduce selections bit-for-bit (md5 is the
+  * cross-engine hash primitive, as everywhere in this library).
+  *
+  * This is how production pipelines do train/test splits and downsampling
+  * at 100 TB: `sample(fraction)`-style RNG sampling is irreproducible
+  * across retries/re-partitions, while hash-gating is embarrassingly
+  * parallel (a pure map-side predicate — no shuffle, pushes past column
+  * pruning) and STABLE under incremental reruns: yesterday's rows keep
+  * yesterday's split when new data arrives.
+  *
+  * Reference scope note: the reference has no sampling surface; this is
+  * pipeline-scale surface like the dedup family (SURVEY §north-star).
+  */
+object Sampling {
+
+  /** Uniform 32-bit hash of (salt, id): first 8 hex chars of
+    * md5("salt:id") as a long in [0, 2³²).
+    */
+  def hash32(id: Column, salt: String): Column =
+    conv(substring(md5(concat_ws(":", lit(salt), id.cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+
+  private def threshold(rate: Double): Long = {
+    require(rate >= 0 && rate <= 1, s"rate must be in [0,1], got $rate")
+    math.round(rate * 4294967296.0)
+  }
+
+  /** Keep each stratum at its own rate: row kept iff
+    * hash32 < round(rate(stratum)·2³²). Strata absent from `rates` are
+    * dropped entirely. One map-side predicate — no shuffle, no action.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       rates: Map[String, Double], salt: String): DataFrame = {
+    val h = hash32(col(idCol), salt)
+    val thr = rates.toSeq.sortBy(_._1).foldLeft(lit(null).cast("long")) {
+      case (acc, (k, r)) =>
+        when(col(stratumCol).cast("string") === k, lit(threshold(r))).otherwise(acc)
+    }
+    df.where(h < thr)
+  }
+
+  /** Assign every row to exactly one named split by cumulative hash
+    * thresholds (e.g. train 0.8 / val 0.1 / test 0.1 — fractions must sum
+    * to 1). Adds a `split` column; pure map-side.
+    */
+  def splitAssign(df: DataFrame, idCol: String, salt: String,
+                  fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.nonEmpty && math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val h = hash32(col(idCol), salt)
+    val cum = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    // last split takes everything below 2^32 so rounding never drops a row
+    val expr = fractions.map(_._1).zip(cum).reverse match {
+      case (lastName, _) :: rest =>
+        rest.foldLeft(lit(lastName)) { case (acc, (name, c)) =>
+          when(h < lit(threshold(c)), lit(name)).otherwise(acc)
+        }
+      case Nil => throw new IllegalArgumentException("unreachable")
+    }
+    df.withColumn("split", expr)
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.dedup.Dedup
-import graft.ml.Similarity
+import graft.ml.{Sampling, Similarity}
 import graft.multimodal.Multimodal
 import graft.text.TextOps
 import org.apache.spark.sql.functions._
@@ -21,6 +21,14 @@ object DocQueries {
   private val simhashMaxHamming = 3
   private val jaccThreshold = 0.5 // exact binary fraction: ⌈t·m⌉ identical on every engine
   private val twinOffset = 1048576L // planted-twin id shift for the cluster gate
+  // stratified downsampling demo: halve class 0, quarter class 3, drop
+  // class 9, keep the rest — thresholds become integer literals in BOTH
+  // plans, so there is no float comparison to drift
+  private val sampleRates: Map[String, Double] =
+    Map("0" -> 0.5, "3" -> 0.25) ++
+      Seq("1", "2", "4", "5", "6", "7", "8").map(_ -> 1.0)
+  private val splitFractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+  private val sampleSalt = "s1"
   private val embThreshold = 0.35 // demo threshold: synthetic max cos ≈ 0.51
   private val annK = 5
   private val annQueries = 20
@@ -275,6 +283,20 @@ object DocQueries {
           r6(col("quality_score")).as("quality_score"))
     }),
 
+    // Deterministic hash-gated stratified downsampling: selection is a
+    // pure function of (salt, id) vs integer thresholds — reproducible on
+    // any engine/cluster/rerun, stable under incremental data arrival.
+    "sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSample(emb(s, dir), "vec_id", "label",
+          sampleRates, sampleSalt)
+        .select(col("vec_id"), col("label"))),
+
+    // Deterministic train/val/test assignment by cumulative hash
+    // thresholds — every doc gets exactly one split.
+    "sample_split" -> ((s, dir) =>
+      Sampling.splitAssign(docs(s, dir), "doc_id", sampleSalt, splitFractions)
+        .select(col("doc_id"), col("split"))),
+
     // The SCALE-PATH variant of corpus_clean: near-dup stage is the
     // bucket-level union-find (star edges, no pair materialization, no
     // bucket cap needed) instead of the exact Jaccard join — the
@@ -408,6 +430,13 @@ object DocQueries {
 
   private def inList(words: Seq[String]) =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** full 32-bit value of the md5 hex prefix in column `m` — mirror of
+    * Sampling.hash32 (needs `m` in scope).
+    */
+  private val hex32Sql: String = (1 to 8).map { i =>
+    s"(instr('0123456789abcdef', substr(m, $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}"
+  }.mkString("(", " + ", ")")
 
   // raw (unrounded) quality sub-expressions, shared by the text_quality
   // oracle and the corpus_clean pipeline filter (needs toks in scope)
@@ -652,6 +681,37 @@ object DocQueries {
     "ann_topk_ivf_store" ->
       s"""SELECT vec_id AS query_id, TRUE AS store_matches_memory
          |FROM embeddings WHERE vec_id < $annQueries""".stripMargin,
+
+    "sample_stratified" -> {
+      val cases = sampleRates.toSeq.sorted.map { case (k, r) =>
+        s"WHEN '$k' THEN h32 < ${math.round(r * 4294967296.0)}"
+      }.mkString("\n    ")
+      s"""WITH h AS (
+         |  SELECT vec_id, label,
+         |         md5('$sampleSalt:' || CAST(vec_id AS VARCHAR)) AS m
+         |  FROM embeddings
+         |),
+         |hv AS (SELECT vec_id, label, $hex32Sql AS h32 FROM h)
+         |SELECT vec_id, label FROM hv
+         |WHERE CASE CAST(label AS VARCHAR)
+         |    $cases
+         |    ELSE FALSE END""".stripMargin
+    },
+
+    "sample_split" -> {
+      val cum = splitFractions.scanLeft(0.0) { case (a, (_, f)) => a + f }.tail
+      val whens = splitFractions.map(_._1).zip(cum).init.map { case (n, c) =>
+        s"WHEN h32 < ${math.round(c * 4294967296.0)} THEN '$n'"
+      }.mkString("\n    ")
+      s"""WITH h AS (
+         |  SELECT doc_id, md5('$sampleSalt:' || CAST(doc_id AS VARCHAR)) AS m
+         |  FROM documents
+         |),
+         |hv AS (SELECT doc_id, $hex32Sql AS h32 FROM h)
+         |SELECT doc_id,
+         |  CASE $whens ELSE '${splitFractions.last._1}' END AS split
+         |FROM hv""".stripMargin
+    },
 
     "corpus_clean_lsh" ->
       s"""WITH RECURSIVE $toksCte,

@@ -405,6 +405,44 @@ class DocSpec extends AnyFunSuite {
       "noise docs must not cluster")
   }
 
+  test("hash-gated sampling: deterministic, per-stratum rates, zero shuffles") {
+    import graft.ml.Sampling
+    val rows = (0 until 2000).map(i => (i.toLong, (i % 4).toString))
+    val df = rows.toDF("id", "cls")
+    val rates = Map("0" -> 0.5, "1" -> 1.0, "2" -> 0.0)
+    val s1 = Sampling.stratifiedSample(df, "id", "cls", rates, "t")
+    val s2 = Sampling.stratifiedSample(df, "id", "cls", rates, "t")
+    val ids1 = s1.select("id").as[Long].collect().toSet
+    assert(ids1 == s2.select("id").as[Long].collect().toSet, "must be deterministic")
+    val byCls = s1.groupBy("cls").count().as[(String, Long)].collect().toMap
+    assert(byCls("1") == 500, "rate-1.0 stratum keeps every row")
+    assert(!byCls.contains("2") && !byCls.contains("3"),
+      "rate-0 and unlisted strata drop entirely")
+    assert(math.abs(byCls("0") - 250) < 60, s"rate-0.5 stratum kept ${byCls("0")}/500")
+    // selection must stay a map-side predicate — no shuffle anywhere
+    assert(!s1.queryExecution.executedPlan.toString.contains("Exchange"),
+      "stratified sampling must not shuffle")
+    // different salt -> different (but still deterministic) selection
+    val ids3 = Sampling.stratifiedSample(df, "id", "cls", rates, "u")
+      .select("id").as[Long].collect().toSet
+    assert(ids1 != ids3)
+  }
+
+  test("splitAssign: every row in exactly one split, fractions roughly honored") {
+    import graft.ml.Sampling
+    val df = (0 until 5000).map(_.toLong).toDF("id")
+    val out = Sampling.splitAssign(df, "id", "sp",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 5000, "partition covers every row")
+    assert(math.abs(counts("train") - 4000) < 200)
+    assert(math.abs(counts("val") - 500) < 120)
+    assert(math.abs(counts("test") - 500) < 120)
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(df, "id", "sp", Seq("a" -> 0.5, "b" -> 0.2))
+    }
+  }
+
   test("connected components: pointer jumping converges a 300-chain inside maxIter 30") {
     // diameter 299 — plain min-propagation would need 299 rounds and
     // silently return unconverged labels at maxIter 30; pointer jumping
