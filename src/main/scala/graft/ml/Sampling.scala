@@ -71,4 +71,16 @@ object Sampling {
     }
     df.withColumn("split", expr)
   }
+
+  /** Per-class mean embedding (class prototypes — the first step of
+    * SemDeDup-style semantic dedup and of nearest-class-mean classifiers),
+    * in long form: one row per (label, dim). posexplode → partial-agg mean
+    * per (label, dim) — one shuffle of nlabels×dim cells regardless of
+    * corpus size; map-side combine does the heavy summation.
+    */
+  def classCentroids(emb: DataFrame, vecCol: String, labelCol: String): DataFrame =
+    emb.select(col(labelCol).as("label"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(avg(col("v")).as("mean"), count(lit(1)).as("n"))
 }

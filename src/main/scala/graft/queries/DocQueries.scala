@@ -297,6 +297,11 @@ object DocQueries {
       Sampling.splitAssign(docs(s, dir), "doc_id", sampleSalt, splitFractions)
         .select(col("doc_id"), col("split"))),
 
+    // Class prototypes: per-label mean embedding in long form.
+    "class_centroids" -> ((s, dir) =>
+      Sampling.classCentroids(emb(s, dir), "embedding", "label")
+        .select(col("label"), col("dim"), r6(col("mean")).as("mean"), col("n"))),
+
     // The SCALE-PATH variant of corpus_clean: near-dup stage is the
     // bucket-level union-find (star edges, no pair materialization, no
     // bucket cap needed) instead of the exact Jaccard join — the
@@ -712,6 +717,14 @@ object DocQueries {
          |  CASE $whens ELSE '${splitFractions.last._1}' END AS split
          |FROM hv""".stripMargin
     },
+
+    "class_centroids" ->
+      """SELECT label, CAST(i - 1 AS INT) AS dim,
+        |  round(CAST(avg(e[i]) AS DOUBLE), 6) AS mean,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT label, embedding::DOUBLE[] AS e FROM embeddings)
+        |CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+        |GROUP BY label, i""".stripMargin,
 
     "corpus_clean_lsh" ->
       s"""WITH RECURSIVE $toksCte,
