@@ -302,6 +302,43 @@ object DocQueries {
       Sampling.classCentroids(emb(s, dir), "embedding", "label")
         .select(col("label"), col("dim"), r6(col("mean")).as("mean"), col("n"))),
 
+    // Nearest-class-mean evaluation: assign every vector to the class
+    // with the closest (squared-Euclidean) centroid and emit the confusion
+    // matrix vs ground truth. Centroid means are r6-quantized BEFORE
+    // scoring on both engines, so only summation-order ulp noise remains
+    // and the r6'd distances compare identically; ties break by label asc.
+    "class_nearest_eval" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = emb(s, dir)
+      val cents = Sampling.classCentroids(e, "embedding", "label")
+        .select(col("label").as("c_label"), col("dim"),
+          r6(col("mean")).as("m"))
+      val vx = e.select(col("vec_id"), col("label").as("t_label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
+      val dots = vx.join(broadcast(cents), Seq("dim"))
+        .groupBy("vec_id", "t_label", "c_label")
+        .agg(sum((col("v") - col("m")) * (col("v") - col("m"))).as("d2"))
+        .select(col("vec_id"), col("t_label"), col("c_label"),
+          r6(col("d2")).as("d2"))
+      val pred = dots.withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("d2").asc, col("c_label").asc)))
+        .where(col("rn") === 1)
+      pred.groupBy(col("t_label").as("label"), col("c_label").as("pred_label"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // Vocabulary build: corpus-wide top-100 tokens by (count desc, token
+    // asc) with doc frequency — the counting pass a BPE/vocab trainer runs
+    // first. Map-side combine does the heavy lifting; the shuffle carries
+    // one row per distinct token, the sort only top-k.
+    "text_vocab" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), explode(TextOps.wsTokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("tf").desc, col("token").asc)
+        .limit(100)),
+
     // The SCALE-PATH variant of corpus_clean: near-dup stage is the
     // bucket-level union-find (star edges, no pair materialization, no
     // bucket cap needed) instead of the exact Jaccard join — the
@@ -717,6 +754,42 @@ object DocQueries {
          |  CASE $whens ELSE '${splitFractions.last._1}' END AS split
          |FROM hv""".stripMargin
     },
+
+    "class_nearest_eval" ->
+      """WITH ed AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+        |cents AS (
+        |  SELECT label AS c_label, i AS dim, round(CAST(avg(e[i]) AS DOUBLE), 6) AS m
+        |  FROM ed CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+        |  GROUP BY label, i
+        |),
+        |vx AS (
+        |  SELECT vec_id, label AS t_label, i AS dim, e[i] AS v
+        |  FROM ed CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+        |),
+        |dots AS (
+        |  SELECT vec_id, t_label, c_label,
+        |    round(CAST(sum((v - m) * (v - m)) AS DOUBLE), 6) AS d2
+        |  FROM vx JOIN cents USING (dim)
+        |  GROUP BY vec_id, t_label, c_label
+        |),
+        |pred AS (
+        |  SELECT vec_id, t_label, c_label FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY d2 ASC, c_label ASC) AS rn
+        |    FROM dots
+        |  ) WHERE rn = 1
+        |)
+        |SELECT t_label AS label, c_label AS pred_label,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM pred GROUP BY t_label, c_label""".stripMargin,
+
+    "text_vocab" ->
+      s"""WITH $toksCte,
+         |tok AS (SELECT doc_id, unnest(toks) AS token FROM toks)
+         |SELECT token, CAST(count(*) AS BIGINT) AS tf,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |FROM tok GROUP BY token
+         |ORDER BY tf DESC, token ASC LIMIT 100""".stripMargin,
 
     "class_centroids" ->
       """SELECT label, CAST(i - 1 AS INT) AS dim,
