@@ -219,6 +219,45 @@ object Dedup {
       .select("id_a", "id_b", "n_common", "jaccard")
   }
 
+  /** Incremental (delta-vs-base) near-dup detection: which NEW docs
+    * duplicate the EXISTING corpus — the asymmetric join an ingest
+    * pipeline runs instead of re-deduplicating everything: delta band
+    * rows join base band rows only (no delta×delta, no base×base), then
+    * exact Jaccard verifies the candidates. Cost scales with |delta| ×
+    * bands + candidate count, independent of |base| beyond the band-key
+    * join — and the base side's band rows are exactly what a stored
+    * dedup index holds, so at 100 TB this reads the index, not the
+    * corpus. Identical docs share every band, so exact dups surface with
+    * jaccard 1 — no separate hash pass needed for completeness (a hash
+    * fast path is an optimization, not a semantic change).
+    *
+    * @param maxBucket cap on BASE bucket size: a boilerplate mega-bucket
+    *        in the historical corpus otherwise fans every matching delta
+    *        doc out m ways. Capped buckets still match through their
+    *        other bands.
+    * @return (id_a = delta id, id_b = base id, n_common, jaccard) for
+    *         candidates with jaccard ≥ threshold.
+    */
+  def incrementalLshPairs(base: DataFrame, delta: DataFrame, idCol: String,
+                          toksCol: String, shingleN: Int, k: Int, bands: Int,
+                          threshold: Double,
+                          maxBucket: Int = Int.MaxValue): DataFrame = {
+    val db = lshBandRows(delta, idCol, toksCol, shingleN, k, bands)
+    val bb0 = lshBandRows(base, idCol, toksCol, shingleN, k, bands)
+      .withColumnRenamed("id", "base_id")
+    val bb =
+      if (maxBucket == Int.MaxValue) bb0
+      else bb0.join(
+        bb0.groupBy("bucket").agg(count(lit(1)).as("__bs"))
+          .where(col("__bs") <= maxBucket).drop("__bs"),
+        Seq("bucket"))
+    val cand = db.join(bb, Seq("bucket"))
+      .select(col("id").as("id_a"), col("base_id").as("id_b"))
+      .distinct()
+    jaccardVerify(cand, base.unionByName(delta), idCol, toksCol, shingleN)
+      .where(col("jaccard") >= threshold)
+  }
+
   /** EXACT n-gram Jaccard similarity self-join: every pair with
     * J(sh(a), sh(b)) ≥ threshold, no approximation — the deterministic
     * sibling of [[lshCandidates]] (which trades exactness for a fixed

@@ -339,6 +339,21 @@ object DocQueries {
         .orderBy(col("tf").desc, col("token").asc)
         .limit(100)),
 
+    // Incremental ingest dedup: the hash-split 'train' 80% stands in for
+    // the existing corpus, the rest is the arriving delta; band rows join
+    // asymmetrically (delta×base only), exact Jaccard verifies. The shape
+    // a production pipeline runs instead of re-deduplicating the corpus.
+    "dedup_incremental" -> ((s, dir) => {
+      val all = docs(s, dir).withColumn("toks", TextOps.wsTokens(col("text")))
+      val sp = Sampling.splitAssign(all, "doc_id", sampleSalt, splitFractions)
+      val base = sp.where(col("split") === "train")
+      val delta = sp.where(col("split") =!= "train")
+      Dedup.incrementalLshPairs(base, delta, "doc_id", "toks",
+          shingleN, minhashK, minhashBands, jaccThreshold)
+        .select(col("id_a"), col("id_b"), col("n_common"),
+          r6(col("jaccard")).as("jaccard"))
+    }),
+
     // The SCALE-PATH variant of corpus_clean: near-dup stage is the
     // bucket-level union-find (star edges, no pair materialization, no
     // bucket cap needed) instead of the exact Jaccard join — the
@@ -754,6 +769,28 @@ object DocQueries {
          |  CASE $whens ELSE '${splitFractions.last._1}' END AS split
          |FROM hv""".stripMargin
     },
+
+    "dedup_incremental" ->
+      s"""WITH $toksCte, $shCte, $minhashBandsCtes,
+         |hsp AS (SELECT doc_id, md5('$sampleSalt:' || CAST(doc_id AS VARCHAR)) AS m
+         |        FROM documents),
+         |spl AS (SELECT doc_id, $hex32Sql < ${math.round(0.8 * 4294967296.0)} AS is_base
+         |        FROM hsp),
+         |cand AS (
+         |  SELECT DISTINCT d.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands d
+         |  JOIN spl sd ON sd.doc_id = d.doc_id AND NOT sd.is_base
+         |  JOIN bands b ON b.band = d.band AND b.band_key = d.band_key
+         |  JOIN spl sb ON sb.doc_id = b.doc_id AND sb.is_base
+         |)
+         |SELECT id_a, id_b, n_common, ${rd("j_raw")} AS jaccard FROM (
+         |  SELECT c.id_a, c.id_b,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
+         |    len(list_intersect(a.sh, b.sh)) / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS j_raw
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.id_a
+         |  JOIN sh b ON b.doc_id = c.id_b
+         |) WHERE j_raw >= ${D(jaccThreshold)}""".stripMargin,
 
     "class_nearest_eval" ->
       """WITH ed AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),

@@ -405,6 +405,26 @@ class DocSpec extends AnyFunSuite {
       "noise docs must not cluster")
   }
 
+  test("incremental dedup joins delta against base only") {
+    val share = (1 to 30).map(i => s"w$i").mkString(" ")
+    val base = docsDf(1L -> share, 2L -> ((1 to 28).map(i => s"w$i").mkString(" ") + " x y"))
+      .withColumn("toks", TextOps.wsTokens(col("text")))
+    // delta: one near-dup of base, one exact internal delta pair (10, 11),
+    // one disjoint doc — only the base match may be reported
+    val delta = docsDf(
+      10L -> (share + " z1"), 11L -> (share + " z1"),
+      12L -> (100 to 130).map(i => s"q$i").mkString(" "))
+      .withColumn("toks", TextOps.wsTokens(col("text")))
+    val out = Dedup.incrementalLshPairs(base, delta, "doc_id", "toks",
+        3, 16, 8, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out.forall { case (a, b) => a >= 10L && b < 10L },
+      s"pairs must be delta-vs-base only, got $out")
+    assert(out.contains(10L -> 1L) && out.contains(11L -> 1L),
+      "both delta copies of the shared text must match base doc 1")
+    assert(!out.exists(p => p._1 == 12L), "disjoint delta doc matches nothing")
+  }
+
   test("hash-gated sampling: deterministic, per-stratum rates, zero shuffles") {
     import graft.ml.Sampling
     val rows = (0 until 2000).map(i => (i.toLong, (i % 4).toString))
