@@ -331,6 +331,43 @@ object DocQueries {
     // asc) with doc frequency — the counting pass a BPE/vocab trainer runs
     // first. Map-side combine does the heavy lifting; the shuffle carries
     // one row per distinct token, the sort only top-k.
+    // Gopher-style repetition filter (Rae et al. 2021 §A1.1): top-n-gram
+    // coverage (n=2,3,4) and duplicated-n-gram coverage (n=5,10) as
+    // char fractions, plus the published keep/drop thresholds. Occurrence-
+    // weighted coverage (count·len, overlaps not collapsed) — the simple,
+    // shuffle-free variant: every column is a per-row expression over the
+    // token array, so the whole filter runs inside the scan stage. The
+    // synthetic docs are single-line, so the line-dedup family (duplicate
+    // line fraction) has no signal here and is intentionally absent.
+    "text_repetition" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("text"),
+        TextOps.wsTokens(col("text")).as("toks"))
+      val stats = base.select(col("doc_id"),
+        length(col("text")).cast("double").as("nc"),
+        size(col("toks")).as("nt"),
+        size(array_distinct(col("toks"))).as("ndt"),
+        TextOps.repetitionStats(TextOps.shinglesAll(col("toks"), 2)).as("s2"),
+        TextOps.repetitionStats(TextOps.shinglesAll(col("toks"), 3)).as("s3"),
+        TextOps.repetitionStats(TextOps.shinglesAll(col("toks"), 4)).as("s4"),
+        TextOps.repetitionStats(TextOps.shinglesAll(col("toks"), 5)).as("s5"),
+        TextOps.repetitionStats(TextOps.shinglesAll(col("toks"), 10)).as("s10"))
+      def frac(s: String, f: String) = col(s).getField(f).cast("double") / col("nc")
+      stats.select(col("doc_id"),
+        Q.r6(when(col("nt") > 0,
+          (col("nt") - col("ndt")).cast("double") / col("nt"))
+          .otherwise(0.0)).as("dup_word_frac"),
+        Q.r6(frac("s2", "top")).as("top_2gram_frac"),
+        Q.r6(frac("s3", "top")).as("top_3gram_frac"),
+        Q.r6(frac("s4", "top")).as("top_4gram_frac"),
+        Q.r6(frac("s5", "dup")).as("dup_5gram_frac"),
+        Q.r6(frac("s10", "dup")).as("dup_10gram_frac"),
+        // flag from UNROUNDED fractions: both engines do the same integer
+        // coverage ÷ IEEE double, so the boundary is exact on both sides
+        (frac("s2", "top") <= 0.20 && frac("s3", "top") <= 0.18 &&
+          frac("s4", "top") <= 0.16 && frac("s5", "dup") <= 0.15 &&
+          frac("s10", "dup") <= 0.10).as("keep_repetition"))
+    }),
+
     "text_vocab" -> ((s, dir) =>
       docs(s, dir)
         .select(col("doc_id"), explode(TextOps.wsTokens(col("text"))).as("token"))
@@ -819,6 +856,44 @@ object DocQueries {
         |SELECT t_label AS label, c_label AS pred_label,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM pred GROUP BY t_label, c_label""".stripMargin,
+
+    "text_repetition" -> {
+      // positional n-gram list with duplicates, mirroring TextOps.shinglesAll
+      // (incl. the truncated final shingles and the empty-toks ⇒ [] case)
+      def gram(n: Int) =
+        s"""CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+           |       ELSE list_transform(range(1, greatest(len(toks) - $n, 0) + 2),
+           |         i -> array_to_string(list_slice(toks, i, i + ${n - 1}), ' ')) END""".stripMargin
+      // max over distinct grams of count·len / Σ over count≥2 grams of count·len
+      def top(g: String) =
+        s"coalesce(list_max(list_transform(list_distinct($g), x -> len(x) * len(list_filter($g, y -> y = x)))), 0)"
+      def dup(g: String) =
+        s"coalesce(list_sum(list_transform(list_distinct($g), x -> CASE WHEN len(list_filter($g, y -> y = x)) >= 2 THEN len(x) * len(list_filter($g, y -> y = x)) ELSE 0 END)), 0)"
+      s"""WITH $toksCte,
+         |g AS (
+         |  SELECT doc_id, CAST(len(text) AS DOUBLE) AS nc,
+         |    len(toks) AS nt, len(list_distinct(toks)) AS ndt,
+         |    ${gram(2)} AS g2, ${gram(3)} AS g3, ${gram(4)} AS g4,
+         |    ${gram(5)} AS g5, ${gram(10)} AS g10
+         |  FROM toks
+         |),
+         |st AS (
+         |  SELECT doc_id, nc, nt, ndt,
+         |    ${top("g2")} AS top2, ${top("g3")} AS top3, ${top("g4")} AS top4,
+         |    ${dup("g5")} AS dup5, ${dup("g10")} AS dup10
+         |  FROM g
+         |)
+         |SELECT doc_id,
+         |  ${rd("CASE WHEN nt > 0 THEN (nt - ndt) / CAST(nt AS DOUBLE) ELSE 0.0 END")} AS dup_word_frac,
+         |  ${rd("top2 / nc")} AS top_2gram_frac,
+         |  ${rd("top3 / nc")} AS top_3gram_frac,
+         |  ${rd("top4 / nc")} AS top_4gram_frac,
+         |  ${rd("dup5 / nc")} AS dup_5gram_frac,
+         |  ${rd("dup10 / nc")} AS dup_10gram_frac,
+         |  (top2 / nc <= 0.20 AND top3 / nc <= 0.18 AND top4 / nc <= 0.16
+         |   AND dup5 / nc <= 0.15 AND dup10 / nc <= 0.10) AS keep_repetition
+         |FROM st""".stripMargin
+    },
 
     "text_vocab" ->
       s"""WITH $toksCte,

@@ -100,13 +100,74 @@ object TextOps {
     * final shingles).
     */
   def shingles(toks: Column, n: Int): Column = {
-    val s = greatest(size(toks) - n, lit(0)) + 1 // shingle positions
-    val shifted = (0 until n).map(j => slice(toks, lit(j + 1), s))
-    val zipped = array_distinct(transform(arrays_zip(shifted: _*),
-      e => concat_ws(" ", (0 until n).map(j => e.getField(j.toString)): _*)))
     // empty docs: the positional form yields one empty shingle, the zip
     // form none — keep the historical [""] so fingerprints are stable
-    when(size(toks) === 0, array(lit(""))).otherwise(zipped)
+    when(size(toks) === 0, array(lit(""))).otherwise(
+      array_distinct(shinglesAll(toks, n)))
+  }
+
+  /** Positional word n-grams WITH duplicates — repetition metrics need
+    * occurrence counts, so no dedup and no empty-doc placeholder (empty
+    * toks ⇒ empty array). Same zip construction and sub-n-token truncation
+    * as [[shingles]], which is this column's distinct projection.
+    */
+  def shinglesAll(toks: Column, n: Int): Column = {
+    val s = greatest(size(toks) - n, lit(0)) + 1 // shingle positions
+    val shifted = (0 until n).map(j => slice(toks, lit(j + 1), s))
+    transform(arrays_zip(shifted: _*),
+      e => concat_ws(" ", (0 until n).map(j => e.getField(j.toString)): _*))
+  }
+
+  /** Character n-grams over an ALREADY-normalized text column.
+    *
+    * `norm` must be a plain attribute (pre-projected), not a computed
+    * expression: it is referenced inside the positional lambda, and a
+    * computed column there re-evaluates once per character — the same
+    * quadratic trap [[shingles]] documents for token arrays. Callers
+    * project `regexp_replace(lower(text), "\\s+", " ")` first and pass
+    * the resulting column.
+    */
+  def charNgrams(norm: Column, n: Int): Column =
+    when(length(norm) >= n,
+      transform(sequence(lit(1), length(norm) - (n - 1)),
+        i => norm.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Per-document repetition statistics over an n-gram multiset — the two
+    * signals behind Gopher-style repetition filters (Rae et al. 2021, §A1.1):
+    *
+    *  - `top`: characters covered by the single most-covering n-gram,
+    *    `max over distinct grams of count(g)·len(g)` (deterministic without a
+    *    tie-break: ties on the PRODUCT give the same coverage);
+    *  - `dup`: characters covered by all DUPLICATED n-grams,
+    *    `Σ over grams with count≥2 of count(g)·len(g)`.
+    *
+    * One pass over the row's sorted gram array (equal grams adjacent) with an
+    * O(1) struct state — no explode, no shuffle: at 100 TB this stays inside
+    * the scan stage like every other TextOps column. Callers divide by the
+    * document's character count and compare against the published thresholds.
+    *
+    * `grams` is evaluated exactly once (it is the aggregate's input, not a
+    * lambda capture), so passing computed [[shinglesAll]] columns is safe.
+    */
+  def repetitionStats(grams: Column): Column = {
+    val sorted = array_sort(grams)
+    aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"),
+        lit(0L).as("top"), lit(0L).as("dup")),
+      (st, x) => {
+        val run = when(x === st.getField("prev"),
+          st.getField("run") + 1L).otherwise(1L)
+        val cov = run * length(x).cast("long")
+        struct(x.as("prev"), run.as("run"),
+          greatest(st.getField("top"), cov).as("top"),
+          (st.getField("dup") +
+            when(run === 2L, lit(2L) * length(x).cast("long"))
+              .otherwise(when(run > 2L, length(x).cast("long"))
+                .otherwise(0L))).as("dup"))
+      },
+      st => struct(st.getField("top").as("top"), st.getField("dup").as("dup")))
   }
 
   /** Bottom-k sketch fingerprint: the k lexicographically-smallest md5s of

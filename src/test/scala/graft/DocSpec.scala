@@ -497,4 +497,29 @@ class DocSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("repetitionStats: top/dup n-gram coverage on hand-computed docs") {
+    import org.apache.spark.sql.functions._
+    // "a b a b a b": 2-grams = [a b, b a, a b, b a, a b]
+    //   counts: "a b"×3, "b a"×2 → top = 3·3 = 9; dup = 3·3 + 2·3 = 15
+    // "x y z": 2-grams = [x y, y z] all unique → top = 3, dup = 0
+    // "q": one truncated 2-gram "q" → top = 1, dup = 0
+    val d = docsDf(1L -> "a b a b a b", 2L -> "x y z", 3L -> "q")
+      .select(col("doc_id"), TextOps.wsTokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        TextOps.repetitionStats(TextOps.shinglesAll(col("toks"), 2)).as("s"))
+      .select(col("doc_id"), col("s.top"), col("s.dup"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(d == Set((1L, 9L, 15L), (2L, 3L, 0L), (3L, 1L, 0L)))
+  }
+
+  test("repetitionStats: empty token array yields zero coverage") {
+    import org.apache.spark.sql.functions._
+    val d = docsDf(1L -> "   ")
+      .select(col("doc_id"), TextOps.wsTokens(col("text")).as("toks"))
+      .select(TextOps.repetitionStats(TextOps.shinglesAll(col("toks"), 3)).as("s"))
+      .select(col("s.top"), col("s.dup"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(d.toSeq == Seq((0L, 0L)))
+  }
 }
