@@ -270,9 +270,13 @@ object DocQueries {
           Seq(TextOps.langIdColumns(col("text")).last): _*)
       val kept = scored
         .where(col("pred_lang") === "en" && col("quality_score") >= 0.5)
+      // persisted: consumed twice (shingle stage input + the final keep
+      // join) — without this the whole scoring/langid/exact-dedup chain
+      // recomputes for the second consumer
       val exact = Dedup.exactDupAnnotate(kept, "doc_id", "text")
         .where(!col("is_dup"))
         .withColumn("toks", TextOps.wsTokens(col("text")))
+        .persist(graft.Conf.storageLevel)
       val pairs = Dedup.ngramJaccardPairs(exact, "doc_id", "toks",
         shingleN, jaccThreshold)
       val comp = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
@@ -331,6 +335,23 @@ object DocQueries {
     // asc) with doc frequency — the counting pass a BPE/vocab trainer runs
     // first. Map-side combine does the heavy lifting; the shuffle carries
     // one row per distinct token, the sort only top-k.
+    // Character-level bottom-k fingerprint: the word-shingle signature's
+    // robust twin — char 5-grams over whitespace-collapsed text survive
+    // token-boundary edits (punctuation, hyphenation, joined words) that
+    // re-tokenize every word shingle. Same sketch shape as
+    // text_fingerprint; `norm` is pre-projected so the positional lambda
+    // in charNgrams touches a plain attribute (no quadratic re-eval).
+    "text_fingerprint_char" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        regexp_replace(lower(col("text")), "\\s+", " ").as("norm"))
+      val sk = slice(array_sort(transform(
+        array_distinct(TextOps.charNgrams(col("norm"), 5)), md5 _)), 1, 8)
+      d.select(col("doc_id"), sk.as("sk"))
+        .select(col("doc_id"),
+          md5(concat_ws("|", col("sk"))).as("fingerprint"),
+          element_at(col("sk"), 1).as("min_gram_hash"))
+    }),
+
     // Gopher-style repetition filter (Rae et al. 2021 §A1.1): top-n-gram
     // coverage (n=2,3,4) and duplicated-n-gram coverage (n=5,10) as
     // char fractions, plus the published keep/drop thresholds. Occurrence-
@@ -405,6 +426,7 @@ object DocQueries {
       val exact = Dedup.exactDupAnnotate(kept, "doc_id", "text")
         .where(!col("is_dup"))
         .withColumn("toks", TextOps.wsTokens(col("text")))
+        .persist(graft.Conf.storageLevel) // two consumers, as in corpus_clean
       val comp = Dedup.lshClusters(exact, "doc_id", "toks",
           shingleN, minhashK, minhashBands)
         .withColumnRenamed("id", "doc_id")
@@ -856,6 +878,27 @@ object DocQueries {
         |SELECT t_label AS label, c_label AS pred_label,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM pred GROUP BY t_label, c_label""".stripMargin,
+
+    "text_fingerprint_char" ->
+      """WITH nrm AS (
+        |  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS norm
+        |  FROM documents
+        |),
+        |cg AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(norm) >= 5
+        |         THEN list_distinct(list_transform(range(1, len(norm) - 3),
+        |                i -> substr(norm, CAST(i AS INT), 5)))
+        |         ELSE CAST([] AS VARCHAR[]) END AS g
+        |  FROM nrm
+        |),
+        |hs AS (
+        |  SELECT doc_id, list_sort(list_transform(g, x -> md5(x)))[1:8] AS bottom
+        |  FROM cg
+        |)
+        |SELECT doc_id, md5(array_to_string(bottom, '|')) AS fingerprint,
+        |  bottom[1] AS min_gram_hash
+        |FROM hs""".stripMargin,
 
     "text_repetition" -> {
       // positional n-gram list with duplicates, mirroring TextOps.shinglesAll

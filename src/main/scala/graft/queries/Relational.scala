@@ -88,6 +88,29 @@ object Relational {
       c.select(col("c_nationkey").as("nationkey"))
         .unionByName(sp.select(col("s_nationkey").as("nationkey")))
         .groupBy("nationkey").agg(count(lit(1)).as("n"))
+    }),
+
+    // Semi-structured extraction: parse the events.props JSON column with
+    // an explicit schema (from_json prunes to just the projected field —
+    // the JacksonParser never materializes unrequested keys) and aggregate
+    // per event type. Malformed/missing keys surface as NULL and are
+    // counted, not dropped — the log-scrubbing contract at 100 TB where a
+    // .01% bad-row rate is still millions of rows. The oracle extracts by
+    // regex so the gate doesn't depend on DuckDB's json extension.
+    "q6_json_props" -> ((s, dir) => {
+      val e = Tables.table(s, dir, "events")
+      val parsed = e.select(col("event_type"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType))))
+          .getField("k").as("k"))
+      parsed.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_bad"),
+        sum(col("k").cast("long")).as("sum_k"),
+        min(col("k")).cast("long").as("min_k"),
+        max(col("k")).cast("long").as("max_k"),
+        r6(avg(col("k"))).as("avg_k"))
     })
   )
 
@@ -139,6 +162,20 @@ object Relational {
         |  SELECT c_nationkey AS nationkey FROM customer
         |  UNION ALL
         |  SELECT s_nationkey AS nationkey FROM supplier
-        |) GROUP BY nationkey""".stripMargin
+        |) GROUP BY nationkey""".stripMargin,
+
+    "q6_json_props" ->
+      """SELECT event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  CAST(min(k) AS BIGINT) AS min_k,
+        |  CAST(max(k) AS BIGINT) AS max_k,
+        |  round(CAST(avg(k) AS DOUBLE), 6) AS avg_k
+        |FROM (
+        |  SELECT event_type,
+        |    CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS INT) AS k
+        |  FROM events
+        |) GROUP BY event_type""".stripMargin
   )
 }
