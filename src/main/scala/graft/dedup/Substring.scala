@@ -1,0 +1,126 @@
+package graft.dedup
+
+import graft.text.TextOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Substring-level (span) deduplication and benchmark decontamination —
+  * the token-sequence analogs of document-level dedup, after Lee et al.
+  * 2022 ("Deduplicating Training Data Makes Language Models Better") and
+  * the GPT-3 appendix's n-gram eval-overlap filter.
+  *
+  * Both operators ride the same inverted index: one row per (doc,
+  * position) full token n-gram, hashed to md5. The index build is one
+  * map-side explode (grams never leave their scan task until the groupBy),
+  * and the shuffle carries 16-byte hashes, not gram text — at 100 TB the
+  * gram index is the dominant intermediate, so its row width matters more
+  * than anything else here.
+  */
+object Substring {
+
+  /** (id, pos, h): positional FULL n-grams, md5-hashed. Docs shorter than
+    * n contribute nothing (no truncated tail grams — a span match must be
+    * n real tokens). `toksCol` must be a plain attribute (see
+    * [[TextOps.shinglesAll]]'s lambda-capture note).
+    */
+  private def gramRows(d: DataFrame, idCol: String, toksCol: String,
+                       n: Int): DataFrame = {
+    val toks = col(toksCol)
+    val grams = when(size(toks) >= n, TextOps.shinglesAll(toks, n))
+      .otherwise(array().cast("array<string>"))
+    d.select(col(idCol), posexplode(grams).as(Seq("pos", "g")))
+      .select(col(idCol), col("pos"), md5(col("g")).as("h"))
+  }
+
+  /** Maximal duplicated-span intervals per document: positions whose
+    * n-gram occurs in ≥2 DISTINCT documents, merged into islands
+    * ([start, end) token offsets) when they overlap or touch.
+    *
+    * Plan shape: gram index → groupBy(h) keeps cross-doc hashes (the
+    * inverted-index shuffle, partial-agg'd map-side) → left-semi join back
+    * (hash-to-hash, AQE-planned) → per-doc island merge under a window
+    * PARTITIONED BY doc — parallelism is |docs|, never a single-partition
+    * sweep. Returns (idCol, span_start, span_end, span_len).
+    */
+  def dupSpanIntervals(d: DataFrame, idCol: String, toksCol: String,
+                       n: Int): DataFrame = {
+    val grams = gramRows(d, idCol, toksCol, n)
+    val crossDoc = grams.groupBy("h")
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .where(col("nd") >= 2)
+      .select("h")
+    val dup = grams.join(crossDoc, Seq("h"), "left_semi")
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val prevEnd = max(col("pos") + n)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val isl = dup
+      .withColumn("__new", when(prevEnd.isNull || col("pos") > prevEnd, 1)
+        .otherwise(0))
+      .withColumn("__isl", sum(col("__new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    isl.groupBy(col(idCol), col("__isl"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + n).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_len"))
+  }
+
+  /** Per-document duplicated-token coverage: fraction of tokens inside
+    * some cross-doc duplicated span, plus the keep flag at `maxFrac` (the
+    * drop-heavily-duplicated-docs policy). Every input doc gets a row
+    * (docs with no duplicated span — or shorter than n — report 0).
+    */
+  def spanCoverage(d: DataFrame, idCol: String, toksCol: String, n: Int,
+                   maxFrac: Double): DataFrame = {
+    val spans = dupSpanIntervals(d, idCol, toksCol, n)
+      .groupBy(idCol)
+      .agg(sum(col("span_len")).as("__dup"), count(lit(1)).as("n_spans"))
+    d.select(col(idCol), size(col(toksCol)).cast("long").as("n_tokens"))
+      .join(spans, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("__dup"), lit(0L)).as("n_dup_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+      .withColumn("dup_frac",
+        when(col("n_tokens") > 0,
+          col("n_dup_tokens").cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)))
+      .withColumn("keep_substring", col("dup_frac") <= maxFrac)
+  }
+
+  /** Benchmark decontamination: for every corpus doc, how many of its
+    * distinct n-grams appear anywhere in the benchmark set. A doc with
+    * n_overlap > 0 is contaminated (GPT-3 appendix C / PaLM-style n-gram
+    * overlap filter).
+    *
+    * The benchmark side reduces to DISTINCT gram hashes before the join —
+    * in production that set is tiny relative to the corpus (eval suites,
+    * not crawls), so AQE broadcasts it and the corpus-side gram stream
+    * never shuffles; no hint is forced, so a large "benchmark" degrades to
+    * a shuffle-hash join instead of an OOM. Returns one row per corpus doc:
+    * (idCol, n_grams, n_overlap, contaminated).
+    */
+  def contamination(corpus: DataFrame, bench: DataFrame, idCol: String,
+                    toksCol: String, n: Int): DataFrame = {
+    def distinctGrams(df: DataFrame): DataFrame = {
+      val toks = col(toksCol)
+      val grams = when(size(toks) >= n,
+        array_distinct(TextOps.shinglesAll(toks, n)))
+        .otherwise(array().cast("array<string>"))
+      df.select(col(idCol), explode(grams).as("g"))
+        .select(col(idCol), md5(col("g")).as("h"))
+    }
+    val corpusGrams = distinctGrams(corpus)
+    val benchSet = distinctGrams(bench).select("h").distinct()
+      .withColumn("__hit", lit(1))
+    val agg = corpusGrams.join(benchSet, Seq("h"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_overlap"))
+    corpus.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") > 0)
+  }
+}

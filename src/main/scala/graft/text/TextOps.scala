@@ -179,4 +179,35 @@ object TextOps {
     Seq(md5(concat_ws("|", sk)).as("fingerprint"),
       element_at(sk, 1).as("min_shingle_hash"))
   }
+
+  /** PII patterns, deliberately restricted to syntax with identical
+    * semantics in Java regex (Spark codegen) and RE2 (DuckDB oracle):
+    * plain character classes and bounded repetition only — no lookaround,
+    * no \b, no backreferences.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\d{3}-\\d{3}-\\d{4}"
+  val ipv4Re = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+
+  /** PII detection + redaction over a text column: per-pattern match
+    * counts, an any-PII flag, and the md5 of the text with every match
+    * replaced by its placeholder (emails first — an IPv4-shaped fragment
+    * can only survive inside a wider email match, never the reverse).
+    * Pure codegen'd expressions: the whole scrub runs inside the scan
+    * stage, no UDF, no shuffle.
+    */
+  def piiColumns(text: Column): Seq[Column] = {
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>"),
+      ipv4Re, "<IP>")
+    Seq(
+      regexp_count(text, lit(emailRe)).cast("long").as("n_emails"),
+      regexp_count(text, lit(phoneRe)).cast("long").as("n_phones"),
+      regexp_count(text, lit(ipv4Re)).cast("long").as("n_ips"),
+      (regexp_count(text, lit(emailRe)) + regexp_count(text, lit(phoneRe)) +
+        regexp_count(text, lit(ipv4Re)) > 0).as("has_pii"),
+      md5(redacted).as("redacted_md5"))
+  }
 }
