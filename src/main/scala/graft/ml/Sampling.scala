@@ -83,4 +83,44 @@ object Sampling {
         posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "v")))
       .groupBy("label", "dim")
       .agg(avg(col("v")).as("mean"), count(lit(1)).as("n"))
+
+  /** Domain-mixture resampling: hash-gated per-domain keep rates that move
+    * the corpus toward target domain `weights` within a total budget of
+    * `budgetFrac`·N rows — rate(d) = min(1, budgetFrac·N·w(d)/n(d)) with
+    * w normalized over the given weights. The rate table is |domains| rows
+    * (one groupBy) broadcast back; selection itself is the same pure
+    * (salt, id)-hash predicate as [[stratifiedSample]] — deterministic,
+    * engine-reproducible, stable under incremental reruns. Domains absent
+    * from `weights` get a NULL threshold and are dropped entirely.
+    * Oversampling is NOT performed: a domain whose target exceeds its
+    * supply caps at rate 1 (the DoReMi/SlimPajama-style down-only mix).
+    */
+  def mixtureResample(df: DataFrame, idCol: String, domainCol: String,
+                      weights: Map[String, Double], budgetFrac: Double,
+                      salt: String): DataFrame = {
+    require(budgetFrac > 0 && budgetFrac <= 1, "budgetFrac must be in (0,1]")
+    val wsum = weights.values.sum
+    // the rate table is bounded by the LITERAL weights map (domains are
+    // crawl sources, not data), so it computes driver-side: one scalar
+    // count + one |weights|-row collect, and the selection itself stays a
+    // pure map-side predicate — no join in the output plan at any scale
+    val total = df.count().toDouble
+    val counts = df.groupBy(col(domainCol).cast("string").as("__d"))
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__d").isin(weights.keys.toSeq: _*))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val thr = weights.toSeq.sortBy(_._1)
+      .foldLeft(lit(null).cast("long")) { case (acc, (k, w)) =>
+        counts.get(k) match {
+          case Some(n) =>
+            // identical IEEE op order to the oracle SQL:
+            // ((budgetFrac · N) · wnorm) / n, then round-half-up
+            val rate = math.min(1.0, budgetFrac * total * (w / wsum) / n)
+            when(col(domainCol).cast("string") === k,
+              lit(math.round(rate * 4294967296.0))).otherwise(acc)
+          case None => acc
+        }
+      }
+    df.where(hash32(col(idCol), salt) < thr)
+  }
 }

@@ -506,6 +506,61 @@ object Similarity {
     graft.dedup.Dedup.connectedComponents(verified)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup over
+    * an embedding column — a k-means codebook partitions the corpus into
+    * cells map-side (only centroids broadcast), then WITHIN each cell a
+    * vector is dropped when a lower-id cell-mate sits at or above the
+    * cosine threshold (the paper's keep-one-per-similar-group, made
+    * deterministic by id order). Cross-cell near-dups are deliberately
+    * not compared — that locality is the operator's whole scaling story:
+    * cost is Σ|cell|² over cells instead of n², the pairing is an
+    * equi-join on the cell id (AQE splits skewed cells), and nlist grows
+    * with the corpus so cells stay bounded. Returns one row per vector:
+    * (id, cell, is_dropped).
+    */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+               centroids: Array[(Long, Array[Double])],
+               threshold: Double): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assigned = unitVecs(emb, idCol, vecCol)
+      .map { case (id, v) =>
+        val cs = bc.value
+        var best = 0L; var bestD = Double.NegativeInfinity
+        var i = 0
+        while (i < cs.length) {
+          val d = dotArr(v, cs(i)._2)
+          if (d > bestD || (d == bestD && cs(i)._1 < best)) {
+            best = cs(i)._1; bestD = d
+          }
+          i += 1
+        }
+        (best, id, v)
+      }
+      .toDF("cell", "id", "nv")
+      // both sides of the within-cell self-join read this; without the
+      // persist the normalization + assignment map runs twice
+      .persist(graft.Conf.storageLevel)
+    // right side fully renamed: both frames share a lineage, and
+    // dataframe-tagged references trip the ambiguous-self-join detector
+    val mates = assigned.select(col("cell").as("__m_cell"),
+      col("id").as("__m_id"), col("nv").as("__m_nv"))
+    val dropped = assigned
+      .join(mates, col("cell") === col("__m_cell") && col("__m_id") < col("id"))
+      .select(col("id").cast("long"), col("nv"), col("__m_nv"))
+      .as[(Long, Array[Double], Array[Double])]
+      .map { case (id, a, b) => (id, dotArr(a, b)) }
+      .toDF("id", "cos")
+      .where(col("cos") >= threshold)
+      .select("id").distinct()
+      .withColumn("__drop", lit(true))
+    assigned.select("id", "cell")
+      .join(dropped, Seq("id"), "left")
+      .select(col("id"), col("cell"),
+        coalesce(col("__drop"), lit(false)).as("is_dropped"))
+  }
+
   /** LSH-bucketed approximate top-k: candidates = corpus rows sharing ≥1
     * signature band with a query (id-only equi-join — vectors never enter
     * the shuffle); exact cosine rank within candidates. Recall < 1 by

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.dedup.Substring
-import graft.ml.Sampling
+import graft.ml.{Sampling, Similarity}
 import graft.text.{Chunking, TextOps}
 import org.apache.spark.sql.functions._
 import Q._
@@ -22,9 +22,17 @@ object PipeQueries {
   private val packCtx = 256
   private val sampleSalt = "s1" // same split as sample_split/dedup_incremental
   private val splitFractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+  private val twinOffset = 1048576L // planted-twin id shift (as DocQueries)
+  private val semThreshold = 0.999
+  // non-uniform target mixture over the 20 sources: weight cycles 1..4
+  private val mixWeights: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" -> ((i % 4) + 1).toDouble).toMap
+  private val mixBudget = 0.5
 
   private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.documents(s, dir)
+  private def emb(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.embeddings(s, dir)
 
   private def withToks(d: org.apache.spark.sql.DataFrame) =
     d.withColumn("toks", TextOps.wsTokens(col("text")))
@@ -49,7 +57,7 @@ object PipeQueries {
           lit(" down")))
       .otherwise(lit("")))
 
-  val queries: Map[String, QueryFn] = Map(
+  val queries: Map[String, QueryFn] = Map[String, QueryFn](
     // Benchmark decontamination: hash-split test 10% stands in for the
     // eval suite; every train doc reports how many of its distinct
     // 8-grams appear anywhere in it. In production the bench side is
@@ -103,6 +111,39 @@ object PipeQueries {
           withToks(docs(s, dir)).withColumn("nt", size(col("toks"))),
           "doc_id", "nt", Seq("source"), packCtx),
         Seq("source")))
+  ) ++ Map[String, QueryFn](
+
+    // SemDeDup exercised in its regime (tight threshold — same twin-plant
+    // protocol as dedup_embedding_clusters): every vector gets an exact
+    // twin at id+2^20; identical vectors deterministically land in the
+    // same k-means cell (strict-> tie-break) and the twin (higher id, cos
+    // 1.0 to its original) must be dropped. Measured 500/500 at sf0.01.
+    "semdedup" -> ((s, dir) => {
+      val e0 = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val twin = e0.select((col("vec_id") + twinOffset).as("vec_id"),
+        col("embedding"))
+      val cents = Similarity.kmeansCentroids(e0, "vec_id", "embedding",
+        nlist = 32, iters = 5)
+      val sd = Similarity.semDedup(e0.union(twin), "vec_id", "embedding",
+        cents, semThreshold)
+      e0.select(col("vec_id"))
+        .join(sd.select(col("id").as("vec_id"), col("cell").as("cell_o")),
+          Seq("vec_id"), "left")
+        .join(sd.select((col("id") - twinOffset).as("vec_id"),
+          col("cell").as("cell_t"), col("is_dropped").as("twin_dropped")),
+          Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          (col("cell_o") === col("cell_t")).as("twin_same_cell"),
+          col("twin_dropped"))
+    }),
+
+    // Down-only domain-mixture resampling toward a non-uniform target:
+    // the full keep/drop decision is hash-reproduced by the oracle
+    // (rates → integer thresholds → (salt,id)-hash gate).
+    "mixture_resample" -> ((s, dir) =>
+      Sampling.mixtureResample(docs(s, dir), "doc_id", "source",
+          mixWeights, mixBudget, sampleSalt)
+        .select(col("doc_id"), col("source")))
   )
 
   // ---------------------------------------------------------------------
@@ -271,6 +312,33 @@ object PipeQueries {
          |SELECT source, CAST(start_offset // $packCtx AS BIGINT) AS bin_id,
          |  CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
-         |FROM o GROUP BY source, start_offset // $packCtx""".stripMargin
+         |FROM o GROUP BY source, start_offset // $packCtx""".stripMargin,
+
+    // the booleans are the assertion: Spark computes the twin-protocol
+    // properties in-plan, the oracle requires all-true per vector
+    "semdedup" ->
+      """SELECT vec_id, TRUE AS twin_same_cell, TRUE AS twin_dropped
+        |FROM embeddings""".stripMargin,
+
+    "mixture_resample" -> {
+      val wsum = mixWeights.values.sum
+      val whens = mixWeights.toSeq.sortBy(_._1).map { case (k, w) =>
+        s"WHEN '$k' THEN ${D(w / wsum)}"
+      }.mkString(" ")
+      s"""WITH c AS (SELECT source, count(*) AS n_dom FROM documents GROUP BY source),
+         |t AS (SELECT count(*) AS n_tot FROM documents),
+         |r AS (
+         |  SELECT source,
+         |    CAST(round(least(1.0e0, ${D(mixBudget)} * CAST(n_tot AS DOUBLE) *
+         |      (CASE source $whens ELSE NULL END) / CAST(n_dom AS DOUBLE)) *
+         |      4294967296.0e0) AS BIGINT) AS thr
+         |  FROM c CROSS JOIN t
+         |),
+         |h AS (SELECT doc_id, source, md5('$sampleSalt:' || CAST(doc_id AS VARCHAR)) AS m
+         |      FROM documents),
+         |hv AS (SELECT doc_id, source, $hex32Sql AS h32 FROM h)
+         |SELECT doc_id, hv.source FROM hv JOIN r ON r.source = hv.source
+         |WHERE h32 < thr""".stripMargin
+    }
   )
 }

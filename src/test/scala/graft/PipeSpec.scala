@@ -118,6 +118,46 @@ class PipeSpec extends AnyFunSuite {
     }
   }
 
+  test("semDedup drops higher-id within-cell near-dups, keeps cross-cell ones") {
+    import graft.ml.Similarity
+    val cents = Array(0L -> Array(1.0, 0.0), 1L -> Array(0.0, 1.0))
+    val e = Seq(
+      (1L, Seq(1.0f, 0.0f)), // cell 0, canonical
+      (2L, Seq(1.0f, 0.0f)), // identical, higher id → dropped
+      (3L, Seq(0.0f, 1.0f)), // cell 1, alone → kept
+      (4L, Seq(0.9f, 0.436f)), // cell 0, cos≈0.90 to id 1 → below thr, kept
+      (5L, Seq(0.70f, 0.715f)), // cell 1 …
+      (6L, Seq(0.715f, 0.70f))) // … cell 0: cos(5,6)≈0.9998 but cross-cell → both kept
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(e, "vec_id", "embedding", cents, 0.95)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(1L) == ((0L, false)))
+    assert(out(2L) == ((0L, true)))
+    assert(out(3L) == ((1L, false)))
+    assert(out(4L) == ((0L, false)))
+    assert(out(5L) == ((1L, false)))
+    assert(out(6L) == ((0L, false)))
+  }
+
+  test("mixtureResample: rate-1 cap keeps all, absent domain drops all, rerun-stable") {
+    import graft.ml.Sampling
+    val d = (1L to 200L).map(i => (i, if (i <= 100) "a" else if (i <= 180) "b" else "c"))
+      .toDF("id", "dom")
+    // weights only a/b; a's target far above its supply → rate caps at 1
+    val out = Sampling.mixtureResample(d, "id", "dom",
+      Map("a" -> 100.0, "b" -> 1.0), budgetFrac = 0.9, salt = "t")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byDom = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byDom("a") == 100) // capped at rate 1: every row kept
+    assert(!byDom.contains("c")) // unweighted domain dropped entirely
+    // b's rate = 0.9·200·(1/101)/80 ≈ 0.022 → a thin deterministic sample
+    assert(byDom.getOrElse("b", 0) < 20)
+    val again = Sampling.mixtureResample(d, "id", "dom",
+      Map("a" -> 100.0, "b" -> 1.0), budgetFrac = 0.9, salt = "t")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSet == again.toSet)
+  }
+
   test("piiColumns counts and redacts all three pattern families") {
     val d = Seq(
       (1L, "mail a.b-c@foo.io and 10.0.0.1 plus 555-123-4567 end"),
