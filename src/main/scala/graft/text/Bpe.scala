@@ -1,0 +1,91 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding merge training (Sennrich et al. 2016) —
+  * the count-heavy half of tokenizer training, as a Spark aggregation loop.
+  *
+  * The classic scale trick: BPE statistics depend only on the WORD
+  * VOCABULARY with frequencies, not the corpus — so the corpus-sized work
+  * is one map-side-combined groupBy producing the (word, freq) table, and
+  * every merge iteration after that runs on a vocabulary-bound frame
+  * (≤ a few million rows for web-scale corpora — pennies next to 100 TB).
+  * Each iteration is: adjacent-pair weighted count (one small shuffle) →
+  * argmax to the driver (ONE row — bounded by construction) → a pure
+  * column-expression fold applying the merge. Nothing corpus-scale moves
+  * after the vocab build.
+  */
+object Bpe {
+
+  case class Merge(step: Int, left: String, right: String, freq: Long)
+
+  /** (word, freq) vocabulary over lower-cased alphabetic tokens. The
+    * `^[a-z]+$` filter keeps the symbol alphabet closed under
+    * concatenation (no whitespace/control chars inside symbols).
+    */
+  def wordVocab(d: DataFrame, toksCol: String): DataFrame =
+    d.select(explode(col(toksCol)).as("word"))
+      .where(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Initial segmentation: one symbol per character. */
+  def charSyms(word: Column): Column =
+    regexp_extract_all(word, lit("."), lit(0))
+
+  /** Adjacent symbol pairs of one row's `syms`, as (l, r) structs. */
+  private def adjacentPairs(syms: Column): Column = {
+    val s = size(syms) - 1
+    transform(arrays_zip(slice(syms, lit(1), s).as("l"), slice(syms, lit(2), s).as("r")),
+      e => struct(e.getField("l").as("l"), e.getField("r").as("r")))
+  }
+
+  /** Weighted adjacent-pair counts over a (freq, symsCol) frame. */
+  def pairCounts(vocab: DataFrame, symsCol: String): DataFrame =
+    vocab.where(size(col(symsCol)) >= 2)
+      .select(col("freq"), explode(adjacentPairs(col(symsCol))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum("freq").as("freq"))
+
+  /** One left-to-right, non-overlapping merge pass of (l, r) → l+r over a
+    * symbol array, as a pure fold expression: append, or replace the last
+    * accumulated symbol when (last, current) matches the pair. A symbol
+    * produced by a merge is never re-examined within the same pass —
+    * exactly the replace semantics of reference BPE trainers.
+    */
+  def applyMerge(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) =>
+        when(get(acc, size(acc) - 1) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(x))))
+
+  /** Train `nMerges` merges. Ties break deterministically by (freq desc,
+    * l asc, r asc). Each iteration's argmax is a ONE-row collect; the
+    * vocab frame is persisted once and the accumulated merge folds stay
+    * column expressions on top of it.
+    */
+  def train(vocab: DataFrame, nMerges: Int): Seq[Merge] = {
+    val base = vocab.withColumn("syms", charSyms(col("word")))
+      .select("freq", "syms").persist()
+    try {
+      var syms: Column = col("syms")
+      val merges = Seq.newBuilder[Merge]
+      var step = 1
+      var done = false
+      while (step <= nMerges && !done) {
+        val top = pairCounts(base.withColumn("syms", syms), "syms")
+          .orderBy(col("freq").desc, col("l").asc, col("r").asc)
+          .limit(1).collect()
+        if (top.isEmpty) done = true
+        else {
+          val Row(l: String, r: String, f: Long) = top(0)
+          merges += Merge(step, l, r, f)
+          syms = applyMerge(syms, l, r)
+          step += 1
+        }
+      }
+      merges.result()
+    } finally base.unpersist(blocking = false)
+  }
+}
