@@ -123,4 +123,22 @@ object Sampling {
       }
     df.where(hash32(col(idCol), salt) < thr)
   }
+
+  /** Deterministic corpus shuffle + sharding — the "global shuffle" every
+    * pretraining run needs, as a pure function of (salt, id): shard =
+    * h % nShards, position within the shard = rank of (h, id). Identical
+    * on any engine, any cluster size, any rerun, and stable under
+    * re-partitioning of the input. The position window partitions by
+    * shard — parallelism = nShards (pick ≥ cluster cores at scale); no
+    * global order is ever materialized.
+    */
+  def shuffleShards(df: DataFrame, idCol: String, salt: String,
+                    nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", hash32(col(idCol), salt))
+      .withColumn("shard", (col("__h") % nShards).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long") - 1)
+      .drop("__h")
+  }
 }

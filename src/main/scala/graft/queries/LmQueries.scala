@@ -16,6 +16,13 @@ object LmQueries {
   private val lmK = 0.5 // add-k smoothing
   private val tfidfTop = 3
   private val bpeMerges = 5
+  private val bm25K = 10
+  private val bm25K1 = 1.2
+  private val bm25B = 0.75
+  private val bm25Queries = Seq(
+    1 -> "hash join merge", 2 -> "window agg stream", 3 -> "fast scan filter")
+  private val shardSalt = "s1"
+  private val nShards = 8
 
   private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.documents(s, dir)
@@ -41,6 +48,28 @@ object LmQueries {
         .select(col("doc_id"), col("rank"), col("term"), col("tf"),
           col("df"), col("tfidf"))),
 
+    // BM25 top-10 docs for three fixed queries — candidate postings only
+    // (the term filter rides the explode), two-stage exact top-k.
+    "bm25_topk" -> ((s, dir) =>
+      LangModel.bm25TopK(withToks(docs(s, dir)), "doc_id", "toks",
+          bm25Queries, bm25K, r6, bm25K1, bm25B)
+        .select(col("query_id"), col("rank"), col("doc_id"), col("score"))),
+
+    // Multinomial NB trained on the corpus's own source labels; the gate
+    // row is the confusion matrix of self-prediction.
+    "nb_source_eval" -> ((s, dir) =>
+      LangModel.nbPredict(withToks(docs(s, dir)), "doc_id", "toks",
+          "source", r6)
+        .groupBy(col("source"), col("pred_label"))
+        .agg(count(lit(1)).as("n"))),
+
+    // Deterministic global shuffle into 8 shards: every doc's (shard,
+    // pos) is a pure function of (salt, doc_id) — byte-stable across
+    // engines and cluster layouts.
+    "corpus_shards" -> ((s, dir) =>
+      graft.ml.Sampling.shuffleShards(docs(s, dir), "doc_id", shardSalt, nShards)
+        .select(col("doc_id"), col("shard"), col("pos"))),
+
     // First 5 BPE merges over the corpus word vocabulary — merge order,
     // pair identity and weighted frequency all hash-checked against the
     // oracle's unrolled iteration chain.
@@ -63,6 +92,10 @@ object LmQueries {
       |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
       |  FROM documents
       |)""".stripMargin
+
+  private val hex32Sql: String = (1 to 8).map { i =>
+    s"(instr('0123456789abcdef', substr(m, $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}"
+  }.mkString("(", " + ", ")")
 
   /** One BPE iteration: pair counts over v{i-1} → argmax b{i} → merged
     * vocabulary v{i}. The fold encodes the symbol list as a chr(1)-joined
@@ -115,6 +148,77 @@ object LmQueries {
          |         PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank FROM sc)
          |SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df, tfidf
          |FROM rk WHERE rank <= $tfidfTop""".stripMargin,
+
+    "bm25_topk" -> {
+      val qvals = bm25Queries.flatMap { case (qid, text) =>
+        text.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+          .map(t => s"($qid, '$t')")
+      }.mkString(", ")
+      val termList = bm25Queries.flatMap(_._2.toLowerCase.split("\\s+"))
+        .distinct.map(t => s"'$t'").mkString("(", ", ", ")")
+      s"""WITH $toksCte,
+         |q AS (SELECT * FROM (VALUES $qvals) t(query_id, term)),
+         |lens AS (SELECT doc_id, len(toks) AS len FROM toks),
+         |st AS (SELECT count(*) AS n, avg(len) AS avglen FROM lens),
+         |tf AS (SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM (SELECT doc_id, unnest(toks) AS t FROM toks)
+         |       WHERE t IN $termList GROUP BY 1, 2),
+         |dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT q.query_id, tf.doc_id,
+         |         sum(ln(${D(1.0)} + (st.n - dfx.df + ${D(0.5)}) / (dfx.df + ${D(0.5)}))
+         |             * tf.tf * ${D(bm25K1 + 1)}
+         |             / (tf.tf + ${D(bm25K1)} * (${D(1.0 - bm25B)}
+         |                + ${D(bm25B)} * lens.len / st.avglen))) AS score
+         |       FROM tf JOIN q USING (term) JOIN dfx USING (term)
+         |       JOIN lens ON lens.doc_id = tf.doc_id CROSS JOIN st
+         |       GROUP BY 1, 2),
+         |sc2 AS (SELECT query_id, doc_id, ${rd("score")} AS score FROM sc),
+         |rk AS (SELECT query_id, doc_id, score, row_number() OVER (
+         |         PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+         |       FROM sc2)
+         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+         |FROM rk WHERE rank <= $bm25K""".stripMargin
+    },
+
+    "nb_source_eval" ->
+      s"""WITH $toksCte,
+         |tok AS (SELECT t.doc_id, d.source, unnest(t.toks) AS term
+         |        FROM toks t JOIN documents d USING (doc_id)),
+         |ct AS (SELECT source AS label, term, CAST(count(*) AS BIGINT) AS c
+         |       FROM tok GROUP BY 1, 2),
+         |tot AS (SELECT label, CAST(sum(c) AS BIGINT) AS tot FROM ct GROUP BY label),
+         |vv AS (SELECT count(DISTINCT term) AS v FROM ct),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |meta AS (SELECT pri.label,
+         |           ln(CAST(pri.nd AS DOUBLE) / nn.n) AS log_prior,
+         |           ln(${D(1.0)} / (tot.tot + vv.v)) AS logp_miss
+         |         FROM (SELECT source AS label, count(*) AS nd
+         |               FROM documents GROUP BY source) pri
+         |         CROSS JOIN nn JOIN tot USING (label) CROSS JOIN vv),
+         |dtf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |        FROM tok GROUP BY 1, 2),
+         |adj AS (SELECT dtf.doc_id, ct.label,
+         |          sum(dtf.tf * ln(ct.c + ${D(1.0)})) AS adj
+         |        FROM dtf JOIN ct USING (term) GROUP BY 1, 2),
+         |lens AS (SELECT t.doc_id, d.source, len(t.toks) AS len
+         |         FROM toks t JOIN documents d USING (doc_id)),
+         |sc AS (SELECT l.doc_id, l.source, m.label,
+         |         ${rd("m.log_prior + l.len * m.logp_miss + coalesce(a.adj, 0.0e0)")} AS score
+         |       FROM lens l CROSS JOIN meta m
+         |       LEFT JOIN adj a ON a.doc_id = l.doc_id AND a.label = m.label),
+         |pr AS (SELECT doc_id, source, label, row_number() OVER (
+         |         PARTITION BY doc_id ORDER BY score DESC, label) AS rn FROM sc)
+         |SELECT source, label AS pred_label, CAST(count(*) AS BIGINT) AS n
+         |FROM pr WHERE rn = 1 GROUP BY 1, 2""".stripMargin,
+
+    "corpus_shards" ->
+      s"""WITH h AS (SELECT doc_id, md5('$shardSalt:' || CAST(doc_id AS VARCHAR)) AS m
+         |           FROM documents),
+         |hv AS (SELECT doc_id, $hex32Sql AS h32 FROM h)
+         |SELECT doc_id, CAST(h32 % $nShards AS INT) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY h32 % $nShards
+         |    ORDER BY h32, doc_id) - 1 AS BIGINT) AS pos
+         |FROM hv""".stripMargin,
 
     "bpe_merges" -> {
       val iters = (1 to bpeMerges).map(bpeIter).mkString(",\n")

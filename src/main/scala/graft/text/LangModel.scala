@@ -83,6 +83,108 @@ object LangModel {
       .drop("__n")
   }
 
+  /** BM25 document retrieval (Robertson; Lucene's +1-inside-the-log idf so
+    * every weight stays positive) for a SMALL literal query set:
+    *
+    *   idf(t)  = ln(1 + (N − df + 0.5) / (df + 0.5))
+    *   w(t, d) = idf · tf·(k1+1) / (tf + k1·(1 − b + b·len_d/avglen))
+    *
+    * Scale shape: the `isin(query terms)` filter lands in the token
+    * explode — only candidate postings survive the map side; df and the
+    * query list are term-bound broadcasts. The top-k is TWO window
+    * stages: a per-(query, input-partition) prune bounds the final
+    * per-query sort to (#partitions·k) rows, so a query hitting a common
+    * term never funnels its full posting list through one task. The
+    * prune is exact (any true top-k row ranks ≤ k inside its own
+    * partition too), so the pid's nondeterminism can't change results.
+    */
+  def bm25TopK(d: DataFrame, idCol: String, toksCol: String,
+               queries: Seq[(Int, String)], k: Int,
+               quantize: Column => Column,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = d.sparkSession
+    import spark.implicits._
+    val qterms = queries.flatMap { case (qid, text) =>
+      text.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.map(qid -> _)
+    }
+    val qdf = qterms.toDF("query_id", "term")
+    val termSet = qterms.map(_._2).distinct
+    val lens = d.select(col(idCol), size(col(toksCol)).as("len"))
+    val stats = lens.agg(count(lit(1)).as("__n"), avg("len").as("__avg"))
+    val tf = d.select(col(idCol), explode(col(toksCol)).as("term"))
+      .where(col("term").isin(termSet: _*))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(qdf), Seq("term"))
+      .join(broadcast(df_), Seq("term"))
+      .join(lens, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("w",
+        log(lit(1.0) + (col("__n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          col("tf") * (k1 + 1) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("len") / col("__avg"))))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum("w").as("score"))
+      .withColumn("score", quantize(col("score")))
+    val w1 = Window.partitionBy(col("query_id"), spark_partition_id())
+      .orderBy(col("score").desc, col(idCol).asc)
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(idCol).asc)
+    scored
+      .withColumn("__pr", row_number().over(w1)).where(col("__pr") <= k)
+      .withColumn("rank", row_number().over(w2)).where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol), col("score"))
+  }
+
+  /** Multinomial naive-Bayes with add-1 smoothing, trained on the corpus's
+    * own labels (the lightweight quality/domain-classifier shape):
+    *
+    *   score(c, d) = ln P(c) + Σ_t tf·ln((c_{t,c}+1)/(tot_c+V))
+    *
+    * Rearranged so the corpus never joins the full class-term matrix:
+    *   score = ln P(c) + len_d·ln(1/(tot_c+V)) + Σ_{t: c_{t,c}>0} tf·ln(c_{t,c}+1)
+    * — the unseen-term mass rides the per-class scalar `logp_miss`, and
+    * only PRESENT (doc-term × class) postings join (bounded by |classes|
+    * per posting). The class-term counts are model-bound (vocab ×
+    * classes), not corpus-bound. Prediction quantizes scores before the
+    * per-doc argmax (label-ascending tie-break) so ranking is
+    * engine-reproducible.
+    */
+  def nbPredict(d: DataFrame, idCol: String, toksCol: String,
+                labelCol: String, quantize: Column => Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = d.select(col(idCol), col(labelCol).as("__lab"),
+      explode(col(toksCol)).as("term"))
+    val ct = toks.groupBy(col("__lab").as("label"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val tot = ct.groupBy("label").agg(sum("c").as("tot"))
+    val vocab = ct.select("term").distinct().agg(count(lit(1)).as("__v"))
+    val n = d.agg(count(lit(1)).as("__n"))
+    val meta = d.groupBy(col(labelCol).as("label")).agg(count(lit(1)).as("nd"))
+      .crossJoin(broadcast(n)).join(tot, Seq("label"))
+      .crossJoin(broadcast(vocab))
+      .select(col("label"),
+        log(col("nd") / col("__n")).as("log_prior"),
+        log(lit(1.0) / (col("tot") + col("__v"))).as("logp_miss"))
+    val docTf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val adj = docTf.join(ct, Seq("term"))
+      .groupBy(col(idCol), col("label"))
+      .agg(sum(col("tf") * log(col("c") + 1.0)).as("adj"))
+    val scores = d.select(col(idCol), col(labelCol), size(col(toksCol)).as("len"))
+      .crossJoin(broadcast(meta))
+      .join(adj, Seq(idCol, "label"), "left")
+      .withColumn("score", quantize(col("log_prior") +
+        col("len") * col("logp_miss") + coalesce(col("adj"), lit(0.0))))
+    scores
+      .withColumn("__rn", row_number().over(Window.partitionBy(col(idCol))
+        .orderBy(col("score").desc, col("label").asc)))
+      .where(col("__rn") === 1)
+      .select(col(idCol), col(labelCol), col("label").as("pred_label"),
+        col("score"))
+  }
+
   /** Top-k terms per document by quantized tf-idf (rounded BEFORE ranking
     * so rank ties are engine-reproducible), ties broken by term ascending.
     * The rank window partitions by document — shuffle-parallel.

@@ -70,6 +70,57 @@ class LmSpec extends AnyFunSuite {
     assert(math.abs(rows(1)._3 - lpb) < 1e-12)
   }
 
+  test("bm25 matches the hand computation and ranks exact") {
+    // corpus: d1 = "x x y", d2 = "x", d3 = "z z"; query "x y"
+    // N=3, avglen = 2; df(x)=2, df(y)=1
+    val d = Seq((1L, "x x y"), (2L, "x"), (3L, "z z"))
+      .toDF("doc_id", "text")
+      .withColumn("toks", TextOps.wsTokens(col("text")))
+    val rows = LangModel.bm25TopK(d, "doc_id", "toks",
+        Seq(1 -> "x y"), 10, identity)
+      .orderBy("rank").select("rank", "doc_id", "score")
+      .as[(Int, Long, Double)].collect()
+    val k1 = 1.2; val b = 0.75
+    def w(tf: Long, df: Long, len: Long): Double =
+      math.log(1.0 + (3 - df + 0.5) / (df + 0.5)) * tf * (k1 + 1) /
+        (tf + k1 * (1 - b + b * len / 2.0))
+    val s1 = w(2, 2, 3) + w(1, 1, 3) // d1: x twice + y once
+    val s2 = w(1, 2, 1)              // d2: x once
+    assert(rows.map(_._2) === Array(1L, 2L))
+    assert(math.abs(rows(0)._3 - s1) < 1e-12)
+    assert(math.abs(rows(1)._3 - s2) < 1e-12)
+  }
+
+  test("naive bayes separates obvious classes and scores by the formula") {
+    // class a docs say "x", class b docs say "y" — self-prediction must
+    // recover the labels perfectly
+    val d = Seq((1L, "x x", "a"), (2L, "x", "a"), (3L, "y y", "b"), (4L, "y", "b"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("toks", TextOps.wsTokens(col("text")))
+    val out = LangModel.nbPredict(d, "doc_id", "toks", "source", identity)
+      .orderBy("doc_id")
+      .select("doc_id", "source", "pred_label", "score")
+      .as[(Long, String, String, Double)].collect()
+    assert(out.map(r => r._2 == r._3).forall(identity))
+    // doc 1 under class a: ln(2/4) + 2·ln(1/(3+2)) + 2·ln(3+1)
+    val expect = math.log(0.5) + 2 * math.log(1.0 / 5) + 2 * math.log(4.0)
+    assert(math.abs(out(0)._4 - expect) < 1e-12)
+  }
+
+  test("shuffle shards is a deterministic permutation with dense positions") {
+    val d = (0L until 100L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val a = graft.ml.Sampling.shuffleShards(d, "doc_id", "s1", 4)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Long)].collect()
+    val b = graft.ml.Sampling.shuffleShards(d.repartition(7), "doc_id", "s1", 4)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Long)].collect()
+    assert(a.sortBy(_._1).toSeq === b.sortBy(_._1).toSeq) // layout-stable
+    // positions are 0..n-1 dense within each shard
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (0L until rows.length).toSeq)
+    }
+    assert(a.map(_._1).distinct.length === 100)
+  }
+
   test("tfidf ranks the distinguishing term first") {
     // "x" appears in every doc (df=3 → smooth idf = ln(4/4)+1 = 1);
     // "y" only in doc 1 (df=1 → idf = ln(4/2)+1)
