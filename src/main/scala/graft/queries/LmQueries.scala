@@ -23,6 +23,12 @@ object LmQueries {
     1 -> "hash join merge", 2 -> "window agg stream", 3 -> "fast scan filter")
   private val shardSalt = "s1"
   private val nShards = 8
+  // CCNet-style fixed perplexity cuts (reference-model thresholds are
+  // corpus constants in CCNet too); measured tertiles ≈ 29.7/30.4 at
+  // sf0.01 and 30.4/30.6 at sf0.1 — 30/30.5 splits both non-degenerately
+  private val pplHead = 30.0
+  private val pplTail = 30.5
+  private val dsirSource = "src0" // DSIR target domain
 
   private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.documents(s, dir)
@@ -47,6 +53,28 @@ object LmQueries {
           tfidfTop, r6)
         .select(col("doc_id"), col("rank"), col("term"), col("tf"),
           col("df"), col("tfidf"))),
+
+    // CCNet head/middle/tail perplexity bucketing with fixed thresholds
+    // (pure map over the scored stream — no global quantile barrier).
+    "ppl_buckets" -> ((s, dir) => {
+      val d = withToks(docs(s, dir))
+      LangModel.bigramScore(d, d, "doc_id", "toks", lmK)
+        .withColumn("ppl", r6(col("ppl")))
+        .select(col("doc_id"), col("ppl"),
+          when(col("ppl") <= pplHead, "head")
+            .when(col("ppl") <= pplTail, "middle")
+            .otherwise("tail").as("bucket"))
+    }),
+
+    // DSIR importance weights toward the src0 domain: per-doc normalized
+    // target-vs-corpus bigram-LM log-ratio.
+    "dsir_weights" -> ((s, dir) => {
+      val d = withToks(docs(s, dir))
+      LangModel.importanceWeights(d, d.where(col("source") === dsirSource),
+          "doc_id", "toks", lmK)
+        .select(col("doc_id"), col("n_bigrams"),
+          r6(col("log_ratio")).as("log_ratio"), r6(col("weight")).as("weight"))
+    }),
 
     // BM25 top-10 docs for three fixed queries — candidate postings only
     // (the term filter rides the explode), two-stage exact top-k.
@@ -148,6 +176,63 @@ object LmQueries {
          |         PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank FROM sc)
          |SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df, tfidf
          |FROM rk WHERE rank <= $tfidfTop""".stripMargin,
+
+    "ppl_buckets" ->
+      s"""WITH $toksCte,
+         |uni AS (SELECT t AS tok, CAST(count(*) AS BIGINT) AS c1
+         |        FROM (SELECT unnest(toks) AS t FROM toks) GROUP BY t),
+         |vv AS (SELECT count(*) AS v FROM uni),
+         |bg AS (SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i+1] AS bigram
+         |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+         |             FROM toks WHERE len(toks) >= 2)),
+         |bc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY bigram),
+         |sc AS (SELECT doc_id,
+         |         ln((bc.c2 + ${D(lmK)}) / (uni.c1 + ${D(lmK)} * vv.v)) AS logp
+         |       FROM bg JOIN bc USING (bigram)
+         |       JOIN uni ON uni.tok = bg.w1 CROSS JOIN vv),
+         |pp AS (SELECT doc_id, ${rd("exp(-sum(logp) / count(*))")} AS ppl
+         |       FROM sc GROUP BY doc_id)
+         |SELECT doc_id, ppl,
+         |  CASE WHEN ppl <= ${D(pplHead)} THEN 'head'
+         |       WHEN ppl <= ${D(pplTail)} THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM pp""".stripMargin,
+
+    "dsir_weights" ->
+      s"""WITH $toksCte,
+         |tok2 AS (SELECT t.doc_id, d.source, t.toks
+         |         FROM toks t JOIN documents d USING (doc_id)),
+         |bg AS (SELECT doc_id, source, toks[i] AS w1,
+         |         toks[i] || ' ' || toks[i+1] AS bigram
+         |       FROM (SELECT doc_id, source, toks, unnest(range(1, len(toks))) AS i
+         |             FROM tok2 WHERE len(toks) >= 2)),
+         |tuni AS (SELECT t AS tok, CAST(count(*) AS BIGINT) AS c1
+         |         FROM (SELECT unnest(toks) AS t FROM tok2 WHERE source = '$dsirSource')
+         |         GROUP BY t),
+         |tvv AS (SELECT count(*) AS v FROM tuni),
+         |tbc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c2
+         |        FROM bg WHERE source = '$dsirSource' GROUP BY bigram),
+         |cuni AS (SELECT t AS tok, CAST(count(*) AS BIGINT) AS c1
+         |         FROM (SELECT unnest(toks) AS t FROM tok2) GROUP BY t),
+         |cvv AS (SELECT count(*) AS v FROM cuni),
+         |cbc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c2
+         |        FROM bg GROUP BY bigram),
+         |sct AS (SELECT bg.doc_id,
+         |          ln((coalesce(tbc.c2, 0) + ${D(lmK)}) /
+         |             (coalesce(tu.c1, 0) + ${D(lmK)} * tvv.v)) AS logp
+         |        FROM bg LEFT JOIN tbc USING (bigram)
+         |        LEFT JOIN tuni tu ON tu.tok = bg.w1 CROSS JOIN tvv),
+         |scc AS (SELECT bg.doc_id,
+         |          ln((coalesce(cbc.c2, 0) + ${D(lmK)}) /
+         |             (coalesce(cu.c1, 0) + ${D(lmK)} * cvv.v)) AS logp
+         |        FROM bg LEFT JOIN cbc USING (bigram)
+         |        LEFT JOIN cuni cu ON cu.tok = bg.w1 CROSS JOIN cvv),
+         |at AS (SELECT doc_id, count(*) AS n, sum(logp) AS lp FROM sct GROUP BY doc_id),
+         |ac AS (SELECT doc_id, sum(logp) AS lp FROM scc GROUP BY doc_id)
+         |SELECT at.doc_id, CAST(at.n AS BIGINT) AS n_bigrams,
+         |  ${rd("(at.lp - ac.lp) / at.n")} AS log_ratio,
+         |  ${rd("exp((at.lp - ac.lp) / at.n)")} AS weight
+         |FROM at JOIN ac USING (doc_id)""".stripMargin,
 
     "bm25_topk" -> {
       val qvals = bm25Queries.flatMap { case (qid, text) =>

@@ -65,6 +65,31 @@ object LangModel {
       .withColumn("ppl", exp(-col("log_prob") / col("n_bigrams")))
   }
 
+  /** DSIR-style data-selection importance weights (Xie et al. 2023, which
+    * uses hashed-n-gram LM ratios): every document scored under TWO add-k
+    * bigram models — one trained on the target domain, one on the full
+    * corpus — and weighted by the per-gram-normalized likelihood ratio
+    *
+    *   log_ratio = (logP_target − logP_corpus) / n_bigrams
+    *   weight    = exp(log_ratio)
+    *
+    * In-domain documents get weight ≳ 1, out-of-domain ones decay toward
+    * 0 (the smoothing floor keeps unseen grams finite). Two streamed
+    * scoring passes; both model tables stay vocabulary-bound.
+    */
+  def importanceWeights(all: DataFrame, target: DataFrame, idCol: String,
+                        toksCol: String, k: Double): DataFrame = {
+    val t = bigramScore(all, target, idCol, toksCol, k)
+      .select(col(idCol), col("n_bigrams"), col("log_prob").as("__lp_t"))
+    val c = bigramScore(all, all, idCol, toksCol, k)
+      .select(col(idCol), col("log_prob").as("__lp_c"))
+    t.join(c, Seq(idCol))
+      .withColumn("log_ratio",
+        (col("__lp_t") - col("__lp_c")) / col("n_bigrams"))
+      .withColumn("weight", exp(col("log_ratio")))
+      .drop("__lp_t", "__lp_c")
+  }
+
   /** (id, term, tf, df, tfidf) with smooth idf (sklearn's formulation):
     * idf = ln((1+N)/(1+df)) + 1. `nDocs` should count ALL documents of the
     * corpus frame (including empty ones), which the caller knows without

@@ -121,6 +121,25 @@ class LmSpec extends AnyFunSuite {
     assert(a.map(_._1).distinct.length === 100)
   }
 
+  test("dsir importance weights favor in-domain documents") {
+    // identical docs share a weight, and the in-domain doc outranks the
+    // out-of-domain one (absolute >1/<1 is not asserted: with a
+    // micro-vocabulary the k/(k·V) smoothing floor is not small)
+    val d = Seq(
+      (1L, "x z x z x z", "t"), (2L, "x z x z x z", "t"),
+      (3L, "y w y w y w", "o"), (4L, "y w y w y w", "o"), (5L, "y w x z y w", "o"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("toks", TextOps.wsTokens(col("text")))
+    val w = LangModel.importanceWeights(d,
+        d.where(col("source") === "t"), "doc_id", "toks", 0.5)
+      .select("doc_id", "weight").as[(Long, Double)].collect().toMap
+    assert(w(1L) === w(2L))
+    assert(w(3L) === w(4L))
+    assert(w(1L) > w(3L))
+    // the mixed doc sits between the pure in- and out-of-domain ones
+    assert(w(5L) > w(3L) && w(5L) < w(1L))
+  }
+
   test("tfidf ranks the distinguishing term first") {
     // "x" appears in every doc (df=3 → smooth idf = ln(4/4)+1 = 1);
     // "y" only in doc 1 (df=1 → idf = ln(4/2)+1)
