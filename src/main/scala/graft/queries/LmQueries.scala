@@ -107,6 +107,16 @@ object LmQueries {
       s.createDataFrame(ms)
         .select(col("step"), col("left").as("l"), col("right").as("r"),
           concat(col("left"), col("right")).as("merged"), col("freq"))
+    }),
+
+    // Apply the trained merges back to the corpus: per-doc symbol count
+    // and an order-exact digest of the segmented text (vocabulary
+    // segmentation broadcast-joined against one token stream).
+    "bpe_encode" -> ((s, dir) => {
+      val d = withToks(docs(s, dir))
+      val vocab = Bpe.wordVocab(d, "toks")
+      val segs = Bpe.segment(vocab, Bpe.train(vocab, bpeMerges))
+      Bpe.encode(d, "doc_id", "toks", segs)
     })
   )
 
@@ -137,7 +147,7 @@ object LmQueries {
        |  GROUP BY 1, 2),
        |b$i AS (SELECT l, r, l || r AS m, CAST(cnt AS BIGINT) AS cnt
        |  FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
-       |v$i AS (SELECT freq,
+       |v$i AS (SELECT word, freq,
        |  string_split(list_reduce(syms, (acc, x) ->
        |    CASE WHEN list_last(string_split(acc, chr(1))) = b.l AND x = b.r
        |         THEN substr(acc, 1, len(acc) - len(list_last(string_split(acc, chr(1))))) || b.m
@@ -314,11 +324,29 @@ object LmQueries {
          |wv AS (SELECT t AS word, CAST(count(*) AS BIGINT) AS freq
          |       FROM (SELECT unnest(toks) AS t FROM toks)
          |       WHERE regexp_matches(t, '^[a-z]+$$') GROUP BY t),
-         |v0 AS (SELECT freq, regexp_extract_all(word, '.') AS syms FROM wv),
+         |v0 AS (SELECT word, freq, regexp_extract_all(word, '.') AS syms FROM wv),
          |$iters
          |SELECT CAST(step AS INT) AS step, l, r, merged, freq FROM (
          |$out
          |)""".stripMargin
+    },
+
+    "bpe_encode" -> {
+      val iters = (1 to bpeMerges).map(bpeIter).mkString(",\n")
+      s"""WITH $toksCte,
+         |wv AS (SELECT t AS word, CAST(count(*) AS BIGINT) AS freq
+         |       FROM (SELECT unnest(toks) AS t FROM toks)
+         |       WHERE regexp_matches(t, '^[a-z]+$$') GROUP BY t),
+         |v0 AS (SELECT word, freq, regexp_extract_all(word, '.') AS syms FROM wv),
+         |$iters,
+         |tokx AS (SELECT doc_id, i, toks[i] AS word
+         |         FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+         |               FROM toks)),
+         |enc AS (SELECT t.doc_id, t.i, coalesce(s.syms, [t.word]) AS syms
+         |        FROM tokx t LEFT JOIN v$bpeMerges s USING (word))
+         |SELECT doc_id, CAST(sum(len(syms)) AS BIGINT) AS n_syms,
+         |  md5(string_agg(array_to_string(syms, ' '), ' ' ORDER BY i)) AS seg_md5
+         |FROM enc GROUP BY doc_id""".stripMargin
     }
   )
 }

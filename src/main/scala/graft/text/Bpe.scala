@@ -60,6 +60,38 @@ object Bpe {
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
           .otherwise(concat(acc, array(x))))
 
+  /** Segment the vocabulary under an ordered merge list: the per-word
+    * symbol array after applying every merge in training order. Chained
+    * fold expressions — fine for demo-sized merge lists; a production
+    * 30k-merge tokenizer would swap this for a broadcast merge-rank map
+    * inside one custom expression, keeping the same join-based shape.
+    */
+  def segment(vocab: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val syms = merges.foldLeft(charSyms(col("word"))) { (c, m) =>
+      applyMerge(c, m.left, m.right)
+    }
+    vocab.select(col("word"), syms.as("syms"))
+  }
+
+  /** Encode documents under a trained segmentation: BPE statistics are
+    * per-WORD, so encoding is a broadcast join of the token stream
+    * against the vocabulary segmentation — the corpus streams once,
+    * nothing re-runs the merge fold per token. Words outside the trained
+    * vocabulary pass through as a single symbol. Emits per-doc symbol
+    * count and an order-exact digest of the segmented text.
+    */
+  def encode(d: DataFrame, idCol: String, toksCol: String,
+             segs: DataFrame): DataFrame =
+    d.select(col(idCol), posexplode(col(toksCol)).as(Seq("pos", "word")))
+      .join(broadcast(segs), Seq("word"), "left")
+      .withColumn("syms", coalesce(col("syms"), array(col("word"))))
+      .groupBy(col(idCol))
+      .agg(sum(size(col("syms"))).as("n_syms"),
+        md5(concat_ws(" ",
+          flatten(transform(
+            array_sort(collect_list(struct(col("pos"), col("syms")))),
+            e => e.getField("syms"))))).as("seg_md5"))
+
   /** Train `nMerges` merges. Ties break deterministically by (freq desc,
     * l asc, r asc). Each iteration's argmax is a ONE-row collect; the
     * vocab frame is persisted once and the accumulated merge folds stay

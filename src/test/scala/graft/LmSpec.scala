@@ -52,6 +52,18 @@ class LmSpec extends AnyFunSuite {
     assert(ms.map(m => (m.left, m.right, m.freq)) === Seq(("a", "b", 3L)))
   }
 
+  test("bpe encode applies trained merges and passes unknown words through") {
+    val vocab = Seq(("low", 5L), ("lowest", 3L)).toDF("word", "freq")
+    val ms = Bpe.train(vocab, 2) // (l,o) 8 → (lo,w) 8
+    assert(ms.map(m => (m.left, m.right)) === Seq(("l", "o"), ("lo", "w")))
+    val d = Seq((1L, "low lowest 42")).toDF("doc_id", "text")
+      .withColumn("toks", TextOps.wsTokens(col("text")))
+    val out = Bpe.encode(d, "doc_id", "toks", Bpe.segment(vocab, ms))
+      .select("doc_id", "n_syms").as[(Long, Long)].head()
+    // low → [low], lowest → [low,e,s,t], "42" not in vocab → [42]
+    assert(out === ((1L, 1L + 4L + 1L)))
+  }
+
   test("bigram perplexity matches the hand computation") {
     // corpus: "a b a b" and "a b" — bigrams: (a b)×3, (b a)×1
     // unigrams: a×3, b×3; V=2; k=0.5
