@@ -2,7 +2,7 @@ package graft
 
 import graft.dedup.Dedup
 import graft.ml.Similarity
-import graft.text.TextOps
+import graft.text.{Bpe, TextOps}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -75,6 +75,28 @@ object DocBench {
         "dedup_emb_clusters_uncapped" -> (() =>
           Similarity.lshEmbeddingClusters(embs, "vec_id", "embedding",
             threshold = 0.9, nPlanes = 64, bandBits = 16).count()),
+        // Statistical-LM family under the fixture's VOCABULARY EXPLOSION:
+        // noise docs carry globally-unique tokens, so the unigram/bigram
+        // count tables grow toward corpus scale (~60M grams at 1.5M docs)
+        // — exactly the regime where "broadcast the model" stops being
+        // true and the scoring join must shuffle. Measures that the LM
+        // operators degrade to parallel shuffle joins, not OOM.
+        "lm_perplexity_bigvocab" -> (() =>
+          graft.text.LangModel.bigramScore(docs, docs, "doc_id", "toks", 0.5)
+            .count()),
+        "nb_source_bigvocab" -> (() =>
+          graft.text.LangModel.nbPredict(docs, "doc_id", "toks", "source",
+            c => round(c, 6)).count()),
+        // BPE over the fixture: the ^[a-z]+$ filter drops the synthetic
+        // unique tokens, so this measures the corpus-scale vocab groupBy
+        // feeding a small merge loop (the production shape).
+        "bpe_train5" -> (() =>
+          Bpe.train(Bpe.wordVocab(docs, "toks"), 5).length.toLong),
+        "bm25_topk_fixture" -> (() =>
+          graft.text.LangModel.bm25TopK(docs, "doc_id", "toks",
+            Seq(1 -> "hash join merge", 2 -> "window agg stream",
+              3 -> "this website uses cookies"), 10, c => round(c, 6))
+            .count()),
         // the full corpus-prep pipeline (quality/lang filter → exact dedup
         // → UNCAPPED bucket union-find keep-first) against the mega-cluster
         // corpus; returns surviving docs

@@ -131,7 +131,7 @@ object Trades {
           else Row.fromSeq(idxs.toSeq.map(i => prev.getLong(i))),
         outName = "__lag",
         outType = StructType(lagCols.map(c => StructField(s"prev_$c", LongType))))
-      .select(df.columns.map(col) ++
+      .select(df.columns.toIndexedSeq.map(col) ++
         lagCols.map(c => col(s"__lag.prev_$c").as(s"prev_$c")): _*)
   }
 
