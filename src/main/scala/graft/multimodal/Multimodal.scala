@@ -59,10 +59,14 @@ object Multimodal {
     * frame-sample stage of a video pipeline, as pure expressions.
     */
   def frameSample(framesDf: DataFrame): DataFrame = {
-    val perDoc = framesDf.groupBy("doc_id")
-      .agg(max("frame_idx").as("last_idx"))
+    // per-doc max as a window, not a groupBy+join: one shuffle on doc_id,
+    // fully parallel. (The former broadcast(groupBy) form force-broadcast
+    // a one-row-PER-DOCUMENT table — data-scaled, an OOM at corpus scale.)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id")
+    framesDf
+      .withColumn("last_idx", max("frame_idx").over(w))
       .withColumn("mid_idx", (col("last_idx") / 2).cast("long"))
-    framesDf.join(broadcast(perDoc), Seq("doc_id"))
       .where(col("frame_idx") === 0 || col("frame_idx") === col("mid_idx") ||
         col("frame_idx") === col("last_idx"))
       .select(col("doc_id"), col("frame_idx"), col("frame_bytes"), col("frame_md5"))

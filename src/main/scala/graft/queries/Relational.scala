@@ -36,7 +36,11 @@ object Relational {
           col("count_order"))
     }),
 
-    // Star join: revenue per nation — broadcast dims onto the fact table.
+    // Star join: revenue per nation. Forced broadcast ONLY on the
+    // constant-size dims (nation=25, region=5 rows at every SF);
+    // customer SCALES with the data (TPC-H 150k×SF — billions of rows at
+    // a 100 TB SF), so its join hint is AQE's call: broadcast while the
+    // measured size fits, shuffle hash join when it doesn't.
     "q2_revenue_by_nation" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
       val o = Tables.orders(s, dir)
@@ -44,7 +48,7 @@ object Relational {
       val n = Tables.nation(s, dir)
       val r = Tables.region(s, dir)
       li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"), col("r_name"))
@@ -57,10 +61,12 @@ object Relational {
     }),
 
     // Top-k with deterministic tie-break: top parts by shipped quantity.
+    // `part` scales with SF (200k×SF) — no forced broadcast; AQE picks it
+    // at test scale, a shuffle hash join at 100 TB.
     "q3_top_parts" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
       val p = Tables.part(s, dir)
-      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      li.join(p, col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_partkey"), col("p_brand"))
         .agg(dsum(col("l_quantity")).as("total_qty"),
           count(lit(1)).as("n_lines"))

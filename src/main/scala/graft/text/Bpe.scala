@@ -74,16 +74,20 @@ object Bpe {
   }
 
   /** Encode documents under a trained segmentation: BPE statistics are
-    * per-WORD, so encoding is a broadcast join of the token stream
-    * against the vocabulary segmentation — the corpus streams once,
-    * nothing re-runs the merge fold per token. Words outside the trained
-    * vocabulary pass through as a single symbol. Emits per-doc symbol
-    * count and an order-exact digest of the segmented text.
+    * per-WORD, so encoding is an equi-join of the token stream against
+    * the vocabulary segmentation — the corpus streams once, nothing
+    * re-runs the merge fold per token. No forced broadcast: the
+    * segmentation is vocab-bound (sublinear but unbounded — a web-scale
+    * corpus's word vocab runs to 10⁸⁺ rows), so AQE broadcasts it while
+    * its measured size fits and degrades to a shuffle hash join on
+    * `word` when it doesn't. Words outside the trained vocabulary pass
+    * through as a single symbol. Emits per-doc symbol count and an
+    * order-exact digest of the segmented text.
     */
   def encode(d: DataFrame, idCol: String, toksCol: String,
              segs: DataFrame): DataFrame =
     d.select(col(idCol), posexplode(col(toksCol)).as(Seq("pos", "word")))
-      .join(broadcast(segs), Seq("word"), "left")
+      .join(segs, Seq("word"), "left")
       .withColumn("syms", coalesce(col("syms"), array(col("word"))))
       .groupBy(col(idCol))
       .agg(sum(size(col("syms"))).as("n_syms"),

@@ -180,10 +180,22 @@ object LangModel {
   def nbPredict(d: DataFrame, idCol: String, toksCol: String,
                 labelCol: String, quantize: Column => Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = d.select(col(idCol), col(labelCol).as("__lab"),
-      explode(col(toksCol)).as("term"))
-    val ct = toks.groupBy(col("__lab").as("label"), col("term"))
-      .agg(count(lit(1)).as("c"))
+    // ONE explode pass over the corpus: the (doc, term, tf) table is the
+    // only token-stream aggregation and is persisted — the class-term
+    // matrix, the vocabulary and the scoring join all fold down from this
+    // layout (tf already collapsed per doc, so the (label, term) shuffle
+    // moves distinct doc-term rows, not raw tokens). Without the persist
+    // the four consumers re-explode the corpus four times.
+    val docTf = d.select(col(idCol), col(labelCol).as("__lab"),
+        explode(col(toksCol)).as("term"))
+      .groupBy(col(idCol), col("__lab"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(graft.Conf.storageLevel)
+    // model-bound (vocab × classes) — persisted so tot / vocab / the
+    // scoring join don't each re-aggregate the doc-term layout
+    val ct = docTf.groupBy(col("__lab").as("label"), col("term"))
+      .agg(sum(col("tf")).as("c"))
+      .persist(graft.Conf.storageLevel)
     val tot = ct.groupBy("label").agg(sum("c").as("tot"))
     val vocab = ct.select("term").distinct().agg(count(lit(1)).as("__v"))
     val n = d.agg(count(lit(1)).as("__n"))
@@ -193,8 +205,7 @@ object LangModel {
       .select(col("label"),
         log(col("nd") / col("__n")).as("log_prior"),
         log(lit(1.0) / (col("tot") + col("__v"))).as("logp_miss"))
-    val docTf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val adj = docTf.join(ct, Seq("term"))
+    val adj = docTf.drop("__lab").join(ct, Seq("term"))
       .groupBy(col(idCol), col("label"))
       .agg(sum(col("tf") * log(col("c") + 1.0)).as("adj"))
     val scores = d.select(col(idCol), col(labelCol), size(col(toksCol)).as("len"))

@@ -172,4 +172,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"),
       s"keyed sweep must not move the stream to one partition:\n$p")
   }
+
+  test("BPE encode: no forced broadcast; AQE broadcasts a small vocab") {
+    // The segmentation is vocab-bound (unbounded at corpus scale) so the
+    // hint must be AQE's call, not hard-coded. Pin that the small-scale
+    // plan still gets the broadcast so perf doesn't silently change.
+    val docs = (0 until 500).map { i =>
+      (i.toLong, Seq("alpha", "beta", "gamma", s"w${i % 40}"))
+    }.toDF("doc_id", "toks")
+    val vocab = graft.text.Bpe.wordVocab(docs, "toks")
+    val merges = Seq(graft.text.Bpe.Merge(1, "a", "l", 1L))
+    val enc = graft.text.Bpe.encode(docs, "doc_id", "toks",
+      graft.text.Bpe.segment(vocab, merges))
+    enc.collect()
+    val p = enc.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"AQE should broadcast the vocab segmentation at small scale:\n$p")
+  }
+
+  test("frame sampling: per-doc max rides a window, no data-scaled broadcast") {
+    val media = (0 until 64).map { i =>
+      (i.toLong, Array.fill[Byte](100 + i)(i.toByte))
+    }.toDF("doc_id", "payload")
+    val fs = graft.multimodal.Multimodal.frameSample(
+      graft.multimodal.Multimodal.frames(media, 16))
+    val p = plan(fs)
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastExchange"),
+      s"frame sampling must not broadcast a one-row-per-document table:\n$p")
+    assert(p.contains("hashpartitioning(doc_id"),
+      s"frame sampling window must hash-partition by doc_id:\n$p")
+  }
 }
