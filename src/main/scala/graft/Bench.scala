@@ -89,10 +89,11 @@ object Bench {
     // stdout gets truncated by callers that keep only a tail — persist the
     // complete line so every run's numbers stay machine-readable. The
     // DEFAULT path is the repo's benchmark of record: only a FULL-suite run
-    // AT THE RECORD SCALE FACTOR may overwrite it. Subset runs (would
-    // silently clobber the last full record) and full runs at another sf
-    // (a sf0.01 smoke once overwrote the sf0.1 record) land in a
-    // sf-suffixed file instead; SPARK_GRAFT_BENCH_OUT overrides explicitly.
+    // AT THE RECORD SCALE FACTOR may overwrite it. Subset runs persist
+    // NOTHING (stdout + a stderr notice only — they would silently clobber
+    // the last full record); full runs at another sf (a sf0.01 smoke once
+    // overwrote the sf0.1 record) land in a sf-suffixed file;
+    // SPARK_GRAFT_BENCH_OUT overrides explicitly.
     val recordSf = sys.env.getOrElse("SPARK_GRAFT_RECORD_SF", "sf0.1")
     val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
     val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT").orElse {

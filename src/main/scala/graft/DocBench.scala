@@ -55,7 +55,7 @@ object DocBench {
         "dedup_simhash_pairs_capped" -> (() =>
           Dedup.simhashPairs(Dedup.simhash(docs, "doc_id", "toks"),
             maxHamming = 3, bands = 4, maxBucket = maxBucket).count()),
-        // 4×16-bit bands (NOT the 16×4-bit default): at 500k vectors a
+        // 4×16-bit bands (NOT the 16×4-bit default): at 200k vectors a
         // 4-bit key space has 16 buckets/band — every bucket is a
         // mega-bucket and the cap empties the candidate set (measured:
         // 0 pairs). Wide bands give 65k keys/band: noise spreads thin,

@@ -10,14 +10,19 @@ import org.apache.spark.sql.functions._
   * (boilerplate-heavy web corpora: ToS pages, cookie banners, templated
   * listings).
   *
-  * Row classes (deterministic by global id `gid`):
-  *  - `gid % 8 == 0` (~12.5%): the fixed 40-token template plus ONE unique
-  *    token — near-identical docs whose minhash/simhash band signatures
-  *    collide into buckets of ~10⁵ (the mega-bucket). Embedding twin: one
-  *    fixed constant vector.
+  * Row classes (deterministic by global id `gid`; `rep == 0` wins the
+  * when-chain so every original survives — a boiler-class test first
+  * would swallow the rep-0 originals of even doc_ids, gid = nRep·even ≡ 0
+  * (mod 8), which is exactly how the planted pair class was once lost):
   *  - `rep == 0`: the original corpus row (organic near-dups preserved).
-  *  - `rep == 1` on every 20th family: original text + one token — a
-  *    genuine bounded near-dup pair per family (output sanity > 0).
+  *  - `gid % 8 == 0` (~12.5% of replicas): the fixed 40-token template
+  *    plus ONE unique token — near-identical docs whose minhash/simhash
+  *    band signatures collide into buckets of ~10⁵ (the mega-bucket).
+  *    Embedding twin: one fixed constant vector.
+  *  - `rep == 1` on every (20k+5)th family: original text + one token — a
+  *    genuine bounded near-dup pair per family (output sanity > 0). The
+  *    odd residue keeps rep 1's gid = nRep·doc_id + 1 off the boiler
+  *    class for even nRep (same residue argument as the embedding twin).
   *  - everything else: 40 globally-unique tokens (noise — singleton
   *    buckets). Embedding twin: noise-dominated jitter of the original
   *    (sibling cosine far below threshold, so the true pair set stays
@@ -25,7 +30,7 @@ import org.apache.spark.sql.functions._
   *    ANSWER, which no engine can make linear).
   *
   * Usage: runMain graft.DocFixture [srcDir] [outDir] [nRepDocs] [nRepEmb]
-  * Defaults give 5000×300 = 1.5M docs and 2000×250 = 500k vectors.
+  * Defaults give 5000×300 = 1.5M docs and 2000×100 = 200k vectors.
   */
 object DocFixture {
   val template: String =
@@ -55,10 +60,10 @@ object DocFixture {
       .withColumn("rep", explode(lit((0 until nRep).toArray)))
       .withColumn("gid", col("doc_id") * nRep + col("rep"))
       .withColumn("text",
-        when(col("gid") % 8 === 0,
+        when(col("rep") === 0, col("text"))
+        .when(col("gid") % 8 === 0,
           concat(lit(template + " u"), col("gid")))
-        .when(col("rep") === 0, col("text"))
-        .when(col("rep") === 1 && col("doc_id") % 20 === 0,
+        .when(col("rep") === 1 && col("doc_id") % 20 === 5,
           concat(col("text"), lit(" nd"), col("gid")))
         .otherwise(concat_ws(" ",
           transform(sequence(lit(0), lit(39)),
@@ -72,10 +77,12 @@ object DocFixture {
       .withColumn("rep", explode(lit((0 until nRepEmb).toArray)))
       .withColumn("gid", col("vec_id") * nRepEmb + col("rep"))
       .withColumn("embedding",
-        when(col("gid") % 8 === 0,
+        // rep == 0 first for the same original-preservation reason as the
+        // documents side (even-family rep-0 gids are ≡ 0 mod 8)
+        when(col("rep") === 0, col("embedding"))
+        .when(col("gid") % 8 === 0,
           expr("transform(sequence(0, size(embedding) - 1), " +
             "i -> cast(sin(i) as float))"))
-        .when(col("rep") === 0, col("embedding"))
         // reps 1 AND 2 of every (20k+5)th family are tiny jitters of the
         // same original — a bounded set of TRUE high-cosine pairs
         // (cos ≈ 0.999 to each other) that the capped LSH must still find

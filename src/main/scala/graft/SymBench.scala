@@ -80,7 +80,11 @@ object SymBench {
               None
           }
         }
-        if (ts.nonEmpty) Some(n -> ts.min) else None
+        // a query that failed on ANY rep is excluded from timings even if
+        // another rep succeeded — a min over a partially-failed set is not
+        // a trustworthy number, and reporting it under both `runs` and
+        // `failed` made the record contradict itself
+        if (ts.nonEmpty && !failedHere.contains(n)) Some(n -> ts.min) else None
       }
       spark.stop()
       (cpus, times, failedHere.sorted)

@@ -182,7 +182,11 @@ object Dedup {
   def lshClusters(docs: DataFrame, idCol: String, toksCol: String,
                   shingleN: Int, k: Int, bands: Int,
                   maxBucket: Int = Int.MaxValue): DataFrame = {
+    // persisted: consumed by the bucket-stats aggregate AND the edge join —
+    // without this the k·|shingles| md5 signature work (the dominant
+    // per-doc cost) runs twice
     val br = lshBandRows(docs, idCol, toksCol, shingleN, k, bands)
+      .persist(graft.Conf.storageLevel)
     val stats = br.groupBy("bucket")
       .agg(min(col("id")).as("min_id"), count(lit(1)).as("n"))
       .where(col("n") > 1 && col("n") <= maxBucket)

@@ -542,6 +542,15 @@ object Scan {
     * very first), with full-precision longs (an affine double state would
     * corrupt ns epochs > 2^53). One shuffle, two passes over its files;
     * requires non-null UNIQUE integral order keys (asserted).
+    *
+    * `allowDupOrderKeys` skips the uniqueness assertion for callers whose
+    * OUTPUT is invariant under any permutation of equal-key rows — true
+    * exactly when every value `out` reads from `prevRow` is an order-key
+    * column (equal-key rows then agree on everything observable, so the
+    * ambiguous within-block order cannot leak into results, including
+    * across a block-loss recompute). Integrity/diagnostic scans use this:
+    * duplicate trade ids are the corruption they exist to REPORT, not a
+    * precondition violation to crash on.
     */
   private[graft] def withPrevRow(
       df: DataFrame,
@@ -549,7 +558,8 @@ object Scan {
       out: (Row, Row) => Any,
       outName: String,
       outType: DataType,
-      numParts: Int = 0): DataFrame = {
+      numParts: Int = 0,
+      allowDupOrderKeys: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val parts =
       if (numParts > 0) numParts
@@ -559,7 +569,7 @@ object Scan {
     val layout = pinnedLayoutRdd(df, orderCols, parts)
     val noStates = (_: Row, _: Row) => Array.empty[Affine]
     val summaries = phaseASummaries(layout, keyIdxs, 0, noStates,
-      assertUnique = true, outName, orderCols)
+      assertUnique = !allowDupOrderKeys, outName, orderCols)
     val (_, prevLastSeq, _) =
       foldIncoming(summaries, 0, noStates, Array.empty)
     val outSchema = StructType(df.schema.fields :+ StructField(outName, outType))

@@ -208,7 +208,11 @@ object Weights {
               if (st1(1) != 1.0 || st1(2) == 0.0) 0.0
               else {
                 val lr = math.log(r.getDouble(priceIdx) / st1(2))
-                if (lr.isNaN) 0.0 else lr / conc
+                // isInfinite too: a zero-price CURRENT print gives
+                // log(0) = -Inf (not NaN) and would poison every later
+                // cum_r; Spark-side log() yields NULL there, guarded the
+                // same way on the keyed branch
+                if (lr.isNaN || lr.isInfinite) 0.0 else lr / conc
               }
             Array(Scan.Affine(1.0, u), Scan.Affine(1.0, rInc))
           }

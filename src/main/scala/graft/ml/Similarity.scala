@@ -484,7 +484,10 @@ object Similarity {
     val spark = emb.sparkSession
     import spark.implicits._
     val planes = hyperplanes(nPlanes, vecDim(emb, vecCol))
+    // persisted: bucket stats + star join both consume it — without this
+    // the nPlanes dot products per vector run twice
     val br = lshBandRows(emb, idCol, vecCol, planes, bandBits)
+      .persist(graft.Conf.storageLevel)
     val stats = br.groupBy("band", "bk")
       .agg(min(col("id")).as("min_id"), count(lit(1)).as("n"))
       .where(col("n") > 1 && col("n") <= maxBucket)

@@ -167,10 +167,10 @@ object LabelQueries {
       val c0 = 1.0 - slope * totalU
       val sumBase = c0 * fin1(1) + slope * fin2(0)
       val normFactor = fin1(2) / sumBase
-      val clipFloor = if (lastWeight < 0) 0.0 else Double.NegativeInfinity
+      // no clip: the require above already rejects lastWeight < 0 (the only
+      // case where decay could go negative and need flooring at 0)
       val decayed = scanned
-        .withColumn("time_decay",
-          greatest(lit(clipFloor), lit(c0) + lit(slope) * col("__cum")))
+        .withColumn("time_decay", lit(c0) + lit(slope) * col("__cum"))
         .withColumn("base_norm",
           col("av") * col("time_decay") * lit(normFactor))
         .drop("__cum")

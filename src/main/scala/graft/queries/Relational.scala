@@ -104,7 +104,11 @@ object Relational {
     // .01% bad-row rate is still millions of rows. The oracle extracts by
     // regex so the gate doesn't depend on DuckDB's json extension.
     "q6_json_props" -> ((s, dir) => {
-      val e = Tables.table(s, dir, "events")
+      // Tables.events, NOT Tables.table: it sets the nanosAsLong conf a
+      // TIMESTAMP(NANOS)-generation events.parquet needs at schema
+      // inference — even though q6 never projects ts. Reading raw made
+      // subset runs order-dependent on whichever query set the conf first.
+      val e = Tables.events(s, dir)
       val parsed = e.select(col("event_type"),
         from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("k",

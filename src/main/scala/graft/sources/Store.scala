@@ -120,7 +120,8 @@ object Store {
         // month exactly as the window formulation (the lag rides the global
         // order; the month key comes from the current row).
         val idSide = graft.trades.Trades
-          .lagged(trades.select(col("id"), col("ts")), Seq("id"), Seq("id"))
+          .lagged(trades.select(col("id"), col("ts")), Seq("id", "ts"),
+            Seq("id"), allowDupOrderKeys = true)
           .withColumn("month", monthCol(col("ts")))
           .withColumn("__gap", col("id") - col("prev_id") - 1)
           .groupBy(col("month"))
@@ -131,7 +132,8 @@ object Store {
             sum(when(col("__gap") > 0, col("__gap")).otherwise(0L)).as("missing_ids"),
             sum(when(col("__gap") > 0, 1L).otherwise(0L)).as("discontinuities"))
         val tsSide = graft.trades.Trades
-          .lagged(trades.select(col("ts"), col("id")), Seq("ts", "id"), Seq("ts"))
+          .lagged(trades.select(col("ts"), col("id")), Seq("ts", "id"),
+            Seq("ts"), allowDupOrderKeys = true)
           .withColumn("month", monthCol(col("ts")))
           .withColumn("__tgap", col("ts") - col("prev_ts"))
           .groupBy(col("month"))

@@ -418,9 +418,13 @@ object StreamingBars {
           if (!state.hasTimedOut)
             rows.toArray.sortBy(r => (r.ts, r.id)).foreach { r => s = dirFold(s, r) }
           // finalize every bar whose close event-time the watermark passed;
-          // the rest stay open (late trades within the delay still fold in)
+          // the rest stay open (late trades within the delay still fold in).
+          // STRICT < for the same reason as [[directionalBufferedStream]]:
+          // whether an equal-to-watermark row reaches a stateful op is a
+          // boundary convention of Spark's late-row filter — finalizing
+          // strictly below is duplicate-free under either convention.
           val wmMs = state.getCurrentWatermarkMs()
-          val (done, open) = s.bars.partition { case (barTs, _) => barTs / 1000000L <= wmMs }
+          val (done, open) = s.bars.partition { case (barTs, _) => barTs / 1000000L < wmMs }
           s = s.copy(bars = open)
           state.update(s) // prev-trade handoff survives even with no open bars
           if (open.nonEmpty) {

@@ -116,13 +116,20 @@ object Trades {
     * precision). One parallel shuffle — the data-scaled stream never moves
     * through a single-partition window. Appends `prev_<c>` (null on the
     * first row) per lag column. Requires UNIQUE order keys (asserted by
-    * the pinned layout).
+    * the pinned layout) unless `allowDupOrderKeys` — then `lagCols` must
+    * be a subset of `orderCols` (required, and sufficient for the equal-
+    * key permutation-invariance contract on [[graft.features.Scan
+    * .withPrevRow]]): integrity scans lag over possibly-CORRUPT streams
+    * where duplicate ids are the finding, not a crash.
     */
   private[graft] def lagged(df: DataFrame, orderCols: Seq[String],
-                            lagCols: Seq[String]): DataFrame = {
+                            lagCols: Seq[String],
+                            allowDupOrderKeys: Boolean = false): DataFrame = {
     import graft.features.Scan
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
+    require(!allowDupOrderKeys || lagCols.forall(orderCols.contains),
+      "allowDupOrderKeys needs lagCols ⊆ orderCols (permutation invariance)")
     val idxs = lagCols.map(df.schema.fieldIndex).toArray
     val n = idxs.length
     Scan.withPrevRow(df, orderCols,
@@ -130,7 +137,8 @@ object Trades {
           if (prev == null) Row.fromSeq(Seq.fill(n)(null))
           else Row.fromSeq(idxs.toSeq.map(i => prev.getLong(i))),
         outName = "__lag",
-        outType = StructType(lagCols.map(c => StructField(s"prev_$c", LongType))))
+        outType = StructType(lagCols.map(c => StructField(s"prev_$c", LongType))),
+        allowDupOrderKeys = allowDupOrderKeys)
       .select(df.columns.toIndexedSeq.map(col) ++
         lagCols.map(c => col(s"__lag.prev_$c").as(s"prev_$c")): _*)
   }
@@ -151,7 +159,8 @@ object Trades {
           lag("id", 1).over(w).as("prev_id"),
           lag("ts", 1).over(w).as("prev_ts")): _*)
       } else
-        lagged(trades.select(col("id"), col("ts")), Seq("id"), Seq("id", "ts"))
+        lagged(trades.select(col("id"), col("ts")), Seq("id", "ts"),
+          Seq("id", "ts"), allowDupOrderKeys = true)
     withPrev
       .where(col("id") - col("prev_id") > 1)
       .select(pc ++ Seq(
@@ -171,7 +180,8 @@ object Trades {
         val w = Window.partitionBy(pc: _*).orderBy("ts", "id")
         trades.select(pc :+ col("ts") :+ lag("ts", 1).over(w).as("prev_ts"): _*)
       } else
-        lagged(trades.select(col("ts"), col("id")), Seq("ts", "id"), Seq("ts"))
+        lagged(trades.select(col("ts"), col("id")), Seq("ts", "id"), Seq("ts"),
+          allowDupOrderKeys = true)
     withPrev
       .where(col("ts") - col("prev_ts") > maxGapNs)
       .select(pc ++ Seq(col("prev_ts").as("gap_start"), col("ts").as("gap_end"),

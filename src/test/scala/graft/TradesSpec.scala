@@ -90,6 +90,23 @@ class TradesSpec extends AnyFunSuite {
     assert(tgaps(a.union(b), Seq("symbol")) == (tgaps(a, Nil) ++ tgaps(b, Nil)))
   }
 
+  test("integrity scans REPORT duplicate ids instead of crashing") {
+    // duplicate ids are the corruption an integrity scan exists to find —
+    // the pinned scan's uniqueness assertion must not fire on them
+    val d = Seq(
+      (1000000000L, 1L, 100.0, 1.0),
+      (2000000000L, 2L, 100.0, 1.0),
+      (2500000000L, 2L, 100.0, 1.0), // duplicate id, later ts
+      (3000000000L, 5L, 100.0, 1.0)  // gap 3-4
+    ).toDF("ts", "id", "price", "qty")
+    val gaps = Trades.idGaps(d).select("prev_id", "id", "missing").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gaps == Set((2L, 5L, 2L)))
+    val summ = graft.sources.Store.integritySummary(d, 10000000000L)
+      .select("rows", "missing_ids", "discontinuities").head()
+    assert((summ.getLong(0), summ.getLong(1), summ.getLong(2)) == (4L, 2L, 1L))
+  }
+
   test("keyed tick bars compose: per-symbol OHLCV equals solo runs") {
     def df(sym: Long) = (0 until 9).map { i =>
       (1000000000L * (i + 1), sym * 100 + i, 100.0 + sym * 10 + i * 0.5, 1.0, sym)
