@@ -204,8 +204,11 @@ object TimeBars {
     val based = trades
       .withColumn("bar_ts", expr(s"((ts + ${iv - 1}L) div ${iv}L) * ${iv}L"))
     val t =
+      // unkeyed θ is ONE row — the sanctioned scalar broadcast. The keyed
+      // table is one row PER KEY (unbounded in principle): no forced hint,
+      // AQE broadcasts it while measured small and shuffle-joins past that.
       if (partCols.isEmpty) based.crossJoin(broadcast(theta))
-      else based.join(broadcast(theta), partCols)
+      else based.join(theta, partCols)
     // thr is a broadcast column: grouping by it keeps it referencable inside
     // the aggregate expressions without a nested agg (same trick as the oracle)
     t.groupBy((pc :+ col("bar_ts")) :+ col("thr"): _*).agg(

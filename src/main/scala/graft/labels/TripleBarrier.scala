@@ -53,11 +53,13 @@ object TripleBarrier {
       .withColumn("eside", if (isMeta) col("eside") else lit(1))
       .withColumn("up", lit(topMult) * col("tgt"))
       .withColumn("lo", lit(-botMult) * col("tgt"))
-    // end-of-data cutoff: global scalar, or per-symbol max when partitioned
+    // end-of-data cutoff: global scalar (sanctioned 1-row broadcast), or
+    // per-symbol max when partitioned — |keys| rows, unbounded in
+    // principle, so the hint is AQE's call like every keyed dim here
     val ev = (if (partCols.isEmpty)
         ev0.crossJoin(broadcast(trades.agg(max("ts").as("__max_ts"))))
       else
-        ev0.join(broadcast(trades.groupBy(pc: _*).agg(max("ts").as("__max_ts"))),
+        ev0.join(trades.groupBy(pc: _*).agg(max("ts").as("__max_ts")),
           partCols))
       .where(col("event_ts") + vertNs <= col("__max_ts"))
       .drop("__max_ts")

