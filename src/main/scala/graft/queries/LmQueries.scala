@@ -29,6 +29,7 @@ object LmQueries {
   private val pplHead = 30.0
   private val pplTail = 30.5
   private val dsirSource = "src0" // DSIR target domain
+  private val pplSalt = "ppl1"    // held-out sample gate for ppl_buckets_sampled
 
   private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.documents(s, dir)
@@ -64,6 +65,34 @@ object LmQueries {
           when(col("ppl") <= pplHead, "head")
             .when(col("ppl") <= pplTail, "middle")
             .otherwise("tail").as("bucket"))
+    }),
+
+    // CCNet's PRODUCTION threshold derivation: the perplexity cuts come
+    // from a held-out sample's order statistics, not fixed constants. A
+    // deterministic hash-gated 1/16 sample (bounded by rate — production
+    // uses a fixed held-out shard) yields tertile thresholds as ACTUAL
+    // sample values (k-th smallest by (ppl, doc_id) via sort-limit-max:
+    // no window, no corpus collect, discrete — so both engines select
+    // bit-identical cuts and the boundary compare is exact); bucketing
+    // the full corpus is then a pure map against two scalars.
+    "ppl_buckets_sampled" -> ((s, dir) => {
+      val d = withToks(docs(s, dir))
+      val scored = LangModel.bigramScore(d, d, "doc_id", "toks", lmK)
+        .select(col("doc_id"), r6(col("ppl")).as("ppl"))
+        .persist(graft.Conf.storageLevel)
+      val sample = scored
+        .where(graft.ml.Sampling.hash32(col("doc_id"), pplSalt) % 16 === 0)
+      val n = sample.count()
+      def kth(k: Long): Double = sample
+        .orderBy(col("ppl").asc, col("doc_id").asc)
+        .limit(k.toInt).agg(max("ppl")).head().getDouble(0)
+      val t1 = kth(math.ceil(n / 3.0).toLong)
+      val t2 = kth(math.ceil(2.0 * n / 3.0).toLong)
+      scored.select(col("doc_id"), col("ppl"),
+        when(col("ppl") <= t1, "head")
+          .when(col("ppl") <= t2, "middle")
+          .otherwise("tail").as("bucket"),
+        lit(t1).as("t_head"), lit(t2).as("t_middle"))
     }),
 
     // DSIR importance weights toward the src0 domain: per-doc normalized
@@ -207,6 +236,37 @@ object LmQueries {
          |       WHEN ppl <= ${D(pplTail)} THEN 'middle'
          |       ELSE 'tail' END AS bucket
          |FROM pp""".stripMargin,
+
+    "ppl_buckets_sampled" ->
+      s"""WITH $toksCte,
+         |uni AS (SELECT t AS tok, CAST(count(*) AS BIGINT) AS c1
+         |        FROM (SELECT unnest(toks) AS t FROM toks) GROUP BY t),
+         |vv AS (SELECT count(*) AS v FROM uni),
+         |bg AS (SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i+1] AS bigram
+         |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+         |             FROM toks WHERE len(toks) >= 2)),
+         |bc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY bigram),
+         |sc AS (SELECT doc_id,
+         |         ln((bc.c2 + ${D(lmK)}) / (uni.c1 + ${D(lmK)} * vv.v)) AS logp
+         |       FROM bg JOIN bc USING (bigram)
+         |       JOIN uni ON uni.tok = bg.w1 CROSS JOIN vv),
+         |pp AS (SELECT doc_id, ${rd("exp(-sum(logp) / count(*))")} AS ppl
+         |       FROM sc GROUP BY doc_id),
+         |hh AS (SELECT doc_id, ppl, md5('$pplSalt:' || CAST(doc_id AS VARCHAR)) AS m
+         |       FROM pp),
+         |samp AS (SELECT doc_id, ppl,
+         |           row_number() OVER (ORDER BY ppl, doc_id) AS rn
+         |         FROM hh WHERE $hex32Sql % 16 = 0),
+         |nn AS (SELECT count(*) AS n FROM samp),
+         |th AS (SELECT
+         |    (SELECT max(ppl) FROM samp, nn WHERE rn <= ceil(n / 3.0)) AS t_head,
+         |    (SELECT max(ppl) FROM samp, nn WHERE rn <= ceil(2.0 * n / 3.0)) AS t_middle)
+         |SELECT pp.doc_id, pp.ppl,
+         |  CASE WHEN pp.ppl <= th.t_head THEN 'head'
+         |       WHEN pp.ppl <= th.t_middle THEN 'middle'
+         |       ELSE 'tail' END AS bucket,
+         |  th.t_head, th.t_middle
+         |FROM pp CROSS JOIN th""".stripMargin,
 
     "dsir_weights" ->
       s"""WITH $toksCte,
