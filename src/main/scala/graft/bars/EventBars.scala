@@ -112,14 +112,11 @@ object EventBars {
     val out = StructType(schema.fields :+
       StructField("bar_id", LongType) :+ StructField("bar_closed", BooleanType))
     laid.mapPartitions { it =>
-      keyRuns(it, keyIdxs).flatMap(g => kernel(g, qtyIdx, priceIdx).map {
+      Scan.keyRuns(it, keyIdxs).flatMap(g => kernel(g, qtyIdx, priceIdx).map {
         case (r, id, closed) => Row.fromSeq(r.toSeq :+ id :+ closed)
       })
     }(Encoders.row(out)).toDF()
   }
-
-  private def keyRuns(it: Iterator[Row], keyIdxs: Seq[Int]) =
-    Scan.keyRuns(it, keyIdxs)
 
   /** Drop the unassigned first trade and the trailing partial bar (a bar is
     * complete iff its close fired), then aggregate — parity with the
@@ -155,7 +152,7 @@ object EventBars {
     laid.mapPartitions { it =>
       // state (cusum sums, prev price/sigma) resets at every key run —
       // log-returns and thresholds must not leak across symbols
-      keyRuns(it, keyIdxs).flatMap { run =>
+      Scan.keyRuns(it, keyIdxs).flatMap { run =>
         val rows = run.buffered
         var sPos = 0.0
         var sNeg = 0.0

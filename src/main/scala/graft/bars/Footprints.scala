@@ -35,7 +35,7 @@ object Footprints {
     val iv = intervalSec * 1000000000L
     val barKeys = partCols :+ "bar_ts"
     val fp = tradesWithSide
-      .withColumn("bar_ts", expr(s"((ts + ${iv - 1}L) div ${iv}L) * ${iv}L"))
+      .withColumn("bar_ts", TimeBars.barTs(iv))
       .withColumn("level", round(col("price") / tickSize).cast("int"))
       .groupBy((barKeys :+ "level").map(col): _*)
       .agg(

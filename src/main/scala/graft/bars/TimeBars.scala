@@ -80,19 +80,32 @@ object TimeBars {
       col("high"), col("low"), col("close"), col("volume"), col("trades"),
       col("median_trade_size"), col("vwap"))
     val agg = ohlcvTwoPass(
-        trades.withColumn("bar_ts", expr(s"((ts + ${iv - 1}L) div ${iv}L) * ${iv}L")),
+        trades.withColumn("bar_ts", barTs(iv)),
         partCols :+ "bar_ts")
       .select(outCols: _*)
     if (!fillEmpty) agg
     else {
-      // per-key grid of all bar closes in (floor(min/iv)*iv, ceil(max/iv)*iv]
+      // Per-key grid of all bar closes in (floor(min/iv)*iv, ceil(max/iv)*iv].
+      // The floor+1 lower bound is DELIBERATE, not a ceil typo: the
+      // reference drops the leading open (base.py:101-129 exposes closes
+      // minus the first boundary), so a first trade falling EXACTLY on a
+      // grid point is the open boundary and belongs to no emitted bar —
+      // the grid join then discards the bar the agg built for it, exactly
+      // matching the reference. Knife-edge guard: when ALL of a key's
+      // trades sit at that one on-grid timestamp, lo > hi and the key
+      // emits zero bars (reference: closes = [open] ⇒ no bars) instead of
+      // sequence() throwing on descending bounds.
       val grid = trades
         .groupBy(pc: _*)
         .agg(min("ts").as("mn"), max("ts").as("mx"))
-        .select(pc :+ explode(sequence(
-          expr(s"((mn div ${iv}L) + 1) * ${iv}L"),
-          expr(s"((mx + ${iv - 1}L) div ${iv}L) * ${iv}L"),
-          lit(iv))).as("bar_ts"): _*)
+        .select(pc :+ explode(expr(
+          s"""CASE WHEN ((mn div ${iv}L) + 1) * ${iv}L
+             |       <= ((mx + ${iv - 1}L) div ${iv}L) * ${iv}L
+             |  THEN sequence(((mn div ${iv}L) + 1) * ${iv}L,
+             |                ((mx + ${iv - 1}L) div ${iv}L) * ${iv}L,
+             |                ${iv}L)
+             |  ELSE CAST(array() AS array<bigint>) END""".stripMargin))
+          .as("bar_ts"): _*)
       val joined = grid.join(agg, partCols :+ "bar_ts", "left")
       val filled =
         if (partCols.nonEmpty) {
@@ -150,7 +163,7 @@ object TimeBars {
     // with partCols every window/group is per-symbol (shuffle-parallel)
     val global = Window.partitionBy(partCols.map(col): _*).orderBy("ts", "id")
     val t = tradesWithSide
-      .withColumn("bar_ts", expr(s"((ts + ${iv - 1}L) div ${iv}L) * ${iv}L"))
+      .withColumn("bar_ts", barTs(iv))
       .withColumn("__flip", col("side") =!= lag("side", 1).over(global))
       .withColumn("__spread", when(col("__flip"), abs(col("price") - lag("price", 1).over(global))))
       .withColumn("__signed_tick", when(col("side") === 1, 1).when(col("side") === -1, -1).otherwise(0))
@@ -202,7 +215,7 @@ object TimeBars {
     val pc = partCols.map(col)
     val theta = trades.groupBy(pc: _*).agg((avg("qty") * lit(thetaMult)).as("thr"))
     val based = trades
-      .withColumn("bar_ts", expr(s"((ts + ${iv - 1}L) div ${iv}L) * ${iv}L"))
+      .withColumn("bar_ts", barTs(iv))
     val t =
       // unkeyed θ is ONE row — the sanctioned scalar broadcast. The keyed
       // table is one row PER KEY (unbounded in principle): no forced hint,
@@ -251,7 +264,7 @@ object TimeBars {
     val grp = (partCols :+ "rs_ts").map(col)
     val src0 = bars
       .where(col("trades") > 0) // resample over non-empty source bars
-      .withColumn("rs_ts", expr(s"((bar_ts + ${iv - 1}L) div ${iv}L) * ${iv}L"))
+      .withColumn("rs_ts", barTs(iv, col("bar_ts")))
     val src = maxTs.fold(src0)(m => src0.where(col("rs_ts") <= m))
     val wOrd = Window.partitionBy(grp: _*)
       .orderBy(col("median_trade_size").asc, col("bar_ts").asc)

@@ -195,7 +195,11 @@ object Dedup {
       .where(col("id") =!= col("min_id"))
       .select(col("min_id").as("id_a"), col("id").as("id_b"))
       .distinct()
-    connectedComponents(edges)
+    // connectedComponents materializes its own persisted edge union and
+    // localCheckpoints the labels, so the band rows are dead weight after it
+    val comp = connectedComponents(edges)
+    br.unpersist(blocking = false)
+    comp
   }
 
   /** Exact n-gram Jaccard for candidate pairs: join the (distinct) shingle

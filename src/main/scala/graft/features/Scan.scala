@@ -132,10 +132,10 @@ object Scan {
     *                boundary handoff, see `prevFields`)
     * @param init    initial state vector
     * @param emit    output value from (stateAfterUpdate, row)
-    * @param prevDependent if true, coefficients depend on the previous row
-    *                (e.g. Δt decay) — the first row of each partition is
-    *                excluded from the phase-A summary and replayed on the
-    *                driver with the true neighbor
+    *                (coefficients MAY depend on the previous row, e.g. Δt
+    *                decay: each partition's first row is always excluded
+    *                from the phase-A summary and replayed on the driver
+    *                with its true neighbor — there is no opt-out flag)
     * @param numParts scan partitions; <= 0 (default) derives from the input
     *                (max of cluster parallelism and input partitions) so the
     *                scan widens with data instead of pinning 32

@@ -18,9 +18,13 @@ import org.apache.spark.sql.functions._
   *
   * Semantics preserved: barriers in log-return space multiplied by event
   * side; path is (t0, t0+vert] start-exclusive end-inclusive; rows closer
-  * than minClose are skipped entirely; label = sign(ret) with 0 → +1, or
-  * meta-label ret >= minRet; events whose vertical barrier passes the end of
-  * data are dropped (label/kit.py:262-269).
+  * than minClose are walk-skipped but still anchor the vertical touch (an
+  * event whose EVERY in-window trade is inside minClose emits ret 0 /
+  * label 1 / weight 0 at the last in-window print — tbm.py:111-113); label
+  * = sign(ret) with 0 → +1, or meta-label ret >= minRet. Dropped events,
+  * matching the reference: vertical barrier past the end of data
+  * (label/kit.py:262-269), and zero trades in (t0, t0+vert] (the kernel's
+  * t1_idx <= t0_idx warning-skip, tbm.py:97-100).
   */
 object TripleBarrier {
 
@@ -84,12 +88,21 @@ object TripleBarrier {
     // so neither side is provably broadcastable at 100 TB — the bucketed
     // equi-join stays AQE's choice (broadcast when one side is measured
     // small, co-partitioned shuffle otherwise).
+    // min-close rows stay IN the path but are ineligible (flag, not
+    // filter): the reference kernel `continue`s them during the walk yet
+    // still counts them toward the vertical-touch index — an event whose
+    // every in-window trade sits inside min_close_time is EMITTED with
+    // ret 0 / label 1 / weight 0 at the last in-window print
+    // (tbm.py:111-113: skipped rows never update ret), not dropped.
+    // Filtering them out of the join (the old shape) made such events
+    // vanish. With the default minClose = 0 every row is eligible and
+    // the constant folds away.
     val path = evb.join(t, "__b" +: partCols)
       .where(
         col("__t_ts") > col("event_ts") &&
-        col("__t_ts") <= col("event_ts") + vertNs &&
-        col("__t_ts") - col("event_ts") >= minCloseNs)
+        col("__t_ts") <= col("event_ts") + vertNs)
       .drop("__b")
+      .withColumn("__elig", col("__t_ts") - col("event_ts") >= minCloseNs)
       .withColumn("ret", (log(col("__t_price")) - log(col("p0"))) * col("eside"))
       .withColumnRenamed("__t_ts", "ts")
       .withColumnRenamed("__t_id", "id")
@@ -103,14 +116,18 @@ object TripleBarrier {
     //    vertical touch (tbm.py:146-156), where the walk covered the whole
     //    path — so full-path maxima are exact, and horizontal touches take
     //    weight 1.0 regardless.
-    val breach = col("ret") >= col("up") || col("ret") <= col("lo")
+    val breach = col("__elig") &&
+      (col("ret") >= col("up") || col("ret") <= col("lo"))
     val p1 = path
       .groupBy((partCols ++ Seq("event_id", "event_ts", "p0", "tgt", "eside", "up", "lo")).map(col): _*)
       .agg(
         min(when(breach, col("ts"))).as("touch0"),
         max(col("ts")).as("vert_ts"),
-        coalesce(max(when(col("ret") > 0, col("ret") / col("up"))), lit(0.0)).as("max_urbr"),
-        coalesce(max(when(col("ret") < 0, col("ret") / col("lo"))), lit(0.0)).as("max_lrbr"))
+        sum(when(col("__elig"), 1L).otherwise(0L)).as("n_elig"),
+        coalesce(max(when(col("__elig") && col("ret") > 0,
+          col("ret") / col("up"))), lit(0.0)).as("max_urbr"),
+        coalesce(max(when(col("__elig") && col("ret") < 0,
+          col("ret") / col("lo"))), lit(0.0)).as("max_lrbr"))
       .withColumn("touch_ts", coalesce(col("touch0"), col("vert_ts")))
       // p1 feeds BOTH pass 2 and the final join; without the persist the
       // whole path join + aggregation runs twice. The frame is one row per
@@ -155,7 +172,11 @@ object TripleBarrier {
 
     val p2 = p1.join(touch, partCols :+ "event_id")
       .withColumn("ret_touch",
-        when(col("touch0").isNotNull, col("ret_breach")).otherwise(col("ret_vert")))
+        // all-ineligible path: the reference walk never computes a return
+        // (every row `continue`d) — ret stays 0.0 at the vertical touch
+        when(col("n_elig") === 0, lit(0.0))
+          .when(col("touch0").isNotNull, col("ret_breach"))
+          .otherwise(col("ret_vert")))
 
     val isVertical = col("touch0").isNull
     val rawLabel =

@@ -506,7 +506,11 @@ object Similarity {
       .toDF("id_a", "id_b", "cos")
       .where(col("cos") >= threshold)
       .select("id_a", "id_b")
-    graft.dedup.Dedup.connectedComponents(verified)
+    // CC materializes its persisted edge union + checkpointed labels — the
+    // band rows are dead weight after it
+    val comp = graft.dedup.Dedup.connectedComponents(verified)
+    br.unpersist(blocking = false)
+    comp
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup over

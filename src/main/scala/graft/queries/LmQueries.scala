@@ -83,6 +83,8 @@ object LmQueries {
       val sample = scored
         .where(graft.ml.Sampling.hash32(col("doc_id"), pplSalt) % 16 === 0)
       val n = sample.count()
+      require(n > 0, "ppl_buckets_sampled: empty held-out sample — " +
+        "lower the gate modulus or raise the corpus size")
       def kth(k: Long): Double = sample
         .orderBy(col("ppl").asc, col("doc_id").asc)
         .limit(k.toInt).agg(max("ppl")).head().getDouble(0)

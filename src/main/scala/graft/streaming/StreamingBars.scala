@@ -37,7 +37,7 @@ object StreamingBars {
                   watermarkDelay: Option[String] = Some("1 minute")): DataFrame = {
     val iv = intervalSec * 1000000000L
     val based = trades
-      .withColumn("bar_ts", expr(s"((ts + ${iv - 1}L) div ${iv}L) * ${iv}L"))
+      .withColumn("bar_ts", graft.bars.TimeBars.barTs(iv))
       .withColumn("event_time",
         timestamp_micros((col("bar_ts") / 1000L).cast("long")))
     val marked = watermarkDelay.fold(based)(d => based.withWatermark("event_time", d))
@@ -67,7 +67,7 @@ object StreamingBars {
                         watermarkDelay: Option[String] = Some("1 minute")): DataFrame = {
     val iv = intervalSec * 1000000000L
     val based = tradesWithSide
-      .withColumn("bar_ts", expr(s"((ts + ${iv - 1}L) div ${iv}L) * ${iv}L"))
+      .withColumn("bar_ts", graft.bars.TimeBars.barTs(iv))
       .withColumn("event_time",
         timestamp_micros((col("bar_ts") / 1000L).cast("long")))
     val marked = watermarkDelay.fold(based)(d => based.withWatermark("event_time", d))
@@ -97,7 +97,7 @@ object StreamingBars {
                       watermarkDelay: Option[String] = Some("1 minute")): DataFrame = {
     val iv = intervalSec * 1000000000L
     val based = tradesWithSide
-      .withColumn("bar_ts", expr(s"((ts + ${iv - 1}L) div ${iv}L) * ${iv}L"))
+      .withColumn("bar_ts", graft.bars.TimeBars.barTs(iv))
       .withColumn("level", round(col("price") / tickSize).cast("int"))
       .withColumn("event_time",
         timestamp_micros((col("bar_ts") / 1000L).cast("long")))
@@ -136,7 +136,7 @@ object StreamingBars {
     import trades.sparkSession.implicits._
     val iv = intervalSec * 1000000000L
     val based = trades
-      .withColumn("bar_ts", expr(s"((ts + ${iv - 1}L) div ${iv}L) * ${iv}L"))
+      .withColumn("bar_ts", graft.bars.TimeBars.barTs(iv))
       .withColumn("event_time",
         timestamp_micros((col("bar_ts") / 1000L).cast("long")))
       .withWatermark("event_time", watermarkDelay)
@@ -404,7 +404,7 @@ object StreamingBars {
     import trades.sparkSession.implicits._
     val iv = intervalSec * 1000000000L
     val based = trades
-      .withColumn("bar_ts", expr(s"((ts + ${iv - 1}L) div ${iv}L) * ${iv}L"))
+      .withColumn("bar_ts", graft.bars.TimeBars.barTs(iv))
       .withColumn("event_time",
         timestamp_micros((col("bar_ts") / 1000L).cast("long")))
       .withWatermark("event_time", watermarkDelay)
@@ -462,7 +462,7 @@ object StreamingBars {
     import trades.sparkSession.implicits._
     val iv = intervalSec * 1000000000L
     val based = trades
-      .withColumn("bar_ts", expr(s"((ts + ${iv - 1}L) div ${iv}L) * ${iv}L"))
+      .withColumn("bar_ts", graft.bars.TimeBars.barTs(iv))
       .withColumn("event_time",
         timestamp_micros((col("bar_ts") / 1000L).cast("long")))
       .withWatermark("event_time", watermarkDelay)
@@ -597,7 +597,7 @@ object StreamingBars {
     import trades.sparkSession.implicits._
     val iv = intervalSec * 1000000000L
     val based = trades
-      .withColumn("bar_ts", expr(s"((ts + ${iv - 1}L) div ${iv}L) * ${iv}L"))
+      .withColumn("bar_ts", graft.bars.TimeBars.barTs(iv))
       .withColumn("event_time",
         timestamp_micros((col("bar_ts") / 1000L).cast("long")))
       .withWatermark("event_time", watermarkDelay)

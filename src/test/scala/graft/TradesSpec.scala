@@ -107,6 +107,55 @@ class TradesSpec extends AnyFunSuite {
     assert((summ.getLong(0), summ.getLong(1), summ.getLong(2)) == (4L, 2L, 1L))
   }
 
+  test("fill grid on-grid first trade: leading open dropped, no crash") {
+    // first trade EXACTLY on the bar grid is the reference's leading open
+    // (base.py:101-129) — it belongs to no emitted bar; the fill grid must
+    // start one interval later and the agg's bar for it must be discarded
+    val d = Seq(
+      (60000000000L, 1L, 100.0, 1.0),  // exactly on the 60 s grid
+      (70000000000L, 2L, 101.0, 2.0),
+      (250000000000L, 3L, 102.0, 1.0)
+    ).toDF("ts", "id", "price", "qty")
+    val bars = graft.bars.TimeBars.ohlcv(d, 60).select("bar_ts", "close", "trades")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).sortBy(_._1)
+    assert(bars.map(_._1).toSeq ==
+      Seq(120000000000L, 180000000000L, 240000000000L, 300000000000L))
+    assert(bars.head == ((120000000000L, 101.0, 1L))) // only the 70 s trade
+    assert(bars(1) == ((180000000000L, 101.0, 0L)))   // empty, carries close
+    // degenerate: ALL trades at one on-grid ts -> zero bars, not a
+    // sequence(lo > hi) crash
+    val one = Seq((60000000000L, 1L, 100.0, 1.0)).toDF("ts", "id", "price", "qty")
+    assert(graft.bars.TimeBars.ohlcv(one, 60).count() == 0L)
+  }
+
+  test("TBM min-close: an all-ineligible path emits ret 0 / label 1 / weight 0") {
+    // reference tbm.py:111-113 `continue`s min-close rows without updating
+    // ret — an event whose every in-window trade sits inside min_close_time
+    // is EMITTED at the last in-window print, not dropped
+    val t = Seq(
+      (0L, 0L, 100.0, 1.0),             // event trade
+      (5000000000L, 1L, 150.0, 1.0),    // inside min-close (10 s)
+      (8000000000L, 2L, 50.0, 1.0),     // inside min-close
+      (200000000000L, 3L, 100.0, 1.0)   // beyond the 60 s vertical barrier
+    ).toDF("ts", "id", "price", "qty")
+    val ev = Seq((0L, 0L, 100.0, 0.05, 1)).toDF(
+      "event_ts", "event_id", "p0", "tgt", "eside")
+    val out = graft.labels.TripleBarrier.label(t, ev, 2.0, 1.5,
+        vertBarrierSec = 60.0, minCloseSec = 10.0)
+      .select("event_id", "label", "touch_ts", "ret", "vertical_touch_weight")
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 0L && r.getInt(1) == 1)
+    assert(r.getLong(2) == 8000000000L) // last in-window print
+    assert(r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0)
+    // sanity: with minClose = 0 the same event breaches at the 150 print
+    val out0 = graft.labels.TripleBarrier.label(t, ev, 2.0, 1.5,
+        vertBarrierSec = 60.0)
+      .select("label", "touch_ts").head()
+    assert(out0.getInt(0) == 1 && out0.getLong(1) == 5000000000L)
+  }
+
   test("keyed tick bars compose: per-symbol OHLCV equals solo runs") {
     def df(sym: Long) = (0 until 9).map { i =>
       (1000000000L * (i + 1), sym * 100 + i, 100.0 + sym * 10 + i * 0.5, 1.0, sym)
