@@ -117,7 +117,7 @@ object Sampling {
             // ((budgetFrac · N) · wnorm) / n, then round-half-up
             val rate = math.min(1.0, budgetFrac * total * (w / wsum) / n)
             when(col(domainCol).cast("string") === k,
-              lit(math.round(rate * 4294967296.0))).otherwise(acc)
+              lit(threshold(rate))).otherwise(acc)
           case None => acc
         }
       }

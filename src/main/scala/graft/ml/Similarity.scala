@@ -182,7 +182,12 @@ object Similarity {
     val spark = emb.sparkSession
     import spark.implicits._
     val planes = hyperplanes(nPlanes, vecDim(emb, vecCol))
-    val bands0 = lshBandRows(emb, idCol, vecCol, planes, bandBits).toDF("id", "band", "bk")
+    // persisted: the bucket-size filter and BOTH sides of the candidate
+    // self-join consume the band rows, and the verify joins read the
+    // normalized vectors twice — without the persists the O(n·nPlanes·dim)
+    // signature/normalization pass re-runs per consumer
+    val bands0 = lshBandRows(emb, idCol, vecCol, planes, bandBits)
+      .toDF("id", "band", "bk").persist(graft.Conf.storageLevel)
     val bands =
       if (maxBucket == Int.MaxValue) bands0
       else bands0.join(
@@ -194,7 +199,7 @@ object Similarity {
         Seq("band", "bk"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val nv = unitVecs(emb, idCol, vecCol)
+    val nv = unitVecs(emb, idCol, vecCol).persist(graft.Conf.storageLevel)
     cand
       .join(nv.toDF("id_a", "va"), "id_a")
       .join(nv.toDF("id_b", "vb"), "id_b")
@@ -203,6 +208,22 @@ object Similarity {
       .map { case (a, b, va, vb) => (a, b, dotArr(va, vb)) }
       .toDF("id_a", "id_b", "cos")
       .where(col("cos") >= threshold)
+  }
+
+  /** Corpus-side cell assignment hot loop: allocation-free linear argmax
+    * over the codebook (lowest cell id on ties — the same rule as the
+    * probe-side sort), instead of a per-row boxed sortBy.
+    */
+  private def bestCell(cs: Array[(Long, Array[Double])], v: Array[Double]): Long = {
+    var best = 0L; var bestD = Double.NegativeInfinity; var c = 0
+    while (c < cs.length) {
+      val d = dotArr(v, cs(c)._2)
+      if (d > bestD || (d == bestD && cs(c)._1 < best)) {
+        bestD = d; best = cs(c)._1
+      }
+      c += 1
+    }
+    best
   }
 
   /** Embedding dimensionality observed on the first row. */
@@ -289,7 +310,7 @@ object Similarity {
     def nearestCells(cs: Array[(Long, Array[Double])], n: Int, v: Array[Double]) =
       cs.map { case (cid, cvec) => (cid, dotArr(v, cvec)) }
         .sortBy { case (cid, d) => (-d, cid) }.take(n).map(_._1)
-    val assigned = cv.map { case (id, v) => (nearestCells(bc.value, 1, v).head, id, v) }
+    val assigned = cv.map { case (id, v) => (bestCell(bc.value, v), id, v) }
       .toDF("cell", "neighbor_id", "nv")
     // queries collected ONCE: probes derive driver-side, the vector map broadcasts
     val qArr = unitVecs(queries, idCol, vecCol).collect()

@@ -113,8 +113,16 @@ object Multimodal {
       val channels = if (p(1) == '6'.toByte) 3 else 1
       val bps = if (vals(2) < 256) 1L else 2L
       val need = vals(0).toLong * vals(1).toLong * channels * bps
-      if ((p.length.toLong - rasterOff) >= need)
-        Some(PnmHeader(vals(0), vals(1), vals(2), channels, rasterOff))
+      // Windows-text-mode tolerance: a "\r\n" maxval terminator would leave
+      // the '\n' as the first raster byte and shift every pixel by one —
+      // skip it when the remaining payload still covers the raster
+      val off =
+        if (rasterOff < p.length && p(rasterOff - 1) == '\r'.toByte &&
+            p(rasterOff) == '\n'.toByte &&
+            (p.length.toLong - (rasterOff + 1)) >= need) rasterOff + 1
+        else rasterOff
+      if ((p.length.toLong - off) >= need)
+        Some(PnmHeader(vals(0), vals(1), vals(2), channels, off))
       else None
     } else None
   }
@@ -182,11 +190,7 @@ object Multimodal {
       it.map { m =>
         val n = m.payload.length.toLong
         val (width, height) = parseDims(m.payload)
-          .orElse(imageIODims(m.payload)).getOrElse {
-          // deterministic pseudo-decode fallback (oracle-mirrored)
-          (64 + ((n * 131L + m.doc_id) % 193L).toInt,
-            64 + ((n * 37L + m.doc_id * 7L) % 157L).toInt)
-        }
+          .orElse(imageIODims(m.payload)).getOrElse(pseudoDims(n, m.doc_id))
         digest.reset()
         DecodedMedia(m.doc_id, m.media_type, n, width, height,
           digest.digest(m.payload).map("%02x".format(_)).mkString)
@@ -305,13 +309,7 @@ object Multimodal {
         val n = m.payload.length.toLong
         decodeRaster(m.payload) match {
           case Some((w, h, px)) =>
-            val scale =
-              if (math.max(w, h) <= maxSide) 1.0
-              else maxSide.toDouble / math.max(w, h)
-            // real raster output needs >= 1px per side even at degenerate
-            // aspect ratios (metadata-only resizePlan reports the raw floor)
-            val ow = math.max(1, math.floor(w * scale).toInt)
-            val oh = math.max(1, math.floor(h * scale).toInt)
+            val (ow, oh) = fitBox(w, h, maxSide)
             val out = if (ow == w && oh == h) px
                       else bilinearResize(px, w, h, ow, oh)
             val rgb = new Array[Byte](out.length * 3)
@@ -327,17 +325,34 @@ object Multimodal {
               ow, oh, decoded = true, Some(pmd5))
           case None =>
             val (w, h) = parseDims(m.payload).orElse(imageIODims(m.payload))
-              .getOrElse((64 + ((n * 131L + m.doc_id) % 193L).toInt,
-                64 + ((n * 37L + m.doc_id * 7L) % 157L).toInt))
-            val scale =
-              if (math.max(w, h) <= maxSide) 1.0
-              else maxSide.toDouble / math.max(w, h)
+              .getOrElse(pseudoDims(n, m.doc_id))
+            val (ow, oh) = fitBox(w, h, maxSide)
             ResizedMedia(m.doc_id, m.media_type, n, w, h, hex(m.payload),
-              math.floor(w * scale).toInt, math.floor(h * scale).toInt,
-              decoded = false, None)
+              ow, oh, decoded = false, None)
         }
       }
     }(Encoders.product[ResizedMedia])
+
+  /** Aspect-preserving fit into a maxSide box: the LONG side lands EXACTLY
+    * on maxSide — the former floor(side · (maxSide/long)) FP-rounded below
+    * it for many sizes (7·(3/7) = 2.999…, floor → 2) — and the short side
+    * floors side·maxSide/long: integer-exact operands, one IEEE division,
+    * so every engine computes the identical result.
+    */
+  /** Deterministic pseudo-decode fallback dims — ORACLE-MIRRORED (the
+    * DuckDB mm_* gates replay this exact formula): one definition so the
+    * decode and resize paths can never drift apart.
+    */
+  private[multimodal] def pseudoDims(nBytes: Long, docId: Long): (Int, Int) =
+    (64 + ((nBytes * 131L + docId) % 193L).toInt,
+      64 + ((nBytes * 37L + docId * 7L) % 157L).toInt)
+
+  private[multimodal] def fitBox(w: Int, h: Int, maxSide: Int): (Int, Int) =
+    if (math.max(w, h) <= maxSide) (w, h)
+    else if (w >= h)
+      (maxSide, math.max(1, math.floor(h.toDouble * maxSide / w).toInt))
+    else
+      (math.max(1, math.floor(w.toDouble * maxSide / h).toInt), maxSide)
 
   /** Resize metadata stage (header-only decode downstream): target box
     * scaling with aspect preservation — pure arithmetic on the decoded
@@ -346,9 +361,14 @@ object Multimodal {
     */
   def resizePlan(decoded: Dataset[DecodedMedia], maxSide: Int): DataFrame =
     decoded.toDF()
-      .withColumn("scale",
-        when(greatest(col("width"), col("height")) <= maxSide, lit(1.0))
-          .otherwise(lit(maxSide) / greatest(col("width"), col("height")).cast("double")))
-      .withColumn("out_width", floor(col("width") * col("scale")).cast("int"))
-      .withColumn("out_height", floor(col("height") * col("scale")).cast("int"))
+      .withColumn("out_width",
+        when(greatest(col("width"), col("height")) <= maxSide, col("width"))
+          .when(col("width") >= col("height"), lit(maxSide))
+          .otherwise(greatest(lit(1), floor(
+            col("width").cast("double") * maxSide / col("height"))).cast("int")))
+      .withColumn("out_height",
+        when(greatest(col("width"), col("height")) <= maxSide, col("height"))
+          .when(col("height") > col("width"), lit(maxSide))
+          .otherwise(greatest(lit(1), floor(
+            col("height").cast("double") * maxSide / col("width"))).cast("int")))
 }

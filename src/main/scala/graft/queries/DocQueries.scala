@@ -1083,16 +1083,18 @@ object DocQueries {
         |         CAST(64 + (octet_length(encode(text)) * 37 + doc_id * 7) % 157 AS INT) AS height,
         |         md5(text) AS checksum
         |  FROM documents
-        |), sc AS (
-        |  SELECT *, CASE WHEN greatest(width, height) <= 128 THEN 1.0e0
-        |                 ELSE 128.0e0 / greatest(width, height) END AS scale
-        |  FROM d
         |)
         |SELECT doc_id, media_type, n_bytes, width, height, checksum,
-        |       CAST(floor(width * scale) AS INT) AS out_width,
-        |       CAST(floor(height * scale) AS INT) AS out_height,
+        |       CASE WHEN greatest(width, height) <= 128 THEN width
+        |            WHEN width >= height THEN 128
+        |            ELSE greatest(1, CAST(floor(CAST(width AS DOUBLE) * 128 / height) AS INT))
+        |       END AS out_width,
+        |       CASE WHEN greatest(width, height) <= 128 THEN height
+        |            WHEN height > width THEN 128
+        |            ELSE greatest(1, CAST(floor(CAST(height AS DOUBLE) * 128 / width) AS INT))
+        |       END AS out_height,
         |       FALSE AS decoded,
         |       CAST(NULL AS VARCHAR) AS pixel_md5
-        |FROM sc""".stripMargin
+        |FROM d""".stripMargin
   )
 }

@@ -27,16 +27,22 @@ import org.apache.spark.sql.functions._
   */
 object Store {
 
-  /** `month` partition value (UTC yyyy-MM) from the canonical ns-long ts. */
-  def monthCol(ts: Column): Column =
-    date_format(timestamp_micros((ts / 1000L).cast("long")), "yyyy-MM")
+  /** `month` partition value (UTC yyyy-MM) from the canonical ns-long ts.
+    * Integer `div`, NOT `/`: Column `/` is double division, and ns epochs
+    * (~1.7e18, ulp 256) round a boundary-adjacent ts into the WRONG month
+    * — a row written to month M that readRange's exact-arithmetic month
+    * predicate then prunes away. All-long arithmetic, same rule as
+    * TimeBars.barTs.
+    */
+  def monthCol(tsName: String): Column =
+    expr(s"date_format(timestamp_micros($tsName div 1000L), 'yyyy-MM')")
 
   /** Partitioned write, the `save_h5` equivalent. `mode` follows the
     * reference's overwrite/append (data_model.py:441); dynamic partition
     * overwrite only rewrites the months present in `df`.
     */
   def saveMonthly(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
-    df.withColumn("month", monthCol(col("ts")))
+    df.withColumn("month", monthCol("ts"))
       .repartition(col("month"))
       .write
       .partitionBy("month")
@@ -66,7 +72,7 @@ object Store {
     */
   def monthlyStats(trades: DataFrame): DataFrame =
     trades
-      .withColumn("month", monthCol(col("ts")))
+      .withColumn("month", monthCol("ts"))
       .groupBy("month")
       .agg(
         count(lit(1)).as("rows"),
@@ -101,7 +107,7 @@ object Store {
         val wid = Window.partitionBy(pc: _*).orderBy("id")
         val wts = Window.partitionBy(pc: _*).orderBy("ts", "id")
         trades
-          .withColumn("month", monthCol(col("ts")))
+          .withColumn("month", monthCol("ts"))
           .withColumn("__gap", col("id") - lag("id", 1).over(wid) - 1)
           .withColumn("__tgap", col("ts") - lag("ts", 1).over(wts))
           .groupBy((partCols :+ "month").map(col): _*)
@@ -122,7 +128,7 @@ object Store {
         val idSide = graft.trades.Trades
           .lagged(trades.select(col("id"), col("ts")), Seq("id", "ts"),
             Seq("id"), allowDupOrderKeys = true)
-          .withColumn("month", monthCol(col("ts")))
+          .withColumn("month", monthCol("ts"))
           .withColumn("__gap", col("id") - col("prev_id") - 1)
           .groupBy(col("month"))
           .agg(
@@ -134,7 +140,7 @@ object Store {
         val tsSide = graft.trades.Trades
           .lagged(trades.select(col("ts"), col("id")), Seq("ts", "id"),
             Seq("ts"), allowDupOrderKeys = true)
-          .withColumn("month", monthCol(col("ts")))
+          .withColumn("month", monthCol("ts"))
           .withColumn("__tgap", col("ts") - col("prev_ts"))
           .groupBy(col("month"))
           .agg(
@@ -239,7 +245,7 @@ object Store {
                       intervalSec: Long, mode: String = "overwrite"): Unit = {
     val trades = spark.read.parquet(tradesPath).drop("month")
     val bars = graft.bars.TimeBars.ohlcv(trades, intervalSec)
-    bars.withColumn("month", monthCol(col("bar_ts")))
+    bars.withColumn("month", monthCol("bar_ts"))
       .repartition(col("month"))
       .write.partitionBy("month").mode(mode)
       .option("compression", "zstd")

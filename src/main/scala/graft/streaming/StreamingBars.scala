@@ -24,6 +24,22 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingBars {
 
+  /** Shared stateful-stream preamble: assign the bar close and its µs
+    * event-time, optionally watermarked. The `/ 1000L` double division is
+    * EXACT here because bar_ts is second-aligned — k·10⁹ ns is divisible
+    * by 2⁹, so the long is exactly representable as a double and the µs
+    * quotient fits 2⁵³ (the general ns→µs case would need integer div,
+    * see Store.monthCol).
+    */
+  private def withBarEventTime(df: DataFrame, intervalNs: Long,
+                               watermarkDelay: Option[String]): DataFrame = {
+    val based = df
+      .withColumn("bar_ts", TimeBars.barTs(intervalNs))
+      .withColumn("event_time",
+        timestamp_micros((col("bar_ts") / 1000L).cast("long")))
+    watermarkDelay.fold(based)(d => based.withWatermark("event_time", d))
+  }
+
   /** Streaming OHLCV time bars as a declarative windowed aggregation.
     * `event_time` (µs timestamp of the bar close) carries the watermark;
     * bars finalize `watermarkDelay` after their close in append mode, or
@@ -36,11 +52,7 @@ object StreamingBars {
   def ohlcvStream(trades: DataFrame, intervalSec: Long,
                   watermarkDelay: Option[String] = Some("1 minute")): DataFrame = {
     val iv = intervalSec * 1000000000L
-    val based = trades
-      .withColumn("bar_ts", graft.bars.TimeBars.barTs(iv))
-      .withColumn("event_time",
-        timestamp_micros((col("bar_ts") / 1000L).cast("long")))
-    val marked = watermarkDelay.fold(based)(d => based.withWatermark("event_time", d))
+    val marked = withBarEventTime(trades, iv, watermarkDelay)
     marked
       .groupBy(col("event_time"), col("bar_ts"))
       .agg(
@@ -66,11 +78,7 @@ object StreamingBars {
   def directionalStream(tradesWithSide: DataFrame, intervalSec: Long,
                         watermarkDelay: Option[String] = Some("1 minute")): DataFrame = {
     val iv = intervalSec * 1000000000L
-    val based = tradesWithSide
-      .withColumn("bar_ts", graft.bars.TimeBars.barTs(iv))
-      .withColumn("event_time",
-        timestamp_micros((col("bar_ts") / 1000L).cast("long")))
-    val marked = watermarkDelay.fold(based)(d => based.withWatermark("event_time", d))
+    val marked = withBarEventTime(tradesWithSide, iv, watermarkDelay)
     val isBuy = col("side") === 1
     val isSell = col("side") === -1
     marked
@@ -96,12 +104,9 @@ object StreamingBars {
                       tickSize: Double,
                       watermarkDelay: Option[String] = Some("1 minute")): DataFrame = {
     val iv = intervalSec * 1000000000L
-    val based = tradesWithSide
-      .withColumn("bar_ts", graft.bars.TimeBars.barTs(iv))
-      .withColumn("level", round(col("price") / tickSize).cast("int"))
-      .withColumn("event_time",
-        timestamp_micros((col("bar_ts") / 1000L).cast("long")))
-    val marked = watermarkDelay.fold(based)(d => based.withWatermark("event_time", d))
+    val marked = withBarEventTime(
+      tradesWithSide.withColumn("level", round(col("price") / tickSize).cast("int")),
+      iv, watermarkDelay)
     marked
       .groupBy(col("event_time"), col("bar_ts"), col("level"))
       .agg(
@@ -135,11 +140,7 @@ object StreamingBars {
                        watermarkDelay: String = "1 minute"): Dataset[BarOut] = {
     import trades.sparkSession.implicits._
     val iv = intervalSec * 1000000000L
-    val based = trades
-      .withColumn("bar_ts", graft.bars.TimeBars.barTs(iv))
-      .withColumn("event_time",
-        timestamp_micros((col("bar_ts") / 1000L).cast("long")))
-      .withWatermark("event_time", watermarkDelay)
+    val based = withBarEventTime(trades.toDF(), iv, Some(watermarkDelay))
       .as[TradeBar]
     based
       .groupByKey(_.bar_ts)
@@ -403,11 +404,7 @@ object StreamingBars {
                              watermarkDelay: String = "1 minute"): Dataset[DirBarOut] = {
     import trades.sparkSession.implicits._
     val iv = intervalSec * 1000000000L
-    val based = trades
-      .withColumn("bar_ts", graft.bars.TimeBars.barTs(iv))
-      .withColumn("event_time",
-        timestamp_micros((col("bar_ts") / 1000L).cast("long")))
-      .withWatermark("event_time", watermarkDelay)
+    val based = withBarEventTime(trades.toDF(), iv, Some(watermarkDelay))
       .as[SidedSymBar]
     based
       .groupByKey(_.symbol)
@@ -461,11 +458,7 @@ object StreamingBars {
                                 watermarkDelay: String = "1 minute"): Dataset[DirBarOut] = {
     import trades.sparkSession.implicits._
     val iv = intervalSec * 1000000000L
-    val based = trades
-      .withColumn("bar_ts", graft.bars.TimeBars.barTs(iv))
-      .withColumn("event_time",
-        timestamp_micros((col("bar_ts") / 1000L).cast("long")))
-      .withWatermark("event_time", watermarkDelay)
+    val based = withBarEventTime(trades.toDF(), iv, Some(watermarkDelay))
       .as[SidedSymBar]
     based
       .groupByKey(_.symbol)
@@ -596,11 +589,7 @@ object StreamingBars {
                              watermarkDelay: String = "1 minute"): Dataset[FpSummaryOut] = {
     import trades.sparkSession.implicits._
     val iv = intervalSec * 1000000000L
-    val based = trades
-      .withColumn("bar_ts", graft.bars.TimeBars.barTs(iv))
-      .withColumn("event_time",
-        timestamp_micros((col("bar_ts") / 1000L).cast("long")))
-      .withWatermark("event_time", watermarkDelay)
+    val based = withBarEventTime(trades.toDF(), iv, Some(watermarkDelay))
       .as[SidedSymBar]
     based
       .groupByKey(_.bar_ts)

@@ -91,9 +91,9 @@ object LangModel {
   }
 
   /** (id, term, tf, df, tfidf) with smooth idf (sklearn's formulation):
-    * idf = ln((1+N)/(1+df)) + 1. `nDocs` should count ALL documents of the
-    * corpus frame (including empty ones), which the caller knows without
-    * another pass — pass `d.count()` or a cheaper known total.
+    * idf = ln((1+N)/(1+df)) + 1. N counts ALL documents of the corpus
+    * frame (including empty ones) via a 1-row broadcast aggregate — no
+    * caller-supplied total needed.
     */
   def tfidf(d: DataFrame, idCol: String, toksCol: String): DataFrame = {
     val tf = d.select(col(idCol), explode(col(toksCol)).as("term"))
@@ -193,31 +193,33 @@ object LangModel {
       .persist(graft.Conf.storageLevel)
     // model-bound (vocab × classes) — persisted so tot / vocab / the
     // scoring join don't each re-aggregate the doc-term layout
-    val ct = docTf.groupBy(col("__lab").as("label"), col("term"))
+    // the class dimension is named __cls internally so a labelCol named
+    // "label" — the most natural name — can't collide in the crossJoin
+    val ct = docTf.groupBy(col("__lab").as("__cls"), col("term"))
       .agg(sum(col("tf")).as("c"))
       .persist(graft.Conf.storageLevel)
-    val tot = ct.groupBy("label").agg(sum("c").as("tot"))
+    val tot = ct.groupBy("__cls").agg(sum("c").as("tot"))
     val vocab = ct.select("term").distinct().agg(count(lit(1)).as("__v"))
     val n = d.agg(count(lit(1)).as("__n"))
-    val meta = d.groupBy(col(labelCol).as("label")).agg(count(lit(1)).as("nd"))
-      .crossJoin(broadcast(n)).join(tot, Seq("label"))
+    val meta = d.groupBy(col(labelCol).as("__cls")).agg(count(lit(1)).as("nd"))
+      .crossJoin(broadcast(n)).join(tot, Seq("__cls"))
       .crossJoin(broadcast(vocab))
-      .select(col("label"),
+      .select(col("__cls"),
         log(col("nd") / col("__n")).as("log_prior"),
         log(lit(1.0) / (col("tot") + col("__v"))).as("logp_miss"))
     val adj = docTf.drop("__lab").join(ct, Seq("term"))
-      .groupBy(col(idCol), col("label"))
+      .groupBy(col(idCol), col("__cls"))
       .agg(sum(col("tf") * log(col("c") + 1.0)).as("adj"))
     val scores = d.select(col(idCol), col(labelCol), size(col(toksCol)).as("len"))
       .crossJoin(broadcast(meta))
-      .join(adj, Seq(idCol, "label"), "left")
+      .join(adj, Seq(idCol, "__cls"), "left")
       .withColumn("score", quantize(col("log_prior") +
         col("len") * col("logp_miss") + coalesce(col("adj"), lit(0.0))))
     scores
       .withColumn("__rn", row_number().over(Window.partitionBy(col(idCol))
-        .orderBy(col("score").desc, col("label").asc)))
+        .orderBy(col("score").desc, col("__cls").asc)))
       .where(col("__rn") === 1)
-      .select(col(idCol), col(labelCol), col("label").as("pred_label"),
+      .select(col(idCol), col(labelCol), col("__cls").as("pred_label"),
         col("score"))
   }
 

@@ -30,6 +30,16 @@ class StoreSpec extends AnyFunSuite {
     }.toDF("ts", "id", "price", "qty", "symbol")
   }
 
+  test("monthCol: ns one below a month boundary stays in the earlier month") {
+    // double division would round 1706745599999999999 ns (ulp 256 at 1.7e18)
+    // up to the 2024-02-01 boundary and misbucket the row into month=2024-02
+    val boundaryNs = 1706745600000000000L // 2024-02-01T00:00:00Z
+    val d = Seq(boundaryNs - 1, boundaryNs).toDF("ts")
+      .select(col("ts"), graft.sources.Store.monthCol("ts").as("month"))
+      .orderBy("ts").collect().map(_.getString(1))
+    assert(d.toSeq == Seq("2024-01", "2024-02"))
+  }
+
   test("monthly save/read round-trip preserves rows exactly") {
     val dir = Files.createTempDirectory("store").toString
     val t = tradesDf
