@@ -25,12 +25,20 @@ sealed trait FSpec
 
 object FSpec {
   case class FCol(col: String) extends FSpec
-  case class FConst(v: Double) extends FSpec
+  case class FConst(v: Double) extends FSpec {
+    // NaN/Infinity serialize as bare invalid-JSON tokens — same rule FCall
+    // enforces for its numeric params; reject at construction so toJson
+    // output always round-trips
+    require(!v.isNaN && !v.isInfinite, s"FConst must be finite, got $v")
+  }
   /** abs / log / log1p / sqrt / neg */
   case class FUnary(op: String, x: FSpec) extends FSpec
   /** add / sub / mul / div / min / max */
   case class FBinary(op: String, a: FSpec, b: FSpec) extends FSpec
-  case class FClip(x: FSpec, lo: Double, hi: Double) extends FSpec
+  case class FClip(x: FSpec, lo: Double, hi: Double) extends FSpec {
+    require(!lo.isNaN && !lo.isInfinite && !hi.isNaN && !hi.isInfinite,
+      s"FClip bounds must be finite, got [$lo, $hi]")
+  }
   case class FLag(x: FSpec, n: Int) extends FSpec
   /** n-period return, simple or log */
   case class FRet(x: FSpec, n: Int, isLog: Boolean) extends FSpec

@@ -197,6 +197,13 @@ object Ewm {
   /** Truncated-window EWMA as a pure Column expression: a K-row collected
     * frame folded with weights q^(K−1−i). Matches the exact recursion to
     * ~q^K relative error (q^400 ≈ 4e-18 for span 20).
+    *
+    * NULL semantics caveat: collect_list drops nulls, so a null inside
+    * the frame re-indexes the weights over the SURVIVORS — pandas
+    * `ignore_na=True` — whereas [[ewma]]'s exact scan implements
+    * `ignore_na=False` (a null row still decays the sums). The two agree
+    * exactly on null-free input (every gate); feed null-bearing series
+    * through the exact scan when the distinction matters.
     */
   def ewmaWindowed(c: Column, span: Int, k: Int = 400,
                    p: Seq[String] = Nil): Column = {

@@ -71,7 +71,11 @@ object Features {
     val m =
       if (n % 2 == 1) element_at(arr, (n + 1) / 2)
       else (element_at(arr, n / 2) + element_at(arr, n / 2 + 1)) / 2
-    full(n, m, p)
+    // guard on size(arr), not the row count: collect_list drops nulls, so
+    // a null inside an otherwise-full frame would leave element_at
+    // indexing past the array — an ANSI INVALID_ARRAY_INDEX crash instead
+    // of the null a partial window should emit
+    when(size(arr) === n, m)
   }
 
   /** `BurstRatio` x / rolling-median (core/utils.py:92-108) */

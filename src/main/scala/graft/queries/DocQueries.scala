@@ -499,13 +499,6 @@ object DocQueries {
   // DuckDB oracles
   // ---------------------------------------------------------------------
 
-  /** lower-cased whitespace tokens CTE over documents. */
-  private val toksCte =
-    """toks AS (
-      |  SELECT doc_id, text,
-      |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
-      |  FROM documents
-      |)""".stripMargin
 
   /** distinct word-3-gram shingles CTE (mirrors TextOps.shingles). */
   private val shCte =
@@ -547,12 +540,6 @@ object DocQueries {
   private def inList(words: Seq[String]) =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
-  /** full 32-bit value of the md5 hex prefix in column `m` — mirror of
-    * Sampling.hash32 (needs `m` in scope).
-    */
-  private val hex32Sql: String = (1 to 8).map { i =>
-    s"(instr('0123456789abcdef', substr(m, $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}"
-  }.mkString("(", " + ", ")")
 
   // raw (unrounded) quality sub-expressions, shared by the text_quality
   // oracle and the corpus_clean pipeline filter (needs toks in scope)

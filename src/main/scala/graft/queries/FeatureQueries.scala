@@ -272,14 +272,25 @@ object FeatureQueries {
     "f_returnt_rate_sym" -> ((s, dir) => {
       val t = Trades.fromEvents(Tables.events(s, dir))
       val dayNs = 86400L * 1000000000L
+      // equal-(symbol, ts) prints reduce FIRST to the max-id price (the
+      // reference's searchsorted-right pick, and what the unkeyed scan's
+      // (ts, ord, id) marker order yields) — the as-of value becomes a
+      // pure function of (symbol, ts), so last() over the range frame has
+      // no tie ambiguity on any engine
+      val red = t.groupBy("symbol", "ts")
+        .agg(max_by(col("price"), col("id")).as("__p_last"),
+          count(lit(1)).as("__cnt"))
       val wAsOf = Window.partitionBy("symbol").orderBy("ts")
         .rangeBetween(Window.unboundedPreceding, -dayNs)
       val wRate = Window.partitionBy("symbol").orderBy("ts")
         .rangeBetween(-dayNs, 0)
+      val mark = red
+        .withColumn("lag_price", last("__p_last", ignoreNulls = true).over(wAsOf))
+        .withColumn("rate_1d", sum("__cnt").over(wRate).cast("double"))
+        .select(col("symbol"), col("ts"), col("lag_price"), col("rate_1d"))
       t.select(col("symbol"), col("ts"), col("id"), col("price"))
-        .withColumn("lag_price", last("price", ignoreNulls = true).over(wAsOf))
+        .join(mark, Seq("symbol", "ts"))
         .withColumn("returnt_1d", when(col("lag_price") > 0, col("price") / col("lag_price") - 1))
-        .withColumn("rate_1d", count(lit(1)).over(wRate).cast("double"))
         .select(col("symbol"), col("ts"), col("id"),
           r6(col("returnt_1d")).as("returnt_1d"), r6(col("rate_1d")).as("rate_1d"))
     })
@@ -559,28 +570,43 @@ object FeatureQueries {
          |  round(dur_ewma20, 6) AS dur_ewma20
          |FROM d LEFT JOIN e2 USING (bar_ts)""".stripMargin),
 
+    // as-of oracles reduce equal-ts prints to the max-id price FIRST (the
+    // searchsorted-right pick), so last_value over the range frame never
+    // depends on DuckDB's physical tie order among equal-ts rows
     "f_returnt_rate" ->
-      s"""WITH $tradesCte
-         |SELECT ts, id,
-         |  round(CASE WHEN lag_price > 0 THEN price / lag_price - 1 END, 6) AS returnt_1h,
-         |  round(CAST(count(*) OVER (ORDER BY ts RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS rate_1h
-         |FROM (
-         |  SELECT ts, id, price,
-         |    last_value(price) OVER (ORDER BY ts RANGE BETWEEN UNBOUNDED PRECEDING AND 3600000000000 PRECEDING) AS lag_price
-         |  FROM trades
-         |)""".stripMargin,
+      s"""WITH $tradesCte,
+         |red AS (
+         |  SELECT ts, max_by(price, id) AS p_last, count(*) AS cnt
+         |  FROM trades GROUP BY ts
+         |), mark AS (
+         |  SELECT ts,
+         |    last_value(p_last) OVER (ORDER BY ts
+         |      RANGE BETWEEN UNBOUNDED PRECEDING AND 3600000000000 PRECEDING) AS lag_price,
+         |    CAST(sum(cnt) OVER (ORDER BY ts
+         |      RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rate_1h
+         |  FROM red
+         |)
+         |SELECT t.ts, t.id,
+         |  round(CASE WHEN m.lag_price > 0 THEN t.price / m.lag_price - 1 END, 6) AS returnt_1h,
+         |  round(m.rate_1h, 6) AS rate_1h
+         |FROM trades t JOIN mark m ON m.ts = t.ts""".stripMargin,
 
     "f_returnt_rate_sym" ->
-      s"""WITH $tradesCte
-         |SELECT symbol, ts, id,
-         |  round(CASE WHEN lag_price > 0 THEN price / lag_price - 1 END, 6) AS returnt_1d,
-         |  round(CAST(count(*) OVER (PARTITION BY symbol ORDER BY ts
-         |    RANGE BETWEEN 86400000000000 PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS rate_1d
-         |FROM (
-         |  SELECT symbol, ts, id, price,
-         |    last_value(price) OVER (PARTITION BY symbol ORDER BY ts
-         |      RANGE BETWEEN UNBOUNDED PRECEDING AND 86400000000000 PRECEDING) AS lag_price
-         |  FROM trades
-         |)""".stripMargin
+      s"""WITH $tradesCte,
+         |red AS (
+         |  SELECT symbol, ts, max_by(price, id) AS p_last, count(*) AS cnt
+         |  FROM trades GROUP BY symbol, ts
+         |), mark AS (
+         |  SELECT symbol, ts,
+         |    last_value(p_last) OVER (PARTITION BY symbol ORDER BY ts
+         |      RANGE BETWEEN UNBOUNDED PRECEDING AND 86400000000000 PRECEDING) AS lag_price,
+         |    CAST(sum(cnt) OVER (PARTITION BY symbol ORDER BY ts
+         |      RANGE BETWEEN 86400000000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rate_1d
+         |  FROM red
+         |)
+         |SELECT t.symbol, t.ts, t.id,
+         |  round(CASE WHEN m.lag_price > 0 THEN t.price / m.lag_price - 1 END, 6) AS returnt_1d,
+         |  round(m.rate_1d, 6) AS rate_1d
+         |FROM trades t JOIN mark m ON m.symbol = t.symbol AND m.ts = t.ts""".stripMargin
   )
 }

@@ -165,17 +165,7 @@ object FootprintQueries {
     */
   private val symIv = 86400L * 1000000000L
   private val symFpCte: String =
-    s"""sided AS (
-       |  SELECT ts, id, price, qty, symbol,
-       |         coalesce(last_value(tick IGNORE NULLS) OVER (
-       |           PARTITION BY symbol ORDER BY ts, id
-       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS side
-       |  FROM (
-       |    SELECT *, CASE WHEN abs(dp) > 1e-12 THEN CAST(sign(dp) AS INT) END AS tick
-       |    FROM (SELECT *, price - lag(price) OVER (PARTITION BY symbol ORDER BY ts, id) AS dp
-       |          FROM trades)
-       |  )
-       |),
+    s"""$symSidedCte,
        |fp AS (
        |  SELECT symbol, ((ts + ${symIv - 1}) // $symIv) * $symIv AS bar_ts,
        |         CAST(round(price / ${D(tick)}) AS INT) AS level,

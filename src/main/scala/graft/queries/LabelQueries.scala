@@ -431,7 +431,7 @@ object LabelQueries {
          |  SELECT *,
          |    1.0 - (${D(0.5)} / tot) * tot + (${D(0.5)} / tot) * cum AS time_decay
          |  FROM (
-         |    SELECT *, sum(avg_uniqueness) OVER (ORDER BY event_ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    SELECT *, sum(avg_uniqueness) OVER (ORDER BY event_ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
          |           sum(avg_uniqueness) OVER () AS tot
          |    FROM ew
          |  )

@@ -155,16 +155,7 @@ object LmQueries {
   // DuckDB oracles
   // ---------------------------------------------------------------------
 
-  private val toksCte =
-    """toks AS (
-      |  SELECT doc_id, text,
-      |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
-      |  FROM documents
-      |)""".stripMargin
 
-  private val hex32Sql: String = (1 to 8).map { i =>
-    s"(instr('0123456789abcdef', substr(m, $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}"
-  }.mkString("(", " + ", ")")
 
   /** One BPE iteration: pair counts over v{i-1} → argmax b{i} → merged
     * vocabulary v{i}. The fold encodes the symbol list as a chr(1)-joined

@@ -44,6 +44,25 @@ object Q {
     * Mirrors graft.trades.Trades.fromEvents exactly: ns epoch longs, price =
     * value, qty synthesized from the id.
     */
+  /** lower-cased whitespace tokens CTE over documents — ORACLE MIRROR of
+    * TextOps.wsTokens. ONE definition: the doc/LM/pipeline oracle files all
+    * tokenize through this, so the mirror can never drift per file.
+    */
+  val toksCte: String =
+    """toks AS (
+      |  SELECT doc_id, text,
+      |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
+      |  FROM documents
+      |)""".stripMargin
+
+  /** full 32-bit value of the md5 hex prefix in column `m` — ORACLE MIRROR
+    * of Sampling.hash32 (needs `m` in scope); one definition for the same
+    * no-drift reason as [[toksCte]].
+    */
+  val hex32Sql: String = (1 to 8).map { i =>
+    s"(instr('0123456789abcdef', substr(m, $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}"
+  }.mkString("(", " + ", ")")
+
   val tradesCte: String =
     """trades AS (
       |  SELECT epoch_ns(ts) AS ts, event_id AS id, value AS price,
@@ -61,6 +80,23 @@ object Q {
       |  FROM (
       |    SELECT *, CASE WHEN abs(dp) > 1e-12 THEN CAST(sign(dp) AS INT) END AS tick
       |    FROM (SELECT *, price - lag(price) OVER (ORDER BY ts, id) AS dp FROM trades)
+      |  )
+      |)""".stripMargin
+
+
+  /** symbol-keyed twin of [[sidedCte]] — the per-symbol tick rule. ONE
+    * definition for every *_sym gate that mirrors
+    * Trades.withTickRuleSide(partCols): an epsilon or tie-break fix lands
+    * in all of them at once.
+    */
+  val symSidedCte: String =
+    """sided AS (
+      |  SELECT ts, id, price, qty, symbol,
+      |         coalesce(last_value(tick IGNORE NULLS) OVER (
+      |           PARTITION BY symbol ORDER BY ts, id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS side
+      |  FROM (
+      |    SELECT *, CASE WHEN abs(dp) > 1e-12 THEN CAST(sign(dp) AS INT) END AS tick
+      |    FROM (SELECT *, price - lag(price) OVER (PARTITION BY symbol ORDER BY ts, id) AS dp FROM trades)
       |  )
       |)""".stripMargin
 

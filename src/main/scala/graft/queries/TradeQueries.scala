@@ -420,15 +420,7 @@ object TradeQueries {
 
     "trades_split_merge_sym" ->
       s"""WITH $tradesCte,
-         |sided AS (
-         |  SELECT ts, id, price, qty, symbol,
-         |         coalesce(last_value(tick IGNORE NULLS) OVER (
-         |           PARTITION BY symbol ORDER BY ts, id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS side
-         |  FROM (
-         |    SELECT *, CASE WHEN abs(dp) > 1e-12 THEN CAST(sign(dp) AS INT) END AS tick
-         |    FROM (SELECT *, price - lag(price) OVER (PARTITION BY symbol ORDER BY ts, id) AS dp FROM trades)
-         |  )
-         |)
+         |$symSidedCte
          |SELECT symbol, ts, ${rd("price")} AS price, side, ${rd("sum(qty)")} AS qty,
          |       min(id) AS id, CAST(count(*) AS BIGINT) AS merged
          |FROM sided GROUP BY symbol, ts, price, side""".stripMargin,
@@ -514,15 +506,7 @@ object TradeQueries {
     "time_bars_directional_sym" -> {
       val iv = 86400L * 1000000000L
       s"""WITH $tradesCte,
-         |sided AS (
-         |  SELECT ts, id, price, qty, symbol,
-         |         coalesce(last_value(tick IGNORE NULLS) OVER (
-         |           PARTITION BY symbol ORDER BY ts, id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS side
-         |  FROM (
-         |    SELECT *, CASE WHEN abs(dp) > 1e-12 THEN CAST(sign(dp) AS INT) END AS tick
-         |    FROM (SELECT *, price - lag(price) OVER (PARTITION BY symbol ORDER BY ts, id) AS dp FROM trades)
-         |  )
-         |),
+         |$symSidedCte,
          |flagged AS (
          |  SELECT *,
          |    ((ts + ${iv - 1}) // $iv) * $iv AS bar_ts,
