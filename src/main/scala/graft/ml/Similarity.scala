@@ -215,7 +215,10 @@ object Similarity {
     * probe-side sort), instead of a per-row boxed sortBy.
     */
   private def bestCell(cs: Array[(Long, Array[Double])], v: Array[Double]): Long = {
-    var best = 0L; var bestD = Double.NegativeInfinity; var c = 0
+    // seed from the first real cell (not a sentinel): an all-NaN dot row
+    // would otherwise fail every comparison and return cell id 0, which
+    // need not be a codebook cell id
+    var best = cs(0)._1; var bestD = dotArr(v, cs(0)._2); var c = 1
     while (c < cs.length) {
       val d = dotArr(v, cs(c)._2)
       if (d > bestD || (d == bestD && cs(c)._1 < best)) {

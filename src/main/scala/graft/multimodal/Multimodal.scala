@@ -333,12 +333,6 @@ object Multimodal {
       }
     }(Encoders.product[ResizedMedia])
 
-  /** Aspect-preserving fit into a maxSide box: the LONG side lands EXACTLY
-    * on maxSide — the former floor(side · (maxSide/long)) FP-rounded below
-    * it for many sizes (7·(3/7) = 2.999…, floor → 2) — and the short side
-    * floors side·maxSide/long: integer-exact operands, one IEEE division,
-    * so every engine computes the identical result.
-    */
   /** Deterministic pseudo-decode fallback dims — ORACLE-MIRRORED (the
     * DuckDB mm_* gates replay this exact formula): one definition so the
     * decode and resize paths can never drift apart.
@@ -347,6 +341,12 @@ object Multimodal {
     (64 + ((nBytes * 131L + docId) % 193L).toInt,
       64 + ((nBytes * 37L + docId * 7L) % 157L).toInt)
 
+  /** Aspect-preserving fit into a maxSide box: the LONG side lands EXACTLY
+    * on maxSide — the former floor(side · (maxSide/long)) FP-rounded below
+    * it for many sizes (7·(3/7) = 2.999…, floor → 2) — and the short side
+    * floors side·maxSide/long: integer-exact operands, one IEEE division,
+    * so every engine computes the identical result.
+    */
   private[multimodal] def fitBox(w: Int, h: Int, maxSide: Int): (Int, Int) =
     if (math.max(w, h) <= maxSide) (w, h)
     else if (w >= h)

@@ -77,6 +77,10 @@ object LmQueries {
     // the full corpus is then a pure map against two scalars.
     "ppl_buckets_sampled" -> ((s, dir) => {
       val d = withToks(docs(s, dir))
+      // persisted blocks outlive this builder on purpose: the RETURNED
+      // frame re-reads `scored` when the driver acts on it, so an eager
+      // unpersist would recompute the bigram scoring; the session's
+      // ContextCleaner reclaims the cache once the plan is unreferenced
       val scored = LangModel.bigramScore(d, d, "doc_id", "toks", lmK)
         .select(col("doc_id"), r6(col("ppl")).as("ppl"))
         .persist(graft.Conf.storageLevel)

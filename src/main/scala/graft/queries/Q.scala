@@ -40,10 +40,6 @@ object Q {
   def dsumSql(expr: String): String =
     s"CAST(sum(CAST(($expr) AS DECIMAL(18,6))) AS DOUBLE)"
 
-  /** The canonical trades CTE over the synthetic events table (DuckDB).
-    * Mirrors graft.trades.Trades.fromEvents exactly: ns epoch longs, price =
-    * value, qty synthesized from the id.
-    */
   /** lower-cased whitespace tokens CTE over documents — ORACLE MIRROR of
     * TextOps.wsTokens. ONE definition: the doc/LM/pipeline oracle files all
     * tokenize through this, so the mirror can never drift per file.
@@ -63,6 +59,10 @@ object Q {
     s"(instr('0123456789abcdef', substr(m, $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}"
   }.mkString("(", " + ", ")")
 
+  /** The canonical trades CTE over the synthetic events table (DuckDB).
+    * Mirrors graft.trades.Trades.fromEvents exactly: ns epoch longs, price =
+    * value, qty synthesized from the id.
+    */
   val tradesCte: String =
     """trades AS (
       |  SELECT epoch_ns(ts) AS ts, event_id AS id, value AS price,

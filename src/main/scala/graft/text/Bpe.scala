@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions._
   * is one map-side-combined groupBy producing the (word, freq) table, and
   * every merge iteration after that runs on a vocabulary-bound frame
   * (≤ a few million rows for web-scale corpora — pennies next to 100 TB).
-  * Each iteration is: adjacent-pair weighted count (one small shuffle) →
-  * argmax to the driver (ONE row — bounded by construction) → a pure
-  * column-expression fold applying the merge. Nothing corpus-scale moves
-  * after the vocab build.
+  * Each iteration is: re-segment under the merges-so-far (one flat native
+  * expression carrying the rank table — [[graft.functions.BpeSegmentExpr]]) →
+  * adjacent-pair weighted count (one small shuffle) → argmax to the driver
+  * (ONE row — bounded by construction). Nothing corpus-scale moves after
+  * the vocab build, and plan depth is constant in the merge count.
   */
 object Bpe {
 
@@ -61,12 +62,26 @@ object Bpe {
           .otherwise(concat(acc, array(x))))
 
   /** Segment the vocabulary under an ordered merge list: the per-word
-    * symbol array after applying every merge in training order. Chained
-    * fold expressions — fine for demo-sized merge lists; a production
-    * 30k-merge tokenizer would swap this for a broadcast merge-rank map
-    * inside one custom expression, keeping the same join-based shape.
+    * symbol array after applying every merge in training order, as ONE
+    * native expression carrying the merge-rank table as an executor-side
+    * reference object ([[graft.functions.BpeSegmentExpr]]) — plan depth
+    * and per-row cost are independent of the merge count, so a production
+    * 30k-merge tokenizer segments with the same 1-node plan as a 5-merge
+    * demo. Result-identical to chaining [[applyMerge]] folds in training
+    * order (the r6 implementation, kept as [[segmentFold]] for the
+    * PropertySpec equivalence pin).
     */
-  def segment(vocab: DataFrame, merges: Seq[Merge]): DataFrame = {
+  def segment(vocab: DataFrame, merges: Seq[Merge]): DataFrame =
+    vocab.select(col("word"),
+      graft.functions.BpeSegmentExpr
+        .bpeSegmentExpr(col("word"), merges.map(m => (m.left, m.right)))
+        .as("syms"))
+
+  /** Interpreted twin of [[segment]]: the sequential per-merge fold chain.
+    * O(merges) plan depth — test/oracle shape only; [[segment]] is the
+    * library path.
+    */
+  private[graft] def segmentFold(vocab: DataFrame, merges: Seq[Merge]): DataFrame = {
     val syms = merges.foldLeft(charSyms(col("word"))) { (c, m) =>
       applyMerge(c, m.left, m.right)
     }
@@ -98,30 +113,34 @@ object Bpe {
 
   /** Train `nMerges` merges. Ties break deterministically by (freq desc,
     * l asc, r asc). Each iteration's argmax is a ONE-row collect; the
-    * vocab frame is persisted once and the accumulated merge folds stay
-    * column expressions on top of it.
+    * vocab frame is persisted once and each iteration re-segments it
+    * under the merges-so-far via the flat [[graft.functions.BpeSegmentExpr]]
+    * rank table — per-iteration work is O(vocab · word²) row time plus one
+    * vocab-bound shuffle, with CONSTANT plan depth, so 500- or 30k-merge
+    * training analyzes the same 3-node plan every step (the r6 fold chain
+    * re-evaluated k folds at step k: O(k²·vocab) total and a growing
+    * Catalyst tree).
     */
   def train(vocab: DataFrame, nMerges: Int): Seq[Merge] = {
-    val base = vocab.withColumn("syms", charSyms(col("word")))
-      .select("freq", "syms").persist()
+    val base = vocab.select("freq", "word").persist()
     try {
-      var syms: Column = col("syms")
-      val merges = Seq.newBuilder[Merge]
+      val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
       var step = 1
       var done = false
       while (step <= nMerges && !done) {
-        val top = pairCounts(base.withColumn("syms", syms), "syms")
+        val seg = graft.functions.BpeSegmentExpr.bpeSegmentExpr(
+          col("word"), merges.toSeq.map(m => (m.left, m.right)))
+        val top = pairCounts(base.withColumn("syms", seg), "syms")
           .orderBy(col("freq").desc, col("l").asc, col("r").asc)
           .limit(1).collect()
         if (top.isEmpty) done = true
         else {
           val Row(l: String, r: String, f: Long) = top(0)
           merges += Merge(step, l, r, f)
-          syms = applyMerge(syms, l, r)
           step += 1
         }
       }
-      merges.result()
+      merges.toSeq
     } finally base.unpersist(blocking = false)
   }
 }

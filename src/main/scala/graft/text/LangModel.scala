@@ -186,6 +186,11 @@ object LangModel {
     // layout (tf already collapsed per doc, so the (label, term) shuffle
     // moves distinct doc-term rows, not raw tokens). Without the persist
     // the four consumers re-explode the corpus four times.
+    // Cache lifecycle is deliberately left to the session (same stance as
+    // TripleBarrier's p1): the returned frame is LAZY and still reads
+    // docTf/ct when the caller finally acts, so an eager unpersist here
+    // would silently recompute the explode pass; Spark's ContextCleaner
+    // reclaims the blocks once the returned plan is garbage-collected.
     val docTf = d.select(col(idCol), col(labelCol).as("__lab"),
         explode(col(toksCol)).as("term"))
       .groupBy(col(idCol), col("__lab"), col("term"))
