@@ -16,4 +16,18 @@ object Conf {
   val storageLevel: StorageLevel =
     StorageLevel.fromString(
       sys.env.getOrElse("SPARK_GRAFT_STORAGE", "MEMORY_AND_DISK"))
+
+  /** Reliable-checkpoint directory for iterative jobs (connected
+    * components). Unset (local iteration): `localCheckpoint` — fastest,
+    * but blocks live on executors, so a lost executor kills the job. Set
+    * to a fault-tolerant path (HDFS/object store) on a real cluster: each
+    * round's labels are written through [[org.apache.spark.sql.Dataset#checkpoint]]
+    * and survive executor loss — the difference between a 100 TB dedup
+    * run restarting a round and restarting from zero.
+    * A `def` reading the `spark.graft.checkpoint.dir` system property
+    * first so specs can toggle the mode in-process.
+    */
+  def checkpointDir: Option[String] =
+    sys.props.get("spark.graft.checkpoint.dir")
+      .orElse(sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR"))
 }

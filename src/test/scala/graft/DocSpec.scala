@@ -498,6 +498,26 @@ class DocSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components: reliable-checkpoint mode matches localCheckpoint results") {
+    // the cluster-durable path: labels go through Dataset.checkpoint into
+    // a fault-tolerant dir instead of executor-local blocks — results must
+    // be identical, and checkpoint files must actually land in the dir
+    val dir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+    val edges = ((1 until 40).map(i => (i.toLong, (i + 1).toLong)) ++
+      Seq((100L, 101L), (101L, 102L), (200L, 100L))).toDF("id_a", "id_b")
+    val local = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    System.setProperty("spark.graft.checkpoint.dir", dir)
+    try {
+      val reliable = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+      assert(reliable === local)
+      def files(p: java.io.File): Seq[java.io.File] =
+        Option(p.listFiles).toSeq.flatten.flatMap(f =>
+          if (f.isDirectory) files(f) else Seq(f))
+      assert(files(new java.io.File(dir)).nonEmpty,
+        "reliable mode wrote no checkpoint files")
+    } finally System.clearProperty("spark.graft.checkpoint.dir")
+  }
+
   test("repetitionStats: top/dup n-gram coverage on hand-computed docs") {
     import org.apache.spark.sql.functions._
     // "a b a b a b": 2-grams = [a b, b a, a b, b a, a b]

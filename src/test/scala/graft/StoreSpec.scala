@@ -219,4 +219,48 @@ class StoreSpec extends AnyFunSuite {
       .orderBy("rs_ts").collect().toSeq
     assert(viaStore == direct)
   }
+
+  test("stored LSH band index: delta probe reads band rows, never re-shingles base text") {
+    import graft.dedup.Dedup
+    import graft.text.TextOps
+    val dir = Files.createTempDirectory("dedupidx").toString
+    def corpus(ids: Range, tag: String): DataFrame =
+      ids.map(i => (i.toLong,
+          if (i % 3 == 0) "the quick brown fox jumps over the lazy dog again and again"
+          else s"unique $tag text number $i with some filler words here"))
+        .toDF("doc_id", "text")
+        .withColumn("toks", TextOps.wsTokens(col("text")))
+    val base = corpus(0 until 60, "base")
+    val delta = corpus(100 until 120, "base") // overlaps base's dup template
+    Dedup.writeLshIndex(base, "doc_id", "toks", shingleN = 3, k = 16,
+      bands = 8, "storespec_dedup_idx", dir + "/idx", buckets = 4)
+    try {
+      val stored = Dedup.incrementalLshPairsFrom(
+        spark.table("storespec_dedup_idx"), base, delta,
+        "doc_id", "toks", 3, 16, 8, threshold = 0.5)
+      val recomputed = Dedup.incrementalLshPairs(base, delta,
+        "doc_id", "toks", 3, 16, 8, threshold = 0.5)
+      // identical results: the index is a layout, not a semantic
+      val a = stored.orderBy("id_a", "id_b")
+        .select("id_a", "id_b", "n_common").as[(Long, Long, Long)].collect().toSeq
+      val b = recomputed.orderBy("id_a", "id_b")
+        .select("id_a", "id_b", "n_common").as[(Long, Long, Long)].collect().toSeq
+      assert(a.nonEmpty && a === b)
+      // the probe replaces the BASE side's minhash banding with a file
+      // scan of the bucketed index. The verify stage re-embeds the
+      // candidate subtree several times (pairs + both semi-join sides),
+      // so absolute Generate counts are plan-shape-dependent — assert
+      // RELATIVELY: every embedded copy drops its base-side Generate, so
+      // the stored plan must have exactly half the recompute plan's
+      // minhash sites, and the index table scan must appear.
+      def sites(df: DataFrame): Int =
+        "Generate explode\\(minhash_buckets".r
+          .findAllIn(df.queryExecution.executedPlan.toString).length
+      val plan = stored.queryExecution.executedPlan.toString
+      assert(sites(stored) * 2 === sites(recomputed) && sites(stored) > 0,
+        s"stored=${sites(stored)} recomputed=${sites(recomputed)} minhash sites:\n$plan")
+      assert(plan.contains("storespec_dedup_idx"),
+        s"probe plan does not scan the stored index:\n$plan")
+    } finally spark.sql("DROP TABLE IF EXISTS storespec_dedup_idx")
+  }
 }
