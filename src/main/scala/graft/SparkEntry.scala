@@ -21,7 +21,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TradeQueries.queries ++ FeatureQueries.queries ++
       ScanQueries.queries ++ LabelQueries.queries ++ FootprintQueries.queries ++
-      DocQueries.queries ++ PipeQueries.queries ++ LmQueries.queries
+      DocQueries.queries ++ PipeQueries.queries ++ LmQueries.queries ++
+      StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -29,5 +30,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TradeQueries.oracles ++ FeatureQueries.oracles ++
       ScanQueries.oracles ++ LabelQueries.oracles ++ FootprintQueries.oracles ++
-      DocQueries.oracles ++ PipeQueries.oracles ++ LmQueries.oracles
+      DocQueries.oracles ++ PipeQueries.oracles ++ LmQueries.oracles ++
+      StreamQueries.oracles
 }

@@ -50,6 +50,31 @@ object DocQueries {
       .select(col("query_id"),
         (col("hits") / col("n") >= floor).as("recall_ok"))
 
+  /** [[annRecallBound]] with a TIERED floor, the honest IVF contract the
+    * 200k-vector sweep certified (SYM_SCALING `ivf_sweep` line): a query
+    * whose kth-best TRUE cosine ≥ `closeCos` has genuine near neighbors —
+    * IVF probing must find them (measured recall 1.0 at every swept
+    * config, down to nprobe/nlist = 8/32), so it gets the strict
+    * `closeFloor`. A noise query's "neighbors" are ≈ uniform over cells
+    * and recall ≈ nprobe/nlist BY CONSTRUCTION — no tuning short of
+    * exhaustive probing moves it — so it keeps the baseline floor. Same
+    * single-evaluation shape: the kth cosine rides the one groupBy.
+    */
+  private def annRecallBoundTiered(brute: org.apache.spark.sql.DataFrame,
+                                   approx: org.apache.spark.sql.DataFrame,
+                                   baseFloor: Double, closeFloor: Double,
+                                   closeCos: Double): org.apache.spark.sql.DataFrame =
+    brute.select(col("query_id"), col("neighbor_id"), col("cos"))
+      .join(approx.select(col("query_id"), col("neighbor_id"), lit(1).as("__hit")),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n"), count(col("__hit")).as("hits"),
+        min("cos").as("__kth"))
+      .select(col("query_id"),
+        (col("hits") / col("n") >=
+          when(col("__kth") >= closeCos, closeFloor).otherwise(baseFloor))
+          .as("recall_ok"))
+
   /** (id, component) → full-corpus cluster rows: every doc gets a cluster
     * id (singletons keep their own), the cluster's size, and the
     * keep-first canonical flag (doc == min id of its cluster).
@@ -244,19 +269,21 @@ object DocQueries {
 
     // Production IVF: the k-means codebook (deterministic seeds + fixed
     // Lloyd rounds, so the gate is reproducible) instead of the lowest-id
-    // stub. nprobe=16 of nlist=32 — measured min per-query recall 0.4-0.6
-    // across SFs (mean ~0.87) vs the 0.2 floor; the stub row keeps covering
-    // the nprobe=8 default path.
+    // stub. nprobe=16 of nlist=32. TIERED recall floor from the r7
+    // 200k-vector sweep: close-neighbor queries (kth true cos ≥ 0.8)
+    // must recall ≥ 0.8 (measured 1.0 at every config down to 8/32);
+    // noise queries keep the 0.2 baseline (their recall is nprobe/nlist
+    // by construction — see annRecallBoundTiered).
     "ann_topk_ivf_km" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = e.where(col("vec_id") < annQueries)
       val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding",
         nlist = 32, iters = 5)
-      annRecallBound(
+      annRecallBoundTiered(
         Similarity.bruteForceTopK(q, e, "vec_id", "embedding", annK),
         Similarity.ivfTopK(q, e, "vec_id", "embedding", annK,
           nprobe = 16, centroids = cents),
-        annRecallFloor)
+        baseFloor = annRecallFloor, closeFloor = 0.8, closeCos = 0.8)
     }),
 
     // END-TO-END corpus cleaning — the training-data prep pipeline as ONE
@@ -407,6 +434,28 @@ object DocQueries {
       val base = sp.where(col("split") === "train")
       val delta = sp.where(col("split") =!= "train")
       Dedup.incrementalLshPairs(base, delta, "doc_id", "toks",
+          shingleN, minhashK, minhashBands, jaccThreshold)
+        .select(col("id_a"), col("id_b"), col("n_common"),
+          r6(col("jaccard")).as("jaccard"))
+    }),
+
+    // The STORED-INDEX twin of dedup_incremental: base band rows are
+    // materialized once as a bucketed Store table (writeLshIndex — the
+    // dedup analogue of ann_topk_ivf_store's index-as-layout), then the
+    // delta probes the TABLE. Must hash-match the recompute path exactly —
+    // it shares dedup_incremental's oracle SQL verbatim; DocSpec asserts
+    // the probe plan scans the index files, not re-shingled base text.
+    "dedup_incremental_store" -> ((s, dir) => {
+      val all = docs(s, dir).withColumn("toks", TextOps.wsTokens(col("text")))
+      val sp = Sampling.splitAssign(all, "doc_id", sampleSalt, splitFractions)
+      val base = sp.where(col("split") === "train")
+      val delta = sp.where(col("split") =!= "train")
+      val idx = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_gate_dedup_idx").getAbsolutePath
+      Dedup.writeLshIndex(base, "doc_id", "toks", shingleN, minhashK,
+        minhashBands, "graft_gate_dedup_idx", idx, buckets = 8)
+      Dedup.incrementalLshPairsFrom(s.table("graft_gate_dedup_idx"),
+          base, delta, "doc_id", "toks",
           shingleN, minhashK, minhashBands, jaccThreshold)
         .select(col("id_a"), col("id_b"), col("n_common"),
           r6(col("jaccard")).as("jaccard"))
@@ -609,6 +658,32 @@ object DocQueries {
       |)""".stripMargin
 
   private val dotSql = "list_sum(list_transform(range(1, 65), i -> a.nv[i] * b.nv[i]))"
+
+  /** Shared by `dedup_incremental` AND `dedup_incremental_store`: the
+    * stored index must reproduce the recompute path bit-for-bit, so both
+    * gates compare against literally the same oracle text.
+    */
+  private lazy val incrementalOracleSql: String =
+    s"""WITH $toksCte, $shCte, $minhashBandsCtes,
+       |hsp AS (SELECT doc_id, md5('$sampleSalt:' || CAST(doc_id AS VARCHAR)) AS m
+       |        FROM documents),
+       |spl AS (SELECT doc_id, $hex32Sql < ${math.round(0.8 * 4294967296.0)} AS is_base
+       |        FROM hsp),
+       |cand AS (
+       |  SELECT DISTINCT d.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands d
+       |  JOIN spl sd ON sd.doc_id = d.doc_id AND NOT sd.is_base
+       |  JOIN bands b ON b.band = d.band AND b.band_key = d.band_key
+       |  JOIN spl sb ON sb.doc_id = b.doc_id AND sb.is_base
+       |)
+       |SELECT id_a, id_b, n_common, ${rd("j_raw")} AS jaccard FROM (
+       |  SELECT c.id_a, c.id_b,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
+       |    len(list_intersect(a.sh, b.sh)) / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS j_raw
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.id_a
+       |  JOIN sh b ON b.doc_id = c.id_b
+       |) WHERE j_raw >= ${D(jaccThreshold)}""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "text_quality" ->
@@ -816,27 +891,11 @@ object DocQueries {
          |FROM hv""".stripMargin
     },
 
-    "dedup_incremental" ->
-      s"""WITH $toksCte, $shCte, $minhashBandsCtes,
-         |hsp AS (SELECT doc_id, md5('$sampleSalt:' || CAST(doc_id AS VARCHAR)) AS m
-         |        FROM documents),
-         |spl AS (SELECT doc_id, $hex32Sql < ${math.round(0.8 * 4294967296.0)} AS is_base
-         |        FROM hsp),
-         |cand AS (
-         |  SELECT DISTINCT d.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands d
-         |  JOIN spl sd ON sd.doc_id = d.doc_id AND NOT sd.is_base
-         |  JOIN bands b ON b.band = d.band AND b.band_key = d.band_key
-         |  JOIN spl sb ON sb.doc_id = b.doc_id AND sb.is_base
-         |)
-         |SELECT id_a, id_b, n_common, ${rd("j_raw")} AS jaccard FROM (
-         |  SELECT c.id_a, c.id_b,
-         |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
-         |    len(list_intersect(a.sh, b.sh)) / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS j_raw
-         |  FROM cand c
-         |  JOIN sh a ON a.doc_id = c.id_a
-         |  JOIN sh b ON b.doc_id = c.id_b
-         |) WHERE j_raw >= ${D(jaccThreshold)}""".stripMargin,
+    // ONE oracle text for both the recompute path and the stored-index
+    // path: the index is a layout, not a semantic — identical results are
+    // the whole point of the gate pair.
+    "dedup_incremental" -> incrementalOracleSql,
+    "dedup_incremental_store" -> incrementalOracleSql,
 
     "class_nearest_eval" ->
       """WITH ed AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),

@@ -1,0 +1,144 @@
+package graft.queries
+
+import graft.queries.Q._
+import graft.streaming.{StreamingBars, StreamingDedup}
+import graft.trades.Trades
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Driver-gated STREAMING executions — the Structured-Streaming family was
+  * previously ScalaTest-only (MemoryStream parity in StreamingSpec); these
+  * gates drain a real file-source stream end-to-end through
+  * `Trigger.AvailableNow` into a memory sink and hash-match the SAME
+  * DuckDB oracles the batch twins answer to. The Spark side of each row
+  * genuinely executes the streaming path: file source → watermark →
+  * windowed agg / stateful dedup → append-mode sink.
+  */
+object StreamQueries {
+
+  /** 2100-01-01T00:00Z in ns — the flush sentinel's event time. Real data
+    * ends decades earlier, so `bar_ts < sentinelNs` splits exactly.
+    */
+  private val sentinelNs = 4102444800000000000L
+
+  /** Drain a streaming frame to completion and return the sink table.
+    * AvailableNow processes every file then stops; `maxFilesPerTrigger`
+    * on the source (set by callers) controls batch granularity.
+    */
+  private def drain(df: DataFrame, qn: String): DataFrame = {
+    val s = df.sparkSession
+    s.catalog.dropTempView(qn)
+    val q = df.writeStream.format("memory").queryName(qn)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(qn)
+  }
+
+  /** Write `df` as ONE parquet file inside `dir` with the given
+    * lastModified — the file-source orders batches by (modTime, path), so
+    * stamping data earlier than the sentinels pins batch order without
+    * relying on write latency.
+    */
+  private def writeOneFile(df: DataFrame, dir: String, sub: String,
+                           modTime: Long): Unit = {
+    val path = s"$dir/$sub"
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    val d = new java.io.File(path)
+    d.listFiles().foreach(_.setLastModified(modTime))
+    d.setLastModified(modTime)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Streaming 5-minute OHLCV bars in APPEND mode: canonical trades land
+    // as parquet files, two far-future sentinel files advance the
+    // watermark (watermarks lag one batch: sentinel 1 raises it, sentinel
+    // 2's batch finalizes every real bar), and the memory sink holds the
+    // bars the watermark finalized. Hash-matched against the same
+    // bar arithmetic the batch gates use — no empty-bar fill / median
+    // (those are batch post-passes, not stream-windowed state).
+    "streaming_time_bars_5m" -> ((s, dir) => {
+      val trades = Trades.fromEvents(graft.Tables.events(s, dir))
+        .select("ts", "id", "price", "qty")
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_gate_stream_bars").getAbsolutePath
+      // wipe stale runs: the source must see exactly this invocation's files
+      val root = new java.io.File(tmp)
+      if (root.exists()) {
+        def del(f: java.io.File): Unit = {
+          Option(f.listFiles()).toSeq.flatten.foreach(del); f.delete()
+        }
+        del(root)
+      }
+      val t0 = System.currentTimeMillis()
+      writeOneFile(trades, tmp, "a_data", t0 - 60000)
+      def sentinel(ns: Long, id: Long) =
+        s.range(1).select(lit(ns).as("ts"), lit(id).as("id"),
+          lit(1.0).as("price"), lit(1.0).as("qty"))
+      writeOneFile(sentinel(sentinelNs, 9000000000L), tmp, "b_s1", t0 - 40000)
+      writeOneFile(sentinel(sentinelNs + 600000000000L, 9000000001L),
+        tmp, "c_s2", t0 - 20000)
+      val src = s.readStream
+        .schema(trades.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp + "/*")
+      val bars = StreamingBars.ohlcvStream(src, 300,
+        watermarkDelay = Some("1 minute"))
+      drain(bars, "gate_stream_bars_5m")
+        .where(col("bar_ts") < sentinelNs)
+        .select(col("bar_ts"), r6(col("open")).as("open"),
+          r6(col("high")).as("high"), r6(col("low")).as("low"),
+          r6(col("close")).as("close"), r6(col("volume")).as("volume"),
+          col("trades"), r6(col("vwap")).as("vwap"))
+    }),
+
+    // Streaming exact dedup at ingest: every document flows through
+    // `dropDuplicatesWithinWatermark` on the normalized content hash; the
+    // surviving rows are exactly one per distinct hash (the watermark
+    // delay exceeds the synthetic event-time span, so no state expires
+    // mid-run). WHICH doc id survives is arrival-order-dependent by
+    // design (documented deviation from batch min-id keep-first), so the
+    // gate projects the DETERMINISTIC part: the surviving content-hash
+    // set.
+    "streaming_dedup_exact" -> ((s, dir) => {
+      // the sf tables are single parquet FILES; the file source lists a
+      // DIRECTORY, so stream the parent with a name filter
+      val sch = s.read.parquet(s"$dir/documents.parquet").schema
+      val src = s.readStream.schema(sch)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+        // base offset: doc_id 0 at epoch 0 would sit exactly ON the
+        // query's initial watermark and be dropped as late
+        .withColumn("event_time",
+          timestamp_micros(col("doc_id") + lit(1700000000000000L)))
+      val out = StreamingDedup.exactDedupStream(
+        src, "text", "event_time", "3650 days")
+      drain(out, "gate_stream_dedup")
+        .select(md5(graft.dedup.Dedup.normalized(col("text")))
+          .as("content_md5"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "streaming_time_bars_5m" -> {
+      val iv = 300L * 1000000000L
+      s"""WITH $tradesCte
+         |SELECT ((ts + ${iv - 1}) // $iv) * $iv AS bar_ts,
+         |       ${rd("first(price ORDER BY ts, id)")} AS open,
+         |       ${rd("max(price)")} AS high, ${rd("min(price)")} AS low,
+         |       ${rd("last(price ORDER BY ts, id)")} AS close,
+         |       ${rd("sum(qty)")} AS volume,
+         |       CAST(count(*) AS BIGINT) AS trades,
+         |       ${rd("sum(price * qty) / sum(qty)")} AS vwap
+         |FROM trades GROUP BY 1""".stripMargin
+    },
+
+    "streaming_dedup_exact" ->
+      """SELECT DISTINCT
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_md5
+        |FROM documents""".stripMargin
+  )
+}
