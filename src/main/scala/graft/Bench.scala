@@ -86,6 +86,13 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson}"""
     println(json)
+    // the driver archives only a ~2000-char stdout TAIL; the full line
+    // above (~7 KB at 136 queries) can never fit it, which is why r5/r6's
+    // "parsed" came back null. Emit a compact summary as the LAST line —
+    // it fits any tail window; the complete per-query record is the line
+    // above plus the BENCH_LOCAL.json sidecar (committed to the repo).
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","failed":$failedJson,"detail_file":"BENCH_LOCAL.json"}"""
     // stdout gets truncated by callers that keep only a tail — persist the
     // complete line so every run's numbers stay machine-readable. The
     // DEFAULT path is the repo's benchmark of record: only a FULL-suite run
@@ -114,6 +121,8 @@ object Bench {
     }
     if (failed.nonEmpty)
       System.err.println(s"BENCH FAILURES: ${failed.sorted.mkString(", ")}")
+    // LAST stdout line on purpose — see the summary comment above
+    println(summary)
     spark.stop()
   }
 }

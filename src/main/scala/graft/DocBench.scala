@@ -69,9 +69,12 @@ object DocBench {
         // UNCAPPED on purpose: star edges keep the mega-bucket linear
         // (m−1 edges), so cluster assignment survives the exact skew that
         // makes uncapped pair enumeration infeasible above.
-        "dedup_lsh_clusters_uncapped" -> (() =>
-          Dedup.lshClusters(docs, "doc_id", "toks", shingleN,
-            minhashK, minhashBands).count()),
+        "dedup_lsh_clusters_uncapped" -> (() => {
+          val n = Dedup.lshClusters(docs, "doc_id", "toks", shingleN,
+            minhashK, minhashBands).count()
+          pairCounts += ("cc_rounds_lsh_clusters" -> Dedup.lastCcRounds.toLong)
+          n
+        }),
         "dedup_emb_clusters_uncapped" -> (() =>
           Similarity.lshEmbeddingClusters(embs, "vec_id", "embedding",
             threshold = 0.9, nPlanes = 64, bandBits = 16).count()),
@@ -92,6 +95,23 @@ object DocBench {
         // feeding a small merge loop (the production shape).
         "bpe_train5" -> (() =>
           Bpe.train(Bpe.wordVocab(docs, "toks"), 5).length.toLong),
+        // production-scale merge-loop certification: 1000 merges with the
+        // flat BpeSegmentExpr rank table. The fixture's alphabetic vocab is
+        // only ~68 words (the noise tokens are synthetic and filtered), so
+        // compound it (vocab × vocab, freq f1·f2) for merge material — the
+        // corpus-scale cost (the 1.5M-doc vocab groupBy) and the
+        // vocab-bound loop shape are unchanged. r6's chained-fold segment
+        // was O(k²) expression work and un-analyzable at this depth.
+        "bpe_train1000_expanded" -> (() => {
+          val base = Bpe.wordVocab(docs, "toks")
+          val vocab = base.union(
+              base.select(col("word").as("w1"), col("freq").as("f1"))
+                .crossJoin(base.select(col("word").as("w2"), col("freq").as("f2")))
+                .select(concat(col("w1"), col("w2")).as("word"),
+                  (col("f1") * col("f2")).as("freq")))
+            .groupBy("word").agg(sum("freq").as("freq"))
+          Bpe.train(vocab, 1000).length.toLong
+        }),
         "bm25_topk_fixture" -> (() =>
           graft.text.LangModel.bm25TopK(docs, "doc_id", "toks",
             Seq(1 -> "hash join merge", 2 -> "window agg stream",

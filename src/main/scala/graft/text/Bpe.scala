@@ -122,7 +122,20 @@ object Bpe {
     * Catalyst tree).
     */
   def train(vocab: DataFrame, nMerges: Int): Seq[Merge] = {
-    val base = vocab.select("freq", "word").persist()
+    // VOCAB-BOUND parallelism for the merge loop: the per-iteration frames
+    // are vocabulary-sized, so running them at the session's corpus-scale
+    // partitioning buys nothing and charges task-scheduling overhead per
+    // iteration × per partition — measured 3.3× END-TO-END SLOWDOWN at 32
+    // vs 8 cores for 1000 merges on a 4.7k-word vocab before this pin
+    // (SYM_SCALING doc_scaling lines). One partition per ~500k vocab rows,
+    // capped at the cluster's parallelism: a 10⁸-word web vocab still fans
+    // out, a demo vocab runs 1-2 tasks per stage.
+    val raw = vocab.select("freq", "word").persist()
+    val nWords = raw.count()
+    val parts = math.max(1, math.min(
+      raw.sparkSession.sparkContext.defaultParallelism,
+      ((nWords + 499999L) / 500000L).toInt))
+    val base = raw.repartition(parts).persist()
     try {
       val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
       var step = 1
@@ -141,6 +154,9 @@ object Bpe {
         }
       }
       merges.toSeq
-    } finally base.unpersist(blocking = false)
+    } finally {
+      base.unpersist(blocking = false)
+      raw.unpersist(blocking = false)
+    }
   }
 }
