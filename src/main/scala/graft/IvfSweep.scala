@@ -69,7 +69,10 @@ object IvfSweep {
             .otherwise(0)).cast("double") / lit(k)).as("rec"))
         .agg(min(when(col("__kth") >= 0.8, col("rec"))),
           avg(when(col("__kth") >= 0.8, col("rec")))).head()
-      (r.getDouble(0), r.getDouble(1), eff.getDouble(0), eff.getDouble(1))
+      // a corpus without planted clusters has NO close-neighbor queries:
+      // the conditional aggregates come back null — report -1, not an NPE
+      def d(i: Int): Double = if (eff.isNullAt(i)) -1.0 else eff.getDouble(i)
+      (r.getDouble(0), r.getDouble(1), d(0), d(1))
     }
     val rows = configs.map { case (nlist, nprobe) =>
       val t0 = System.nanoTime()

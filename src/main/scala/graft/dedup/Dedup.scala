@@ -416,14 +416,31 @@ object Dedup {
   def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame = {
     val spark = edges.sparkSession
     // one checkpoint round: reliable (fault-tolerant dir) when configured,
-    // executor-local otherwise
-    def ckpt(df: DataFrame): DataFrame = graft.Conf.checkpointDir match {
-      case Some(dir) =>
-        if (spark.sparkContext.getCheckpointDir.isEmpty)
-          spark.sparkContext.setCheckpointDir(dir)
+    // executor-local otherwise. Reliable rounds each get their OWN subdir
+    // and the PREVIOUS round's files are deleted once the new snapshot
+    // lands (truncated lineage makes round k depend only on round k's
+    // files) — a 100 TB run would otherwise accumulate ~rounds ×
+    // label-table snapshots for the job's whole life
+    // (spark.cleaner.referenceTracking.cleanCheckpoints is off by default
+    // and reliable checkpoints survive the JVM). The LAST round's subdir
+    // intentionally remains: it backs the returned frame.
+    var prevCkptSub: Option[org.apache.hadoop.fs.Path] = None
+    var roundNo = 0
+    lazy val ccRunDir = graft.Conf.checkpointDir.map(d =>
+      s"$d/cc_${java.util.UUID.randomUUID().toString.take(8)}")
+    def ckpt(df: DataFrame): DataFrame = ccRunDir match {
+      case Some(run) =>
+        val sub = new org.apache.hadoop.fs.Path(s"$run/round_$roundNo")
+        roundNo += 1
+        spark.sparkContext.setCheckpointDir(sub.toString)
         df.persist(graft.Conf.storageLevel)
         val out = df.checkpoint()
         df.unpersist(blocking = false)
+        prevCkptSub.foreach { p =>
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+        }
+        prevCkptSub = Some(sub)
         out
       case None => df.localCheckpoint()
     }

@@ -215,10 +215,13 @@ object Similarity {
     * probe-side sort), instead of a per-row boxed sortBy.
     */
   private def bestCell(cs: Array[(Long, Array[Double])], v: Array[Double]): Long = {
-    // seed from the first real cell (not a sentinel): an all-NaN dot row
-    // would otherwise fail every comparison and return cell id 0, which
-    // need not be a codebook cell id
-    var best = cs(0)._1; var bestD = dotArr(v, cs(0)._2); var c = 1
+    // -Inf sentinel + first-cell id fallback: NaN dots fail every
+    // comparison and are SKIPPED (same semantics as the kmeans Lloyd
+    // loop's assignment), and an all-NaN row still lands on a real
+    // codebook cell id instead of the old literal 0. Seeding bestD from
+    // cs(0)'s dot would instead poison the whole scan when centroid 0 is
+    // NaN (NaN > NaN and d > NaN are both false).
+    var best = cs(0)._1; var bestD = Double.NegativeInfinity; var c = 0
     while (c < cs.length) {
       val d = dotArr(v, cs(c)._2)
       if (d > bestD || (d == bestD && cs(c)._1 < best)) {

@@ -429,10 +429,7 @@ object DocQueries {
     // asymmetrically (delta×base only), exact Jaccard verifies. The shape
     // a production pipeline runs instead of re-deduplicating the corpus.
     "dedup_incremental" -> ((s, dir) => {
-      val all = docs(s, dir).withColumn("toks", TextOps.wsTokens(col("text")))
-      val sp = Sampling.splitAssign(all, "doc_id", sampleSalt, splitFractions)
-      val base = sp.where(col("split") === "train")
-      val delta = sp.where(col("split") =!= "train")
+      val (base, delta) = incrementalSplit(s, dir)
       Dedup.incrementalLshPairs(base, delta, "doc_id", "toks",
           shingleN, minhashK, minhashBands, jaccThreshold)
         .select(col("id_a"), col("id_b"), col("n_common"),
@@ -443,13 +440,10 @@ object DocQueries {
     // materialized once as a bucketed Store table (writeLshIndex — the
     // dedup analogue of ann_topk_ivf_store's index-as-layout), then the
     // delta probes the TABLE. Must hash-match the recompute path exactly —
-    // it shares dedup_incremental's oracle SQL verbatim; DocSpec asserts
+    // it shares dedup_incremental's oracle SQL verbatim; StoreSpec asserts
     // the probe plan scans the index files, not re-shingled base text.
     "dedup_incremental_store" -> ((s, dir) => {
-      val all = docs(s, dir).withColumn("toks", TextOps.wsTokens(col("text")))
-      val sp = Sampling.splitAssign(all, "doc_id", sampleSalt, splitFractions)
-      val base = sp.where(col("split") === "train")
-      val delta = sp.where(col("split") =!= "train")
+      val (base, delta) = incrementalSplit(s, dir)
       val idx = new java.io.File(sys.props("java.io.tmpdir"),
         "graft_gate_dedup_idx").getAbsolutePath
       Dedup.writeLshIndex(base, "doc_id", "toks", shingleN, minhashK,
@@ -659,6 +653,19 @@ object DocQueries {
 
   private val dotSql = "list_sum(list_transform(range(1, 65), i -> a.nv[i] * b.nv[i]))"
 
+  /** ONE (base, delta) split for both incremental-dedup gates — they must
+    * stay hash-identical against the shared oracle, so the corpus split
+    * (hash salt, fractions, train predicate) is defined exactly once: the
+    * tokenized 'train' 80% stands in for the existing corpus, the rest is
+    * the arriving delta.
+    */
+  private def incrementalSplit(s: org.apache.spark.sql.SparkSession,
+                               dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val all = docs(s, dir).withColumn("toks", TextOps.wsTokens(col("text")))
+    val sp = Sampling.splitAssign(all, "doc_id", sampleSalt, splitFractions)
+    (sp.where(col("split") === "train"), sp.where(col("split") =!= "train"))
+  }
+
   /** Shared by `dedup_incremental` AND `dedup_incremental_store`: the
     * stored index must reproduce the recompute path bit-for-bit, so both
     * gates compare against literally the same oracle text.
@@ -721,8 +728,8 @@ object DocQueries {
          |FROM hs""".stripMargin,
 
     "dedup_exact" ->
-      """WITH h AS (
-        |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash
+      s"""WITH h AS (
+        |  SELECT doc_id, $normMd5Sql AS content_hash
         |  FROM documents
         |)
         |SELECT doc_id, content_hash,
@@ -732,9 +739,9 @@ object DocQueries {
         |FROM h""".stripMargin,
 
     "dedup_exact_source" ->
-      """WITH h AS (
+      s"""WITH h AS (
         |  SELECT doc_id, source,
-        |         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash
+        |         $normMd5Sql AS content_hash
         |  FROM documents
         |)
         |SELECT doc_id, source, content_hash,
@@ -1017,7 +1024,7 @@ object DocQueries {
          |exact AS (
          |  SELECT doc_id, toks, n_ws_tokens, q_raw, pred_lang FROM (
          |    SELECT *, min(doc_id) OVER (PARTITION BY
-         |      md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS canon
+         |      $normMd5Sql) AS canon
          |    FROM kept
          |  ) WHERE doc_id = canon
          |),
@@ -1061,7 +1068,7 @@ object DocQueries {
          |exact AS (
          |  SELECT doc_id, toks, n_ws_tokens, q_raw, pred_lang FROM (
          |    SELECT *, min(doc_id) OVER (PARTITION BY
-         |      md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS canon
+         |      $normMd5Sql) AS canon
          |    FROM kept
          |  ) WHERE doc_id = canon
          |),

@@ -59,6 +59,15 @@ object Q {
     s"(instr('0123456789abcdef', substr(m, $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}"
   }.mkString("(", " + ", ")")
 
+  /** md5 of the whitespace-normalized lower-cased document text — ORACLE
+    * MIRROR of `md5(Dedup.normalized(text))`, the exact-dedup content
+    * key. ONE definition for every gate that partitions or filters by
+    * content identity (dedup_exact*, corpus_clean*, streaming dedup), for
+    * the same no-drift reason as [[toksCte]].
+    */
+  val normMd5Sql: String =
+    """md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"""
+
   /** The canonical trades CTE over the synthetic events table (DuckDB).
     * Mirrors graft.trades.Trades.fromEvents exactly: ns epoch longs, price =
     * value, qty synthesized from the id.

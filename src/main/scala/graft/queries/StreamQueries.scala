@@ -137,8 +137,8 @@ object StreamQueries {
     },
 
     "streaming_dedup_exact" ->
-      """SELECT DISTINCT
-        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_md5
+      s"""SELECT DISTINCT
+        |  $normMd5Sql AS content_md5
         |FROM documents""".stripMargin
   )
 }

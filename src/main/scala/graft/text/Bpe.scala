@@ -136,6 +136,10 @@ object Bpe {
       raw.sparkSession.sparkContext.defaultParallelism,
       ((nWords + 499999L) / 500000L).toInt))
     val base = raw.repartition(parts).persist()
+    // materialize base from raw's cache, then drop raw — holding both for
+    // the whole merge loop would double the vocab's cache footprint
+    base.count()
+    raw.unpersist(blocking = false)
     try {
       val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
       var step = 1
@@ -154,9 +158,6 @@ object Bpe {
         }
       }
       merges.toSeq
-    } finally {
-      base.unpersist(blocking = false)
-      raw.unpersist(blocking = false)
-    }
+    } finally base.unpersist(blocking = false)
   }
 }
