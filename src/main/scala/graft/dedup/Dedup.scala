@@ -303,6 +303,27 @@ object Dedup {
         .withColumnRenamed("id", "base_id"),
       table, path, buckets, Seq("bucket"), Seq("bucket", "base_id"))
 
+  /** Append one ingest batch's band rows to an EXISTING stored index —
+    * the write-once/append-many lifecycle: each arriving batch first
+    * probes the index ([[incrementalLshPairsFrom]]), then appends its own
+    * bands so the next batch sees it. The append reuses the table's
+    * bucket spec (same hash distribution, new files per bucket), so probe
+    * joins keep planning Exchange-free on the index side; periodic
+    * [[graft.sources.Store.compact]]-style file compaction bounds the
+    * file count, exactly as for the trades store.
+    */
+  def appendLshIndex(batch: DataFrame, idCol: String, toksCol: String,
+                     shingleN: Int, k: Int, bands: Int,
+                     table: String, buckets: Int = 32): Unit =
+    lshBandRows(batch, idCol, toksCol, shingleN, k, bands)
+      .withColumnRenamed("id", "base_id")
+      .write
+      .bucketBy(buckets, "bucket")
+      .sortBy("bucket", "base_id")
+      .mode("append")
+      .format("parquet")
+      .saveAsTable(table)
+
   /** EXACT n-gram Jaccard similarity self-join: every pair with
     * J(sh(a), sh(b)) ≥ threshold, no approximation — the deterministic
     * sibling of [[lshCandidates]] (which trades exactness for a fixed

@@ -51,6 +51,51 @@ object StreamQueries {
     d.setLastModified(modTime)
   }
 
+  /** Canonical trades written to a fresh temp dir as (data, sentinel-1,
+    * sentinel-2) parquet files with pinned modification times, returned
+    * as a one-file-per-batch stream — the shared fixture for every
+    * streaming-bars gate.
+    */
+  private def tradeFileStream(s: SparkSession, dir: String,
+                              tmpName: String): DataFrame = {
+    val trades = Trades.fromEvents(graft.Tables.events(s, dir))
+      .select("ts", "id", "price", "qty")
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"), tmpName)
+      .getAbsolutePath
+    // wipe stale runs: the source must see exactly this invocation's files
+    val root = new java.io.File(tmp)
+    if (root.exists()) {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles()).toSeq.flatten.foreach(del); f.delete()
+      }
+      del(root)
+    }
+    val t0 = System.currentTimeMillis()
+    writeOneFile(trades, tmp, "a_data", t0 - 60000)
+    def sentinel(ns: Long, id: Long) =
+      s.range(1).select(lit(ns).as("ts"), lit(id).as("id"),
+        lit(1.0).as("price"), lit(1.0).as("qty"))
+    writeOneFile(sentinel(sentinelNs, 9000000000L), tmp, "b_s1", t0 - 40000)
+    writeOneFile(sentinel(sentinelNs + 600000000000L, 9000000001L),
+      tmp, "c_s2", t0 - 20000)
+    s.readStream
+      .schema(trades.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(tmp + "/*")
+  }
+
+  /** Sentinel filter + the canonical rounded bar projection — shared by
+    * both streaming-bars gates so their outputs stay column-identical
+    * against the one oracle.
+    */
+  private def canonBars(drained: DataFrame): DataFrame =
+    drained
+      .where(col("bar_ts") < sentinelNs)
+      .select(col("bar_ts"), r6(col("open")).as("open"),
+        r6(col("high")).as("high"), r6(col("low")).as("low"),
+        r6(col("close")).as("close"), r6(col("volume")).as("volume"),
+        col("trades"), r6(col("vwap")).as("vwap"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Streaming 5-minute OHLCV bars in APPEND mode: canonical trades land
@@ -61,38 +106,27 @@ object StreamQueries {
     // bar arithmetic the batch gates use — no empty-bar fill / median
     // (those are batch post-passes, not stream-windowed state).
     "streaming_time_bars_5m" -> ((s, dir) => {
-      val trades = Trades.fromEvents(graft.Tables.events(s, dir))
-        .select("ts", "id", "price", "qty")
-      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_gate_stream_bars").getAbsolutePath
-      // wipe stale runs: the source must see exactly this invocation's files
-      val root = new java.io.File(tmp)
-      if (root.exists()) {
-        def del(f: java.io.File): Unit = {
-          Option(f.listFiles()).toSeq.flatten.foreach(del); f.delete()
-        }
-        del(root)
-      }
-      val t0 = System.currentTimeMillis()
-      writeOneFile(trades, tmp, "a_data", t0 - 60000)
-      def sentinel(ns: Long, id: Long) =
-        s.range(1).select(lit(ns).as("ts"), lit(id).as("id"),
-          lit(1.0).as("price"), lit(1.0).as("qty"))
-      writeOneFile(sentinel(sentinelNs, 9000000000L), tmp, "b_s1", t0 - 40000)
-      writeOneFile(sentinel(sentinelNs + 600000000000L, 9000000001L),
-        tmp, "c_s2", t0 - 20000)
-      val src = s.readStream
-        .schema(trades.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(tmp + "/*")
+      val src = tradeFileStream(s, dir, "graft_gate_stream_bars")
       val bars = StreamingBars.ohlcvStream(src, 300,
         watermarkDelay = Some("1 minute"))
-      drain(bars, "gate_stream_bars_5m")
-        .where(col("bar_ts") < sentinelNs)
-        .select(col("bar_ts"), r6(col("open")).as("open"),
-          r6(col("high")).as("high"), r6(col("low")).as("low"),
-          r6(col("close")).as("close"), r6(col("volume")).as("volume"),
-          col("trades"), r6(col("vwap")).as("vwap"))
+      canonBars(drain(bars, "gate_stream_bars_5m"))
+    }),
+
+    // The SAME bars through the append-mode STATE MACHINE
+    // (flatMapGroupsWithState + event-time timeout) — the scale path for
+    // streaming bar construction (fixed-width per-bar state, no per-batch
+    // sort). Shares the windowed-agg gate's oracle verbatim: two
+    // different streaming executors, one semantic.
+    "streaming_time_bars_state_5m" -> ((s, dir) => {
+      import s.implicits._
+      val src = tradeFileStream(s, dir, "graft_gate_stream_bars_st")
+        .withColumn("symbol", lit(0L))
+        .as[StreamingBars.TradeIn]
+      // delay must cover the bar's open span: trades arrive up to 300 s
+      // before their bar-close event time (see StreamingSpec)
+      val bars = StreamingBars.ohlcvStateStream(src, 300,
+        watermarkDelay = "10 minutes")
+      canonBars(drain(bars.toDF(), "gate_stream_bars_state_5m"))
     }),
 
     // Streaming exact dedup at ingest: every document flows through
@@ -122,19 +156,25 @@ object StreamQueries {
     })
   )
 
+  /** One oracle text for BOTH streaming-bars executors (windowed agg and
+    * state machine): different physical paths, one bar semantic.
+    */
+  private val streamBarsOracle: String = {
+    val iv = 300L * 1000000000L
+    s"""WITH $tradesCte
+       |SELECT ((ts + ${iv - 1}) // $iv) * $iv AS bar_ts,
+       |       ${rd("first(price ORDER BY ts, id)")} AS open,
+       |       ${rd("max(price)")} AS high, ${rd("min(price)")} AS low,
+       |       ${rd("last(price ORDER BY ts, id)")} AS close,
+       |       ${rd("sum(qty)")} AS volume,
+       |       CAST(count(*) AS BIGINT) AS trades,
+       |       ${rd("sum(price * qty) / sum(qty)")} AS vwap
+       |FROM trades GROUP BY 1""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
-    "streaming_time_bars_5m" -> {
-      val iv = 300L * 1000000000L
-      s"""WITH $tradesCte
-         |SELECT ((ts + ${iv - 1}) // $iv) * $iv AS bar_ts,
-         |       ${rd("first(price ORDER BY ts, id)")} AS open,
-         |       ${rd("max(price)")} AS high, ${rd("min(price)")} AS low,
-         |       ${rd("last(price ORDER BY ts, id)")} AS close,
-         |       ${rd("sum(qty)")} AS volume,
-         |       CAST(count(*) AS BIGINT) AS trades,
-         |       ${rd("sum(price * qty) / sum(qty)")} AS vwap
-         |FROM trades GROUP BY 1""".stripMargin
-    },
+    "streaming_time_bars_5m" -> streamBarsOracle,
+    "streaming_time_bars_state_5m" -> streamBarsOracle,
 
     "streaming_dedup_exact" ->
       s"""SELECT DISTINCT

@@ -261,6 +261,33 @@ class StoreSpec extends AnyFunSuite {
         s"stored=${sites(stored)} recomputed=${sites(recomputed)} minhash sites:\n$plan")
       assert(plan.contains("storespec_dedup_idx"),
         s"probe plan does not scan the stored index:\n$plan")
+
+      // append lifecycle: a second ingest batch's bands land in the SAME
+      // table (same bucket spec, new files); a later delta probing the
+      // grown index must equal the recompute over base ∪ batch2, and the
+      // scan must still read as bucketed
+      val batch2 = corpus(200 until 230, "base")
+      val delta2 = corpus(300 until 320, "base")
+      Dedup.appendLshIndex(batch2, "doc_id", "toks", 3, 16, 8,
+        "storespec_dedup_idx", buckets = 4)
+      val grown = base.unionByName(batch2)
+      val viaIndex = Dedup.incrementalLshPairsFrom(
+          spark.table("storespec_dedup_idx"), grown, delta2,
+          "doc_id", "toks", 3, 16, 8, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+        .select("id_a", "id_b", "n_common").as[(Long, Long, Long)].collect().toSeq
+      val viaRecompute = Dedup.incrementalLshPairs(grown, delta2,
+          "doc_id", "toks", 3, 16, 8, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+        .select("id_a", "id_b", "n_common").as[(Long, Long, Long)].collect().toSeq
+      assert(viaIndex.nonEmpty && viaIndex === viaRecompute)
+      // batch2's template docs must be findable THROUGH the append
+      assert(viaIndex.exists(_._2 >= 200), "no matches against appended batch")
+      val grownPlan = spark.table("storespec_dedup_idx")
+        .groupBy("bucket").count()
+        .queryExecution.executedPlan.toString
+      assert(grownPlan.contains("Bucketed: true"),
+        s"appended table lost its bucket spec:\n$grownPlan")
     } finally spark.sql("DROP TABLE IF EXISTS storespec_dedup_idx")
   }
 }
