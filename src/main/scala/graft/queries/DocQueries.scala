@@ -15,9 +15,9 @@ import Q._
   */
 object DocQueries {
 
-  private val shingleN = 3
-  private val minhashK = 16
-  private val minhashBands = 8 // r = 2 → candidates at modest jaccard
+  private[queries] val shingleN = 3
+  private[queries] val minhashK = 16
+  private[queries] val minhashBands = 8 // r = 2 → candidates at modest jaccard
   private val simhashMaxHamming = 3
   private val jaccThreshold = 0.5 // exact binary fraction: ⌈t·m⌉ identical on every engine
   private val twinOffset = 1048576L // planted-twin id shift for the cluster gate
@@ -544,7 +544,7 @@ object DocQueries {
 
 
   /** distinct word-3-gram shingles CTE (mirrors TextOps.shingles). */
-  private val shCte =
+  private[queries] val shCte =
     s"""sh AS (
        |  SELECT doc_id,
        |         list_distinct(list_transform(range(1, greatest(len(toks) - $shingleN, 0) + 2),
@@ -557,7 +557,7 @@ object DocQueries {
     * md5(shingle); mh_s = (a_s·h + b_s) mod 2^61−1; band_key =
     * md5(joined minima). Produces CTE `bands(doc_id, band, band_key)`.
     */
-  private val minhashBandsCtes: String = {
+  private[queries] val minhashBandsCtes: String = {
     val hexToInt31 = (1 to 8).map { i =>
       s"(instr('0123456789abcdef', substr(m, $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}"
     }.mkString("(", " + ", ") & 2147483647")

@@ -129,6 +129,32 @@ object StreamQueries {
       canonBars(drain(bars.toDF(), "gate_stream_bars_state_5m"))
     }),
 
+    // Streaming LSH candidate pairs: per-doc band keys ride the native
+    // codegen minhash expression (stateless, shuffle-free), then the
+    // stateful bucket stream pairs each arriving doc with its bucket's
+    // remembered members. Uncapped state + a single data batch makes the
+    // DISTINCT pair set deterministic and EQUAL to the batch
+    // lshCandidates banding — which is exactly what the oracle computes
+    // (same CTE fragments as dedup_minhash_lsh; at-least-once re-emission
+    // across bands collapses under the distinct).
+    "streaming_dedup_lsh_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val sch = s.read.parquet(s"$dir/documents.parquet").schema
+      val banded = s.readStream.schema(sch)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+        .select(col("doc_id"), explode(StreamingDedup.minhashBuckets(
+          graft.text.TextOps.wsTokens(col("text")),
+          DocQueries.shingleN, DocQueries.minhashK, DocQueries.minhashBands))
+          .as("bucket"))
+        .select(col("bucket"), col("doc_id").as("docId"))
+        .as[StreamingDedup.BandedDoc]
+      val pairs = StreamingDedup.lshCandidateStream(banded,
+        maxBucket = Int.MaxValue)
+      drain(pairs.toDF(), "gate_stream_lsh_pairs")
+        .select(col("id_a"), col("id_b")).distinct()
+    }),
+
     // Streaming exact dedup at ingest: every document flows through
     // `dropDuplicatesWithinWatermark` on the normalized content hash; the
     // surviving rows are exactly one per distinct hash (the watermark
@@ -179,6 +205,15 @@ object StreamQueries {
     "streaming_dedup_exact" ->
       s"""SELECT DISTINCT
         |  $normMd5Sql AS content_md5
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // same banding CTEs as dedup_minhash_lsh — the streaming bucket state
+    // must reproduce the batch band join's candidate set exactly
+    "streaming_dedup_lsh_pairs" ->
+      s"""WITH ${Q.toksCte}, ${DocQueries.shCte}, ${DocQueries.minhashBandsCtes}
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM bands a
+         |JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+         |  AND a.doc_id < b.doc_id""".stripMargin
   )
 }
