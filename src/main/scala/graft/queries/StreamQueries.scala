@@ -14,6 +14,13 @@ import org.apache.spark.sql.streaming.Trigger
   * DuckDB oracles the batch twins answer to. The Spark side of each row
   * genuinely executes the streaming path: file source → watermark →
   * windowed agg / stateful dedup → append-mode sink.
+  *
+  * The memory sink is a GATE choice only (the driver compares a bounded
+  * result set): a production deployment writes the identical stream to a
+  * parquet/Kafka sink — the operators under test are sink-agnostic, and
+  * their unbounded-scale behavior (state size, watermark eviction,
+  * micro-batch commit cost) is certified separately by StreamBench's
+  * 10M-row drains (SYM_SCALING `stream_scaling` lines).
   */
 object StreamQueries {
 
