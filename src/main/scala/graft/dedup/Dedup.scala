@@ -444,7 +444,10 @@ object Dedup {
     // label-table snapshots for the job's whole life
     // (spark.cleaner.referenceTracking.cleanCheckpoints is off by default
     // and reliable checkpoints survive the JVM). The LAST round's subdir
-    // intentionally remains: it backs the returned frame.
+    // intentionally remains: it backs the returned frame. NOTE: reliable
+    // mode mutates the SparkContext-global checkpoint dir per round —
+    // serialize concurrent connectedComponents calls in that mode (the
+    // per-call cc_<uuid> prefix keeps their FILES apart either way).
     var prevCkptSub: Option[org.apache.hadoop.fs.Path] = None
     var roundNo = 0
     lazy val ccRunDir = graft.Conf.checkpointDir.map(d =>

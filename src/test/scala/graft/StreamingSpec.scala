@@ -462,4 +462,57 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.getAs[Long]("ts")).toSeq
     assert(streamed == batch)
   }
+
+  test("state-machine bars survive cross-batch handoff through a multi-FILE source") {
+    // the driver gates feed one data file (one batch); this pins the
+    // harder path — time-split parquet files arriving as separate
+    // micro-batches (maxFilesPerTrigger=1, mtime-ordered), with bars
+    // spanning file boundaries, equal to batch construction
+    import org.apache.spark.sql.streaming.Trigger
+    val data = trades(60) // 1-minute spacing: each 5m bar spans 5 rows
+    val tmp = java.nio.file.Files.createTempDirectory("mfstream").toString
+    def writeChunk(rows: Seq[TradeIn], sub: String, mod: Long): Unit = {
+      val p = s"$tmp/$sub"
+      rows.toDF().coalesce(1).write.mode("overwrite").parquet(p)
+      val d = new java.io.File(p)
+      d.listFiles().foreach(_.setLastModified(mod))
+      d.setLastModified(mod)
+    }
+    val t0 = System.currentTimeMillis()
+    // splits NOT on bar boundaries: rows 0-21 / 22-43 / 44-59
+    writeChunk(data.slice(0, 22), "a", t0 - 90000)
+    writeChunk(data.slice(22, 44), "b", t0 - 80000)
+    writeChunk(data.slice(44, 60), "c", t0 - 70000)
+    val far = data.last.ts + 86400000000000L
+    writeChunk(Seq(TradeIn(far, 9000L, 1.0, 1.0, 0L)), "d_s1", t0 - 60000)
+    writeChunk(Seq(TradeIn(far + 60000000000L, 9001L, 1.0, 1.0, 0L)),
+      "e_s2", t0 - 50000)
+    val src = spark.readStream
+      .schema(data.toDF().schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(tmp + "/*")
+      .as[TradeIn]
+    val q = StreamingBars.ohlcvStateStream(src, 300, watermarkDelay = "5 minutes")
+      .writeStream.format("memory").queryName("mf_bars_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val lastRealBar = TimeBars.ohlcv(
+      data.toDF().withColumnRenamed("symbol", "sym"), 300, fillEmpty = false)
+      .agg(max("bar_ts")).head().getLong(0)
+    // r6-round the sums (volume, vwap): a bar spanning a file boundary
+    // accumulates pq in micro-batch order, a last-ulp difference from the
+    // batch sum — the same normalization every oracle gate applies
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("bar_ts"), col("open"), col("high"), col("low"),
+        col("close"), round(col("volume"), 6).as("volume"), col("trades"),
+        round(col("vwap"), 6).as("vwap"))
+      .orderBy("bar_ts").collect().toSeq
+    val streamed = canon(spark.table("mf_bars_out")
+      .where(col("bar_ts") <= lastRealBar))
+    val batch = canon(TimeBars.ohlcv(
+      data.toDF().withColumnRenamed("symbol", "sym"), 300, fillEmpty = false))
+    assert(streamed.nonEmpty && streamed == batch)
+  }
 }
