@@ -95,8 +95,15 @@ object BpeSegmentExpr extends Serializable {
     val n = w.length
     if (n == 0) return new GenericArrayData(Array.empty[Any])
     val syms = new java.util.ArrayList[String](n)
+    // split by CODE POINT, not char: the fold twin's regexp "." matches
+    // code points, and charAt would shear astral-plane surrogates
     var i = 0
-    while (i < n) { syms.add(String.valueOf(w.charAt(i))); i += 1 }
+    while (i < n) {
+      val cp = w.codePointAt(i)
+      val len = Character.charCount(cp)
+      syms.add(w.substring(i, i + len))
+      i += len
+    }
     if (!ranks.isEmpty) {
       var merging = true
       while (merging && syms.size > 1) {

@@ -70,22 +70,31 @@ class LmSpec extends AnyFunSuite {
     // greedy lowest-rank expression is equivalent to replaying the
     // training passes in order. Pin it on randomly-generated vocab,
     // including words the training never saw.
-    val rnd = new scala.util.Random(42)
-    def word(maxLen: Int): String =
-      (1 to (1 + rnd.nextInt(maxLen))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
-    val vocab = (1 to 200).map(_ => (word(8), 1L + rnd.nextInt(20)))
-      .groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toSeq
-      .toDF("word", "freq")
-    val ms = Bpe.train(vocab, 15)
-    assert(ms.nonEmpty)
-    val probe = (vocab.select("word").as[String].collect() ++
-      (1 to 300).map(_ => word(14))).distinct.toSeq.toDF("word")
-      .withColumn("freq", lit(1L))
-    val fast = Bpe.segment(probe, ms).orderBy("word")
-      .as[(String, Seq[String])].collect()
-    val slow = Bpe.segmentFold(probe, ms).orderBy("word")
-      .as[(String, Seq[String])].collect()
-    assert(fast.toSeq === slow.toSeq)
+    for ((seed, alpha, nMerges) <- Seq((42, 3, 15), (7, 2, 25), (1234, 5, 10))) {
+      val rnd = new scala.util.Random(seed)
+      def word(maxLen: Int): String =
+        (1 to (1 + rnd.nextInt(maxLen))).map(_ => ('a' + rnd.nextInt(alpha)).toChar).mkString
+      val vocab = (1 to 200).map(_ => (word(8), 1L + rnd.nextInt(20)))
+        .groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toSeq
+        .toDF("word", "freq")
+      val ms = Bpe.train(vocab, nMerges)
+      assert(ms.nonEmpty, s"seed $seed")
+      val probe = (vocab.select("word").as[String].collect() ++
+        (1 to 300).map(_ => word(14))).distinct.toSeq.toDF("word")
+        .withColumn("freq", lit(1L))
+      val fast = Bpe.segment(probe, ms).orderBy("word")
+        .as[(String, Seq[String])].collect()
+      val slow = Bpe.segmentFold(probe, ms).orderBy("word")
+        .as[(String, Seq[String])].collect()
+      assert(fast.toSeq === slow.toSeq, s"seed $seed")
+    }
+    // code-point parity: the expression must split like the fold's
+    // regexp "." (code points), not by UTF-16 char — an astral-plane
+    // symbol (surrogate pair) stays one symbol under zero merges
+    val astral = Seq(Tuple2("a😀b", 1L)).toDF("word", "freq")
+    val f = Bpe.segment(astral, Nil).as[(String, Seq[String])].head()
+    val g = Bpe.segmentFold(astral, Nil).as[(String, Seq[String])].head()
+    assert(f === g && f._2 === Seq("a", "😀", "b"))
   }
 
   test("bpe 500-merge training runs with flat plan depth on the sf0.01 vocab") {
