@@ -291,9 +291,8 @@ object Dedup {
     * `bucket` reads the stored hash distribution from the catalog and
     * plans with zero Exchange on the index side, and `sortBy(bucket)`
     * keeps each bucket's rows contiguous inside its files. At 100 TB the
-    * historical index is appended per ingest batch and the corpus text is
-    * never re-shingled. Returns the band-row count (also forces the
-    * write).
+    * historical index is appended per ingest batch ([[appendLshIndex]])
+    * and the corpus text is never re-shingled.
     */
   def writeLshIndex(base: DataFrame, idCol: String, toksCol: String,
                     shingleN: Int, k: Int, bands: Int,
@@ -310,7 +309,9 @@ object Dedup {
     * bucket spec (same hash distribution, new files per bucket), so probe
     * joins keep planning Exchange-free on the index side; periodic
     * [[graft.sources.Store.compact]]-style file compaction bounds the
-    * file count, exactly as for the trades store.
+    * file count, exactly as for the trades store. `buckets` must match
+    * the table's existing spec — Spark's `saveAsTable` append rejects a
+    * mismatch loudly rather than silently corrupting the distribution.
     */
   def appendLshIndex(batch: DataFrame, idCol: String, toksCol: String,
                      shingleN: Int, k: Int, bands: Int,

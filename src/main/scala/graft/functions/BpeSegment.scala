@@ -28,8 +28,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * the merge list is WELL-FORMED — each side is a single character or the
   * product of an earlier merge. An ill-formed list (a rank-0 merge
   * consuming a rank-5 product) has no sequential-pass equivalent and is
-  * applied rank-greedily as-is. PropertySpec pins the equivalence against
-  * the fold chain on randomly-trained (vocab, merge-list) instances; the
+  * applied rank-greedily as-is. LmSpec pins the equivalence against the
+  * fold chain on randomly-trained (vocab, merge-list) instances across
+  * several (seed, alphabet, merges) combinations; the
   * `bpe_merges`/`bpe_encode` oracle gates hash-check it against DuckDB's
   * unrolled iteration chain.
   *
@@ -40,8 +41,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * Plan depth is therefore flat in the number of merges: iteration 500 of
   * training analyzes the same 1-node expression as iteration 1.
   *
-  * Mirrors `finmlkit` has no BPE; this is beyond-reference surface for the
-  * LLM-corpus pipeline (tokenizer training over the `documents` table).
+  * The reference (`finmlkit`) has no BPE; this is beyond-reference surface
+  * for the LLM-corpus pipeline (tokenizer training over the `documents`
+  * table).
   */
 case class BpeSegmentExpr(child: Expression, merges: Seq[(String, String)])
     extends UnaryExpression {

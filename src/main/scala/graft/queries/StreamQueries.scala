@@ -70,13 +70,10 @@ object StreamQueries {
     val tmp = new java.io.File(sys.props("java.io.tmpdir"), tmpName)
       .getAbsolutePath
     // wipe stale runs: the source must see exactly this invocation's files
-    val root = new java.io.File(tmp)
-    if (root.exists()) {
-      def del(f: java.io.File): Unit = {
-        Option(f.listFiles()).toSeq.flatten.foreach(del); f.delete()
-      }
-      del(root)
-    }
+    // (same recursive-delete idiom as Store.saveBucketed)
+    val p = new org.apache.hadoop.fs.Path(tmp)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
     val t0 = System.currentTimeMillis()
     writeOneFile(trades, tmp, "a_data", t0 - 60000)
     def sentinel(ns: Long, id: Long) =
