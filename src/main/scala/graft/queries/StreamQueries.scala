@@ -159,21 +159,33 @@ object StreamQueries {
         .select(col("id_a"), col("id_b")).distinct()
     }),
 
-    // Streaming exact dedup at ingest: every document flows through
-    // `dropDuplicatesWithinWatermark` on the normalized content hash; the
-    // surviving rows are exactly one per distinct hash (the watermark
-    // delay exceeds the synthetic event-time span, so no state expires
-    // mid-run). WHICH doc id survives is arrival-order-dependent by
-    // design (documented deviation from batch min-id keep-first), so the
-    // gate projects the DETERMINISTIC part: the surviving content-hash
-    // set.
+    // Streaming exact dedup at ingest, with REAL drops: the synthetic
+    // corpus has no duplicate content, so the stream is fed the originals
+    // PLUS a re-keyed copy of every document as a SECOND file (= a later
+    // micro-batch under maxFilesPerTrigger=1) — 2·N rows in, N out, the
+    // copy batch dropped entirely AGAINST CROSS-BATCH STATE. The
+    // watermark delay exceeds the synthetic event-time span, so no state
+    // expires mid-run. WHICH doc id survives a duplicate group is
+    // arrival-order-dependent by design (documented deviation from batch
+    // min-id keep-first), so the gate projects the DETERMINISTIC part:
+    // the surviving content-hash set, whose count equaling N (not 2N) is
+    // the drop evidence. The oracle is untouched: distinct hashes of the
+    // original corpus.
     "streaming_dedup_exact" -> ((s, dir) => {
-      // the sf tables are single parquet FILES; the file source lists a
-      // DIRECTORY, so stream the parent with a name filter
-      val sch = s.read.parquet(s"$dir/documents.parquet").schema
-      val src = s.readStream.schema(sch)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(dir)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text")
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_gate_stream_dedup").getAbsolutePath
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val t0 = System.currentTimeMillis()
+      writeOneFile(docs, tmp, "a_orig", t0 - 40000)
+      writeOneFile(docs.withColumn("doc_id", col("doc_id") + 1000000L),
+        tmp, "b_copy", t0 - 20000)
+      val src = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp + "/*")
         // base offset: doc_id 0 at epoch 0 would sit exactly ON the
         // query's initial watermark and be dropped as late
         .withColumn("event_time",
