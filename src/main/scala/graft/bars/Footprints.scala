@@ -39,8 +39,16 @@ object Footprints {
       .withColumn("level", round(col("price") / tickSize).cast("int"))
       .groupBy((barKeys :+ "level").map(col): _*)
       .agg(
-        sum(when(col("side") === 1, col("qty")).otherwise(0.0)).as("buy_volume"),
-        sum(when(col("side") === -1, col("qty")).otherwise(0.0)).as("sell_volume"),
+        // decimal-exact volume sums (Q.dsum shape): double summation is
+        // ADDITION-ORDER-VARIANT, and these volumes feed argmax/equality
+        // logic downstream (POC, COT, value area) — at sf0.1 the ulp noise
+        // flipped POC picks between engines and even between DuckDB CTE
+        // re-evaluations. decimal(18,6) accumulation is exact for
+        // 6-decimal quantities up to 10^12, then one cast back to double.
+        graft.queries.Q.dsum(when(col("side") === 1, col("qty")).otherwise(0.0))
+          .as("buy_volume"),
+        graft.queries.Q.dsum(when(col("side") === -1, col("qty")).otherwise(0.0))
+          .as("sell_volume"),
         sum(when(col("side") === 1, 1L).otherwise(0L)).as("buy_ticks"),
         sum(when(col("side") === -1, 1L).otherwise(0L)).as("sell_ticks"))
     val wl = Window.partitionBy(barKeys.map(col): _*).orderBy("level")
@@ -88,9 +96,14 @@ object Footprints {
       // try_divide: a keyed bar whose trades are ALL pre-first-tick (side 0,
       // so zero attributed volume) would otherwise throw under ANSI; the
       // NULL propagates to vp_skew/vp_gini, matching the oracle's NaN→NULL
+      // decimal-exact window sums (Q.dsum shape, spelled out because the
+      // window attaches to the sum BEFORE the cast back to double):
+      // level·volume and volume sit on the qty grid, and the vwap feeds
+      // skew whose r6 output landed on a half-boundary at sf0.1
       .withColumn("__vwap", try_divide(
-        sum(col("level") * col("total_volume")).over(bar),
-        sum("total_volume").over(bar)))
+        sum((col("level") * col("total_volume")).cast("decimal(18,6)"))
+          .over(bar).cast("double"),
+        sum(col("total_volume").cast("decimal(18,6)")).over(bar).cast("double")))
       .withColumn("__runlen", count(lit(1)).over(runW))
       .withColumn("__runstart", min("level").over(runW))
     // island priority packed into ONE long (len desc, start_level asc) so the
@@ -104,10 +117,15 @@ object Footprints {
       coalesce(max_by(col("__runlen") * col("sgn"), islandKey), lit(0L))
         .as("imb_max_run_signed"),
       // vp_skew: Σ(level − vwap)·vol / Σvol — two-pass like the reference
-      // (algebraically ~0; kept for parity, see base.py:836-843)
-      try_divide(sum((col("level") - col("__vwap")) * col("total_volume")),
-        sum("total_volume")).as("vp_skew"),
-      (lit(1.0) - try_divide(sum(col("total_volume") * col("total_volume")),
-        sum("total_volume") * sum("total_volume"))).as("vp_gini"))
+      // (algebraically ~0; kept for parity, see base.py:836-843).
+      // decimal-exact sums throughout: gini's double-sum ratio landed
+      // exactly on an r6 half-boundary at sf0.1
+      try_divide(
+        graft.queries.Q.dsum((col("level") - col("__vwap")) * col("total_volume")),
+        graft.queries.Q.dsum(col("total_volume"))).as("vp_skew"),
+      (lit(1.0) - try_divide(
+        graft.queries.Q.dsum(col("total_volume") * col("total_volume")),
+        graft.queries.Q.dsum(col("total_volume")) *
+          graft.queries.Q.dsum(col("total_volume")))).as("vp_gini"))
   }
 }

@@ -189,8 +189,14 @@ object TimeBars {
         // per-symbol groups can be all-undirected (leading side-0 run):
         // guard the ANSI divide; NULL matches the oracle's NaN→NULL fold
         val nDirected = sum(when(directed, 1L).otherwise(0L))
+        // decimal-exact spread sum (Q.dsum): the double sum's
+        // addition-order ulp noise landed this ratio exactly on an r6
+        // half-boundary at sf0.1 — both engines cast each spread to the
+        // same 6-dp decimal, so the sums (and the rounded ratio) are
+        // bit-identical
         when(nDirected > 0,
-          sum(when(col("__flip"), col("__spread")).otherwise(0.0)) / nDirected)
+          graft.queries.Q.dsum(
+            when(col("__flip"), col("__spread")).otherwise(0.0)) / nDirected)
           .as("mean_spread")
       },
       max(coalesce(when(col("__flip"), col("__spread")), lit(0.0))).as("max_spread"),
@@ -213,7 +219,11 @@ object TimeBars {
                 partCols: Seq[String] = Nil): DataFrame = {
     val iv = intervalSec * 1000000000L
     val pc = partCols.map(col)
-    val theta = trades.groupBy(pc: _*).agg((avg("qty") * lit(thetaMult)).as("thr"))
+    // decimal-exact θ (engine-identical scalar: its double avg was
+    // summation-order-noisy, and thr feeds comparisons + rounded ratios)
+    val theta = trades.groupBy(pc: _*)
+      .agg((graft.queries.Q.dsum(col("qty")) / count(lit(1)) * lit(thetaMult))
+        .as("thr"))
     val based = trades
       .withColumn("bar_ts", barTs(iv))
     val t =
@@ -224,13 +234,19 @@ object TimeBars {
       else based.join(theta, partCols)
     // thr is a broadcast column: grouping by it keeps it referencable inside
     // the aggregate expressions without a nested agg (same trick as the oracle)
+    // decimal-exact qty sums (Q.dsum): qty sits on a 0.1 grid and qty² on
+    // 0.01, both exact at 6 dp — double summation's order noise put
+    // size_gini exactly on an r6 half-boundary at sf0.1
+    val dq = graft.queries.Q.dsum(col("qty"))
     t.groupBy((pc :+ col("bar_ts")) :+ col("thr"): _*).agg(
-      log1p(avg("qty") / col("thr")).as("mean_size_rel"),
+      log1p((dq / count(lit(1))) / col("thr")).as("mean_size_rel"),
       log1p(percentile(col("qty"), lit(0.95)) / col("thr")).as("size_95_rel"),
-      (sum(when(col("qty") > col("thr"), col("qty")).otherwise(0.0)) /
-        sum("qty")).as("pct_block"),
+      (graft.queries.Q.dsum(
+        when(col("qty") > col("thr"), col("qty")).otherwise(0.0)) /
+        dq).as("pct_block"),
       when(count(lit(1)) === 1, 0.0)
-        .otherwise(lit(1.0) - sum(col("qty") * col("qty")) / (sum("qty") * sum("qty")))
+        .otherwise(lit(1.0) -
+          graft.queries.Q.dsum(col("qty") * col("qty")) / (dq * dq))
         .as("size_gini"))
   }
 

@@ -20,10 +20,18 @@ object VolumeProfile {
   /** Profile aggregation over an arbitrary key: (key, level) total volume —
     * `aggregate_footprint` (volume.py:133-203) generalized.
     */
+  /** Decimal-exact volume aggregation (Q.dsum): profile volumes feed POC
+    * argmax / value-area equality logic, where double summation's
+    * addition-order ulp noise flips picks between engines (and between
+    * re-evaluations of the same SQL) — measured at sf0.1. Exact to 6
+    * decimals up to 10^12.
+    */
+  private def vsum(c: Column): Column = graft.queries.Q.dsum(c)
+
   def profile(footprint: DataFrame, key: Column, keyName: String): DataFrame =
     footprint
       .groupBy(key.as(keyName), col("level"))
-      .agg(sum(col("buy_volume") + col("sell_volume")).as("volume"))
+      .agg(vsum(col("buy_volume") + col("sell_volume")).as("volume"))
 
   /** Re-bin levels into ~nBuckets odd-width integer buckets with midpoint
     * labels — `bucket_price_levels` (volume.py:206-274).
@@ -40,7 +48,7 @@ object VolumeProfile {
     p.groupBy(col(keyName),
         (col("__lo") + ((col("level") - col("__lo")) / col("__size")).cast("int") * col("__size")
           + (col("__size") / 2).cast("int")).as("level"))
-      .agg(sum("volume").as("volume"))
+      .agg(vsum(col("volume")).as("volume"))
   }
 
   /** POC (argmax volume, lowest level on ties) + % of volume strictly above
@@ -58,9 +66,9 @@ object VolumeProfile {
       .withColumn("poc_level", first("level").over(w))
       .groupBy(keyName, "poc_level")
       .agg(
-        (sum(when(col("level") > col("poc_level"), col("volume")).otherwise(0.0)) /
-          sum("volume")).as("pct_above_poc"),
-        sum("volume").as("total_volume"))
+        (vsum(when(col("level") > col("poc_level"), col("volume")).otherwise(0.0)) /
+          vsum(col("volume"))).as("pct_above_poc"),
+        vsum(col("volume")).as("total_volume"))
   }
 
   /** Full value area via the greedy Aggregator (volume.py:277-364).
@@ -95,7 +103,7 @@ object VolumeProfile {
       col("level"), (col("buy_volume") + col("sell_volume")).as("v"))
     exploded.join(targets, "target_ts") // drop phantom targets past the last bar / in gaps
       .groupBy(col("target_ts"), col("level"))
-      .agg(sum(col("v")).as("volume"))
+      .agg(vsum(col("v")).as("volume"))
   }
 
   /** Anchored (developing) profile within each UTC day — cumulative
@@ -108,6 +116,6 @@ object VolumeProfile {
     val contrib = targets.join(f,
       col("day") === col("tday") && col("bar_ts") <= col("target_ts"))
     contrib.groupBy(col("target_ts"), col("level"))
-      .agg(sum(col("buy_volume") + col("sell_volume")).as("volume"))
+      .agg(vsum(col("buy_volume") + col("sell_volume")).as("volume"))
   }
 }

@@ -140,8 +140,8 @@ object FootprintQueries {
     s"""fp AS (
        |  SELECT ((ts + ${iv - 1}) // $iv) * $iv AS bar_ts,
        |         CAST(round(price / ${D(tick)}) AS INT) AS level,
-       |         sum(CASE WHEN side = 1 THEN qty ELSE 0.0 END) AS buy_volume,
-       |         sum(CASE WHEN side = -1 THEN qty ELSE 0.0 END) AS sell_volume,
+       |         CAST(sum(CAST((CASE WHEN side = 1 THEN qty ELSE 0.0 END) AS DECIMAL(18,6))) AS DOUBLE) AS buy_volume,
+       |         CAST(sum(CAST((CASE WHEN side = -1 THEN qty ELSE 0.0 END) AS DECIMAL(18,6))) AS DOUBLE) AS sell_volume,
        |         CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS buy_ticks,
        |         CAST(sum(CASE WHEN side = -1 THEN 1 ELSE 0 END) AS BIGINT) AS sell_ticks
        |  FROM sided GROUP BY 1, 2
@@ -169,8 +169,8 @@ object FootprintQueries {
        |fp AS (
        |  SELECT symbol, ((ts + ${symIv - 1}) // $symIv) * $symIv AS bar_ts,
        |         CAST(round(price / ${D(tick)}) AS INT) AS level,
-       |         sum(CASE WHEN side = 1 THEN qty ELSE 0.0 END) AS buy_volume,
-       |         sum(CASE WHEN side = -1 THEN qty ELSE 0.0 END) AS sell_volume,
+       |         CAST(sum(CAST((CASE WHEN side = 1 THEN qty ELSE 0.0 END) AS DECIMAL(18,6))) AS DOUBLE) AS buy_volume,
+       |         CAST(sum(CAST((CASE WHEN side = -1 THEN qty ELSE 0.0 END) AS DECIMAL(18,6))) AS DOUBLE) AS sell_volume,
        |         CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS buy_ticks,
        |         CAST(sum(CASE WHEN side = -1 THEN 1 ELSE 0 END) AS BIGINT) AS sell_ticks
        |  FROM sided GROUP BY 1, 2, 3
@@ -230,8 +230,8 @@ object FootprintQueries {
          |    CAST(sum(CASE WHEN buy_imbalance THEN 1 ELSE 0 END) AS BIGINT) AS buy_imbalances_sum,
          |    CAST(sum(CASE WHEN sell_imbalance THEN 1 ELSE 0 END) AS BIGINT) AS sell_imbalances_sum,
          |    max(total_volume) AS maxv,
-         |    sum(level * total_volume) / sum(total_volume) AS vwap,
-         |    1.0 - sum(total_volume * total_volume) / (sum(total_volume) * sum(total_volume)) AS vp_gini
+         |    CAST(sum(CAST((level * total_volume) AS DECIMAL(18,6))) AS DOUBLE) / CAST(sum(CAST((total_volume) AS DECIMAL(18,6))) AS DOUBLE) AS vwap,
+         |    1.0 - CAST(sum(CAST((total_volume * total_volume) AS DECIMAL(18,6))) AS DOUBLE) / (CAST(sum(CAST((total_volume) AS DECIMAL(18,6))) AS DOUBLE) * CAST(sum(CAST((total_volume) AS DECIMAL(18,6))) AS DOUBLE)) AS vp_gini
          |  FROM f GROUP BY bar_ts
          |),
          |cot AS (
@@ -240,7 +240,7 @@ object FootprintQueries {
          |  GROUP BY f.bar_ts
          |),
          |skew AS (
-         |  SELECT f.bar_ts, sum((f.level - p.vwap) * f.total_volume) / sum(f.total_volume) AS vp_skew
+         |  SELECT f.bar_ts, CAST(sum(CAST(((f.level - p.vwap) * f.total_volume) AS DECIMAL(18,6))) AS DOUBLE) / CAST(sum(CAST((f.total_volume) AS DECIMAL(18,6))) AS DOUBLE) AS vp_skew
          |  FROM f JOIN per_bar p ON f.bar_ts = p.bar_ts GROUP BY f.bar_ts
          |)
          |SELECT p.bar_ts, p.buy_imbalances_sum, p.sell_imbalances_sum,
@@ -294,8 +294,8 @@ object FootprintQueries {
          |    CAST(sum(CASE WHEN buy_imbalance THEN 1 ELSE 0 END) AS BIGINT) AS buy_imbalances_sum,
          |    CAST(sum(CASE WHEN sell_imbalance THEN 1 ELSE 0 END) AS BIGINT) AS sell_imbalances_sum,
          |    max(total_volume) AS maxv,
-         |    sum(level * total_volume) / sum(total_volume) AS vwap,
-         |    1.0 - sum(total_volume * total_volume) / (sum(total_volume) * sum(total_volume)) AS vp_gini
+         |    CAST(sum(CAST((level * total_volume) AS DECIMAL(18,6))) AS DOUBLE) / CAST(sum(CAST((total_volume) AS DECIMAL(18,6))) AS DOUBLE) AS vwap,
+         |    1.0 - CAST(sum(CAST((total_volume * total_volume) AS DECIMAL(18,6))) AS DOUBLE) / (CAST(sum(CAST((total_volume) AS DECIMAL(18,6))) AS DOUBLE) * CAST(sum(CAST((total_volume) AS DECIMAL(18,6))) AS DOUBLE)) AS vp_gini
          |  FROM f GROUP BY symbol, bar_ts
          |),
          |cot AS (
@@ -306,7 +306,7 @@ object FootprintQueries {
          |),
          |skew AS (
          |  SELECT f.symbol, f.bar_ts,
-         |    sum((f.level - p.vwap) * f.total_volume) / sum(f.total_volume) AS vp_skew
+         |    CAST(sum(CAST(((f.level - p.vwap) * f.total_volume) AS DECIMAL(18,6))) AS DOUBLE) / CAST(sum(CAST((f.total_volume) AS DECIMAL(18,6))) AS DOUBLE) AS vp_skew
          |  FROM f JOIN per_bar p ON f.symbol = p.symbol AND f.bar_ts = p.bar_ts
          |  GROUP BY f.symbol, f.bar_ts
          |)
@@ -322,7 +322,7 @@ object FootprintQueries {
     "vp_poc_day" -> withFp(
       s""", prof AS (
          |  SELECT bar_ts // 86400000000000 AS day, level,
-         |         sum(buy_volume + sell_volume) AS volume
+         |         CAST(sum(CAST((buy_volume + sell_volume) AS DECIMAL(18,6))) AS DOUBLE) AS volume
          |  FROM fp2 GROUP BY 1, 2
          |),
          |mx AS (SELECT day, max(volume) AS maxv FROM prof GROUP BY day),
@@ -332,15 +332,15 @@ object FootprintQueries {
          |  GROUP BY prof.day
          |)
          |SELECT prof.day AS day, poc.poc_level,
-         |  ${rd("sum(CASE WHEN level > poc_level THEN volume ELSE 0.0 END) / sum(volume)")} AS pct_above_poc,
-         |  ${rd("sum(volume)")} AS total_volume
+         |  ${rd("CAST(sum(CAST((CASE WHEN level > poc_level THEN volume ELSE 0.0 END) AS DECIMAL(18,6))) AS DOUBLE) / CAST(sum(CAST((volume) AS DECIMAL(18,6))) AS DOUBLE)")} AS pct_above_poc,
+         |  ${rd("CAST(sum(CAST((volume) AS DECIMAL(18,6))) AS DOUBLE)")} AS total_volume
          |FROM prof JOIN poc ON prof.day = poc.day
          |GROUP BY prof.day, poc.poc_level""".stripMargin),
 
     "vp_bucketed_day" -> withFp(
       s""", prof AS (
          |  SELECT bar_ts // 86400000000000 AS day, level,
-         |         sum(buy_volume + sell_volume) AS volume
+         |         CAST(sum(CAST((buy_volume + sell_volume) AS DECIMAL(18,6))) AS DOUBLE) AS volume
          |  FROM fp2 GROUP BY 1, 2
          |),
          |ext AS (
@@ -353,7 +353,7 @@ object FootprintQueries {
          |  FROM (SELECT *, greatest(CAST(round(n / 30.0) AS INT), 1) AS raw FROM ext)
          |)
          |SELECT day, lo + ((level - lo) // bsize) * bsize + bsize // 2 AS level,
-         |  ${rd("sum(volume)")} AS volume
+         |  ${rd("CAST(sum(CAST((volume) AS DECIMAL(18,6))) AS DOUBLE)")} AS volume
          |FROM sz GROUP BY 1, 2""".stripMargin),
 
     // Greedy value-area expansion replayed as a recursive CTE over the
@@ -365,7 +365,7 @@ object FootprintQueries {
       s"""WITH RECURSIVE $tradesCte, $sidedCte, $fpCte,
          |prof AS (
          |  SELECT bar_ts // 86400000000000 AS day, level,
-         |         sum(buy_volume + sell_volume) AS volume
+         |         CAST(sum(CAST((buy_volume + sell_volume) AS DECIMAL(18,6))) AS DOUBLE) AS volume
          |  FROM fp2 GROUP BY 1, 2
          |),
          |ext AS (
@@ -379,7 +379,7 @@ object FootprintQueries {
          |),
          |bucketed AS (
          |  SELECT day, lo + ((level - lo) // bsize) * bsize + bsize // 2 AS level,
-         |         sum(volume) AS volume
+         |         CAST(sum(CAST((volume) AS DECIMAL(18,6))) AS DOUBLE) AS volume
          |  FROM sz GROUP BY 1, 2
          |),
          |arr AS (
@@ -489,7 +489,7 @@ object FootprintQueries {
     "vp_rolling_6h" -> withFp(
       s""", targets AS (SELECT DISTINCT bar_ts AS target_ts FROM fp2),
          |prof AS (
-         |  SELECT t.target_ts AS bar_ts, f.level, sum(f.buy_volume + f.sell_volume) AS volume
+         |  SELECT t.target_ts AS bar_ts, f.level, CAST(sum(CAST((f.buy_volume + f.sell_volume) AS DECIMAL(18,6))) AS DOUBLE) AS volume
          |  FROM targets t JOIN fp2 f
          |    ON f.bar_ts <= t.target_ts AND f.bar_ts > t.target_ts - ${6L * iv}
          |  GROUP BY 1, 2
@@ -501,8 +501,8 @@ object FootprintQueries {
          |  GROUP BY prof.bar_ts
          |)
          |SELECT prof.bar_ts AS bar_ts, poc.poc_level,
-         |  ${rd("sum(CASE WHEN level > poc_level THEN volume ELSE 0.0 END) / sum(volume)")} AS pct_above_poc,
-         |  ${rd("sum(volume)")} AS total_volume
+         |  ${rd("CAST(sum(CAST((CASE WHEN level > poc_level THEN volume ELSE 0.0 END) AS DECIMAL(18,6))) AS DOUBLE) / CAST(sum(CAST((volume) AS DECIMAL(18,6))) AS DOUBLE)")} AS pct_above_poc,
+         |  ${rd("CAST(sum(CAST((volume) AS DECIMAL(18,6))) AS DOUBLE)")} AS total_volume
          |FROM prof JOIN poc ON prof.bar_ts = poc.bar_ts
          |GROUP BY prof.bar_ts, poc.poc_level""".stripMargin),
 
@@ -510,7 +510,7 @@ object FootprintQueries {
       s""", f AS (SELECT *, bar_ts // 86400000000000 AS day FROM fp2),
          |targets AS (SELECT DISTINCT day AS tday, bar_ts AS target_ts FROM f),
          |prof AS (
-         |  SELECT t.target_ts AS bar_ts, f.level, sum(f.buy_volume + f.sell_volume) AS volume
+         |  SELECT t.target_ts AS bar_ts, f.level, CAST(sum(CAST((f.buy_volume + f.sell_volume) AS DECIMAL(18,6))) AS DOUBLE) AS volume
          |  FROM targets t JOIN f ON f.day = t.tday AND f.bar_ts <= t.target_ts
          |  GROUP BY 1, 2
          |),
@@ -521,8 +521,8 @@ object FootprintQueries {
          |  GROUP BY prof.bar_ts
          |)
          |SELECT prof.bar_ts AS bar_ts, poc.poc_level,
-         |  ${rd("sum(CASE WHEN level > poc_level THEN volume ELSE 0.0 END) / sum(volume)")} AS pct_above_poc,
-         |  ${rd("sum(volume)")} AS total_volume
+         |  ${rd("CAST(sum(CAST((CASE WHEN level > poc_level THEN volume ELSE 0.0 END) AS DECIMAL(18,6))) AS DOUBLE) / CAST(sum(CAST((volume) AS DECIMAL(18,6))) AS DOUBLE)")} AS pct_above_poc,
+         |  ${rd("CAST(sum(CAST((volume) AS DECIMAL(18,6))) AS DOUBLE)")} AS total_volume
          |FROM prof JOIN poc ON prof.bar_ts = poc.bar_ts
          |GROUP BY prof.bar_ts, poc.poc_level""".stripMargin)
   )

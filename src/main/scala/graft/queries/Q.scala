@@ -70,7 +70,9 @@ object Q {
 
   /** The canonical trades CTE over the synthetic events table (DuckDB).
     * Mirrors graft.trades.Trades.fromEvents exactly: ns epoch longs, price =
-    * value, qty synthesized from the id.
+    * value, qty synthesized from the id, and non-positive prices dropped
+    * (invalid prints — see the fromEvents scaladoc; without the filter the
+    * sf0.1 fixture's six zero-price events crash DuckDB's ln()).
     */
   val tradesCte: String =
     """trades AS (
@@ -78,6 +80,7 @@ object Q {
       |         CAST(1.0 AS DOUBLE) + CAST(event_id % 97 AS DOUBLE) * CAST(0.1 AS DOUBLE) AS qty,
       |         user_id AS symbol
       |  FROM events
+      |  WHERE value > 0
       |)""".stripMargin
 
   /** Tick-rule side CTE chain (DuckDB) — mirrors Trades.withTickRuleSide. */

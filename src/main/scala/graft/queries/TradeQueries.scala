@@ -492,7 +492,7 @@ object TradeQueries {
          |  ${rd("sum(CASE WHEN side = -1 THEN qty ELSE 0.0 END)")} AS volume_sell,
          |  ${rd("sum(CASE WHEN side = 1 THEN price * qty ELSE 0.0 END)")} AS dollars_buy,
          |  ${rd("sum(CASE WHEN side = -1 THEN price * qty ELSE 0.0 END)")} AS dollars_sell,
-         |  ${rd("sum(CASE WHEN flip THEN spr ELSE 0.0 END) / sum(CASE WHEN side <> 0 THEN 1 ELSE 0 END)")} AS mean_spread,
+         |  ${rd("CAST(sum(CAST((CASE WHEN flip THEN spr ELSE 0.0 END) AS DECIMAL(18,6))) AS DOUBLE) / sum(CASE WHEN side <> 0 THEN 1 ELSE 0 END)")} AS mean_spread,
          |  ${rd("max(coalesce(CASE WHEN flip THEN spr END, 0.0))")} AS max_spread,
          |  CAST(min(CASE WHEN side <> 0 THEN cum_ticks END) AS BIGINT) AS cum_ticks_min,
          |  CAST(max(CASE WHEN side <> 0 THEN cum_ticks END) AS BIGINT) AS cum_ticks_max,
@@ -524,7 +524,7 @@ object TradeQueries {
          |  CAST(sum(CASE WHEN side = -1 THEN 1 ELSE 0 END) AS BIGINT) AS ticks_sell,
          |  ${rd("sum(CASE WHEN side = 1 THEN qty ELSE 0.0 END)")} AS volume_buy,
          |  ${rd("sum(CASE WHEN side = -1 THEN qty ELSE 0.0 END)")} AS volume_sell,
-         |  ${rd("sum(CASE WHEN flip THEN spr ELSE 0.0 END) / sum(CASE WHEN side <> 0 THEN 1 ELSE 0 END)")} AS mean_spread,
+         |  ${rd("CAST(sum(CAST((CASE WHEN flip THEN spr ELSE 0.0 END) AS DECIMAL(18,6))) AS DOUBLE) / sum(CASE WHEN side <> 0 THEN 1 ELSE 0 END)")} AS mean_spread,
          |  ${rd("max(coalesce(CASE WHEN flip THEN spr END, 0.0))")} AS max_spread,
          |  CAST(min(CASE WHEN side <> 0 THEN cum_ticks END) AS BIGINT) AS cum_ticks_min,
          |  CAST(max(CASE WHEN side <> 0 THEN cum_ticks END) AS BIGINT) AS cum_ticks_max
@@ -534,12 +534,12 @@ object TradeQueries {
     "time_bars_size_1h" -> {
       val iv = 3600L * 1000000000L
       s"""WITH $tradesCte,
-         |theta AS (SELECT avg(qty) * CAST(5.0 AS DOUBLE) AS thr FROM trades)
+         |theta AS (SELECT CAST(sum(CAST((qty) AS DECIMAL(18,6))) AS DOUBLE) / count(*) * CAST(5.0 AS DOUBLE) AS thr FROM trades)
          |SELECT ((ts + ${iv - 1}) // $iv) * $iv AS bar_ts,
-         |  ${rd("ln(1 + avg(qty) / thr)")} AS mean_size_rel,
+         |  ${rd("ln(1 + CAST(sum(CAST((qty) AS DECIMAL(18,6))) AS DOUBLE) / count(*) / thr)")} AS mean_size_rel,
          |  ${rd("ln(1 + quantile_cont(qty, 0.95) / thr)")} AS size_95_rel,
-         |  ${rd("sum(CASE WHEN qty > thr THEN qty ELSE 0.0 END) / sum(qty)")} AS pct_block,
-         |  ${rd("CASE WHEN count(*) = 1 THEN 0.0 ELSE 1.0 - sum(qty * qty) / (sum(qty) * sum(qty)) END")} AS size_gini
+         |  ${rd("CAST(sum(CAST((CASE WHEN qty > thr THEN qty ELSE 0.0 END) AS DECIMAL(18,6))) AS DOUBLE) / CAST(sum(CAST((qty) AS DECIMAL(18,6))) AS DOUBLE)")} AS pct_block,
+         |  ${rd("CASE WHEN count(*) = 1 THEN 0.0 ELSE 1.0 - CAST(sum(CAST((qty * qty) AS DECIMAL(18,6))) AS DOUBLE) / (CAST(sum(CAST((qty) AS DECIMAL(18,6))) AS DOUBLE) * CAST(sum(CAST((qty) AS DECIMAL(18,6))) AS DOUBLE)) END")} AS size_gini
          |FROM trades, theta
          |GROUP BY 1, thr""".stripMargin
     },
@@ -547,13 +547,13 @@ object TradeQueries {
     "time_bars_size_sym" -> {
       val iv = 86400L * 1000000000L
       s"""WITH $tradesCte,
-         |theta AS (SELECT symbol, avg(qty) * CAST(5.0 AS DOUBLE) AS thr
+         |theta AS (SELECT symbol, CAST(sum(CAST((qty) AS DECIMAL(18,6))) AS DOUBLE) / count(*) * CAST(5.0 AS DOUBLE) AS thr
          |          FROM trades GROUP BY symbol)
          |SELECT symbol, ((ts + ${iv - 1}) // $iv) * $iv AS bar_ts,
-         |  ${rd("ln(1 + avg(qty) / thr)")} AS mean_size_rel,
+         |  ${rd("ln(1 + CAST(sum(CAST((qty) AS DECIMAL(18,6))) AS DOUBLE) / count(*) / thr)")} AS mean_size_rel,
          |  ${rd("ln(1 + quantile_cont(qty, 0.95) / thr)")} AS size_95_rel,
-         |  ${rd("sum(CASE WHEN qty > thr THEN qty ELSE 0.0 END) / sum(qty)")} AS pct_block,
-         |  ${rd("CASE WHEN count(*) = 1 THEN 0.0 ELSE 1.0 - sum(qty * qty) / (sum(qty) * sum(qty)) END")} AS size_gini
+         |  ${rd("CAST(sum(CAST((CASE WHEN qty > thr THEN qty ELSE 0.0 END) AS DECIMAL(18,6))) AS DOUBLE) / CAST(sum(CAST((qty) AS DECIMAL(18,6))) AS DOUBLE)")} AS pct_block,
+         |  ${rd("CASE WHEN count(*) = 1 THEN 0.0 ELSE 1.0 - CAST(sum(CAST((qty * qty) AS DECIMAL(18,6))) AS DOUBLE) / (CAST(sum(CAST((qty) AS DECIMAL(18,6))) AS DOUBLE) * CAST(sum(CAST((qty) AS DECIMAL(18,6))) AS DOUBLE)) END")} AS size_gini
          |FROM trades t JOIN theta USING (symbol)
          |GROUP BY 1, 2, thr""".stripMargin
     },

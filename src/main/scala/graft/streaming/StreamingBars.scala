@@ -301,6 +301,24 @@ object StreamingBars {
   case class SidedSymBar(ts: Long, id: Long, price: Double, qty: Double,
                          side: Int, symbol: Long, bar_ts: Long)
 
+  /** decimal(18,6) micro-units of a double — bit-equal to Spark's
+    * `Cast(double → decimal(18,6))` (BigDecimal.valueOf's shortest decimal
+    * form, HALF_UP at 6 dp). The batch twins accumulate the spread / the
+    * footprint volumes in exact decimal ([[graft.queries.Q.dsum]]); the
+    * stream reproduces the identical arithmetic with a Long micro-unit
+    * sum, so full batch/stream parity stays EXACT, not approximate.
+    */
+  private def micros6(x: Double): Long =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+      .movePointRight(6).longValueExact()
+
+  /** micro-units back to double — the same nearest-double the decimal's
+    * `toDouble` yields (long→double is exact below 2^53; one correctly
+    * rounded division).
+    */
+  private def md(m: Long): Double = m.toDouble / 1e6
+
   /** One open bar's directional accumulators: conditional sums, spread
     * stats, and the intra-bar signed cumulative paths with their extrema
     * over directed rows (sentinels: MaxValue/∞ until the first directed
@@ -309,7 +327,7 @@ object StreamingBars {
   case class DirAccum(ticksBuy: Long, ticksSell: Long,
                       volBuy: Double, volSell: Double,
                       dolBuy: Double, dolSell: Double,
-                      spreadSum: Double, spreadMax: Double, nDirected: Long,
+                      spreadSumMicros: Long, spreadMax: Double, nDirected: Long,
                       cumTicks: Long, cumVol: Double, cumDol: Double,
                       ctMin: Long, ctMax: Long,
                       cvMin: Double, cvMax: Double,
@@ -332,7 +350,7 @@ object StreamingBars {
                        cum_dollars_min: Option[Double], cum_dollars_max: Option[Double])
 
   private val emptyDirAccum = DirAccum(0L, 0L, 0.0, 0.0, 0.0, 0.0,
-    0.0, 0.0, 0L, 0L, 0.0, 0.0,
+    0L, 0.0, 0L, 0L, 0.0, 0.0,
     Long.MaxValue, Long.MinValue,
     Double.PositiveInfinity, Double.NegativeInfinity,
     Double.PositiveInfinity, Double.NegativeInfinity)
@@ -355,7 +373,7 @@ object StreamingBars {
       acc.volSell + (if (r.side == -1) r.qty else 0.0),
       acc.dolBuy + (if (r.side == 1) r.price * r.qty else 0.0),
       acc.dolSell + (if (r.side == -1) r.price * r.qty else 0.0),
-      acc.spreadSum + spread,
+      acc.spreadSumMicros + micros6(spread),
       math.max(acc.spreadMax, spread),
       acc.nDirected + (if (directed) 1L else 0L),
       ct, cv, cd,
@@ -372,7 +390,7 @@ object StreamingBars {
     val some = a.nDirected > 0
     DirBarOut(symbol, barTs, a.ticksBuy, a.ticksSell, a.volBuy, a.volSell,
       a.dolBuy, a.dolSell,
-      if (some) Some(a.spreadSum / a.nDirected) else None,
+      if (some) Some(md(a.spreadSumMicros) / a.nDirected) else None,
       a.spreadMax,
       if (some) Some(a.ctMin) else None, if (some) Some(a.ctMax) else None,
       if (some) Some(a.cvMin) else None, if (some) Some(a.cvMax) else None,
@@ -494,7 +512,12 @@ object StreamingBars {
   // Footprint per-bar summary — full Footprints.summary parity
   // -----------------------------------------------------------------------
 
-  case class LevelAcc(buyVol: Double, sellVol: Double,
+  /** Per-level volumes in decimal(18,6) MICRO-UNITS — exact accumulation
+    * mirroring the batch `Footprints.build`'s Q.dsum sums (see
+    * [[micros6]]): imbalance flags, COT ties and the summary ratios then
+    * compute on bit-identical values.
+    */
+  case class LevelAcc(buyVolMicros: Long, sellVolMicros: Long,
                       buyTicks: Long, sellTicks: Long)
   case class FpState(levels: Map[Int, LevelAcc])
   case class FpSummaryOut(bar_ts: Long, buy_imbalances_sum: Long,
@@ -515,24 +538,33 @@ object StreamingBars {
     val levels = byLevel.toArray.sortBy(_._1)
     val minL = levels.head._1
     val maxL = levels.last._1
-    def buyAt(l: Int) = byLevel.get(l).map(_.buyVol).getOrElse(0.0)
-    def sellAt(l: Int) = byLevel.get(l).map(_.sellVol).getOrElse(0.0)
+    // volumes surface as the decimal values' nearest doubles (md), and
+    // every SUM over levels runs in micro-units — step-for-step the batch
+    // summary's Q.dsum arithmetic, so comparisons/ratios are bit-identical
+    def buyAt(l: Int) = byLevel.get(l).map(a => md(a.buyVolMicros)).getOrElse(0.0)
+    def sellAt(l: Int) = byLevel.get(l).map(a => md(a.sellVolMicros)).getOrElse(0.0)
     var buySum = 0L; var sellSum = 0L
-    var totVol = 0.0; var totVol2 = 0.0; var lvlVol = 0.0
+    var totVolM = 0L; var totVol2M = 0L; var lvlVolM = 0L
     var maxv = Double.NegativeInfinity
     val sgns = new Array[Int](levels.length)
     val totals = new Array[Double](levels.length)
     var i = 0
     while (i < levels.length) {
       val (l, a) = levels(i)
-      val buyImb = l > minL && a.buyVol > sellAt(l - 1) * k
-      val sellImb = l < maxL && a.sellVol > buyAt(l + 1) * k
+      val buyVol = md(a.buyVolMicros)
+      val sellVol = md(a.sellVolMicros)
+      val buyImb = l > minL && buyVol > sellAt(l - 1) * k
+      val sellImb = l < maxL && sellVol > buyAt(l + 1) * k
       if (buyImb) buySum += 1
       if (sellImb) sellSum += 1
       sgns(i) = if (buyImb) 1 else if (sellImb) -1 else 0
-      val tot = a.buyVol + a.sellVol
+      // double addition of the two cast values, exactly like the batch
+      // total_volume = buy_volume + sell_volume projection
+      val tot = buyVol + sellVol
       totals(i) = tot
-      totVol += tot; totVol2 += tot * tot; lvlVol += l.toDouble * tot
+      totVolM += micros6(tot)
+      totVol2M += micros6(tot * tot)
+      lvlVolM += micros6(l.toDouble * tot)
       if (tot > maxv) maxv = tot
       i += 1
     }
@@ -565,15 +597,16 @@ object StreamingBars {
       i += 1
     }
     closeRun()
-    val vwap = lvlVol / totVol
-    var skewNum = 0.0
+    val totVol = md(totVolM)
+    val vwap = md(lvlVolM) / totVol
+    var skewNumM = 0L
     i = 0
     while (i < levels.length) {
-      skewNum += (levels(i)._1.toDouble - vwap) * totals(i)
+      skewNumM += micros6((levels(i)._1.toDouble - vwap) * totals(i))
       i += 1
     }
     FpSummaryOut(barTs, buySum, sellSum, cot, bestLen * bestSgn,
-      skewNum / totVol, 1.0 - totVol2 / (totVol * totVol))
+      md(skewNumM) / totVol, 1.0 - md(totVol2M) / (totVol * totVol))
   }
 
   /** Streaming per-bar footprint features in APPEND mode: accumulate the
@@ -607,10 +640,10 @@ object StreamingBars {
               // exact half-ticks to a different level
               val x = r.price / tickSize
               val l = (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toInt
-              val a = levels.getOrElse(l, LevelAcc(0.0, 0.0, 0L, 0L))
+              val a = levels.getOrElse(l, LevelAcc(0L, 0L, 0L, 0L))
               levels = levels.updated(l, LevelAcc(
-                a.buyVol + (if (r.side == 1) r.qty else 0.0),
-                a.sellVol + (if (r.side == -1) r.qty else 0.0),
+                a.buyVolMicros + (if (r.side == 1) micros6(r.qty) else 0L),
+                a.sellVolMicros + (if (r.side == -1) micros6(r.qty) else 0L),
                 a.buyTicks + (if (r.side == 1) 1L else 0L),
                 a.sellTicks + (if (r.side == -1) 1L else 0L)))
             }

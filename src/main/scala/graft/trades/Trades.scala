@@ -22,14 +22,24 @@ object Trades {
     * parquet TIMESTAMP(NANOS) to µs on read — the oracle can only see µs, so
     * the engine's canonical view adopts the same resolution for the synthetic
     * tables. (The engine itself stays ns-native throughout.)
+    *
+    * Non-positive prices are dropped at canonicalization: a zero/negative
+    * trade print is invalid exchange data, and every log-return operator
+    * downstream (CUSUM, TBM, sample weights, EW scans — the reference's
+    * kernels all assume positive prices) would otherwise fork on engine
+    * log(0) semantics (JVM −Inf vs Spark-SQL NULL vs DuckDB error — the
+    * sf0.1 fixture carries six such prints and the oracle ln() raised).
+    * The dropped ids surface as gaps in the integrity id-gap scan, which
+    * is exactly where corrupt prints should be reported.
     */
   def fromEvents(events: DataFrame): DataFrame =
-    events.select(
-      expr("(ts div 1000) * 1000").as("ts"),
-      col("event_id").as("id"),
-      col("value").as("price"),
-      (lit(1.0) + (col("event_id") % 97).cast("double") * lit(0.1)).as("qty"),
-      col("user_id").as("symbol"))
+    events.where(col("value") > 0)
+      .select(
+        expr("(ts div 1000) * 1000").as("ts"),
+        col("event_id").as("id"),
+        col("value").as("price"),
+        (lit(1.0) + (col("event_id") % 97).cast("double") * lit(0.1)).as("qty"),
+        col("user_id").as("symbol"))
 
   /** ts * factor with unit inference from magnitude — mirrors
     * `_convert_timestamps_to_ns` (data_model.py:346-418). Spark-first: the
