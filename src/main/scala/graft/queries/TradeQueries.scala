@@ -630,7 +630,7 @@ object TradeQueries {
 
     "integrity_id_gaps" ->
       """WITH trades AS (
-        |  SELECT epoch_ns(ts) AS ts, event_id AS id FROM events WHERE event_type <> 'error'
+        |  SELECT epoch_ns(ts) AS ts, event_id AS id FROM events WHERE event_type <> 'error' AND value > 0
         |)
         |SELECT prev_id, id, id - prev_id - 1 AS missing, prev_ts, ts
         |FROM (SELECT id, ts, lag(id) OVER (ORDER BY id) AS prev_id,
@@ -639,7 +639,7 @@ object TradeQueries {
 
     "integrity_summary" ->
       s"""WITH trades AS (
-         |  SELECT epoch_ns(ts) AS ts, event_id AS id FROM events WHERE event_type <> 'error'
+         |  SELECT epoch_ns(ts) AS ts, event_id AS id FROM events WHERE event_type <> 'error' AND value > 0
          |),
          |g AS (
          |  SELECT ts, id,
@@ -662,7 +662,7 @@ object TradeQueries {
     "integrity_summary_sym" ->
       s"""WITH trades AS (
          |  SELECT epoch_ns(ts) AS ts, event_id AS id, user_id AS symbol
-         |  FROM events WHERE event_type <> 'error'
+         |  FROM events WHERE event_type <> 'error' AND value > 0
          |),
          |g AS (
          |  SELECT symbol, ts, id,
