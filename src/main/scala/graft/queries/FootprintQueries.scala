@@ -64,6 +64,40 @@ object FootprintQueries {
         (r6(col("vp_skew")) + lit(0.0)).as("vp_skew"),
         r6(col("vp_gini")).as("vp_gini"))),
 
+    // Knife-edge guard for the footprint-summary family (r8, cusum_slack
+    // pattern): the summary's vp_skew/vp_gini doubles are bit-identical
+    // across engines (exact integer sums, fixed IEEE op sequence), but the
+    // final r6 normalization still ROUNDS them, and the two engines' round()
+    // implementations differ — Spark rounds the double's SHORTEST DECIMAL
+    // string (BigDecimal.valueOf, HALF_UP), DuckDB rounds the ·1e6 product
+    // (std::round, half away from zero). The two agree everywhere except
+    // doubles essentially ON a 5e-7 boundary whose string and product
+    // views straddle it. Per row this asserts the value either sits ≥1e-9
+    // from the boundary (where no sane rounding can fork) OR Spark's r6
+    // equals the product-rounding emulation of DuckDB (verified against
+    // the real DuckDB on 200k probes incl. adversarial boundary doubles).
+    // Exact rationals (gini = C/B²) routinely land ON or within 1e-10 of
+    // .5 boundaries — those are safe precisely when both views round the
+    // same way, which is what the emulation checks. A future dataset on a
+    // genuine knife edge fails HERE loudly instead of hash-mismatching the
+    // footprint_summary_* rows mysteriously.
+    "footprint_slack" -> ((s, dir) => {
+      def okCol(c: org.apache.spark.sql.Column) = {
+        val scaled = abs(c) * 1e6
+        val d = abs(scaled - floor(scaled) - 0.5)
+        val emu = signum(c) * floor(abs(c) * 1e6 + lit(0.5)) / 1e6
+        // <=> : NULL outputs (zero-attributed-volume bars) vacuously agree
+        coalesce(d >= 1e-9, lit(false)) || (r6(c) <=> emu)
+      }
+      def slackOf(df: org.apache.spark.sql.DataFrame, variant: String) =
+        df.agg(coalesce(
+            bool_and(okCol(col("vp_skew")) && okCol(col("vp_gini"))), lit(true))
+          .as("slack_ok"))
+          .select(lit(variant).as("variant"), col("slack_ok"))
+      slackOf(Footprints.summary(fp(s, dir)), "summary_1h").unionByName(
+        slackOf(Footprints.summary(fpSym(s, dir), Seq("symbol")), "summary_sym"))
+    }),
+
     // Daily volume profile: POC + % above POC
     "vp_poc_day" -> ((s, dir) => {
       val prof = VolumeProfile.profile(fp(s, dir),
@@ -142,6 +176,7 @@ object FootprintQueries {
        |         CAST(round(price / ${D(tick)}) AS INT) AS level,
        |         CAST(sum(CAST((CASE WHEN side = 1 THEN qty ELSE 0.0 END) AS DECIMAL(18,6))) AS DOUBLE) AS buy_volume,
        |         CAST(sum(CAST((CASE WHEN side = -1 THEN qty ELSE 0.0 END) AS DECIMAL(18,6))) AS DOUBLE) AS sell_volume,
+       |         CAST(sum(CASE WHEN side <> 0 THEN CAST(round(qty * 1000000) AS BIGINT) ELSE 0 END) AS HUGEINT) AS vu,
        |         CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS buy_ticks,
        |         CAST(sum(CASE WHEN side = -1 THEN 1 ELSE 0 END) AS BIGINT) AS sell_ticks
        |  FROM sided GROUP BY 1, 2
@@ -171,6 +206,7 @@ object FootprintQueries {
        |         CAST(round(price / ${D(tick)}) AS INT) AS level,
        |         CAST(sum(CAST((CASE WHEN side = 1 THEN qty ELSE 0.0 END) AS DECIMAL(18,6))) AS DOUBLE) AS buy_volume,
        |         CAST(sum(CAST((CASE WHEN side = -1 THEN qty ELSE 0.0 END) AS DECIMAL(18,6))) AS DOUBLE) AS sell_volume,
+       |         CAST(sum(CASE WHEN side <> 0 THEN CAST(round(qty * 1000000) AS BIGINT) ELSE 0 END) AS HUGEINT) AS vu,
        |         CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS buy_ticks,
        |         CAST(sum(CASE WHEN side = -1 THEN 1 ELSE 0 END) AS BIGINT) AS sell_ticks
        |  FROM sided GROUP BY 1, 2, 3
@@ -198,7 +234,7 @@ object FootprintQueries {
 
     "footprint_summary_1h" -> withFp(
       s""", f AS (
-         |  SELECT *, buy_volume + sell_volume AS total_volume,
+         |  SELECT *,
          |    CASE WHEN buy_imbalance THEN 1 WHEN sell_imbalance THEN -1 ELSE 0 END AS sgn
          |  FROM fp2
          |),
@@ -229,27 +265,23 @@ object FootprintQueries {
          |  SELECT bar_ts,
          |    CAST(sum(CASE WHEN buy_imbalance THEN 1 ELSE 0 END) AS BIGINT) AS buy_imbalances_sum,
          |    CAST(sum(CASE WHEN sell_imbalance THEN 1 ELSE 0 END) AS BIGINT) AS sell_imbalances_sum,
-         |    max(total_volume) AS maxv,
-         |    CAST(sum(CAST((level * total_volume) AS DECIMAL(18,6))) AS DOUBLE) / CAST(sum(CAST((total_volume) AS DECIMAL(18,6))) AS DOUBLE) AS vwap,
-         |    1.0 - CAST(sum(CAST((total_volume * total_volume) AS DECIMAL(18,6))) AS DOUBLE) / (CAST(sum(CAST((total_volume) AS DECIMAL(18,6))) AS DOUBLE) * CAST(sum(CAST((total_volume) AS DECIMAL(18,6))) AS DOUBLE)) AS vp_gini
+         |    max(vu) AS maxu,
+         |    sum(CAST(level AS HUGEINT) * vu) AS va,
+         |    sum(vu) AS vb,
+         |    sum(vu * vu) AS vc
          |  FROM f GROUP BY bar_ts
          |),
          |cot AS (
          |  SELECT f.bar_ts, min(level) AS cot_price_level
-         |  FROM f JOIN per_bar p ON f.bar_ts = p.bar_ts AND f.total_volume = p.maxv
+         |  FROM f JOIN per_bar p ON f.bar_ts = p.bar_ts AND f.vu = p.maxu
          |  GROUP BY f.bar_ts
-         |),
-         |skew AS (
-         |  SELECT f.bar_ts, CAST(sum(CAST(((f.level - p.vwap) * f.total_volume) AS DECIMAL(18,6))) AS DOUBLE) / CAST(sum(CAST((f.total_volume) AS DECIMAL(18,6))) AS DOUBLE) AS vp_skew
-         |  FROM f JOIN per_bar p ON f.bar_ts = p.bar_ts GROUP BY f.bar_ts
          |)
          |SELECT p.bar_ts, p.buy_imbalances_sum, p.sell_imbalances_sum,
          |  c.cot_price_level, coalesce(b.imb_max_run_signed, 0) AS imb_max_run_signed,
-         |  ${rd("s.vp_skew")} + 0e0 AS vp_skew,
-         |  ${rd("p.vp_gini")} AS vp_gini
+         |  ${rd("(CAST(p.va AS DOUBLE) - (CAST(p.va AS DOUBLE) / CAST(p.vb AS DOUBLE)) * CAST(p.vb AS DOUBLE)) / CAST(p.vb AS DOUBLE)")} + 0e0 AS vp_skew,
+         |  ${rd("1.0 - CAST(p.vc AS DOUBLE) / (CAST(p.vb AS DOUBLE) * CAST(p.vb AS DOUBLE))")} AS vp_gini
          |FROM per_bar p
          |JOIN cot c ON c.bar_ts = p.bar_ts
-         |JOIN skew s ON s.bar_ts = p.bar_ts
          |LEFT JOIN best b ON b.bar_ts = p.bar_ts""".stripMargin),
 
     "footprint_levels_sym" -> withSymFp(
@@ -260,7 +292,7 @@ object FootprintQueries {
 
     "footprint_summary_sym" -> withSymFp(
       s""", f AS (
-         |  SELECT *, buy_volume + sell_volume AS total_volume,
+         |  SELECT *,
          |    CASE WHEN buy_imbalance THEN 1 WHEN sell_imbalance THEN -1 ELSE 0 END AS sgn
          |  FROM fp2
          |),
@@ -293,31 +325,32 @@ object FootprintQueries {
          |  SELECT symbol, bar_ts,
          |    CAST(sum(CASE WHEN buy_imbalance THEN 1 ELSE 0 END) AS BIGINT) AS buy_imbalances_sum,
          |    CAST(sum(CASE WHEN sell_imbalance THEN 1 ELSE 0 END) AS BIGINT) AS sell_imbalances_sum,
-         |    max(total_volume) AS maxv,
-         |    CAST(sum(CAST((level * total_volume) AS DECIMAL(18,6))) AS DOUBLE) / CAST(sum(CAST((total_volume) AS DECIMAL(18,6))) AS DOUBLE) AS vwap,
-         |    1.0 - CAST(sum(CAST((total_volume * total_volume) AS DECIMAL(18,6))) AS DOUBLE) / (CAST(sum(CAST((total_volume) AS DECIMAL(18,6))) AS DOUBLE) * CAST(sum(CAST((total_volume) AS DECIMAL(18,6))) AS DOUBLE)) AS vp_gini
+         |    max(vu) AS maxu,
+         |    sum(CAST(level AS HUGEINT) * vu) AS va,
+         |    sum(vu) AS vb,
+         |    sum(vu * vu) AS vc
          |  FROM f GROUP BY symbol, bar_ts
          |),
          |cot AS (
          |  SELECT f.symbol, f.bar_ts, min(level) AS cot_price_level
          |  FROM f JOIN per_bar p ON f.symbol = p.symbol AND f.bar_ts = p.bar_ts
-         |    AND f.total_volume = p.maxv
-         |  GROUP BY f.symbol, f.bar_ts
-         |),
-         |skew AS (
-         |  SELECT f.symbol, f.bar_ts,
-         |    CAST(sum(CAST(((f.level - p.vwap) * f.total_volume) AS DECIMAL(18,6))) AS DOUBLE) / CAST(sum(CAST((f.total_volume) AS DECIMAL(18,6))) AS DOUBLE) AS vp_skew
-         |  FROM f JOIN per_bar p ON f.symbol = p.symbol AND f.bar_ts = p.bar_ts
+         |    AND f.vu = p.maxu
          |  GROUP BY f.symbol, f.bar_ts
          |)
          |SELECT p.symbol, p.bar_ts, p.buy_imbalances_sum, p.sell_imbalances_sum,
          |  c.cot_price_level, coalesce(b.imb_max_run_signed, 0) AS imb_max_run_signed,
-         |  ${rd("s.vp_skew")} + 0e0 AS vp_skew,
-         |  ${rd("p.vp_gini")} AS vp_gini
+         |  ${rd("(CAST(p.va AS DOUBLE) - (CAST(p.va AS DOUBLE) / CAST(p.vb AS DOUBLE)) * CAST(p.vb AS DOUBLE)) / CAST(p.vb AS DOUBLE)")} + 0e0 AS vp_skew,
+         |  ${rd("1.0 - CAST(p.vc AS DOUBLE) / (CAST(p.vb AS DOUBLE) * CAST(p.vb AS DOUBLE))")} AS vp_gini
          |FROM per_bar p
          |JOIN cot c ON c.symbol = p.symbol AND c.bar_ts = p.bar_ts
-         |JOIN skew s ON s.symbol = p.symbol AND s.bar_ts = p.bar_ts
          |LEFT JOIN best b ON b.symbol = p.symbol AND b.bar_ts = p.bar_ts""".stripMargin),
+
+    // the Spark side computes the real min boundary distance; the oracle
+    // just asserts both summary variants clear it (cusum_slack pattern)
+    "footprint_slack" ->
+      """SELECT 'summary_1h' AS variant, TRUE AS slack_ok
+        |UNION ALL
+        |SELECT 'summary_sym' AS variant, TRUE AS slack_ok""".stripMargin,
 
     "vp_poc_day" -> withFp(
       s""", prof AS (

@@ -538,16 +538,18 @@ object StreamingBars {
     val levels = byLevel.toArray.sortBy(_._1)
     val minL = levels.head._1
     val maxL = levels.last._1
-    // volumes surface as the decimal values' nearest doubles (md), and
-    // every SUM over levels runs in micro-units — step-for-step the batch
-    // summary's Q.dsum arithmetic, so comparisons/ratios are bit-identical
+    // imbalance flags compare the decimal values' nearest doubles (md) like
+    // the batch plan; every summary SUM runs in EXACT integer micro-units
+    // (BigInt — the batch side's decimal(38,0) sums of total_vol_u), so
+    // COT/vwap/skew/gini are bit-identical to Footprints.summary: the same
+    // exact integers A/B/C through the same fixed IEEE double op sequence
     def buyAt(l: Int) = byLevel.get(l).map(a => md(a.buyVolMicros)).getOrElse(0.0)
     def sellAt(l: Int) = byLevel.get(l).map(a => md(a.sellVolMicros)).getOrElse(0.0)
     var buySum = 0L; var sellSum = 0L
-    var totVolM = 0L; var totVol2M = 0L; var lvlVolM = 0L
-    var maxv = Double.NegativeInfinity
+    var vB = BigInt(0); var vA = BigInt(0); var vC = BigInt(0)
+    var maxu = Long.MinValue
     val sgns = new Array[Int](levels.length)
-    val totals = new Array[Double](levels.length)
+    val vus = new Array[Long](levels.length)
     var i = 0
     while (i < levels.length) {
       val (l, a) = levels(i)
@@ -558,22 +560,21 @@ object StreamingBars {
       if (buyImb) buySum += 1
       if (sellImb) sellSum += 1
       sgns(i) = if (buyImb) 1 else if (sellImb) -1 else 0
-      // double addition of the two cast values, exactly like the batch
-      // total_volume = buy_volume + sell_volume projection
-      val tot = buyVol + sellVol
-      totals(i) = tot
-      totVolM += micros6(tot)
-      totVol2M += micros6(tot * tot)
-      lvlVolM += micros6(l.toDouble * tot)
-      if (tot > maxv) maxv = tot
+      val vu = a.buyVolMicros + a.sellVolMicros
+      vus(i) = vu
+      vB += vu
+      vA += BigInt(l) * vu
+      vC += BigInt(vu) * vu
+      if (vu > maxu) maxu = vu
       i += 1
     }
-    // COT: first (lowest) level hitting the max total volume — np.argmax
+    // COT: first (lowest) level hitting the max total volume — np.argmax,
+    // in exact integer micro-units
     var cot = levels(0)._1
     i = 0
     var found = false
     while (i < levels.length && !found) {
-      if (totals(i) == maxv) { cot = levels(i)._1; found = true }
+      if (vus(i) == maxu) { cot = levels(i)._1; found = true }
       i += 1
     }
     // longest signed imbalance run: runs break on sign change, sgn 0, or a
@@ -597,16 +598,13 @@ object StreamingBars {
       i += 1
     }
     closeRun()
-    val totVol = md(totVolM)
-    val vwap = md(lvlVolM) / totVol
-    var skewNumM = 0L
-    i = 0
-    while (i < levels.length) {
-      skewNumM += micros6((levels(i)._1.toDouble - vwap) * totals(i))
-      i += 1
-    }
+    // the batch summary's exact-integer ratios: one correctly-rounded
+    // BigInt→double cast per aggregate, then the identical IEEE op tree
+    //   vwap = A/B, skew = (A − vwap·B)/B, gini = 1 − C/B²
+    val aD = vA.toDouble; val bD = vB.toDouble; val cD = vC.toDouble
+    val vwap = aD / bD
     FpSummaryOut(barTs, buySum, sellSum, cot, bestLen * bestSgn,
-      md(skewNumM) / totVol, 1.0 - md(totVol2M) / (totVol * totVol))
+      (aD - vwap * bD) / bD, 1.0 - cD / (bD * bD))
   }
 
   /** Streaming per-bar footprint features in APPEND mode: accumulate the
