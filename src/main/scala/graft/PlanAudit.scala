@@ -116,6 +116,7 @@ object PlanAudit {
       "vp_poc_day" -> barGrid, "vp_rolling_6h" -> barGrid,
       "vp_value_area_day" -> barGrid,
       "footprint_levels_1h" -> tickRule, "footprint_summary_1h" -> tickRule,
+      "footprint_slack" -> tickRule,
       "trades_canonical" -> tickRule, "trades_split_merge" -> tickRule,
       "time_bars_directional_1h" -> tickRule,
       "cusum_events" -> resetKernel, "cusum_events_adaptive" -> resetKernel,

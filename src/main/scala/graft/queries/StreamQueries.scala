@@ -29,6 +29,14 @@ object StreamQueries {
     */
   private val sentinelNs = 4102444800000000000L
 
+  /** Per-JVM fixture-dir suffix: two drivers running gates concurrently on
+    * one machine must not delete/overwrite each other's temp fixture dirs
+    * mid-stream (round-7 advice; same idiom as Dedup.connectedComponents's
+    * cc_<uuid> subdirs).
+    */
+  private[queries] val runId: String =
+    java.util.UUID.randomUUID().toString.take(8)
+
   /** Drain a streaming frame to completion and return the sink table.
     * AvailableNow processes every file then stops; `maxFilesPerTrigger`
     * on the source (set by callers) controls batch granularity.
@@ -100,6 +108,39 @@ object StreamQueries {
         r6(col("close")).as("close"), r6(col("volume")).as("volume"),
         col("trades"), r6(col("vwap")).as("vwap"))
 
+  /** Batch-sided canonical trades (ts, id, price, qty, side, symbol 0) as
+    * a one-file-per-batch stream with the two flush sentinels — the
+    * fixture for the directional / footprint state-machine gates. Side
+    * assignment (tick rule) is a GLOBAL scan and happens upstream at
+    * ingest, exactly as it does for the batch twins — the stream under
+    * test is the stateful bar operator, which consumes sided trades.
+    */
+  private def sidedFileStream(s: SparkSession, dir: String,
+                              tmpName: String): DataFrame = {
+    val sided = Trades.withTickRuleSide(
+        Trades.fromEvents(graft.Tables.events(s, dir)))
+      .select(col("ts"), col("id"), col("price"), col("qty"),
+        col("side").cast("int").as("side"), lit(0L).as("symbol"))
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"), tmpName)
+      .getAbsolutePath
+    val p = new org.apache.hadoop.fs.Path(tmp)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val t0 = System.currentTimeMillis()
+    writeOneFile(sided, tmp, "a_data", t0 - 60000)
+    def sentinel(ns: Long, id: Long) =
+      s.range(1).select(lit(ns).as("ts"), lit(id).as("id"),
+        lit(1.0).as("price"), lit(1.0).as("qty"),
+        lit(0).as("side"), lit(0L).as("symbol"))
+    writeOneFile(sentinel(sentinelNs, 9000000000L), tmp, "b_s1", t0 - 40000)
+    writeOneFile(sentinel(sentinelNs + 600000000000L, 9000000001L),
+      tmp, "c_s2", t0 - 20000)
+    s.readStream
+      .schema(sided.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(tmp + "/*")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Streaming 5-minute OHLCV bars in APPEND mode: canonical trades land
@@ -110,7 +151,7 @@ object StreamQueries {
     // bar arithmetic the batch gates use — no empty-bar fill / median
     // (those are batch post-passes, not stream-windowed state).
     "streaming_time_bars_5m" -> ((s, dir) => {
-      val src = tradeFileStream(s, dir, "graft_gate_stream_bars")
+      val src = tradeFileStream(s, dir, s"graft_gate_stream_bars_$runId")
       val bars = StreamingBars.ohlcvStream(src, 300,
         watermarkDelay = Some("1 minute"))
       canonBars(drain(bars, "gate_stream_bars_5m"))
@@ -123,7 +164,7 @@ object StreamQueries {
     // different streaming executors, one semantic.
     "streaming_time_bars_state_5m" -> ((s, dir) => {
       import s.implicits._
-      val src = tradeFileStream(s, dir, "graft_gate_stream_bars_st")
+      val src = tradeFileStream(s, dir, s"graft_gate_stream_bars_st_$runId")
         .withColumn("symbol", lit(0L))
         .as[StreamingBars.TradeIn]
       // delay must cover the bar's open span: trades arrive up to 300 s
@@ -175,7 +216,7 @@ object StreamQueries {
       val docs = s.read.parquet(s"$dir/documents.parquet")
         .select("doc_id", "text")
       val tmp = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_gate_stream_dedup").getAbsolutePath
+        s"graft_gate_stream_dedup_$runId").getAbsolutePath
       val p = new org.apache.hadoop.fs.Path(tmp)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
@@ -195,6 +236,99 @@ object StreamQueries {
       drain(out, "gate_stream_dedup")
         .select(md5(graft.dedup.Dedup.normalized(col("text")))
           .as("content_md5"))
+    }),
+
+    // Streaming DIRECTIONAL (order-flow) bars through the per-symbol state
+    // machine (flatMapGroupsWithState + event-time timeout): sided trades
+    // arrive as files, the prev-trade spread handoff and intra-bar signed
+    // cumulative extrema fold in fixed-width per-bar state, and bars land
+    // in the sink when the watermark finalizes them. Shares the batch
+    // twin's oracle text VERBATIM (time_bars_directional_1h): two
+    // executors, one order-flow semantic. The in-order-across-batches
+    // parity precondition holds by construction (one data batch, sorted
+    // in-batch); directionalBufferedStream — the any-order variant —
+    // shares dirFold and is parity-pinned in StreamingSpec.
+    "streaming_directional_1h" -> ((s, dir) => {
+      import s.implicits._
+      val src = sidedFileStream(s, dir, s"graft_gate_stream_dir_$runId")
+        .as[StreamingBars.SidedSymIn]
+      // delay must cover the bar's open span (trades sit up to 1h before
+      // their bar-close event time) — same reasoning as the state-bars gate
+      val bars = StreamingBars.directionalStateStream(src, 3600,
+        watermarkDelay = "2 hours")
+      drain(bars.toDF(), "gate_stream_dir_1h")
+        .where(col("bar_ts") < sentinelNs)
+        .select(col("bar_ts"), col("ticks_buy"), col("ticks_sell"),
+          r6(col("volume_buy")).as("volume_buy"),
+          r6(col("volume_sell")).as("volume_sell"),
+          r6(col("dollars_buy")).as("dollars_buy"),
+          r6(col("dollars_sell")).as("dollars_sell"),
+          r6(col("mean_spread")).as("mean_spread"),
+          r6(col("max_spread")).as("max_spread"),
+          col("cum_ticks_min"), col("cum_ticks_max"),
+          r6(col("cum_volume_min")).as("cum_volume_min"),
+          r6(col("cum_volume_max")).as("cum_volume_max"),
+          r6(col("cum_dollars_min")).as("cum_dollars_min"),
+          r6(col("cum_dollars_max")).as("cum_dollars_max"))
+    }),
+
+    // Streaming per-bar FOOTPRINT SUMMARY: the (level → volumes) grid
+    // accumulates in fixed-width state and the full neighbor-dependent
+    // feature row (imbalance counts, COT, longest signed run, skew, gini)
+    // computes from the finished grid at watermark finalization. Shares
+    // the batch twin's oracle text VERBATIM (footprint_summary_1h) — the
+    // stream's BigInt micro-unit sums are the batch summary's exact
+    // decimal(38,0) integer arithmetic, so the hash match is exact, not
+    // approximate.
+    "streaming_footprint_summary" -> ((s, dir) => {
+      import s.implicits._
+      val src = sidedFileStream(s, dir, s"graft_gate_stream_fp_$runId")
+        .as[StreamingBars.SidedSymIn]
+      val out = StreamingBars.footprintSummaryStream(src, 3600, 0.01,
+        imbalanceFactor = 3.0, watermarkDelay = "2 hours")
+      drain(out.toDF(), "gate_stream_fp_summary")
+        .where(col("bar_ts") < sentinelNs)
+        .select(col("bar_ts"),
+          col("buy_imbalances_sum"), col("sell_imbalances_sum"),
+          col("cot_price_level"), col("imb_max_run_signed"),
+          (r6(col("vp_skew")) + lit(0.0)).as("vp_skew"),
+          r6(col("vp_gini")).as("vp_gini"))
+    }),
+
+    // Streaming INTEGRITY ALERTS: per-symbol time-gap + id-gap monitoring
+    // as trades arrive (the live shape of the batch inspect_gaps /
+    // id-gap scans a 100 TB ingest runs next to its writers). The fixture
+    // splits the canonical trades at the median timestamp into TWO files
+    // (= two micro-batches under maxFilesPerTrigger=1), so every alert
+    // spanning the split proves cross-batch state (the remembered last
+    // (ts, id) per symbol) — not just an in-batch sort. No sentinels:
+    // the monitor is NoTimeout/append and emits as it folds. The oracle
+    // recomputes both alert kinds with per-symbol lag windows.
+    "streaming_integrity_alerts" -> ((s, dir) => {
+      import s.implicits._
+      val ticks = Trades.fromEvents(graft.Tables.events(s, dir))
+        .select(col("ts"), col("id"), col("symbol"))
+      val mid = ticks.agg(expr("percentile_approx(ts, 0.5)")).head().getLong(0)
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_gate_stream_integ_$runId").getAbsolutePath
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val t0 = System.currentTimeMillis()
+      writeOneFile(ticks.where(col("ts") <= mid), tmp, "a_early", t0 - 40000)
+      writeOneFile(ticks.where(col("ts") > mid), tmp, "b_late", t0 - 20000)
+      val src = s.readStream.schema(ticks.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp + "/*")
+        .as[graft.streaming.StreamingIntegrity.TickIn]
+      // per-symbol streams are sparse (~2 trades/day) — the 3-day
+      // threshold yields real time gaps, mirroring integrity_time_gaps_sym
+      val alerts = graft.streaming.StreamingIntegrity.alerts(
+        src, 3L * 86400L * 1000000000L)
+      drain(alerts.toDF(), "gate_stream_integrity")
+        .select(col("symbol"), col("kind"), col("prev_ts"), col("ts"),
+          col("prev_id"), col("id"), col("missing_ids"),
+          r6(col("gap_sec")).as("gap_sec"))
     })
   )
 
@@ -217,6 +351,32 @@ object StreamQueries {
   val oracles: Map[String, String] = Map(
     "streaming_time_bars_5m" -> streamBarsOracle,
     "streaming_time_bars_state_5m" -> streamBarsOracle,
+
+    // the batch twins' oracle texts VERBATIM — one semantic, two executors
+    "streaming_directional_1h" ->
+      TradeQueries.oracles("time_bars_directional_1h"),
+    "streaming_footprint_summary" ->
+      FootprintQueries.oracles("footprint_summary_1h"),
+
+    // both alert kinds recomputed with per-symbol lag windows; the stream
+    // emits time_gap before id_gap for a pair that trips both, and the
+    // driver's compare is order-insensitive (sorted hash)
+    "streaming_integrity_alerts" ->
+      s"""WITH $tradesCte,
+         |lagged AS (
+         |  SELECT symbol, ts, id,
+         |         lag(ts) OVER w AS prev_ts, lag(id) OVER w AS prev_id
+         |  FROM trades WINDOW w AS (PARTITION BY symbol ORDER BY ts, id)
+         |)
+         |SELECT symbol, 'time_gap' AS kind, prev_ts, ts, prev_id, id,
+         |       CAST(0 AS BIGINT) AS missing_ids,
+         |       ${rd("(ts - prev_ts) / 1e9")} AS gap_sec
+         |FROM lagged WHERE ts - prev_ts > ${3L * 86400L * 1000000000L}
+         |UNION ALL
+         |SELECT symbol, 'id_gap' AS kind, prev_ts, ts, prev_id, id,
+         |       CAST(id - prev_id - 1 AS BIGINT) AS missing_ids,
+         |       0e0 AS gap_sec
+         |FROM lagged WHERE id - prev_id > 1""".stripMargin,
 
     "streaming_dedup_exact" ->
       s"""SELECT DISTINCT
