@@ -325,6 +325,56 @@ object Dedup {
       .format("parquet")
       .saveAsTable(table)
 
+  /** The stored index's tombstone table name — one per index table. */
+  def lshTombstoneTable(table: String): String = s"${table}__tombstones"
+
+  /** DELETE documents from a stored band index — the takedown lifecycle a
+    * real LLM corpus runs (DMCA/PII removals): O(|ids|) appended tombstone
+    * rows, NOT an index rewrite. [[activeLshIndex]] consults the tombstone
+    * table at probe time, so removed docs stop surfacing as `base_id`s
+    * immediately; [[compactLshIndex]] later folds tombstones into a
+    * physical rewrite. Idempotent (re-deleting an id is a no-op set-wise;
+    * `distinct` keeps the tombstone table minimal per call).
+    */
+  def deleteFromLshIndex(ids: DataFrame, idCol: String, table: String): Unit =
+    ids.select(col(idCol).cast("long").as("base_id")).distinct()
+      .write.mode("append").format("parquet")
+      .saveAsTable(lshTombstoneTable(table))
+
+  /** The stored band index MINUS tombstoned documents — what every probe
+    * should read. No tombstone table (nothing ever deleted) → the raw
+    * index, zero overhead. With tombstones: a left-anti join on `base_id`
+    * whose build side is the (takedown-sized, compaction-bounded)
+    * tombstone set — AQE broadcasts it at any realistic size, so the
+    * index side keeps its bucketed zero-Exchange scan (StoreSpec pins the
+    * executed plan).
+    */
+  def activeLshIndex(spark: org.apache.spark.sql.SparkSession,
+                     table: String): DataFrame = {
+    val idx = spark.table(table)
+    if (!spark.catalog.tableExists(lshTombstoneTable(table))) idx
+    else idx.join(spark.table(lshTombstoneTable(table)),
+      Seq("base_id"), "left_anti")
+  }
+
+  /** Fold tombstones into a physical rewrite: the active rows land as a
+    * FRESH bucketed table (same layout as [[writeLshIndex]]) and the
+    * tombstone table is dropped. `newTable` must differ from `table` —
+    * Spark cannot atomically rewrite a table it is scanning (the path
+    * wipe would race the read); production swaps the reader over by name
+    * (view/catalog rename), the same versioned-swap every large-scale
+    * index rebuild uses.
+    */
+  def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
+                      table: String, newTable: String, path: String,
+                      buckets: Int = 32): Unit = {
+    require(newTable != table,
+      "compactLshIndex rewrites into a NEW table (versioned swap)")
+    graft.sources.Store.saveBucketed(activeLshIndex(spark, table),
+      newTable, path, buckets, Seq("bucket"), Seq("bucket", "base_id"))
+    spark.sql(s"DROP TABLE IF EXISTS ${lshTombstoneTable(table)}")
+  }
+
   /** EXACT n-gram Jaccard similarity self-join: every pair with
     * J(sh(a), sh(b)) ≥ threshold, no approximation — the deterministic
     * sibling of [[lshCandidates]] (which trades exactness for a fixed

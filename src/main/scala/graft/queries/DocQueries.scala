@@ -444,12 +444,42 @@ object DocQueries {
     // the probe plan scans the index files, not re-shingled base text.
     "dedup_incremental_store" -> ((s, dir) => {
       val (base, delta) = incrementalSplit(s, dir)
-      val idx = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_gate_dedup_idx").getAbsolutePath
+      // per-JVM path suffix: concurrent drivers must not wipe each other's
+      // fixture dirs (round-7 advice; table names live in the per-session
+      // catalog, but tmpdir paths are machine-global)
+      val name = s"graft_gate_dedup_idx_${StreamQueries.runId}"
+      val idx = new java.io.File(sys.props("java.io.tmpdir"), name)
+        .getAbsolutePath
       Dedup.writeLshIndex(base, "doc_id", "toks", shingleN, minhashK,
-        minhashBands, "graft_gate_dedup_idx", idx, buckets = 8)
-      Dedup.incrementalLshPairsFrom(s.table("graft_gate_dedup_idx"),
+        minhashBands, name, idx, buckets = 8)
+      Dedup.incrementalLshPairsFrom(s.table(name),
           base, delta, "doc_id", "toks",
+          shingleN, minhashK, minhashBands, jaccThreshold)
+        .select(col("id_a"), col("id_b"), col("n_common"),
+          r6(col("jaccard")).as("jaccard"))
+    }),
+
+    // The TAKEDOWN lifecycle of the stored index (round-7 ask): build the
+    // base index, tombstone every base doc with doc_id ≡ 0 (mod 7)
+    // (deleteFromLshIndex — O(|ids|), no rewrite), then probe the ACTIVE
+    // index (tombstone anti-join). Deleted docs must not surface as
+    // base_ids: the oracle recomputes the incremental pairs on the
+    // FILTERED corpus, so a stale band row leaking through is a hash
+    // mismatch, not a silent wrong answer. Physical compaction
+    // (compactLshIndex: rewrite + tombstone drop) is pinned in DedupSpec.
+    "dedup_incremental_store_delete" -> ((s, dir) => {
+      val (base, delta) = incrementalSplit(s, dir)
+      val name = s"graft_gate_dedup_idxd_${StreamQueries.runId}"
+      val idx = new java.io.File(sys.props("java.io.tmpdir"), name)
+        .getAbsolutePath
+      Dedup.writeLshIndex(base, "doc_id", "toks", shingleN, minhashK,
+        minhashBands, name, idx, buckets = 8)
+      Dedup.deleteFromLshIndex(
+        base.where(pmod(col("doc_id"), lit(7)) === 0).select("doc_id"),
+        "doc_id", name)
+      val kept = base.where(pmod(col("doc_id"), lit(7)) =!= 0)
+      Dedup.incrementalLshPairsFrom(Dedup.activeLshIndex(s, name),
+          kept, delta, "doc_id", "toks",
           shingleN, minhashK, minhashBands, jaccThreshold)
         .select(col("id_a"), col("id_b"), col("n_common"),
           r6(col("jaccard")).as("jaccard"))
@@ -670,7 +700,7 @@ object DocQueries {
     * stored index must reproduce the recompute path bit-for-bit, so both
     * gates compare against literally the same oracle text.
     */
-  private lazy val incrementalOracleSql: String =
+  private def incrementalOracleSqlWith(baseCond: String): String =
     s"""WITH $toksCte, $shCte, $minhashBandsCtes,
        |hsp AS (SELECT doc_id, md5('$sampleSalt:' || CAST(doc_id AS VARCHAR)) AS m
        |        FROM documents),
@@ -681,7 +711,7 @@ object DocQueries {
        |  FROM bands d
        |  JOIN spl sd ON sd.doc_id = d.doc_id AND NOT sd.is_base
        |  JOIN bands b ON b.band = d.band AND b.band_key = d.band_key
-       |  JOIN spl sb ON sb.doc_id = b.doc_id AND sb.is_base
+       |  JOIN spl sb ON sb.doc_id = b.doc_id AND sb.is_base$baseCond
        |)
        |SELECT id_a, id_b, n_common, ${rd("j_raw")} AS jaccard FROM (
        |  SELECT c.id_a, c.id_b,
@@ -691,6 +721,15 @@ object DocQueries {
        |  JOIN sh a ON a.doc_id = c.id_a
        |  JOIN sh b ON b.doc_id = c.id_b
        |) WHERE j_raw >= ${D(jaccThreshold)}""".stripMargin
+
+  private lazy val incrementalOracleSql: String = incrementalOracleSqlWith("")
+
+  /** `dedup_incremental_store_delete`'s oracle: the incremental pairs
+    * recomputed on the corpus WITHOUT the tombstoned docs — identical to
+    * [[incrementalOracleSql]] except the base side drops doc_id ≡ 0 (mod 7).
+    */
+  private lazy val incrementalDeleteOracleSql: String =
+    incrementalOracleSqlWith(" AND b.doc_id % 7 <> 0")
 
   val oracles: Map[String, String] = Map(
     "text_quality" ->
@@ -903,6 +942,7 @@ object DocQueries {
     // the whole point of the gate pair.
     "dedup_incremental" -> incrementalOracleSql,
     "dedup_incremental_store" -> incrementalOracleSql,
+    "dedup_incremental_store_delete" -> incrementalDeleteOracleSql,
 
     "class_nearest_eval" ->
       """WITH ed AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),

@@ -290,4 +290,72 @@ class StoreSpec extends AnyFunSuite {
         s"appended table lost its bucket spec:\n$grownPlan")
     } finally spark.sql("DROP TABLE IF EXISTS storespec_dedup_idx")
   }
+
+  test("stored LSH index takedown: tombstone probe, broadcast anti-join, compaction") {
+    import graft.dedup.Dedup
+    import graft.text.TextOps
+    val dir = Files.createTempDirectory("dedupdel").toString
+    def corpus(ids: Range, tag: String): DataFrame =
+      ids.map(i => (i.toLong,
+          if (i % 3 == 0) "the quick brown fox jumps over the lazy dog again and again"
+          else s"unique $tag text number $i with some filler words here"))
+        .toDF("doc_id", "text")
+        .withColumn("toks", TextOps.wsTokens(col("text")))
+    val base = corpus(0 until 60, "base")
+    val delta = corpus(100 until 120, "base")
+    val tbl = "storespec_dedup_del"
+    Dedup.writeLshIndex(base, "doc_id", "toks", shingleN = 3, k = 16,
+      bands = 8, tbl, dir + "/idx", buckets = 4)
+    try {
+      // without tombstones the active view IS the raw table (no join)
+      assert(Dedup.activeLshIndex(spark, tbl).queryExecution.executedPlan
+        .toString.contains(tbl))
+      // takedown: every template doc with id < 30 (half the dup cluster)
+      val doomed = base.where(col("doc_id") % 3 === 0 && col("doc_id") < 30)
+      Dedup.deleteFromLshIndex(doomed.select("doc_id"), "doc_id", tbl)
+      val kept = base.where(!(col("doc_id") % 3 === 0 && col("doc_id") < 30))
+      val probed = Dedup.incrementalLshPairsFrom(
+        Dedup.activeLshIndex(spark, tbl), kept, delta,
+        "doc_id", "toks", 3, 16, 8, threshold = 0.5)
+      val viaIndex = probed.orderBy("id_a", "id_b")
+        .select("id_a", "id_b", "n_common").as[(Long, Long, Long)].collect().toSeq
+      // deleted docs never surface as base_ids...
+      assert(viaIndex.nonEmpty &&
+        !viaIndex.exists(p => p._2 % 3 == 0 && p._2 < 30))
+      // ...and the survivors equal the recompute over the filtered corpus
+      val viaRecompute = Dedup.incrementalLshPairs(kept, delta,
+          "doc_id", "toks", 3, 16, 8, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+        .select("id_a", "id_b", "n_common").as[(Long, Long, Long)].collect().toSeq
+      assert(viaIndex === viaRecompute)
+      // collect()-then-inspect (AQE resolves at execute): the tombstone
+      // anti-join must have broadcast the takedown set, keeping the index
+      // side's bucketed scan shuffle-free
+      val plan = probed.queryExecution.executedPlan.toString
+      assert(plan.contains("LeftAnti") && plan.contains(tbl),
+        s"no tombstone anti-join over the stored index:\n$plan")
+      assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(plan).isDefined,
+        s"tombstone set was not broadcast:\n$plan")
+
+      // compaction: physical rewrite into a fresh table + tombstones gone.
+      // capture the active view BEFORE compacting — dropping the tombstone
+      // table reverts activeLshIndex(tbl) to the raw (undeleted) index
+      val expected = Dedup.activeLshIndex(spark, tbl)
+        .orderBy("bucket", "base_id").collect().toSeq
+      Dedup.compactLshIndex(spark, tbl, tbl + "_v2", dir + "/idx_v2",
+        buckets = 4)
+      assert(!spark.catalog.tableExists(Dedup.lshTombstoneTable(tbl)))
+      val compacted = spark.table(tbl + "_v2")
+        .orderBy("bucket", "base_id").collect().toSeq
+      assert(compacted === expected && compacted.nonEmpty)
+      val compactPlan = spark.table(tbl + "_v2").groupBy("bucket").count()
+        .queryExecution.executedPlan.toString
+      assert(compactPlan.contains("Bucketed: true"),
+        s"compacted table lost its bucket spec:\n$compactPlan")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_v2")
+      spark.sql(s"DROP TABLE IF EXISTS ${Dedup.lshTombstoneTable(tbl)}")
+    }
+  }
 }
