@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver archives a short stdout TAIL of `sbt -batch "runMain
+// graft.Bench"` and parses its literal LAST line as the benchmark record.
+// Two sbt behaviors defeat that: the "[success] Total time..." epilogue
+// lands after the program's last line, and forked-process output is piped
+// through sbt's logger with an "[info] " prefix. Suppress the epilogue and
+// emit forked run output raw, so Bench's compact summary IS the last line.
+Global / showSuccess := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
