@@ -76,6 +76,33 @@ object LabelQueries {
           r6(col("vertical_touch_weight")).as("vertical_touch_weight"))
     }),
 
+    // The 100 TB daily-labeling JOB SHAPE (round-7 ask): the SAME keyed
+    // TBM chain, but trades come from the symbol-BUCKETED store table
+    // instead of raw events — event derivation, the per-symbol
+    // end-of-data cutoff aggregation and the path join all start from the
+    // bucketed distribution, so the trades side reaches the event range
+    // join with ZERO Exchange (the bucket spec satisfies every
+    // symbol-subset clustering; PlanSpec pins it). Shares tbm_labels_sym's
+    // oracle verbatim: the layout is physical, not semantic.
+    "tbm_labels_sym_store" -> ((s, dir) => {
+      val name = s"graft_gate_bucketed_tbm_${StreamQueries.runId}"
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"), name)
+        .getAbsolutePath
+      graft.sources.Store.saveBucketed(trades(s, dir), name, tmp,
+        buckets = 8, Seq("symbol"), Seq("symbol", "ts", "id"))
+      val t = s.table(name)
+      val ev = t.where(col("id") % 29 === 0).select(
+        col("symbol"), col("ts").as("event_ts"), col("id").as("event_id"),
+        col("price").as("p0"),
+        (lit(0.05) + (col("id") % 7).cast("double") * lit(0.01)).as("tgt"))
+      TripleBarrier.label(t, ev, top, bot, vertBarrierSec = 7 * 86400.0,
+          minCloseSec = 0.0, minRet = 0.02, isMeta = false,
+          partCols = Seq("symbol"))
+        .select(col("symbol"), col("event_ts"), col("event_id"), col("label"),
+          col("touch_ts"), r6(col("ret")).as("ret"),
+          r6(col("vertical_touch_weight")).as("vertical_touch_weight"))
+    }),
+
     // Symbol-partitioned sweep: per-symbol synthetic intervals prove the
     // partCols path (shuffle-parallel, no single global sort).
     "label_concurrency_sym" -> ((s, dir) => {
@@ -227,44 +254,10 @@ object LabelQueries {
        |),
        |p1b AS (SELECT event_id, event_ts, touch_ts FROM p2)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-    "tbm_labels" ->
-      s"""WITH $tradesCte, ${tbmCtes("1")}
-         |SELECT event_ts, event_id,
-         |  CAST(CASE WHEN sign(ret_touch) = 0 THEN 1 ELSE sign(ret_touch) END AS INT) AS label,
-         |  touch_ts, ${rd("ret_touch")} AS ret,
-         |  ${rd("""CASE WHEN touch0 IS NULL THEN least(CASE WHEN ret_touch > 0
-             |    THEN max_urbr / (1 + max_lrbr) ELSE max_lrbr / (1 + max_urbr) END, 1.0)
-             |  ELSE 1.0 END""".stripMargin)} AS vertical_touch_weight
-         |FROM p2""".stripMargin,
-
-    "tbm_labels_minret" ->
-      s"""WITH $tradesCte, ${tbmCtes("1", minRetFilter = 0.14)}
-         |SELECT event_ts, event_id,
-         |  CAST(CASE WHEN sign(ret_touch) = 0 THEN 1 ELSE sign(ret_touch) END AS INT) AS label,
-         |  touch_ts, ${rd("ret_touch")} AS ret
-         |FROM p2""".stripMargin,
-
-    "tbm_meta_labels" ->
-      s"""WITH $tradesCte, ${tbmCtes("eside")}
-         |SELECT event_ts, event_id,
-         |  CAST(CASE WHEN ret_touch >= ${D(0.02)} THEN 1 ELSE 0 END AS INT) AS label,
-         |  touch_ts, ${rd("ret_touch")} AS ret
-         |FROM p2""".stripMargin,
-
-    "label_concurrency" ->
-      s"""WITH $tradesCte, ${tbmCtes("1")},
-         |stream AS (
-         |  SELECT ts, 1 AS ord, CAST(0 AS BIGINT) AS d, id FROM trades
-         |  UNION ALL SELECT event_ts, 0, CAST(1 AS BIGINT), NULL FROM p1b
-         |  UNION ALL SELECT touch_ts, 2, CAST(-1 AS BIGINT), NULL FROM p1b
-         |)
-         |SELECT ts, id, CAST(conc AS BIGINT) AS concurrency FROM (
-         |  SELECT *, sum(d) OVER (ORDER BY ts, ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
-         |  FROM stream
-         |) WHERE ord = 1""".stripMargin,
-
-    "tbm_labels_sym" -> {
+  /** Shared by `tbm_labels_sym` AND `tbm_labels_sym_store`: the bucketed
+    * layout must reproduce the raw-events chain bit-for-bit.
+    */
+  private lazy val tbmSymOracleSql: String = {
       val vert = 7L * 86400000000000L
       s"""WITH $tradesCte,
          |ev AS (
@@ -307,7 +300,47 @@ object LabelQueries {
              |    THEN max_urbr / (1 + max_lrbr) ELSE max_lrbr / (1 + max_urbr) END, 1.0)
              |  ELSE 1.0 END""".stripMargin)} AS vertical_touch_weight
          |FROM p2""".stripMargin
-    },
+  }
+
+  val oracles: Map[String, String] = Map(
+    "tbm_labels" ->
+      s"""WITH $tradesCte, ${tbmCtes("1")}
+         |SELECT event_ts, event_id,
+         |  CAST(CASE WHEN sign(ret_touch) = 0 THEN 1 ELSE sign(ret_touch) END AS INT) AS label,
+         |  touch_ts, ${rd("ret_touch")} AS ret,
+         |  ${rd("""CASE WHEN touch0 IS NULL THEN least(CASE WHEN ret_touch > 0
+             |    THEN max_urbr / (1 + max_lrbr) ELSE max_lrbr / (1 + max_urbr) END, 1.0)
+             |  ELSE 1.0 END""".stripMargin)} AS vertical_touch_weight
+         |FROM p2""".stripMargin,
+
+    "tbm_labels_minret" ->
+      s"""WITH $tradesCte, ${tbmCtes("1", minRetFilter = 0.14)}
+         |SELECT event_ts, event_id,
+         |  CAST(CASE WHEN sign(ret_touch) = 0 THEN 1 ELSE sign(ret_touch) END AS INT) AS label,
+         |  touch_ts, ${rd("ret_touch")} AS ret
+         |FROM p2""".stripMargin,
+
+    "tbm_meta_labels" ->
+      s"""WITH $tradesCte, ${tbmCtes("eside")}
+         |SELECT event_ts, event_id,
+         |  CAST(CASE WHEN ret_touch >= ${D(0.02)} THEN 1 ELSE 0 END AS INT) AS label,
+         |  touch_ts, ${rd("ret_touch")} AS ret
+         |FROM p2""".stripMargin,
+
+    "label_concurrency" ->
+      s"""WITH $tradesCte, ${tbmCtes("1")},
+         |stream AS (
+         |  SELECT ts, 1 AS ord, CAST(0 AS BIGINT) AS d, id FROM trades
+         |  UNION ALL SELECT event_ts, 0, CAST(1 AS BIGINT), NULL FROM p1b
+         |  UNION ALL SELECT touch_ts, 2, CAST(-1 AS BIGINT), NULL FROM p1b
+         |)
+         |SELECT ts, id, CAST(conc AS BIGINT) AS concurrency FROM (
+         |  SELECT *, sum(d) OVER (ORDER BY ts, ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+         |  FROM stream
+         |) WHERE ord = 1""".stripMargin,
+
+    "tbm_labels_sym" -> tbmSymOracleSql,
+    "tbm_labels_sym_store" -> tbmSymOracleSql,
 
     "label_concurrency_sym" ->
       s"""WITH $tradesCte,

@@ -206,7 +206,7 @@ object TradeQueries {
     // StoreSpec. Fixed temp path + overwrite keeps reruns idempotent.
     "store_roundtrip_catalog" -> ((s, dir) => {
       val tmp = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_gate_store").getAbsolutePath
+        s"graft_gate_store_${StreamQueries.runId}").getAbsolutePath
       graft.sources.Store.saveMonthly(trades(s, dir), tmp)
       graft.sources.Store.monthlyStats(s.read.parquet(tmp).drop("month"))
         .select(
@@ -223,9 +223,9 @@ object TradeQueries {
     "store_readback_1d" -> ((s, dir) => {
       val dayNs = 86400L * 1000000000L
       val tdir = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_gate_trades").getAbsolutePath
+        s"graft_gate_trades_${StreamQueries.runId}").getAbsolutePath
       val bdir = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_gate_bars").getAbsolutePath
+        s"graft_gate_bars_${StreamQueries.runId}").getAbsolutePath
       val t = trades(s, dir)
       graft.sources.Store.saveMonthly(t, tdir)
       graft.sources.Store.materializeBars(s, tdir, bdir, intervalSec = 3600)
@@ -249,7 +249,7 @@ object TradeQueries {
     // min(ts) so the oracle reproduces them exactly.
     "store_readrange_prune" -> ((s, dir) => {
       val tmp = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_gate_store_rr").getAbsolutePath
+        s"graft_gate_store_rr_${StreamQueries.runId}").getAbsolutePath
       val t = trades(s, dir)
       graft.sources.Store.saveMonthly(t, tmp)
       val dayNs = 86400L * 1000000000L
@@ -267,11 +267,11 @@ object TradeQueries {
     // oracle, proving the bucketed files carry exactly the canonical rows.
     "store_bucketed_sym" -> ((s, dir) => {
       val tmp = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_gate_bucketed").getAbsolutePath
-      graft.sources.Store.saveBucketed(trades(s, dir), "graft_gate_bucketed_trades",
+        s"graft_gate_bucketed_${StreamQueries.runId}").getAbsolutePath
+      graft.sources.Store.saveBucketed(trades(s, dir), s"graft_gate_bucketed_trades_${StreamQueries.runId}",
         tmp, buckets = 8, Seq("symbol"), Seq("symbol", "ts", "id"))
       val dayNs = 86400L * 1000000000L
-      s.table("graft_gate_bucketed_trades")
+      s.table(s"graft_gate_bucketed_trades_${StreamQueries.runId}")
         .groupBy(col("symbol"), expr(s"ts div ${dayNs}L").as("day"))
         .agg(
           count(lit(1)).as("rows"),
@@ -297,7 +297,7 @@ object TradeQueries {
     // or corrupts rows fails here, not just in StoreSpec.
     "store_compact_catalog" -> ((s, dir) => {
       val tmp = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_gate_compact").getAbsolutePath
+        s"graft_gate_compact_${StreamQueries.runId}").getAbsolutePath
       val t = trades(s, dir)
       graft.sources.Store.saveMonthly(t.where(col("id") % 5 === 0), tmp)
       (1 to 4).foreach(k => graft.sources.Store.saveMonthly(
@@ -320,7 +320,7 @@ object TradeQueries {
     // hash-match bit-for-bit.
     "ingest_csv_canonical" -> ((s, dir) => {
       val tmp = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_gate_csv").getAbsolutePath
+        s"graft_gate_csv_${StreamQueries.runId}").getAbsolutePath
       trades(s, dir).select(
           col("id"), col("price"), col("qty"),
           (col("price") * col("qty")).as("quoteQty"), col("ts").as("time"),

@@ -204,4 +204,46 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(doc_id"),
       s"frame sampling window must hash-partition by doc_id:\n$p")
   }
+
+  test("keyed TBM off the bucketed store: trades side reaches the range join shuffle-free") {
+    // the 100 TB daily-labeling job shape (tbm_labels_sym_store gate):
+    // trades bucketed by symbol feed event derivation, the per-symbol
+    // end-of-data cutoff aggregation AND the path join without a single
+    // hashpartitioning Exchange on the trades lineage — the bucket spec
+    // satisfies every symbol-subset clustering requirement.
+    val t0 = (0 until 20000).map { i =>
+      (i.toLong * 100000000L, i.toLong, 100.0 + (i % 7) * 0.01,
+        1.0 + (i % 3), (i % 5).toLong)
+    }.toDF("ts", "id", "price", "qty", "symbol")
+    val dir = java.nio.file.Files.createTempDirectory("tbmbkt").toString
+    graft.sources.Store.saveBucketed(t0, "planspec_tbm_bkt", dir + "/t",
+      8, Seq("symbol"), Seq("symbol", "ts", "id"))
+    try {
+      def chain(t: DataFrame) = {
+        val ev = t.where(col("id") % 29 === 0).select(
+          col("symbol"), col("ts").as("event_ts"), col("id").as("event_id"),
+          col("price").as("p0"),
+          (lit(0.05) + (col("id") % 7).cast("double") * lit(0.01)).as("tgt"))
+        graft.labels.TripleBarrier.label(t, ev, 2.0, 1.5,
+          vertBarrierSec = 600.0, minCloseSec = 0.0, minRet = 0.02,
+          isMeta = false, partCols = Seq("symbol"))
+      }
+      // collect()-then-inspect: AQE resolves join strategies at execute
+      val bkt = chain(spark.table("planspec_tbm_bkt"))
+      bkt.collect()
+      val pB = bkt.queryExecution.executedPlan.toString
+      val raw = chain(t0)
+      raw.collect()
+      val pR = raw.queryExecution.executedPlan.toString
+      def nEx(p: String) = "Exchange hashpartitioning".r.findAllIn(p).length
+      // measured on this fixture: 2 vs 14 — assert the relative collapse
+      // (absolute counts are plan-shape-dependent), plus the bucketed
+      // scans actually engaging
+      assert(nEx(pB) * 2 < nEx(pR),
+        s"bucketed TBM kept too many shuffles: bucketed=${nEx(pB)} raw=${nEx(pR)}\n$pB")
+      assert(pB.contains("Bucketed: true") &&
+        pB.contains("SelectedBucketsCount"),
+        s"TBM chain is not reading the bucketed layout:\n$pB")
+    } finally spark.sql("DROP TABLE IF EXISTS planspec_tbm_bkt")
+  }
 }
