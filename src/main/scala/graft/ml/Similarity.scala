@@ -347,8 +347,12 @@ object Similarity {
     * Index build is one write; incremental append = writing new rows into
     * their cell directories.
     */
-  def ivfIndexWrite(emb: DataFrame, idCol: String, vecCol: String,
-                    centroids: Array[(Long, Array[Double])], dir: String): Unit = {
+  /** (cell, id, nv) assignment of unit vectors to their nearest centroid —
+    * the shared kernel of [[ivfIndexWrite]] and [[ivfIndexAppend]]
+    * (deterministic lowest-id tie-break, like [[ivfTopK]]'s bestCell).
+    */
+  private def assignCells(emb: DataFrame, idCol: String, vecCol: String,
+                          centroids: Array[(Long, Array[Double])]): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(centroids)
@@ -365,10 +369,42 @@ object Similarity {
         (best, id, v)
       }
       .toDF("cell", "id", "nv")
+  }
+
+  def ivfIndexWrite(emb: DataFrame, idCol: String, vecCol: String,
+                    centroids: Array[(Long, Array[Double])], dir: String): Unit = {
+    assignCells(emb, idCol, vecCol, centroids)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/cells")
+    val spark = emb.sparkSession
+    import spark.implicits._
     centroids.toSeq.toDF("cell", "cvec")
       .write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** APPEND an embedding batch to an existing parquet IVF index: new
+    * vectors are assigned to the EXISTING cells (centroids read back from
+    * the index — the stored codebook is the contract) and their rows land
+    * as new files inside the matching cell directories. This is the ingest
+    * lifecycle of the index-as-layout design: no re-clustering, no rewrite
+    * of historical cells — one partitioned append per batch, exactly the
+    * trades store's append-then-compact shape. The cost is codebook DRIFT:
+    * appended data follows the old centroids, so cell populations skew as
+    * the distribution moves; IvfAppendDrift measures the recall impact vs
+    * a full re-cluster (SYM_SCALING `ivf_append_drift` line) — the
+    * re-cluster cadence is an operational knob, not a correctness issue
+    * (probes stay exact for whatever codebook the index declares).
+    */
+  def ivfIndexAppend(emb: DataFrame, idCol: String, vecCol: String,
+                     dir: String): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .select(col("cell").cast("long"), col("cvec"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    assignCells(emb, idCol, vecCol, cents)
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$dir/cells")
   }
 
   /** Top-k through the parquet IVF index: centroids load driver-side

@@ -520,7 +520,7 @@ object DocQueries {
       val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding",
         nlist = 32, iters = 5)
       val idx = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_gate_ivf").getAbsolutePath
+        s"graft_gate_ivf_${StreamQueries.runId}").getAbsolutePath
       Similarity.ivfIndexWrite(e, "vec_id", "embedding", cents, idx)
       def canon(df: org.apache.spark.sql.DataFrame, tag: String) =
         df.select(col("query_id"), col("rank"), col("neighbor_id"),
@@ -535,6 +535,42 @@ object DocQueries {
           sum(when(col("__s").isNotNull && col("__m").isNotNull, 1)
             .otherwise(0)).as("both"))
         .select(col("query_id"), (col("n") === col("both")).as("store_matches_memory"))
+    }),
+
+    // The APPEND lifecycle of the stored IVF index (round-7 ask): the
+    // index is built from the 80% "historical" split's vectors with
+    // centroids trained on THAT split only, the remaining 20% batch is
+    // appended (assigned to the existing cells, new files in the cell
+    // dirs — no re-cluster, no rewrite), and a probe of the appended
+    // index must be bit-identical to the in-memory IVF over the FULL
+    // corpus with the same stored codebook. Codebook drift vs a full
+    // re-cluster is measured separately (IvfAppendDrift — an operational
+    // re-cluster-cadence knob, not a correctness property).
+    "ann_topk_ivf_append" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val base = e.where(pmod(col("vec_id"), lit(5)) =!= 0)
+      val delta = e.where(pmod(col("vec_id"), lit(5)) === 0)
+      val q = e.where(col("vec_id") < annQueries)
+      val cents = Similarity.kmeansCentroids(base, "vec_id", "embedding",
+        nlist = 32, iters = 5)
+      val idx = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_gate_ivf_app_${StreamQueries.runId}").getAbsolutePath
+      Similarity.ivfIndexWrite(base, "vec_id", "embedding", cents, idx)
+      Similarity.ivfIndexAppend(delta, "vec_id", "embedding", idx)
+      def canon(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.select(col("query_id"), col("rank"), col("neighbor_id"),
+          r6(col("cos")).as("cos"), lit(1).as(tag))
+      canon(Similarity.ivfIndexTopK(s, idx, q, "vec_id", "embedding",
+          annK, nprobe = 16), "__s")
+        .join(canon(Similarity.ivfTopK(q, e, "vec_id", "embedding", annK,
+          nprobe = 16, centroids = cents), "__m"),
+          Seq("query_id", "rank", "neighbor_id", "cos"), "full")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("__s").isNotNull && col("__m").isNotNull, 1)
+            .otherwise(0)).as("both"))
+        .select(col("query_id"),
+          (col("n") === col("both")).as("append_matches_memory"))
     }),
 
     // Multimodal plumbing over opaque binary payloads (documents' UTF-8
@@ -904,6 +940,10 @@ object DocQueries {
 
     "ann_topk_ivf_store" ->
       s"""SELECT vec_id AS query_id, TRUE AS store_matches_memory
+         |FROM embeddings WHERE vec_id < $annQueries""".stripMargin,
+
+    "ann_topk_ivf_append" ->
+      s"""SELECT vec_id AS query_id, TRUE AS append_matches_memory
          |FROM embeddings WHERE vec_id < $annQueries""".stripMargin,
 
     "sample_stratified" -> {
