@@ -501,6 +501,11 @@ object Dedup {
     // per-call cc_<uuid> prefix keeps their FILES apart either way).
     var prevCkptSub: Option[org.apache.hadoop.fs.Path] = None
     var roundNo = 0
+    // the SparkContext checkpoint dir is GLOBAL state: remember the
+    // caller's setting so convergence can put it back (round-7 advice —
+    // leaving it pointed at cc_<uuid>/round_<last> silently redirected any
+    // later checkpoint user under our private subdir)
+    val priorCkptDir = spark.sparkContext.getCheckpointDir
     lazy val ccRunDir = graft.Conf.checkpointDir.map(d =>
       s"$d/cc_${java.util.UUID.randomUUID().toString.take(8)}")
     def ckpt(df: DataFrame): DataFrame = ccRunDir match {
@@ -565,6 +570,15 @@ object Dedup {
       iter += 1
     }
     Dedup.lastCcRounds = iter
+    // reliable mode: restore the caller's checkpoint dir (the final
+    // round's files stay valid — checkpointed RDDs remember their own
+    // path; the global dir only steers FUTURE checkpoint calls) and
+    // expose the retained run dir so callers can delete it once the
+    // returned frame is consumed or re-persisted
+    if (ccRunDir.isDefined) {
+      priorCkptDir.foreach(spark.sparkContext.setCheckpointDir)
+      Dedup.lastCcCheckpointDir = ccRunDir
+    }
     und.unpersist()
     labels.select(col("id"), col("lbl").as("component"))
   }
@@ -574,6 +588,15 @@ object Dedup {
     * round). Read by DocBench's scale lines; not part of any result.
     */
   @volatile var lastCcRounds: Int = 0
+
+  /** The retained cc_<uuid> run dir of the most recent RELIABLE-mode
+    * [[connectedComponents]] call — it backs that call's returned frame
+    * (the final round's checkpoint files), so it cannot be deleted
+    * eagerly. Callers that have fully consumed (or re-persisted) the
+    * result delete it via this handle; None when reliable mode was never
+    * used on this driver.
+    */
+  @volatile var lastCcCheckpointDir: Option[String] = None
 
   // -------------------------------------------------------------------
   // SimHash

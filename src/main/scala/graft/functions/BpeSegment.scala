@@ -60,6 +60,30 @@ case class BpeSegmentExpr(child: Expression, merges: Seq[(String, String)])
   override def toString: String = s"bpe_segment($child, ${merges.size} merges)"
   override def sql: String = s"bpe_segment(${child.sql}, ${merges.size} merges)"
 
+  /** Catalyst canonicalization / semanticEquals and case-class equality
+    * would otherwise WALK the full merge list (30k pairs for a production
+    * tokenizer) on every plan comparison — partially undoing the "rank
+    * table is payload, not plan" goal during analysis (round-7 advice).
+    * Compare an MD5 digest of the list instead: computed once per
+    * expression instance, 16 bytes thereafter.
+    */
+  @transient private lazy val mergesDigest: String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    merges.foreach { case (l, r) =>
+      md.update(l.getBytes("UTF-8")); md.update(' '.toByte)
+      md.update(r.getBytes("UTF-8")); md.update('\n'.toByte)
+    }
+    java.util.Base64.getEncoder.encodeToString(md.digest)
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, mergesDigest, Integer.valueOf(merges.size))
+  override def equals(obj: Any): Boolean = obj match {
+    case other: BpeSegmentExpr =>
+      child == other.child && merges.size == other.merges.size &&
+        mergesDigest == other.mergesDigest
+    case _ => false
+  }
+
   /** rank table: "l r" -> training step (0-based; lower merges first).
     * Symbols match ^[a-z]+$ so the space separator can never collide.
     */

@@ -309,7 +309,14 @@ object StreamingBars {
     * sum, so full batch/stream parity stays EXACT, not approximate.
     */
   private def micros6(x: Double): Long =
-    java.math.BigDecimal.valueOf(x)
+    // non-finite or beyond decimal(18,6) capacity: the batch twin's
+    // Cast(double → decimal(18,6)) yields NULL under non-ANSI and the sum
+    // SKIPS the row — mirror that as a zero contribution instead of
+    // throwing (BigDecimal.valueOf rejects NaN/∞; longValueExact overflows
+    // past ~9.2e12). One pathological print must degrade the same way in
+    // both engines, not kill the streaming query (round-7 advice).
+    if (java.lang.Double.isNaN(x) || x.isInfinite || math.abs(x) >= 1e12) 0L
+    else java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP)
       .movePointRight(6).longValueExact()
 
