@@ -17,18 +17,18 @@ import Q._
   */
 object ScanQueries {
 
-  private val span = 100
+  private[queries] val span = 100
   private val q = 1.0 - 2.0 / (span + 1.0) // 0.98019801...
   private val K = 1500                     // q^K ≈ 8e-14
   private val wK = 600                     // Wilder (13/14)^600 ≈ e^-44
   private val hlSec = 3600.0
   private val hlCutNs = 108000000000000L   // 30 half-lives in ns
-  private val volThr = 2000.37             // off the 0.1-decimal qty grid
+  private[queries] val volThr = 2000.37             // off the 0.1-decimal qty grid
   // Carry-path comparisons sit at (k+1)·thr, so the fraction must stay off
   // the 3-decimal price·qty grid for EVERY multiple: 0.06170771 is coprime
   // with 10 at 8 decimals — (k+1)·frac terminates at ≤3 decimals only when
   // (k+1) is a multiple of 1e5, far beyond any realistic bar count.
-  private val dolThr = 200000.06170771
+  private[queries] val dolThr = 200000.06170771
 
   private def trades(s: org.apache.spark.sql.SparkSession, dir: String) =
     Trades.fromEvents(Tables.events(s, dir))

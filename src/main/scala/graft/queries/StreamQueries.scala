@@ -141,6 +141,48 @@ object StreamQueries {
       .parquet(tmp + "/*")
   }
 
+  /** Canonical trades (symbol pinned to 0 — the unkeyed batch twins) split
+    * at the median timestamp into TWO files (= two micro-batches under
+    * maxFilesPerTrigger=1) — the fixture for the NoTimeout per-key state
+    * machines (threshold bars / EWMA / CUSUM): every bar, EWMA value or
+    * event that straddles the split proves cross-batch state, and no
+    * sentinels are needed because the machines emit as they fold.
+    */
+  private def splitTradeFileStream(s: SparkSession, dir: String,
+                                   tmpName: String): DataFrame = {
+    val trades = Trades.fromEvents(graft.Tables.events(s, dir))
+      .select(col("ts"), col("id"), col("price"), col("qty"),
+        lit(0L).as("symbol"))
+    val mid = trades.agg(expr("percentile_approx(ts, 0.5)")).head().getLong(0)
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"), tmpName)
+      .getAbsolutePath
+    val p = new org.apache.hadoop.fs.Path(tmp)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val t0 = System.currentTimeMillis()
+    writeOneFile(trades.where(col("ts") <= mid), tmp, "a_early", t0 - 40000)
+    writeOneFile(trades.where(col("ts") > mid), tmp, "b_late", t0 - 20000)
+    s.readStream.schema(trades.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(tmp + "/*")
+  }
+
+  /** Join drained per-trade bar ids back to the canonical trades (the
+    * BarIdOut rows carry no price/qty) — shared by the three
+    * threshold-bar gates.
+    */
+  private def withTradeData(ids: DataFrame, s: SparkSession,
+                            dir: String): DataFrame = {
+    val joined = ids.where(col("bar_id") >= 0)
+      .select(col("ts"), col("id"), col("bar_id"), col("bar_closed"))
+      .join(Trades.fromEvents(graft.Tables.events(s, dir))
+        .select("ts", "id", "price", "qty"), Seq("ts", "id"))
+    // fresh attribute ids: the downstream two-pass OHLCV self-joins this
+    // frame, and a memory-sink View in the lineage trips analyzer
+    // reference-dedup ("conflicting references in Join")
+    s.createDataFrame(joined.rdd, joined.schema)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Streaming 5-minute OHLCV bars in APPEND mode: canonical trades land
@@ -295,6 +337,91 @@ object StreamQueries {
           r6(col("vp_gini")).as("vp_gini"))
     }),
 
+    // Streaming TICK BARS through the per-symbol counter state machine:
+    // bar ids assigned as trades arrive across two micro-batches, then the
+    // SAME fixed-width OHLCV aggregation and completeness filter as the
+    // batch gate — tick_bars_300's oracle text verbatim. The id stream is
+    // row-for-row the batch closed form (StreamingSpec), so the bars are
+    // identical by construction; the gate proves it against DuckDB.
+    "streaming_tick_bars_300" -> ((s, dir) => {
+      import s.implicits._
+      val src = splitTradeFileStream(s, dir, s"graft_gate_stream_tick_$runId")
+        .as[StreamingBars.TradeIn]
+      val ids = drain(StreamingBars.tickBarStream(src, 300).toDF(),
+        "gate_stream_tick_ids")
+      graft.bars.EventBars.ohlcvByBarId(withTradeData(ids, s, dir))
+        .where(col("trades") === 300L ||
+          (col("bar_id") === 0 && col("trades") === 299L))
+        .select(col("bar_id"), col("bar_ts"), r6(col("open")).as("open"),
+          r6(col("high")).as("high"), r6(col("low")).as("low"),
+          r6(col("close")).as("close"), r6(col("volume")).as("volume"),
+          col("trades"), r6(col("median_trade_size")).as("median_trade_size"),
+          r6(col("vwap")).as("vwap"))
+    }),
+
+    // Streaming VOLUME BARS (reset, no carry): the per-symbol cum state
+    // machine assigns ids across the batch split; completeBars drops the
+    // unassigned row 0 and the trailing partial bar exactly like the
+    // batch kernel. volume_bars_2k's oracle verbatim.
+    "streaming_volume_bars_2k" -> ((s, dir) => {
+      import s.implicits._
+      val src = splitTradeFileStream(s, dir, s"graft_gate_stream_vol_$runId")
+        .as[StreamingBars.TradeIn]
+      val ids = drain(
+        StreamingBars.volumeBarStream(src, ScanQueries.volThr).toDF(),
+        "gate_stream_vol_ids")
+      graft.bars.EventBars.completeBars(withTradeData(ids, s, dir))
+        .select(col("bar_id"), col("bar_ts"), r6(col("open")).as("open"),
+          r6(col("close")).as("close"), r6(col("volume")).as("volume"),
+          col("trades"))
+    }),
+
+    // Streaming DOLLAR BARS (carry remainder): same shape, carry state
+    // rides the split. dollar_bars_200k's oracle verbatim.
+    "streaming_dollar_bars_200k" -> ((s, dir) => {
+      import s.implicits._
+      val src = splitTradeFileStream(s, dir, s"graft_gate_stream_dol_$runId")
+        .as[StreamingBars.TradeIn]
+      val ids = drain(
+        StreamingBars.dollarBarStream(src, ScanQueries.dolThr).toDF(),
+        "gate_stream_dol_ids")
+      graft.bars.EventBars.completeBars(withTradeData(ids, s, dir))
+        .select(col("bar_id"), col("bar_ts"), r6(col("open")).as("open"),
+          r6(col("close")).as("close"), r6(col("volume")).as("volume"),
+          col("trades"))
+    }),
+
+    // Streaming EWMA: the pandas ewm(span, adjust=True) recursion as
+    // per-symbol O(1) state across the batch split — ewma_scan's oracle
+    // verbatim (the sequential u/v recursion and the batch affine scan
+    // agree to ~1e-12, far inside the shared r6 normalization).
+    "streaming_ewma" -> ((s, dir) => {
+      import s.implicits._
+      val src = splitTradeFileStream(s, dir, s"graft_gate_stream_ewma_$runId")
+        .as[StreamingBars.TradeIn]
+      drain(StreamingBars.ewmaStream(src, ScanQueries.span).toDF(),
+        "gate_stream_ewma")
+        .select(col("ts"), col("id"), r6(col("ewma")).as("ewma"))
+    }),
+
+    // Streaming CUSUM event filter (constant threshold): per-symbol
+    // (sPos, sNeg, prevPrice) state across the split; emitted events are
+    // row-identical to the batch reset-state scan (StreamingSpec), priced
+    // via an equi-join back to the canonical trades. cusum_events' oracle
+    // verbatim (λ = max(1·2.0, 1e-12) = 2.0).
+    "streaming_cusum_events" -> ((s, dir) => {
+      import s.implicits._
+      val src = splitTradeFileStream(s, dir, s"graft_gate_stream_cus_$runId")
+        .as[StreamingBars.TradeIn]
+      drain(StreamingBars.cusumStream(src, 2.0).toDF(),
+        "gate_stream_cusum")
+        .where(col("isEvent"))
+        .select(col("ts"), col("id"))
+        .join(Trades.fromEvents(graft.Tables.events(s, dir))
+          .select("ts", "id", "price"), Seq("ts", "id"))
+        .select(col("ts"), col("id"), r6(col("price")).as("price"))
+    }),
+
     // Streaming INTEGRITY ALERTS: per-symbol time-gap + id-gap monitoring
     // as trades arrive (the live shape of the batch inspect_gaps /
     // id-gap scans a 100 TB ingest runs next to its writers). The fixture
@@ -357,6 +484,11 @@ object StreamQueries {
       TradeQueries.oracles("time_bars_directional_1h"),
     "streaming_footprint_summary" ->
       FootprintQueries.oracles("footprint_summary_1h"),
+    "streaming_tick_bars_300" -> ScanQueries.oracles("tick_bars_300"),
+    "streaming_volume_bars_2k" -> ScanQueries.oracles("volume_bars_2k"),
+    "streaming_dollar_bars_200k" -> ScanQueries.oracles("dollar_bars_200k"),
+    "streaming_ewma" -> ScanQueries.oracles("ewma_scan"),
+    "streaming_cusum_events" -> ScanQueries.oracles("cusum_events"),
 
     // both alert kinds recomputed with per-symbol lag windows; the stream
     // emits time_gap before id_gap for a pair that trips both, and the
