@@ -60,6 +60,18 @@ object Footprints {
           .cast("decimal(20,0)")).as("total_vol_u"),
         sum(when(col("side") === 1, 1L).otherwise(0L)).as("buy_ticks"),
         sum(when(col("side") === -1, 1L).otherwise(0L)).as("sell_ticks"))
+    withImbalanceFlags(fp, imbalanceFactor, partCols)
+  }
+
+  /** Diagonal imbalance flags over a FINISHED (bar, level) grid — the tail
+    * of [[build]], shared with the streaming path: footprintStream finalizes
+    * the per-level sums under the watermark, and this post-finalize batch
+    * step adds the neighbor-dependent flags (they need lead/lag over the
+    * completed grid, so they cannot ride the streaming agg itself).
+    */
+  def withImbalanceFlags(fp: DataFrame, imbalanceFactor: Double = 3.0,
+                         partCols: Seq[String] = Nil): DataFrame = {
+    val barKeys = partCols :+ "bar_ts"
     val wl = Window.partitionBy(barKeys.map(col): _*).orderBy("level")
     val bar = Window.partitionBy(barKeys.map(col): _*)
     val buyUp = when(lead("level", 1).over(wl) === col("level") + 1,

@@ -337,6 +337,81 @@ object StreamQueries {
           r6(col("vp_gini")).as("vp_gini"))
     }),
 
+    // Streaming FOOTPRINT LEVELS: the windowed-agg footprint core — per
+    // (bar, price level) buy/sell volumes and tick counts accumulate under
+    // the watermark (decimal-exact sums, mirroring the batch), and the
+    // neighbor-dependent diagonal imbalance flags compute post-finalize
+    // over the FINISHED grid via the SAME code the batch path runs
+    // (Footprints.withImbalanceFlags). Shares footprint_levels_1h's
+    // oracle text verbatim.
+    "streaming_footprint_levels" -> ((s, dir) => {
+      val src = sidedFileStream(s, dir, s"graft_gate_stream_fpl_$runId")
+      val grid = drain(
+        StreamingBars.footprintStream(src, 3600, 0.01,
+          watermarkDelay = Some("1 minute")),
+        "gate_stream_fp_levels")
+        .where(col("bar_ts") < sentinelNs)
+      graft.bars.Footprints.withImbalanceFlags(grid, 3.0)
+        .select(col("bar_ts"), col("level"),
+          r6(col("buy_volume")).as("buy_volume"),
+          r6(col("sell_volume")).as("sell_volume"),
+          col("buy_ticks"), col("sell_ticks"),
+          col("buy_imbalance"), col("sell_imbalance"))
+    }),
+
+    // RESTART-FROM-CHECKPOINT: the production lifecycle a 100 TB streaming
+    // deployment lives by — a query dies (or is upgraded) mid-stream and a
+    // NEW query start must resume from the checkpoint's offset log and
+    // state store with no loss and no double-count. Phase 1 drains the
+    // early half of the trades into a parquet sink (partial-bar state
+    // lands in the state store); phase 2 starts a FRESH query on the same
+    // checkpoint after the late half + flush sentinels arrive — it must
+    // skip the already-committed file (else volumes double and the hash
+    // fails) and restore every straddling bar's open/high/low state. The
+    // manifest-committed sink then answers the SAME oracle the live
+    // streaming-bars gates answer.
+    "streaming_restart_bars_5m" -> ((s, dir) => {
+      import s.implicits._
+      val trades = Trades.fromEvents(graft.Tables.events(s, dir))
+        .select(col("ts"), col("id"), col("price"), col("qty"),
+          lit(0L).as("symbol"))
+      val mid = trades.agg(expr("percentile_approx(ts, 0.5)")).head().getLong(0)
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_gate_stream_restart_$runId").getAbsolutePath
+      val srcDir = base + "/src"
+      val p = new org.apache.hadoop.fs.Path(base)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      def runOnce(): Unit = {
+        val src = s.readStream.schema(trades.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(srcDir + "/*")
+          .as[StreamingBars.TradeIn]
+        val q = StreamingBars.ohlcvStateStream(src, 300,
+            watermarkDelay = "10 minutes")
+          .toDF().writeStream.format("parquet")
+          .option("path", base + "/out")
+          .option("checkpointLocation", base + "/chk")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val t0 = System.currentTimeMillis()
+      writeOneFile(trades.where(col("ts") <= mid), srcDir, "a_early",
+        t0 - 60000)
+      runOnce() // phase 1: early half only; straddling-bar state checkpoints
+      def sentinel(ns: Long, id: Long) =
+        s.range(1).select(lit(ns).as("ts"), lit(id).as("id"),
+          lit(1.0).as("price"), lit(1.0).as("qty"), lit(0L).as("symbol"))
+      writeOneFile(trades.where(col("ts") > mid), srcDir, "b_late",
+        t0 - 40000)
+      writeOneFile(sentinel(sentinelNs, 9000000000L), srcDir, "c_s1",
+        t0 - 30000)
+      writeOneFile(sentinel(sentinelNs + 600000000000L, 9000000001L),
+        srcDir, "d_s2", t0 - 20000)
+      runOnce() // phase 2: fresh query, same checkpoint — offsets + state
+      canonBars(s.read.parquet(base + "/out"))
+    }),
+
     // Streaming TICK BARS through the per-symbol counter state machine:
     // bar ids assigned as trades arrive across two micro-batches, then the
     // SAME fixed-width OHLCV aggregation and completeness filter as the
@@ -484,6 +559,9 @@ object StreamQueries {
       TradeQueries.oracles("time_bars_directional_1h"),
     "streaming_footprint_summary" ->
       FootprintQueries.oracles("footprint_summary_1h"),
+    "streaming_footprint_levels" ->
+      FootprintQueries.oracles("footprint_levels_1h"),
+    "streaming_restart_bars_5m" -> streamBarsOracle,
     "streaming_tick_bars_300" -> ScanQueries.oracles("tick_bars_300"),
     "streaming_volume_bars_2k" -> ScanQueries.oracles("volume_bars_2k"),
     "streaming_dollar_bars_200k" -> ScanQueries.oracles("dollar_bars_200k"),

@@ -110,8 +110,14 @@ object StreamingBars {
     marked
       .groupBy(col("event_time"), col("bar_ts"), col("level"))
       .agg(
-        sum(when(col("side") === 1, col("qty")).otherwise(0.0)).as("buy_volume"),
-        sum(when(col("side") === -1, col("qty")).otherwise(0.0)).as("sell_volume"),
+        // decimal-exact volume sums, mirroring Footprints.build: these
+        // volumes feed the imbalance comparisons and r6 normalization —
+        // addition-order ulp noise in a double sum could fork the flags
+        // between the stream and the batch oracle at scale
+        graft.queries.Q.dsum(when(col("side") === 1, col("qty")).otherwise(0.0))
+          .as("buy_volume"),
+        graft.queries.Q.dsum(when(col("side") === -1, col("qty")).otherwise(0.0))
+          .as("sell_volume"),
         sum(when(col("side") === 1, 1L).otherwise(0L)).as("buy_ticks"),
         sum(when(col("side") === -1, 1L).otherwise(0L)).as("sell_ticks"))
       .drop("event_time")
