@@ -337,6 +337,62 @@ object StreamQueries {
           r6(col("vp_gini")).as("vp_gini"))
     }),
 
+    // OUT-OF-ORDER arrival through the BUFFERED directional machine: the
+    // late half of the trades arrives a whole micro-batch BEFORE the early
+    // half (maximal cross-batch disorder — a real multi-source ingest never
+    // guarantees arrival order), the watermark delay covers the span so
+    // nothing is late-dropped, and directionalBufferedStream re-sorts each
+    // finalized bar's rows by (ts, id) before folding — emitted bars are
+    // identical to in-order arrival. Shares time_bars_directional_1h's
+    // oracle text VERBATIM: arrival order must not change order-flow
+    // features, and the hash proves it.
+    "streaming_directional_unordered" -> ((s, dir) => {
+      import s.implicits._
+      val sided = Trades.withTickRuleSide(
+          Trades.fromEvents(graft.Tables.events(s, dir)))
+        .select(col("ts"), col("id"), col("price"), col("qty"),
+          col("side").cast("int").as("side"), lit(0L).as("symbol"))
+      val st = sided.agg(expr("percentile_approx(ts, 0.5)"),
+        min(col("ts")), max(col("ts"))).head()
+      val (mid, lo, hi) = (st.getLong(0), st.getLong(1), st.getLong(2))
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_gate_stream_diru_$runId").getAbsolutePath
+      val pth = new org.apache.hadoop.fs.Path(tmp)
+      val fs = pth.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(pth)) fs.delete(pth, true)
+      val t0 = System.currentTimeMillis()
+      writeOneFile(sided.where(col("ts") > mid), tmp, "a_late", t0 - 50000)
+      writeOneFile(sided.where(col("ts") <= mid), tmp, "b_early", t0 - 40000)
+      def sentinel(ns: Long, id: Long) =
+        s.range(1).select(lit(ns).as("ts"), lit(id).as("id"),
+          lit(1.0).as("price"), lit(1.0).as("qty"),
+          lit(0).as("side"), lit(0L).as("symbol"))
+      writeOneFile(sentinel(sentinelNs, 9000000000L), tmp, "c_s1", t0 - 30000)
+      writeOneFile(sentinel(sentinelNs + 600000000000L, 9000000001L),
+        tmp, "d_s2", t0 - 20000)
+      // the delay must cover the full data span: every real trade stays
+      // above the watermark until the sentinels flush, whatever file order
+      val delay = s"${(hi - lo) / 3600000000000L + 3} hours"
+      val src = s.readStream.schema(sided.schema)
+        .option("maxFilesPerTrigger", 1).parquet(tmp + "/*")
+        .as[StreamingBars.SidedSymIn]
+      val bars = StreamingBars.directionalBufferedStream(src, 3600, delay)
+      drain(bars.toDF(), "gate_stream_dir_unord")
+        .where(col("bar_ts") < sentinelNs)
+        .select(col("bar_ts"), col("ticks_buy"), col("ticks_sell"),
+          r6(col("volume_buy")).as("volume_buy"),
+          r6(col("volume_sell")).as("volume_sell"),
+          r6(col("dollars_buy")).as("dollars_buy"),
+          r6(col("dollars_sell")).as("dollars_sell"),
+          r6(col("mean_spread")).as("mean_spread"),
+          r6(col("max_spread")).as("max_spread"),
+          col("cum_ticks_min"), col("cum_ticks_max"),
+          r6(col("cum_volume_min")).as("cum_volume_min"),
+          r6(col("cum_volume_max")).as("cum_volume_max"),
+          r6(col("cum_dollars_min")).as("cum_dollars_min"),
+          r6(col("cum_dollars_max")).as("cum_dollars_max"))
+    }),
+
     // Streaming FOOTPRINT LEVELS: the windowed-agg footprint core — per
     // (bar, price level) buy/sell volumes and tick counts accumulate under
     // the watermark (decimal-exact sums, mirroring the batch), and the
@@ -556,6 +612,8 @@ object StreamQueries {
 
     // the batch twins' oracle texts VERBATIM — one semantic, two executors
     "streaming_directional_1h" ->
+      TradeQueries.oracles("time_bars_directional_1h"),
+    "streaming_directional_unordered" ->
       TradeQueries.oracles("time_bars_directional_1h"),
     "streaming_footprint_summary" ->
       FootprintQueries.oracles("footprint_summary_1h"),
