@@ -25,7 +25,13 @@ import org.apache.spark.sql.streaming.Trigger
   *  - `ohlcv_state_60s` — per-bar OHLCV state machine, keyed by bar_ts;
   *  - `directional_buffered_1h` — watermark-buffered per-symbol directional
   *    bars (exact under any arrival order);
-  *  - `integrity_alerts` — per-symbol gap/id monitor, O(1) state.
+  *  - `integrity_alerts` — per-symbol gap/id monitor, O(1) state;
+  *  - `tick_bars_1k` — per-symbol threshold-bar counter, O(1) state;
+  *  - `cusum_events` — per-symbol CUSUM filter, O(1) state;
+  *  - `ewma` — per-symbol span-100 EWMA recursion, O(1) state, one
+  *    emission per input row (the heaviest output path);
+  *  - `footprint_summary_1h` — per-bar level-grid state + post-finalize
+  *    summary features (the widest per-key state).
   *
   * Usage: [SPARK_GRAFT_SF_DIR=...] [SPARK_GRAFT_STREAM_COPIES=20]
   *        [SPARK_GRAFT_STREAM_CPUS=8,32] runMain graft.StreamBench
@@ -103,7 +109,23 @@ object StreamBench {
         "integrity_alerts" -> (() =>
           StreamingIntegrity.alerts(
             src.select("ts", "id", "symbol")
-              .as[StreamingIntegrity.TickIn], maxGapNs = 600L * 1000000000L).toDF()))
+              .as[StreamingIntegrity.TickIn], maxGapNs = 600L * 1000000000L).toDF()),
+        "tick_bars_1k" -> (() =>
+          StreamingBars.tickBarStream(
+            src.select("ts", "id", "price", "qty", "symbol")
+              .as[StreamingBars.TradeIn], 1000).toDF()),
+        "cusum_events" -> (() =>
+          StreamingBars.cusumStream(
+            src.select("ts", "id", "price", "qty", "symbol")
+              .as[StreamingBars.TradeIn], 2.0).toDF()),
+        "ewma" -> (() =>
+          StreamingBars.ewmaStream(
+            src.select("ts", "id", "price", "qty", "symbol")
+              .as[StreamingBars.TradeIn], 100).toDF()),
+        "footprint_summary_1h" -> (() =>
+          StreamingBars.footprintSummaryStream(
+            src.select("ts", "id", "price", "qty", "symbol", "side")
+              .as[StreamingBars.SidedSymIn], 3600, 0.01).toDF()))
 
       val times = streams.map { case (name, mk) =>
         val ckpt = java.nio.file.Files

@@ -337,6 +337,46 @@ object StreamQueries {
           r6(col("vp_gini")).as("vp_gini"))
     }),
 
+    // LIVE INGEST → STORE: canonical trades arrive as a two-micro-batch
+    // file stream and the exactly-once parquet sink writes them STRAIGHT
+    // INTO the monthly-partitioned store layout (partitionBy month — the
+    // same directories saveMonthly produces, stamped with the same
+    // integer-div month arithmetic). Store.readRange then serves a pruned
+    // mid-range slice off the manifest-committed files and answers
+    // store_readrange_prune's oracle verbatim. This is binance2h5's live
+    // shape at 100 TB: ingest writers append month partitions continuously
+    // while readers range-scan behind the sink's commit log — no batch
+    // rewrite step between "arrived" and "queryable".
+    "streaming_store_ingest" -> ((s, dir) => {
+      val trades = Trades.fromEvents(graft.Tables.events(s, dir))
+        .select(col("ts"), col("id"), col("price"), col("qty"), col("symbol"))
+      val st = trades.agg(expr("percentile_approx(ts, 0.5)"), min(col("ts"))).head()
+      val (mid, minTs) = (st.getLong(0), st.getLong(1))
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_gate_stream_ingest_$runId").getAbsolutePath
+      val srcDir = base + "/src"
+      val pth = new org.apache.hadoop.fs.Path(base)
+      val fs = pth.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(pth)) fs.delete(pth, true)
+      val t0 = System.currentTimeMillis()
+      writeOneFile(trades.where(col("ts") <= mid), srcDir, "a_early", t0 - 40000)
+      writeOneFile(trades.where(col("ts") > mid), srcDir, "b_late", t0 - 20000)
+      val q = s.readStream.schema(trades.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir + "/*")
+        .withColumn("month", graft.sources.Store.monthCol("ts"))
+        .writeStream.format("parquet")
+        .partitionBy("month")
+        .option("path", base + "/store")
+        .option("checkpointLocation", base + "/chk")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val dayNs = 86400L * 1000000000L
+      graft.sources.Store.readRange(s, base + "/store",
+          minTs + 7 * dayNs, minTs + 14 * dayNs)
+        .select(col("ts"), col("id"), r6(col("price")).as("price"),
+          r6(col("qty")).as("qty"), col("symbol"))
+    }),
+
     // OUT-OF-ORDER arrival through the BUFFERED directional machine: the
     // late half of the trades arrives a whole micro-batch BEFORE the early
     // half (maximal cross-batch disorder — a real multi-source ingest never
@@ -620,6 +660,8 @@ object StreamQueries {
     "streaming_footprint_levels" ->
       FootprintQueries.oracles("footprint_levels_1h"),
     "streaming_restart_bars_5m" -> streamBarsOracle,
+    "streaming_store_ingest" ->
+      TradeQueries.oracles("store_readrange_prune"),
     "streaming_tick_bars_300" -> ScanQueries.oracles("tick_bars_300"),
     "streaming_volume_bars_2k" -> ScanQueries.oracles("volume_bars_2k"),
     "streaming_dollar_bars_200k" -> ScanQueries.oracles("dollar_bars_200k"),
