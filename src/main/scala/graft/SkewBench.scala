@@ -1,0 +1,124 @@
+package graft
+
+import graft.features.Scan
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Key-skew resilience harness — the 100 TB question the uniform
+  * [[SymBench]] fixture can't ask: real trade corpora have heavy-hitter
+  * symbols (one instrument carrying most of the volume), and a keyed
+  * sequential operator laid out as one-task-per-key serializes the whole
+  * heavy key on one core no matter how many the cluster has.
+  *
+  * The harness times the SAME per-symbol EWMA recursion through both keyed
+  * layouts on two fixtures:
+  *
+  *  - `seq`    — `Scan.seqDouble(keyCols = symbol)`: shuffle by key, one
+  *               sequential kernel run per key (the layout every keyed
+  *               `_sym` twin with non-affine state uses);
+  *  - `affine` — `Ewm.ewmaExact(keyCols = symbol)`: ONE range-partitioned
+  *               scan ordered by (symbol, ts, id) with a=0 reset
+  *               coefficients at key boundaries — a heavy key splits
+  *               across partitions and parallelizes WITHIN the key.
+  *
+  * Fixtures replicate the sf trades `copies` times (ids rebased so
+  * (symbol, ts, id) stays unique): `uniform` maps every copy to a fresh
+  * symbol; `skew` maps `heavy` of them onto symbol 0 (≈ heavy/copies of
+  * all rows on ONE key — the heavy-hitter shape). Expected result, and
+  * the reason both layouts exist: seq ≈ affine on uniform; on skew, seq
+  * degrades toward serial-heavy-key wall time while affine stays at the
+  * uniform figure.
+  *
+  * Usage: [SPARK_GRAFT_SF_DIR=…] [SPARK_GRAFT_SKEW_COPIES=32]
+  *        [SPARK_GRAFT_SKEW_HEAVY=25] [SPARK_GRAFT_SKEW_CPUS=32]
+  *        [SPARK_GRAFT_SKEW_REPS=2] runMain graft.SkewBench
+  * Prints one JSONL line: {"metric":"skew_scaling",…}
+  */
+object SkewBench {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SKEW_COPIES", "32").trim.toInt
+    val heavy = sys.env.getOrElse("SPARK_GRAFT_SKEW_HEAVY", "25").trim.toInt
+    val cpuList = sys.env.getOrElse("SPARK_GRAFT_SKEW_CPUS", "32")
+      .split(",").map(_.trim.toInt).toSeq
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SKEW_REPS", "2").trim.toInt
+    val span = 100
+    val q = 1.0 - 2.0 / (span + 1.0)
+
+    // ---- fixtures (own session, untimed)
+    val fixtures = Seq("uniform" -> "target/skewfix_uniform",
+      "skew" -> "target/skewfix_skew")
+    val rowsPerFixture: Long = {
+      val spark = SparkSession.builder()
+        .master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      val base = graft.trades.Trades.fromEvents(Tables.events(spark, sfDir))
+        .select("ts", "id", "price", "qty", "symbol")
+      val idSpan = base.agg(max("id")).first().getLong(0) + 1L
+      val rep = base.withColumn("k", explode(sequence(lit(0), lit(copies - 1))))
+        .withColumn("id", col("id") + col("k") * lit(idSpan))
+      fixtures.foreach { case (kind, path) =>
+        val sym =
+          if (kind == "uniform") col("k").cast("long")
+          else when(col("k") < heavy, 0L).otherwise(col("k").cast("long"))
+        rep.select(col("ts"), col("id"), col("price"), col("qty"),
+            sym.as("symbol"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(path)
+      }
+      val n = spark.read.parquet(fixtures.head._2).count()
+      spark.stop()
+      n
+    }
+
+    val runs = cpuList.map { cpus =>
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+
+      def seqLayout(t: DataFrame): DataFrame =
+        Scan.seqDouble(t, Seq("ts", "id"), "ewma", Seq("symbol")) {
+          (schema, rows) =>
+            val pIdx = schema.fieldIndex("price")
+            var u = 0.0; var v = 0.0
+            rows.map { r =>
+              val y = r.getDouble(pIdx)
+              u = y + q * u; v = 1 + q * v
+              (r, u / v)
+            }
+        }
+      def affineLayout(t: DataFrame): DataFrame =
+        graft.features.Ewm.ewmaExact(t, "price", span, keyCols = Seq("symbol"))
+
+      val cells = for {
+        (kind, path) <- fixtures
+        (layout, mk) <- Seq("seq" -> (seqLayout _), "affine" -> (affineLayout _))
+      } yield {
+        val secs = (1 to reps).map { _ =>
+          val t = spark.read.parquet(path)
+          val t0 = System.nanoTime()
+          // force full materialization of the scan output
+          mk(t).select(count(col("ewma"))).first()
+          (System.nanoTime() - t0) / 1e9
+        }
+        s"${kind}_$layout" -> secs.min
+      }
+      (cpus, cells)
+    }
+
+    val runsJson = runs.map { case (cpus, cells) =>
+      "\"" + cpus + "\":" + cells.map { case (k, v) => s"\"$k\":$v" }
+        .mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"skew_scaling","sf":"$sfDir","copies":$copies,"heavy":$heavy,"rows":$rowsPerFixture,"reps":$reps,"runs":$runsJson}""")
+  }
+}

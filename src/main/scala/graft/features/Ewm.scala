@@ -27,18 +27,36 @@ object Ewm {
   // Exact distributed scans
   // ---------------------------------------------------------------------
 
-  /** pandas ewm(span, adjust=True).mean() — exact, distributed. */
+  /** pandas ewm(span, adjust=True).mean() — exact, distributed.
+    *
+    * With `keyCols`, the per-key recursion rides ONE range-partitioned
+    * global scan ordered by (keyCols, ts, id) with reset-at-key-boundary
+    * coefficients (a=0 annihilates the previous key's state — resets are
+    * affine, so the cross-partition composition stays exact). This is the
+    * SKEW-IMMUNE keyed layout: a heavy-hitter symbol splits across range
+    * partitions and parallelizes WITHIN the key, where the per-key-shuffle
+    * layout (Scan.seqDouble) would serialize the whole key on one task.
+    */
   def ewmaExact(df: DataFrame, valueCol: String, span: Int,
-                out: String = "ewma", numParts: Int = 0): DataFrame = {
+                out: String = "ewma", numParts: Int = 0,
+                keyCols: Seq[String] = Nil): DataFrame = {
     val q = 1.0 - 2.0 / (span + 1.0)
     val vIdx = df.schema.fieldIndex(valueCol)
+    val kIdxs = keyCols.map(df.schema.fieldIndex)
+    def newKey(r: Row, prev: Row): Boolean =
+      kIdxs.nonEmpty && (prev == null || kIdxs.exists(i => prev.get(i) != r.get(i)))
     Scan.affine(
-      df, Seq("ts", "id"), nStates = 2,
-      coefs = (r, _) => {
+      df, keyCols ++ Seq("ts", "id"), nStates = 2,
+      coefs = (r, prev) => {
         // null/NaN rows decay both sums without contributing (pandas
         // ignore_na=False adjust=True semantics; getDouble throws on null)
         val y = if (r.isNullAt(vIdx)) Double.NaN else r.getDouble(vIdx)
-        if (java.lang.Double.isNaN(y)) Array(Affine(q, 0.0), Affine(q, 0.0))
+        val nan = java.lang.Double.isNaN(y)
+        if (newKey(r, prev)) {
+          if (nan) Array(Affine(0.0, 0.0), Affine(0.0, 0.0))
+          else Array(Affine(0.0, y), Affine(0.0, 1.0))
+        }
+        else if (nan) Array(Affine(q, 0.0), Affine(q, 0.0))
         else Array(Affine(q, y), Affine(q, 1.0))
       },
       init = Array(0.0, 0.0),

@@ -43,6 +43,16 @@ object ScanQueries {
       Ewm.ewmaExact(trades(s, dir), "price", span)
         .select(col("ts"), col("id"), r6(col("ewma")).as("ewma"))),
 
+    // Per-symbol EWMA on ONE range-partitioned reset-affine scan (ordered
+    // by (symbol, ts, id), a=0 boundary coefficients annihilate the
+    // previous key's state) — the SKEW-IMMUNE keyed layout: a heavy-hitter
+    // symbol splits across range partitions and parallelizes WITHIN the
+    // key, where a per-key shuffle would serialize it on one task.
+    "ewma_sym_scan" -> ((s, dir) =>
+      Ewm.ewmaExact(trades(s, dir), "price", span, keyCols = Seq("symbol"))
+        .select(col("symbol"), col("ts"), col("id"),
+          r6(col("ewma")).as("ewma"))),
+
     // ewm(span=100).std(bias=False) — exact distributed scan
     "ewms_scan" -> ((s, dir) =>
       Ewm.ewmsExact(trades(s, dir), "price", span)
@@ -243,6 +253,18 @@ object ScanQueries {
          |  FROM trades
          |)
          |SELECT ts, id, ${rd(s"list_sum(list_transform(l, (y, i) -> y * pow(${D(q)}, len(l) - i))) / ((1 - pow(${D(q)}, len(l))) / ${D(1.0 - q)})")} AS ewma
+         |FROM lw""".stripMargin,
+
+    // keyed twin: the K-truncated closed form PARTITIONed BY symbol — the
+    // per-symbol tail truncation argument is identical (q^K ≈ 8e-14)
+    "ewma_sym_scan" ->
+      s"""WITH $tradesCte,
+         |lw AS (
+         |  SELECT symbol, ts, id,
+         |         list(price) OVER (PARTITION BY symbol ORDER BY ts, id ROWS BETWEEN ${K - 1} PRECEDING AND CURRENT ROW) AS l
+         |  FROM trades
+         |)
+         |SELECT symbol, ts, id, ${rd(s"list_sum(list_transform(l, (y, i) -> y * pow(${D(q)}, len(l) - i))) / ((1 - pow(${D(q)}, len(l))) / ${D(1.0 - q)})")} AS ewma
          |FROM lw""".stripMargin,
 
     "ewms_scan" ->

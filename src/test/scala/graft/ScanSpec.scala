@@ -177,6 +177,36 @@ class ScanSpec extends AnyFunSuite {
     }
   }
 
+  test("keyed ewma: reset-affine scan == per-key recursion at any partitioning") {
+    // ONE skewed key (0) carrying 80% of rows plus two small keys — ordered
+    // by (symbol, ts, id) the heavy key straddles several range partitions,
+    // so the a=0 boundary reset and the cross-partition affine composition
+    // are both exercised WITHIN and BETWEEN keys.
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 500).map { i =>
+      val sym = if (i % 10 < 8) 0L else (i % 10 - 7).toLong
+      (1000000000L * (i + 1), i.toLong, 50.0 + rnd.nextDouble() * 100, 1.0, sym)
+    }
+    val t = rows.toDF("ts", "id", "price", "qty", "symbol")
+    val q = 1.0 - 2.0 / 21.0
+    val exp = rows.groupBy(_._5).map { case (sym, rs) =>
+      var u = 0.0; var v = 0.0
+      sym -> rs.sortBy(r => (r._1, r._2)).map { r =>
+        u = r._3 + q * u; v = 1 + q * v; (r._1, u / v)
+      }.toMap
+    }
+    for (parts <- Seq(1, 7, 32)) {
+      val got = Ewm.ewmaExact(t, "price", 20, numParts = parts,
+          keyCols = Seq("symbol"))
+        .select("symbol", "ts", "ewma").as[(Long, Long, Double)].collect()
+      assert(got.length == 500)
+      got.foreach { case (sym, ts, g) =>
+        val e = exp(sym)(ts)
+        assert(math.abs(g - e) < 1e-9, s"parts=$parts sym=$sym ts=$ts")
+      }
+    }
+  }
+
   test("ewms exact scan matches reference recursion (volatility.py:9-69)") {
     val rnd = new scala.util.Random(7)
     val prices = Seq.fill(300)(50.0 + rnd.nextDouble() * 100)
