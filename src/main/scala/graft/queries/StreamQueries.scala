@@ -337,6 +337,25 @@ object StreamQueries {
           r6(col("vp_gini")).as("vp_gini"))
     }),
 
+    // Streaming DIRECTIONAL via the DECLARATIVE windowed agg — the subset
+    // of the order-flow features expressible without sequential state (no
+    // prev-trade spread handoff, no intra-bar cumulative extrema): per-bar
+    // buy/sell tick counts and volume/dollar sums finalized by the
+    // watermark. The stateful twin (streaming_directional_1h) answers the
+    // FULL feature row; this gate pins the windowed-agg executor, closing
+    // the last ScalaTest-only streaming surface.
+    "streaming_directional_agg_1h" -> ((s, dir) => {
+      val src = sidedFileStream(s, dir, s"graft_gate_stream_dira_$runId")
+      drain(StreamingBars.directionalStream(src, 3600,
+          watermarkDelay = Some("1 minute")), "gate_stream_dir_agg")
+        .where(col("bar_ts") < sentinelNs)
+        .select(col("bar_ts"), col("ticks_buy"), col("ticks_sell"),
+          r6(col("volume_buy")).as("volume_buy"),
+          r6(col("volume_sell")).as("volume_sell"),
+          r6(col("dollars_buy")).as("dollars_buy"),
+          r6(col("dollars_sell")).as("dollars_sell"))
+    }),
+
     // LIVE INGEST → STORE: canonical trades arrive as a two-micro-batch
     // file stream and the exactly-once parquet sink writes them STRAIGHT
     // INTO the monthly-partitioned store layout (partitionBy month — the
@@ -655,6 +674,18 @@ object StreamQueries {
       TradeQueries.oracles("time_bars_directional_1h"),
     "streaming_directional_unordered" ->
       TradeQueries.oracles("time_bars_directional_1h"),
+    "streaming_directional_agg_1h" -> {
+      val iv = 3600L * 1000000000L
+      s"""WITH $tradesCte, $sidedCte
+         |SELECT ((ts + ${iv - 1}) // $iv) * $iv AS bar_ts,
+         |  CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ticks_buy,
+         |  CAST(sum(CASE WHEN side = -1 THEN 1 ELSE 0 END) AS BIGINT) AS ticks_sell,
+         |  ${rd("sum(CASE WHEN side = 1 THEN qty ELSE 0.0 END)")} AS volume_buy,
+         |  ${rd("sum(CASE WHEN side = -1 THEN qty ELSE 0.0 END)")} AS volume_sell,
+         |  ${rd("sum(CASE WHEN side = 1 THEN price * qty ELSE 0.0 END)")} AS dollars_buy,
+         |  ${rd("sum(CASE WHEN side = -1 THEN price * qty ELSE 0.0 END)")} AS dollars_sell
+         |FROM sided GROUP BY 1""".stripMargin
+    },
     "streaming_footprint_summary" ->
       FootprintQueries.oracles("footprint_summary_1h"),
     "streaming_footprint_levels" ->
