@@ -66,15 +66,25 @@ object Ewm {
 
   /** pandas ewm(span, adjust=True).std() (bias=False) — exact, distributed. */
   def ewmsExact(df: DataFrame, valueCol: String, span: Int,
-                out: String = "ewms", numParts: Int = 0): DataFrame = {
+                out: String = "ewms", numParts: Int = 0,
+                keyCols: Seq[String] = Nil): DataFrame = {
     val q = 1.0 - 2.0 / (span + 1.0)
     val vIdx = df.schema.fieldIndex(valueCol)
+    val kIdxs = keyCols.map(df.schema.fieldIndex)
+    def newKey(r: Row, prev: Row): Boolean =
+      kIdxs.nonEmpty && (prev == null || kIdxs.exists(i => prev.get(i) != r.get(i)))
     Scan.affine(
-      df, Seq("ts", "id"), nStates = 4,
-      coefs = (r, _) => {
+      df, keyCols ++ Seq("ts", "id"), nStates = 4,
+      coefs = (r, prev) => {
         val y = if (r.isNullAt(vIdx)) Double.NaN else r.getDouble(vIdx)
         val (w, wy, wyy) = if (java.lang.Double.isNaN(y)) (0.0, 0.0, 0.0) else (1.0, y, y * y)
-        Array(Affine(q, w), Affine(q * q, w), Affine(q, wy), Affine(q, wyy))
+        // reset-at-key-boundary (see ewmaExact): a=0 annihilates the
+        // previous key's state, keeping the range-partitioned scan exact
+        // and skew-immune under heavy-hitter keys
+        if (newKey(r, prev))
+          Array(Affine(0.0, w), Affine(0.0, w), Affine(0.0, wy), Affine(0.0, wyy))
+        else
+          Array(Affine(q, w), Affine(q * q, w), Affine(q, wy), Affine(q, wyy))
       },
       init = Array(0.0, 0.0, 0.0, 0.0),
       emit = (s, _) => {

@@ -58,6 +58,14 @@ object ScanQueries {
       Ewm.ewmsExact(trades(s, dir), "price", span)
         .select(col("ts"), col("id"), r6(col("ewms")).as("ewms"))),
 
+    // keyed twin on the reset-affine scan (see ewma_sym_scan): per-symbol
+    // EW-std through ONE range-partitioned (symbol, ts, id) scan —
+    // skew-immune, no per-key shuffle
+    "ewms_sym_scan" -> ((s, dir) =>
+      Ewm.ewmsExact(trades(s, dir), "price", span, keyCols = Seq("symbol"))
+        .select(col("symbol"), col("ts"), col("id"),
+          r6(col("ewms")).as("ewms"))),
+
     // time-decay EW std (half-life 1h) on the irregular trades clock
     "ewmst_scan" -> ((s, dir) =>
       Ewm.ewmstExact(trades(s, dir), "price", hlSec)
@@ -283,6 +291,25 @@ object ScanQueries {
          |  FROM lw
          |)
          |SELECT ts, id, ${rd("CASE WHEN sw - sw2 / sw > 0 THEN sqrt(greatest((syy / sw - (sy / sw) * (sy / sw)) * sw / (sw - sw2 / sw), 0.0)) END")} AS ewms
+         |FROM sums""".stripMargin,
+
+    // keyed twin: same truncated closed form PARTITIONed BY symbol
+    "ewms_sym_scan" ->
+      s"""WITH $tradesCte,
+         |lw AS (
+         |  SELECT symbol, ts, id,
+         |         list(price) OVER (PARTITION BY symbol ORDER BY ts, id ROWS BETWEEN ${K - 1} PRECEDING AND CURRENT ROW) AS l
+         |  FROM trades
+         |),
+         |sums AS (
+         |  SELECT symbol, ts, id,
+         |    list_sum(list_transform(l, (y, i) -> y * pow(${D(q)}, len(l) - i))) AS sy,
+         |    list_sum(list_transform(l, (y, i) -> y * y * pow(${D(q)}, len(l) - i))) AS syy,
+         |    (1 - pow(${D(q)}, len(l))) / ${D(1.0 - q)} AS sw,
+         |    (1 - pow(${D(q * q)}, len(l))) / ${D(1.0 - q * q)} AS sw2
+         |  FROM lw
+         |)
+         |SELECT symbol, ts, id, ${rd("CASE WHEN sw - sw2 / sw > 0 THEN sqrt(greatest((syy / sw - (sy / sw) * (sy / sw)) * sw / (sw - sw2 / sw), 0.0)) END")} AS ewms
          |FROM sums""".stripMargin,
 
     "ewmst_scan" ->
