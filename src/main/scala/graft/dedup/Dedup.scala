@@ -375,6 +375,38 @@ object Dedup {
     spark.sql(s"DROP TABLE IF EXISTS ${lshTombstoneTable(table)}")
   }
 
+  /** Quality-prioritized canonical selection over near-dup clusters — the
+    * keep decision production corpus dedup ships (keep the BEST document
+    * of each cluster, not the smallest id; cf. CCNet/Gopher-style
+    * pipelines that rank duplicates by quality before dropping).
+    *
+    * `scored` carries one row per document (`idCol`, `scoreCol`); `comp`
+    * is [[connectedComponents]] output (`id`, `component`) — docs absent
+    * from `comp` are singletons and keep themselves. Within a cluster the
+    * kept doc is argmax(score) with ascending-id tie-break (exact
+    * duplicates score identically, so the tie-break fires routinely).
+    * One first_value window over the cluster-partitioned shuffle — no
+    * driver collection, cluster count never materializes anywhere.
+    *
+    * @return (idCol, cluster_id, kept_id, keep) — `keep` marks the one
+    *         survivor per cluster.
+    */
+  def keepBest(scored: DataFrame, comp: DataFrame, idCol: String,
+               scoreCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    scored.select(col(idCol), col(scoreCol))
+      .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), col(scoreCol),
+        coalesce(col("component"), col(idCol)).as("cluster_id"))
+      .withColumn("kept_id", first(col(idCol)).over(w))
+      .select(col(idCol), col("cluster_id"), col("kept_id"),
+        (col(idCol) === col("kept_id")).as("keep"), col(scoreCol))
+  }
+
   /** EXACT n-gram Jaccard similarity self-join: every pair with
     * J(sh(a), sh(b)) ≥ threshold, no approximation — the deterministic
     * sibling of [[lshCandidates]] (which trades exactness for a fixed

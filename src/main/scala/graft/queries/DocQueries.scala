@@ -19,7 +19,7 @@ object DocQueries {
   private[queries] val minhashK = 16
   private[queries] val minhashBands = 8 // r = 2 → candidates at modest jaccard
   private val simhashMaxHamming = 3
-  private val jaccThreshold = 0.5 // exact binary fraction: ⌈t·m⌉ identical on every engine
+  private[queries] val jaccThreshold = 0.5 // exact binary fraction: ⌈t·m⌉ identical on every engine
   private val twinOffset = 1048576L // planted-twin id shift for the cluster gate
   // stratified downsampling demo: halve class 0, quarter class 3, drop
   // class 9, keep the rest — thresholds become integer literals in BOTH
@@ -181,6 +181,25 @@ object DocQueries {
       val d = docs(s, dir).withColumn("toks", TextOps.wsTokens(col("text")))
       clusterAssign(d,
         Dedup.lshClusters(d, "doc_id", "toks", shingleN, minhashK, minhashBands))
+    }),
+
+    // Quality-prioritized canonical selection — the keep decision a real
+    // corpus dedup ships (keep the BEST document of each near-dup cluster,
+    // Gopher-style quality score, not the smallest id; exact duplicates
+    // score identically and tie-break on doc_id). One first_value window
+    // over the cluster-partitioned layout; the score is the same
+    // fixed-order IEEE expression tree on both engines (text_quality's
+    // parity), so the per-cluster argmax is deterministic.
+    "dedup_keep_best" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("toks", TextOps.wsTokens(col("text")))
+      val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "toks", shingleN, jaccThreshold)
+      val comp = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+      val scored = docs(s, dir)
+        .select(Seq(col("doc_id")) ++ TextOps.qualityColumns(col("text")): _*)
+        .select(col("doc_id"), col("quality_score"))
+      Dedup.keepBest(scored, comp, "doc_id", "quality_score")
+        .select(col("doc_id"), col("cluster_id"), col("kept_id"), col("keep"),
+          r6(col("quality_score")).as("quality_score"))
     }),
 
     "dedup_embedding_pairs" -> ((s, dir) =>
@@ -649,6 +668,26 @@ object DocQueries {
   private def inList(words: Seq[String]) =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** Exact-Jaccard pair edges → connected components (recursive CTE) —
+    * the cluster-truth fragment shared VERBATIM by `dedup_clusters` and
+    * `dedup_keep_best` (single-sourced so the two gates cannot drift).
+    * Expects `toks`/`sh` in scope; yields `comp(doc_id, cluster_id)`.
+    */
+  private lazy val clusterCompCtes: String =
+    s"""ne AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+       |pairs AS (
+       |  SELECT a.doc_id AS ia, b.doc_id AS ib
+       |  FROM ne a JOIN ne b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.sh, b.sh)) / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= ${D(jaccThreshold)}
+       |),
+       |edges AS (SELECT ia AS a, ib AS b FROM pairs UNION ALL SELECT ib, ia FROM pairs),
+       |reach(id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id
+       |),
+       |comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+
 
   // raw (unrounded) quality sub-expressions, shared by the text_quality
   // oracle and the corpus_clean pipeline filter (needs toks in scope)
@@ -725,8 +764,8 @@ object DocQueries {
     * tokenized 'train' 80% stands in for the existing corpus, the rest is
     * the arriving delta.
     */
-  private def incrementalSplit(s: org.apache.spark.sql.SparkSession,
-                               dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+  private[queries] def incrementalSplit(s: org.apache.spark.sql.SparkSession,
+                                        dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val all = docs(s, dir).withColumn("toks", TextOps.wsTokens(col("text")))
     val sp = Sampling.splitAssign(all, "doc_id", sampleSalt, splitFractions)
     (sp.where(col("split") === "train"), sp.where(col("split") =!= "train"))
@@ -736,7 +775,7 @@ object DocQueries {
     * stored index must reproduce the recompute path bit-for-bit, so both
     * gates compare against literally the same oracle text.
     */
-  private def incrementalOracleSqlWith(baseCond: String): String =
+  private def incrementalOracleSqlCond(baseJoin: String): String =
     s"""WITH $toksCte, $shCte, $minhashBandsCtes,
        |hsp AS (SELECT doc_id, md5('$sampleSalt:' || CAST(doc_id AS VARCHAR)) AS m
        |        FROM documents),
@@ -747,7 +786,7 @@ object DocQueries {
        |  FROM bands d
        |  JOIN spl sd ON sd.doc_id = d.doc_id AND NOT sd.is_base
        |  JOIN bands b ON b.band = d.band AND b.band_key = d.band_key
-       |  JOIN spl sb ON sb.doc_id = b.doc_id AND sb.is_base$baseCond
+       |  JOIN spl sb ON sb.doc_id = b.doc_id AND $baseJoin
        |)
        |SELECT id_a, id_b, n_common, ${rd("j_raw")} AS jaccard FROM (
        |  SELECT c.id_a, c.id_b,
@@ -758,7 +797,22 @@ object DocQueries {
        |  JOIN sh b ON b.doc_id = c.id_b
        |) WHERE j_raw >= ${D(jaccThreshold)}""".stripMargin
 
+  private def incrementalOracleSqlWith(baseCond: String): String =
+    incrementalOracleSqlCond(s"sb.is_base$baseCond")
+
   private lazy val incrementalOracleSql: String = incrementalOracleSqlWith("")
+
+  /** `streaming_dedup_index_append`'s oracle: each delta micro-batch
+    * probes the stored index BEFORE appending its own bands, so batch 1
+    * (even doc_id) can pair only with the base corpus while batch 2 (odd)
+    * pairs with base ∪ batch 1 — and no within-batch pair exists. The
+    * candidate set is exactly that asymmetric closure; a probe that reads
+    * its own batch's bands, or misses the previous batch's append, is a
+    * hash mismatch.
+    */
+  private[queries] lazy val streamingIndexAppendOracleSql: String =
+    incrementalOracleSqlCond(
+      "(sb.is_base OR (sb.doc_id % 2 = 0 AND d.doc_id % 2 <> 0))")
 
   /** `dedup_incremental_store_delete`'s oracle: the incremental pairs
     * recomputed on the corpus WITHOUT the tombstoned docs — identical to
@@ -894,23 +948,26 @@ object DocQueries {
 
     "dedup_clusters" ->
       s"""WITH RECURSIVE $toksCte, $shCte,
-         |ne AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
-         |pairs AS (
-         |  SELECT a.doc_id AS ia, b.doc_id AS ib
-         |  FROM ne a JOIN ne b ON a.doc_id < b.doc_id
-         |  WHERE len(list_intersect(a.sh, b.sh)) / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= ${D(jaccThreshold)}
-         |),
-         |edges AS (SELECT ia AS a, ib AS b FROM pairs UNION ALL SELECT ib, ia FROM pairs),
-         |reach(id, lbl) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id
-         |),
-         |comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+         |$clusterCompCtes
          |SELECT doc_id, cluster_id,
          |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
          |  doc_id = cluster_id AS is_canonical
          |FROM comp""".stripMargin,
+
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $toksCte, $shCte,
+         |$clusterCompCtes,
+         |q AS (SELECT doc_id, $qualitySql AS qs FROM toks),
+         |sel AS (
+         |  SELECT c.doc_id, c.cluster_id, q.qs,
+         |    first_value(c.doc_id) OVER (PARTITION BY c.cluster_id
+         |      ORDER BY q.qs DESC, c.doc_id ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS kept_id
+         |  FROM comp c JOIN q USING (doc_id)
+         |)
+         |SELECT doc_id, cluster_id, kept_id, doc_id = kept_id AS keep,
+         |  ${rd("qs")} AS quality_score
+         |FROM sel""".stripMargin,
 
     "dedup_embedding_pairs" ->
       s"""WITH $nvCte

@@ -396,6 +396,64 @@ object StreamQueries {
           r6(col("qty")).as("qty"), col("symbol"))
     }),
 
+    // LIVE INGEST DEDUP against the STORED band index — the full
+    // production loop streaming_store_ingest + dedup_incremental_store
+    // compose into at 100 TB: each arriving micro-batch first PROBES the
+    // stored index for near-dups against everything ingested before it,
+    // then APPENDS its own band rows so the NEXT batch sees it (probe
+    // precedes append, so within-batch pairs are invisible by
+    // construction). Two delta batches arrive as separate files (batch 1
+    // = even doc_id, batch 2 = odd); the exact-Jaccard read-back comes
+    // from the doc store minus the arriving batch, exactly as an ingest
+    // worker would resolve candidate ids. The oracle recomputes the
+    // asymmetric candidate closure (batch 1 × base; batch 2 × base ∪
+    // batch 1): a probe reading its own batch's bands — or missing the
+    // previous batch's append — is a hash mismatch.
+    "streaming_dedup_index_append" -> ((s, dir) => {
+      import DocQueries.{shingleN, minhashK, minhashBands}
+      val (base, _) = DocQueries.incrementalSplit(s, dir)
+      val name = s"graft_gate_sdia_$runId"
+      val root = new java.io.File(sys.props("java.io.tmpdir"), name)
+        .getAbsolutePath
+      val pth = new org.apache.hadoop.fs.Path(root)
+      val fs = pth.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(pth)) fs.delete(pth, true)
+      graft.dedup.Dedup.writeLshIndex(base, "doc_id", "toks", shingleN,
+        minhashK, minhashBands, name, root + "/idx", buckets = 8)
+      val all = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"),
+          graft.text.TextOps.wsTokens(col("text")).as("toks"))
+      val delta = DocQueries.incrementalSplit(s, dir)._2
+        .select("doc_id", "text")
+      val t0 = System.currentTimeMillis()
+      writeOneFile(delta.where(col("doc_id") % 2 === 0), root + "/src",
+        "a_b1", t0 - 40000)
+      writeOneFile(delta.where(col("doc_id") % 2 =!= 0), root + "/src",
+        "b_b2", t0 - 20000)
+      val onBatch: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+        Long) => Unit = { (b, _) =>
+        val batch = b.select(col("doc_id"), col("text"),
+          graft.text.TextOps.wsTokens(col("text")).as("toks"))
+        val store = all.join(batch.select("doc_id"), Seq("doc_id"), "left_anti")
+        graft.dedup.Dedup.incrementalLshPairsFrom(s.table(name), store,
+            batch, "doc_id", "toks", shingleN, minhashK, minhashBands,
+            DocQueries.jaccThreshold)
+          .select(col("id_a"), col("id_b"), col("n_common"), col("jaccard"))
+          .write.mode("append").parquet(root + "/pairs")
+        graft.dedup.Dedup.appendLshIndex(batch, "doc_id", "toks", shingleN,
+          minhashK, minhashBands, name, buckets = 8)
+      }
+      val q = s.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", 1).parquet(root + "/src/*")
+        .writeStream.foreachBatch(onBatch)
+        .option("checkpointLocation", root + "/chk")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(root + "/pairs")
+        .select(col("id_a"), col("id_b"), col("n_common"),
+          r6(col("jaccard")).as("jaccard"))
+    }),
+
     // OUT-OF-ORDER arrival through the BUFFERED directional machine: the
     // late half of the trades arrives a whole micro-batch BEFORE the early
     // half (maximal cross-batch disorder — a real multi-source ingest never
@@ -693,6 +751,8 @@ object StreamQueries {
     "streaming_restart_bars_5m" -> streamBarsOracle,
     "streaming_store_ingest" ->
       TradeQueries.oracles("store_readrange_prune"),
+    "streaming_dedup_index_append" ->
+      DocQueries.streamingIndexAppendOracleSql,
     "streaming_tick_bars_300" -> ScanQueries.oracles("tick_bars_300"),
     "streaming_volume_bars_2k" -> ScanQueries.oracles("volume_bars_2k"),
     "streaming_dollar_bars_200k" -> ScanQueries.oracles("dollar_bars_200k"),

@@ -533,6 +533,52 @@ class DocSpec extends AnyFunSuite {
     assert(d == Set((1L, 9L, 15L), (2L, 3L, 0L), (3L, 1L, 0L)))
   }
 
+  test("keepBest: argmax-quality survivor per cluster, id tie-break, singletons keep themselves") {
+    import org.apache.spark.sql.functions._
+    // cluster {1,2,3}: doc 2 scores highest → kept; cluster {4,5}: equal
+    // scores (exact duplicates) → min-id 4 kept; 6 is a singleton
+    val scored = Seq((1L, 0.3), (2L, 0.9), (3L, 0.5),
+      (4L, 0.7), (5L, 0.7), (6L, 0.1)).toDF("doc_id", "q")
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("id", "component")
+    val out = Dedup.keepBest(scored, comp, "doc_id", "q")
+      .select("doc_id", "cluster_id", "kept_id", "keep")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(out == Set(
+      (1L, 1L, 2L, false), (2L, 1L, 2L, true), (3L, 1L, 2L, false),
+      (4L, 4L, 4L, true), (5L, 4L, 4L, false),
+      (6L, 6L, 6L, true)))
+  }
+
+  test("stored-index ingest sequencing: probe before append hides within-batch dups, next batch sees them") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("probeseq").toString
+    val tX = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val tY = "one two three four five six seven eight nine ten eleven"
+    def mk(rows: (Long, String)*): DataFrame =
+      rows.toDF("doc_id", "text")
+        .withColumn("toks", TextOps.wsTokens(col("text")))
+    val base = mk(1L -> tX, 2L -> "totally unrelated filler content words here")
+    val batch1 = mk(10L -> tX, 11L -> tY, 12L -> tY)
+    val batch2 = mk(20L -> tY)
+    Dedup.writeLshIndex(base, "doc_id", "toks", shingleN = 3, k = 16,
+      bands = 8, "docspec_probe_seq", tmp + "/idx", buckets = 2)
+    def probe(store: DataFrame, batch: DataFrame): Set[(Long, Long)] =
+      Dedup.incrementalLshPairsFrom(spark.table("docspec_probe_seq"),
+          store, batch, "doc_id", "toks", 3, 16, 8, threshold = 0.5)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val p1 = probe(base, batch1)
+    Dedup.appendLshIndex(batch1, "doc_id", "toks", 3, 16, 8,
+      "docspec_probe_seq", buckets = 2)
+    val p2 = probe(base.unionByName(batch1), batch2)
+    // batch 1: the base dup surfaces; the 11↔12 within-batch pair is
+    // invisible — the probe ran before batch 1's own bands landed
+    assert(p1 == Set(10L -> 1L))
+    // batch 2: both copies of the template appended by batch 1 surface
+    assert(p2 == Set(20L -> 11L, 20L -> 12L))
+  }
+
   test("repetitionStats: empty token array yields zero coverage") {
     import org.apache.spark.sql.functions._
     val d = docsDf(1L -> "   ")
