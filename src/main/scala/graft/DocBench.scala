@@ -75,6 +75,19 @@ object DocBench {
           pairCounts += ("cc_rounds_lsh_clusters" -> Dedup.lastCcRounds.toLong)
           n
         }),
+        // keep-best canonical selection on top of the uncapped union-find:
+        // the boilerplate mega-cluster becomes ONE window partition of
+        // ~10⁵ rows — measures that the argmax-quality survivor pick stays
+        // a single narrow-row window pass under exactly that skew.
+        "dedup_keep_best_lsh" -> (() => {
+          val comp = Dedup.lshClusters(docs, "doc_id", "toks", shingleN,
+            minhashK, minhashBands)
+          val scored = docs.select(
+            Seq(col("doc_id")) ++ TextOps.qualityColumns(col("text")): _*)
+            .select(col("doc_id"), col("quality_score"))
+          Dedup.keepBest(scored, comp, "doc_id", "quality_score")
+            .where(col("keep")).count()
+        }),
         "dedup_emb_clusters_uncapped" -> (() =>
           Similarity.lshEmbeddingClusters(embs, "vec_id", "embedding",
             threshold = 0.9, nPlanes = 64, bandBits = 16).count()),

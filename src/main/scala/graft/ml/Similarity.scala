@@ -407,11 +407,52 @@ object Similarity {
       .parquet(s"$dir/cells")
   }
 
+  /** DELETE vectors from a stored IVF index — the takedown lifecycle the
+    * ANN index shares with the dedup band index (removing a document's
+    * embedding must stop it surfacing as a neighbor immediately):
+    * O(|ids|) appended tombstone rows under `dir/tombstones`, NOT a cell
+    * rewrite. [[ivfIndexTopK]] consults the tombstones at probe time;
+    * [[ivfCompact]] later folds them into a physical rewrite. Idempotent
+    * set-wise (`distinct` keeps each call's rows minimal).
+    */
+  def ivfIndexDelete(ids: DataFrame, idCol: String, dir: String): Unit =
+    ids.select(col(idCol).cast("long").as("id")).distinct()
+      .write.mode("append").parquet(s"$dir/tombstones")
+
+  private def ivfTombstones(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(s"$dir/tombstones")) else None
+  }
+
+  /** Fold tombstones into a physical rewrite: active rows land as a FRESH
+    * partitioned index under `newDir` (same layout as [[ivfIndexWrite]],
+    * centroids copied verbatim — the codebook is unchanged, only dead
+    * rows drop). `newDir` must differ: production swaps readers over by
+    * path/catalog rename, the same versioned swap as the dedup index's
+    * [[graft.dedup.Dedup.compactLshIndex]].
+    */
+  def ivfCompact(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 newDir: String): Unit = {
+    require(newDir != dir, "ivfCompact rewrites into a NEW dir (versioned swap)")
+    val cells = spark.read.parquet(s"$dir/cells")
+    ivfTombstones(spark, dir).fold(cells)(t =>
+        cells.join(t.select(col("id")), Seq("id"), "left_anti"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$newDir/cells")
+    spark.read.parquet(s"$dir/centroids")
+      .write.mode("overwrite").parquet(s"$newDir/centroids")
+  }
+
   /** Top-k through the parquet IVF index: centroids load driver-side
     * (nlist rows), probe cells derive per query, and the scan reads ONLY
-    * `cell IN (probes)` — partition-pruned at the source. Same candidate
-    * sets as [[ivfTopK]] with the same centroids/nprobe, so results are
-    * bit-identical to the in-memory path (the parity the gate asserts).
+    * `cell IN (probes)` — partition-pruned at the source. Tombstoned
+    * vectors ([[ivfIndexDelete]]) drop via a left-anti join whose build
+    * side is the (takedown-sized) tombstone set — AQE broadcasts it, so
+    * the pruned cell scan stays the plan's only data-scaled read. Same
+    * candidate sets as [[ivfTopK]] with the same centroids/nprobe over
+    * the live rows, so results are bit-identical to the in-memory path
+    * (the parity the gates assert).
     */
   def ivfIndexTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
                    queries: DataFrame, idCol: String, vecCol: String,
@@ -429,8 +470,10 @@ object Similarity {
     val cells = probePairs.map(_._2).distinct.sorted
     val probes = broadcast(probePairs.toDF("query_id", "cell"))
     val qMap = spark.sparkContext.broadcast(qArr.toMap)
-    val scan = spark.read.parquet(s"$dir/cells")
+    val pruned = spark.read.parquet(s"$dir/cells")
       .where(col("cell").isin(cells: _*)) // -> PartitionFilters, prunes dirs
+    val scan = ivfTombstones(spark, dir).fold(pruned)(t =>
+      pruned.join(t.select(col("id")), Seq("id"), "left_anti"))
     scan.join(probes, Seq("cell"))
       .where(col("query_id") =!= col("id"))
       .select(col("query_id").cast("long"), col("id").cast("long"), col("nv"))

@@ -504,6 +504,31 @@ object DocQueries {
           r6(col("jaccard")).as("jaccard"))
     }),
 
+    // Per-source corpus statistics — the report card a pipeline publishes
+    // before/after cleaning (doc/token/char counts, quality-threshold and
+    // language pass rates, exact-dup rate). Integer sums and threshold
+    // counts of identically-computed doubles ONLY — no summed double ever
+    // feeds the rounding, so the hash is stable by construction (the r8
+    // footprint lesson applied at design time). One shuffle per leg, all
+    // joined on the doc id.
+    "corpus_report" -> ((s, dir) => {
+      val base = docs(s, dir)
+      val scored = base.select(
+        Seq(col("doc_id"), col("source"), col("n_chars")) ++
+          TextOps.qualityColumns(col("text")) ++
+          Seq(TextOps.langIdColumns(col("text")).last): _*)
+      val dup = Dedup.exactDupAnnotate(base, "doc_id", "text")
+        .select(col("doc_id"), col("is_dup"))
+      scored.join(dup, Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_ws_tokens").as("n_tokens"),
+          sum("n_chars").as("n_chars"),
+          sum(when(col("quality_score") >= 0.5, 1L).otherwise(0L)).as("n_quality"),
+          sum(when(col("pred_lang") === "en", 1L).otherwise(0L)).as("n_en"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_exact_dups"))
+    }),
+
     // The SCALE-PATH variant of corpus_clean: near-dup stage is the
     // bucket-level union-find (star edges, no pair materialization, no
     // bucket cap needed) instead of the exact Jaccard join — the
@@ -590,6 +615,44 @@ object DocQueries {
             .otherwise(0)).as("both"))
         .select(col("query_id"),
           (col("n") === col("both")).as("append_matches_memory"))
+    }),
+
+    // The TAKEDOWN lifecycle of the stored IVF index — the ANN twin of
+    // dedup_incremental_store_delete (removing a document's embedding
+    // must stop it surfacing as a neighbor immediately): build the full
+    // index, tombstone every vector with vec_id ≡ 0 (mod 7)
+    // (ivfIndexDelete — O(|ids|) appended rows, no cell rewrite), then a
+    // probe of the ACTIVE index must be bit-identical to the in-memory
+    // IVF over the FILTERED corpus under the same codebook — a stale
+    // tombstoned row leaking back into a top-k is a row mismatch, not a
+    // silent wrong answer. Physical compaction (ivfCompact: versioned-
+    // swap rewrite, tombstones dropped) is pinned in DocSpec.
+    "ann_topk_ivf_delete" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") < annQueries)
+      val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+        nlist = 32, iters = 5)
+      val idx = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_gate_ivf_del_${StreamQueries.runId}").getAbsolutePath
+      Similarity.ivfIndexWrite(e, "vec_id", "embedding", cents, idx)
+      Similarity.ivfIndexDelete(
+        e.where(pmod(col("vec_id"), lit(7)) === 0).select("vec_id"),
+        "vec_id", idx)
+      val kept = e.where(pmod(col("vec_id"), lit(7)) =!= 0)
+      def canon(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.select(col("query_id"), col("rank"), col("neighbor_id"),
+          r6(col("cos")).as("cos"), lit(1).as(tag))
+      canon(Similarity.ivfIndexTopK(s, idx, q, "vec_id", "embedding",
+          annK, nprobe = 16), "__s")
+        .join(canon(Similarity.ivfTopK(q, kept, "vec_id", "embedding", annK,
+          nprobe = 16, centroids = cents), "__m"),
+          Seq("query_id", "rank", "neighbor_id", "cos"), "full")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("__s").isNotNull && col("__m").isNotNull, 1)
+            .otherwise(0)).as("both"))
+        .select(col("query_id"),
+          (col("n") === col("both")).as("delete_matches_memory"))
     }),
 
     // Multimodal plumbing over opaque binary payloads (documents' UTF-8
@@ -1003,6 +1066,10 @@ object DocQueries {
       s"""SELECT vec_id AS query_id, TRUE AS append_matches_memory
          |FROM embeddings WHERE vec_id < $annQueries""".stripMargin,
 
+    "ann_topk_ivf_delete" ->
+      s"""SELECT vec_id AS query_id, TRUE AS delete_matches_memory
+         |FROM embeddings WHERE vec_id < $annQueries""".stripMargin,
+
     "sample_stratified" -> {
       val cases = sampleRates.toSeq.sorted.map { case (k, r) =>
         s"WHEN '$k' THEN h32 < ${math.round(r * 4294967296.0)}"
@@ -1231,6 +1298,33 @@ object DocQueries {
          |SELECT x.doc_id, x.pred_lang, x.n_ws_tokens, ${rd("x.q_raw")} AS quality_score
          |FROM exact x JOIN comp c ON c.doc_id = x.doc_id
          |WHERE c.cluster_id = x.doc_id""".stripMargin,
+
+    "corpus_report" ->
+      s"""WITH $toksCte,
+         |scores AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_ws_tokens,
+         |    $qualitySql AS q_raw,
+         |    ${langs.map(l => s"CAST(len(list_filter(toks, x -> x IN ${inList(TextOps.stopwords(l))})) AS BIGINT) AS score_$l").mkString(",\n    ")}
+         |  FROM toks
+         |),
+         |lang AS (SELECT doc_id, n_ws_tokens, q_raw, $predLangSql AS pred_lang FROM scores),
+         |dup AS (
+         |  SELECT doc_id,
+         |    doc_id > min(doc_id) OVER (PARTITION BY $normMd5Sql) AS is_dup
+         |  FROM documents
+         |)
+         |SELECT d.source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(l.n_ws_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(d.n_chars) AS BIGINT) AS n_chars,
+         |  CAST(sum(CASE WHEN l.q_raw >= 0.5e0 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |  CAST(sum(CASE WHEN l.pred_lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+         |  CAST(sum(CASE WHEN p.is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups
+         |FROM documents d
+         |JOIN lang l ON l.doc_id = d.doc_id
+         |JOIN dup p ON p.doc_id = d.doc_id
+         |GROUP BY d.source""".stripMargin,
 
     "ann_topk_brute" ->
       s"""WITH $nvCte,

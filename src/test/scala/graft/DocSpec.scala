@@ -358,6 +358,49 @@ class DocSpec extends AnyFunSuite {
       "cell IN (probes) must land in PartitionFilters")
   }
 
+  test("IVF takedown: tombstoned vectors vanish from probes; compact folds them physically") {
+    val dim = 64
+    def vec(cluster: Int, i: Int): Array[Float] =
+      Array.tabulate(dim) { d =>
+        val base = if (d % 8 == cluster % 8) 1.0f else 0.1f
+        base + 0.05f * (((cluster * 31 + i * 17 + d * 7) % 11) - 5)
+      }
+    val rows = for (c <- 0 until 8; i <- 0 until 12)
+      yield ((c * 12 + i).toLong, vec(c, i).toSeq)
+    val e = rows.toDF("vec_id", "embedding")
+    val q = e.where(col("vec_id") < 6)
+    val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", nlist = 8, iters = 4)
+    val dir = java.nio.file.Files.createTempDirectory("ivfdel").toString
+    Similarity.ivfIndexWrite(e, "vec_id", "embedding", cents, dir)
+    Similarity.ivfIndexDelete(e.where(col("vec_id") % 3 === 0).select("vec_id"),
+      "vec_id", dir)
+    val kept = e.where(col("vec_id") % 3 =!= 0)
+    def canon(df: DataFrame): Set[(Long, Int, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val active = Similarity.ivfIndexTopK(spark, dir, q, "vec_id", "embedding", 5, nprobe = 3)
+    val mem = canon(Similarity.ivfTopK(q, kept, "vec_id", "embedding", 5,
+      nprobe = 3, centroids = cents))
+    assert(canon(active) == mem,
+      "active index must equal in-memory IVF over the filtered corpus")
+    assert(!canon(active).exists(_._3 % 3 == 0), "tombstoned ids must not surface")
+    // pruning must survive the tombstone anti-join
+    val plan = active.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("\\s", "").matches("(?s).*PartitionFilters:\\[.*cell.*"),
+      "cell IN (probes) must still land in PartitionFilters")
+    // compaction: versioned-swap rewrite drops dead rows AND tombstones
+    val dir2 = java.nio.file.Files.createTempDirectory("ivfdel2").toString
+    Similarity.ivfCompact(spark, dir, dir2)
+    assert(canon(Similarity.ivfIndexTopK(spark, dir2, q, "vec_id", "embedding",
+      5, nprobe = 3)) == mem, "compacted index must answer identically")
+    val ids2 = spark.read.parquet(dir2 + "/cells").select("id")
+      .as[Long].collect().toSet
+    assert(ids2.forall(_ % 3 != 0) && ids2 == kept.select("vec_id").as[Long].collect().toSet,
+      "compacted cells must hold exactly the live rows")
+    assert(!new java.io.File(dir2 + "/tombstones").exists,
+      "compacted index carries no tombstones")
+  }
+
   test("lshEmbeddingClusters: tight duplicate groups co-cluster, precision is structural") {
     // 3 groups of exact duplicates (+ tiny last-dim jitter keeping cos >
     // 0.999) and 6 spread singletons; verified stars must recover exactly
