@@ -125,6 +125,40 @@ object DocBench {
             .groupBy("word").agg(sum("freq").as("freq"))
           Bpe.train(vocab, 1000).length.toLong
         }),
+        // the LIVE INGEST-DEDUP LOOP at fixture scale: stored band index
+        // on the 70% "historical" corpus, then three arriving batches
+        // (10% each) each probe the index for near-dups against
+        // everything before them and append their own bands — the
+        // streaming_dedup_index_append gate's loop, measured at 1.5M
+        // docs. Returns total verified pairs across the three probes;
+        // cost per batch stays delta-scaled (band rows read from the
+        // bucketed index, base text never re-shingled).
+        "dedup_index_ingest_3batches" -> (() => {
+          val salted = docs.withColumn("__h",
+            graft.ml.Sampling.hash32(col("doc_id"), "ingest"))
+          val baseCut = (0.7 * 4294967296.0).toLong
+          val cut = (i: Int) => ((0.7 + 0.1 * i) * 4294967296.0).toLong
+          val base = salted.where(col("__h") < baseCut)
+          val table = "docbench_ingest_idx"
+          val dir = java.nio.file.Files
+            .createTempDirectory("docbench_idx").toString
+          Dedup.writeLshIndex(base, "doc_id", "toks", shingleN,
+            minhashK, minhashBands, table, dir, buckets = cpus)
+          var seen = base.select("doc_id", "text", "toks")
+          var pairs = 0L
+          for (i <- 1 to 3) {
+            val batch = salted
+              .where(col("__h") >= cut(i - 1) && col("__h") < cut(i))
+              .select("doc_id", "text", "toks")
+            pairs += Dedup.incrementalLshPairsFrom(spark.table(table),
+              seen, batch, "doc_id", "toks", shingleN, minhashK,
+              minhashBands, threshold = 0.7, maxBucket = maxBucket).count()
+            Dedup.appendLshIndex(batch, "doc_id", "toks", shingleN,
+              minhashK, minhashBands, table, buckets = cpus)
+            seen = seen.unionByName(batch)
+          }
+          pairs
+        }),
         "bm25_topk_fixture" -> (() =>
           graft.text.LangModel.bm25TopK(docs, "doc_id", "toks",
             Seq(1 -> "hash join merge", 2 -> "window agg stream",

@@ -123,6 +123,7 @@ object PlanAudit {
       "cusum_bars" -> resetKernel, "cusum_slack" -> resetKernel,
       "volume_bars_2k" -> resetKernel, "dollar_bars_200k" -> resetKernel,
       "tick_bars_300" -> resetKernel,
+      "imbalance_bars" -> resetKernel, "run_bars" -> resetKernel,
       "tick_size_gcd" -> limited,
       "integrity_ts_order" -> boundedRollup)
 

@@ -62,7 +62,8 @@ object EventBars {
     */
   def volumeBarIds(trades: DataFrame, threshold: Double,
                    keyCols: Seq[String] = Nil): DataFrame =
-    sequentialIds(trades, keyCols) { (rows, qtyIdx, _) =>
+    sequentialIds(trades, keyCols) { (rows, schema) =>
+      val qtyIdx = schema.fieldIndex("qty")
       var cum = 0.0
       var bar = 0L
       var first = true
@@ -83,7 +84,9 @@ object EventBars {
     */
   def dollarBarIds(trades: DataFrame, threshold: Double,
                    keyCols: Seq[String] = Nil): DataFrame =
-    sequentialIds(trades, keyCols) { (rows, qtyIdx, priceIdx) =>
+    sequentialIds(trades, keyCols) { (rows, schema) =>
+      val qtyIdx = schema.fieldIndex("qty")
+      val priceIdx = schema.fieldIndex("price")
       var cum = 0.0
       var bar = 0L
       var first = true
@@ -99,20 +102,94 @@ object EventBars {
       }
     }
 
+  /** TICK IMBALANCE bars. The reference DECLARES `_imbalance_bar_indexer`
+    * but raises NotImplementedError (bar/logic.py) — this implements the
+    * published formulation (López de Prado, Advances in Financial Machine
+    * Learning §2.3.2.1) with explicit, documented choices where the book
+    * leaves freedom: signed tick imbalance θ accumulates the tick-rule
+    * side b_t ∈ {-1,0,+1}; a bar closes at the first row where
+    * |θ| ≥ E[T]·E[|2P(buy)−1|], and both expectations EWMA-update from the
+    * realized bar at each close — E_T ← (1−αT)·E_T + αT·n,
+    * E_b ← (1−αB)·E_b + αB·|θ|/n — seeded from (initT, initB). Row 0
+    * belongs to no bar (the sibling indexers' convention); the trailing
+    * partial bar never closes and is dropped by the complete-bar filter.
+    *
+    * Parity note: the fold uses only +, ·, /, abs and comparisons — all
+    * exactly-rounded IEEE ops — so the DuckDB oracle's list_reduce replay
+    * is bit-identical by construction. No transcendental anywhere, hence
+    * no cusum-style slack guard is needed.
+    */
+  def imbalanceBarIds(sided: DataFrame, alphaT: Double, alphaB: Double,
+                      initT: Double, initB: Double,
+                      keyCols: Seq[String] = Nil): DataFrame =
+    sequentialIds(sided, keyCols) { (rows, schema) =>
+      val sideIdx = schema.fieldIndex("side")
+      var th = 0L; var n = 0L
+      var eT = initT; var eB = initB
+      var bar = 0L; var first = true
+      rows.map { r =>
+        if (first) { first = false; (r, -1L, false) }
+        else {
+          th += r.getInt(sideIdx)
+          n += 1
+          val id = bar
+          val closed = math.abs(th).toDouble >= eT * eB
+          if (closed) {
+            eT = (1.0 - alphaT) * eT + alphaT * n.toDouble
+            eB = (1.0 - alphaB) * eB + alphaB * (math.abs(th).toDouble / n.toDouble)
+            th = 0L; n = 0L; bar += 1
+          }
+          (r, id, closed)
+        }
+      }
+    }
+
+  /** TICK RUN bars — the companion declared-but-unimplemented indexer
+    * (`_run_bar_indexer`, same NotImplementedError; AFML §2.3.2.2): the
+    * run statistic is the LARGER of the bar's buy and sell tick counts,
+    * θ = max(n_buy, n_sell); a bar closes when θ ≥ E[T]·max(P, 1−P) with
+    * E_T the EWMA of realized bar lengths and P the EWMA of realized buy
+    * fractions n_buy/n (seeded initT, initP). Same IEEE-exact parity
+    * argument as [[imbalanceBarIds]].
+    */
+  def runBarIds(sided: DataFrame, alphaT: Double, alphaP: Double,
+                initT: Double, initP: Double,
+                keyCols: Seq[String] = Nil): DataFrame =
+    sequentialIds(sided, keyCols) { (rows, schema) =>
+      val sideIdx = schema.fieldIndex("side")
+      var nb = 0L; var ns = 0L; var n = 0L
+      var eT = initT; var eP = initP
+      var bar = 0L; var first = true
+      rows.map { r =>
+        if (first) { first = false; (r, -1L, false) }
+        else {
+          val s = r.getInt(sideIdx)
+          if (s > 0) nb += 1 else if (s < 0) ns += 1
+          n += 1
+          val id = bar
+          val closed = math.max(nb, ns).toDouble >= eT * math.max(eP, 1.0 - eP)
+          if (closed) {
+            eT = (1.0 - alphaT) * eT + alphaT * n.toDouble
+            eP = (1.0 - alphaP) * eP + alphaP * (nb.toDouble / n.toDouble)
+            nb = 0L; ns = 0L; n = 0L; bar += 1
+          }
+          (r, id, closed)
+        }
+      }
+    }
+
   /** Shared layout+kernel runner: key-ordered partitions, per-key reset,
-    * appends (bar_id, bar_closed). The kernel sees (rows, qtyIdx, priceIdx).
+    * appends (bar_id, bar_closed). The kernel sees (rows, input schema).
     */
   private def sequentialIds(trades: DataFrame, keyCols: Seq[String])(
-      kernel: (Iterator[Row], Int, Int) => Iterator[(Row, Long, Boolean)]): DataFrame = {
+      kernel: (Iterator[Row], StructType) => Iterator[(Row, Long, Boolean)]): DataFrame = {
     val laid = Scan.keyOrdered(trades, keyCols, Seq("ts", "id"))
     val schema = laid.schema
-    val qtyIdx = schema.fieldIndex("qty")
-    val priceIdx = schema.fieldIndex("price")
     val keyIdxs = keyCols.map(schema.fieldIndex)
     val out = StructType(schema.fields :+
       StructField("bar_id", LongType) :+ StructField("bar_closed", BooleanType))
     laid.mapPartitions { it =>
-      Scan.keyRuns(it, keyIdxs).flatMap(g => kernel(g, qtyIdx, priceIdx).map {
+      Scan.keyRuns(it, keyIdxs).flatMap(g => kernel(g, schema).map {
         case (r, id, closed) => Row.fromSeq(r.toSeq :+ id :+ closed)
       })
     }(Encoders.row(out)).toDF()

@@ -33,6 +33,19 @@ object ScanQueries {
   private def trades(s: org.apache.spark.sql.SparkSession, dir: String) =
     Trades.fromEvents(Tables.events(s, dir))
 
+  // Imbalance/run-bar expectations (the reference declares these indexers
+  // but raises NotImplementedError — parameters are ours, documented):
+  // EWMA weights and seeds chosen so the sf0.01 corpus yields O(100) bars
+  // and the thresholds stay in a numerically comfortable range.
+  private val imbAlphaT = 0.05
+  private val imbAlphaB = 0.05
+  private val imbInitT = 200.0
+  private val imbInitB = 0.05
+  private val runAlphaT = 0.05
+  private val runAlphaP = 0.05
+  private val runInitT = 200.0
+  private val runInitP = 0.5
+
   private def bars5m(s: org.apache.spark.sql.SparkSession, dir: String) =
     TimeBars.ohlcv(Trades.fromEvents(Tables.events(s, dir)), 300)
       .withColumn("rn", row_number().over(Window.orderBy("bar_ts")))
@@ -201,6 +214,42 @@ object ScanQueries {
       val complete = ids.groupBy("bar_id")
         .agg(max(col("is_event")).as("__closed")).where(col("__closed"))
       EventBars.ohlcvByBarId(ids.where(col("bar_id") >= 1))
+        .join(complete.select("bar_id"), Seq("bar_id"))
+        .select(col("bar_id"), col("bar_ts"), r6(col("open")).as("open"),
+          r6(col("high")).as("high"), r6(col("low")).as("low"),
+          r6(col("close")).as("close"), r6(col("volume")).as("volume"),
+          col("trades"))
+    }),
+
+    // TICK IMBALANCE bars (§2.4 `_imbalance_bar_indexer` — declared but
+    // NotImplementedError in the reference; AFML §2.3.2.1 with documented
+    // choices, see EventBars.imbalanceBarIds). The DuckDB oracle replays
+    // the same fold via list_reduce; every op in the recursion is an
+    // exactly-rounded IEEE op (no transcendentals), so parity is
+    // bit-exact by construction — no cusum-style slack guard needed.
+    "imbalance_bars" -> ((s, dir) => {
+      val sided = Trades.withTickRuleSide(trades(s, dir))
+      val ids = EventBars.imbalanceBarIds(sided, imbAlphaT, imbAlphaB,
+        imbInitT, imbInitB)
+      val complete = ids.groupBy("bar_id")
+        .agg(max(col("bar_closed")).as("__closed")).where(col("__closed"))
+      EventBars.ohlcvByBarId(ids.where(col("bar_id") >= 0))
+        .join(complete.select("bar_id"), Seq("bar_id"))
+        .select(col("bar_id"), col("bar_ts"), r6(col("open")).as("open"),
+          r6(col("high")).as("high"), r6(col("low")).as("low"),
+          r6(col("close")).as("close"), r6(col("volume")).as("volume"),
+          col("trades"))
+    }),
+
+    // TICK RUN bars (§2.4 `_run_bar_indexer` — the companion declared-but-
+    // unimplemented indexer; AFML §2.3.2.2, see EventBars.runBarIds).
+    "run_bars" -> ((s, dir) => {
+      val sided = Trades.withTickRuleSide(trades(s, dir))
+      val ids = EventBars.runBarIds(sided, runAlphaT, runAlphaP,
+        runInitT, runInitP)
+      val complete = ids.groupBy("bar_id")
+        .agg(max(col("bar_closed")).as("__closed")).where(col("__closed"))
+      EventBars.ohlcvByBarId(ids.where(col("bar_id") >= 0))
         .join(complete.select("bar_id"), Seq("bar_id"))
         .select(col("bar_id"), col("bar_ts"), r6(col("open")).as("open"),
           r6(col("high")).as("high"), r6(col("low")).as("low"),
@@ -548,8 +597,139 @@ object ScanQueries {
          |  ${rd("sum(w.qty)")} AS volume,
          |  CAST(count(*) AS BIGINT) AS trades
          |FROM withids w JOIN complete c USING (bar_id)
-         |GROUP BY w.bar_id""".stripMargin
+         |GROUP BY w.bar_id""".stripMargin,
+
+    "imbalance_bars" ->
+      s"""WITH $tradesCte, $sidedCte,
+         |$imbalanceFoldCtes,
+         |$foldBarsSql""".stripMargin,
+
+    "run_bars" ->
+      s"""WITH $tradesCte, $sidedCte,
+         |$runFoldCtes,
+         |$foldBarsSql""".stripMargin
   )
+
+  /** Shared bar construction over a fold's `p` (rows + rn) and `ev`
+    * (closing rns): row 1 belongs to no bar, bar_id = prefix count of
+    * closes, complete bars only — the imbalance/run tail (bar 0 IS a real
+    * bar here, unlike cusum's pre-first-event convention).
+    */
+  private def foldBarsSql: String =
+    s"""withids AS (
+       |  SELECT p.ts, p.id, p.price, p.qty, p.rn,
+       |         (ev.rn IS NOT NULL) AS is_event,
+       |         coalesce(sum(CASE WHEN ev.rn IS NOT NULL THEN 1 ELSE 0 END)
+       |           OVER (ORDER BY p.rn ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bar_id
+       |  FROM p LEFT JOIN ev ON p.rn = ev.rn
+       |  WHERE p.rn >= 2
+       |),
+       |complete AS (
+       |  SELECT bar_id FROM withids GROUP BY bar_id HAVING bool_or(is_event)
+       |)
+       |SELECT CAST(w.bar_id AS BIGINT) AS bar_id, max(w.ts) AS bar_ts,
+       |  ${rd("first(w.price ORDER BY w.ts, w.id)")} AS open,
+       |  ${rd("max(w.price)")} AS high, ${rd("min(w.price)")} AS low,
+       |  ${rd("last(w.price ORDER BY w.ts, w.id)")} AS close,
+       |  ${rd("sum(w.qty)")} AS volume,
+       |  CAST(count(*) AS BIGINT) AS trades
+       |FROM withids w JOIN complete c USING (bar_id)
+       |GROUP BY w.bar_id""".stripMargin
+
+  /** Tick-imbalance fold oracle: DuckDB list_reduce replay of
+    * `EventBars.imbalanceBarIds`' recursion. Every op is an
+    * exactly-rounded IEEE op (+, ·, /, abs, compare — no
+    * transcendentals), so the replay is BIT-IDENTICAL to the Spark
+    * kernel — unlike the cusum family, whose ln/exp fork needs a slack
+    * guard. Yields `p` (sided rows + rn) and `ev` (closing rns).
+    */
+  private def imbalanceFoldCtes: String = {
+    val zB = "CAST(0 AS BIGINT)"
+    s"""p AS (
+       |  SELECT ts, id, price, qty, side,
+       |         row_number() OVER (ORDER BY ts, id) AS rn
+       |  FROM sided
+       |),
+       |folded AS (
+       |  SELECT list_reduce(
+       |    list_prepend(
+       |      {'th': $zB, 'n': $zB, 'et': CAST(${D(imbInitT)} AS DOUBLE),
+       |       'eb': CAST(${D(imbInitB)} AS DOUBLE), 'ev': '',
+       |       'side': 0, 'rn': $zB},
+       |      list({'th': $zB, 'n': $zB, 'et': CAST(0 AS DOUBLE),
+       |            'eb': CAST(0 AS DOUBLE), 'ev': '',
+       |            'side': side, 'rn': rn} ORDER BY rn)
+       |    ),
+       |    (a, x) -> CASE
+       |      WHEN x.rn = 1 THEN
+       |        {'th': a.th, 'n': a.n, 'et': a.et, 'eb': a.eb, 'ev': a.ev,
+       |         'side': x.side, 'rn': x.rn}
+       |      WHEN CAST(abs(a.th + x.side) AS DOUBLE) >= a.et * a.eb THEN
+       |        {'th': $zB, 'n': $zB,
+       |         'et': ${D(1 - imbAlphaT)} * a.et + ${D(imbAlphaT)} * CAST(a.n + 1 AS DOUBLE),
+       |         'eb': ${D(1 - imbAlphaB)} * a.eb + ${D(imbAlphaB)} * (CAST(abs(a.th + x.side) AS DOUBLE) / CAST(a.n + 1 AS DOUBLE)),
+       |         'ev': a.ev || ',' || CAST(x.rn AS VARCHAR),
+       |         'side': x.side, 'rn': x.rn}
+       |      ELSE
+       |        {'th': a.th + x.side, 'n': a.n + 1, 'et': a.et, 'eb': a.eb,
+       |         'ev': a.ev, 'side': x.side, 'rn': x.rn}
+       |    END
+       |  ) AS st
+       |  FROM p
+       |),
+       |ev AS (
+       |  SELECT CAST(unnest(string_split(ltrim(st.ev, ','), ',')) AS BIGINT) AS rn
+       |  FROM folded WHERE st.ev <> ''
+       |)""".stripMargin
+  }
+
+  /** Tick-run fold oracle — same IEEE-exact replay for
+    * `EventBars.runBarIds` (θ = max(buy count, sell count) vs
+    * E_T·max(P, 1−P)).
+    */
+  private def runFoldCtes: String = {
+    val zB = "CAST(0 AS BIGINT)"
+    val incB = "CASE WHEN x.side > 0 THEN 1 ELSE 0 END"
+    val incS = "CASE WHEN x.side < 0 THEN 1 ELSE 0 END"
+    s"""p AS (
+       |  SELECT ts, id, price, qty, side,
+       |         row_number() OVER (ORDER BY ts, id) AS rn
+       |  FROM sided
+       |),
+       |folded AS (
+       |  SELECT list_reduce(
+       |    list_prepend(
+       |      {'nb': $zB, 'ns': $zB, 'n': $zB, 'et': CAST(${D(runInitT)} AS DOUBLE),
+       |       'ep': CAST(${D(runInitP)} AS DOUBLE), 'ev': '',
+       |       'side': 0, 'rn': $zB},
+       |      list({'nb': $zB, 'ns': $zB, 'n': $zB, 'et': CAST(0 AS DOUBLE),
+       |            'ep': CAST(0 AS DOUBLE), 'ev': '',
+       |            'side': side, 'rn': rn} ORDER BY rn)
+       |    ),
+       |    (a, x) -> CASE
+       |      WHEN x.rn = 1 THEN
+       |        {'nb': a.nb, 'ns': a.ns, 'n': a.n, 'et': a.et, 'ep': a.ep,
+       |         'ev': a.ev, 'side': x.side, 'rn': x.rn}
+       |      WHEN CAST(greatest(a.nb + $incB, a.ns + $incS) AS DOUBLE) >=
+       |           a.et * greatest(a.ep, CAST(1 AS DOUBLE) - a.ep) THEN
+       |        {'nb': $zB, 'ns': $zB, 'n': $zB,
+       |         'et': ${D(1 - runAlphaT)} * a.et + ${D(runAlphaT)} * CAST(a.n + 1 AS DOUBLE),
+       |         'ep': ${D(1 - runAlphaP)} * a.ep + ${D(runAlphaP)} * (CAST(a.nb + $incB AS DOUBLE) / CAST(a.n + 1 AS DOUBLE)),
+       |         'ev': a.ev || ',' || CAST(x.rn AS VARCHAR),
+       |         'side': x.side, 'rn': x.rn}
+       |      ELSE
+       |        {'nb': a.nb + $incB, 'ns': a.ns + $incS, 'n': a.n + 1,
+       |         'et': a.et, 'ep': a.ep, 'ev': a.ev,
+       |         'side': x.side, 'rn': x.rn}
+       |    END
+       |  ) AS st
+       |  FROM p
+       |),
+       |ev AS (
+       |  SELECT CAST(unnest(string_split(ltrim(st.ev, ','), ',')) AS BIGINT) AS rn
+       |  FROM folded WHERE st.ev <> ''
+       |)""".stripMargin
+  }
 
   // ---------------------------------------------------------------------
   // CUSUM fold oracle (DuckDB list_reduce replay of the reset state machine)

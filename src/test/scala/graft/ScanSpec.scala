@@ -54,6 +54,81 @@ class ScanSpec extends AnyFunSuite {
           (3L, 1L, false), (4L, 1L, true)))
   }
 
+  test("imbalance bars: EWMA-updated threshold, hand-computed closes") {
+    // αT = αB = 0.5, E_T = 4, E_b = 1 → initial threshold 4.
+    // Row 0 excluded. Sides: +1 ×4 → θ hits 4 at the 4th contributing row
+    // (bar 0 closes; E_T ← 0.5·4+0.5·4 = 4, E_b ← 0.5·1+0.5·(4/4) = 1 —
+    // threshold stays 4). Then −1,−1,+1,−1,−1,−1 → θ = −4 at the 6th row
+    // (bar 1 closes). One trailing row stays in the partial bar 2.
+    val sides = Seq(0, 1, 1, 1, 1, -1, -1, 1, -1, -1, -1, 1)
+    val t = tradesDf(Seq.fill(sides.size)(1.0))
+      .withColumn("side",
+        element_at(typedLit(sides), (col("id") + 1).cast("int")))
+    val out = EventBars.imbalanceBarIds(t, alphaT = 0.5, alphaB = 0.5,
+        initT = 4.0, initB = 1.0)
+      .orderBy("id").select("id", "bar_id", "bar_closed")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val expected = Seq(
+      0L -> (-1L, false),
+      1L -> (0L, false), 2L -> (0L, false), 3L -> (0L, false), 4L -> (0L, true),
+      5L -> (1L, false), 6L -> (1L, false), 7L -> (1L, false),
+      8L -> (1L, false), 9L -> (1L, false), 10L -> (1L, true),
+      11L -> (2L, false)).map { case (i, (b, c)) => (i, b, c) }
+    assert(out == expected)
+  }
+
+  test("run bars: max(buy,sell) run vs E_T·max(P,1−P), hand-computed closes") {
+    // αT = αP = 0.5, E_T = 4, P = 0.5 → initial threshold 4·0.5 = 2.
+    // Sides: +1,+1 → max(nb,ns) = 2 closes bar 0 at n = 2
+    //   (E_T ← 0.5·4+0.5·2 = 3, P ← 0.5·0.5+0.5·(2/2) = 0.75 → thr 2.25).
+    // Then −1,−1,−1 → ns = 3 ≥ 2.25 closes bar 1 at n = 3
+    //   (E_T ← 3, P ← 0.375 → thr = 3·0.625 = 1.875).
+    // Then +1,+1 → nb = 2 ≥ 1.875 closes bar 2.
+    val sides = Seq(0, 1, 1, -1, -1, -1, 1, 1)
+    val t = tradesDf(Seq.fill(sides.size)(1.0))
+      .withColumn("side",
+        element_at(typedLit(sides), (col("id") + 1).cast("int")))
+    val out = EventBars.runBarIds(t, alphaT = 0.5, alphaP = 0.5,
+        initT = 4.0, initP = 0.5)
+      .orderBy("id").select("id", "bar_id", "bar_closed")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val expected = Seq(
+      0L -> (-1L, false),
+      1L -> (0L, false), 2L -> (0L, true),
+      3L -> (1L, false), 4L -> (1L, false), 5L -> (1L, true),
+      6L -> (2L, false), 7L -> (2L, true)).map { case (i, (b, c)) => (i, b, c) }
+    assert(out == expected)
+  }
+
+  test("imbalance bars reset per key: multi-symbol run equals solo runs") {
+    val sides = Seq(0, 1, 1, 1, 1, -1, -1, 1, -1, -1, -1, 1)
+    def solo(sym: Long): Seq[(Long, Long, Boolean)] = {
+      val t = tradesDf(Seq.fill(sides.size)(1.0))
+        .withColumn("symbol", lit(sym))
+        .withColumn("side",
+          element_at(typedLit(sides), (col("id") + 1).cast("int")))
+      EventBars.imbalanceBarIds(t, 0.5, 0.5, 4.0, 1.0)
+        .orderBy("id").select("id", "bar_id", "bar_closed")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    }
+    val multi = (0L to 2L).map { sym =>
+      tradesDf(Seq.fill(sides.size)(1.0)).withColumn("symbol", lit(sym))
+        .withColumn("side",
+          element_at(typedLit(sides), (col("id") + 1).cast("int")))
+    }.reduce(_ unionByName _)
+    val keyed = EventBars.imbalanceBarIds(multi, 0.5, 0.5, 4.0, 1.0,
+        keyCols = Seq("symbol"))
+      .select("symbol", "id", "bar_id", "bar_closed")
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (k, rs) =>
+        k -> rs.map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+          .sortBy(_._1).toSeq
+      }
+    (0L to 2L).foreach(sym => assert(keyed(sym) == solo(sym),
+      s"keyed run for symbol $sym must equal its solo run"))
+  }
+
   test("tick bars: first bar has thr-1 rows, trailing partial dropped") {
     val t = tradesDf(Seq.fill(11)(1.0))
     val bars = EventBars.tickBarsOhlcv(t, 3).orderBy("bar_id").collect()
