@@ -434,6 +434,12 @@ object StreamQueries {
         Long) => Unit = { (b, _) =>
         val batch = b.select(col("doc_id"), col("text"),
           graft.text.TextOps.wsTokens(col("text")).as("toks"))
+        // the append below runs on the micro-batch's CLONED session, whose
+        // write-path cache invalidation does not reach THIS session's
+        // relation cache — without the refresh, batch 2's probe reads
+        // batch 1's file listing and silently misses its appended bands
+        // (caught by the sf0.1 sweep: 5 cross-batch pairs dropped)
+        s.catalog.refreshTable(name)
         val store = all.join(batch.select("doc_id"), Seq("doc_id"), "left_anti")
         graft.dedup.Dedup.incrementalLshPairsFrom(s.table(name), store,
             batch, "doc_id", "toks", shingleN, minhashK, minhashBands,
