@@ -37,14 +37,14 @@ object ScanQueries {
   // but raises NotImplementedError — parameters are ours, documented):
   // EWMA weights and seeds chosen so the sf0.01 corpus yields O(100) bars
   // and the thresholds stay in a numerically comfortable range.
-  private val imbAlphaT = 0.05
-  private val imbAlphaB = 0.05
-  private val imbInitT = 200.0
-  private val imbInitB = 0.05
-  private val runAlphaT = 0.05
-  private val runAlphaP = 0.05
-  private val runInitT = 200.0
-  private val runInitP = 0.5
+  private[queries] val imbAlphaT = 0.05
+  private[queries] val imbAlphaB = 0.05
+  private[queries] val imbInitT = 200.0
+  private[queries] val imbInitB = 0.05
+  private[queries] val runAlphaT = 0.05
+  private[queries] val runAlphaP = 0.05
+  private[queries] val runInitT = 200.0
+  private[queries] val runInitP = 0.5
 
   private def bars5m(s: org.apache.spark.sql.SparkSession, dir: String) =
     TimeBars.ohlcv(Trades.fromEvents(Tables.events(s, dir)), 300)

@@ -167,6 +167,31 @@ object StreamQueries {
       .parquet(tmp + "/*")
   }
 
+  /** [[splitTradeFileStream]] with the tick-rule side attached — the
+    * fixture for the imbalance/run-bar state machines. Side assignment is
+    * a GLOBAL scan and happens upstream at ingest, exactly as for the
+    * directional gates; the stream under test is the bar machine.
+    */
+  private def splitSidedFileStream(s: SparkSession, dir: String,
+                                   tmpName: String): DataFrame = {
+    val sided = Trades.withTickRuleSide(
+        Trades.fromEvents(graft.Tables.events(s, dir)))
+      .select(col("ts"), col("id"), col("price"), col("qty"),
+        col("side").cast("int").as("side"), lit(0L).as("symbol"))
+    val mid = sided.agg(expr("percentile_approx(ts, 0.5)")).head().getLong(0)
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"), tmpName)
+      .getAbsolutePath
+    val p = new org.apache.hadoop.fs.Path(tmp)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val t0 = System.currentTimeMillis()
+    writeOneFile(sided.where(col("ts") <= mid), tmp, "a_early", t0 - 40000)
+    writeOneFile(sided.where(col("ts") > mid), tmp, "b_late", t0 - 20000)
+    s.readStream.schema(sided.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(tmp + "/*")
+  }
+
   /** Join drained per-trade bar ids back to the canonical trades (the
     * BarIdOut rows carry no price/qty) — shared by the three
     * threshold-bar gates.
@@ -645,6 +670,45 @@ object StreamQueries {
           col("trades"))
     }),
 
+    // Streaming TICK IMBALANCE bars: the per-symbol (θ, n, E_T, E_b) state
+    // machine assigns ids across the batch split with its EWMA-updated
+    // threshold riding the state — imbalance_bars' oracle text verbatim
+    // (the batch kernel and the machine share one IEEE op order, so ids
+    // are row-identical; StreamingSpec pins it).
+    "streaming_imbalance_bars" -> ((s, dir) => {
+      import s.implicits._
+      val src = splitSidedFileStream(s, dir, s"graft_gate_stream_imb_$runId")
+        .as[StreamingBars.SidedSymIn]
+      val ids = drain(
+        StreamingBars.imbalanceBarStream(src, ScanQueries.imbAlphaT,
+          ScanQueries.imbAlphaB, ScanQueries.imbInitT,
+          ScanQueries.imbInitB).toDF(),
+        "gate_stream_imb_ids")
+      graft.bars.EventBars.completeBars(withTradeData(ids, s, dir))
+        .select(col("bar_id"), col("bar_ts"), r6(col("open")).as("open"),
+          r6(col("high")).as("high"), r6(col("low")).as("low"),
+          r6(col("close")).as("close"), r6(col("volume")).as("volume"),
+          col("trades"))
+    }),
+
+    // Streaming TICK RUN bars: same shape for the (nb, ns, E_T, P) run
+    // machine — run_bars' oracle verbatim.
+    "streaming_run_bars" -> ((s, dir) => {
+      import s.implicits._
+      val src = splitSidedFileStream(s, dir, s"graft_gate_stream_run_$runId")
+        .as[StreamingBars.SidedSymIn]
+      val ids = drain(
+        StreamingBars.runBarStream(src, ScanQueries.runAlphaT,
+          ScanQueries.runAlphaP, ScanQueries.runInitT,
+          ScanQueries.runInitP).toDF(),
+        "gate_stream_run_ids")
+      graft.bars.EventBars.completeBars(withTradeData(ids, s, dir))
+        .select(col("bar_id"), col("bar_ts"), r6(col("open")).as("open"),
+          r6(col("high")).as("high"), r6(col("low")).as("low"),
+          r6(col("close")).as("close"), r6(col("volume")).as("volume"),
+          col("trades"))
+    }),
+
     // Streaming EWMA: the pandas ewm(span, adjust=True) recursion as
     // per-symbol O(1) state across the batch split — ewma_scan's oracle
     // verbatim (the sequential u/v recursion and the batch affine scan
@@ -763,6 +827,8 @@ object StreamQueries {
     "streaming_volume_bars_2k" -> ScanQueries.oracles("volume_bars_2k"),
     "streaming_dollar_bars_200k" -> ScanQueries.oracles("dollar_bars_200k"),
     "streaming_ewma" -> ScanQueries.oracles("ewma_scan"),
+    "streaming_imbalance_bars" -> ScanQueries.oracles("imbalance_bars"),
+    "streaming_run_bars" -> ScanQueries.oracles("run_bars"),
     "streaming_cusum_events" -> ScanQueries.oracles("cusum_events"),
 
     // both alert kinds recomputed with per-symbol lag windows; the stream

@@ -291,6 +291,92 @@ object StreamingBars {
   def volumeBarStream(trades: Dataset[TradeIn], threshold: Double): Dataset[BarIdOut] =
     thresholdBarStream(trades, threshold, carry = false, dollars = false)
 
+  case class ImbState(th: Long, n: Long, eT: Double, eB: Double, bar: Long,
+                      seen: Boolean)
+  case class RunState(nb: Long, ns: Long, n: Long, eT: Double, eP: Double,
+                      bar: Long, seen: Boolean)
+
+  /** Streaming tick-imbalance bars — twin of `EventBars.imbalanceBarIds`
+    * (the reference's declared-but-unimplemented `_imbalance_bar_indexer`):
+    * per-symbol signed imbalance θ and EWMA-updated expectations
+    * (E_T, E_b) in fixed-width state; same IEEE op order as the batch
+    * kernel, so id streams are row-identical (StreamingSpec parity). Same
+    * in-order-across-batches precondition as the sibling threshold
+    * machines.
+    */
+  def imbalanceBarStream(trades: Dataset[SidedSymIn], alphaT: Double,
+                         alphaB: Double, initT: Double,
+                         initB: Double): Dataset[BarIdOut] = {
+    import trades.sparkSession.implicits._
+    trades
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (symbol: Long, rows: Iterator[SidedSymIn], state: GroupState[ImbState]) =>
+          var s = state.getOption.getOrElse(
+            ImbState(0L, 0L, initT, initB, 0L, seen = false))
+          val out = rows.toArray.sortBy(r => (r.ts, r.id)).map { r =>
+            if (!s.seen) {
+              s = s.copy(seen = true)
+              BarIdOut(symbol, r.ts, r.id, -1L, bar_closed = false)
+            } else {
+              val th = s.th + r.side
+              val n = s.n + 1
+              val id = s.bar
+              val closed = math.abs(th).toDouble >= s.eT * s.eB
+              s =
+                if (closed)
+                  ImbState(0L, 0L,
+                    (1.0 - alphaT) * s.eT + alphaT * n.toDouble,
+                    (1.0 - alphaB) * s.eB + alphaB * (math.abs(th).toDouble / n.toDouble),
+                    s.bar + 1, seen = true)
+                else s.copy(th = th, n = n)
+              BarIdOut(symbol, r.ts, r.id, id, closed)
+            }
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
+  /** Streaming tick-run bars — twin of `EventBars.runBarIds`
+    * (`_run_bar_indexer`): θ = max(buy count, sell count) vs
+    * E_T·max(P, 1−P), expectations EWMA-updated per closed bar.
+    */
+  def runBarStream(trades: Dataset[SidedSymIn], alphaT: Double,
+                   alphaP: Double, initT: Double,
+                   initP: Double): Dataset[BarIdOut] = {
+    import trades.sparkSession.implicits._
+    trades
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (symbol: Long, rows: Iterator[SidedSymIn], state: GroupState[RunState]) =>
+          var s = state.getOption.getOrElse(
+            RunState(0L, 0L, 0L, initT, initP, 0L, seen = false))
+          val out = rows.toArray.sortBy(r => (r.ts, r.id)).map { r =>
+            if (!s.seen) {
+              s = s.copy(seen = true)
+              BarIdOut(symbol, r.ts, r.id, -1L, bar_closed = false)
+            } else {
+              val nb = if (r.side > 0) s.nb + 1 else s.nb
+              val ns = if (r.side < 0) s.ns + 1 else s.ns
+              val n = s.n + 1
+              val id = s.bar
+              val closed = math.max(nb, ns).toDouble >= s.eT * math.max(s.eP, 1.0 - s.eP)
+              s =
+                if (closed)
+                  RunState(0L, 0L, 0L,
+                    (1.0 - alphaT) * s.eT + alphaT * n.toDouble,
+                    (1.0 - alphaP) * s.eP + alphaP * (nb.toDouble / n.toDouble),
+                    s.bar + 1, seen = true)
+                else s.copy(nb = nb, ns = ns, n = n)
+              BarIdOut(symbol, r.ts, r.id, id, closed)
+            }
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   /** Streaming dollar bars (carry remainder) — twin of EventBars.dollarBarIds. */
   def dollarBarStream(trades: Dataset[TradeIn], threshold: Double): Dataset[BarIdOut] =
     thresholdBarStream(trades, threshold, carry = true, dollars = true)

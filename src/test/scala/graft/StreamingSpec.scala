@@ -444,6 +444,46 @@ class StreamingSpec extends AnyFunSuite {
       EventBars.dollarBarIds(data.toDF(), 700.0, Seq("symbol"))))
   }
 
+  test("streaming imbalance/run bar ids equal the batch EWMA-threshold kernels") {
+    implicit val sqlCtx = spark.sqlContext
+    // two interleaved symbols with alternating side runs — the stream must
+    // keep independent (θ, n, E_T, E_b) state per symbol across batches
+    val data = (0 until 80).map { i =>
+      StreamingBars.SidedSymIn(1700000000000000000L + i * 60000000000L,
+        i.toLong, 100.0, 1.0, if ((i / 5) % 2 == 0) 1 else -1, (i % 2).toLong)
+    }
+    def collectIds(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("symbol", "ts").collect().map(r => (r.getAs[Long]("symbol"),
+        r.getAs[Long]("ts"), r.getAs[Long]("bar_id"),
+        r.getAs[Boolean]("bar_closed"))).toSeq
+
+    val msI = MemoryStream[StreamingBars.SidedSymIn]
+    val qi = StreamingBars.imbalanceBarStream(msI.toDS(), alphaT = 0.5,
+        alphaB = 0.5, initT = 6.0, initB = 0.5)
+      .writeStream.format("memory").queryName("ibar_out")
+      .outputMode("append").start()
+    msI.addData(data.take(27)); qi.processAllAvailable()
+    msI.addData(data.drop(27)); qi.processAllAvailable()
+    val streamedI = collectIds(spark.table("ibar_out"))
+    qi.stop()
+    assert(streamedI == collectIds(
+      EventBars.imbalanceBarIds(data.toDF(), 0.5, 0.5, 6.0, 0.5, Seq("symbol"))))
+    assert(streamedI.exists(_._4), "fixture must close at least one bar")
+
+    val msR = MemoryStream[StreamingBars.SidedSymIn]
+    val qr = StreamingBars.runBarStream(msR.toDS(), alphaT = 0.5,
+        alphaP = 0.5, initT = 8.0, initP = 0.5)
+      .writeStream.format("memory").queryName("rbar_out")
+      .outputMode("append").start()
+    msR.addData(data.take(33)); qr.processAllAvailable()
+    msR.addData(data.drop(33)); qr.processAllAvailable()
+    val streamedR = collectIds(spark.table("rbar_out"))
+    qr.stop()
+    assert(streamedR == collectIds(
+      EventBars.runBarIds(data.toDF(), 0.5, 0.5, 8.0, 0.5, Seq("symbol"))))
+    assert(streamedR.exists(_._4), "fixture must close at least one bar")
+  }
+
   test("streaming CUSUM filter equals the batch ordered scan") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[TradeIn]
