@@ -142,8 +142,11 @@ object DocBench {
           val table = "docbench_ingest_idx"
           val dir = java.nio.file.Files
             .createTempDirectory("docbench_idx").toString
+          // fixed bucket count: the index layout must not vary with the
+          // measuring core count, or the 8-vs-32 cells compare different
+          // physical indexes
           Dedup.writeLshIndex(base, "doc_id", "toks", shingleN,
-            minhashK, minhashBands, table, dir, buckets = cpus)
+            minhashK, minhashBands, table, dir, buckets = 32)
           var seen = base.select("doc_id", "text", "toks")
           var pairs = 0L
           for (i <- 1 to 3) {
@@ -154,7 +157,7 @@ object DocBench {
               seen, batch, "doc_id", "toks", shingleN, minhashK,
               minhashBands, threshold = 0.7, maxBucket = maxBucket).count()
             Dedup.appendLshIndex(batch, "doc_id", "toks", shingleN,
-              minhashK, minhashBands, table, buckets = cpus)
+              minhashK, minhashBands, table, buckets = 32)
             seen = seen.unionByName(batch)
           }
           pairs

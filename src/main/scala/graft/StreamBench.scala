@@ -125,7 +125,13 @@ object StreamBench {
         "footprint_summary_1h" -> (() =>
           StreamingBars.footprintSummaryStream(
             src.select("ts", "id", "price", "qty", "symbol", "side")
-              .as[StreamingBars.SidedSymIn], 3600, 0.01).toDF()))
+              .as[StreamingBars.SidedSymIn], 3600, 0.01).toDF()),
+        "imbalance_bars" -> (() =>
+          StreamingBars.imbalanceBarStream(
+            src.select("ts", "id", "price", "qty", "symbol", "side")
+              .as[StreamingBars.SidedSymIn],
+            alphaT = 0.05, alphaB = 0.05, initT = 200.0, initB = 0.05)
+            .toDF()))
 
       val times = streams.map { case (name, mk) =>
         val ckpt = java.nio.file.Files
