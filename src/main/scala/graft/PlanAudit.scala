@@ -124,6 +124,9 @@ object PlanAudit {
       "volume_bars_2k" -> resetKernel, "dollar_bars_200k" -> resetKernel,
       "tick_bars_300" -> resetKernel,
       "imbalance_bars" -> resetKernel, "run_bars" -> resetKernel,
+      "volume_imbalance_bars" -> resetKernel,
+      "dollar_imbalance_bars" -> resetKernel,
+      "volume_run_bars" -> resetKernel, "dollar_run_bars" -> resetKernel,
       "tick_size_gcd" -> limited,
       "integrity_ts_order" -> boundedRollup)
 

@@ -131,6 +131,19 @@ object StreamBench {
             src.select("ts", "id", "price", "qty", "symbol", "side")
               .as[StreamingBars.SidedSymIn],
             alphaT = 0.05, alphaB = 0.05, initT = 200.0, initB = 0.05)
+            .toDF()),
+        "volume_imbalance_bars" -> (() =>
+          StreamingBars.valueImbalanceBarStream(
+            src.select("ts", "id", "price", "qty", "symbol", "side")
+              .as[StreamingBars.SidedSymIn], dollar = false,
+            alphaT = 0.05, alphaB = 0.05, initT = 20.0, initB = 0.3)
+            .toDF()),
+        "dollar_run_bars" -> (() =>
+          StreamingBars.valueRunBarStream(
+            src.select("ts", "id", "price", "qty", "symbol", "side")
+              .as[StreamingBars.SidedSymIn], dollar = true,
+            alphaT = 0.05, alphaP = 0.05, alphaV = 0.05,
+            initT = 20.0, initP = 0.5, initV = 290.0)
             .toDF()))
 
       val times = streams.map { case (name, mk) =>

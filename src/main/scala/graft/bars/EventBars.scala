@@ -178,6 +178,94 @@ object EventBars {
       }
     }
 
+  /** VOLUME / DOLLAR IMBALANCE bars — AFML §2.3.2.1's b_t·v_t
+    * generalization of [[imbalanceBarIds]]: θ accumulates the SIGNED value
+    * side·qty (volume) or side·price·qty (dollar) instead of the bare tick
+    * sign; a bar closes at the first row where |θ| ≥ E[T]·E[|b·v|], both
+    * expectations EWMA-updated from the realized bar at each close exactly
+    * as in the tick machine (E_b ← (1−αB)·E_b + αB·|θ|/n). Same IEEE-exact
+    * parity argument: the fold is +, ·, /, abs, compare only, so the DuckDB
+    * list_reduce replay is bit-identical (side ∈ {−1,0,1} makes the sign
+    * multiplication exact, and price·qty rounds once, identically, on both
+    * engines).
+    */
+  def valueImbalanceBarIds(sided: DataFrame, dollar: Boolean,
+                           alphaT: Double, alphaB: Double,
+                           initT: Double, initB: Double,
+                           keyCols: Seq[String] = Nil): DataFrame =
+    sequentialIds(sided, keyCols) { (rows, schema) =>
+      val sideIdx = schema.fieldIndex("side")
+      val qtyIdx = schema.fieldIndex("qty")
+      val priceIdx = schema.fieldIndex("price")
+      var th = 0.0; var n = 0L
+      var eT = initT; var eB = initB
+      var bar = 0L; var first = true
+      rows.map { r =>
+        if (first) { first = false; (r, -1L, false) }
+        else {
+          val v = if (dollar) r.getDouble(priceIdx) * r.getDouble(qtyIdx)
+                  else r.getDouble(qtyIdx)
+          th += r.getInt(sideIdx).toDouble * v
+          n += 1
+          val id = bar
+          val closed = math.abs(th) >= eT * eB
+          if (closed) {
+            eT = (1.0 - alphaT) * eT + alphaT * n.toDouble
+            eB = (1.0 - alphaB) * eB + alphaB * (math.abs(th) / n.toDouble)
+            th = 0.0; n = 0L; bar += 1
+          }
+          (r, id, closed)
+        }
+      }
+    }
+
+  /** VOLUME / DOLLAR RUN bars — AFML §2.3.2.2's value generalization of
+    * [[runBarIds]]: the run statistic is the larger of the bar's buy-side
+    * and sell-side value sums, θ = max(Σ_buy v, Σ_sell v), and a bar closes
+    * when θ ≥ E[T]·max(P·E[v|buy], (1−P)·E[v|sell]). On close the four
+    * expectations EWMA-update from the realized bar: E_T ← bar length,
+    * P ← n_buy/n, E[v|buy] ← buySum/n_buy (kept when the bar had no buys),
+    * E[v|sell] ← sellSum/n_sell (kept when no sells) — seeds (initT, initP,
+    * initV) with initV shared by both sides. side = 0 rows (pre-first-tick)
+    * count toward n but neither value sum, matching the tick machine. Same
+    * IEEE-exact oracle parity as [[valueImbalanceBarIds]].
+    */
+  def valueRunBarIds(sided: DataFrame, dollar: Boolean,
+                     alphaT: Double, alphaP: Double, alphaV: Double,
+                     initT: Double, initP: Double, initV: Double,
+                     keyCols: Seq[String] = Nil): DataFrame =
+    sequentialIds(sided, keyCols) { (rows, schema) =>
+      val sideIdx = schema.fieldIndex("side")
+      val qtyIdx = schema.fieldIndex("qty")
+      val priceIdx = schema.fieldIndex("price")
+      var bs = 0.0; var ss = 0.0
+      var nb = 0L; var ns = 0L; var n = 0L
+      var eT = initT; var eP = initP; var evB = initV; var evS = initV
+      var bar = 0L; var first = true
+      rows.map { r =>
+        if (first) { first = false; (r, -1L, false) }
+        else {
+          val s = r.getInt(sideIdx)
+          val v = if (dollar) r.getDouble(priceIdx) * r.getDouble(qtyIdx)
+                  else r.getDouble(qtyIdx)
+          if (s > 0) { bs += v; nb += 1 }
+          else if (s < 0) { ss += v; ns += 1 }
+          n += 1
+          val id = bar
+          val closed =
+            math.max(bs, ss) >= eT * math.max(eP * evB, (1.0 - eP) * evS)
+          if (closed) {
+            eT = (1.0 - alphaT) * eT + alphaT * n.toDouble
+            eP = (1.0 - alphaP) * eP + alphaP * (nb.toDouble / n.toDouble)
+            if (nb > 0) evB = (1.0 - alphaV) * evB + alphaV * (bs / nb.toDouble)
+            if (ns > 0) evS = (1.0 - alphaV) * evS + alphaV * (ss / ns.toDouble)
+            bs = 0.0; ss = 0.0; nb = 0L; ns = 0L; n = 0L; bar += 1
+          }
+          (r, id, closed)
+        }
+      }
+    }
+
   /** Shared layout+kernel runner: key-ordered partitions, per-key reset,
     * appends (bar_id, bar_closed). The kernel sees (rows, input schema).
     */

@@ -45,6 +45,18 @@ object ScanQueries {
   private[queries] val runAlphaP = 0.05
   private[queries] val runInitT = 200.0
   private[queries] val runInitP = 0.5
+  // Value-measure (volume/dollar) imbalance & run variants — same EWMA
+  // weights; seeds scaled to the corpus' measure magnitudes (mean qty ≈5.8,
+  // mean price·qty ≈288 on the synthetic trades) so the machines start in
+  // the adaptive regime rather than closing every row / never closing.
+  private[queries] val valAlphaV = 0.05
+  private[queries] val volImbInitB = 0.3
+  // per-symbol streams are ~1/150th of the unkeyed stream — the keyed twin
+  // seeds E_T at bar lengths that exist at that granularity
+  private[queries] val symImbInitT = 20.0
+  private[queries] val dolImbInitB = 20.0
+  private[queries] val volRunInitV = 6.0
+  private[queries] val dolRunInitV = 290.0
 
   private def bars5m(s: org.apache.spark.sql.SparkSession, dir: String) =
     TimeBars.ohlcv(Trades.fromEvents(Tables.events(s, dir)), 300)
@@ -255,8 +267,70 @@ object ScanQueries {
           r6(col("high")).as("high"), r6(col("low")).as("low"),
           r6(col("close")).as("close"), r6(col("volume")).as("volume"),
           col("trades"))
+    }),
+
+    // VOLUME / DOLLAR IMBALANCE bars — AFML §2.3.2.1's b_t·v_t measures on
+    // the same machine (EventBars.valueImbalanceBarIds); same IEEE-exact
+    // list_reduce oracle parity as the tick variant.
+    "volume_imbalance_bars" ->
+      valueImbalanceQuery(dollar = false, volImbInitB),
+    "dollar_imbalance_bars" ->
+      valueImbalanceQuery(dollar = true, dolImbInitB),
+
+    // VOLUME / DOLLAR RUN bars — AFML §2.3.2.2's value runs,
+    // θ = max(Σ_buy v, Σ_sell v) vs E_T·max(P·E[v|buy], (1−P)·E[v|sell])
+    // (EventBars.valueRunBarIds).
+    "volume_run_bars" -> valueRunQuery(dollar = false, volRunInitV),
+    "dollar_run_bars" -> valueRunQuery(dollar = true, dolRunInitV),
+
+    // Keyed twin — the 100 TB layout: per-symbol tick rule, per-symbol
+    // machine state (kernel restarts at key runs, scan shuffles by symbol
+    // instead of single-partitioning the stream), per-symbol bar ids. The
+    // oracle folds each symbol's list independently.
+    "volume_imbalance_bars_sym" -> ((s, dir) => {
+      val sided = Trades.withTickRuleSide(trades(s, dir), Seq("symbol"))
+      val ids = EventBars.valueImbalanceBarIds(sided, dollar = false,
+        imbAlphaT, imbAlphaB, symImbInitT, volImbInitB, keyCols = Seq("symbol"))
+      val complete = ids.groupBy("symbol", "bar_id")
+        .agg(max(col("bar_closed")).as("__closed")).where(col("__closed"))
+      EventBars.ohlcvByBarId(ids.where(col("bar_id") >= 0), Seq("symbol"))
+        .join(complete.select("symbol", "bar_id"), Seq("symbol", "bar_id"))
+        .select(col("symbol"), col("bar_id"), col("bar_ts"),
+          r6(col("open")).as("open"), r6(col("high")).as("high"),
+          r6(col("low")).as("low"), r6(col("close")).as("close"),
+          r6(col("volume")).as("volume"), col("trades"))
     })
   )
+
+  private def valueImbalanceQuery(dollar: Boolean, initB: Double): QueryFn =
+    (s, dir) => {
+      val sided = Trades.withTickRuleSide(trades(s, dir))
+      val ids = EventBars.valueImbalanceBarIds(sided, dollar, imbAlphaT,
+        imbAlphaB, imbInitT, initB)
+      val complete = ids.groupBy("bar_id")
+        .agg(max(col("bar_closed")).as("__closed")).where(col("__closed"))
+      EventBars.ohlcvByBarId(ids.where(col("bar_id") >= 0))
+        .join(complete.select("bar_id"), Seq("bar_id"))
+        .select(col("bar_id"), col("bar_ts"), r6(col("open")).as("open"),
+          r6(col("high")).as("high"), r6(col("low")).as("low"),
+          r6(col("close")).as("close"), r6(col("volume")).as("volume"),
+          col("trades"))
+    }
+
+  private def valueRunQuery(dollar: Boolean, initV: Double): QueryFn =
+    (s, dir) => {
+      val sided = Trades.withTickRuleSide(trades(s, dir))
+      val ids = EventBars.valueRunBarIds(sided, dollar, runAlphaT,
+        runAlphaP, valAlphaV, runInitT, runInitP, initV)
+      val complete = ids.groupBy("bar_id")
+        .agg(max(col("bar_closed")).as("__closed")).where(col("__closed"))
+      EventBars.ohlcvByBarId(ids.where(col("bar_id") >= 0))
+        .join(complete.select("bar_id"), Seq("bar_id"))
+        .select(col("bar_id"), col("bar_ts"), r6(col("open")).as("open"),
+          r6(col("high")).as("high"), r6(col("low")).as("low"),
+          r6(col("close")).as("close"), r6(col("volume")).as("volume"),
+          col("trades"))
+    }
 
   // ---------------------------------------------------------------------
   // Oracles: independent truncated-window recomputation in DuckDB
@@ -607,8 +681,122 @@ object ScanQueries {
     "run_bars" ->
       s"""WITH $tradesCte, $sidedCte,
          |$runFoldCtes,
-         |$foldBarsSql""".stripMargin
+         |$foldBarsSql""".stripMargin,
+
+    "volume_imbalance_bars" ->
+      s"""WITH $tradesCte, $sidedCte,
+         |${valueImbalanceFoldCtes("qty", volImbInitB)},
+         |$foldBarsSql""".stripMargin,
+
+    "dollar_imbalance_bars" ->
+      s"""WITH $tradesCte, $sidedCte,
+         |${valueImbalanceFoldCtes("price * qty", dolImbInitB)},
+         |$foldBarsSql""".stripMargin,
+
+    "volume_run_bars" ->
+      s"""WITH $tradesCte, $sidedCte,
+         |${valueRunFoldCtes("qty", volRunInitV)},
+         |$foldBarsSql""".stripMargin,
+
+    "dollar_run_bars" ->
+      s"""WITH $tradesCte, $sidedCte,
+         |${valueRunFoldCtes("price * qty", dolRunInitV)},
+         |$foldBarsSql""".stripMargin,
+
+    "volume_imbalance_bars_sym" ->
+      s"""WITH $tradesCte, $symSidedCte,
+         |$symValueImbalanceFoldCtes,
+         |$symFoldBarsSql""".stripMargin
   )
+
+  /** Keyed [[valueImbalanceFoldCtes]]: the per-key mirror of the kernel's
+    * key-run resets as ONE single-group list_reduce over ALL rows ordered
+    * (symbol, rn) — a symbol's `rn = 1` row both marks the key boundary
+    * (resetting θ/n AND re-seeding E_T/E_b, exactly the kernel's per-run
+    * state) and is skipped as that run's excluded first trade. Fired rows
+    * accumulate as `sym:rn` pairs. Same IEEE-exact parity argument as the
+    * unkeyed fold.
+    *
+    * Deliberately NOT `GROUP BY symbol` + per-group folds: DuckDB 1.0's
+    * list_reduce over a grouped list aggregate returned ONE group's fold
+    * result for every group unless a pushed-down filter reduced it to a
+    * single group (observed on this very query; minimal repros pass, so
+    * the trigger is plan-shape-specific). The single-group fold is the
+    * engine path every unkeyed fold gate has exercised at sf0.01 and
+    * sf0.1 since round 8 began.
+    */
+  private def symValueImbalanceFoldCtes: String = {
+    val zB = "CAST(0 AS BIGINT)"
+    val zD = "CAST(0 AS DOUBLE)"
+    val sv = "CAST(x.side AS DOUBLE) * x.v"
+    s"""p AS (
+       |  SELECT ts, id, price, qty, symbol, side, qty AS v,
+       |         row_number() OVER (PARTITION BY symbol ORDER BY ts, id) AS rn
+       |  FROM sided
+       |),
+       |folded AS (
+       |  SELECT list_reduce(
+       |    list_prepend(
+       |      {'sym': CAST(-1 AS BIGINT), 'rn': $zB, 'side': 0, 'v': $zD,
+       |       'th': $zD, 'n': $zB, 'et': $zD, 'eb': $zD, 'ev': ''},
+       |      list_sort(list({'sym': symbol, 'rn': rn, 'side': side, 'v': v,
+       |                      'th': $zD, 'n': $zB, 'et': $zD, 'eb': $zD,
+       |                      'ev': ''}))
+       |    ),
+       |    (a, x) -> CASE
+       |      WHEN x.rn = 1 THEN
+       |        {'sym': x.sym, 'rn': x.rn, 'side': x.side, 'v': x.v,
+       |         'th': $zD, 'n': $zB,
+       |         'et': CAST(${D(symImbInitT)} AS DOUBLE),
+       |         'eb': CAST(${D(volImbInitB)} AS DOUBLE), 'ev': a.ev}
+       |      WHEN abs(a.th + $sv) >= a.et * a.eb THEN
+       |        {'sym': x.sym, 'rn': x.rn, 'side': x.side, 'v': x.v,
+       |         'th': $zD, 'n': $zB,
+       |         'et': ${D(1 - imbAlphaT)} * a.et + ${D(imbAlphaT)} * CAST(a.n + 1 AS DOUBLE),
+       |         'eb': ${D(1 - imbAlphaB)} * a.eb + ${D(imbAlphaB)} * (abs(a.th + $sv) / CAST(a.n + 1 AS DOUBLE)),
+       |         'ev': a.ev || ',' || CAST(x.sym AS VARCHAR) || ':' || CAST(x.rn AS VARCHAR)}
+       |      ELSE
+       |        {'sym': x.sym, 'rn': x.rn, 'side': x.side, 'v': x.v,
+       |         'th': a.th + $sv, 'n': a.n + 1, 'et': a.et, 'eb': a.eb,
+       |         'ev': a.ev}
+       |    END
+       |  ) AS st
+       |  FROM p
+       |),
+       |ev AS (
+       |  SELECT CAST(string_split(e, ':')[1] AS BIGINT) AS symbol,
+       |         CAST(string_split(e, ':')[2] AS BIGINT) AS rn
+       |  FROM (
+       |    SELECT unnest(string_split(ltrim(st.ev, ','), ',')) AS e
+       |    FROM folded WHERE st.ev <> ''
+       |  )
+       |)""".stripMargin
+  }
+
+  /** Keyed [[foldBarsSql]]: bar ids and completeness per symbol. */
+  private def symFoldBarsSql: String =
+    s"""withids AS (
+       |  SELECT p.symbol, p.ts, p.id, p.price, p.qty, p.rn,
+       |         (ev.rn IS NOT NULL) AS is_event,
+       |         coalesce(sum(CASE WHEN ev.rn IS NOT NULL THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY p.symbol ORDER BY p.rn
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bar_id
+       |  FROM p LEFT JOIN ev ON p.symbol = ev.symbol AND p.rn = ev.rn
+       |  WHERE p.rn >= 2
+       |),
+       |complete AS (
+       |  SELECT symbol, bar_id FROM withids GROUP BY symbol, bar_id
+       |  HAVING bool_or(is_event)
+       |)
+       |SELECT CAST(w.symbol AS BIGINT) AS symbol,
+       |  CAST(w.bar_id AS BIGINT) AS bar_id, max(w.ts) AS bar_ts,
+       |  ${rd("first(w.price ORDER BY w.ts, w.id)")} AS open,
+       |  ${rd("max(w.price)")} AS high, ${rd("min(w.price)")} AS low,
+       |  ${rd("last(w.price ORDER BY w.ts, w.id)")} AS close,
+       |  ${rd("sum(w.qty)")} AS volume,
+       |  CAST(count(*) AS BIGINT) AS trades
+       |FROM withids w JOIN complete c ON w.symbol = c.symbol AND w.bar_id = c.bar_id
+       |GROUP BY w.symbol, w.bar_id""".stripMargin
 
   /** Shared bar construction over a fold's `p` (rows + rn) and `ev`
     * (closing rns): row 1 belongs to no bar, bar_id = prefix count of
@@ -721,6 +909,118 @@ object ScanQueries {
        |        {'nb': a.nb + $incB, 'ns': a.ns + $incS, 'n': a.n + 1,
        |         'et': a.et, 'ep': a.ep, 'ev': a.ev,
        |         'side': x.side, 'rn': x.rn}
+       |    END
+       |  ) AS st
+       |  FROM p
+       |),
+       |ev AS (
+       |  SELECT CAST(unnest(string_split(ltrim(st.ev, ','), ',')) AS BIGINT) AS rn
+       |  FROM folded WHERE st.ev <> ''
+       |)""".stripMargin
+  }
+
+  /** Value-imbalance fold oracle — the [[imbalanceFoldCtes]] replay with θ
+    * a DOUBLE accumulating side·v (v = `measure`, precomputed once in `p`
+    * exactly as the Scala kernel computes it once per row). Bit-identical
+    * for the same reason: +, ·, /, abs, compare only, and side ∈ {−1,0,1}
+    * makes the sign multiplication exact.
+    */
+  private def valueImbalanceFoldCtes(measure: String, initB: Double): String = {
+    val zB = "CAST(0 AS BIGINT)"
+    val zD = "CAST(0 AS DOUBLE)"
+    val sv = "CAST(x.side AS DOUBLE) * x.v"
+    s"""p AS (
+       |  SELECT ts, id, price, qty, side, $measure AS v,
+       |         row_number() OVER (ORDER BY ts, id) AS rn
+       |  FROM sided
+       |),
+       |folded AS (
+       |  SELECT list_reduce(
+       |    list_prepend(
+       |      {'th': $zD, 'n': $zB, 'et': CAST(${D(imbInitT)} AS DOUBLE),
+       |       'eb': CAST(${D(initB)} AS DOUBLE), 'ev': '',
+       |       'side': 0, 'v': $zD, 'rn': $zB},
+       |      list({'th': $zD, 'n': $zB, 'et': $zD, 'eb': $zD, 'ev': '',
+       |            'side': side, 'v': v, 'rn': rn} ORDER BY rn)
+       |    ),
+       |    (a, x) -> CASE
+       |      WHEN x.rn = 1 THEN
+       |        {'th': a.th, 'n': a.n, 'et': a.et, 'eb': a.eb, 'ev': a.ev,
+       |         'side': x.side, 'v': x.v, 'rn': x.rn}
+       |      WHEN abs(a.th + $sv) >= a.et * a.eb THEN
+       |        {'th': $zD, 'n': $zB,
+       |         'et': ${D(1 - imbAlphaT)} * a.et + ${D(imbAlphaT)} * CAST(a.n + 1 AS DOUBLE),
+       |         'eb': ${D(1 - imbAlphaB)} * a.eb + ${D(imbAlphaB)} * (abs(a.th + $sv) / CAST(a.n + 1 AS DOUBLE)),
+       |         'ev': a.ev || ',' || CAST(x.rn AS VARCHAR),
+       |         'side': x.side, 'v': x.v, 'rn': x.rn}
+       |      ELSE
+       |        {'th': a.th + $sv, 'n': a.n + 1, 'et': a.et, 'eb': a.eb,
+       |         'ev': a.ev, 'side': x.side, 'v': x.v, 'rn': x.rn}
+       |    END
+       |  ) AS st
+       |  FROM p
+       |),
+       |ev AS (
+       |  SELECT CAST(unnest(string_split(ltrim(st.ev, ','), ',')) AS BIGINT) AS rn
+       |  FROM folded WHERE st.ev <> ''
+       |)""".stripMargin
+  }
+
+  /** Value-run fold oracle — replay of `EventBars.valueRunBarIds`:
+    * θ = max(buy value sum, sell value sum) vs
+    * E_T·max(P·E[v|buy], (1−P)·E[v|sell]); on close E[v|buy]/E[v|sell]
+    * EWMA-update from the realized per-side means, kept unchanged when the
+    * bar had no rows on that side. Same IEEE-exact argument (adding a
+    * literal 0e0 to a finite non-negative double is exact, mirroring the
+    * kernel's skipped accumulation).
+    */
+  private def valueRunFoldCtes(measure: String, initV: Double): String = {
+    val zB = "CAST(0 AS BIGINT)"
+    val zD = "CAST(0 AS DOUBLE)"
+    val bsN = s"a.bs + CASE WHEN x.side > 0 THEN x.v ELSE $zD END"
+    val ssN = s"a.ss + CASE WHEN x.side < 0 THEN x.v ELSE $zD END"
+    val nbN = "a.nb + CASE WHEN x.side > 0 THEN 1 ELSE 0 END"
+    val nsN = "a.ns + CASE WHEN x.side < 0 THEN 1 ELSE 0 END"
+    s"""p AS (
+       |  SELECT ts, id, price, qty, side, $measure AS v,
+       |         row_number() OVER (ORDER BY ts, id) AS rn
+       |  FROM sided
+       |),
+       |folded AS (
+       |  SELECT list_reduce(
+       |    list_prepend(
+       |      {'bs': $zD, 'ss': $zD, 'nb': $zB, 'ns': $zB, 'n': $zB,
+       |       'et': CAST(${D(runInitT)} AS DOUBLE),
+       |       'ep': CAST(${D(runInitP)} AS DOUBLE),
+       |       'evb': CAST(${D(initV)} AS DOUBLE),
+       |       'evs': CAST(${D(initV)} AS DOUBLE), 'ev': '',
+       |       'side': 0, 'v': $zD, 'rn': $zB},
+       |      list({'bs': $zD, 'ss': $zD, 'nb': $zB, 'ns': $zB, 'n': $zB,
+       |            'et': $zD, 'ep': $zD, 'evb': $zD, 'evs': $zD, 'ev': '',
+       |            'side': side, 'v': v, 'rn': rn} ORDER BY rn)
+       |    ),
+       |    (a, x) -> CASE
+       |      WHEN x.rn = 1 THEN
+       |        {'bs': a.bs, 'ss': a.ss, 'nb': a.nb, 'ns': a.ns, 'n': a.n,
+       |         'et': a.et, 'ep': a.ep, 'evb': a.evb, 'evs': a.evs,
+       |         'ev': a.ev, 'side': x.side, 'v': x.v, 'rn': x.rn}
+       |      WHEN greatest($bsN, $ssN) >=
+       |           a.et * greatest(a.ep * a.evb, (CAST(1 AS DOUBLE) - a.ep) * a.evs) THEN
+       |        {'bs': $zD, 'ss': $zD, 'nb': $zB, 'ns': $zB, 'n': $zB,
+       |         'et': ${D(1 - runAlphaT)} * a.et + ${D(runAlphaT)} * CAST(a.n + 1 AS DOUBLE),
+       |         'ep': ${D(1 - runAlphaP)} * a.ep + ${D(runAlphaP)} * (CAST($nbN AS DOUBLE) / CAST(a.n + 1 AS DOUBLE)),
+       |         'evb': CASE WHEN $nbN > 0
+       |                THEN ${D(1 - valAlphaV)} * a.evb + ${D(valAlphaV)} * (($bsN) / CAST($nbN AS DOUBLE))
+       |                ELSE a.evb END,
+       |         'evs': CASE WHEN $nsN > 0
+       |                THEN ${D(1 - valAlphaV)} * a.evs + ${D(valAlphaV)} * (($ssN) / CAST($nsN AS DOUBLE))
+       |                ELSE a.evs END,
+       |         'ev': a.ev || ',' || CAST(x.rn AS VARCHAR),
+       |         'side': x.side, 'v': x.v, 'rn': x.rn}
+       |      ELSE
+       |        {'bs': $bsN, 'ss': $ssN, 'nb': $nbN, 'ns': $nsN, 'n': a.n + 1,
+       |         'et': a.et, 'ep': a.ep, 'evb': a.evb, 'evs': a.evs,
+       |         'ev': a.ev, 'side': x.side, 'v': x.v, 'rn': x.rn}
        |    END
        |  ) AS st
        |  FROM p

@@ -709,6 +709,46 @@ object StreamQueries {
           col("trades"))
     }),
 
+    // Streaming VOLUME IMBALANCE bars: the value-measure machine
+    // (θ += side·qty, EWMA thresholds in state) across the batch split —
+    // volume_imbalance_bars' oracle verbatim (one IEEE op order shared
+    // with the batch kernel; StreamingSpec pins row-identity).
+    "streaming_volume_imbalance_bars" -> ((s, dir) => {
+      import s.implicits._
+      val src = splitSidedFileStream(s, dir, s"graft_gate_stream_vimb_$runId")
+        .as[StreamingBars.SidedSymIn]
+      val ids = drain(
+        StreamingBars.valueImbalanceBarStream(src, dollar = false,
+          ScanQueries.imbAlphaT, ScanQueries.imbAlphaB,
+          ScanQueries.imbInitT, ScanQueries.volImbInitB).toDF(),
+        "gate_stream_vimb_ids")
+      graft.bars.EventBars.completeBars(withTradeData(ids, s, dir))
+        .select(col("bar_id"), col("bar_ts"), r6(col("open")).as("open"),
+          r6(col("high")).as("high"), r6(col("low")).as("low"),
+          r6(col("close")).as("close"), r6(col("volume")).as("volume"),
+          col("trades"))
+    }),
+
+    // Streaming DOLLAR RUN bars: the value-run machine (buy/sell dollar
+    // sums + four EWMA expectations in state) across the batch split —
+    // dollar_run_bars' oracle verbatim.
+    "streaming_dollar_run_bars" -> ((s, dir) => {
+      import s.implicits._
+      val src = splitSidedFileStream(s, dir, s"graft_gate_stream_drun_$runId")
+        .as[StreamingBars.SidedSymIn]
+      val ids = drain(
+        StreamingBars.valueRunBarStream(src, dollar = true,
+          ScanQueries.runAlphaT, ScanQueries.runAlphaP, ScanQueries.valAlphaV,
+          ScanQueries.runInitT, ScanQueries.runInitP,
+          ScanQueries.dolRunInitV).toDF(),
+        "gate_stream_drun_ids")
+      graft.bars.EventBars.completeBars(withTradeData(ids, s, dir))
+        .select(col("bar_id"), col("bar_ts"), r6(col("open")).as("open"),
+          r6(col("high")).as("high"), r6(col("low")).as("low"),
+          r6(col("close")).as("close"), r6(col("volume")).as("volume"),
+          col("trades"))
+    }),
+
     // Streaming EWMA: the pandas ewm(span, adjust=True) recursion as
     // per-symbol O(1) state across the batch split — ewma_scan's oracle
     // verbatim (the sequential u/v recursion and the batch affine scan
@@ -829,6 +869,9 @@ object StreamQueries {
     "streaming_ewma" -> ScanQueries.oracles("ewma_scan"),
     "streaming_imbalance_bars" -> ScanQueries.oracles("imbalance_bars"),
     "streaming_run_bars" -> ScanQueries.oracles("run_bars"),
+    "streaming_volume_imbalance_bars" ->
+      ScanQueries.oracles("volume_imbalance_bars"),
+    "streaming_dollar_run_bars" -> ScanQueries.oracles("dollar_run_bars"),
     "streaming_cusum_events" -> ScanQueries.oracles("cusum_events"),
 
     // both alert kinds recomputed with per-symbol lag windows; the stream

@@ -377,6 +377,100 @@ object StreamingBars {
       }
   }
 
+  case class ValueImbState(th: Double, n: Long, eT: Double, eB: Double,
+                           bar: Long, seen: Boolean)
+  case class ValueRunState(bs: Double, ss: Double, nb: Long, ns: Long, n: Long,
+                           eT: Double, eP: Double, evB: Double, evS: Double,
+                           bar: Long, seen: Boolean)
+
+  /** Streaming volume/dollar imbalance bars — twin of
+    * `EventBars.valueImbalanceBarIds`: θ accumulates side·qty (volume) or
+    * side·price·qty (dollar); same IEEE op order as the batch kernel, so id
+    * streams are row-identical (StreamingSpec parity).
+    */
+  def valueImbalanceBarStream(trades: Dataset[SidedSymIn], dollar: Boolean,
+                              alphaT: Double, alphaB: Double, initT: Double,
+                              initB: Double): Dataset[BarIdOut] = {
+    import trades.sparkSession.implicits._
+    trades
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (symbol: Long, rows: Iterator[SidedSymIn], state: GroupState[ValueImbState]) =>
+          var s = state.getOption.getOrElse(
+            ValueImbState(0.0, 0L, initT, initB, 0L, seen = false))
+          val out = rows.toArray.sortBy(r => (r.ts, r.id)).map { r =>
+            if (!s.seen) {
+              s = s.copy(seen = true)
+              BarIdOut(symbol, r.ts, r.id, -1L, bar_closed = false)
+            } else {
+              val v = if (dollar) r.price * r.qty else r.qty
+              val th = s.th + r.side.toDouble * v
+              val n = s.n + 1
+              val id = s.bar
+              val closed = math.abs(th) >= s.eT * s.eB
+              s =
+                if (closed)
+                  ValueImbState(0.0, 0L,
+                    (1.0 - alphaT) * s.eT + alphaT * n.toDouble,
+                    (1.0 - alphaB) * s.eB + alphaB * (math.abs(th) / n.toDouble),
+                    s.bar + 1, seen = true)
+                else s.copy(th = th, n = n)
+              BarIdOut(symbol, r.ts, r.id, id, closed)
+            }
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
+  /** Streaming volume/dollar run bars — twin of `EventBars.valueRunBarIds`:
+    * θ = max(buy value sum, sell value sum) vs
+    * E_T·max(P·E[v|buy], (1−P)·E[v|sell]), the four expectations
+    * EWMA-updated per closed bar (per-side means kept when a side is empty).
+    */
+  def valueRunBarStream(trades: Dataset[SidedSymIn], dollar: Boolean,
+                        alphaT: Double, alphaP: Double, alphaV: Double,
+                        initT: Double, initP: Double,
+                        initV: Double): Dataset[BarIdOut] = {
+    import trades.sparkSession.implicits._
+    trades
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (symbol: Long, rows: Iterator[SidedSymIn], state: GroupState[ValueRunState]) =>
+          var s = state.getOption.getOrElse(
+            ValueRunState(0.0, 0.0, 0L, 0L, 0L, initT, initP, initV, initV,
+              0L, seen = false))
+          val out = rows.toArray.sortBy(r => (r.ts, r.id)).map { r =>
+            if (!s.seen) {
+              s = s.copy(seen = true)
+              BarIdOut(symbol, r.ts, r.id, -1L, bar_closed = false)
+            } else {
+              val v = if (dollar) r.price * r.qty else r.qty
+              val bs = if (r.side > 0) s.bs + v else s.bs
+              val ss = if (r.side < 0) s.ss + v else s.ss
+              val nb = if (r.side > 0) s.nb + 1 else s.nb
+              val ns = if (r.side < 0) s.ns + 1 else s.ns
+              val n = s.n + 1
+              val id = s.bar
+              val closed = math.max(bs, ss) >=
+                s.eT * math.max(s.eP * s.evB, (1.0 - s.eP) * s.evS)
+              s =
+                if (closed)
+                  ValueRunState(0.0, 0.0, 0L, 0L, 0L,
+                    (1.0 - alphaT) * s.eT + alphaT * n.toDouble,
+                    (1.0 - alphaP) * s.eP + alphaP * (nb.toDouble / n.toDouble),
+                    if (nb > 0) (1.0 - alphaV) * s.evB + alphaV * (bs / nb.toDouble) else s.evB,
+                    if (ns > 0) (1.0 - alphaV) * s.evS + alphaV * (ss / ns.toDouble) else s.evS,
+                    s.bar + 1, seen = true)
+                else s.copy(bs = bs, ss = ss, nb = nb, ns = ns, n = n)
+              BarIdOut(symbol, r.ts, r.id, id, closed)
+            }
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   /** Streaming dollar bars (carry remainder) — twin of EventBars.dollarBarIds. */
   def dollarBarStream(trades: Dataset[TradeIn], threshold: Double): Dataset[BarIdOut] =
     thresholdBarStream(trades, threshold, carry = true, dollars = true)

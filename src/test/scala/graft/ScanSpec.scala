@@ -100,6 +100,58 @@ class ScanSpec extends AnyFunSuite {
     assert(out == expected)
   }
 
+  test("volume imbalance bars: signed-qty θ, EWMA threshold, hand-computed") {
+    // αT = αB = 0.5, E_T = 4, E_b = 1 → initial value threshold 4.
+    // Row 0 excluded. (side, qty): +2, +2 → θ = 4 closes bar 0 at n = 2
+    //   (E_T ← 3, E_b ← 0.5·1+0.5·(4/2) = 1.5 → thr 4.5).
+    // Then −2, −2, −1 → θ = −5 ≥ 4.5 closes bar 1 at n = 3
+    //   (E_T ← 3, E_b ← 0.75+0.5·(5/3) → thr 4.75).
+    // Then +5 → θ = 5 closes bar 2 at n = 1. One trailing partial row.
+    val sides = Seq(0, 1, 1, -1, -1, -1, 1, -1)
+    val t = tradesDf(Seq(1.0, 2.0, 2.0, 2.0, 2.0, 1.0, 5.0, 1.0))
+      .withColumn("side",
+        element_at(typedLit(sides), (col("id") + 1).cast("int")))
+    val out = EventBars.valueImbalanceBarIds(t, dollar = false,
+        alphaT = 0.5, alphaB = 0.5, initT = 4.0, initB = 1.0)
+      .orderBy("id").select("id", "bar_id", "bar_closed")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val expected = Seq(
+      0L -> (-1L, false),
+      1L -> (0L, false), 2L -> (0L, true),
+      3L -> (1L, false), 4L -> (1L, false), 5L -> (1L, true),
+      6L -> (2L, true),
+      7L -> (3L, false)).map { case (i, (b, c)) => (i, b, c) }
+    assert(out == expected)
+  }
+
+  test("dollar run bars: per-side dollar sums vs four EWMA expectations") {
+    // price 10 throughout; αT = αP = αV = 0.5, E_T = 2, P = 0.5,
+    // E_V = 10 both sides → initial threshold 2·max(5, 5) = 10.
+    // Row 1: +$20 closes bar 0 at n = 1 (E_T ← 1.5, P ← 0.75, evB ← 15,
+    //   evS kept → thr = 1.5·max(11.25, 2.5) = 16.875).
+    // Rows 2-3: −$10, −$10 → ss = 20 ≥ 16.875 closes bar 1 at n = 2
+    //   (E_T ← 1.75, P ← 0.375, evB kept (no buys), evS ← 10
+    //    → thr = 1.75·max(5.625, 6.25) = 10.9375).
+    // Rows 4-5: +$10, +$2 → bs = 12 ≥ 10.9375 closes bar 2. One partial.
+    val sides = Seq(0, 1, -1, -1, 1, 1, -1)
+    val t = tradesDf(Seq(1.0, 2.0, 1.0, 1.0, 1.0, 0.2, 1.0),
+        prices = Seq.fill(7)(10.0))
+      .withColumn("side",
+        element_at(typedLit(sides), (col("id") + 1).cast("int")))
+    val out = EventBars.valueRunBarIds(t, dollar = true,
+        alphaT = 0.5, alphaP = 0.5, alphaV = 0.5,
+        initT = 2.0, initP = 0.5, initV = 10.0)
+      .orderBy("id").select("id", "bar_id", "bar_closed")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val expected = Seq(
+      0L -> (-1L, false),
+      1L -> (0L, true),
+      2L -> (1L, false), 3L -> (1L, true),
+      4L -> (2L, false), 5L -> (2L, true),
+      6L -> (3L, false)).map { case (i, (b, c)) => (i, b, c) }
+    assert(out == expected)
+  }
+
   test("imbalance bars reset per key: multi-symbol run equals solo runs") {
     val sides = Seq(0, 1, 1, 1, 1, -1, -1, 1, -1, -1, -1, 1)
     def solo(sym: Long): Seq[(Long, Long, Boolean)] = {

@@ -484,6 +484,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamedR.exists(_._4), "fixture must close at least one bar")
   }
 
+  test("streaming value imbalance/run bar ids equal the batch kernels") {
+    implicit val sqlCtx = spark.sqlContext
+    // varying qty so the value measures differ from the tick counts; two
+    // interleaved symbols keep independent state across the batch split
+    val data = (0 until 80).map { i =>
+      StreamingBars.SidedSymIn(1700000000000000000L + i * 60000000000L,
+        i.toLong, 100.0 + (i % 7), 1.0 + (i % 3),
+        if ((i / 5) % 2 == 0) 1 else -1, (i % 2).toLong)
+    }
+    def collectIds(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("symbol", "ts").collect().map(r => (r.getAs[Long]("symbol"),
+        r.getAs[Long]("ts"), r.getAs[Long]("bar_id"),
+        r.getAs[Boolean]("bar_closed"))).toSeq
+
+    val msV = MemoryStream[StreamingBars.SidedSymIn]
+    val qv = StreamingBars.valueImbalanceBarStream(msV.toDS(), dollar = false,
+        alphaT = 0.5, alphaB = 0.5, initT = 6.0, initB = 1.0)
+      .writeStream.format("memory").queryName("vibar_out")
+      .outputMode("append").start()
+    msV.addData(data.take(27)); qv.processAllAvailable()
+    msV.addData(data.drop(27)); qv.processAllAvailable()
+    val streamedV = collectIds(spark.table("vibar_out"))
+    qv.stop()
+    assert(streamedV == collectIds(EventBars.valueImbalanceBarIds(
+      data.toDF(), dollar = false, 0.5, 0.5, 6.0, 1.0, Seq("symbol"))))
+    assert(streamedV.exists(_._4), "fixture must close at least one bar")
+
+    val msD = MemoryStream[StreamingBars.SidedSymIn]
+    val qd = StreamingBars.valueRunBarStream(msD.toDS(), dollar = true,
+        alphaT = 0.5, alphaP = 0.5, alphaV = 0.5,
+        initT = 8.0, initP = 0.5, initV = 200.0)
+      .writeStream.format("memory").queryName("drbar_out")
+      .outputMode("append").start()
+    msD.addData(data.take(33)); qd.processAllAvailable()
+    msD.addData(data.drop(33)); qd.processAllAvailable()
+    val streamedD = collectIds(spark.table("drbar_out"))
+    qd.stop()
+    assert(streamedD == collectIds(EventBars.valueRunBarIds(
+      data.toDF(), dollar = true, 0.5, 0.5, 0.5, 8.0, 0.5, 200.0,
+      Seq("symbol"))))
+    assert(streamedD.exists(_._4), "fixture must close at least one bar")
+  }
+
   test("streaming CUSUM filter equals the batch ordered scan") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[TradeIn]
