@@ -31,7 +31,10 @@ import org.apache.spark.sql.streaming.Trigger
   *  - `ewma` — per-symbol span-100 EWMA recursion, O(1) state, one
   *    emission per input row (the heaviest output path);
   *  - `footprint_summary_1h` — per-bar level-grid state + post-finalize
-  *    summary features (the widest per-key state).
+  *    summary features (the widest per-key state);
+  *  - `imbalance_bars` / `volume_imbalance_bars` / `dollar_run_bars` —
+  *    per-symbol EWMA-threshold information bars (θ plus two / four
+  *    adaptive expectations in O(1) state).
   *
   * Usage: [SPARK_GRAFT_SF_DIR=...] [SPARK_GRAFT_STREAM_COPIES=20]
   *        [SPARK_GRAFT_STREAM_CPUS=8,32] runMain graft.StreamBench

@@ -283,24 +283,37 @@ object ScanQueries {
     "volume_run_bars" -> valueRunQuery(dollar = false, volRunInitV),
     "dollar_run_bars" -> valueRunQuery(dollar = true, dolRunInitV),
 
-    // Keyed twin — the 100 TB layout: per-symbol tick rule, per-symbol
+    // Keyed twins — the 100 TB layout: per-symbol tick rule, per-symbol
     // machine state (kernel restarts at key runs, scan shuffles by symbol
     // instead of single-partitioning the stream), per-symbol bar ids. The
-    // oracle folds each symbol's list independently.
+    // oracle replays the key-run resets in one single-group fold (see
+    // symValueImbalanceFoldCtes for why not per-group folds).
     "volume_imbalance_bars_sym" -> ((s, dir) => {
       val sided = Trades.withTickRuleSide(trades(s, dir), Seq("symbol"))
       val ids = EventBars.valueImbalanceBarIds(sided, dollar = false,
         imbAlphaT, imbAlphaB, symImbInitT, volImbInitB, keyCols = Seq("symbol"))
-      val complete = ids.groupBy("symbol", "bar_id")
-        .agg(max(col("bar_closed")).as("__closed")).where(col("__closed"))
-      EventBars.ohlcvByBarId(ids.where(col("bar_id") >= 0), Seq("symbol"))
-        .join(complete.select("symbol", "bar_id"), Seq("symbol", "bar_id"))
-        .select(col("symbol"), col("bar_id"), col("bar_ts"),
-          r6(col("open")).as("open"), r6(col("high")).as("high"),
-          r6(col("low")).as("low"), r6(col("close")).as("close"),
-          r6(col("volume")).as("volume"), col("trades"))
+      keyedCompleteBars(ids)
+    }),
+
+    "dollar_run_bars_sym" -> ((s, dir) => {
+      val sided = Trades.withTickRuleSide(trades(s, dir), Seq("symbol"))
+      val ids = EventBars.valueRunBarIds(sided, dollar = true,
+        runAlphaT, runAlphaP, valAlphaV, symImbInitT, runInitP, dolRunInitV,
+        keyCols = Seq("symbol"))
+      keyedCompleteBars(ids)
     })
   )
+
+  private[queries] def keyedCompleteBars(ids: org.apache.spark.sql.DataFrame) = {
+    val complete = ids.groupBy("symbol", "bar_id")
+      .agg(max(col("bar_closed")).as("__closed")).where(col("__closed"))
+    EventBars.ohlcvByBarId(ids.where(col("bar_id") >= 0), Seq("symbol"))
+      .join(complete.select("symbol", "bar_id"), Seq("symbol", "bar_id"))
+      .select(col("symbol"), col("bar_id"), col("bar_ts"),
+        r6(col("open")).as("open"), r6(col("high")).as("high"),
+        r6(col("low")).as("low"), r6(col("close")).as("close"),
+        r6(col("volume")).as("volume"), col("trades"))
+  }
 
   private def valueImbalanceQuery(dollar: Boolean, initB: Double): QueryFn =
     (s, dir) => {
@@ -706,8 +719,80 @@ object ScanQueries {
     "volume_imbalance_bars_sym" ->
       s"""WITH $tradesCte, $symSidedCte,
          |$symValueImbalanceFoldCtes,
+         |$symFoldBarsSql""".stripMargin,
+
+    "dollar_run_bars_sym" ->
+      s"""WITH $tradesCte, $symSidedCte,
+         |$symValueRunFoldCtes,
          |$symFoldBarsSql""".stripMargin
   )
+
+  /** Keyed [[valueRunFoldCtes]] — same single-group key-run replay shape as
+    * [[symValueImbalanceFoldCtes]] (and for the same DuckDB 1.0 grouped
+    * list_reduce reason), carrying the run machine's four expectations.
+    */
+  private def symValueRunFoldCtes: String = {
+    val zB = "CAST(0 AS BIGINT)"
+    val zD = "CAST(0 AS DOUBLE)"
+    val bsN = s"a.bs + CASE WHEN x.side > 0 THEN x.v ELSE $zD END"
+    val ssN = s"a.ss + CASE WHEN x.side < 0 THEN x.v ELSE $zD END"
+    val nbN = "a.nb + CASE WHEN x.side > 0 THEN 1 ELSE 0 END"
+    val nsN = "a.ns + CASE WHEN x.side < 0 THEN 1 ELSE 0 END"
+    s"""p AS (
+       |  SELECT ts, id, price, qty, symbol, side, price * qty AS v,
+       |         row_number() OVER (PARTITION BY symbol ORDER BY ts, id) AS rn
+       |  FROM sided
+       |),
+       |folded AS (
+       |  SELECT list_reduce(
+       |    list_prepend(
+       |      {'sym': CAST(-1 AS BIGINT), 'rn': $zB, 'side': 0, 'v': $zD,
+       |       'bs': $zD, 'ss': $zD, 'nb': $zB, 'ns': $zB, 'n': $zB,
+       |       'et': $zD, 'ep': $zD, 'evb': $zD, 'evs': $zD, 'ev': ''},
+       |      list_sort(list({'sym': symbol, 'rn': rn, 'side': side, 'v': v,
+       |                      'bs': $zD, 'ss': $zD, 'nb': $zB, 'ns': $zB,
+       |                      'n': $zB, 'et': $zD, 'ep': $zD, 'evb': $zD,
+       |                      'evs': $zD, 'ev': ''}))
+       |    ),
+       |    (a, x) -> CASE
+       |      WHEN x.rn = 1 THEN
+       |        {'sym': x.sym, 'rn': x.rn, 'side': x.side, 'v': x.v,
+       |         'bs': $zD, 'ss': $zD, 'nb': $zB, 'ns': $zB, 'n': $zB,
+       |         'et': CAST(${D(symImbInitT)} AS DOUBLE),
+       |         'ep': CAST(${D(runInitP)} AS DOUBLE),
+       |         'evb': CAST(${D(dolRunInitV)} AS DOUBLE),
+       |         'evs': CAST(${D(dolRunInitV)} AS DOUBLE), 'ev': a.ev}
+       |      WHEN greatest($bsN, $ssN) >=
+       |           a.et * greatest(a.ep * a.evb, (CAST(1 AS DOUBLE) - a.ep) * a.evs) THEN
+       |        {'sym': x.sym, 'rn': x.rn, 'side': x.side, 'v': x.v,
+       |         'bs': $zD, 'ss': $zD, 'nb': $zB, 'ns': $zB, 'n': $zB,
+       |         'et': ${D(1 - runAlphaT)} * a.et + ${D(runAlphaT)} * CAST(a.n + 1 AS DOUBLE),
+       |         'ep': ${D(1 - runAlphaP)} * a.ep + ${D(runAlphaP)} * (CAST($nbN AS DOUBLE) / CAST(a.n + 1 AS DOUBLE)),
+       |         'evb': CASE WHEN $nbN > 0
+       |                THEN ${D(1 - valAlphaV)} * a.evb + ${D(valAlphaV)} * (($bsN) / CAST($nbN AS DOUBLE))
+       |                ELSE a.evb END,
+       |         'evs': CASE WHEN $nsN > 0
+       |                THEN ${D(1 - valAlphaV)} * a.evs + ${D(valAlphaV)} * (($ssN) / CAST($nsN AS DOUBLE))
+       |                ELSE a.evs END,
+       |         'ev': a.ev || ',' || CAST(x.sym AS VARCHAR) || ':' || CAST(x.rn AS VARCHAR)}
+       |      ELSE
+       |        {'sym': x.sym, 'rn': x.rn, 'side': x.side, 'v': x.v,
+       |         'bs': $bsN, 'ss': $ssN, 'nb': $nbN, 'ns': $nsN, 'n': a.n + 1,
+       |         'et': a.et, 'ep': a.ep, 'evb': a.evb, 'evs': a.evs,
+       |         'ev': a.ev}
+       |    END
+       |  ) AS st
+       |  FROM p
+       |),
+       |ev AS (
+       |  SELECT CAST(string_split(e, ':')[1] AS BIGINT) AS symbol,
+       |         CAST(string_split(e, ':')[2] AS BIGINT) AS rn
+       |  FROM (
+       |    SELECT unnest(string_split(ltrim(st.ev, ','), ',')) AS e
+       |    FROM folded WHERE st.ev <> ''
+       |  )
+       |)""".stripMargin
+  }
 
   /** Keyed [[valueImbalanceFoldCtes]]: the per-key mirror of the kernel's
     * key-run resets as ONE single-group list_reduce over ALL rows ordered

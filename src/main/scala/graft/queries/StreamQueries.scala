@@ -192,6 +192,32 @@ object StreamQueries {
       .parquet(tmp + "/*")
   }
 
+  /** [[splitSidedFileStream]] with REAL symbols and the PER-SYMBOL tick
+    * rule — the fixture for the keyed streaming machines: ~150 concurrent
+    * per-symbol states, every symbol's stream straddling the median-ts
+    * split, so the cross-batch handoff is exercised across the whole key
+    * space rather than one pinned key.
+    */
+  private def splitKeyedSidedFileStream(s: SparkSession, dir: String,
+                                        tmpName: String): DataFrame = {
+    val sided = Trades.withTickRuleSide(
+        Trades.fromEvents(graft.Tables.events(s, dir)), Seq("symbol"))
+      .select(col("ts"), col("id"), col("price"), col("qty"),
+        col("side").cast("int").as("side"), col("symbol"))
+    val mid = sided.agg(expr("percentile_approx(ts, 0.5)")).head().getLong(0)
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"), tmpName)
+      .getAbsolutePath
+    val p = new org.apache.hadoop.fs.Path(tmp)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val t0 = System.currentTimeMillis()
+    writeOneFile(sided.where(col("ts") <= mid), tmp, "a_early", t0 - 40000)
+    writeOneFile(sided.where(col("ts") > mid), tmp, "b_late", t0 - 20000)
+    s.readStream.schema(sided.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(tmp + "/*")
+  }
+
   /** Join drained per-trade bar ids back to the canonical trades (the
     * BarIdOut rows carry no price/qty) — shared by the three
     * threshold-bar gates.
@@ -729,6 +755,31 @@ object StreamQueries {
           col("trades"))
     }),
 
+    // KEYED streaming volume-imbalance bars: ~150 REAL symbols, one
+    // machine state each, every per-symbol stream straddling the batch
+    // split — volume_imbalance_bars_sym's oracle verbatim. This is the
+    // live shape of the keyed batch layout: state count scales with the
+    // key space, not the stream length.
+    "streaming_volume_imbalance_bars_sym" -> ((s, dir) => {
+      import s.implicits._
+      val src = splitKeyedSidedFileStream(s, dir,
+        s"graft_gate_stream_vimbsym_$runId").as[StreamingBars.SidedSymIn]
+      val ids = drain(
+        StreamingBars.valueImbalanceBarStream(src, dollar = false,
+          ScanQueries.imbAlphaT, ScanQueries.imbAlphaB,
+          ScanQueries.symImbInitT, ScanQueries.volImbInitB).toDF(),
+        "gate_stream_vimbsym_ids")
+      val joined = ids.where(col("bar_id") >= 0)
+        .select(col("symbol"), col("ts"), col("id"), col("bar_id"),
+          col("bar_closed"))
+        .join(Trades.fromEvents(graft.Tables.events(s, dir))
+          .select("ts", "id", "price", "qty"), Seq("ts", "id"))
+      // fresh attribute ids — memory-sink View lineage vs the downstream
+      // two-pass OHLCV self-join (see withTradeData)
+      ScanQueries.keyedCompleteBars(
+        s.createDataFrame(joined.rdd, joined.schema))
+    }),
+
     // Streaming DOLLAR RUN bars: the value-run machine (buy/sell dollar
     // sums + four EWMA expectations in state) across the batch split —
     // dollar_run_bars' oracle verbatim.
@@ -871,6 +922,8 @@ object StreamQueries {
     "streaming_run_bars" -> ScanQueries.oracles("run_bars"),
     "streaming_volume_imbalance_bars" ->
       ScanQueries.oracles("volume_imbalance_bars"),
+    "streaming_volume_imbalance_bars_sym" ->
+      ScanQueries.oracles("volume_imbalance_bars_sym"),
     "streaming_dollar_run_bars" -> ScanQueries.oracles("dollar_run_bars"),
     "streaming_cusum_events" -> ScanQueries.oracles("cusum_events"),
 
