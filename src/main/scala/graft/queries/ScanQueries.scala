@@ -301,6 +301,20 @@ object ScanQueries {
         runAlphaT, runAlphaP, valAlphaV, symImbInitT, runInitP, dolRunInitV,
         keyCols = Seq("symbol"))
       keyedCompleteBars(ids)
+    }),
+
+    "imbalance_bars_sym" -> ((s, dir) => {
+      val sided = Trades.withTickRuleSide(trades(s, dir), Seq("symbol"))
+      val ids = EventBars.imbalanceBarIds(sided, imbAlphaT, imbAlphaB,
+        symImbInitT, imbInitB, keyCols = Seq("symbol"))
+      keyedCompleteBars(ids)
+    }),
+
+    "run_bars_sym" -> ((s, dir) => {
+      val sided = Trades.withTickRuleSide(trades(s, dir), Seq("symbol"))
+      val ids = EventBars.runBarIds(sided, runAlphaT, runAlphaP,
+        symImbInitT, runInitP, keyCols = Seq("symbol"))
+      keyedCompleteBars(ids)
     })
   )
 
@@ -724,8 +738,125 @@ object ScanQueries {
     "dollar_run_bars_sym" ->
       s"""WITH $tradesCte, $symSidedCte,
          |$symValueRunFoldCtes,
+         |$symFoldBarsSql""".stripMargin,
+
+    "imbalance_bars_sym" ->
+      s"""WITH $tradesCte, $symSidedCte,
+         |$symImbalanceFoldCtes,
+         |$symFoldBarsSql""".stripMargin,
+
+    "run_bars_sym" ->
+      s"""WITH $tradesCte, $symSidedCte,
+         |$symRunFoldCtes,
          |$symFoldBarsSql""".stripMargin
   )
+
+  /** Keyed [[imbalanceFoldCtes]] — the tick-imbalance machine replayed as
+    * ONE single-group key-run fold ordered (symbol, rn), same shape and
+    * same DuckDB grouped-list_reduce reason as
+    * [[symValueImbalanceFoldCtes]]; θ stays an exact BIGINT tick count.
+    */
+  private def symImbalanceFoldCtes: String = {
+    val zB = "CAST(0 AS BIGINT)"
+    val zD = "CAST(0 AS DOUBLE)"
+    s"""p AS (
+       |  SELECT ts, id, price, qty, symbol, side,
+       |         row_number() OVER (PARTITION BY symbol ORDER BY ts, id) AS rn
+       |  FROM sided
+       |),
+       |folded AS (
+       |  SELECT list_reduce(
+       |    list_prepend(
+       |      {'sym': CAST(-1 AS BIGINT), 'rn': $zB, 'side': 0,
+       |       'th': $zB, 'n': $zB, 'et': $zD, 'eb': $zD, 'ev': ''},
+       |      list_sort(list({'sym': symbol, 'rn': rn, 'side': side,
+       |                      'th': $zB, 'n': $zB, 'et': $zD, 'eb': $zD,
+       |                      'ev': ''}))
+       |    ),
+       |    (a, x) -> CASE
+       |      WHEN x.rn = 1 THEN
+       |        {'sym': x.sym, 'rn': x.rn, 'side': x.side,
+       |         'th': $zB, 'n': $zB,
+       |         'et': CAST(${D(symImbInitT)} AS DOUBLE),
+       |         'eb': CAST(${D(imbInitB)} AS DOUBLE), 'ev': a.ev}
+       |      WHEN CAST(abs(a.th + x.side) AS DOUBLE) >= a.et * a.eb THEN
+       |        {'sym': x.sym, 'rn': x.rn, 'side': x.side,
+       |         'th': $zB, 'n': $zB,
+       |         'et': ${D(1 - imbAlphaT)} * a.et + ${D(imbAlphaT)} * CAST(a.n + 1 AS DOUBLE),
+       |         'eb': ${D(1 - imbAlphaB)} * a.eb + ${D(imbAlphaB)} * (CAST(abs(a.th + x.side) AS DOUBLE) / CAST(a.n + 1 AS DOUBLE)),
+       |         'ev': a.ev || ',' || CAST(x.sym AS VARCHAR) || ':' || CAST(x.rn AS VARCHAR)}
+       |      ELSE
+       |        {'sym': x.sym, 'rn': x.rn, 'side': x.side,
+       |         'th': a.th + x.side, 'n': a.n + 1, 'et': a.et, 'eb': a.eb,
+       |         'ev': a.ev}
+       |    END
+       |  ) AS st
+       |  FROM p
+       |),
+       |ev AS (
+       |  SELECT CAST(string_split(e, ':')[1] AS BIGINT) AS symbol,
+       |         CAST(string_split(e, ':')[2] AS BIGINT) AS rn
+       |  FROM (
+       |    SELECT unnest(string_split(ltrim(st.ev, ','), ',')) AS e
+       |    FROM folded WHERE st.ev <> ''
+       |  )
+       |)""".stripMargin
+  }
+
+  /** Keyed [[runFoldCtes]] — the tick-run machine's key-run replay
+    * (θ = max(buy count, sell count) vs E_T·max(P, 1−P)), single-group
+    * fold ordered (symbol, rn) like [[symImbalanceFoldCtes]].
+    */
+  private def symRunFoldCtes: String = {
+    val zB = "CAST(0 AS BIGINT)"
+    val zD = "CAST(0 AS DOUBLE)"
+    val incB = "CASE WHEN x.side > 0 THEN 1 ELSE 0 END"
+    val incS = "CASE WHEN x.side < 0 THEN 1 ELSE 0 END"
+    s"""p AS (
+       |  SELECT ts, id, price, qty, symbol, side,
+       |         row_number() OVER (PARTITION BY symbol ORDER BY ts, id) AS rn
+       |  FROM sided
+       |),
+       |folded AS (
+       |  SELECT list_reduce(
+       |    list_prepend(
+       |      {'sym': CAST(-1 AS BIGINT), 'rn': $zB, 'side': 0,
+       |       'nb': $zB, 'ns': $zB, 'n': $zB, 'et': $zD, 'ep': $zD,
+       |       'ev': ''},
+       |      list_sort(list({'sym': symbol, 'rn': rn, 'side': side,
+       |                      'nb': $zB, 'ns': $zB, 'n': $zB, 'et': $zD,
+       |                      'ep': $zD, 'ev': ''}))
+       |    ),
+       |    (a, x) -> CASE
+       |      WHEN x.rn = 1 THEN
+       |        {'sym': x.sym, 'rn': x.rn, 'side': x.side,
+       |         'nb': $zB, 'ns': $zB, 'n': $zB,
+       |         'et': CAST(${D(symImbInitT)} AS DOUBLE),
+       |         'ep': CAST(${D(runInitP)} AS DOUBLE), 'ev': a.ev}
+       |      WHEN CAST(greatest(a.nb + $incB, a.ns + $incS) AS DOUBLE) >=
+       |           a.et * greatest(a.ep, CAST(1 AS DOUBLE) - a.ep) THEN
+       |        {'sym': x.sym, 'rn': x.rn, 'side': x.side,
+       |         'nb': $zB, 'ns': $zB, 'n': $zB,
+       |         'et': ${D(1 - runAlphaT)} * a.et + ${D(runAlphaT)} * CAST(a.n + 1 AS DOUBLE),
+       |         'ep': ${D(1 - runAlphaP)} * a.ep + ${D(runAlphaP)} * (CAST(a.nb + $incB AS DOUBLE) / CAST(a.n + 1 AS DOUBLE)),
+       |         'ev': a.ev || ',' || CAST(x.sym AS VARCHAR) || ':' || CAST(x.rn AS VARCHAR)}
+       |      ELSE
+       |        {'sym': x.sym, 'rn': x.rn, 'side': x.side,
+       |         'nb': a.nb + $incB, 'ns': a.ns + $incS, 'n': a.n + 1,
+       |         'et': a.et, 'ep': a.ep, 'ev': a.ev}
+       |    END
+       |  ) AS st
+       |  FROM p
+       |),
+       |ev AS (
+       |  SELECT CAST(string_split(e, ':')[1] AS BIGINT) AS symbol,
+       |         CAST(string_split(e, ':')[2] AS BIGINT) AS rn
+       |  FROM (
+       |    SELECT unnest(string_split(ltrim(st.ev, ','), ',')) AS e
+       |    FROM folded WHERE st.ev <> ''
+       |  )
+       |)""".stripMargin
+  }
 
   /** Keyed [[valueRunFoldCtes]] — same single-group key-run replay shape as
     * [[symValueImbalanceFoldCtes]] (and for the same DuckDB 1.0 grouped
