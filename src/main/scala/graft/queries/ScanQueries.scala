@@ -168,6 +168,21 @@ object ScanQueries {
         .where(col("is_event"))
         .select(col("ts"), col("id"), r6(col("price")).as("price"))),
 
+    // Keyed CUSUM events — the 100 TB layout for the event filter: the
+    // same reset state machine runs per symbol on the key-shuffled scan
+    // (cusum sums, prev price and the equal-ts block rule all scoped to
+    // the key run; each symbol's first row opens its own stream).
+    // Constant λ keeps the keyed oracle fold's only transcendental at
+    // ln(price ratio) — cusum_slack's const_sym variant certifies every
+    // per-symbol fire decision clears the cross-engine ln noise.
+    "cusum_events_sym" -> ((s, dir) =>
+      EventBars.cusumEventIds(
+          trades(s, dir).withColumn("sigma", lit(2.0)), "sigma", 1.0, 1e-12,
+          keyCols = Seq("symbol"))
+        .where(col("is_event"))
+        .select(col("symbol"), col("ts"), col("id"),
+          r6(col("price")).as("price"))),
+
     // Adaptive-threshold CUSUM events + per-event σ — the CUSUMBarKit
     // adaptive path and its get_sigma accessor (kit.py:140-181): σ from the
     // time-decay EW std of log-price, λ_i = max(2σ_i, 5e-4). Sequential
@@ -206,7 +221,13 @@ object ScanQueries {
           emitSlack = true)
         .agg(min(when(!isnan(col("slack")), col("slack"))).as("ms"))
         .select(lit("adaptive").as("variant"), slackOk)
-      constSlack.unionByName(adaptSlack)
+      // keyed machine: per-symbol fire decisions must clear the same margin
+      val symSlack = EventBars.cusumEventIds(
+          tc.withColumn("sigma", lit(2.0)), "sigma", 1.0, 1e-12,
+          keyCols = Seq("symbol"), emitSlack = true)
+        .agg(min(when(!isnan(col("slack")), col("slack"))).as("ms"))
+        .select(lit("const_sym").as("variant"), slackOk)
+      constSlack.unionByName(adaptSlack).unionByName(symSlack)
     }),
 
     // CUSUM event bars (§2.4 _cusum_bar_indexer) with the reference's
@@ -295,10 +316,25 @@ object ScanQueries {
       keyedCompleteBars(ids)
     }),
 
+    "dollar_imbalance_bars_sym" -> ((s, dir) => {
+      val sided = Trades.withTickRuleSide(trades(s, dir), Seq("symbol"))
+      val ids = EventBars.valueImbalanceBarIds(sided, dollar = true,
+        imbAlphaT, imbAlphaB, symImbInitT, dolImbInitB, keyCols = Seq("symbol"))
+      keyedCompleteBars(ids)
+    }),
+
     "dollar_run_bars_sym" -> ((s, dir) => {
       val sided = Trades.withTickRuleSide(trades(s, dir), Seq("symbol"))
       val ids = EventBars.valueRunBarIds(sided, dollar = true,
         runAlphaT, runAlphaP, valAlphaV, symImbInitT, runInitP, dolRunInitV,
+        keyCols = Seq("symbol"))
+      keyedCompleteBars(ids)
+    }),
+
+    "volume_run_bars_sym" -> ((s, dir) => {
+      val sided = Trades.withTickRuleSide(trades(s, dir), Seq("symbol"))
+      val ids = EventBars.valueRunBarIds(sided, dollar = false,
+        runAlphaT, runAlphaP, valAlphaV, symImbInitT, runInitP, volRunInitV,
         keyCols = Seq("symbol"))
       keyedCompleteBars(ids)
     }),
@@ -663,12 +699,20 @@ object ScanQueries {
          |SELECT p.ts, p.id, ${rd("p.price")} AS price
          |FROM p JOIN ev USING (rn)""".stripMargin,
 
+    "cusum_events_sym" ->
+      s"""WITH $tradesCte,
+         |${symCusumConstFoldCtes(2.0, 1.0, 1e-12)}
+         |SELECT p.symbol, p.ts, p.id, ${rd("p.price")} AS price
+         |FROM p JOIN ev ON p.symbol = ev.symbol AND p.rn = ev.rn""".stripMargin,
+
     // the Spark side computes the real min |s−λ| margin; the oracle just
     // asserts both variants clear it (see the cusum_slack query comment)
     "cusum_slack" ->
       """SELECT 'const' AS variant, TRUE AS slack_ok
         |UNION ALL
-        |SELECT 'adaptive' AS variant, TRUE AS slack_ok""".stripMargin,
+        |SELECT 'adaptive' AS variant, TRUE AS slack_ok
+        |UNION ALL
+        |SELECT 'const_sym' AS variant, TRUE AS slack_ok""".stripMargin,
 
     "cusum_events_adaptive" ->
       s"""WITH $tradesCte,
@@ -732,12 +776,22 @@ object ScanQueries {
 
     "volume_imbalance_bars_sym" ->
       s"""WITH $tradesCte, $symSidedCte,
-         |$symValueImbalanceFoldCtes,
+         |${symValueImbalanceFoldCtes("qty", volImbInitB)},
+         |$symFoldBarsSql""".stripMargin,
+
+    "dollar_imbalance_bars_sym" ->
+      s"""WITH $tradesCte, $symSidedCte,
+         |${symValueImbalanceFoldCtes("price * qty", dolImbInitB)},
          |$symFoldBarsSql""".stripMargin,
 
     "dollar_run_bars_sym" ->
       s"""WITH $tradesCte, $symSidedCte,
-         |$symValueRunFoldCtes,
+         |${symValueRunFoldCtes("price * qty", dolRunInitV)},
+         |$symFoldBarsSql""".stripMargin,
+
+    "volume_run_bars_sym" ->
+      s"""WITH $tradesCte, $symSidedCte,
+         |${symValueRunFoldCtes("qty", volRunInitV)},
          |$symFoldBarsSql""".stripMargin,
 
     "imbalance_bars_sym" ->
@@ -862,7 +916,7 @@ object ScanQueries {
     * [[symValueImbalanceFoldCtes]] (and for the same DuckDB 1.0 grouped
     * list_reduce reason), carrying the run machine's four expectations.
     */
-  private def symValueRunFoldCtes: String = {
+  private def symValueRunFoldCtes(measure: String, initV: Double): String = {
     val zB = "CAST(0 AS BIGINT)"
     val zD = "CAST(0 AS DOUBLE)"
     val bsN = s"a.bs + CASE WHEN x.side > 0 THEN x.v ELSE $zD END"
@@ -870,7 +924,7 @@ object ScanQueries {
     val nbN = "a.nb + CASE WHEN x.side > 0 THEN 1 ELSE 0 END"
     val nsN = "a.ns + CASE WHEN x.side < 0 THEN 1 ELSE 0 END"
     s"""p AS (
-       |  SELECT ts, id, price, qty, symbol, side, price * qty AS v,
+       |  SELECT ts, id, price, qty, symbol, side, $measure AS v,
        |         row_number() OVER (PARTITION BY symbol ORDER BY ts, id) AS rn
        |  FROM sided
        |),
@@ -891,8 +945,8 @@ object ScanQueries {
        |         'bs': $zD, 'ss': $zD, 'nb': $zB, 'ns': $zB, 'n': $zB,
        |         'et': CAST(${D(symImbInitT)} AS DOUBLE),
        |         'ep': CAST(${D(runInitP)} AS DOUBLE),
-       |         'evb': CAST(${D(dolRunInitV)} AS DOUBLE),
-       |         'evs': CAST(${D(dolRunInitV)} AS DOUBLE), 'ev': a.ev}
+       |         'evb': CAST(${D(initV)} AS DOUBLE),
+       |         'evs': CAST(${D(initV)} AS DOUBLE), 'ev': a.ev}
        |      WHEN greatest($bsN, $ssN) >=
        |           a.et * greatest(a.ep * a.evb, (CAST(1 AS DOUBLE) - a.ep) * a.evs) THEN
        |        {'sym': x.sym, 'rn': x.rn, 'side': x.side, 'v': x.v,
@@ -941,12 +995,12 @@ object ScanQueries {
     * engine path every unkeyed fold gate has exercised at sf0.01 and
     * sf0.1 since round 8 began.
     */
-  private def symValueImbalanceFoldCtes: String = {
+  private def symValueImbalanceFoldCtes(measure: String, initB: Double): String = {
     val zB = "CAST(0 AS BIGINT)"
     val zD = "CAST(0 AS DOUBLE)"
     val sv = "CAST(x.side AS DOUBLE) * x.v"
     s"""p AS (
-       |  SELECT ts, id, price, qty, symbol, side, qty AS v,
+       |  SELECT ts, id, price, qty, symbol, side, $measure AS v,
        |         row_number() OVER (PARTITION BY symbol ORDER BY ts, id) AS rn
        |  FROM sided
        |),
@@ -964,7 +1018,7 @@ object ScanQueries {
        |        {'sym': x.sym, 'rn': x.rn, 'side': x.side, 'v': x.v,
        |         'th': $zD, 'n': $zB,
        |         'et': CAST(${D(symImbInitT)} AS DOUBLE),
-       |         'eb': CAST(${D(volImbInitB)} AS DOUBLE), 'ev': a.ev}
+       |         'eb': CAST(${D(initB)} AS DOUBLE), 'ev': a.ev}
        |      WHEN abs(a.th + $sv) >= a.et * a.eb THEN
        |        {'sym': x.sym, 'rn': x.rn, 'side': x.side, 'v': x.v,
        |         'th': $zD, 'n': $zB,
@@ -1343,6 +1397,67 @@ object ScanQueries {
        |ev AS (
        |  SELECT CAST(unnest(string_split(ltrim(st.ev, ','), ',')) AS BIGINT) AS rn
        |  FROM folded WHERE st.ev <> ''
+       |)""".stripMargin
+  }
+
+  /** Keyed [[cusumFoldCtes]] specialized to a CONSTANT σ: the per-symbol
+    * reset machine replayed as ONE single-group fold ordered (symbol, rn)
+    * — a symbol's rn = 1 row re-seeds (s⁺, s⁻, prev price) and fires as
+    * that run's opening event, exactly the kernel's key-run boundary
+    * (the first σ-valid row of each run opens its stream). Same
+    * single-group shape as [[symValueImbalanceFoldCtes]] and for the same
+    * reason (DuckDB 1.0's grouped list_reduce returns one group's fold
+    * for every group). Constant σ removes the NaN forward-fill state and
+    * folds λ to a literal; the only transcendental left in the recursion
+    * is ln(price ratio), so cusum_slack's const_sym variant certifies the
+    * fire margins. Yields `p` (per-symbol rn + equal-ts blk) and
+    * `ev(symbol, rn)`.
+    */
+  private def symCusumConstFoldCtes(sigma: Double, mult: Double,
+                                    floor: Double): String = {
+    val zB = "CAST(0 AS BIGINT)"
+    val z = "CAST(0.0 AS DOUBLE)"
+    val lam = s"greatest(${D(mult)} * ${D(sigma)}, ${D(floor)})"
+    val ret = "ln(x.price / a.pp)"
+    val fireEv =
+      "a.ev || ',' || CAST(x.sym AS VARCHAR) || ':' || CAST(x.rn AS VARCHAR)"
+    def step(sp: String, sn: String, ev: String) =
+      s"{'sym': x.sym, 'rn': x.rn, 'price': x.price, 'blk': x.blk, " +
+        s"'sp': $sp, 'sn': $sn, 'pp': x.price, 'ev': $ev}"
+    s"""p AS (
+       |  SELECT ts, id, price, qty, symbol,
+       |         row_number() OVER (PARTITION BY symbol ORDER BY ts, id) AS rn,
+       |         coalesce(lead(ts) OVER (PARTITION BY symbol ORDER BY ts, id) = ts, false) AS blk
+       |  FROM trades
+       |),
+       |folded AS (
+       |  SELECT list_reduce(
+       |    list_prepend(
+       |      {'sym': CAST(-1 AS BIGINT), 'rn': $zB, 'price': $z, 'blk': false,
+       |       'sp': $z, 'sn': $z, 'pp': $z, 'ev': ''},
+       |      list_sort(list({'sym': symbol, 'rn': rn, 'price': price,
+       |                      'blk': blk, 'sp': $z, 'sn': $z, 'pp': $z,
+       |                      'ev': ''}))
+       |    ),
+       |    (a, x) -> CASE
+       |      WHEN x.rn = 1 THEN ${step(z, z, fireEv)}
+       |      WHEN NOT x.blk AND greatest($z, a.sp + $ret) >= $lam THEN
+       |        ${step(z, s"least($z, a.sn + $ret)", fireEv)}
+       |      WHEN NOT x.blk AND least($z, a.sn + $ret) <= -$lam THEN
+       |        ${step(s"greatest($z, a.sp + $ret)", z, fireEv)}
+       |      ELSE
+       |        ${step(s"greatest($z, a.sp + $ret)", s"least($z, a.sn + $ret)", "a.ev")}
+       |    END
+       |  ) AS st
+       |  FROM p
+       |),
+       |ev AS (
+       |  SELECT CAST(string_split(e, ':')[1] AS BIGINT) AS symbol,
+       |         CAST(string_split(e, ':')[2] AS BIGINT) AS rn
+       |  FROM (
+       |    SELECT unnest(string_split(ltrim(st.ev, ','), ',')) AS e
+       |    FROM folded WHERE st.ev <> ''
+       |  )
        |)""".stripMargin
   }
 }
