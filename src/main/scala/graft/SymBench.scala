@@ -23,9 +23,13 @@ import org.apache.spark.sql.SparkSession
 object SymBench {
   private val keyed = Seq(
     "f_rsi_wilder14_sym", "tbm_labels_sym", "label_weights_sym",
-    "label_concurrency_sym", "time_bars_directional_sym")
+    "label_concurrency_sym", "time_bars_directional_sym",
+    // the sequential keyed machines: per-symbol reset kernels on the
+    // key-shuffled scan — parallelism IS the key dimension
+    "cusum_events_sym", "volume_imbalance_bars_sym")
   private val singleSeries = Seq(
-    "f_rsi_wilder14", "tbm_labels", "label_weights", "label_concurrency")
+    "f_rsi_wilder14", "tbm_labels", "label_weights", "label_concurrency",
+    "cusum_events", "volume_imbalance_bars")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -34,7 +38,12 @@ object SymBench {
       .split(",").map(_.trim.toInt).toSeq
     // single-series first: the heavy keyed queries leave GC debris that
     // would otherwise inflate the small order-total runs measured after them
-    val names = singleSeries ++ keyed
+    // SPARK_GRAFT_SYM_QUERIES (csv) subsets a line-of-record run to the
+    // queries under study — full sweeps on the fixture are long
+    val subset = sys.env.get("SPARK_GRAFT_SYM_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val names = (singleSeries ++ keyed)
+      .filter(n => subset.forall(_.contains(n)))
     def dirFor(name: String): String =
       if (name.endsWith("_sym")) fixture.getOrElse(sfDir) else sfDir
 

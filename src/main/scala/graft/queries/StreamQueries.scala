@@ -198,6 +198,28 @@ object StreamQueries {
     * split, so the cross-batch handoff is exercised across the whole key
     * space rather than one pinned key.
     */
+  /** [[splitTradeFileStream]] with the REAL symbol column — the fixture
+    * for keyed per-symbol state machines (every symbol's stream straddles
+    * the two-batch split).
+    */
+  private def splitKeyedTradeFileStream(s: SparkSession, dir: String,
+                                        tmpName: String): DataFrame = {
+    val trades = Trades.fromEvents(graft.Tables.events(s, dir))
+      .select(col("ts"), col("id"), col("price"), col("qty"), col("symbol"))
+    val mid = trades.agg(expr("percentile_approx(ts, 0.5)")).head().getLong(0)
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"), tmpName)
+      .getAbsolutePath
+    val p = new org.apache.hadoop.fs.Path(tmp)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val t0 = System.currentTimeMillis()
+    writeOneFile(trades.where(col("ts") <= mid), tmp, "a_early", t0 - 40000)
+    writeOneFile(trades.where(col("ts") > mid), tmp, "b_late", t0 - 20000)
+    s.readStream.schema(trades.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(tmp + "/*")
+  }
+
   private def splitKeyedSidedFileStream(s: SparkSession, dir: String,
                                         tmpName: String): DataFrame = {
     val sided = Trades.withTickRuleSide(
@@ -831,6 +853,28 @@ object StreamQueries {
         .select(col("ts"), col("id"), r6(col("price")).as("price"))
     }),
 
+    // Keyed streaming CUSUM: cusumStream is per-symbol by construction
+    // (groupByKey(symbol)) — this gate feeds it the REAL symbols, so one
+    // CUSUM state machine runs live per symbol with every per-symbol
+    // stream straddling the two-batch split (cusum_events_sym's oracle
+    // verbatim). The machine has no equal-ts block rule; parity with the
+    // batch kernel is data-safe because the unkeyed streaming gate's
+    // single-key run already proves the canonical trades carry no
+    // consecutive equal-ts prints (per-symbol blocks are a subset).
+    "streaming_cusum_events_sym" -> ((s, dir) => {
+      import s.implicits._
+      val src = splitKeyedTradeFileStream(s, dir,
+        s"graft_gate_stream_cussym_$runId").as[StreamingBars.TradeIn]
+      drain(StreamingBars.cusumStream(src, 2.0).toDF(),
+        "gate_stream_cusum_sym")
+        .where(col("isEvent"))
+        .select(col("symbol"), col("ts"), col("id"))
+        .join(Trades.fromEvents(graft.Tables.events(s, dir))
+          .select("ts", "id", "price"), Seq("ts", "id"))
+        .select(col("symbol"), col("ts"), col("id"),
+          r6(col("price")).as("price"))
+    }),
+
     // Streaming INTEGRITY ALERTS: per-symbol time-gap + id-gap monitoring
     // as trades arrive (the live shape of the batch inspect_gaps /
     // id-gap scans a 100 TB ingest runs next to its writers). The fixture
@@ -926,6 +970,7 @@ object StreamQueries {
       ScanQueries.oracles("volume_imbalance_bars_sym"),
     "streaming_dollar_run_bars" -> ScanQueries.oracles("dollar_run_bars"),
     "streaming_cusum_events" -> ScanQueries.oracles("cusum_events"),
+    "streaming_cusum_events_sym" -> ScanQueries.oracles("cusum_events_sym"),
 
     // both alert kinds recomputed with per-symbol lag windows; the stream
     // emits time_gap before id_gap for a pair that trips both, and the
