@@ -33,6 +33,15 @@ object ScanQueries {
   private def trades(s: org.apache.spark.sql.SparkSession, dir: String) =
     Trades.fromEvents(Tables.events(s, dir))
 
+  // Keyed threshold-bar twins: per-symbol streams are ~1/150th of the
+  // unkeyed stream, so the thresholds scale down to yield O(3-100)
+  // complete bars per symbol across sf0.01..sf0.1. Fractional parts keep
+  // every compared cum off the 0.1-qty / 3-decimal-price·qty grids at
+  // every multiple — the same tie-safety arguments as volThr/dolThr.
+  private[queries] val symTickThr = 20
+  private[queries] val symVolThr = 60.037
+  private[queries] val symDolThr = 2000.06170771
+
   // Imbalance/run-bar expectations (the reference declares these indexers
   // but raises NotImplementedError — parameters are ours, documented):
   // EWMA weights and seeds chosen so the sf0.01 corpus yields O(100) bars
@@ -161,6 +170,35 @@ object ScanQueries {
           r6(col("close")).as("close"), r6(col("volume")).as("volume"),
           col("trades"))),
 
+    // Keyed threshold-bar twins — the 100 TB layout for the three simple
+    // event-bar indexers: counts/cums restart per symbol, the scan
+    // shuffles by key instead of single-partitioning the stream, bar ids
+    // are per-symbol sequences.
+    "tick_bars_20_sym" -> ((s, dir) =>
+      EventBars.tickBarsOhlcv(trades(s, dir), symTickThr, Seq("symbol"))
+        .select(col("symbol"), col("bar_id"), col("bar_ts"),
+          r6(col("open")).as("open"), r6(col("high")).as("high"),
+          r6(col("low")).as("low"), r6(col("close")).as("close"),
+          r6(col("volume")).as("volume"), col("trades"),
+          r6(col("median_trade_size")).as("median_trade_size"),
+          r6(col("vwap")).as("vwap"))),
+
+    "volume_bars_60_sym" -> ((s, dir) =>
+      EventBars.completeBars(
+          EventBars.volumeBarIds(trades(s, dir), symVolThr, Seq("symbol")),
+          Seq("symbol"))
+        .select(col("symbol"), col("bar_id"), col("bar_ts"),
+          r6(col("open")).as("open"), r6(col("close")).as("close"),
+          r6(col("volume")).as("volume"), col("trades"))),
+
+    "dollar_bars_2k_sym" -> ((s, dir) =>
+      EventBars.completeBars(
+          EventBars.dollarBarIds(trades(s, dir), symDolThr, Seq("symbol")),
+          Seq("symbol"))
+        .select(col("symbol"), col("bar_id"), col("bar_ts"),
+          r6(col("open")).as("open"), r6(col("close")).as("close"),
+          r6(col("volume")).as("volume"), col("trades"))),
+
     // Symmetric CUSUM event filter (constant threshold) — reset-state scan
     "cusum_events" -> ((s, dir) =>
       EventBars.cusumEventIds(
@@ -252,6 +290,28 @@ object ScanQueries {
           r6(col("high")).as("high"), r6(col("low")).as("low"),
           r6(col("close")).as("close"), r6(col("volume")).as("volume"),
           col("trades"))
+    }),
+
+    // Keyed CUSUM bars — per-symbol event boundaries (constant λ like
+    // cusum_events_sym; the keyed window assigns bar k = trades in
+    // (event_{k-1}, event_k] within the symbol, trailing partials drop).
+    "cusum_bars_sym" -> ((s, dir) => {
+      val ev = EventBars.cusumEventIds(
+          trades(s, dir).withColumn("sigma", lit(2.0)), "sigma", 1.0, 1e-12,
+          keyCols = Seq("symbol"))
+        .drop("sigma")
+      val before = Window.partitionBy("symbol").orderBy("ts", "id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ids = ev.withColumn("bar_id",
+        coalesce(sum(col("is_event").cast("long")).over(before), lit(0L)))
+      val complete = ids.groupBy("symbol", "bar_id")
+        .agg(max(col("is_event")).as("__closed")).where(col("__closed"))
+      EventBars.ohlcvByBarId(ids.where(col("bar_id") >= 1), Seq("symbol"))
+        .join(complete.select("symbol", "bar_id"), Seq("symbol", "bar_id"))
+        .select(col("symbol"), col("bar_id"), col("bar_ts"),
+          r6(col("open")).as("open"), r6(col("high")).as("high"),
+          r6(col("low")).as("low"), r6(col("close")).as("close"),
+          r6(col("volume")).as("volume"), col("trades"))
     }),
 
     // TICK IMBALANCE bars (§2.4 `_imbalance_bar_indexer` — declared but
@@ -436,9 +496,96 @@ object ScanQueries {
        |FROM bars GROUP BY bar_id""".stripMargin
   }
 
+  /** Keyed [[thresholdBarsOracle]]: per-symbol prefix sums and a single
+    * recursive CTE advancing every symbol's close chain independently
+    * (each recursion step finds the next close for each still-active
+    * symbol; depth = max bars per symbol). Mirrors the kernel's key-run
+    * reset: each symbol's row 1 is the excluded seed trade whose measure
+    * still primes the first bar's cum, exactly like the unkeyed row 0.
+    */
+  private def symThresholdBarsOracle(measure: String, thr: Double,
+                                     carry: Boolean): String = {
+    val cond = if (carry) s"pre - c.k * ${D(thr)}" else "pre - c.cpre"
+    s"""WITH RECURSIVE $tradesCte,
+       |p AS (
+       |  SELECT ts, id, price, qty, symbol,
+       |         row_number() OVER (PARTITION BY symbol ORDER BY ts, id) AS rn,
+       |         sum($measure) OVER (PARTITION BY symbol ORDER BY ts, id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre
+       |  FROM trades
+       |),
+       |closes AS (
+       |  SELECT symbol, CAST(0 AS BIGINT) AS k, CAST(1 AS BIGINT) AS crn,
+       |         CAST(0.0 AS DOUBLE) AS cpre
+       |  FROM (SELECT DISTINCT symbol FROM trades)
+       |  UNION ALL
+       |  SELECT c.symbol, c.k + 1, nx.rn, nx.pre
+       |  FROM closes c JOIN p nx ON nx.symbol = c.symbol AND nx.rn = (
+       |    SELECT min(rn) FROM p
+       |    WHERE p.symbol = c.symbol AND rn > c.crn AND $cond >= ${D(thr)}
+       |  )
+       |),
+       |bars AS (
+       |  SELECT p.symbol, c1.k - 1 AS bar_id, p.ts, p.id, p.price, p.qty
+       |  FROM p, closes c0, closes c1
+       |  WHERE c0.symbol = p.symbol AND c1.symbol = p.symbol
+       |    AND c1.k = c0.k + 1 AND p.rn > c0.crn AND p.rn <= c1.crn
+       |)
+       |SELECT CAST(symbol AS BIGINT) AS symbol, CAST(bar_id AS BIGINT) AS bar_id,
+       |  max(ts) AS bar_ts,
+       |  ${rd("first(price ORDER BY ts, id)")} AS open,
+       |  ${rd("last(price ORDER BY ts, id)")} AS close,
+       |  ${rd("sum(qty)")} AS volume,
+       |  CAST(count(*) AS BIGINT) AS trades
+       |FROM bars GROUP BY symbol, bar_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "volume_bars_2k" -> thresholdBarsOracle("qty", volThr, carry = false),
     "dollar_bars_200k" -> thresholdBarsOracle("price * qty", dolThr, carry = true),
+    "volume_bars_60_sym" -> symThresholdBarsOracle("qty", symVolThr, carry = false),
+    "dollar_bars_2k_sym" -> symThresholdBarsOracle("price * qty", symDolThr, carry = true),
+
+    "tick_bars_20_sym" ->
+      s"""WITH $tradesCte,
+         |ids AS (
+         |  SELECT *, rn0 // $symTickThr AS bar_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY symbol ORDER BY ts, id) - 1 AS rn0 FROM trades
+         |  ) WHERE rn0 >= 1
+         |)
+         |SELECT CAST(symbol AS BIGINT) AS symbol, bar_id, max(ts) AS bar_ts,
+         |       ${rd("first(price ORDER BY ts, id)")} AS open,
+         |       ${rd("max(price)")} AS high, ${rd("min(price)")} AS low,
+         |       ${rd("last(price ORDER BY ts, id)")} AS close, ${rd("sum(qty)")} AS volume,
+         |       CAST(count(*) AS BIGINT) AS trades,
+         |       ${rd("median(qty)")} AS median_trade_size,
+         |       ${rd("sum(price * qty) / sum(qty)")} AS vwap
+         |FROM ids GROUP BY symbol, bar_id
+         |HAVING count(*) = $symTickThr OR (bar_id = 0 AND count(*) = ${symTickThr - 1})""".stripMargin,
+
+    "cusum_bars_sym" ->
+      s"""WITH $tradesCte,
+         |${symCusumConstFoldCtes(2.0, 1.0, 1e-12)},
+         |withids AS (
+         |  SELECT p.symbol, p.ts, p.id, p.price, p.qty, p.rn,
+         |         (ev.rn IS NOT NULL) AS is_event,
+         |         coalesce(sum(CASE WHEN ev.rn IS NOT NULL THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY p.symbol ORDER BY p.rn
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bar_id
+         |  FROM p LEFT JOIN ev ON p.symbol = ev.symbol AND p.rn = ev.rn
+         |),
+         |complete AS (
+         |  SELECT symbol, bar_id FROM withids WHERE bar_id >= 1
+         |  GROUP BY symbol, bar_id HAVING bool_or(is_event)
+         |)
+         |SELECT CAST(w.symbol AS BIGINT) AS symbol, CAST(w.bar_id AS BIGINT) AS bar_id,
+         |  max(w.ts) AS bar_ts,
+         |  ${rd("first(w.price ORDER BY w.ts, w.id)")} AS open,
+         |  ${rd("max(w.price)")} AS high, ${rd("min(w.price)")} AS low,
+         |  ${rd("last(w.price ORDER BY w.ts, w.id)")} AS close,
+         |  ${rd("sum(w.qty)")} AS volume,
+         |  CAST(count(*) AS BIGINT) AS trades
+         |FROM withids w JOIN complete c ON w.symbol = c.symbol AND w.bar_id = c.bar_id
+         |GROUP BY w.symbol, w.bar_id""".stripMargin,
     "ewma_scan" ->
       s"""WITH $tradesCte,
          |lw AS (
