@@ -777,6 +777,41 @@ object StreamQueries {
           col("trades"))
     }),
 
+    // The other two measure cells of the streaming value machines —
+    // batch oracle texts verbatim, same fixture/drain shape.
+    "streaming_dollar_imbalance_bars" -> ((s, dir) => {
+      import s.implicits._
+      val src = splitSidedFileStream(s, dir, s"graft_gate_stream_dimb_$runId")
+        .as[StreamingBars.SidedSymIn]
+      val ids = drain(
+        StreamingBars.valueImbalanceBarStream(src, dollar = true,
+          ScanQueries.imbAlphaT, ScanQueries.imbAlphaB,
+          ScanQueries.imbInitT, ScanQueries.dolImbInitB).toDF(),
+        "gate_stream_dimb_ids")
+      graft.bars.EventBars.completeBars(withTradeData(ids, s, dir))
+        .select(col("bar_id"), col("bar_ts"), r6(col("open")).as("open"),
+          r6(col("high")).as("high"), r6(col("low")).as("low"),
+          r6(col("close")).as("close"), r6(col("volume")).as("volume"),
+          col("trades"))
+    }),
+
+    "streaming_volume_run_bars" -> ((s, dir) => {
+      import s.implicits._
+      val src = splitSidedFileStream(s, dir, s"graft_gate_stream_vrun_$runId")
+        .as[StreamingBars.SidedSymIn]
+      val ids = drain(
+        StreamingBars.valueRunBarStream(src, dollar = false,
+          ScanQueries.runAlphaT, ScanQueries.runAlphaP, ScanQueries.valAlphaV,
+          ScanQueries.runInitT, ScanQueries.runInitP,
+          ScanQueries.volRunInitV).toDF(),
+        "gate_stream_vrun_ids")
+      graft.bars.EventBars.completeBars(withTradeData(ids, s, dir))
+        .select(col("bar_id"), col("bar_ts"), r6(col("open")).as("open"),
+          r6(col("high")).as("high"), r6(col("low")).as("low"),
+          r6(col("close")).as("close"), r6(col("volume")).as("volume"),
+          col("trades"))
+    }),
+
     // KEYED streaming volume-imbalance bars: ~150 REAL symbols, one
     // machine state each, every per-symbol stream straddling the batch
     // split — volume_imbalance_bars_sym's oracle verbatim. This is the
@@ -969,6 +1004,8 @@ object StreamQueries {
     "streaming_volume_imbalance_bars_sym" ->
       ScanQueries.oracles("volume_imbalance_bars_sym"),
     "streaming_dollar_run_bars" -> ScanQueries.oracles("dollar_run_bars"),
+    "streaming_dollar_imbalance_bars" -> ScanQueries.oracles("dollar_imbalance_bars"),
+    "streaming_volume_run_bars" -> ScanQueries.oracles("volume_run_bars"),
     "streaming_cusum_events" -> ScanQueries.oracles("cusum_events"),
     "streaming_cusum_events_sym" -> ScanQueries.oracles("cusum_events_sym"),
 
