@@ -127,7 +127,8 @@ object PlanAudit {
       "volume_imbalance_bars" -> resetKernel,
       "dollar_imbalance_bars" -> resetKernel,
       "volume_run_bars" -> resetKernel, "dollar_run_bars" -> resetKernel,
-      "tick_size_gcd" -> limited,
+      "tick_size_gcd" -> limited, "tick_size_median_legacy" -> limited,
+      "z_peaks_5m" -> barGrid, "z_peaks_slack" -> barGrid,
       "integrity_ts_order" -> boundedRollup)
 
     var bad = 0

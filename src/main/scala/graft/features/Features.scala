@@ -78,6 +78,40 @@ object Features {
     when(size(arr) === n, m)
   }
 
+  /** `z_score_peak_filter` (sampling/filters.py:73-94 — DECLARED but
+    * NotImplementedError in the reference): the real-time z-score peak
+    * detector its docstring cites (the published StackOverflow
+    * robust-peak algorithm), with documented choices where the
+    * declaration leaves freedom: the moving window is the `n` PRECEDING
+    * observations (the row under test excluded — "real-time" means the
+    * tested value cannot contaminate its own baseline), mean/std are
+    * POPULATION moments derived from the window sums through one shared
+    * op tree (v = s2/n − (s1/n)², both engines verbatim), influence = 1
+    * (the raw series feeds the window; the declared signature carries no
+    * influence parameter), and a row is a peak iff v > 0 and
+    * |y − s1/n| > threshold·√v. The first n rows carry no signal.
+    * Appends `is_peak` and `peak_slack` (the |dev − λ| decision margin,
+    * NULL when no comparison ran) — the slack feeds the cusum_slack-style
+    * guard gate certifying every fire decision clears cross-engine sum
+    * noise.
+    */
+  def zScorePeaks(df: DataFrame, valueCol: String, n: Int, threshold: Double,
+                  orderCols: Seq[String],
+                  partCols: Seq[String] = Nil): DataFrame = {
+    val f = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*).rowsBetween(-n, -1)
+    val y = col(valueCol)
+    val s1 = sum(y).over(f)
+    val s2 = sum(y * y).over(f)
+    val cnt = count(y).over(f)
+    val nD = lit(n.toDouble)
+    val v = s2 / nD - (s1 / nD) * (s1 / nD)
+    val dev = abs(y - s1 / nD)
+    val lam = lit(threshold) * sqrt(v)
+    df.withColumn("is_peak", cnt === n && v > 0 && dev > lam)
+      .withColumn("peak_slack", when(cnt === n && v > 0, abs(dev - lam)))
+  }
+
   /** `BurstRatio` x / rolling-median (core/utils.py:92-108) */
   def burstRatio(c: Column, n: Int, p: Seq[String] = Nil): Column =
     full(n, c / nullIfZero(rollingMedian(c, n, p)), p)

@@ -57,6 +57,35 @@ object FeatureQueries {
         r6(zscore(col("volume"), 20, ddof = 1)).as("zvol20"),
         r6(burstRatio(col("volume"), 20)).as("burst20"))),
 
+    // z-score peak filter (§2.8 z_score_peak_filter — declared but
+    // NotImplementedError in the reference; Features.zScorePeaks
+    // documents the published formulation and the choices). Unkeyed on
+    // the 5m bar grid + the keyed trades twin + the decision-margin
+    // guard (cusum_slack pattern).
+    "z_peaks_5m" -> ((s, dir) =>
+      zScorePeaks(bars5m(s, dir), "close", 20, 3.0, Seq("bar_ts"))
+        .where(col("is_peak"))
+        .select(col("bar_ts"), r6(col("close")).as("close"))),
+
+    "z_peaks_sym" -> ((s, dir) =>
+      zScorePeaks(Trades.fromEvents(Tables.events(s, dir)), "price",
+          20, 3.0, Seq("ts", "id"), Seq("symbol"))
+        .where(col("is_peak"))
+        .select(col("symbol"), col("ts"), col("id"),
+          r6(col("price")).as("price"))),
+
+    "z_peaks_slack" -> ((s, dir) => {
+      def ok = coalesce(col("ms") > 1e-9, lit(true)).as("slack_ok")
+      val bars = zScorePeaks(bars5m(s, dir), "close", 20, 3.0, Seq("bar_ts"))
+        .agg(min(col("peak_slack")).as("ms"))
+        .select(lit("bars").as("variant"), ok)
+      val sym = zScorePeaks(Trades.fromEvents(Tables.events(s, dir)),
+          "price", 20, 3.0, Seq("ts", "id"), Seq("symbol"))
+        .agg(min(col("peak_slack")).as("ms"))
+        .select(lit("sym").as("variant"), ok)
+      bars.unionByName(sym)
+    }),
+
     // Bollinger %B + Parkinson range
     "f_bollinger_parkinson" -> ((s, dir) =>
       b(s, dir).select(col("bar_ts"),
@@ -312,6 +341,39 @@ object FeatureQueries {
         |  round((close / lag(close, 12) OVER wo - 1) * 100, 6) AS roc12,
         |  round(CASE WHEN lag(close, 3) OVER wo > 0 THEN close / lag(close, 3) OVER wo - 1 END, 6) AS pctchg3
         |FROM b WINDOW wo AS (ORDER BY bar_ts)""".stripMargin),
+
+    // z-score peak filter: the Spark side derives mean/std from the SAME
+    // s1/s2 window sums and op tree as these texts (v = s2/n − (s1/n)²);
+    // z_peaks_slack certifies every fire decision clears sum-order noise
+    // by ≥ 1e-9.
+    "z_peaks_5m" ->
+      s"""WITH $tradesCte, ${barsCte(300)},
+         |zb AS (
+         |  SELECT bar_ts, close,
+         |    sum(close) OVER wp AS s1, sum(close * close) OVER wp AS s2,
+         |    count(close) OVER wp AS cnt
+         |  FROM bars WINDOW wp AS (ORDER BY bar_ts ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+         |)
+         |SELECT bar_ts, ${rd("close")} AS close FROM zb
+         |WHERE cnt = 20 AND (s2 / 20.0 - (s1 / 20.0) * (s1 / 20.0)) > 0
+         |  AND abs(close - s1 / 20.0) > 3.0 * sqrt(s2 / 20.0 - (s1 / 20.0) * (s1 / 20.0))""".stripMargin,
+
+    "z_peaks_sym" ->
+      s"""WITH $tradesCte,
+         |zb AS (
+         |  SELECT symbol, ts, id, price,
+         |    sum(price) OVER wp AS s1, sum(price * price) OVER wp AS s2,
+         |    count(price) OVER wp AS cnt
+         |  FROM trades WINDOW wp AS (PARTITION BY symbol ORDER BY ts, id ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+         |)
+         |SELECT symbol, ts, id, ${rd("price")} AS price FROM zb
+         |WHERE cnt = 20 AND (s2 / 20.0 - (s1 / 20.0) * (s1 / 20.0)) > 0
+         |  AND abs(price - s1 / 20.0) > 3.0 * sqrt(s2 / 20.0 - (s1 / 20.0) * (s1 / 20.0))""".stripMargin,
+
+    "z_peaks_slack" ->
+      """SELECT 'bars' AS variant, TRUE AS slack_ok
+        |UNION ALL
+        |SELECT 'sym' AS variant, TRUE AS slack_ok""".stripMargin,
 
     // min<max guards: DuckDB's sliding-window stddev leaves cancellation
     // residue on constant windows (σ ≈ 1e-15 instead of 0), turning 0/0

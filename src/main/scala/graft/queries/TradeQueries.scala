@@ -198,6 +198,12 @@ object TradeQueries {
     "tick_size_gcd" -> ((s, dir) =>
       Trades.tickSize(trades(s, dir)).select(r6(col("tick_size")).as("tick_size"))),
 
+    // Legacy median-diff tick size (§2.2 comp_price_tick_size_old) — kept
+    // alongside the GCD variant for reference completeness.
+    "tick_size_median_legacy" -> ((s, dir) =>
+      Trades.tickSizeLegacy(trades(s, dir))
+        .select(r6(col("tick_size")).as("tick_size"))),
+
     // END-TO-END store round-trip (§2.1 save_h5 → catalog): canonical
     // trades are WRITTEN through Store.saveMonthly (month-partitioned zstd
     // parquet, dynamic overwrite) and read back; the catalog over the
@@ -698,6 +704,19 @@ object TradeQueries {
          |)
          |SELECT ${rd("list_reduce(list_transform(ds, d -> CAST(round(d * scale) AS BIGINT)), (a, b) -> gcd(a, b)) / scale")} AS tick_size
          |FROM scaled""".stripMargin,
+
+    "tick_size_median_legacy" ->
+      s"""WITH $tradesCte,
+         |sample AS (SELECT DISTINCT round(price, 12) AS p
+         |           FROM (SELECT price FROM trades ORDER BY ts, id LIMIT 10000)),
+         |diffs AS (
+         |  SELECT np - p AS d FROM (
+         |    SELECT p, lead(p) OVER (ORDER BY p) AS np FROM sample)
+         |  WHERE np IS NOT NULL AND np > p
+         |),
+         |m AS (SELECT median(d) AS pts FROM diffs)
+         |SELECT ${rd("CASE WHEN pts IS NULL OR pts = 0.0 THEN 0.0 ELSE floor(pts * pow(10.0, 1.0 - floor(log10(abs(pts)))) + 0.5) / pow(10.0, 1.0 - floor(log10(abs(pts)))) END")} AS tick_size
+         |FROM m""".stripMargin,
 
     "catalog_months" -> catalogSql,
     "store_compact_catalog" -> catalogSql,

@@ -263,4 +263,30 @@ object Trades {
       .agg(graft.functions.Aggs.gcd_agg(col("di")).as("g"))
       .select((col("g").cast("double") / col("scale")).as("tick_size"))
   }
+
+  /** LEGACY tick-size estimate — `comp_price_tick_size_old`
+    * (bar/utils.py:84-126): median of the sorted-unique-price diffs over
+    * the first-10k sample, rounded to 2 significant digits. The adaptive
+    * rounding is written as the explicit floor(x·10^nd + 0.5)/10^nd op
+    * tree (half-up; documented delta from Python's banker's round) so
+    * Spark and the DuckDB oracle share one exactly-specified IEEE
+    * sequence — engine round() implementations fork on boundaries.
+    * Same sample/diff plan shape as [[tickSize]].
+    */
+  def tickSizeLegacy(trades: DataFrame): DataFrame = {
+    val sample = trades.orderBy("ts", "id").limit(10000)
+      .select(round(col("price"), 12).as("p")).distinct()
+    val diffs = sample
+      .select(col("p"), lead("p", 1).over(Window.orderBy("p")).as("np"))
+      .where(col("np").isNotNull && col("np") > col("p"))
+      .select((col("np") - col("p")).as("d"))
+    val nd = lit(1.0) - floor(log10(abs(col("pts")))) // 2 sig digits
+    diffs.agg(expr("median(d)").as("pts"))
+      .select(
+        when(col("pts").isNull || col("pts") === 0.0, lit(0.0))
+          .otherwise(
+            floor(col("pts") * pow(lit(10.0), nd) + lit(0.5)) /
+              pow(lit(10.0), nd))
+          .as("tick_size"))
+  }
 }
