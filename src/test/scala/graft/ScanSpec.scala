@@ -667,6 +667,62 @@ class ScanSpec extends AnyFunSuite {
     }
   }
 
+  test("z-score peak filter matches the sequential replay (filters.py:73-94)") {
+    // grid-valued series with injected spikes: decision margins are far
+    // from the sum-noise scale, so the boolean comparison is robust
+    val rnd = new scala.util.Random(7)
+    val base = Seq.fill(120)(100.0 + rnd.nextInt(9) * 0.5)
+    val prices = base.zipWithIndex.map { case (p, i) =>
+      if (i % 17 == 0 && i >= 20) p + 10.0 else p
+    }
+    val n = 5; val thr = 2.0
+    val t = tradesDf(Seq.fill(prices.size)(1.0), prices)
+    val got = graft.features.Features
+      .zScorePeaks(t, "price", n, thr, Seq("ts", "id"))
+      .orderBy("ts").select("is_peak").as[Boolean].collect().toSeq
+    val exp = prices.indices.map { i =>
+      if (i < n) false
+      else {
+        val w = prices.slice(i - n, i)
+        val s1 = w.sum; val s2 = w.map(y => y * y).sum
+        val m = s1 / n; val v = s2 / n - m * m
+        v > 0 && math.abs(prices(i) - m) > thr * math.sqrt(v)
+      }
+    }
+    assert(got == exp)
+    assert(exp.count(identity) > 0, "fixture must contain real peaks")
+  }
+
+  test("z-score peak filter resets per key (multi-symbol)") {
+    val prices = Seq(100.0, 100.5, 100.0, 100.5, 100.0, 112.0, 100.5, 100.0)
+    def df(sym: Long) = prices.zipWithIndex.map { case (p, i) =>
+      (1000000000L * (i + 1), sym * 100 + i, p, 1.0, sym)
+    }.toDF("ts", "id", "price", "qty", "symbol")
+    def peaks(d: DataFrame, keys: Seq[String]) = graft.features.Features
+      .zScorePeaks(d, "price", 5, 2.0, Seq("ts", "id"), keys)
+      .where(col("is_peak")).select("symbol", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val solo = peaks(df(0L), Nil) ++ peaks(df(1L), Nil)
+    val merged = peaks(df(0L).union(df(1L)), Seq("symbol"))
+    assert(merged == solo && merged.nonEmpty)
+  }
+
+  test("legacy tick size: median of unique diffs, 2 significant digits") {
+    // unique prices {100.00, 100.01, 100.03, 100.06, 100.10} → diffs
+    // {.01,.02,.03,.04} → median .025 → nd = 1−floor(log10(.025)) = 3 →
+    // floor(25.5)/1000 = 0.025
+    val t = tradesDf(Seq.fill(5)(1.0),
+      Seq(100.0, 100.01, 100.03, 100.06, 100.10))
+    val got = graft.trades.Trades.tickSizeLegacy(t)
+      .select("tick_size").as[Double].head()
+    assert(math.abs(got - 0.025) < 1e-12)
+    // no price variation → 0.0 (bar/utils.py:104-106)
+    val flat = tradesDf(Seq.fill(4)(1.0), Seq.fill(4)(42.0))
+    val z = graft.trades.Trades.tickSizeLegacy(flat)
+      .select("tick_size").as[Double].head()
+    assert(z == 0.0)
+  }
+
   test("windowed EWMA converges to the exact recursion") {
     val rnd = new scala.util.Random(3)
     val prices = Seq.fill(800)(50.0 + rnd.nextDouble() * 100)
