@@ -910,6 +910,24 @@ object StreamQueries {
           r6(col("price")).as("price"))
     }),
 
+    // Keyed streaming z-score peaks: the published algorithm's native
+    // real-time shape (StreamingBars.zPeakStream) over the real symbols,
+    // each per-symbol window straddling the two-batch split —
+    // z_peaks_sym's oracle verbatim.
+    "streaming_z_peaks_sym" -> ((s, dir) => {
+      import s.implicits._
+      val src = splitKeyedTradeFileStream(s, dir,
+        s"graft_gate_stream_zpk_$runId").as[StreamingBars.TradeIn]
+      drain(StreamingBars.zPeakStream(src, 20, 3.0).toDF(),
+        "gate_stream_zpeaks")
+        .where(col("isPeak"))
+        .select(col("symbol"), col("ts"), col("id"))
+        .join(Trades.fromEvents(graft.Tables.events(s, dir))
+          .select("ts", "id", "price"), Seq("ts", "id"))
+        .select(col("symbol"), col("ts"), col("id"),
+          r6(col("price")).as("price"))
+    }),
+
     // Streaming INTEGRITY ALERTS: per-symbol time-gap + id-gap monitoring
     // as trades arrive (the live shape of the batch inspect_gaps /
     // id-gap scans a 100 TB ingest runs next to its writers). The fixture
@@ -1008,6 +1026,7 @@ object StreamQueries {
     "streaming_volume_run_bars" -> ScanQueries.oracles("volume_run_bars"),
     "streaming_cusum_events" -> ScanQueries.oracles("cusum_events"),
     "streaming_cusum_events_sym" -> ScanQueries.oracles("cusum_events_sym"),
+    "streaming_z_peaks_sym" -> FeatureQueries.oracles("z_peaks_sym"),
 
     // both alert kinds recomputed with per-symbol lag windows; the stream
     // emits time_gap before id_gap for a pair that trips both, and the

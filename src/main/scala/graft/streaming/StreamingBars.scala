@@ -195,6 +195,12 @@ object StreamingBars {
   case class CusumOut(symbol: Long, ts: Long, id: Long, isEvent: Boolean)
   case class CusumState(sPos: Double, sNeg: Double, prevPrice: Double, seen: Boolean)
 
+  case class ZPeakOut(symbol: Long, ts: Long, id: Long, isPeak: Boolean)
+  /** Last n raw observations, oldest first (influence = 1 keeps the raw
+    * series as the baseline — see Features.zScorePeaks).
+    */
+  case class ZPeakState(window: List[Double])
+
   /** pandas-ewm(span, adjust=True) recursion as a per-symbol streaming state
     * machine — u/v are the geometric numerator/denominator sums, exactly the
     * batch scan's state (Ewm.ewmaExact).
@@ -875,6 +881,39 @@ object StreamingBars {
             CusumOut(symbol, r.ts, r.id, event)
           }
           state.update(s)
+          out.iterator
+      }
+  }
+
+  /** z-score peak filter as a per-symbol streaming state machine — the
+    * streaming twin of Features.zScorePeaks and the published algorithm's
+    * NATIVE real-time shape: state carries the last n raw observations;
+    * each arriving row is tested against the preceding window's
+    * population moments (the same s1/s2 op tree, summed oldest-first like
+    * the batch frame), then enters the window (influence = 1). No signal
+    * until a symbol has n prior rows.
+    */
+  def zPeakStream(trades: Dataset[TradeIn], n: Int,
+                  threshold: Double): Dataset[ZPeakOut] = {
+    import trades.sparkSession.implicits._
+    trades
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (symbol: Long, rows: Iterator[TradeIn], state: GroupState[ZPeakState]) =>
+          var buf = state.getOption.map(_.window).getOrElse(Nil)
+          val out = rows.toArray.sortBy(r => (r.ts, r.id)).map { r =>
+            var peak = false
+            if (buf.size == n) {
+              var s1 = 0.0; var s2 = 0.0
+              buf.foreach { y => s1 += y; s2 += y * y }
+              val m = s1 / n
+              val v = s2 / n - m * m
+              peak = v > 0 && math.abs(r.price - m) > threshold * math.sqrt(v)
+            }
+            buf = (buf :+ r.price).takeRight(n)
+            ZPeakOut(symbol, r.ts, r.id, peak)
+          }
+          state.update(ZPeakState(buf))
           out.iterator
       }
   }

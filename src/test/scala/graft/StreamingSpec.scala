@@ -546,6 +546,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming z-score peaks equal the batch preceding-window filter") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[TradeIn]
+    val q = StreamingBars.zPeakStream(ms.toDS(), n = 5, threshold = 2.0)
+      .writeStream.format("memory").queryName("zpk_out")
+      .outputMode("append").start()
+    val data = trades(60)
+    // split mid-window: rows 0-11 arrive a batch before 12-59, so the
+    // state window straddles the micro-batch boundary
+    ms.addData(data.take(12)); q.processAllAvailable()
+    ms.addData(data.drop(12)); q.processAllAvailable()
+    val streamed = spark.table("zpk_out").where(col("isPeak"))
+      .orderBy("ts").collect().map(_.getAs[Long]("ts")).toSeq
+    q.stop()
+    val batch = graft.features.Features
+      .zScorePeaks(data.toDF(), "price", 5, 2.0, Seq("ts", "id"), Seq("symbol"))
+      .where(col("is_peak")).orderBy("ts")
+      .collect().map(_.getAs[Long]("ts")).toSeq
+    assert(streamed == batch)
+  }
+
   test("state-machine bars survive cross-batch handoff through a multi-FILE source") {
     // the driver gates feed one data file (one batch); this pins the
     // harder path — time-split parquet files arriving as separate
