@@ -147,7 +147,11 @@ object StreamBench {
               .as[StreamingBars.SidedSymIn], dollar = true,
             alphaT = 0.05, alphaP = 0.05, alphaV = 0.05,
             initT = 20.0, initP = 0.5, initV = 290.0)
-            .toDF()))
+            .toDF()),
+        "z_peaks" -> (() =>
+          StreamingBars.zPeakStream(
+            src.select("ts", "id", "price", "qty", "symbol")
+              .as[StreamingBars.TradeIn], 20, 3.0).toDF()))
 
       val times = streams.map { case (name, mk) =>
         val ckpt = java.nio.file.Files
