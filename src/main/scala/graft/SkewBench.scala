@@ -112,6 +112,9 @@ object SkewBench {
         }
         s"${kind}_$layout" -> secs.min
       }
+      // stop per iteration (like SymBench/StreamBench): getOrCreate would
+      // otherwise return the previous local[N] session and mislabel cells
+      spark.stop()
       (cpus, cells)
     }
 

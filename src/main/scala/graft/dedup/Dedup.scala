@@ -358,12 +358,18 @@ object Dedup {
   }
 
   /** Fold tombstones into a physical rewrite: the active rows land as a
-    * FRESH bucketed table (same layout as [[writeLshIndex]]) and the
-    * tombstone table is dropped. `newTable` must differ from `table` —
-    * Spark cannot atomically rewrite a table it is scanning (the path
-    * wipe would race the read); production swaps the reader over by name
-    * (view/catalog rename), the same versioned-swap every large-scale
-    * index rebuild uses.
+    * FRESH bucketed table (same layout as [[writeLshIndex]]). `newTable`
+    * must differ from `table` — Spark cannot atomically rewrite a table
+    * it is scanning (the path wipe would race the read); production
+    * swaps the reader over by name (view/catalog rename), the same
+    * versioned-swap every large-scale index rebuild uses.
+    *
+    * The OLD table's tombstones stay intact (mirroring
+    * [[graft.ml.Similarity.ivfCompact]]): until the reader swap lands,
+    * probes still hit the old name, and dropping tombstones here would
+    * make [[activeLshIndex]](old) revert to the raw index — taken-down
+    * (PII/DMCA) docs would resurface in that window. Call
+    * [[dropLshTombstones]] on the old table AFTER the swap.
     */
   def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
                       table: String, newTable: String, path: String,
@@ -372,8 +378,15 @@ object Dedup {
       "compactLshIndex rewrites into a NEW table (versioned swap)")
     graft.sources.Store.saveBucketed(activeLshIndex(spark, table),
       newTable, path, buckets, Seq("bucket"), Seq("bucket", "base_id"))
-    spark.sql(s"DROP TABLE IF EXISTS ${lshTombstoneTable(table)}")
   }
+
+  /** Post-swap cleanup: drop the old index's tombstone table once no
+    * reader resolves the old name. Separate from [[compactLshIndex]] so
+    * taken-down docs can never resurface between compact and swap.
+    */
+  def dropLshTombstones(spark: org.apache.spark.sql.SparkSession,
+                        table: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS ${lshTombstoneTable(table)}")
 
   /** Quality-prioritized canonical selection over near-dup clusters — the
     * keep decision production corpus dedup ships (keep the BEST document
@@ -606,7 +619,11 @@ object Dedup {
     // round's files stay valid — checkpointed RDDs remember their own
     // path; the global dir only steers FUTURE checkpoint calls) and
     // expose the retained run dir so callers can delete it once the
-    // returned frame is consumed or re-persisted
+    // returned frame is consumed or re-persisted. CAVEAT: when the caller
+    // had NO checkpoint dir set, it stays pointed at cc_<uuid>/round_<last>
+    // — Spark has no unset API (SparkContext.setCheckpointDir takes no
+    // None). Callers that care compare getCheckpointDir against
+    // lastCcCheckpointDir and re-point it themselves.
     if (ccRunDir.isDefined) {
       priorCkptDir.foreach(spark.sparkContext.setCheckpointDir)
       Dedup.lastCcCheckpointDir = ccRunDir

@@ -485,7 +485,8 @@ object DocQueries {
     // base_ids: the oracle recomputes the incremental pairs on the
     // FILTERED corpus, so a stale band row leaking through is a hash
     // mismatch, not a silent wrong answer. Physical compaction
-    // (compactLshIndex: rewrite + tombstone drop) is pinned in DedupSpec.
+    // (compactLshIndex: rewrite, tombstones kept until the post-swap
+    // dropLshTombstones) is pinned in StoreSpec.
     "dedup_incremental_store_delete" -> ((s, dir) => {
       val (base, delta) = incrementalSplit(s, dir)
       val name = s"graft_gate_dedup_idxd_${StreamQueries.runId}"

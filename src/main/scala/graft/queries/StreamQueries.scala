@@ -149,7 +149,8 @@ object StreamQueries {
     * sentinels are needed because the machines emit as they fold.
     */
   private def splitTradeFileStream(s: SparkSession, dir: String,
-                                   tmpName: String): DataFrame = {
+                                   tmpName: String,
+                                   flush: Boolean = false): DataFrame = {
     val trades = Trades.fromEvents(graft.Tables.events(s, dir))
       .select(col("ts"), col("id"), col("price"), col("qty"),
         lit(0L).as("symbol"))
@@ -162,6 +163,12 @@ object StreamQueries {
     val t0 = System.currentTimeMillis()
     writeOneFile(trades.where(col("ts") <= mid), tmp, "a_early", t0 - 40000)
     writeOneFile(trades.where(col("ts") > mid), tmp, "b_late", t0 - 20000)
+    if (flush)
+      // one far-future heartbeat row flushes a lookahead-1 machine's
+      // pending tail; the heartbeat itself stays pending and never emits
+      writeOneFile(s.range(1).select(lit(sentinelNs).as("ts"),
+        lit(9000000000L).as("id"), lit(1.0).as("price"),
+        lit(1.0).as("qty"), lit(0L).as("symbol")), tmp, "c_flush", t0 - 10000)
     s.readStream.schema(trades.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(tmp + "/*")
@@ -203,7 +210,8 @@ object StreamQueries {
     * the two-batch split).
     */
   private def splitKeyedTradeFileStream(s: SparkSession, dir: String,
-                                        tmpName: String): DataFrame = {
+                                        tmpName: String,
+                                        flush: Boolean = false): DataFrame = {
     val trades = Trades.fromEvents(graft.Tables.events(s, dir))
       .select(col("ts"), col("id"), col("price"), col("qty"), col("symbol"))
     val mid = trades.agg(expr("percentile_approx(ts, 0.5)")).head().getLong(0)
@@ -215,6 +223,13 @@ object StreamQueries {
     val t0 = System.currentTimeMillis()
     writeOneFile(trades.where(col("ts") <= mid), tmp, "a_early", t0 - 40000)
     writeOneFile(trades.where(col("ts") > mid), tmp, "b_late", t0 - 20000)
+    if (flush)
+      // one far-future heartbeat row PER SYMBOL flushes every per-symbol
+      // lookahead-1 tail; heartbeats themselves stay pending, never emit
+      writeOneFile(trades.select(col("symbol")).distinct()
+        .select(lit(sentinelNs).as("ts"),
+          (lit(9000000000L) + col("symbol")).as("id"), lit(1.0).as("price"),
+          lit(1.0).as("qty"), col("symbol")), tmp, "c_flush", t0 - 10000)
     s.readStream.schema(trades.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(tmp + "/*")
@@ -877,7 +892,8 @@ object StreamQueries {
     // verbatim (λ = max(1·2.0, 1e-12) = 2.0).
     "streaming_cusum_events" -> ((s, dir) => {
       import s.implicits._
-      val src = splitTradeFileStream(s, dir, s"graft_gate_stream_cus_$runId")
+      val src = splitTradeFileStream(s, dir, s"graft_gate_stream_cus_$runId",
+          flush = true)
         .as[StreamingBars.TradeIn]
       drain(StreamingBars.cusumStream(src, 2.0).toDF(),
         "gate_stream_cusum")
@@ -892,14 +908,15 @@ object StreamQueries {
     // (groupByKey(symbol)) — this gate feeds it the REAL symbols, so one
     // CUSUM state machine runs live per symbol with every per-symbol
     // stream straddling the two-batch split (cusum_events_sym's oracle
-    // verbatim). The machine has no equal-ts block rule; parity with the
-    // batch kernel is data-safe because the unkeyed streaming gate's
-    // single-key run already proves the canonical trades carry no
-    // consecutive equal-ts prints (per-symbol blocks are a subset).
+    // verbatim). The machine carries the batch kernel's equal-ts block
+    // rule via a one-row lookahead held in state; each symbol's final
+    // real row is flushed by the per-symbol heartbeat file (flush=true),
+    // and the join back to canonical trades drops the heartbeats.
     "streaming_cusum_events_sym" -> ((s, dir) => {
       import s.implicits._
       val src = splitKeyedTradeFileStream(s, dir,
-        s"graft_gate_stream_cussym_$runId").as[StreamingBars.TradeIn]
+          s"graft_gate_stream_cussym_$runId", flush = true)
+        .as[StreamingBars.TradeIn]
       drain(StreamingBars.cusumStream(src, 2.0).toDF(),
         "gate_stream_cusum_sym")
         .where(col("isEvent"))

@@ -193,7 +193,10 @@ object StreamingBars {
   case class EwmaOut(symbol: Long, ts: Long, id: Long, ewma: Double)
   case class EwState(u: Double, v: Double)
   case class CusumOut(symbol: Long, ts: Long, id: Long, isEvent: Boolean)
-  case class CusumState(sPos: Double, sNeg: Double, prevPrice: Double, seen: Boolean)
+  case class CusumState(sPos: Double, sNeg: Double, prevPrice: Double,
+                        seen: Boolean, hasPend: Boolean = false,
+                        pendTs: Long = 0L, pendId: Long = 0L,
+                        pendPrice: Double = 0.0)
 
   case class ZPeakOut(symbol: Long, ts: Long, id: Long, isPeak: Boolean)
   /** Last n raw observations, oldest first (influence = 1 keeps the raw
@@ -507,10 +510,17 @@ object StreamingBars {
     // throwing (BigDecimal.valueOf rejects NaN/∞; longValueExact overflows
     // past ~9.2e12). One pathological print must degrade the same way in
     // both engines, not kill the streaming query (round-7 advice).
-    if (java.lang.Double.isNaN(x) || x.isInfinite || math.abs(x) >= 1e12) 0L
-    else java.math.BigDecimal.valueOf(x)
-      .setScale(6, java.math.RoundingMode.HALF_UP)
-      .movePointRight(6).longValueExact()
+    if (java.lang.Double.isNaN(x) || x.isInfinite) 0L
+    else {
+      // guard the ROUNDED value, not the input: x ∈ [1e12 − 5e-7, 1e12)
+      // rounds UP to 1e12.000000, which overflows decimal(18,6)'s 12
+      // integer digits — the batch cast NULLs it, so the clamp boundary
+      // must be the post-setScale magnitude to match exactly
+      val r = java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+      if (r.abs.compareTo(java.math.BigDecimal.valueOf(1e12)) >= 0) 0L
+      else r.movePointRight(6).longValueExact()
+    }
 
   /** micro-units back to double — the same nearest-double the decimal's
     * `toDouble` yields (long→double is exact below 2^53; one correctly
@@ -856,7 +866,17 @@ object StreamingBars {
 
   /** Symmetric CUSUM event filter (constant threshold) as a per-symbol
     * streaming state machine — the streaming twin of
-    * EventBars.cusumEventIds' batch scan.
+    * EventBars.cusumEventIds' batch scan, INCLUDING the reference's
+    * equal-timestamp block rule (bar/logic.py:207-209: no event can fire
+    * inside an equal-ts print block; only the block's last print decides).
+    *
+    * Last-of-block needs one row of lookahead, so the machine holds the
+    * newest row per symbol back in state and decides it when its
+    * successor arrives (possibly in a later micro-batch). Consequence: a
+    * symbol's FINAL row stays pending until another row for that symbol
+    * shows up — drain-style consumers flush it with a per-symbol
+    * far-future heartbeat row (the gates' sentinel-file pattern);
+    * always-on deployments flush naturally on the next trade.
     */
   def cusumStream(trades: Dataset[TradeIn], threshold: Double): Dataset[CusumOut] = {
     import trades.sparkSession.implicits._
@@ -864,23 +884,40 @@ object StreamingBars {
       .groupByKey(_.symbol)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (symbol: Long, rows: Iterator[TradeIn], state: GroupState[CusumState]) =>
-          var s = state.getOption.getOrElse(CusumState(0.0, 0.0, Double.NaN, seen = false))
-          val out = rows.toArray.sortBy(r => (r.ts, r.id)).map { r =>
+          val s0 = state.getOption.getOrElse(
+            CusumState(0.0, 0.0, Double.NaN, seen = false))
+          // (ts, id, price): the held-back row rejoins the head of the
+          // batch — its block membership is decidable against the first
+          // arrival; the batch's own last row becomes the new pending
+          val seq = (if (s0.hasPend) Array((s0.pendTs, s0.pendId, s0.pendPrice))
+                     else Array.empty[(Long, Long, Double)]) ++
+            rows.toArray.sortBy(r => (r.ts, r.id)).map(r => (r.ts, r.id, r.price))
+          var sPos = s0.sPos; var sNeg = s0.sNeg
+          var prevPrice = s0.prevPrice; var seen = s0.seen
+          val out = (0 until math.max(0, seq.length - 1)).map { i =>
+            val (ts, id, price) = seq(i)
+            val inBlock = seq(i + 1)._1 == ts
             var event = false
-            if (!s.seen) {
-              s = CusumState(0.0, 0.0, r.price, seen = true)
-              event = true // first row opens, like the batch kernel
+            if (!seen) {
+              seen = true; event = true // first row opens, like the batch kernel
             } else {
-              val ret = math.log(r.price / s.prevPrice)
-              var sPos = math.max(0.0, s.sPos + ret)
-              var sNeg = math.min(0.0, s.sNeg + ret)
-              if (sPos >= threshold) { event = true; sPos = 0.0 }
-              else if (sNeg <= -threshold) { event = true; sNeg = 0.0 }
-              s = CusumState(sPos, sNeg, r.price, seen = true)
+              val ret = math.log(price / prevPrice)
+              sPos = math.max(0.0, sPos + ret)
+              sNeg = math.min(0.0, sNeg + ret)
+              if (!inBlock) {
+                if (sPos >= threshold) { event = true; sPos = 0.0 }
+                else if (sNeg <= -threshold) { event = true; sNeg = 0.0 }
+              }
             }
-            CusumOut(symbol, r.ts, r.id, event)
+            prevPrice = price
+            CusumOut(symbol, ts, id, event)
           }
-          state.update(s)
+          val pend = seq.lastOption
+          state.update(CusumState(sPos, sNeg, prevPrice, seen,
+            hasPend = pend.isDefined,
+            pendTs = pend.map(_._1).getOrElse(0L),
+            pendId = pend.map(_._2).getOrElse(0L),
+            pendPrice = pend.map(_._3).getOrElse(0.0)))
           out.iterator
       }
   }

@@ -337,13 +337,16 @@ class StoreSpec extends AnyFunSuite {
       assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(plan).isDefined,
         s"tombstone set was not broadcast:\n$plan")
 
-      // compaction: physical rewrite into a fresh table + tombstones gone.
-      // capture the active view BEFORE compacting — dropping the tombstone
-      // table reverts activeLshIndex(tbl) to the raw (undeleted) index
-      val expected = Dedup.activeLshIndex(spark, tbl)
-        .orderBy("bucket", "base_id").collect().toSeq
+      // compaction: physical rewrite into a fresh table; the OLD table's
+      // tombstones survive until the post-swap dropLshTombstones, so
+      // probes against the old name never see taken-down docs resurface
       Dedup.compactLshIndex(spark, tbl, tbl + "_v2", dir + "/idx_v2",
         buckets = 4)
+      assert(spark.catalog.tableExists(Dedup.lshTombstoneTable(tbl)),
+        "tombstones must outlive compaction (reader-swap window)")
+      val expected = Dedup.activeLshIndex(spark, tbl)
+        .orderBy("bucket", "base_id").collect().toSeq
+      Dedup.dropLshTombstones(spark, tbl)
       assert(!spark.catalog.tableExists(Dedup.lshTombstoneTable(tbl)))
       val compacted = spark.table(tbl + "_v2")
         .orderBy("bucket", "base_id").collect().toSeq

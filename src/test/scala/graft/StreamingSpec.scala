@@ -534,8 +534,11 @@ class StreamingSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("cusum_out")
       .outputMode("append").start()
     val data = trades(60)
+    // lookahead-1 machine: a far-future heartbeat flushes the final real
+    // row's pending decision (the heartbeat itself stays pending)
+    val flush = TradeIn(9e18.toLong, 99999L, 1.0, 1.0, 0L)
     ms.addData(data.take(17)); q.processAllAvailable()
-    ms.addData(data.drop(17)); q.processAllAvailable()
+    ms.addData(data.drop(17) :+ flush); q.processAllAvailable()
     val streamed = spark.table("cusum_out").where(col("isEvent"))
       .orderBy("ts").collect().map(_.getAs[Long]("ts")).toSeq
     q.stop()
@@ -544,6 +547,41 @@ class StreamingSpec extends AnyFunSuite {
       .where(col("is_event")).orderBy("ts")
       .collect().map(_.getAs[Long]("ts")).toSeq
     assert(streamed == batch)
+  }
+
+  test("streaming CUSUM honors the equal-ts block rule across a batch split") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[TradeIn]
+    val q = StreamingBars.cusumStream(ms.toDS(), threshold = 0.02)
+      .writeStream.format("memory").queryName("cusum_blk_out")
+      .outputMode("append").start()
+    // rows 3-5 share one timestamp with a big move at the block head: the
+    // fire decision must defer to the block's LAST print (logic.py:207-209)
+    val t0 = 1700000000000000000L
+    val data = Seq(
+      TradeIn(t0, 0L, 100.0, 1.0, 0L),
+      TradeIn(t0 + 1000L, 1L, 100.1, 1.0, 0L),
+      TradeIn(t0 + 2000L, 2L, 105.0, 1.0, 0L), // +4.8% crosses alone
+      TradeIn(t0 + 3000L, 3L, 111.0, 1.0, 0L), // block head: crosses but…
+      TradeIn(t0 + 3000L, 4L, 110.0, 1.0, 0L), // …must wait…
+      TradeIn(t0 + 3000L, 5L, 104.0, 1.0, 0L), // …for the block tail
+      TradeIn(t0 + 4000L, 6L, 104.1, 1.0, 0L))
+    val flush = TradeIn(9e18.toLong, 99999L, 1.0, 1.0, 0L)
+    // split INSIDE the equal-ts block: rows 0-4 then 5-6 (+ flush)
+    ms.addData(data.take(5)); q.processAllAvailable()
+    ms.addData(data.drop(5) :+ flush); q.processAllAvailable()
+    val streamed = spark.table("cusum_blk_out")
+      .orderBy("ts", "id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Boolean]("isEvent"))).toSeq
+    q.stop()
+    val batch = EventBars.cusumEventIds(
+      data.toDF().withColumn("sigma", lit(0.02)), "sigma", 1.0, 1e-12)
+      .orderBy("ts", "id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Boolean]("is_event"))).toSeq
+    assert(streamed == batch)
+    // the rule actually bit: block head (id=3) suppressed, tail may fire
+    assert(streamed.find(_._1 == 3L).exists(!_._2),
+      "block-head print must not fire inside an equal-ts block")
   }
 
   test("streaming z-score peaks equal the batch preceding-window filter") {
