@@ -125,6 +125,8 @@ object PlanAudit {
       "tick_bars_300" -> resetKernel,
       "imbalance_bars" -> resetKernel, "run_bars" -> resetKernel,
       "volume_imbalance_bars" -> resetKernel,
+      // same machine as volume_imbalance_bars, reconstructed from JSON
+      "bar_config_roundtrip" -> resetKernel,
       "dollar_imbalance_bars" -> resetKernel,
       "volume_run_bars" -> resetKernel, "dollar_run_bars" -> resetKernel,
       "tick_size_gcd" -> limited, "tick_size_median_legacy" -> limited,

@@ -117,13 +117,13 @@ object Dsl {
     */
   private val registry = new java.util.concurrent.ConcurrentHashMap[
     String,
-    (Seq[Column], Seq[Double], Map[String, Double], Map[String, String]) => Column]()
+    (Seq[Column], Seq[Double], Map[String, Double], Map[String, String], Seq[String]) => Column]()
 
   /** Register a unary no-parameter function (serialized args/kwargs and
     * extra inputs are rejected loudly).
     */
   def register(name: String, f: Column => Column): Unit =
-    registry.put(name, (cs, args, kw, skw) => {
+    registry.put(name, (cs, args, kw, skw, _) => {
       require(cs.length == 1 && args.isEmpty && kw.isEmpty && skw.isEmpty,
         s"DSL function '$name' is unary with no parameters, got " +
           s"${cs.length} inputs, args=$args, kwargs=$kw, skwargs=$skw")
@@ -132,7 +132,7 @@ object Dsl {
 
   /** Register a unary function with positional numeric parameters. */
   def registerParam(name: String, f: (Column, Seq[Double]) => Column): Unit =
-    registry.put(name, (cs, args, kw, skw) => {
+    registry.put(name, (cs, args, kw, skw, _) => {
       require(cs.length == 1 && kw.isEmpty && skw.isEmpty,
         s"DSL function '$name' is unary/positional, got ${cs.length} " +
           s"inputs, kwargs=$kw, skwargs=$skw")
@@ -146,7 +146,7 @@ object Dsl {
     */
   def registerExt(name: String,
       f: (Seq[Column], Seq[Double], Map[String, Double]) => Column): Unit =
-    registry.put(name, (cs, args, kw, skw) => {
+    registry.put(name, (cs, args, kw, skw, _) => {
       require(skw.isEmpty,
         s"DSL function '$name' takes no string kwargs, got $skw")
       f(cs, args, kw)
@@ -160,7 +160,29 @@ object Dsl {
     */
   def registerExtFull(name: String,
       f: (Seq[Column], Seq[Double], Map[String, Double], Map[String, String]) => Column): Unit =
+    registry.put(name, (cs, args, kw, skw, _) => f(cs, args, kw, skw))
+
+  /** Windowed registration: like [[registerExtFull]] but the function
+    * also receives the pipeline's partition columns (compile's `p`), so
+    * stateful/window transforms join the serializable surface with the
+    * same keyed layout as the built-in rolls.
+    */
+  def registerWindowed(name: String,
+      f: (Seq[Column], Seq[Double], Map[String, Double], Map[String, String], Seq[String]) => Column): Unit =
     registry.put(name, f)
+
+  // Built-in windowed transforms beyond the FRoll grammar — registered
+  // here so every engine instance resolves them without gate-side setup
+  // (the reference ships its transform registry the same way,
+  // feature/utils.py:132-303). zscore_peaks: the z_score_peak_filter
+  // decision flag as a 0/1 double (Features.zScorePeaksCol), kwargs
+  // n (window) and threshold.
+  registerWindowed("zscore_peaks", (cs, args, kw, skw, p) => {
+    require(cs.length == 1 && args.isEmpty && skw.isEmpty,
+      s"zscore_peaks(x, n=, threshold=): got ${cs.length} inputs, " +
+        s"args=$args, skwargs=$skw")
+    Features.zScorePeaksCol(cs.head, kw("n").toInt, kw("threshold"), p)
+  })
 
   /** Multi-input call builder (the `input_cols: Sequence[str]` shape). */
   def call(fn: String, inputs: Seq[Feature], args: Seq[Double] = Nil,
@@ -169,7 +191,7 @@ object Dsl {
     Feature(FCall(fn, inputs.map(_.spec), args, kwargs, skwargs))
 
   private def resolveCall(name: String)
-      : (Seq[Column], Seq[Double], Map[String, Double], Map[String, String]) => Column = {
+      : (Seq[Column], Seq[Double], Map[String, Double], Map[String, String], Seq[String]) => Column = {
     val f = registry.get(name)
     require(f != null, s"unregistered DSL function '$name'")
     f
@@ -228,7 +250,7 @@ object Dsl {
     case FRoll("burst", x, n)  => Features.burstRatio(compile(x, p), n, p)
     case FRoll(op, _, _)       => throw new IllegalArgumentException(s"roll op $op")
     case FCall(fn, xs, as, kw, skw) =>
-      resolveCall(fn)(xs.map(compile(_, p)), as, kw.toMap, skw.toMap)
+      resolveCall(fn)(xs.map(compile(_, p)), as, kw.toMap, skw.toMap, p)
   }
 
   /** The `FeatureKit.build` equivalent: retained columns ∪ one aliased

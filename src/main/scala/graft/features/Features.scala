@@ -112,6 +112,24 @@ object Features {
       .withColumn("peak_slack", when(cnt === n && v > 0, abs(dev - lam)))
   }
 
+  /** [[zScorePeaks]]' decision flag as a pure Column on the feature
+    * library's canonical bar_ts ordering — the DSL-registrable form
+    * (`zscore_peaks` in [[Dsl]]'s registry): 1.0 where the row is a peak,
+    * 0.0 otherwise (incl. the first n warm-up rows), same s1/s2 op tree
+    * as the DataFrame version so the two share one oracle text.
+    */
+  def zScorePeaksCol(y: Column, n: Int, threshold: Double,
+                     p: Seq[String] = Nil): Column = {
+    val f = w(p).rowsBetween(-n, -1)
+    val s1 = sum(y).over(f)
+    val s2 = sum(y * y).over(f)
+    val cnt = count(y).over(f)
+    val nD = lit(n.toDouble)
+    val v = s2 / nD - (s1 / nD) * (s1 / nD)
+    (cnt === n && v > 0 && abs(y - s1 / nD) > lit(threshold) * sqrt(v))
+      .cast("double")
+  }
+
   /** `BurstRatio` x / rolling-median (core/utils.py:92-108) */
   def burstRatio(c: Column, n: Int, p: Seq[String] = Nil): Column =
     full(n, c / nullIfZero(rollingMedian(c, n, p)), p)

@@ -222,7 +222,10 @@ object FeatureQueries {
         Dsl.call("wavg", Seq(Dsl.col("high"), Dsl.col("low")),
           kwargs = Seq("w0" -> 0.3, "w1" -> 0.7)),
         Dsl.call("scl", Seq(Dsl.col("close")),
-          kwargs = Seq("k" -> 2.0), skwargs = Seq("mode" -> "sqrt")))
+          kwargs = Seq("k" -> 2.0), skwargs = Seq("mode" -> "sqrt")),
+        // built-in windowed registration (round-8 op): the z-score peak
+        // flag rides the same slack-certified 20/3.0 config as z_peaks_5m
+        Dsl.col("close").callKw("zscore_peaks", "n" -> 20.0, "threshold" -> 3.0))
       val parsed = Dsl.fromJson(Dsl.toJson(feats))
       require(parsed.map(_.spec) == feats.map(_.spec), "dsl json round-trip drift")
       val built = Dsl.build(bars5m(s, dir).withColumn("bar_ts", col("bar_ts")),
@@ -560,10 +563,15 @@ object FeatureQueries {
          |  round(${fullCase(20, "quantile_cont(volume, 0.5) OVER wn")}, 6) AS "volume_median_20",
          |  round(pow(close, 2.0), 6) AS "powc(close,2)",
          |  round(high * 0.3e0 + low * 0.7e0, 6) AS "wavg(high,low,w0=0.3,w1=0.7)",
-         |  round(sqrt(close * 2.0e0), 6) AS "scl(close,k=2,mode=sqrt)"
+         |  round(sqrt(close * 2.0e0), 6) AS "scl(close,k=2,mode=sqrt)",
+         |  round(CASE WHEN count(close) OVER wp = 20
+         |    AND (sum(close * close) OVER wp / 20.0 - (sum(close) OVER wp / 20.0) * (sum(close) OVER wp / 20.0)) > 0
+         |    AND abs(close - sum(close) OVER wp / 20.0) > 3.0 * sqrt(sum(close * close) OVER wp / 20.0 - (sum(close) OVER wp / 20.0) * (sum(close) OVER wp / 20.0))
+         |    THEN 1.0e0 ELSE 0.0e0 END, 6) AS "zscore_peaks(close,n=20,threshold=3)"
          |FROM b WINDOW
          |  wn AS (ORDER BY bar_ts ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
-         |  wo AS (ORDER BY bar_ts)""".stripMargin),
+         |  wo AS (ORDER BY bar_ts),
+         |  wp AS (ORDER BY bar_ts ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)""".stripMargin),
 
     "f_cusum_break" -> withB(
       """, c0 AS (

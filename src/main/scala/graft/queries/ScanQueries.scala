@@ -358,6 +358,30 @@ object ScanQueries {
     "dollar_imbalance_bars" ->
       valueImbalanceQuery(dollar = true, dolImbInitB),
 
+    // Bar-config round-trip (§2.10 serialize-everything parity): the
+    // volume-imbalance machine reconstructed from its JSON config
+    // (BarSpec.fromJson ∘ toJson) must reproduce volume_imbalance_bars
+    // bit-for-bit — the gate shares that oracle text, so any config
+    // field dropped or misparsed in the codec is a hash mismatch.
+    "bar_config_roundtrip" -> ((s, dir) => {
+      import graft.features.BarSpec
+      val spec = BarSpec.ValueImbalanceBars(dollar = false, imbAlphaT,
+        imbAlphaB, imbInitT, volImbInitB)
+      val parsed = BarSpec.fromJson(spec.toJson)
+      require(parsed == spec && parsed.toJson == spec.toJson,
+        "bar config json round-trip drift")
+      val sided = Trades.withTickRuleSide(trades(s, dir))
+      val ids = parsed.build(sided)
+      val complete = ids.groupBy("bar_id")
+        .agg(max(col("bar_closed")).as("__closed")).where(col("__closed"))
+      EventBars.ohlcvByBarId(ids.where(col("bar_id") >= 0))
+        .join(complete.select("bar_id"), Seq("bar_id"))
+        .select(col("bar_id"), col("bar_ts"), r6(col("open")).as("open"),
+          r6(col("high")).as("high"), r6(col("low")).as("low"),
+          r6(col("close")).as("close"), r6(col("volume")).as("volume"),
+          col("trades"))
+    }),
+
     // VOLUME / DOLLAR RUN bars — AFML §2.3.2.2's value runs,
     // θ = max(Σ_buy v, Σ_sell v) vs E_T·max(P·E[v|buy], (1−P)·E[v|sell])
     // (EventBars.valueRunBarIds).
@@ -902,6 +926,12 @@ object ScanQueries {
          |$foldBarsSql""".stripMargin,
 
     "volume_imbalance_bars" ->
+      s"""WITH $tradesCte, $sidedCte,
+         |${valueImbalanceFoldCtes("qty", volImbInitB)},
+         |$foldBarsSql""".stripMargin,
+
+    // identical machine reconstructed from its JSON config — same oracle
+    "bar_config_roundtrip" ->
       s"""WITH $tradesCte, $sidedCte,
          |${valueImbalanceFoldCtes("qty", volImbInitB)},
          |$foldBarsSql""".stripMargin,

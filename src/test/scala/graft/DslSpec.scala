@@ -164,4 +164,64 @@ class DslSpec extends AnyFunSuite {
       Dsl.col("close").callKw("powc", "k" -> Double.PositiveInfinity)
     }
   }
+
+  test("built-in zscore_peaks resolves through JSON and matches zScorePeaks") {
+    import org.apache.spark.sql.functions.col
+    val df = (1 to 40).map(i =>
+        (i.toLong, if (i == 30) 50.0 else 10.0 + (i % 3) * 0.1))
+      .toDF("bar_ts", "close")
+    val feats = Seq(
+      Dsl.col("close").callKw("zscore_peaks", "n" -> 5.0, "threshold" -> 3.0))
+    val parsed = Dsl.fromJson(Dsl.toJson(feats))
+    assert(parsed.map(_.spec) == feats.map(_.spec))
+    assert(feats.head.name == "zscore_peaks(close,n=5,threshold=3)")
+    val viaDsl = Dsl.build(df, parsed, Seq("bar_ts")).orderBy("bar_ts")
+      .collect().map(_.getDouble(1)).toSeq
+    val direct = graft.features.Features
+      .zScorePeaks(df, "close", 5, 3.0, Seq("bar_ts"))
+      .orderBy("bar_ts").collect()
+      .map(r => if (r.getAs[Boolean]("is_peak")) 1.0 else 0.0).toSeq
+    assert(viaDsl == direct)
+    assert(viaDsl(29) == 1.0, "the spike row must flag as a peak")
+  }
+
+  test("BarSpec JSON round-trips losslessly for every machine kind") {
+    import graft.features.BarSpec
+    import graft.features.BarSpec._
+    val specs: Seq[BarSpec] = Seq(
+      TickBars(300), VolumeBars(2000.0), DollarBars(200000.0),
+      TickImbalanceBars(0.05, 0.05, 200.0, 0.05),
+      ValueImbalanceBars(dollar = false, 0.05, 0.05, 200.0, 0.3),
+      ValueImbalanceBars(dollar = true, 0.05, 0.05, 200.0, 20.0),
+      TickRunBars(0.05, 0.05, 200.0, 0.5),
+      ValueRunBars(dollar = true, 0.05, 0.05, 0.05, 200.0, 0.5, 200.0))
+    specs.foreach { sp =>
+      val parsed = BarSpec.fromJson(sp.toJson)
+      assert(parsed == sp, s"round-trip drift for $sp")
+      assert(parsed.toJson == sp.toJson)
+    }
+    intercept[IllegalArgumentException] {
+      BarSpec.fromJson("""{"bars":"mystery","threshold":1}""")
+    }
+    intercept[IllegalArgumentException] { VolumeBars(Double.NaN) }
+  }
+
+  test("BarSpec build dispatches to the same machine as direct EventBars") {
+    import graft.features.BarSpec
+    val trades = (1 to 120).map { i =>
+      (1700000000000000000L + i * 1000000000L, i.toLong,
+        100.0 + (i % 7) * 0.3 - (i % 3) * 0.2, 1.0 + (i % 4),
+        if (i % 2 == 0) 1 else -1)
+    }.toDF("ts", "id", "price", "qty", "side")
+    val spec = BarSpec.fromJson(
+      """{"bars":"value_imbalance","dollar":false,"alphaT":0.5,"alphaB":0.5,"initT":6,"initB":1}""")
+    val viaSpec = spec.build(trades).orderBy("ts", "id")
+      .select("id", "bar_id", "bar_closed").collect().toSeq
+    val direct = graft.bars.EventBars
+      .valueImbalanceBarIds(trades, dollar = false, 0.5, 0.5, 6.0, 1.0)
+      .orderBy("ts", "id").select("id", "bar_id", "bar_closed")
+      .collect().toSeq
+    assert(viaSpec == direct)
+    assert(viaSpec.exists(_.getBoolean(2)), "fixture must close at least one bar")
+  }
 }
