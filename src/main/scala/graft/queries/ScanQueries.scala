@@ -21,8 +21,8 @@ object ScanQueries {
   private val q = 1.0 - 2.0 / (span + 1.0) // 0.98019801...
   private val K = 1500                     // q^K ≈ 8e-14
   private val wK = 600                     // Wilder (13/14)^600 ≈ e^-44
-  private val hlSec = 3600.0
-  private val hlCutNs = 108000000000000L   // 30 half-lives in ns
+  private[queries] val hlSec = 3600.0
+  private[queries] val hlCutNs = 108000000000000L   // 30 half-lives in ns
   private[queries] val volThr = 2000.37             // off the 0.1-decimal qty grid
   // Carry-path comparisons sit at (k+1)·thr, so the fraction must stay off
   // the 3-decimal price·qty grid for EVERY multiple: 0.06170771 is coprime
@@ -887,14 +887,14 @@ object ScanQueries {
 
     "cusum_events_adaptive" ->
       s"""WITH $tradesCte,
-         |$cusumSigmaAdaptiveCte,
+         |${cusumSigmaAdaptiveCte()},
          |${cusumFoldCtes(2.0, 5e-4)}
          |SELECT p.ts, p.id, ${rd("p.price")} AS price, ${rd("p.sigma")} AS sigma
          |FROM p JOIN ev USING (rn)""".stripMargin,
 
     "cusum_bars" ->
       s"""WITH $tradesCte,
-         |$cusumSigmaAdaptiveCte,
+         |${cusumSigmaAdaptiveCte()},
          |${cusumFoldCtes(2.0, 5e-4)},
          |withids AS (
          |  SELECT p.ts, p.id, p.price, p.qty, p.rn,
@@ -1491,12 +1491,12 @@ object ScanQueries {
     * as the `ewmst_scan` oracle — tail < 1e-13, far inside the λ-comparison
     * margins observed on the synthetic data.
     */
-  private def cusumSigmaAdaptiveCte: String =
+  private[queries] def cusumSigmaAdaptiveCte(src: String = "trades"): String =
     s"""sa AS (
        |  SELECT ts, id, price, qty, ln(price) AS lp,
        |    CASE WHEN lag(ts) OVER (ORDER BY ts, id) IS NULL THEN NULL
        |         ELSE 1 - exp(-((ts - lag(ts) OVER (ORDER BY ts, id)) / 1e9) / ${D(hlSec)}) END AS alpha
-       |  FROM trades
+       |  FROM $src
        |),
        |slw AS (
        |  SELECT ts, id, price, qty,
@@ -1532,7 +1532,7 @@ object ScanQueries {
     * λ = max(mult·σ_ffilled, floor); equal-ts blocks cannot close; the
     * first σ-valid row opens the stream; only the breaching side resets.
     */
-  private def cusumFoldCtes(mult: Double, floor: Double): String = {
+  private[queries] def cusumFoldCtes(mult: Double, floor: Double): String = {
     val lam = s"greatest(${D(mult)} * coalesce(x.sig, a.ps), ${D(floor)})"
     val z = "CAST(0.0 AS DOUBLE)"
     val ret = "ln(x.price / a.pp)"
