@@ -236,7 +236,8 @@ object StreamQueries {
   }
 
   private def splitKeyedSidedFileStream(s: SparkSession, dir: String,
-                                        tmpName: String): DataFrame = {
+                                        tmpName: String,
+                                        sentinels: Boolean = false): DataFrame = {
     val sided = Trades.withTickRuleSide(
         Trades.fromEvents(graft.Tables.events(s, dir)), Seq("symbol"))
       .select(col("ts"), col("id"), col("price"), col("qty"),
@@ -250,6 +251,19 @@ object StreamQueries {
     val t0 = System.currentTimeMillis()
     writeOneFile(sided.where(col("ts") <= mid), tmp, "a_early", t0 - 40000)
     writeOneFile(sided.where(col("ts") > mid), tmp, "b_late", t0 - 20000)
+    if (sentinels) {
+      // two far-future single-row files advance the (GLOBAL) event-time
+      // watermark past every real bar + delay — watermarks lag one batch,
+      // so the second sentinel's batch finalizes everything; one symbol-0
+      // row per file suffices, timeouts fire for every key
+      def sentinel(ns: Long, id: Long) =
+        s.range(1).select(lit(ns).as("ts"), lit(id).as("id"),
+          lit(1.0).as("price"), lit(1.0).as("qty"), lit(0).as("side"),
+          lit(0L).as("symbol"))
+      writeOneFile(sentinel(sentinelNs, 9000000000L), tmp, "c_s1", t0 - 15000)
+      writeOneFile(sentinel(sentinelNs + 600000000000L, 9000000001L),
+        tmp, "d_s2", t0 - 10000)
+    }
     s.readStream.schema(sided.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(tmp + "/*")
@@ -268,6 +282,19 @@ object StreamQueries {
     // fresh attribute ids: the downstream two-pass OHLCV self-joins this
     // frame, and a memory-sink View in the lineage trips analyzer
     // reference-dedup ("conflicting references in Join")
+    s.createDataFrame(joined.rdd, joined.schema)
+  }
+
+  /** [[withTradeData]] keeping the machine's symbol — shared by the keyed
+    * threshold/imbalance/run streaming gates.
+    */
+  private def withKeyedTradeData(ids: DataFrame, s: SparkSession,
+                                 dir: String): DataFrame = {
+    val joined = ids.where(col("bar_id") >= 0)
+      .select(col("symbol"), col("ts"), col("id"), col("bar_id"),
+        col("bar_closed"))
+      .join(Trades.fromEvents(graft.Tables.events(s, dir))
+        .select("ts", "id", "price", "qty"), Seq("ts", "id"))
     s.createDataFrame(joined.rdd, joined.schema)
   }
 
@@ -841,15 +868,123 @@ object StreamQueries {
           ScanQueries.imbAlphaT, ScanQueries.imbAlphaB,
           ScanQueries.symImbInitT, ScanQueries.volImbInitB).toDF(),
         "gate_stream_vimbsym_ids")
-      val joined = ids.where(col("bar_id") >= 0)
-        .select(col("symbol"), col("ts"), col("id"), col("bar_id"),
-          col("bar_closed"))
-        .join(Trades.fromEvents(graft.Tables.events(s, dir))
-          .select("ts", "id", "price", "qty"), Seq("ts", "id"))
-      // fresh attribute ids — memory-sink View lineage vs the downstream
-      // two-pass OHLCV self-join (see withTradeData)
-      ScanQueries.keyedCompleteBars(
-        s.createDataFrame(joined.rdd, joined.schema))
+      ScanQueries.keyedCompleteBars(withKeyedTradeData(ids, s, dir))
+    }),
+
+    // Keyed streaming THRESHOLD bars (round-8 verdict ask #2): the
+    // tick/volume/dollar counter machines run one state per REAL symbol
+    // with every per-symbol stream straddling the two-batch split —
+    // tick_bars_20_sym / volume_bars_60_sym / dollar_bars_2k_sym oracle
+    // texts verbatim (the machines are per-symbol by construction;
+    // these gates stop pinning symbol = 0).
+    "streaming_tick_bars_sym" -> ((s, dir) => {
+      import s.implicits._
+      val src = splitKeyedTradeFileStream(s, dir,
+        s"graft_gate_stream_ticksym_$runId").as[StreamingBars.TradeIn]
+      val ids = drain(
+        StreamingBars.tickBarStream(src, ScanQueries.symTickThr).toDF(),
+        "gate_stream_ticksym_ids")
+      val thr = ScanQueries.symTickThr
+      graft.bars.EventBars.ohlcvByBarId(withKeyedTradeData(ids, s, dir),
+          Seq("symbol"))
+        .where(col("trades") === thr.toLong ||
+          (col("bar_id") === 0 && col("trades") === (thr - 1).toLong))
+        .select(col("symbol"), col("bar_id"), col("bar_ts"),
+          r6(col("open")).as("open"), r6(col("high")).as("high"),
+          r6(col("low")).as("low"), r6(col("close")).as("close"),
+          r6(col("volume")).as("volume"), col("trades"),
+          r6(col("median_trade_size")).as("median_trade_size"),
+          r6(col("vwap")).as("vwap"))
+    }),
+
+    "streaming_volume_bars_sym" -> ((s, dir) => {
+      import s.implicits._
+      val src = splitKeyedTradeFileStream(s, dir,
+        s"graft_gate_stream_volsym_$runId").as[StreamingBars.TradeIn]
+      val ids = drain(
+        StreamingBars.volumeBarStream(src, ScanQueries.symVolThr).toDF(),
+        "gate_stream_volsym_ids")
+      graft.bars.EventBars.completeBars(withKeyedTradeData(ids, s, dir),
+          Seq("symbol"))
+        .select(col("symbol"), col("bar_id"), col("bar_ts"),
+          r6(col("open")).as("open"), r6(col("close")).as("close"),
+          r6(col("volume")).as("volume"), col("trades"))
+    }),
+
+    "streaming_dollar_bars_sym" -> ((s, dir) => {
+      import s.implicits._
+      val src = splitKeyedTradeFileStream(s, dir,
+        s"graft_gate_stream_dolsym_$runId").as[StreamingBars.TradeIn]
+      val ids = drain(
+        StreamingBars.dollarBarStream(src, ScanQueries.symDolThr).toDF(),
+        "gate_stream_dolsym_ids")
+      graft.bars.EventBars.completeBars(withKeyedTradeData(ids, s, dir),
+          Seq("symbol"))
+        .select(col("symbol"), col("bar_id"), col("bar_ts"),
+          r6(col("open")).as("open"), r6(col("close")).as("close"),
+          r6(col("volume")).as("volume"), col("trades"))
+    }),
+
+    // Keyed streaming DIRECTIONAL state machine: per-symbol tick rule at
+    // ingest, one (prev-trade, open-bars) state per REAL symbol, daily
+    // bars finalized by the global watermark (far-future sentinels) —
+    // time_bars_directional_sym's oracle verbatim.
+    "streaming_directional_sym" -> ((s, dir) => {
+      import s.implicits._
+      val src = splitKeyedSidedFileStream(s, dir,
+          s"graft_gate_stream_dirsym_$runId", sentinels = true)
+        .as[StreamingBars.SidedSymIn]
+      val bars = StreamingBars.directionalStateStream(src, 86400,
+        watermarkDelay = "25 hours")
+      drain(bars.toDF(), "gate_stream_dir_sym")
+        .where(col("bar_ts") < sentinelNs)
+        .select(col("symbol"), col("bar_ts"), col("ticks_buy"),
+          col("ticks_sell"),
+          r6(col("volume_buy")).as("volume_buy"),
+          r6(col("volume_sell")).as("volume_sell"),
+          r6(col("mean_spread")).as("mean_spread"),
+          r6(col("max_spread")).as("max_spread"),
+          col("cum_ticks_min"), col("cum_ticks_max"))
+    }),
+
+    // Keyed streaming FOOTPRINT levels: the declarative per-(symbol, bar,
+    // level) grid over real symbols with per-symbol sides, daily bars —
+    // footprint_levels_sym's oracle verbatim (flags post-computed per
+    // symbol exactly like the batch twin).
+    "streaming_footprint_levels_sym" -> ((s, dir) => {
+      val src = splitKeyedSidedFileStream(s, dir,
+        s"graft_gate_stream_fplsym_$runId", sentinels = true)
+      val grid = drain(
+        StreamingBars.footprintStream(src, 86400, 0.01,
+          watermarkDelay = Some("1 minute")),
+        "gate_stream_fpl_sym")
+        .where(col("bar_ts") < sentinelNs)
+      graft.bars.Footprints.withImbalanceFlags(grid, 3.0, Seq("symbol"))
+        .select(col("symbol"), col("bar_ts"), col("level"),
+          r6(col("buy_volume")).as("buy_volume"),
+          r6(col("sell_volume")).as("sell_volume"),
+          col("buy_ticks"), col("sell_ticks"),
+          col("buy_imbalance"), col("sell_imbalance"))
+    }),
+
+    // Keyed streaming FOOTPRINT summary: one level grid per (symbol, bar)
+    // in state, full neighbor-dependent feature row at watermark
+    // finalization — footprint_summary_sym's oracle verbatim (the BigInt
+    // micro-unit sums are the batch summary's exact integer arithmetic).
+    "streaming_footprint_summary_sym" -> ((s, dir) => {
+      import s.implicits._
+      val src = splitKeyedSidedFileStream(s, dir,
+          s"graft_gate_stream_fpssym_$runId", sentinels = true)
+        .as[StreamingBars.SidedSymIn]
+      val out = StreamingBars.footprintSummaryStream(src, 86400, 0.01,
+        imbalanceFactor = 3.0, watermarkDelay = "25 hours")
+      drain(out.toDF(), "gate_stream_fps_sym")
+        .where(col("bar_ts") < sentinelNs)
+        .select(col("symbol"), col("bar_ts"),
+          col("buy_imbalances_sum"), col("sell_imbalances_sum"),
+          col("cot_price_level"), col("imb_max_run_signed"),
+          (r6(col("vp_skew")) + lit(0.0)).as("vp_skew"),
+          r6(col("vp_gini")).as("vp_gini"))
     }),
 
     // Streaming DOLLAR RUN bars: the value-run machine (buy/sell dollar
@@ -1031,6 +1166,15 @@ object StreamQueries {
     "streaming_tick_bars_300" -> ScanQueries.oracles("tick_bars_300"),
     "streaming_volume_bars_2k" -> ScanQueries.oracles("volume_bars_2k"),
     "streaming_dollar_bars_200k" -> ScanQueries.oracles("dollar_bars_200k"),
+    "streaming_tick_bars_sym" -> ScanQueries.oracles("tick_bars_20_sym"),
+    "streaming_volume_bars_sym" -> ScanQueries.oracles("volume_bars_60_sym"),
+    "streaming_dollar_bars_sym" -> ScanQueries.oracles("dollar_bars_2k_sym"),
+    "streaming_directional_sym" ->
+      TradeQueries.oracles("time_bars_directional_sym"),
+    "streaming_footprint_levels_sym" ->
+      FootprintQueries.oracles("footprint_levels_sym"),
+    "streaming_footprint_summary_sym" ->
+      FootprintQueries.oracles("footprint_summary_sym"),
     "streaming_ewma" -> ScanQueries.oracles("ewma_scan"),
     "streaming_imbalance_bars" -> ScanQueries.oracles("imbalance_bars"),
     "streaming_run_bars" -> ScanQueries.oracles("run_bars"),

@@ -108,7 +108,9 @@ object StreamingBars {
       tradesWithSide.withColumn("level", round(col("price") / tickSize).cast("int")),
       iv, watermarkDelay)
     marked
-      .groupBy(col("event_time"), col("bar_ts"), col("level"))
+      // symbol in the grouping: keyed gates run real symbols, unkeyed
+      // fixtures pin symbol = 0 (the column collapses to one value)
+      .groupBy(col("event_time"), col("symbol"), col("bar_ts"), col("level"))
       .agg(
         // decimal-exact volume sums, mirroring Footprints.build: these
         // volumes feed the imbalance comparisons and r6 normalization —
@@ -729,7 +731,7 @@ object StreamingBars {
   case class LevelAcc(buyVolMicros: Long, sellVolMicros: Long,
                       buyTicks: Long, sellTicks: Long)
   case class FpState(levels: Map[Int, LevelAcc])
-  case class FpSummaryOut(bar_ts: Long, buy_imbalances_sum: Long,
+  case class FpSummaryOut(symbol: Long, bar_ts: Long, buy_imbalances_sum: Long,
                           sell_imbalances_sum: Long, cot_price_level: Int,
                           imb_max_run_signed: Long, vp_skew: Double,
                           vp_gini: Double)
@@ -742,7 +744,8 @@ object StreamingBars {
     * pipeline (bar/base.py:755-850), computed in one walk over the sorted
     * levels of ONE bar (bounded by the bar's price range).
     */
-  private[streaming] def fpSummarize(barTs: Long, byLevel: Map[Int, LevelAcc],
+  private[streaming] def fpSummarize(symbol: Long, barTs: Long,
+                                     byLevel: Map[Int, LevelAcc],
                                      k: Double): FpSummaryOut = {
     val levels = byLevel.toArray.sortBy(_._1)
     val minL = levels.head._1
@@ -812,7 +815,7 @@ object StreamingBars {
     //   vwap = A/B, skew = (A − vwap·B)/B, gini = 1 − C/B²
     val aD = vA.toDouble; val bD = vB.toDouble; val cD = vC.toDouble
     val vwap = aD / bD
-    FpSummaryOut(barTs, buySum, sellSum, cot, bestLen * bestSgn,
+    FpSummaryOut(symbol, barTs, buySum, sellSum, cot, bestLen * bestSgn,
       (aD - vwap * bD) / bD, 1.0 - cD / (bD * bD))
   }
 
@@ -832,13 +835,16 @@ object StreamingBars {
     val based = withBarEventTime(trades.toDF(), iv, Some(watermarkDelay))
       .as[SidedSymBar]
     based
-      .groupByKey(_.bar_ts)
+      // (symbol, bar) state key: one grid per symbol per bar — the keyed
+      // gates run the real symbols, the unkeyed ones pin symbol = 0
+      .groupByKey(r => (r.symbol, r.bar_ts))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (barTs: Long, rows: Iterator[SidedSymBar], state: GroupState[FpState]) =>
+        (key: (Long, Long), rows: Iterator[SidedSymBar], state: GroupState[FpState]) =>
+          val (symbol, barTs) = key
           if (state.hasTimedOut) {
             val grid = state.get.levels
             state.remove()
-            Iterator.single(fpSummarize(barTs, grid, imbalanceFactor))
+            Iterator.single(fpSummarize(symbol, barTs, grid, imbalanceFactor))
           } else {
             var levels = state.getOption.map(_.levels).getOrElse(Map.empty[Int, LevelAcc])
             rows.foreach { r =>

@@ -112,7 +112,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("streaming footprint aggregation equals the batch (bar, level) sums") {
     implicit val sqlCtx = spark.sqlContext
-    val ms = MemoryStream[StreamingBars.SidedIn]
+    val ms = MemoryStream[StreamingBars.SidedSymIn]
     val q = StreamingBars.footprintStream(ms.toDF(), 300, 0.01,
         watermarkDelay = None)
       .writeStream.format("memory").queryName("fp_out")
@@ -120,8 +120,9 @@ class StreamingSpec extends AnyFunSuite {
     val data = trades(60)
     val sidedRows = graft.trades.Trades.withTickRuleSide(
         data.toDF().withColumnRenamed("symbol", "sym"))
-      .select("ts", "id", "price", "qty", "side")
-      .as[StreamingBars.SidedIn].collect().toSeq
+      .select(col("ts"), col("id"), col("price"), col("qty"),
+        col("side").cast("int").as("side"), lit(0L).as("symbol"))
+      .as[StreamingBars.SidedSymIn].collect().toSeq
     ms.addData(sidedRows.take(25)); q.processAllAvailable()
     ms.addData(sidedRows.drop(25)); q.processAllAvailable()
     val cols = Seq("bar_ts", "level", "buy_volume", "sell_volume",
