@@ -505,6 +505,81 @@ object DocQueries {
           r6(col("jaccard")).as("jaccard"))
     }),
 
+    // COMPOSED index lifecycle (round-8 verdict ask #4): write → APPEND an
+    // ingest batch → DELETE a takedown subset → COMPACT (versioned swap +
+    // post-swap tombstone drop) → PROBE the compacted table, as ONE gate.
+    // Each step is gated separately elsewhere; the composition is where
+    // ordering bugs live (the foreachBatch cache-staleness class). Oracle
+    // recomputes the incremental pairs on the surviving corpus: probe =
+    // odd-id delta, base = (train ∪ even-id delta) minus doc_id ≡ 0 (mod 7).
+    "dedup_index_lifecycle" -> ((s, dir) => {
+      val (base, delta) = incrementalSplit(s, dir)
+      val name = s"graft_gate_dedup_lc_${StreamQueries.runId}"
+      val idx = new java.io.File(sys.props("java.io.tmpdir"), name)
+        .getAbsolutePath
+      Dedup.writeLshIndex(base, "doc_id", "toks", shingleN, minhashK,
+        minhashBands, name, idx, buckets = 8)
+      // append: the even-id half of the delta lands as an ingest batch
+      val deltaEven = delta.where(pmod(col("doc_id"), lit(2)) === 0)
+      Dedup.appendLshIndex(deltaEven, "doc_id", "toks", shingleN, minhashK,
+        minhashBands, name, buckets = 8)
+      // takedown across BOTH generations of the index
+      val indexed = base.unionByName(deltaEven)
+      Dedup.deleteFromLshIndex(
+        indexed.where(pmod(col("doc_id"), lit(7)) === 0).select("doc_id"),
+        "doc_id", name)
+      // compact into v2 (tombstones folded, old table's tombstones intact
+      // until the reader swap), then the post-swap cleanup
+      Dedup.compactLshIndex(s, name, name + "_v2", idx + "_v2", buckets = 8)
+      Dedup.dropLshTombstones(s, name)
+      // probe: the odd-id half arrives after the swap and hits v2 only
+      val deltaOdd = delta.where(pmod(col("doc_id"), lit(2)) =!= 0)
+      val kept = indexed.where(pmod(col("doc_id"), lit(7)) =!= 0)
+      Dedup.incrementalLshPairsFrom(Dedup.activeLshIndex(s, name + "_v2"),
+          kept, deltaOdd, "doc_id", "toks",
+          shingleN, minhashK, minhashBands, jaccThreshold)
+        .select(col("id_a"), col("id_b"), col("n_common"),
+          r6(col("jaccard")).as("jaccard"))
+    }),
+
+    // The ANN twin of dedup_index_lifecycle: write on the base corpus →
+    // APPEND under the stored codebook → DELETE vec_id ≡ 0 (mod 7) →
+    // COMPACT (versioned swap) → PROBE the compacted dir. Bit-parity per
+    // query against the in-memory path over the surviving corpus with the
+    // same centroids — any step leaking deleted vectors or dropping
+    // appended ones forks a neighbor list.
+    "ann_topk_ivf_lifecycle" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") < annQueries)
+      val base = e.where(pmod(col("vec_id"), lit(5)) =!= 0)
+      val delta = e.where(pmod(col("vec_id"), lit(5)) === 0)
+      val cents = Similarity.kmeansCentroids(base, "vec_id", "embedding",
+        nlist = 32, iters = 5)
+      val idx = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_gate_ivf_lc_${StreamQueries.runId}").getAbsolutePath
+      Similarity.ivfIndexWrite(base, "vec_id", "embedding", cents, idx)
+      Similarity.ivfIndexAppend(delta, "vec_id", "embedding", idx)
+      Similarity.ivfIndexDelete(
+        e.where(pmod(col("vec_id"), lit(7)) === 0).select("vec_id"),
+        "vec_id", idx)
+      Similarity.ivfCompact(s, idx, idx + "_v2")
+      val kept = e.where(pmod(col("vec_id"), lit(7)) =!= 0)
+      def canon(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.select(col("query_id"), col("rank"), col("neighbor_id"),
+          r6(col("cos")).as("cos"), lit(1).as(tag))
+      canon(Similarity.ivfIndexTopK(s, idx + "_v2", q, "vec_id", "embedding",
+          annK, nprobe = 16), "__s")
+        .join(canon(Similarity.ivfTopK(q, kept, "vec_id", "embedding", annK,
+          nprobe = 16, centroids = cents), "__m"),
+          Seq("query_id", "rank", "neighbor_id", "cos"), "full")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("__s").isNotNull && col("__m").isNotNull, 1)
+            .otherwise(0)).as("both"))
+        .select(col("query_id"),
+          (col("n") === col("both")).as("lifecycle_matches_memory"))
+    }),
+
     // Per-source corpus statistics — the report card a pipeline publishes
     // before/after cleaning (doc/token/char counts, quality-threshold and
     // language pass rates, exact-dup rate). Integer sums and threshold
@@ -839,7 +914,8 @@ object DocQueries {
     * stored index must reproduce the recompute path bit-for-bit, so both
     * gates compare against literally the same oracle text.
     */
-  private def incrementalOracleSqlCond(baseJoin: String): String =
+  private def incrementalOracleSqlCond(baseJoin: String,
+      probeCond: String = "NOT sd.is_base"): String =
     s"""WITH $toksCte, $shCte, $minhashBandsCtes,
        |hsp AS (SELECT doc_id, md5('$sampleSalt:' || CAST(doc_id AS VARCHAR)) AS m
        |        FROM documents),
@@ -848,7 +924,7 @@ object DocQueries {
        |cand AS (
        |  SELECT DISTINCT d.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bands d
-       |  JOIN spl sd ON sd.doc_id = d.doc_id AND NOT sd.is_base
+       |  JOIN spl sd ON sd.doc_id = d.doc_id AND $probeCond
        |  JOIN bands b ON b.band = d.band AND b.band_key = d.band_key
        |  JOIN spl sb ON sb.doc_id = b.doc_id AND $baseJoin
        |)
@@ -884,6 +960,16 @@ object DocQueries {
     */
   private lazy val incrementalDeleteOracleSql: String =
     incrementalOracleSqlWith(" AND b.doc_id % 7 <> 0")
+
+  /** `dedup_index_lifecycle`'s oracle: probe = the odd-id delta half,
+    * base = (train ∪ even-id delta) minus the taken-down doc_id ≡ 0
+    * (mod 7) — the exact surviving corpus after write → append → delete
+    * → compact.
+    */
+  private lazy val indexLifecycleOracleSql: String =
+    incrementalOracleSqlCond(
+      baseJoin = "(sb.is_base OR sb.doc_id % 2 = 0) AND b.doc_id % 7 <> 0",
+      probeCond = "NOT sd.is_base AND d.doc_id % 2 <> 0")
 
   val oracles: Map[String, String] = Map(
     "text_quality" ->
@@ -1071,6 +1157,10 @@ object DocQueries {
       s"""SELECT vec_id AS query_id, TRUE AS delete_matches_memory
          |FROM embeddings WHERE vec_id < $annQueries""".stripMargin,
 
+    "ann_topk_ivf_lifecycle" ->
+      s"""SELECT vec_id AS query_id, TRUE AS lifecycle_matches_memory
+         |FROM embeddings WHERE vec_id < $annQueries""".stripMargin,
+
     "sample_stratified" -> {
       val cases = sampleRates.toSeq.sorted.map { case (k, r) =>
         s"WHEN '$k' THEN h32 < ${math.round(r * 4294967296.0)}"
@@ -1108,6 +1198,7 @@ object DocQueries {
     "dedup_incremental" -> incrementalOracleSql,
     "dedup_incremental_store" -> incrementalOracleSql,
     "dedup_incremental_store_delete" -> incrementalDeleteOracleSql,
+    "dedup_index_lifecycle" -> indexLifecycleOracleSql,
 
     "class_nearest_eval" ->
       """WITH ed AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
