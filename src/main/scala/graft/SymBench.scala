@@ -25,11 +25,17 @@ object SymBench {
     "f_rsi_wilder14_sym", "tbm_labels_sym", "label_weights_sym",
     "label_concurrency_sym", "time_bars_directional_sym",
     // the sequential keyed machines: per-symbol reset kernels on the
-    // key-shuffled scan — parallelism IS the key dimension
-    "cusum_events_sym", "volume_imbalance_bars_sym")
+    // key-shuffled scan — parallelism IS the key dimension. One entry per
+    // machine FAMILY (tick-imbalance, value-imbalance, tick-run,
+    // value-run) — the sibling measures share the kernel shape.
+    "cusum_events_sym", "volume_imbalance_bars_sym",
+    "imbalance_bars_sym", "run_bars_sym", "dollar_run_bars_sym",
+    // round-8 windowed filter at the key dimension
+    "z_peaks_sym")
   private val singleSeries = Seq(
     "f_rsi_wilder14", "tbm_labels", "label_weights", "label_concurrency",
-    "cusum_events", "volume_imbalance_bars")
+    "cusum_events", "volume_imbalance_bars",
+    "imbalance_bars", "run_bars", "dollar_run_bars", "z_peaks_5m")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
