@@ -50,7 +50,18 @@ object TimeBars {
       sum("qty").as("volume"),
       count(lit(1)).as("trades"),
       median(col("qty")).as("median_trade_size"),
-      (sum(col("price") * col("qty")) / sum(col("qty"))).as("vwap"))
+      // vwap through EXACT integer micro-unit sums: a double sum(price·qty)
+      // is addition-order-dependent — one bar per ~30k on the synthetic
+      // data lands ON an r6 boundary where partitioning (batch scan vs
+      // streamed join) flips the 6th decimal. Each term quantizes via
+      // floor(x·1e6 + 0.5) — a fixed IEEE op tree that DuckDB reproduces
+      // verbatim (decimal(18,6) CASTs would NOT: Spark rounds the double's
+      // shortest-decimal string, DuckDB the ·1e6 product, and arbitrary
+      // price·qty doubles DO land on that knife edge — measured at sf0.1).
+      // Half-up is exact for the positive prices/qtys the canonical
+      // stream guarantees; terms ≤ ~1e9 micros sum exactly in a long.
+      (sum(floor(col("price") * col("qty") * lit(1e6) + lit(0.5))).cast("double") /
+        sum(floor(col("qty") * lit(1e6) + lit(0.5))).cast("double")).as("vwap"))
     val oc = t.join(agg.select(gc ++ Seq(col("__fts"), col("__lts")): _*), g)
       .where(col("ts") === col("__fts") || col("ts") === col("__lts"))
       .groupBy(gc: _*).agg(
@@ -300,6 +311,10 @@ object TimeBars {
         // cumulative weight reaches half the total: min over qualifying rows
         min(when(col("__cumw") >= col("__totw") * 0.5, col("median_trade_size")))
           .as("median_trade_size"),
-        (sum(col("vwap") * col("volume")) / sum(col("volume"))).as("vwap"))
+        // exact integer micro-unit sums for the same order-independence
+        // reason as ohlcvTwoPass's vwap (floor(x·1e6 + 0.5) — the
+        // engine-neutral quantization op tree)
+        (sum(floor(col("vwap") * col("volume") * lit(1e6) + lit(0.5))).cast("double") /
+          sum(floor(col("volume") * lit(1e6) + lit(0.5))).cast("double")).as("vwap"))
   }
 }

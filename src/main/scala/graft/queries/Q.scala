@@ -40,6 +40,29 @@ object Q {
   def dsumSql(expr: String): String =
     s"CAST(sum(CAST(($expr) AS DECIMAL(18,6))) AS DOUBLE)"
 
+  /** Exact integer micro-unit sum as double — ORACLE MIRROR of the
+    * engine's floor(x·1e6 + 0.5) quantization (TimeBars.ohlcvTwoPass
+    * vwap, resample recombination). Unlike a DECIMAL(18,6) cast — whose
+    * rounding implementations differ between the engines on knife-edge
+    * doubles (Spark: shortest-decimal string; DuckDB: the ·1e6 product)
+    * — floor(x·1e6 + 0.5) is a fixed IEEE op tree both engines evaluate
+    * bit-identically. Half-up for the non-negative inputs these sums see.
+    */
+  def m6Sql(expr: String): String =
+    s"CAST(sum(CAST(floor(($expr) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)"
+
+  /** Engine-neutral 6-dp output quantization — floor(x·1e6 + 0.5)/1e6 as
+    * one fixed IEEE op tree, for NON-NEGATIVE outputs that are exact
+    * rationals of integer sums (the m6-summed vwaps): such values land
+    * exactly ON .5e-6 boundaries routinely, where [[r6]]'s two engine
+    * implementations fork (Spark rounds the shortest-decimal string,
+    * DuckDB the ·1e6 product). This tree gives bit-identical doubles on
+    * both engines for any input. [[q6Sql]] is the DuckDB mirror.
+    */
+  def q6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+
+  def q6Sql(expr: String): String = s"floor(($expr) * 1e6 + 0.5) / 1e6"
+
   /** lower-cased whitespace tokens CTE over documents — ORACLE MIRROR of
     * TextOps.wsTokens. ONE definition: the doc/LM/pipeline oracle files all
     * tokenize through this, so the mirror can never drift per file.
@@ -124,7 +147,7 @@ object Q {
        |         last(price ORDER BY ts, id) AS close, sum(qty) AS volume,
        |         CAST(count(*) AS BIGINT) AS trades,
        |         median(qty) AS median_trade_size,
-       |         sum(price * qty) / sum(qty) AS vwap
+       |         ${m6Sql("price * qty")} / ${m6Sql("qty")} AS vwap
        |  FROM trades GROUP BY 1
        |), bounds AS (
        |  SELECT (min(ts) // $iv + 1) * $iv AS lo,

@@ -148,7 +148,7 @@ object ScanQueries {
         r6(col("high")).as("high"), r6(col("low")).as("low"),
         r6(col("close")).as("close"), r6(col("volume")).as("volume"),
         col("trades"), r6(col("median_trade_size")).as("median_trade_size"),
-        r6(col("vwap")).as("vwap"))),
+        q6(col("vwap")).as("vwap"))),
 
     // Volume bars (reset, no carry) — reset-state scan, oracle-checked via
     // a recursive CTE over the CLOSES (one iteration per bar, not per row).
@@ -181,7 +181,7 @@ object ScanQueries {
           r6(col("low")).as("low"), r6(col("close")).as("close"),
           r6(col("volume")).as("volume"), col("trades"),
           r6(col("median_trade_size")).as("median_trade_size"),
-          r6(col("vwap")).as("vwap"))),
+          q6(col("vwap")).as("vwap"))),
 
     "volume_bars_60_sym" -> ((s, dir) =>
       EventBars.completeBars(
@@ -582,7 +582,7 @@ object ScanQueries {
          |       ${rd("last(price ORDER BY ts, id)")} AS close, ${rd("sum(qty)")} AS volume,
          |       CAST(count(*) AS BIGINT) AS trades,
          |       ${rd("median(qty)")} AS median_trade_size,
-         |       ${rd("sum(price * qty) / sum(qty)")} AS vwap
+         |       ${q6Sql(s"${m6Sql("price * qty")} / ${m6Sql("qty")}")} AS vwap
          |FROM ids GROUP BY symbol, bar_id
          |HAVING count(*) = $symTickThr OR (bar_id = 0 AND count(*) = ${symTickThr - 1})""".stripMargin,
 
@@ -859,7 +859,7 @@ object ScanQueries {
          |       ${rd("last(price ORDER BY ts, id)")} AS close, ${rd("sum(qty)")} AS volume,
          |       CAST(count(*) AS BIGINT) AS trades,
          |       ${rd("median(qty)")} AS median_trade_size,
-         |       ${rd("sum(price * qty) / sum(qty)")} AS vwap
+         |       ${q6Sql(s"${m6Sql("price * qty")} / ${m6Sql("qty")}")} AS vwap
          |FROM ids GROUP BY bar_id
          |HAVING count(*) = 300 OR (bar_id = 0 AND count(*) = 299)""".stripMargin,
 

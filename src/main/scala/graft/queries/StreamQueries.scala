@@ -106,7 +106,7 @@ object StreamQueries {
       .select(col("bar_ts"), r6(col("open")).as("open"),
         r6(col("high")).as("high"), r6(col("low")).as("low"),
         r6(col("close")).as("close"), r6(col("volume")).as("volume"),
-        col("trades"), r6(col("vwap")).as("vwap"))
+        col("trades"), q6(col("vwap")).as("vwap"))
 
   /** Batch-sided canonical trades (ts, id, price, qty, side, symbol 0) as
     * a one-file-per-batch stream with the two flush sentinels — the
@@ -725,7 +725,7 @@ object StreamQueries {
           r6(col("high")).as("high"), r6(col("low")).as("low"),
           r6(col("close")).as("close"), r6(col("volume")).as("volume"),
           col("trades"), r6(col("median_trade_size")).as("median_trade_size"),
-          r6(col("vwap")).as("vwap"))
+          q6(col("vwap")).as("vwap"))
     }),
 
     // Streaming VOLUME BARS (reset, no carry): the per-symbol cum state
@@ -894,7 +894,7 @@ object StreamQueries {
           r6(col("low")).as("low"), r6(col("close")).as("close"),
           r6(col("volume")).as("volume"), col("trades"),
           r6(col("median_trade_size")).as("median_trade_size"),
-          r6(col("vwap")).as("vwap"))
+          q6(col("vwap")).as("vwap"))
     }),
 
     "streaming_volume_bars_sym" -> ((s, dir) => {
@@ -1129,7 +1129,7 @@ object StreamQueries {
        |       ${rd("last(price ORDER BY ts, id)")} AS close,
        |       ${rd("sum(qty)")} AS volume,
        |       CAST(count(*) AS BIGINT) AS trades,
-       |       ${rd("sum(price * qty) / sum(qty)")} AS vwap
+       |       ${q6Sql(s"${m6Sql("price * qty")} / ${m6Sql("qty")}")} AS vwap
        |FROM trades GROUP BY 1""".stripMargin
   }
 

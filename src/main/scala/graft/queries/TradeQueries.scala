@@ -46,22 +46,24 @@ object TradeQueries {
         r6(col("low")).as("low"), r6(col("close")).as("close"),
         r6(col("volume")).as("volume"), col("trades"),
         r6(col("median_trade_size")).as("median_trade_size"),
-        r6(col("vwap")).as("vwap"))),
+        q6(col("vwap")).as("vwap"))),
 
     // Per-symbol daily OHLCV bars WITH empty-bar fill: the keyed variant of
     // the signature aggregation — per-key grid, per-key forward fill, all
-    // shuffle-parallel (§2.4 at the 100 TB layout). vwap is omitted HERE
-    // only: its double product-sum lands on an exact 1e-6 rounding tie for
-    // one (symbol, day) group in the synthetic data, where summation-order
-    // ulp flips r6 — it stays oracle-covered by time_bars_5m,
-    // tick_bars_300 and both resample gates.
+    // shuffle-parallel (§2.4 at the 100 TB layout). vwap RESTORED in
+    // round 9: ohlcvTwoPass sums exact integer micro-units through the
+    // engine-neutral floor(x·1e6 + 0.5) op tree now, so the (symbol, day)
+    // rounding tie that forced its omission — and the sf0.1
+    // streamed-tick-bars tie that resurfaced the class — are gone at the
+    // root.
     "time_bars_1d_sym" -> ((s, dir) =>
       TimeBars.ohlcv(trades(s, dir), 86400, fillEmpty = true,
           partCols = Seq("symbol")).select(
         col("symbol"), col("bar_ts"), r6(col("open")).as("open"),
         r6(col("high")).as("high"), r6(col("low")).as("low"),
         r6(col("close")).as("close"), r6(col("volume")).as("volume"),
-        col("trades"), r6(col("median_trade_size")).as("median_trade_size"))),
+        col("trades"), r6(col("median_trade_size")).as("median_trade_size"),
+        q6(col("vwap")).as("vwap"))),
 
     // Directional (order-flow) bar features (§2.4).
     "time_bars_directional_1h" -> ((s, dir) =>
@@ -111,7 +113,7 @@ object TradeQueries {
         r6(col("low")).as("low"), r6(col("close")).as("close"),
         r6(col("volume")).as("volume"), col("trades"),
         r6(col("median_trade_size")).as("median_trade_size"),
-        r6(col("vwap")).as("vwap"))),
+        q6(col("vwap")).as("vwap"))),
 
     // Resample 1h → 1d with the TimeBarReader daily semantics: a date-only
     // range end means end-of-day-inclusive, and the incomplete final day is
@@ -127,13 +129,15 @@ object TradeQueries {
           r6(col("low")).as("low"), r6(col("close")).as("close"),
           r6(col("volume")).as("volume"), col("trades"),
           r6(col("median_trade_size")).as("median_trade_size"),
-          r6(col("vwap")).as("vwap"))
+          q6(col("vwap")).as("vwap"))
     }),
 
     // Keyed resample: per-symbol daily bars re-binned to 7-day periods —
     // windows and groupBy on (symbol, rs_ts), shuffle-parallel across
-    // symbols AND periods. vwap omitted for the same double-sum rounding
-    // -tie reason as time_bars_1d_sym (covered by the unkeyed resamples).
+    // symbols AND periods. vwap RESTORED in round 9: ohlcvTwoPass and
+    // resample sum exact integer micro-units through the engine-neutral
+    // floor(x·1e6 + 0.5) op tree now, so the (symbol, day) rounding tie
+    // that forced its omission is gone at the root.
     "resample_1d_to_1w_sym" -> ((s, dir) => {
       val daily = TimeBars.ohlcv(trades(s, dir), 86400, fillEmpty = true,
         partCols = Seq("symbol"))
@@ -143,7 +147,8 @@ object TradeQueries {
           r6(col("high")).as("high"), r6(col("low")).as("low"),
           r6(col("close")).as("close"), r6(col("volume")).as("volume"),
           col("trades"),
-          r6(col("median_trade_size")).as("median_trade_size"))
+          r6(col("median_trade_size")).as("median_trade_size"),
+          q6(col("vwap")).as("vwap"))
     }),
 
     // Time-gap integrity scan (§2.1 H5Inspector.inspect_gaps).
@@ -243,7 +248,7 @@ object TradeQueries {
           r6(col("low")).as("low"), r6(col("close")).as("close"),
           r6(col("volume")).as("volume"), col("trades"),
           r6(col("median_trade_size")).as("median_trade_size"),
-          r6(col("vwap")).as("vwap"))
+          q6(col("vwap")).as("vwap"))
     }),
 
     // END-TO-END ranged read through the store (§2.1 load_trades_h5 /
@@ -389,7 +394,7 @@ object TradeQueries {
        |  ${rd("min(low)")} AS low, ${rd("arg_max(close, bar_ts)")} AS close,
        |  ${rd("sum(volume)")} AS volume, CAST(sum(trades) AS BIGINT) AS trades,
        |  ${rd("min(CASE WHEN cumw >= totw * 0.5 THEN median_trade_size END)")} AS median_trade_size,
-       |  ${rd("sum(vwap * volume) / sum(volume)")} AS vwap
+       |  ${q6Sql(s"${m6Sql("vwap * volume")} / ${m6Sql("volume")}")} AS vwap
        |FROM src, mx WHERE rs_ts <= end_ns GROUP BY rs_ts""".stripMargin
   }
 
@@ -436,7 +441,7 @@ object TradeQueries {
          |SELECT bar_ts, ${rd("open")} AS open, ${rd("high")} AS high,
          |       ${rd("low")} AS low, ${rd("close")} AS close,
          |       ${rd("volume")} AS volume, trades,
-         |       ${rd("median_trade_size")} AS median_trade_size, ${rd("vwap")} AS vwap
+         |       ${rd("median_trade_size")} AS median_trade_size, ${q6Sql("vwap")} AS vwap
          |FROM bars""".stripMargin,
 
     "time_bars_1d_sym" -> {
@@ -447,7 +452,8 @@ object TradeQueries {
          |         first(price ORDER BY ts, id) AS open, max(price) AS high,
          |         min(price) AS low, last(price ORDER BY ts, id) AS close,
          |         sum(qty) AS volume, CAST(count(*) AS BIGINT) AS trades,
-         |         median(qty) AS median_trade_size
+         |         median(qty) AS median_trade_size,
+         |         ${m6Sql("price * qty")} / ${m6Sql("qty")} AS vwap
          |  FROM trades GROUP BY 1, 2
          |), bounds AS (
          |  SELECT symbol, (min(ts) // $iv + 1) * $iv AS lo,
@@ -458,6 +464,7 @@ object TradeQueries {
          |), filled AS (
          |  SELECT g.symbol AS symbol, g.bar_ts AS bar_ts, b.open, b.high,
          |         b.low, b.close, b.volume, b.trades, b.median_trade_size,
+         |         b.vwap,
          |         last_value(b.close IGNORE NULLS) OVER (
          |           PARTITION BY g.symbol ORDER BY g.bar_ts
          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pc
@@ -469,7 +476,8 @@ object TradeQueries {
          |  ${rd("coalesce(low, pc)")} AS low, ${rd("coalesce(close, pc)")} AS close,
          |  ${rd("coalesce(volume, 0.0)")} AS volume,
          |  CAST(coalesce(trades, 0) AS BIGINT) AS trades,
-         |  ${rd("coalesce(median_trade_size, 0.0)")} AS median_trade_size
+         |  ${rd("coalesce(median_trade_size, 0.0)")} AS median_trade_size,
+         |  ${q6Sql("coalesce(vwap, 0.0)")} AS vwap
          |FROM filled""".stripMargin
     },
 
@@ -580,7 +588,7 @@ object TradeQueries {
          |  ${rd("min(low)")} AS low, ${rd("arg_max(close, bar_ts)")} AS close,
          |  ${rd("sum(volume)")} AS volume, CAST(sum(trades) AS BIGINT) AS trades,
          |  ${rd("min(CASE WHEN cumw >= totw * 0.5 THEN median_trade_size END)")} AS median_trade_size,
-         |  ${rd("sum(vwap * volume) / sum(volume)")} AS vwap
+         |  ${q6Sql(s"${m6Sql("vwap * volume")} / ${m6Sql("volume")}")} AS vwap
          |FROM src GROUP BY 1""".stripMargin
     },
 
@@ -596,7 +604,8 @@ object TradeQueries {
          |         first(price ORDER BY ts, id) AS open, max(price) AS high,
          |         min(price) AS low, last(price ORDER BY ts, id) AS close,
          |         sum(qty) AS volume, CAST(count(*) AS BIGINT) AS trades,
-         |         median(qty) AS median_trade_size
+         |         median(qty) AS median_trade_size,
+         |         ${m6Sql("price * qty")} / ${m6Sql("qty")} AS vwap
          |  FROM trades GROUP BY 1, 2
          |),
          |src AS (
@@ -613,7 +622,8 @@ object TradeQueries {
          |  ${rd("arg_min(open, bar_ts)")} AS open, ${rd("max(high)")} AS high,
          |  ${rd("min(low)")} AS low, ${rd("arg_max(close, bar_ts)")} AS close,
          |  ${rd("sum(volume)")} AS volume, CAST(sum(trades) AS BIGINT) AS trades,
-         |  ${rd("min(CASE WHEN cumw >= totw * 0.5 THEN median_trade_size END)")} AS median_trade_size
+         |  ${rd("min(CASE WHEN cumw >= totw * 0.5 THEN median_trade_size END)")} AS median_trade_size,
+         |  ${q6Sql(s"${m6Sql("vwap * volume")} / ${m6Sql("volume")}")} AS vwap
          |FROM src GROUP BY symbol, rs_ts""".stripMargin
     },
 

@@ -62,7 +62,10 @@ object StreamingBars {
         max_by(col("price"), struct(col("ts"), col("id"))).as("close"),
         sum("qty").as("volume"),
         count(lit(1)).as("trades"),
-        (sum(col("price") * col("qty")) / sum(col("qty"))).as("vwap"))
+        // exact integer micro-unit vwap — the batch ohlcvTwoPass op tree
+        // verbatim, so batch/stream parity is bit-exact and order-free
+        (sum(floor(col("price") * col("qty") * lit(1e6) + lit(0.5))).cast("double") /
+          sum(floor(col("qty") * lit(1e6) + lit(0.5))).cast("double")).as("vwap"))
       .drop("event_time")
   }
 
@@ -130,7 +133,10 @@ object StreamingBars {
   case class TradeBar(ts: Long, id: Long, price: Double, qty: Double, bar_ts: Long)
   case class BarState(openTs: Long, openId: Long, openPx: Double,
                       closeTs: Long, closeId: Long, closePx: Double,
-                      high: Double, low: Double, vol: Double, n: Long, pq: Double)
+                      high: Double, low: Double, vol: Double, n: Long,
+                      // exact micro-unit accumulators (floor(x·1e6 + 0.5))
+                      // for the vwap ratio — the batch op tree's integers
+                      pqU: Long, volU: Long)
   case class BarOut(bar_ts: Long, open: Double, high: Double, low: Double,
                     close: Double, volume: Double, trades: Long, vwap: Double)
 
@@ -158,14 +164,16 @@ object StreamingBars {
             val s = state.get
             state.remove()
             Iterator.single(BarOut(barTs, s.openPx, s.high, s.low, s.closePx,
-              s.vol, s.n, s.pq / s.vol))
+              s.vol, s.n, s.pqU.toDouble / s.volU.toDouble))
           } else {
             var s = state.getOption.orNull
+            def pqU(r: TradeBar) = math.floor(r.price * r.qty * 1e6 + 0.5).toLong
+            def qU(r: TradeBar) = math.floor(r.qty * 1e6 + 0.5).toLong
             rows.foreach { r =>
               s =
                 if (s == null)
                   BarState(r.ts, r.id, r.price, r.ts, r.id, r.price,
-                    r.price, r.price, r.qty, 1L, r.price * r.qty)
+                    r.price, r.price, r.qty, 1L, pqU(r), qU(r))
                 else {
                   // (ts, id) tie-break, exactly the batch two-pass semantics
                   val isOpen = r.ts < s.openTs || (r.ts == s.openTs && r.id < s.openId)
@@ -178,7 +186,7 @@ object StreamingBars {
                     if (isClose) r.id else s.closeId,
                     if (isClose) r.price else s.closePx,
                     math.max(s.high, r.price), math.min(s.low, r.price),
-                    s.vol + r.qty, s.n + 1L, s.pq + r.price * r.qty)
+                    s.vol + r.qty, s.n + 1L, s.pqU + pqU(r), s.volU + qU(r))
                 }
             }
             if (s != null) {
