@@ -987,6 +987,133 @@ object StreamQueries {
           r6(col("vp_gini")).as("vp_gini"))
     }),
 
+    // Remaining keyed measure×machine streaming cells: with these, EVERY
+    // event-bar machine (tick/volume/dollar threshold, tick/value
+    // imbalance, tick/value run) streams live at the key dimension with
+    // its keyed batch oracle verbatim — the full keyed streaming matrix.
+    "streaming_imbalance_bars_sym" -> ((s, dir) => {
+      import s.implicits._
+      val src = splitKeyedSidedFileStream(s, dir,
+        s"graft_gate_stream_imbsym_$runId").as[StreamingBars.SidedSymIn]
+      val ids = drain(
+        StreamingBars.imbalanceBarStream(src, ScanQueries.imbAlphaT,
+          ScanQueries.imbAlphaB, ScanQueries.symImbInitT,
+          ScanQueries.imbInitB).toDF(),
+        "gate_stream_imbsym_ids")
+      ScanQueries.keyedCompleteBars(withKeyedTradeData(ids, s, dir))
+    }),
+
+    "streaming_run_bars_sym" -> ((s, dir) => {
+      import s.implicits._
+      val src = splitKeyedSidedFileStream(s, dir,
+        s"graft_gate_stream_runsym_$runId").as[StreamingBars.SidedSymIn]
+      val ids = drain(
+        StreamingBars.runBarStream(src, ScanQueries.runAlphaT,
+          ScanQueries.runAlphaP, ScanQueries.symImbInitT,
+          ScanQueries.runInitP).toDF(),
+        "gate_stream_runsym_ids")
+      ScanQueries.keyedCompleteBars(withKeyedTradeData(ids, s, dir))
+    }),
+
+    "streaming_dollar_imbalance_bars_sym" -> ((s, dir) => {
+      import s.implicits._
+      val src = splitKeyedSidedFileStream(s, dir,
+        s"graft_gate_stream_dimbsym_$runId").as[StreamingBars.SidedSymIn]
+      val ids = drain(
+        StreamingBars.valueImbalanceBarStream(src, dollar = true,
+          ScanQueries.imbAlphaT, ScanQueries.imbAlphaB,
+          ScanQueries.symImbInitT, ScanQueries.dolImbInitB).toDF(),
+        "gate_stream_dimbsym_ids")
+      ScanQueries.keyedCompleteBars(withKeyedTradeData(ids, s, dir))
+    }),
+
+    "streaming_volume_run_bars_sym" -> ((s, dir) => {
+      import s.implicits._
+      val src = splitKeyedSidedFileStream(s, dir,
+        s"graft_gate_stream_vrunsym_$runId").as[StreamingBars.SidedSymIn]
+      val ids = drain(
+        StreamingBars.valueRunBarStream(src, dollar = false,
+          ScanQueries.runAlphaT, ScanQueries.runAlphaP, ScanQueries.valAlphaV,
+          ScanQueries.symImbInitT, ScanQueries.runInitP,
+          ScanQueries.volRunInitV).toDF(),
+        "gate_stream_vrunsym_ids")
+      ScanQueries.keyedCompleteBars(withKeyedTradeData(ids, s, dir))
+    }),
+
+    "streaming_dollar_run_bars_sym" -> ((s, dir) => {
+      import s.implicits._
+      val src = splitKeyedSidedFileStream(s, dir,
+        s"graft_gate_stream_drunsym_$runId").as[StreamingBars.SidedSymIn]
+      val ids = drain(
+        StreamingBars.valueRunBarStream(src, dollar = true,
+          ScanQueries.runAlphaT, ScanQueries.runAlphaP, ScanQueries.valAlphaV,
+          ScanQueries.symImbInitT, ScanQueries.runInitP,
+          ScanQueries.dolRunInitV).toDF(),
+        "gate_stream_drunsym_ids")
+      ScanQueries.keyedCompleteBars(withKeyedTradeData(ids, s, dir))
+    }),
+
+    // Keyed streaming EWMA: one (u, v) recursion per REAL symbol across
+    // the batch split — ewma_sym_scan's oracle verbatim (the reset-affine
+    // batch scan and the per-symbol sequential recursion agree to ~1e-12,
+    // far inside the shared r6 normalization).
+    "streaming_ewma_sym" -> ((s, dir) => {
+      import s.implicits._
+      val src = splitKeyedTradeFileStream(s, dir,
+        s"graft_gate_stream_ewmasym_$runId").as[StreamingBars.TradeIn]
+      drain(StreamingBars.ewmaStream(src, ScanQueries.span).toDF(),
+        "gate_stream_ewma_sym")
+        .select(col("symbol"), col("ts"), col("id"),
+          r6(col("ewma")).as("ewma"))
+    }),
+
+    // Keyed OUT-OF-ORDER arrival: the late half of EVERY symbol's stream
+    // arrives a whole micro-batch before the early half; the buffered
+    // directional machine re-sorts each finalized (symbol, bar) by
+    // (ts, id) — emitted keyed bars identical to in-order arrival
+    // (time_bars_directional_sym's oracle verbatim, daily bars).
+    "streaming_directional_unordered_sym" -> ((s, dir) => {
+      import s.implicits._
+      val sided = Trades.withTickRuleSide(
+          Trades.fromEvents(graft.Tables.events(s, dir)), Seq("symbol"))
+        .select(col("ts"), col("id"), col("price"), col("qty"),
+          col("side").cast("int").as("side"), col("symbol"))
+      val st = sided.agg(expr("percentile_approx(ts, 0.5)"),
+        min(col("ts")), max(col("ts"))).head()
+      val (mid, lo, hi) = (st.getLong(0), st.getLong(1), st.getLong(2))
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_gate_stream_dirusym_$runId").getAbsolutePath
+      val pth = new org.apache.hadoop.fs.Path(tmp)
+      val fs = pth.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(pth)) fs.delete(pth, true)
+      val t0 = System.currentTimeMillis()
+      writeOneFile(sided.where(col("ts") > mid), tmp, "a_late", t0 - 50000)
+      writeOneFile(sided.where(col("ts") <= mid), tmp, "b_early", t0 - 40000)
+      def sentinel(ns: Long, id: Long) =
+        s.range(1).select(lit(ns).as("ts"), lit(id).as("id"),
+          lit(1.0).as("price"), lit(1.0).as("qty"),
+          lit(0).as("side"), lit(0L).as("symbol"))
+      writeOneFile(sentinel(sentinelNs, 9000000000L), tmp, "c_s1", t0 - 30000)
+      writeOneFile(sentinel(sentinelNs + 600000000000L, 9000000001L),
+        tmp, "d_s2", t0 - 20000)
+      // delay covers the full span so no real trade is late-dropped
+      val delay = s"${(hi - lo) / 3600000000000L + 3} hours"
+      val src = s.readStream.schema(sided.schema)
+        .option("maxFilesPerTrigger", 1).parquet(tmp + "/*")
+        .as[StreamingBars.SidedSymIn]
+      val bars = StreamingBars.directionalBufferedStream(src, 86400,
+        watermarkDelay = delay)
+      drain(bars.toDF(), "gate_stream_diru_sym")
+        .where(col("bar_ts") < sentinelNs)
+        .select(col("symbol"), col("bar_ts"), col("ticks_buy"),
+          col("ticks_sell"),
+          r6(col("volume_buy")).as("volume_buy"),
+          r6(col("volume_sell")).as("volume_sell"),
+          r6(col("mean_spread")).as("mean_spread"),
+          r6(col("max_spread")).as("max_spread"),
+          col("cum_ticks_min"), col("cum_ticks_max"))
+    }),
+
     // Streaming DOLLAR RUN bars: the value-run machine (buy/sell dollar
     // sums + four EWMA expectations in state) across the batch split —
     // dollar_run_bars' oracle verbatim.
@@ -1182,6 +1309,18 @@ object StreamQueries {
       ScanQueries.oracles("volume_imbalance_bars"),
     "streaming_volume_imbalance_bars_sym" ->
       ScanQueries.oracles("volume_imbalance_bars_sym"),
+    "streaming_imbalance_bars_sym" ->
+      ScanQueries.oracles("imbalance_bars_sym"),
+    "streaming_run_bars_sym" -> ScanQueries.oracles("run_bars_sym"),
+    "streaming_dollar_imbalance_bars_sym" ->
+      ScanQueries.oracles("dollar_imbalance_bars_sym"),
+    "streaming_volume_run_bars_sym" ->
+      ScanQueries.oracles("volume_run_bars_sym"),
+    "streaming_dollar_run_bars_sym" ->
+      ScanQueries.oracles("dollar_run_bars_sym"),
+    "streaming_ewma_sym" -> ScanQueries.oracles("ewma_sym_scan"),
+    "streaming_directional_unordered_sym" ->
+      TradeQueries.oracles("time_bars_directional_sym"),
     "streaming_dollar_run_bars" -> ScanQueries.oracles("dollar_run_bars"),
     "streaming_dollar_imbalance_bars" -> ScanQueries.oracles("dollar_imbalance_bars"),
     "streaming_volume_run_bars" -> ScanQueries.oracles("volume_run_bars"),
