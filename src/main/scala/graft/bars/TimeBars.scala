@@ -59,9 +59,12 @@ object TimeBars {
       // shortest-decimal string, DuckDB the ·1e6 product, and arbitrary
       // price·qty doubles DO land on that knife edge — measured at sf0.1).
       // Half-up is exact for the positive prices/qtys the canonical
-      // stream guarantees; terms ≤ ~1e9 micros sum exactly in a long.
-      (sum(floor(col("price") * col("qty") * lit(1e6) + lit(0.5))).cast("double") /
-        sum(floor(col("qty") * lit(1e6) + lit(0.5))).cast("double")).as("vwap"))
+      // stream guarantees. The per-term floor lands in a long, but the SUM
+      // runs in decimal(38,0) — same exact-integer discipline as
+      // Footprints.summary — so no per-bar trade count can silently wrap
+      // a long (the DuckDB mirror's sum(BIGINT) promotes to HUGEINT).
+      (sum(floor(col("price") * col("qty") * lit(1e6) + lit(0.5)).cast("decimal(38,0)")).cast("double") /
+        sum(floor(col("qty") * lit(1e6) + lit(0.5)).cast("decimal(38,0)")).cast("double")).as("vwap"))
     val oc = t.join(agg.select(gc ++ Seq(col("__fts"), col("__lts")): _*), g)
       .where(col("ts") === col("__fts") || col("ts") === col("__lts"))
       .groupBy(gc: _*).agg(
@@ -76,7 +79,20 @@ object TimeBars {
   }
 
   /** OHLCV aggregation per bar. `fillEmpty` re-creates the reference's
-    * zero-volume empty bars over the full time grid. With `partCols`
+    * zero-volume empty bars over the full time grid.
+    *
+    * ==vwap quantization contract==
+    * `vwap` is the ratio of EXACT integer micro-unit sums: each
+    * `price·qty` and `qty` term is quantized to the 1e-6 grid via
+    * `floor(x·1e6 + 0.5)` before summing (see [[ohlcvTwoPass]] — this is
+    * what makes the value independent of partitioning / addition order,
+    * and bit-identical across engines). Consequence for library users:
+    * quantities or notionals with genuine sub-1e-6 resolution contribute
+    * their nearest micro-unit, so vwap can differ from the unquantized
+    * ratio by up to ~5e-7 relative on such data. Data on a ≥1e-6 grid
+    * (every mainstream exchange feed) is exact.
+    *
+    * With `partCols`
     * (e.g. symbol) everything is per-key: the aggregation, the generated
     * grid (each key's own [min, max] span) and the fill — shuffle-parallel
     * across keys, the 100 TB layout. Empty `partCols` keeps the
@@ -313,8 +329,9 @@ object TimeBars {
           .as("median_trade_size"),
         // exact integer micro-unit sums for the same order-independence
         // reason as ohlcvTwoPass's vwap (floor(x·1e6 + 0.5) — the
-        // engine-neutral quantization op tree)
-        (sum(floor(col("vwap") * col("volume") * lit(1e6) + lit(0.5))).cast("double") /
-          sum(floor(col("volume") * lit(1e6) + lit(0.5))).cast("double")).as("vwap"))
+        // engine-neutral quantization op tree), summed in decimal(38,0)
+        // so no period's bar count can wrap a long
+        (sum(floor(col("vwap") * col("volume") * lit(1e6) + lit(0.5)).cast("decimal(38,0)")).cast("double") /
+          sum(floor(col("volume") * lit(1e6) + lit(0.5)).cast("decimal(38,0)")).cast("double")).as("vwap"))
   }
 }

@@ -155,6 +155,27 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("vwap micro-unit sums survive pathological per-bar notional (no long wrap)") {
+    // 20k trades of 1e9 notional in ONE bar: each micro term is 1e15, the
+    // bar's sum 2e19 > Long.MaxValue. The decimal(38,0) sum must stay exact
+    // where a long sum would silently wrap negative (non-ANSI).
+    val n = 20000
+    val t = (0 until n).map { i =>
+      (1000000000L + i.toLong, i.toLong, 1000000.0, 1000.0)
+    }.toDF("ts", "id", "price", "qty")
+    val vwap = TimeBars.ohlcv(t, 3600, fillEmpty = false)
+      .select("vwap").head().getDouble(0)
+    assert(vwap == 1000000.0, s"got $vwap")
+    // same discipline on the resample path: micro terms vwap·volume = 1e15
+    val bars = (0 until n).map { i =>
+      ((i + 1).toLong * 1000000000L, 1.0, 1.0, 1.0, 1.0, 1000.0, 5L, 1.0, 1000000.0)
+    }.toDF("bar_ts", "open", "high", "low", "close", "volume", "trades",
+      "median_trade_size", "vwap")
+    val rv = TimeBars.resample(bars, 1, 86400 * 365)
+      .select("vwap").head().getDouble(0)
+    assert(rv == 1000000.0, s"got $rv")
+  }
+
   test("time decay: affine-scan global path equals keyed-window path (random weights)") {
     import graft.labels.Weights
     for (seed <- Seq(7L, 123L, 4040L); lastWeight <- Seq(0.5, -0.25)) {
