@@ -106,15 +106,19 @@ object BarSpec {
   /** Parse one flat spec object — exact inverse of each spec's toJson. */
   def fromJson(s: String): BarSpec = {
     val fields = parseFlat(s)
-    def d(k: String): Double = fields(k) match {
+    // resolve every field by name so a malformed/truncated config fails
+    // with "missing field X in <json>", not a bare NoSuchElementException
+    def f(k: String): Any = fields.getOrElse(k,
+      throw new IllegalArgumentException(s"missing field $k in $s"))
+    def d(k: String): Double = f(k) match {
       case v: Double => v
       case other => throw new IllegalArgumentException(s"field $k: expected number, got $other")
     }
-    def b(k: String): Boolean = fields(k) match {
+    def b(k: String): Boolean = f(k) match {
       case v: Boolean => v
       case other => throw new IllegalArgumentException(s"field $k: expected bool, got $other")
     }
-    fields("bars") match {
+    f("bars") match {
       case "tick"   => TickBars(d("threshold").toInt)
       case "volume" => VolumeBars(d("threshold"))
       case "dollar" => DollarBars(d("threshold"))
@@ -144,7 +148,8 @@ object BarSpec {
     def str(): String = {
       expect('"')
       val start = i
-      while (s(i) != '"') i += 1
+      while (i < s.length && s(i) != '"') i += 1
+      require(i < s.length, s"unterminated string starting at ${start - 1} in $s")
       val r = s.substring(start, i); i += 1; r
     }
     val out = scala.collection.mutable.LinkedHashMap[String, Any]()
@@ -155,17 +160,22 @@ object BarSpec {
       val k = str()
       expect(':')
       ws()
+      require(i < s.length, s"truncated input after key $k in $s")
       val v: Any = s(i) match {
         case '"' => str()
-        case 't' => require(s.startsWith("true", i)); i += 4; true
-        case 'f' => require(s.startsWith("false", i)); i += 5; false
+        case 't' => require(s.startsWith("true", i), s"bad token at $i in $s"); i += 4; true
+        case 'f' => require(s.startsWith("false", i), s"bad token at $i in $s"); i += 5; false
         case _ =>
           val start = i
           while (i < s.length && (s(i).isDigit || "+-.eE".contains(s(i)))) i += 1
-          s.substring(start, i).toDouble
+          val tok = s.substring(start, i)
+          try tok.toDouble catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(s"bad number '$tok' at $start in $s")
+          }
       }
       out(k) = v
       ws()
+      require(i < s.length, s"truncated input (missing '}') in $s")
       if (s(i) == ',') i += 1 else { expect('}'); done = true }
     }
     out.toMap

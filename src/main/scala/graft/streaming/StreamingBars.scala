@@ -208,6 +208,18 @@ object StreamingBars {
                         pendTs: Long = 0L, pendId: Long = 0L,
                         pendPrice: Double = 0.0)
 
+  /** Event-time floor for flush-heartbeat rows: 2100-01-01T00:00Z in ns.
+    * Lookahead machines ([[cusumStream]]) treat any row with
+    * `ts >= heartbeatNs` as a pure flush marker — it decides the pending
+    * REAL row (no successor with an equal timestamp can follow a
+    * far-future marker) but is itself neither emitted nor folded into
+    * state, so real rows arriving after a flush continue the series
+    * correctly instead of absorbing a spurious log-return against the
+    * heartbeat's placeholder price. Real data must stay below this bound
+    * (asserted per row).
+    */
+  val heartbeatNs = 4102444800000000000L
+
   case class ZPeakOut(symbol: Long, ts: Long, id: Long, isPeak: Boolean)
   /** Last n raw observations, oldest first (influence = 1 keeps the raw
     * series as the baseline — see Features.zScorePeaks).
@@ -902,15 +914,36 @@ object StreamingBars {
             CusumState(0.0, 0.0, Double.NaN, seen = false))
           // (ts, id, price): the held-back row rejoins the head of the
           // batch — its block membership is decidable against the first
-          // arrival; the batch's own last row becomes the new pending
+          // arrival; the batch's own last row becomes the new pending.
+          // Heartbeats (ts >= heartbeatNs) are dropped from the fold — a
+          // heartbeat's only job is to make `hbFlush` true below so the
+          // pending REAL row gets decided; it never emits, never updates
+          // prevPrice, and never becomes pending itself.
+          val batch = rows.toArray.sortBy(r => (r.ts, r.id))
+          val hbFlush = batch.exists(_.ts >= heartbeatNs)
+          val real = batch.filter(_.ts < heartbeatNs).map(r => (r.ts, r.id, r.price))
+          // cross-batch order contract: a later micro-batch may not carry a
+          // row ordered below the held-back pending row. Silent reordering
+          // would corrupt the fold — fail loudly instead.
+          if (s0.hasPend && real.nonEmpty) {
+            val (fTs, fId, _) = real.head
+            require(s0.pendTs < fTs || (s0.pendTs == fTs && s0.pendId <= fId),
+              s"cusumStream: out-of-order cross-batch input for symbol $symbol — " +
+                s"batch row (ts=$fTs, id=$fId) precedes pending row " +
+                s"(ts=${s0.pendTs}, id=${s0.pendId}); input must be " +
+                "non-decreasing in (ts, id) across micro-batches")
+          }
           val seq = (if (s0.hasPend) Array((s0.pendTs, s0.pendId, s0.pendPrice))
-                     else Array.empty[(Long, Long, Double)]) ++
-            rows.toArray.sortBy(r => (r.ts, r.id)).map(r => (r.ts, r.id, r.price))
+                     else Array.empty[(Long, Long, Double)]) ++ real
           var sPos = s0.sPos; var sNeg = s0.sNeg
           var prevPrice = s0.prevPrice; var seen = s0.seen
-          val out = (0 until math.max(0, seq.length - 1)).map { i =>
+          // rows with a real successor are decidable; with a heartbeat in
+          // the batch the tail row is too (inBlock = false: nothing real
+          // can share its timestamp)
+          val nDecided = if (hbFlush) seq.length else math.max(0, seq.length - 1)
+          val out = (0 until nDecided).map { i =>
             val (ts, id, price) = seq(i)
-            val inBlock = seq(i + 1)._1 == ts
+            val inBlock = i + 1 < seq.length && seq(i + 1)._1 == ts
             var event = false
             if (!seen) {
               seen = true; event = true // first row opens, like the batch kernel
@@ -926,7 +959,7 @@ object StreamingBars {
             prevPrice = price
             CusumOut(symbol, ts, id, event)
           }
-          val pend = seq.lastOption
+          val pend = if (hbFlush) None else seq.lastOption
           state.update(CusumState(sPos, sNeg, prevPrice, seen,
             hasPend = pend.isDefined,
             pendTs = pend.map(_._1).getOrElse(0L),

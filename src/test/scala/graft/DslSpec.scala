@@ -204,6 +204,24 @@ class DslSpec extends AnyFunSuite {
       BarSpec.fromJson("""{"bars":"mystery","threshold":1}""")
     }
     intercept[IllegalArgumentException] { VolumeBars(Double.NaN) }
+    // malformed configs must fail with a NAMED parse error, not a raw
+    // index/NoSuchElement exception
+    val missing = intercept[IllegalArgumentException] {
+      BarSpec.fromJson("""{"bars":"imbalance","alphaB":0.05,"initT":200,"initB":0.05}""")
+    }
+    assert(missing.getMessage.contains("missing field alphaT"), missing.getMessage)
+    val unterminated = intercept[IllegalArgumentException] {
+      BarSpec.fromJson("""{"bars":"tick""")
+    }
+    assert(unterminated.getMessage.contains("unterminated string"), unterminated.getMessage)
+    val truncated = intercept[IllegalArgumentException] {
+      BarSpec.fromJson("""{"bars":"tick","threshold":300""")
+    }
+    assert(truncated.getMessage.contains("truncated input"), truncated.getMessage)
+    val badNum = intercept[IllegalArgumentException] {
+      BarSpec.fromJson("""{"bars":"volume","threshold":..}""")
+    }
+    assert(badNum.getMessage.contains("bad number"), badNum.getMessage)
   }
 
   test("BarSpec build dispatches to the same machine as direct EventBars") {

@@ -585,6 +585,52 @@ class StreamingSpec extends AnyFunSuite {
       "block-head print must not fire inside an equal-ts block")
   }
 
+  test("streaming CUSUM survives real rows arriving AFTER a heartbeat flush") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[TradeIn]
+    val q = StreamingBars.cusumStream(ms.toDS(), threshold = 0.02)
+      .writeStream.format("memory").queryName("cusum_hb_out")
+      .outputMode("append").start()
+    val data = trades(60)
+    val hb = TradeIn(StreamingBars.heartbeatNs, 99999L, 1.0, 1.0, 0L)
+    // flush mid-stream, then keep feeding real rows: the heartbeat must
+    // decide the pending real row but NOT inject log(1.0/prevPrice) into
+    // the sums or emit itself — the post-flush rows continue the series
+    ms.addData(data.take(20) :+ hb); q.processAllAvailable()
+    ms.addData(data.drop(20)); q.processAllAvailable()
+    ms.addData(Seq(hb.copy(id = 99998L))); q.processAllAvailable()
+    val streamed = spark.table("cusum_hb_out")
+      .orderBy("ts", "id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Boolean]("isEvent"))).toSeq
+    q.stop()
+    val batch = EventBars.cusumEventIds(
+      data.toDF().withColumn("sigma", lit(0.02)), "sigma", 1.0, 1e-12)
+      .orderBy("ts", "id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Boolean]("is_event"))).toSeq
+    assert(streamed == batch)
+    assert(!streamed.exists(_._1 >= 99998L), "heartbeats must never emit")
+  }
+
+  test("streaming CUSUM fails loudly on out-of-order cross-batch input") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[TradeIn]
+    val q = StreamingBars.cusumStream(ms.toDS(), threshold = 0.02)
+      .writeStream.format("memory").queryName("cusum_ooo_out")
+      .outputMode("append").start()
+    val t0 = 1700000000000000000L
+    ms.addData(Seq(TradeIn(t0 + 5000L, 5L, 100.0, 1.0, 0L)))
+    q.processAllAvailable()
+    // a later batch carrying a row BELOW the pending (ts,id) must abort the
+    // query with the contract message, not silently reorder the fold
+    ms.addData(Seq(TradeIn(t0, 1L, 101.0, 1.0, 0L)))
+    val ex = intercept[Exception](q.processAllAvailable())
+    def chain(e: Throwable): Seq[Throwable] =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(20).toSeq
+    assert(chain(ex).exists(c =>
+      Option(c.getMessage).exists(_.contains("out-of-order cross-batch"))), ex.toString)
+    q.stop()
+  }
+
   test("streaming z-score peaks equal the batch preceding-window filter") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[TradeIn]
