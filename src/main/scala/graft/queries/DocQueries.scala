@@ -954,6 +954,79 @@ object DocQueries {
     incrementalOracleSqlCond(
       "(sb.is_base OR (sb.doc_id % 2 = 0 AND d.doc_id % 2 <> 0))")
 
+  /** `streaming_corpus_e2e`'s oracle: the LIVE ingest pipeline's full
+    * asymmetric composition, recomputed from raw documents. The engine
+    * side runs, per arriving micro-batch (batch b = doc_id mod 3, in
+    * order): quality + language filter → exact-dedup probe against the
+    * hashes of every QUALITY-KEPT doc seen so far (keep-first across the
+    * arrival order (batch, doc_id)) → LSH index probe against the bands
+    * of previously KEPT survivors (banded candidates + exact-Jaccard
+    * verify, drop on any hit) → append the batch's own survivors to the
+    * index → hash-gated shard assignment → store append. The oracle
+    * unrolls the three-batch sequence exactly: k0 = batch-0 exact
+    * survivors (empty index → nothing to drop), k1 drops pairs into k0,
+    * k2 drops pairs into k0 ∪ k1. Within-batch NEAR-dups deliberately
+    * survive (probe-then-append semantics — same contract as
+    * `streaming_dedup_index_append`); within-batch EXACT dups do not
+    * (keep-first by doc_id). A probe that reads its own batch's bands,
+    * misses an earlier append, or misses the seen-hash set shifts the
+    * survivor set and fails the hash.
+    */
+  private[queries] lazy val streamingCorpusE2eOracleSql: String =
+    s"""WITH $toksCte, $shCte, $minhashBandsCtes,
+       |scores AS (
+       |  SELECT doc_id, text, toks,
+       |    CAST(len(toks) AS BIGINT) AS n_ws_tokens,
+       |    $qualitySql AS q_raw,
+       |    ${langs.map(l => s"CAST(len(list_filter(toks, x -> x IN ${inList(TextOps.stopwords(l))})) AS BIGINT) AS score_$l").mkString(",\n    ")}
+       |  FROM toks
+       |),
+       |kept AS (
+       |  SELECT doc_id, text, n_ws_tokens, q_raw, pred_lang FROM (
+       |    SELECT *, $predLangSql AS pred_lang FROM scores
+       |  ) WHERE pred_lang = 'en' AND q_raw >= 0.5e0
+       |),
+       |exact AS (
+       |  SELECT doc_id, n_ws_tokens, q_raw, pred_lang FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY $normMd5Sql
+       |      ORDER BY doc_id % 3, doc_id) AS rn
+       |    FROM kept
+       |  ) WHERE rn = 1
+       |),
+       |cand AS (
+       |  SELECT DISTINCT d.doc_id AS id_d, b.doc_id AS id_b
+       |  FROM bands d
+       |  JOIN bands b ON b.band = d.band AND b.band_key = d.band_key
+       |    AND (b.doc_id % 3) < (d.doc_id % 3)
+       |  JOIN exact xd ON xd.doc_id = d.doc_id
+       |  JOIN exact xb ON xb.doc_id = b.doc_id
+       |),
+       |ver AS (
+       |  SELECT c.id_d, c.id_b FROM cand c
+       |  JOIN sh a ON a.doc_id = c.id_d
+       |  JOIN sh b ON b.doc_id = c.id_b
+       |  WHERE len(list_intersect(a.sh, b.sh)) / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= ${D(jaccThreshold)}
+       |),
+       |k0 AS (SELECT doc_id FROM exact WHERE doc_id % 3 = 0),
+       |k1 AS (SELECT doc_id FROM exact WHERE doc_id % 3 = 1
+       |       AND doc_id NOT IN (SELECT id_d FROM ver WHERE id_b % 3 = 0)),
+       |k2 AS (SELECT doc_id FROM exact WHERE doc_id % 3 = 2
+       |       AND doc_id NOT IN (
+       |         SELECT id_d FROM ver WHERE id_b IN (
+       |           SELECT doc_id FROM k0 UNION ALL SELECT doc_id FROM k1))),
+       |surv AS (SELECT doc_id FROM k0 UNION ALL SELECT doc_id FROM k1
+       |         UNION ALL SELECT doc_id FROM k2),
+       |shards AS (
+       |  SELECT doc_id, CAST(($hex32Sql) % ${LmQueries.nShards} AS INT) AS shard
+       |  FROM (SELECT doc_id, md5('${LmQueries.shardSalt}:' || CAST(doc_id AS VARCHAR)) AS m
+       |        FROM documents)
+       |)
+       |SELECT x.doc_id, s.shard, x.pred_lang, x.n_ws_tokens,
+       |  ${rd("x.q_raw")} AS quality_score
+       |FROM exact x
+       |JOIN surv v ON v.doc_id = x.doc_id
+       |JOIN shards s ON s.doc_id = x.doc_id""".stripMargin
+
   /** `dedup_incremental_store_delete`'s oracle: the incremental pairs
     * recomputed on the corpus WITHOUT the tombstoned docs — identical to
     * [[incrementalOracleSql]] except the base side drops doc_id ≡ 0 (mod 7).

@@ -21,8 +21,8 @@ object LmQueries {
   private val bm25B = 0.75
   private val bm25Queries = Seq(
     1 -> "hash join merge", 2 -> "window agg stream", 3 -> "fast scan filter")
-  private val shardSalt = "s1"
-  private val nShards = 8
+  private[queries] val shardSalt = "s1"
+  private[queries] val nShards = 8
   // CCNet-style fixed perplexity cuts (reference-model thresholds are
   // corpus constants in CCNet too); measured tertiles ≈ 29.7/30.4 at
   // sf0.01 and 30.4/30.6 at sf0.1 — 30/30.5 splits both non-degenerately

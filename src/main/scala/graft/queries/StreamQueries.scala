@@ -511,6 +511,62 @@ object StreamQueries {
           r6(col("qty")).as("qty"), col("symbol"))
     }),
 
+    // INGEST REPLAY IDEMPOTENCE: the ops property a production store
+    // depends on but no gate had pinned — after the ingest stream fully
+    // drains, a FRESH query start on the SAME source dir + checkpoint
+    // (the standard crash-loop / redeploy replay) must re-commit NOTHING:
+    // the offset log already covers every file, so the store's content
+    // hash is bit-identical before and after the replay. The in-gate
+    // require hard-fails on any drift (double-append or loss); the
+    // returned ranged read then answers store_readrange_prune's oracle,
+    // proving the surviving store is also still CORRECT, not just stable.
+    "streaming_store_ingest_replay" -> ((s, dir) => {
+      val trades = Trades.fromEvents(graft.Tables.events(s, dir))
+        .select(col("ts"), col("id"), col("price"), col("qty"), col("symbol"))
+      val st = trades.agg(expr("percentile_approx(ts, 0.5)"), min(col("ts"))).head()
+      val (mid, minTs) = (st.getLong(0), st.getLong(1))
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_gate_stream_ingrep_$runId").getAbsolutePath
+      val srcDir = base + "/src"
+      val pth = new org.apache.hadoop.fs.Path(base)
+      val fs = pth.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(pth)) fs.delete(pth, true)
+      val t0 = System.currentTimeMillis()
+      writeOneFile(trades.where(col("ts") <= mid), srcDir, "a_early", t0 - 40000)
+      writeOneFile(trades.where(col("ts") > mid), srcDir, "b_late", t0 - 20000)
+      def runOnce(): Unit = {
+        val q = s.readStream.schema(trades.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir + "/*")
+          .withColumn("month", graft.sources.Store.monthCol("ts"))
+          .writeStream.format("parquet")
+          .partitionBy("month")
+          .option("path", base + "/store")
+          .option("checkpointLocation", base + "/chk")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      runOnce() // full drain
+      // decimal(38,0) sum: full-range xxhash64 longs overflow a long sum
+      // (ANSI), and a bit_xor would let a double-appended row set cancel
+      // itself out — an order-insensitive exact sum has neither failure
+      def storeFingerprint() = s.read.parquet(base + "/store")
+        .agg(count(lit(1)).as("n"),
+          sum(xxhash64(col("ts"), col("id"), col("price"), col("qty"),
+            col("symbol"), col("month")).cast("decimal(38,0)")).as("h"))
+        .head()
+      val before = storeFingerprint()
+      runOnce() // REPLAY: same source + checkpoint — must commit nothing
+      val after = storeFingerprint()
+      require(before == after,
+        s"ingest replay mutated the store (before=$before, after=$after) — " +
+          "exactly-once across a full restart is broken")
+      val dayNs = 86400L * 1000000000L
+      graft.sources.Store.readRange(s, base + "/store",
+          minTs + 7 * dayNs, minTs + 14 * dayNs)
+        .select(col("ts"), col("id"), r6(col("price")).as("price"),
+          r6(col("qty")).as("qty"), col("symbol"))
+    }),
+
     // LIVE INGEST DEDUP against the STORED band index — the full
     // production loop streaming_store_ingest + dedup_incremental_store
     // compose into at 100 TB: each arriving micro-batch first PROBES the
@@ -573,6 +629,115 @@ object StreamQueries {
       s.read.parquet(root + "/pairs")
         .select(col("id_a"), col("id_b"), col("n_common"),
           r6(col("jaccard")).as("jaccard"))
+    }),
+
+    // THE LIVE DOCUMENT PIPELINE — the streaming twin of corpus_clean and
+    // the document-side counterpart of pipeline_e2e: every arriving
+    // micro-batch runs the FULL training-data ingest chain — quality +
+    // language filter → exact-dedup probe against the hashes ingested so
+    // far → LSH-index probe-then-append against the survivors so far →
+    // hash-gated shard assignment → store append. The oracle recomputes
+    // the whole three-batch asymmetric composition from raw documents
+    // (streamingCorpusE2eOracleSql), so a probe that sees its own batch,
+    // misses a previous append, or drops the seen-hash set fails the hash.
+    // Scale shape: per batch the probe cost is |batch| band rows joined
+    // against the bucketed index (Exchange-free on the index side), the
+    // exact probe is a left-anti against a hash set that grows with the
+    // KEPT corpus, and every append is an O(|batch|) file append.
+    "streaming_corpus_e2e" -> ((s, dir) => {
+      import DocQueries.{shingleN, minhashK, minhashBands}
+      import graft.text.TextOps
+      val name = s"graft_gate_sce2e_$runId"
+      val root = new java.io.File(sys.props("java.io.tmpdir"), name)
+        .getAbsolutePath
+      val pth = new org.apache.hadoop.fs.Path(root)
+      val fs = pth.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(pth)) fs.delete(pth, true)
+      val docsAll = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text")
+      // day-0 state: an EMPTY stored band index (batch 1 probes nothing,
+      // appends first), an empty seen-hash set, an empty survivors store
+      graft.dedup.Dedup.writeLshIndex(
+        docsAll.limit(0).withColumn("toks", TextOps.wsTokens(col("text"))),
+        "doc_id", "toks", shingleN, minhashK, minhashBands, name,
+        root + "/idx", buckets = 8)
+      docsAll.limit(0).select(md5(col("text")).as("content_hash"))
+        .write.parquet(root + "/seen")
+      docsAll.limit(0)
+        .select(col("doc_id"), col("text"), lit("").as("pred_lang"),
+          lit(0L).as("n_ws_tokens"), lit(0.0).as("quality_score"),
+          lit(0).as("shard"))
+        .write.parquet(root + "/store")
+      val t0 = System.currentTimeMillis()
+      writeOneFile(docsAll.where(pmod(col("doc_id"), lit(3)) === 0),
+        root + "/src", "a_b0", t0 - 60000)
+      writeOneFile(docsAll.where(pmod(col("doc_id"), lit(3)) === 1),
+        root + "/src", "b_b1", t0 - 40000)
+      writeOneFile(docsAll.where(pmod(col("doc_id"), lit(3)) === 2),
+        root + "/src", "c_b2", t0 - 20000)
+      val onBatch: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+        Long) => Unit = { (b, batchId) =>
+        // 1. cheap filters first: quality score + language id
+        val scored = b.select(
+          Seq(col("doc_id"), col("text")) ++ TextOps.qualityColumns(col("text")) ++
+            Seq(TextOps.langIdColumns(col("text")).last): _*)
+        val kept = scored
+          .where(col("pred_lang") === "en" && col("quality_score") >= 0.5)
+          .select("doc_id", "text", "pred_lang", "n_ws_tokens", "quality_score")
+        // 2. exact-dedup probe: keep-first inside the batch, then drop any
+        // hash already seen in an earlier batch (fresh read per batch —
+        // foreachBatch runs on a cloned session, so the OUTER session's
+        // relation/file-listing caches must not be reused)
+        val ann = graft.dedup.Dedup.exactDupAnnotate(kept, "doc_id", "text")
+        val seen = s.read.parquet(root + "/seen")
+        val exSurv = ann.where(!col("is_dup"))
+          .join(seen, Seq("content_hash"), "left_anti")
+          .withColumn("toks", TextOps.wsTokens(col("text")))
+        // 3. LSH probe against the survivors-so-far index (bands from the
+        // stored bucketed table; jaccard verify reads only candidate docs)
+        s.catalog.refreshTable(name)
+        val prior = s.read.parquet(root + "/store")
+          .withColumn("toks", TextOps.wsTokens(col("text")))
+        val pairs = graft.dedup.Dedup.incrementalLshPairsFrom(
+          s.table(name), prior.select("doc_id", "toks"),
+          exSurv.select("doc_id", "toks"), "doc_id", "toks",
+          shingleN, minhashK, minhashBands, DocQueries.jaccThreshold)
+        // 4. keep/drop + hash-gated shard assignment, STAGED to a
+        // batch-scoped path before any state append. The survivor plan
+        // reads the seen/store dirs this batch is about to append to, and
+        // Spark invalidates (and lazily re-evaluates) any cached plan
+        // that reads a just-written path — a persist() here silently
+        // recomputes against the batch's OWN published hashes and drops
+        // every row (measured: the index received zero bands). The
+        // staged file is the one evaluation; everything below reads it.
+        exSurv
+          .join(pairs.select(col("id_a").as("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+          .withColumn("shard",
+            (graft.ml.Sampling.hash32(col("doc_id"), LmQueries.shardSalt)
+              % LmQueries.nShards).cast("int"))
+          .write.parquet(root + s"/stage/$batchId")
+        val surv = s.read.parquet(root + s"/stage/$batchId")
+        // 5. store append (the survivors ARE the corpus), then publish
+        // this batch's state for the next one: seen hashes + index bands
+        surv.select("doc_id", "text", "pred_lang", "n_ws_tokens",
+            "quality_score", "shard")
+          .write.mode("append").parquet(root + "/store")
+        ann.select("content_hash").distinct()
+          .write.mode("append").parquet(root + "/seen")
+        graft.dedup.Dedup.appendLshIndex(surv.select("doc_id", "toks"),
+          "doc_id", "toks", shingleN, minhashK, minhashBands, name,
+          buckets = 8)
+      }
+      val q = s.readStream.schema(docsAll.schema)
+        .option("maxFilesPerTrigger", 1).parquet(root + "/src/*")
+        .writeStream.foreachBatch(onBatch)
+        .option("checkpointLocation", root + "/chk")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(root + "/store")
+        .select(col("doc_id"), col("shard"), col("pred_lang"),
+          col("n_ws_tokens"), r6(col("quality_score")).as("quality_score"))
     }),
 
     // OUT-OF-ORDER arrival through the BUFFERED directional machine: the
@@ -704,6 +869,107 @@ object StreamQueries {
         srcDir, "d_s2", t0 - 20000)
       runOnce() // phase 2: fresh query, same checkpoint — offsets + state
       canonBars(s.read.parquet(base + "/out"))
+    }),
+
+    // RESTART-FROM-CHECKPOINT for the keyed LOOKAHEAD machine: the keyed
+    // CUSUM filter holds each symbol's newest row PENDING in state (the
+    // equal-ts block rule needs one row of lookahead) — exactly the state
+    // a production restart must not lose. Phase 1 drains the early half:
+    // ~150 per-symbol states checkpoint, EVERY one with a pending
+    // undecided row. Phase 2 starts a FRESH query on the same checkpoint
+    // with the late half + per-symbol heartbeats: each restored pending
+    // row must be decided against its first phase-2 successor with the
+    // restored (sPos, sNeg, prevPrice) sums. A lost pending row, a
+    // re-emitted committed file, or a reset sum shifts the event set and
+    // fails cusum_events_sym's hash.
+    "streaming_restart_cusum_sym" -> ((s, dir) => {
+      import s.implicits._
+      val trades = Trades.fromEvents(graft.Tables.events(s, dir))
+        .select(col("ts"), col("id"), col("price"), col("qty"), col("symbol"))
+      val mid = trades.agg(expr("percentile_approx(ts, 0.5)")).head().getLong(0)
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_gate_stream_rescus_$runId").getAbsolutePath
+      val srcDir = base + "/src"
+      val p = new org.apache.hadoop.fs.Path(base)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      def runOnce(): Unit = {
+        val src = s.readStream.schema(trades.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(srcDir + "/*")
+          .as[StreamingBars.TradeIn]
+        val q = StreamingBars.cusumStream(src, 2.0).toDF()
+          .writeStream.format("parquet")
+          .option("path", base + "/out")
+          .option("checkpointLocation", base + "/chk")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val t0 = System.currentTimeMillis()
+      writeOneFile(trades.where(col("ts") <= mid), srcDir, "a_early",
+        t0 - 60000)
+      runOnce() // phase 1: every symbol ends with a pending lookahead row
+      writeOneFile(trades.where(col("ts") > mid), srcDir, "b_late",
+        t0 - 40000)
+      writeOneFile(trades.select(col("symbol")).distinct()
+        .select(lit(sentinelNs).as("ts"),
+          (lit(9000000000L) + col("symbol")).as("id"), lit(1.0).as("price"),
+          lit(1.0).as("qty"), col("symbol")), srcDir, "c_flush", t0 - 20000)
+      runOnce() // phase 2: fresh query, same checkpoint — pending rows resume
+      s.read.parquet(base + "/out")
+        .where(col("isEvent"))
+        .select(col("symbol"), col("ts"), col("id"))
+        .join(Trades.fromEvents(graft.Tables.events(s, dir))
+          .select("ts", "id", "price"), Seq("ts", "id"))
+        .select(col("symbol"), col("ts"), col("id"),
+          r6(col("price")).as("price"))
+    }),
+
+    // RESTART-FROM-CHECKPOINT for a threshold-EWMA CARRY machine: the run
+    // machine's state is the live (θ_b, θ_s, n, E_T, P) tuple — restored
+    // mid-bar, the phase-2 rows must keep filling the straddling bar with
+    // phase-1's expectation values (a reset E_T/P re-seeds the thresholds
+    // and shifts every later close). run_bars' oracle verbatim.
+    "streaming_restart_run_bars" -> ((s, dir) => {
+      import s.implicits._
+      val sided = Trades.withTickRuleSide(
+          Trades.fromEvents(graft.Tables.events(s, dir)))
+        .select(col("ts"), col("id"), col("price"), col("qty"),
+          col("side").cast("int").as("side"), lit(0L).as("symbol"))
+      val mid = sided.agg(expr("percentile_approx(ts, 0.5)")).head().getLong(0)
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_gate_stream_resrun_$runId").getAbsolutePath
+      val srcDir = base + "/src"
+      val p = new org.apache.hadoop.fs.Path(base)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      def runOnce(): Unit = {
+        val src = s.readStream.schema(sided.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(srcDir + "/*")
+          .as[StreamingBars.SidedSymIn]
+        val q = StreamingBars.runBarStream(src, ScanQueries.runAlphaT,
+            ScanQueries.runAlphaP, ScanQueries.runInitT,
+            ScanQueries.runInitP).toDF()
+          .writeStream.format("parquet")
+          .option("path", base + "/out")
+          .option("checkpointLocation", base + "/chk")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val t0 = System.currentTimeMillis()
+      writeOneFile(sided.where(col("ts") <= mid), srcDir, "a_early",
+        t0 - 60000)
+      runOnce() // phase 1: θ/E_T/P state checkpoints mid-bar
+      writeOneFile(sided.where(col("ts") > mid), srcDir, "b_late",
+        t0 - 40000)
+      runOnce() // phase 2: fresh query, same checkpoint
+      val ids = s.read.parquet(base + "/out")
+      graft.bars.EventBars.completeBars(withTradeData(ids, s, dir))
+        .select(col("bar_id"), col("bar_ts"), r6(col("open")).as("open"),
+          r6(col("high")).as("high"), r6(col("low")).as("low"),
+          r6(col("close")).as("close"), r6(col("volume")).as("volume"),
+          col("trades"))
     }),
 
     // Streaming TICK BARS through the per-symbol counter state machine:
@@ -1288,8 +1554,12 @@ object StreamQueries {
     "streaming_restart_bars_5m" -> streamBarsOracle,
     "streaming_store_ingest" ->
       TradeQueries.oracles("store_readrange_prune"),
+    "streaming_store_ingest_replay" ->
+      TradeQueries.oracles("store_readrange_prune"),
     "streaming_dedup_index_append" ->
       DocQueries.streamingIndexAppendOracleSql,
+    "streaming_corpus_e2e" ->
+      DocQueries.streamingCorpusE2eOracleSql,
     "streaming_tick_bars_300" -> ScanQueries.oracles("tick_bars_300"),
     "streaming_volume_bars_2k" -> ScanQueries.oracles("volume_bars_2k"),
     "streaming_dollar_bars_200k" -> ScanQueries.oracles("dollar_bars_200k"),
@@ -1305,6 +1575,7 @@ object StreamQueries {
     "streaming_ewma" -> ScanQueries.oracles("ewma_scan"),
     "streaming_imbalance_bars" -> ScanQueries.oracles("imbalance_bars"),
     "streaming_run_bars" -> ScanQueries.oracles("run_bars"),
+    "streaming_restart_run_bars" -> ScanQueries.oracles("run_bars"),
     "streaming_volume_imbalance_bars" ->
       ScanQueries.oracles("volume_imbalance_bars"),
     "streaming_volume_imbalance_bars_sym" ->
@@ -1326,6 +1597,7 @@ object StreamQueries {
     "streaming_volume_run_bars" -> ScanQueries.oracles("volume_run_bars"),
     "streaming_cusum_events" -> ScanQueries.oracles("cusum_events"),
     "streaming_cusum_events_sym" -> ScanQueries.oracles("cusum_events_sym"),
+    "streaming_restart_cusum_sym" -> ScanQueries.oracles("cusum_events_sym"),
     "streaming_z_peaks_sym" -> FeatureQueries.oracles("z_peaks_sym"),
 
     // both alert kinds recomputed with per-symbol lag windows; the stream
