@@ -544,6 +544,49 @@ object Dedup {
     // mode mutates the SparkContext-global checkpoint dir per round —
     // serialize concurrent connectedComponents calls in that mode (the
     // per-call cc_<uuid> prefix keeps their FILES apart either way).
+    // TIERED EXECUTION: the edge set of a dedup graph is METADATA-sized —
+    // it holds duplicate PAIRS, not documents (star clustering emits m−1
+    // edges per bucket), so even a 100 TB corpus's near-dup graph is
+    // typically 10⁶-10⁸ edges, and gate/bench-scale graphs are 10²-10⁵.
+    // Below `spark.graft.cc.driverMaxEdges` (default 2e6, an EXPLICIT
+    // bound — this is not a collect on unbounded data) the whole
+    // computation is a driver-side union-find: one count + one bounded
+    // collect instead of 2-4 checkpointed join rounds, ~10-20× faster at
+    // bench scale and bit-identical (union-by-min-root + path compression
+    // yields component = min reachable id, the same fixpoint). Above the
+    // bound, the distributed pointer-jumping loop below handles graphs of
+    // any size.
+    val eps = edges.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .persist(graft.Conf.storageLevel)
+    val driverMax = sys.props.get("spark.graft.cc.driverMaxEdges")
+      .map(_.toLong).getOrElse(2000000L)
+    val nEdges = eps.count()
+    if (nEdges <= driverMax) {
+      import spark.implicits._
+      val es = eps.as[(Long, Long)].collect()
+      eps.unpersist(blocking = false)
+      val parent = new scala.collection.mutable.LongMap[Long](
+        math.max(16, es.length * 2))
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        // union by MIN root: the surviving root is always the smaller
+        // vertex id, so every final root IS its component's min id
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      val verts = new scala.collection.mutable.LongMap[Unit](
+        math.max(16, es.length * 2))
+      es.foreach { case (a, b) => verts(a) = (); verts(b) = () }
+      Dedup.lastCcRounds = 0
+      return verts.keysIterator.map(v => (v, find(v))).toSeq
+        .toDF("id", "component")
+    }
     var prevCkptSub: Option[org.apache.hadoop.fs.Path] = None
     var roundNo = 0
     // the SparkContext checkpoint dir is GLOBAL state: remember the
@@ -571,10 +614,8 @@ object Dedup {
     }
     // long vertex ids throughout (the typed convergence map depends on it;
     // every caller's ids are integral)
-    val und = edges.select(col("id_a").cast("long").as("src"),
-        col("id_b").cast("long").as("dst"))
-      .union(edges.select(col("id_b").cast("long").as("src"),
-        col("id_a").cast("long").as("dst")))
+    val und = eps.toDF("src", "dst")
+      .union(eps.toDF("d", "s").select(col("s").as("src"), col("d").as("dst")))
       .persist()
     // seed labels one propagation step ahead: lbl₀ = min(self, neighbors)
     // — one groupBy instead of distinct + an identity round, and small
@@ -629,6 +670,7 @@ object Dedup {
       Dedup.lastCcCheckpointDir = ccRunDir
     }
     und.unpersist()
+    eps.unpersist(blocking = false)
     labels.select(col("id"), col("lbl").as("component"))
   }
 

@@ -506,23 +506,38 @@ class DocSpec extends AnyFunSuite {
     }
   }
 
+  /** Force the DISTRIBUTED pointer-jumping tier for the scope of `f`
+    * (small test graphs otherwise take the driver union-find fast path).
+    */
+  private def forceDistributedCc[T](f: => T): T = {
+    System.setProperty("spark.graft.cc.driverMaxEdges", "0")
+    try f finally System.clearProperty("spark.graft.cc.driverMaxEdges")
+  }
+
   test("connected components: pointer jumping converges a 300-chain inside maxIter 30") {
     // diameter 299 — plain min-propagation would need 299 rounds and
     // silently return unconverged labels at maxIter 30; pointer jumping
-    // needs ~log2(299) ≈ 9
+    // needs ~log2(299) ≈ 9. Forced onto the distributed tier: the chain
+    // shape is exactly what the loop must converge at corpus scale.
     val n = 300
     val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
-    val comp = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    val comp = forceDistributedCc {
+      Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    }
     assert((1 to n).forall(i => comp(i.toLong) == 1L))
+    // the same chain through the driver fast path: identical labels
+    val fast = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    assert(fast == comp)
   }
 
-  test("connected components match union-find truth on random graphs") {
+  test("connected components match union-find truth on random graphs (both tiers)") {
     for (seed <- Seq(1, 7, 42)) {
       val rnd = new scala.util.Random(seed)
       val n = 80
       val es = Seq.fill(60)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
         .filter { case (a, b) => a != b }
-      // driver-side union-find truth
+      // independent union-find truth (different code from the production
+      // fast path: array-based, no path compression)
       val parent = Array.tabulate(n)(identity)
       def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
       es.foreach { case (a, b) =>
@@ -532,12 +547,19 @@ class DocSpec extends AnyFunSuite {
       val truth = (0 until n).map(i => i.toLong ->
         (0 until n).filter(j => find(j) == find(i)).min.toLong).toMap
       val touched = es.flatMap(e => Seq(e._1, e._2)).toSet
+      // tier 1: driver fast path (default for graphs this small)
       val comp = Dedup.connectedComponents(es.toDF("id_a", "id_b"))
         .as[(Long, Long)].collect().toMap
+      // tier 2: distributed pointer jumping, forced
+      val dist = forceDistributedCc {
+        Dedup.connectedComponents(es.toDF("id_a", "id_b"))
+          .as[(Long, Long)].collect().toMap
+      }
       assert(comp.keySet == touched, s"seed $seed: vertex set mismatch")
       touched.foreach { v =>
         assert(comp(v) == truth(v), s"seed $seed: vertex $v -> ${comp(v)}, want ${truth(v)}")
       }
+      assert(dist == comp, s"seed $seed: tiers disagree")
     }
   }
 
@@ -548,17 +570,19 @@ class DocSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
     val edges = ((1 until 40).map(i => (i.toLong, (i + 1).toLong)) ++
       Seq((100L, 101L), (101L, 102L), (200L, 100L))).toDF("id_a", "id_b")
-    val local = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
-    System.setProperty("spark.graft.checkpoint.dir", dir)
-    try {
-      val reliable = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
-      assert(reliable === local)
-      def files(p: java.io.File): Seq[java.io.File] =
-        Option(p.listFiles).toSeq.flatten.flatMap(f =>
-          if (f.isDirectory) files(f) else Seq(f))
-      assert(files(new java.io.File(dir)).nonEmpty,
-        "reliable mode wrote no checkpoint files")
-    } finally System.clearProperty("spark.graft.checkpoint.dir")
+    forceDistributedCc { // checkpointing exists only on the distributed tier
+      val local = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+      System.setProperty("spark.graft.checkpoint.dir", dir)
+      try {
+        val reliable = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+        assert(reliable === local)
+        def files(p: java.io.File): Seq[java.io.File] =
+          Option(p.listFiles).toSeq.flatten.flatMap(f =>
+            if (f.isDirectory) files(f) else Seq(f))
+        assert(files(new java.io.File(dir)).nonEmpty,
+          "reliable mode wrote no checkpoint files")
+      } finally System.clearProperty("spark.graft.checkpoint.dir")
+    }
   }
 
   test("repetitionStats: top/dup n-gram coverage on hand-computed docs") {
