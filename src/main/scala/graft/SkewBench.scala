@@ -29,9 +29,18 @@ import org.apache.spark.sql.functions._
   * degrades toward serial-heavy-key wall time while affine stays at the
   * uniform figure.
   *
+  * Beyond the EW family, `SPARK_GRAFT_SKEW_OPS` (default "ewma,tbm") adds
+  * the heaviest keyed consumer — the TBM LABEL CHAIN (per-symbol
+  * triple-barrier walk + uniqueness/attribution sweep, the
+  * tbm_labels_sym → label_weights_sym composition) — as `{kind}_tbm`
+  * cells on the same fixtures. The question it answers: does the hot
+  * symbol serialize the barrier walk, or does the bucketed range join's
+  * (symbol, time-bucket) key split the heavy key's work across tasks?
+  *
   * Usage: [SPARK_GRAFT_SF_DIR=…] [SPARK_GRAFT_SKEW_COPIES=32]
   *        [SPARK_GRAFT_SKEW_HEAVY=25] [SPARK_GRAFT_SKEW_CPUS=32]
-  *        [SPARK_GRAFT_SKEW_REPS=2] runMain graft.SkewBench
+  *        [SPARK_GRAFT_SKEW_REPS=2] [SPARK_GRAFT_SKEW_OPS=ewma,tbm]
+  *        runMain graft.SkewBench
   * Prints one JSONL line: {"metric":"skew_scaling",…}
   */
 object SkewBench {
@@ -98,12 +107,34 @@ object SkewBench {
         }
       def affineLayout(t: DataFrame): DataFrame =
         graft.features.Ewm.ewmaExact(t, "price", span, keyCols = Seq("symbol"))
+      // the keyed TBM chain (tbm_labels_sym's event recipe + the
+      // label_weights_sym sweep) — the engine's heaviest keyed consumer
+      def tbmChain(t: DataFrame): DataFrame = {
+        val ev = t.where(col("id") % 29 === 0).select(
+          col("symbol"), col("ts").as("event_ts"), col("id").as("event_id"),
+          col("price").as("p0"),
+          (lit(0.05) + (col("id") % 7).cast("double") * lit(0.01)).as("tgt"))
+        val lab = graft.labels.TripleBarrier.label(t, ev, 2.0, 1.5,
+          vertBarrierSec = 7 * 86400.0, minCloseSec = 0.0, minRet = 0.02,
+          isMeta = false, partCols = Seq("symbol"))
+        graft.labels.Weights.eventWeights(t, lab, Seq("symbol"))
+          .withColumnRenamed("avg_uniqueness", "ewma") // shared count column
+      }
+      val ops = sys.env.getOrElse("SPARK_GRAFT_SKEW_OPS", "ewma,tbm")
+        .split(",").map(_.trim).toSet
+      val layouts =
+        (if (ops("ewma")) Seq("seq" -> (seqLayout _), "affine" -> (affineLayout _))
+         else Nil) ++
+        (if (ops("tbm")) Seq("tbm" -> (tbmChain _)) else Nil)
 
       val cells = for {
         (kind, path) <- fixtures
-        (layout, mk) <- Seq("seq" -> (seqLayout _), "affine" -> (affineLayout _))
+        (layout, mk) <- layouts
       } yield {
         val secs = (1 to reps).map { _ =>
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = true))
           val t = spark.read.parquet(path)
           val t0 = System.nanoTime()
           // force full materialization of the scan output
