@@ -120,12 +120,25 @@ object SkewBench {
         graft.labels.Weights.eventWeights(t, lab, Seq("symbol"))
           .withColumnRenamed("avg_uniqueness", "ewma") // shared count column
       }
+      // label-only cell: attributes hot-key cost between the barrier walk
+      // (bucketed range join) and the weights sweep
+      def labelOnly(t: DataFrame): DataFrame = {
+        val ev = t.where(col("id") % 29 === 0).select(
+          col("symbol"), col("ts").as("event_ts"), col("id").as("event_id"),
+          col("price").as("p0"),
+          (lit(0.05) + (col("id") % 7).cast("double") * lit(0.01)).as("tgt"))
+        graft.labels.TripleBarrier.label(t, ev, 2.0, 1.5,
+          vertBarrierSec = 7 * 86400.0, minCloseSec = 0.0, minRet = 0.02,
+          isMeta = false, partCols = Seq("symbol"))
+          .withColumnRenamed("ret", "ewma")
+      }
       val ops = sys.env.getOrElse("SPARK_GRAFT_SKEW_OPS", "ewma,tbm")
         .split(",").map(_.trim).toSet
       val layouts =
         (if (ops("ewma")) Seq("seq" -> (seqLayout _), "affine" -> (affineLayout _))
          else Nil) ++
-        (if (ops("tbm")) Seq("tbm" -> (tbmChain _)) else Nil)
+        (if (ops("tbm")) Seq("tbm" -> (tbmChain _)) else Nil) ++
+        (if (ops("label")) Seq("label" -> (labelOnly _)) else Nil)
 
       val cells = for {
         (kind, path) <- fixtures

@@ -68,22 +68,36 @@ object TripleBarrier {
       .where(col("event_ts") + vertNs <= col("__max_ts"))
       .drop("__max_ts")
 
-    // Bucketed range join: a path row lives in (t0, t0+vert], so its trade
-    // falls in time-bucket DIV(t0,vert) or the next one. Duplicating each
-    // event into those two buckets turns the pure-range condition into an
-    // equi-join (shuffle hash/sort-merge, parallel, AQE-skew-safe) instead
-    // of a broadcast nested loop over |events| × |trades|.
+    // Bucketed range join: a path row lives in (t0, t0+vert], so with a
+    // bucket width `bw` its trade falls in one of the buckets
+    // [t0 DIV bw, (t0+vert) DIV bw]. Duplicating each event into those
+    // buckets turns the pure-range condition into an equi-join (shuffle
+    // hash/sort-merge, parallel) instead of a broadcast nested loop over
+    // |events| × |trades|.
+    //
+    // BUCKET SUBDIVISION (hot-key parallelism): bw = vert/8, not vert.
+    // The join's per-key-group work is |trades in bucket| × |events
+    // covering bucket| and a sort-merge join cannot split WITHIN one key
+    // group (AQE skew handling splits partitions, and a single giant
+    // (bucket, symbol) group is indivisible) — measured on SkewBench's
+    // 75%-on-one-symbol fixture, bw = vert serialized the hot symbol's
+    // entire barrier walk on ~vert-span/vert tasks (89.6 s flat from 8 to
+    // 32 cores). Total pair work is invariant in bw (each event still
+    // meets each in-window trade exactly once); subdividing only fans the
+    // same work out over ~8× more key groups, restoring core scaling.
+    // The cost is event-row duplication (9 copies instead of 2) on the
+    // side that is ~1/29 of the trades — noise in the shuffle.
     // The trade side is renamed (__t_*) before the join so no column
     // reference is ambiguous — events derive from the same trades lineage,
     // and dataframe-tagged references (t("ts")) trip the ambiguous-self-join
     // detector once any shared fragment is cached elsewhere in the session.
+    val bw = math.max(1L, vertNs / 8)
     val t = trades.select(pc :+ col("ts").as("__t_ts") :+ col("id").as("__t_id") :+
         col("price").as("__t_price"): _*)
-      .withColumn("__b", expr(s"__t_ts DIV ${vertNs}L"))
+      .withColumn("__b", expr(s"__t_ts DIV ${bw}L"))
     val evb = ev
-      .withColumn("__eb", expr(s"event_ts DIV ${vertNs}L"))
-      .withColumn("__b", explode(array(col("__eb"), col("__eb") + 1)))
-      .drop("__eb")
+      .withColumn("__b", explode(expr(
+        s"sequence(event_ts DIV ${bw}L, (event_ts + ${vertNs}L) DIV ${bw}L)")))
     // No broadcast hint on either side: events scale with trades (~1/29),
     // so neither side is provably broadcastable at 100 TB — the bucketed
     // equi-join stays AQE's choice (broadcast when one side is measured
