@@ -53,10 +53,15 @@ object SymBench {
     def dirFor(name: String): String =
       if (name.endsWith("_sym")) fixture.getOrElse(sfDir) else sfDir
 
+    // shuffle-partition override for large fixtures: at 10^8 rows, cpus(32)
+    // partitions means ~3M-row in-memory sorts per task × 32 concurrent —
+    // heap-bound in one JVM. A real cluster sizes shuffle partitions to
+    // data (AQE coalesces back); SPARK_GRAFT_SYM_SHUFFLE is that knob here.
+    val shuffleParts = sys.env.get("SPARK_GRAFT_SYM_SHUFFLE").map(_.trim.toInt)
     val runs = cpuList.map { cpus =>
       val spark = SparkSession.builder()
         .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.shuffle.partitions", shuffleParts.getOrElse(cpus))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()

@@ -26,14 +26,24 @@ object Weights {
     * mirror the timestamp-slice definition used here.
     */
   def concurrency(trades: DataFrame, labeled: DataFrame,
-                  partCols: Seq[String] = Nil): DataFrame = {
+                  partCols: Seq[String] = Nil,
+                  skewSafe: Boolean = false): DataFrame = {
     // partCols (e.g. symbol) must be present on BOTH trades and labeled;
     // the sweep then partitions by it — shuffle-parallel across symbols
     // (empty = reference single-series order, which runs on the exact
     // distributed affine scan: the running sum s' = s + d is affine, so
     // the FULL trade stream never moves through a single partition).
+    //
+    // KEYED TIERS: the default per-key WINDOW is whole-stage-codegen fast
+    // but serializes each key's stream on one task — right for the common
+    // many-roughly-even-keys corpus (measured ~5-20× faster per row than
+    // the scan closures at the 102M-row uniform tier). `skewSafe = true`
+    // switches to a reset-affine range-partitioned scan (the
+    // Ewm.ewmaExact layout): a heavy-hitter key splits across partitions
+    // and parallelizes WITHIN the key — the choice when one symbol
+    // carries most of the volume (SkewBench's measured 19× class).
     val pc = partCols.map(col)
-    if (partCols.nonEmpty) {
+    if (partCols.nonEmpty && !skewSafe) {
       val deltas =
         labeled.select(pc :+ col("event_ts").as("ts") :+ lit(0).as("ord") :+ lit(1L).as("d"): _*)
           .unionByName(labeled.select(
@@ -46,6 +56,39 @@ object Weights {
         .rowsBetween(Window.unboundedPreceding, 0)
       stream
         .withColumn("concurrency", sum("d").over(w))
+        .where(col("ord") === 1)
+        .select(pc :+ col("ts") :+ col("id") :+ col("price") :+ col("concurrency"): _*)
+    } else if (partCols.nonEmpty) {
+      // skew-safe tier: markers take id := event_id so the scan's order
+      // keys are total, unique and integral; tie order within an equal
+      // (ts, ord) group cannot change any output (trade rows carry d = 0,
+      // and conc is only read at trade rows, which sort after every
+      // equal-ts marker of their ord class).
+      require(labeled.columns.contains("event_id"),
+        "keyed skew-safe concurrency sweep needs an event_id column for " +
+          "the deterministic scan order (partCols, ts, ord, event_id)")
+      val deltas =
+        labeled.select(pc :+ col("event_ts").as("ts") :+ lit(0).as("ord") :+
+            col("event_id").as("id") :+ lit(1L).as("d"): _*)
+          .unionByName(labeled.select(
+            pc :+ col("touch_ts").as("ts") :+ lit(2).as("ord") :+
+              col("event_id").as("id") :+ lit(-1L).as("d"): _*))
+          .withColumn("price", lit(null).cast("double"))
+      val stream = trades.select(pc :+ col("ts") :+ lit(1).as("ord") :+
+          col("id") :+ lit(0L).as("d") :+ col("price"): _*)
+        .unionByName(deltas)
+      val sch = stream.schema
+      val dIdx = sch.fieldIndex("d")
+      val kIdxs = partCols.map(sch.fieldIndex)
+      Scan.affine(stream, partCols ++ Seq("ts", "ord", "id"), nStates = 1,
+          coefs = (r, prev) => {
+            val nk = prev == null || kIdxs.exists(i => prev.get(i) != r.get(i))
+            val d = r.getLong(dIdx).toDouble
+            if (nk) Array(Scan.Affine(0.0, d)) else Array(Scan.Affine(1.0, d))
+          },
+          init = Array(0.0),
+          emit = (s, _) => s(0).toLong,
+          outName = "concurrency", outType = LongType, pinned = true)
         .where(col("ord") === 1)
         .select(pc :+ col("ts") :+ col("id") :+ col("price") :+ col("concurrency"): _*)
     } else {
@@ -100,16 +143,21 @@ object Weights {
     * through the final hash aggregation.
     */
   def eventWeights(trades: DataFrame, labeled: DataFrame,
-                   partCols: Seq[String] = Nil): DataFrame = {
+                   partCols: Seq[String] = Nil,
+                   skewSafe: Boolean = false): DataFrame = {
     val pc = partCols.map(col)
     val nullL = lit(null).cast("long")
     val nullD = lit(null).cast("double")
     def at(kind: Int, c: String) = max(when(col("kind") === kind, col(c)))
-    if (partCols.nonEmpty) {
-      // Fully fused sweep: the concurrency deltas, the previous-trade price
-      // (for log returns) and all three prefix sums ride ONE (ts, ord, id)
-      // ordering — consecutive Window operators with the same spec reuse
-      // the sort, so the whole pipeline costs a single keyed sort.
+    if (partCols.nonEmpty && !skewSafe) {
+      // Default keyed tier — fully fused per-key WINDOW sweep: the
+      // concurrency deltas, the previous-trade price (for log returns)
+      // and all three prefix sums ride ONE (ts, ord, id) ordering —
+      // consecutive Window operators with the same spec reuse the sort,
+      // so the whole pipeline costs a single keyed sort, entirely inside
+      // whole-stage codegen. Each key's stream runs on one task: right
+      // for many-roughly-even-keys corpora, wrong for heavy hitters —
+      // see `skewSafe` (concurrency's scaladoc has the measured numbers).
       val tr = trades.select(pc ++ Seq(col("ts"), lit(1).as("ord"), col("id"),
         col("price"), lit(0L).as("d"), nullL.as("event_id"),
         nullL.as("event_ts"), nullL.as("touch_ts"),
@@ -149,6 +197,101 @@ object Weights {
           coalesce(at(0, "cum_u"), lit(0.0)).as("u0"), at(1, "cum_u").as("u1"),
           coalesce(at(0, "cum_r"), lit(0.0)).as("r0"), at(1, "cum_r").as("r1"),
           coalesce(at(0, "cum_n"), lit(0L)).as("n0"), at(1, "cum_n").as("n1"))
+        .where(col("n1") > col("n0"))
+        .select(pc ++ Seq(col("event_id"), col("event_ts"), col("touch_ts"),
+          ((col("u1") - col("u0")) / (col("n1") - col("n0"))).as("avg_uniqueness"),
+          abs(col("r1") - col("r0")).as("return_attribution")): _*)
+    } else if (partCols.nonEmpty) {
+      // Skew-safe keyed tier — reset-affine sweep on the SAME two-stage
+      // pinned scan as the unkeyed branch: a heavy-hitter symbol splits
+      // across range partitions instead of serializing on one task. The
+      // scan orders by (partCols, ts, ord, id) and every state resets
+      // with a = 0 coefficients at key boundaries; stage 2 learns about
+      // the boundary through a stage-1 FLAG state (1.0 exactly on each
+      // key's first row — stage-2 coefficients see stage-1 state, not
+      // the previous row). Markers take id := event_id so the order keys
+      // are total, unique and integral; intra-(ts, ord) tie order cannot
+      // change outputs for the same reasons as the unkeyed branch.
+      require(labeled.columns.contains("event_id"),
+        "keyed skew-safe eventWeights sweep needs an event_id column for " +
+          "the deterministic scan order (partCols, ts, ord, event_id)")
+      val tr = trades.select(pc ++ Seq(col("ts"), lit(1).as("ord"), col("id"),
+        col("price"), lit(0L).as("d"), nullL.as("event_id"),
+        nullL.as("event_ts"), nullL.as("touch_ts"),
+        lit(null).cast("int").as("kind")): _*)
+      def marker(tsCol: String, ord: Int, kind: Int, d: Long) =
+        labeled.select(pc ++ Seq(col(tsCol).as("ts"), lit(ord).as("ord"),
+          col("event_id").as("id"), nullD.as("price"), lit(d).as("d"),
+          col("event_id"), col("event_ts"),
+          col("touch_ts"), lit(kind).as("kind")): _*)
+      val stream = tr
+        .unionByName(marker("event_ts", 0, 0, 1L))
+        .unionByName(marker("touch_ts", 2, 1, -1L))
+
+      val sch = stream.schema
+      val ordIdx = sch.fieldIndex("ord")
+      val priceIdx = sch.fieldIndex("price")
+      val dIdx = sch.fieldIndex("d")
+      val kIdxs = partCols.map(sch.fieldIndex)
+      val keep = Scan.Affine(1.0, 0.0)
+      val zero = Scan.Affine(0.0, 0.0)
+      // stage 1: conc (running Σd), prev-trade seen flag + held price,
+      // trade-row count, and the key-boundary flag for stage 2 — all
+      // RESET (a = 0) on each key's first row so no state crosses keys
+      val coefs1 = (r: Row, prev: Row) => {
+        val nk = prev == null || kIdxs.exists(i => prev.get(i) != r.get(i))
+        val d = r.getLong(dIdx).toDouble
+        val conc = if (nk) Scan.Affine(0.0, d) else Scan.Affine(1.0, d)
+        val (seen, held) =
+          if (nk) (zero, zero)
+          else if (prev.getInt(ordIdx) == 1)
+            (Scan.Affine(0.0, 1.0), Scan.Affine(0.0, prev.getDouble(priceIdx)))
+          else (keep, keep)
+        val isTrade = r.getInt(ordIdx) == 1
+        val n =
+          if (nk) Scan.Affine(0.0, if (isTrade) 1.0 else 0.0)
+          else if (isTrade) Scan.Affine(1.0, 1.0) else keep
+        val flag = Scan.Affine(0.0, if (nk) 1.0 else 0.0)
+        Array(conc, seen, held, n, flag)
+      }
+      // stage 2: cum_u / cum_r prefix sums — increments read stage-1 conc
+      // and the held previous price, with the unkeyed branch's guards
+      // (conc <= 0 → 0; no previous trade / zero prev price / non-finite
+      // log-ratio → 0); a = 0 on key-first rows resets the sums
+      val coefs2 = (r: Row, st1: Array[Double]) => {
+        val a = if (st1(4) == 1.0) 0.0 else 1.0
+        def aff(inc: Double) = Scan.Affine(a, inc)
+        if (r.getInt(ordIdx) != 1) Array(aff(0.0), aff(0.0))
+        else {
+          val conc = st1(0)
+          if (conc <= 0) Array(aff(0.0), aff(0.0))
+          else {
+            val u = 1.0 / conc
+            val rInc =
+              if (st1(1) != 1.0 || st1(2) == 0.0) 0.0
+              else {
+                val lr = math.log(r.getDouble(priceIdx) / st1(2))
+                if (lr.isNaN || lr.isInfinite) 0.0 else lr / conc
+              }
+            Array(aff(u), aff(rInc))
+          }
+        }
+      }
+      val outType = StructType(Seq(
+        StructField("cum_u", DoubleType), StructField("cum_r", DoubleType),
+        StructField("cum_n", LongType)))
+      val scanned = Scan.affine2(stream, partCols ++ Seq("ts", "ord", "id"),
+        n1 = 5, coefs1, init1 = Array(0.0, 0.0, 0.0, 0.0, 0.0),
+        n2 = 2, coefs2, init2 = Array(0.0, 0.0),
+        emit = (st1, st2, _) => Row(st2(0), st2(1), st1(3).toLong),
+        outName = "__sw", outType = outType)
+
+      scanned.where(col("ord") =!= 1)
+        .groupBy(pc :+ col("event_id"): _*).agg(
+          max("event_ts").as("event_ts"), max("touch_ts").as("touch_ts"),
+          coalesce(at(0, "__sw.cum_u"), lit(0.0)).as("u0"), at(1, "__sw.cum_u").as("u1"),
+          coalesce(at(0, "__sw.cum_r"), lit(0.0)).as("r0"), at(1, "__sw.cum_r").as("r1"),
+          coalesce(at(0, "__sw.cum_n"), lit(0L)).as("n0"), at(1, "__sw.cum_n").as("n1"))
         .where(col("n1") > col("n0"))
         .select(pc ++ Seq(col("event_id"), col("event_ts"), col("touch_ts"),
           ((col("u1") - col("u0")) / (col("n1") - col("n0"))).as("avg_uniqueness"),

@@ -108,7 +108,7 @@ object LabelQueries {
     "label_concurrency_sym" -> ((s, dir) => {
       val t = trades(s, dir)
       val ev = t.where(col("id") % 37 === 0).select(
-        col("symbol"), col("ts").as("event_ts"),
+        col("symbol"), col("ts").as("event_ts"), col("id").as("event_id"),
         (col("ts") + lit(7200000000000L)).as("touch_ts"))
       Weights.concurrency(t, ev, Seq("symbol"))
         .select(col("symbol"), col("ts"), col("id"), col("concurrency"))
@@ -122,6 +122,32 @@ object LabelQueries {
         col("symbol"), col("ts").as("event_ts"), col("id").as("event_id"),
         (col("ts") + lit(7200000000000L)).as("touch_ts"))
       Weights.eventWeights(t, ev, Seq("symbol"))
+        .select(col("symbol"), col("event_id"), col("event_ts"), col("touch_ts"),
+          r6(col("avg_uniqueness")).as("avg_uniqueness"),
+          r6(col("return_attribution")).as("return_attribution"))
+    }),
+
+    // The SKEW-SAFE keyed tier of the same two sweeps: reset-affine
+    // range-partitioned scans instead of per-key windows — a heavy-hitter
+    // symbol splits across partitions rather than serializing one task.
+    // Shares label_concurrency_sym's / label_weights_sym's oracle texts
+    // VERBATIM: the layout is physical, not semantic, and the hash proves
+    // the two tiers agree to the last bit of the r6 normalization.
+    "label_concurrency_sym_safe" -> ((s, dir) => {
+      val t = trades(s, dir)
+      val ev = t.where(col("id") % 37 === 0).select(
+        col("symbol"), col("ts").as("event_ts"), col("id").as("event_id"),
+        (col("ts") + lit(7200000000000L)).as("touch_ts"))
+      Weights.concurrency(t, ev, Seq("symbol"), skewSafe = true)
+        .select(col("symbol"), col("ts"), col("id"), col("concurrency"))
+    }),
+
+    "label_weights_sym_safe" -> ((s, dir) => {
+      val t = trades(s, dir)
+      val ev = t.where(col("id") % 37 === 0).select(
+        col("symbol"), col("ts").as("event_ts"), col("id").as("event_id"),
+        (col("ts") + lit(7200000000000L)).as("touch_ts"))
+      Weights.eventWeights(t, ev, Seq("symbol"), skewSafe = true)
         .select(col("symbol"), col("event_id"), col("event_ts"), col("touch_ts"),
           r6(col("avg_uniqueness")).as("avg_uniqueness"),
           r6(col("return_attribution")).as("return_attribution"))
@@ -356,6 +382,57 @@ object LabelQueries {
   /** Shared by `tbm_labels_sym` AND `tbm_labels_sym_store`: the bucketed
     * layout must reproduce the raw-events chain bit-for-bit.
     */
+  /** Shared by label_concurrency_sym AND its _safe twin: the two engine
+    * tiers (per-key window vs reset-affine scan) answer literally the same
+    * oracle text, so they can never drift from each other.
+    */
+  private lazy val concurrencySymOracleSql: String =
+    s"""WITH $tradesCte,
+       |ev AS (
+       |  SELECT symbol, ts AS event_ts, ts + 7200000000000 AS touch_ts
+       |  FROM trades WHERE id % 37 = 0
+       |),
+       |stream AS (
+       |  SELECT symbol, ts, 1 AS ord, CAST(0 AS BIGINT) AS d, id FROM trades
+       |  UNION ALL SELECT symbol, event_ts, 0, CAST(1 AS BIGINT), NULL FROM ev
+       |  UNION ALL SELECT symbol, touch_ts, 2, CAST(-1 AS BIGINT), NULL FROM ev
+       |)
+       |SELECT symbol, ts, id, CAST(conc AS BIGINT) AS concurrency FROM (
+       |  SELECT *, sum(d) OVER (PARTITION BY symbol ORDER BY ts, ord
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+       |  FROM stream
+       |) WHERE ord = 1""".stripMargin
+
+  /** Shared by label_weights_sym AND its _safe twin — same reason. */
+  private lazy val weightsSymOracleSql: String =
+    s"""WITH $tradesCte,
+       |ev AS (
+       |  SELECT symbol, ts AS event_ts, id AS event_id,
+       |         ts + 7200000000000 AS touch_ts
+       |  FROM trades WHERE id % 37 = 0
+       |),
+       |stream AS (
+       |  SELECT symbol, ts, 1 AS ord, CAST(0 AS BIGINT) AS d, id, price FROM trades
+       |  UNION ALL SELECT symbol, event_ts, 0, CAST(1 AS BIGINT), NULL, NULL FROM ev
+       |  UNION ALL SELECT symbol, touch_ts, 2, CAST(-1 AS BIGINT), NULL, NULL FROM ev
+       |),
+       |conc AS (
+       |  SELECT symbol, ts, id, price, conc,
+       |         ln(price / lag(price) OVER (PARTITION BY symbol ORDER BY ts, id)) AS logret
+       |  FROM (
+       |    SELECT *, sum(d) OVER (PARTITION BY symbol ORDER BY ts, ord
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+       |    FROM stream
+       |  ) WHERE ord = 1
+       |)
+       |SELECT l.symbol, l.event_id, l.event_ts, l.touch_ts,
+       |  ${rd("avg(1e0 / c.conc)")} AS avg_uniqueness,
+       |  ${rd("""abs(sum(CASE WHEN c.conc > 0 AND c.logret IS NOT NULL AND NOT isnan(c.logret)
+           |      THEN c.logret / c.conc ELSE 0.0 END))""".stripMargin)} AS return_attribution
+       |FROM ev l JOIN conc c
+       |  ON c.symbol = l.symbol AND c.ts >= l.event_ts AND c.ts <= l.touch_ts
+       |GROUP BY 1, 2, 3, 4""".stripMargin
+
   private lazy val tbmSymOracleSql: String = {
       val vert = 7L * 86400000000000L
       s"""WITH $tradesCte,
@@ -554,51 +631,12 @@ object LabelQueries {
     "tbm_labels_sym" -> tbmSymOracleSql,
     "tbm_labels_sym_store" -> tbmSymOracleSql,
 
-    "label_concurrency_sym" ->
-      s"""WITH $tradesCte,
-         |ev AS (
-         |  SELECT symbol, ts AS event_ts, ts + 7200000000000 AS touch_ts
-         |  FROM trades WHERE id % 37 = 0
-         |),
-         |stream AS (
-         |  SELECT symbol, ts, 1 AS ord, CAST(0 AS BIGINT) AS d, id FROM trades
-         |  UNION ALL SELECT symbol, event_ts, 0, CAST(1 AS BIGINT), NULL FROM ev
-         |  UNION ALL SELECT symbol, touch_ts, 2, CAST(-1 AS BIGINT), NULL FROM ev
-         |)
-         |SELECT symbol, ts, id, CAST(conc AS BIGINT) AS concurrency FROM (
-         |  SELECT *, sum(d) OVER (PARTITION BY symbol ORDER BY ts, ord
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
-         |  FROM stream
-         |) WHERE ord = 1""".stripMargin,
+    "label_concurrency_sym" -> concurrencySymOracleSql,
+    // skew-safe tier shares the oracle verbatim (physical layout only)
+    "label_concurrency_sym_safe" -> concurrencySymOracleSql,
+    "label_weights_sym_safe" -> weightsSymOracleSql,
 
-    "label_weights_sym" ->
-      s"""WITH $tradesCte,
-         |ev AS (
-         |  SELECT symbol, ts AS event_ts, id AS event_id,
-         |         ts + 7200000000000 AS touch_ts
-         |  FROM trades WHERE id % 37 = 0
-         |),
-         |stream AS (
-         |  SELECT symbol, ts, 1 AS ord, CAST(0 AS BIGINT) AS d, id, price FROM trades
-         |  UNION ALL SELECT symbol, event_ts, 0, CAST(1 AS BIGINT), NULL, NULL FROM ev
-         |  UNION ALL SELECT symbol, touch_ts, 2, CAST(-1 AS BIGINT), NULL, NULL FROM ev
-         |),
-         |conc AS (
-         |  SELECT symbol, ts, id, price, conc,
-         |         ln(price / lag(price) OVER (PARTITION BY symbol ORDER BY ts, id)) AS logret
-         |  FROM (
-         |    SELECT *, sum(d) OVER (PARTITION BY symbol ORDER BY ts, ord
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
-         |    FROM stream
-         |  ) WHERE ord = 1
-         |)
-         |SELECT l.symbol, l.event_id, l.event_ts, l.touch_ts,
-         |  ${rd("avg(1e0 / c.conc)")} AS avg_uniqueness,
-         |  ${rd("""abs(sum(CASE WHEN c.conc > 0 AND c.logret IS NOT NULL AND NOT isnan(c.logret)
-             |      THEN c.logret / c.conc ELSE 0.0 END))""".stripMargin)} AS return_attribution
-         |FROM ev l JOIN conc c
-         |  ON c.symbol = l.symbol AND c.ts >= l.event_ts AND c.ts <= l.touch_ts
-         |GROUP BY 1, 2, 3, 4""".stripMargin,
+    "label_weights_sym" -> weightsSymOracleSql,
 
     "label_decay_sym" ->
       s"""WITH $tradesCte,

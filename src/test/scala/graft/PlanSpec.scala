@@ -163,16 +163,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in TBM plan:\n$p")
   }
 
-  test("keyed eventWeights sweep partitions its windows by symbol") {
+  test("keyed eventWeights tiers: default windows by symbol; skewSafe has no window") {
     val t = symTrades(4000)
     val ev = t.where(col("id") % 37 === 0).select(
       col("symbol"), col("ts").as("event_ts"), col("id").as("event_id"),
       (col("ts") + lit(1000000000L)).as("touch_ts"))
+    // default tier: codegen'd per-key window (fast on even keys), keyed —
+    // never a single-partition sort
     val p = plan(graft.labels.Weights.eventWeights(t, ev, Seq("symbol")))
     assert(p.contains("hashpartitioning(symbol"),
       s"keyed sweep must hash-partition by symbol:\n$p")
     assert(!p.contains("SinglePartition"),
       s"keyed sweep must not move the stream to one partition:\n$p")
+    // skew-safe tier: reset-affine range-partitioned scan — a heavy key
+    // splits across partitions; no per-key window anywhere in the plan
+    val ps = plan(graft.labels.Weights.eventWeights(t, ev, Seq("symbol"),
+      skewSafe = true))
+    assert(!ps.contains("Window"),
+      s"skew-safe keyed sweep must not use a per-key window:\n$ps")
+    assert(!ps.contains("SinglePartition"),
+      s"skew-safe keyed sweep must not single-partition the stream:\n$ps")
+    val pcs = plan(graft.labels.Weights.concurrency(t, ev, Seq("symbol"),
+      skewSafe = true))
+    assert(!pcs.contains("Window"),
+      s"skew-safe keyed concurrency must not use a per-key window:\n$pcs")
   }
 
   test("BPE encode: no forced broadcast; AQE broadcasts a small vocab") {
