@@ -67,6 +67,69 @@ object DocBench {
     pairs
   }
 
+  /** The FULL live corpus pipeline (the streaming_corpus_e2e chain) at
+    * fixture scale: the corpus arrives in `nBatches` hash-split batches;
+    * each runs quality + langid filter → exact-dedup probe against the
+    * hashes ingested so far → CAPPED LSH probe against the survivors-so-
+    * far index, then appends its own survivors' bands → hash-gated shard
+    * assignment. State (seen hashes, kept corpus) stays as persisted
+    * frames; the index is the stored bucketed table, so per-batch probe
+    * cost is delta-scaled exactly like [[ingestBatches]]. Returns total
+    * surviving docs.
+    */
+  private def corpusE2eBatches(spark: SparkSession,
+                               docs: org.apache.spark.sql.DataFrame,
+                               nBatches: Int): Long = {
+    val salted = docs.withColumn("__h",
+      graft.ml.Sampling.hash32(col("doc_id"), "live"))
+    val cut = (i: Int) => ((i.toDouble / nBatches) * 4294967296.0).toLong
+    val table = s"docbench_live_idx$nBatches"
+    val dir = java.nio.file.Files
+      .createTempDirectory("docbench_live_idx").toString
+    Dedup.writeLshIndex(docs.limit(0).select("doc_id", "text", "toks"),
+      "doc_id", "toks", shingleN, minhashK, minhashBands, table, dir,
+      buckets = 32)
+    var kept: org.apache.spark.sql.DataFrame = null
+    var seenH: org.apache.spark.sql.DataFrame = null
+    var survivors = 0L
+    for (i <- 1 to nBatches) {
+      val b = salted.where(col("__h") >= cut(i - 1) && col("__h") < cut(i))
+        .select("doc_id", "text", "toks")
+      val scored = b.select(
+        Seq(col("doc_id"), col("text"), col("toks")) ++
+          TextOps.qualityColumns(col("text")) ++
+          Seq(TextOps.langIdColumns(col("text")).last): _*)
+      val keptB = scored
+        .where(col("pred_lang") === "en" && col("quality_score") >= 0.5)
+        .select("doc_id", "text", "toks")
+      val ann = Dedup.exactDupAnnotate(keptB, "doc_id", "text")
+        .where(!col("is_dup"))
+      val exSurv = (if (seenH == null) ann
+        else ann.join(seenH, Seq("content_hash"), "left_anti"))
+        .select("doc_id", "text", "toks", "content_hash")
+      val pairs = Dedup.incrementalLshPairsFrom(spark.table(table),
+        if (kept == null) b.limit(0) else kept,
+        exSurv.select("doc_id", "text", "toks"), "doc_id", "toks",
+        shingleN, minhashK, minhashBands, threshold = 0.7,
+        maxBucket = maxBucket)
+      val surv = exSurv
+        .join(pairs.select(col("id_a").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        .withColumn("shard",
+          (graft.ml.Sampling.hash32(col("doc_id"), "s1") % 8).cast("int"))
+        .persist()
+      survivors += surv.count()
+      Dedup.appendLshIndex(surv.select("doc_id", "toks"), "doc_id", "toks",
+        shingleN, minhashK, minhashBands, table, buckets = 32)
+      val newKept = surv.select("doc_id", "text", "toks")
+      kept = if (kept == null) newKept else kept.unionByName(newKept)
+      val newSeen = ann.select("content_hash").distinct()
+      seenH = if (seenH == null) newSeen else
+        seenH.unionByName(newSeen).distinct()
+    }
+    survivors
+  }
+
   def main(args: Array[String]): Unit = {
     val fixture = sys.env.getOrElse("SPARK_GRAFT_DOC_FIXTURE", "target/docfix")
     val cpuList = sys.env.getOrElse("SPARK_GRAFT_DOC_CPUS", "8,32")
@@ -176,6 +239,10 @@ object DocBench {
         // a deployment that buffers arrivals into larger micro-batches
         // (StreamBench's maxFilesPerTrigger lever) actually pays.
         "dedup_index_ingest_1batch" -> (() => ingestBatches(spark, docs, 1)),
+        // the FULL live corpus pipeline (streaming_corpus_e2e's chain) at
+        // 1.5M docs in 3 arriving batches — quality/langid → exact probe →
+        // capped LSH probe-then-append → shard, per batch
+        "corpus_e2e_live_3batches" -> (() => corpusE2eBatches(spark, docs, 3)),
         "bm25_topk_fixture" -> (() =>
           graft.text.LangModel.bm25TopK(docs, "doc_id", "toks",
             Seq(1 -> "hash join merge", 2 -> "window agg stream",
