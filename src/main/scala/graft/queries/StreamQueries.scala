@@ -729,12 +729,31 @@ object StreamQueries {
           "doc_id", "toks", shingleN, minhashK, minhashBands, name,
           buckets = 8)
       }
-      val q = s.readStream.schema(docsAll.schema)
-        .option("maxFilesPerTrigger", 1).parquet(root + "/src/*")
-        .writeStream.foreachBatch(onBatch)
-        .option("checkpointLocation", root + "/chk")
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      def runOnce(): Unit = {
+        val q = s.readStream.schema(docsAll.schema)
+          .option("maxFilesPerTrigger", 1).parquet(root + "/src/*")
+          .writeStream.foreachBatch(onBatch)
+          .option("checkpointLocation", root + "/chk")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      runOnce()
+      // replay idempotence, the crash-loop property: a fresh query start
+      // on the same source + checkpoint after the full drain must invoke
+      // foreachBatch for NOTHING — the offset log covers every file, so
+      // none of the three state appends (store, seen, index) may run
+      // again. Fingerprint-asserted like streaming_store_ingest_replay.
+      def fp() = s.read.parquet(root + "/store")
+        .agg(count(lit(1)).as("n"),
+          sum(xxhash64(col("doc_id"), col("shard"), col("pred_lang"),
+            col("n_ws_tokens")).cast("decimal(38,0)")).as("h"))
+        .head()
+      val before = fp()
+      runOnce()
+      val after = fp()
+      require(before == after,
+        s"corpus pipeline replay mutated the store (before=$before, " +
+          s"after=$after) — exactly-once across a restart is broken")
       s.read.parquet(root + "/store")
         .select(col("doc_id"), col("shard"), col("pred_lang"),
           col("n_ws_tokens"), r6(col("quality_score")).as("quality_score"))
