@@ -660,13 +660,12 @@ object Dedup {
     // round's files stay valid — checkpointed RDDs remember their own
     // path; the global dir only steers FUTURE checkpoint calls) and
     // expose the retained run dir so callers can delete it once the
-    // returned frame is consumed or re-persisted. CAVEAT: when the caller
-    // had NO checkpoint dir set, it stays pointed at cc_<uuid>/round_<last>
-    // — Spark has no unset API (SparkContext.setCheckpointDir takes no
-    // None). Callers that care compare getCheckpointDir against
-    // lastCcCheckpointDir and re-point it themselves.
+    // returned frame is consumed or re-persisted. A caller that had NO
+    // dir set gets UNSET restored too: setCheckpointDir wraps its
+    // argument in Option(...), so null cleanly clears the global state
+    // (probed on Spark 4.1 — the docs don't advertise it, the code does).
     if (ccRunDir.isDefined) {
-      priorCkptDir.foreach(spark.sparkContext.setCheckpointDir)
+      spark.sparkContext.setCheckpointDir(priorCkptDir.orNull)
       Dedup.lastCcCheckpointDir = ccRunDir
     }
     und.unpersist()

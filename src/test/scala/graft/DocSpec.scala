@@ -573,6 +573,7 @@ class DocSpec extends AnyFunSuite {
     forceDistributedCc { // checkpointing exists only on the distributed tier
       val local = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
       System.setProperty("spark.graft.checkpoint.dir", dir)
+      val priorDir = spark.sparkContext.getCheckpointDir
       try {
         val reliable = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
         assert(reliable === local)
@@ -581,6 +582,11 @@ class DocSpec extends AnyFunSuite {
             if (f.isDirectory) files(f) else Seq(f))
         assert(files(new java.io.File(dir)).nonEmpty,
           "reliable mode wrote no checkpoint files")
+        // the caller's checkpoint-dir state is restored EXACTLY — unset
+        // stays unset (the r9 caveat: leaving it pointed at the last CC
+        // round dir silently redirected later checkpoint users)
+        assert(spark.sparkContext.getCheckpointDir == priorDir,
+          s"checkpoint dir not restored: ${spark.sparkContext.getCheckpointDir} vs $priorDir")
       } finally System.clearProperty("spark.graft.checkpoint.dir")
     }
   }
