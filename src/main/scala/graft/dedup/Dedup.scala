@@ -584,7 +584,14 @@ object Dedup {
         math.max(16, es.length * 2))
       es.foreach { case (a, b) => verts(a) = (); verts(b) = () }
       Dedup.lastCcRounds = 0
-      return verts.keysIterator.map(v => (v, find(v))).toSeq
+      // distribute the result: near the 2e6-edge bound the label set is
+      // ~4M tuples — as a LocalRelation it would ride EVERY downstream
+      // plan tree (tens of MB serialized per stage); as an RDD-backed
+      // Dataset it lives once on the executors like any other relation
+      val pairs = verts.keysIterator.map(v => (v, find(v))).toArray
+      val nParts = math.min(32, 1 + pairs.length / 250000)
+      return spark.createDataset(
+          spark.sparkContext.parallelize(pairs.toIndexedSeq, nParts))
         .toDF("id", "component")
     }
     var prevCkptSub: Option[org.apache.hadoop.fs.Path] = None

@@ -100,16 +100,25 @@ object Substring {
     * a shuffle-hash join instead of an OOM. Returns one row per corpus doc:
     * (idCol, n_grams, n_overlap, contaminated).
     */
+  /** One row per (doc, distinct full n-gram): (idCol, h = md5(gram)) —
+    * the decontamination probe's unit of comparison, shared by
+    * [[contamination]] and the live-pipeline per-batch probe so the gram
+    * definition can never drift between the batch and streaming paths.
+    */
+  def distinctGramHashes(df: DataFrame, idCol: String, toksCol: String,
+                         n: Int): DataFrame = {
+    val toks = col(toksCol)
+    val grams = when(size(toks) >= n,
+      array_distinct(TextOps.shinglesAll(toks, n)))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol), explode(grams).as("g"))
+      .select(col(idCol), md5(col("g")).as("h"))
+  }
+
   def contamination(corpus: DataFrame, bench: DataFrame, idCol: String,
                     toksCol: String, n: Int): DataFrame = {
-    def distinctGrams(df: DataFrame): DataFrame = {
-      val toks = col(toksCol)
-      val grams = when(size(toks) >= n,
-        array_distinct(TextOps.shinglesAll(toks, n)))
-        .otherwise(array().cast("array<string>"))
-      df.select(col(idCol), explode(grams).as("g"))
-        .select(col(idCol), md5(col("g")).as("h"))
-    }
+    def distinctGrams(df: DataFrame): DataFrame =
+      distinctGramHashes(df, idCol, toksCol, n)
     val corpusGrams = distinctGrams(corpus)
     val benchSet = distinctGrams(bench).select("h").distinct()
       .withColumn("__hit", lit(1))

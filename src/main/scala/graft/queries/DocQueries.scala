@@ -27,10 +27,10 @@ object DocQueries {
   private val sampleRates: Map[String, Double] =
     Map("0" -> 0.5, "3" -> 0.25) ++
       Seq("1", "2", "4", "5", "6", "7", "8").map(_ -> 1.0)
-  private val splitFractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
-  private val sampleSalt = "s1"
+  private[queries] val splitFractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+  private[queries] val sampleSalt = "s1"
   private val embThreshold = 0.35 // demo threshold: synthetic max cos ≈ 0.51
-  private val annK = 5
+  private[queries] val annK = 5
   private val annQueries = 20
   private val annRecallFloor = 0.2
 
@@ -807,6 +807,23 @@ object DocQueries {
   private def inList(words: Seq[String]) =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** Gopher-repetition oracle fragments (mirror TextOps.shinglesAll /
+    * repetitionStats) — single-sourced: the `text_repetition` oracle and
+    * the live-pipeline oracle (`streaming_corpus_e2e_full`) compose the
+    * SAME text, so the repetition mirror can never drift between them.
+    * Positional n-gram list with duplicates, incl. the truncated final
+    * shingles and the empty-toks ⇒ [] case.
+    */
+  private[queries] def repGramSql(n: Int): String =
+    s"""CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+       |       ELSE list_transform(range(1, greatest(len(toks) - $n, 0) + 2),
+       |         i -> array_to_string(list_slice(toks, i, i + ${n - 1}), ' ')) END""".stripMargin
+  // max over distinct grams of count·len / Σ over count≥2 grams of count·len
+  private[queries] def repTopSql(g: String): String =
+    s"coalesce(list_max(list_transform(list_distinct($g), x -> len(x) * len(list_filter($g, y -> y = x)))), 0)"
+  private[queries] def repDupSql(g: String): String =
+    s"coalesce(list_sum(list_transform(list_distinct($g), x -> CASE WHEN len(list_filter($g, y -> y = x)) >= 2 THEN len(x) * len(list_filter($g, y -> y = x)) ELSE 0 END)), 0)"
+
   /** Exact-Jaccard pair edges → connected components (recursive CTE) —
     * the cluster-truth fragment shared VERBATIM by `dedup_clusters` and
     * `dedup_keep_best` (single-sourced so the two gates cannot drift).
@@ -1026,6 +1043,124 @@ object DocQueries {
        |FROM exact x
        |JOIN surv v ON v.doc_id = x.doc_id
        |JOIN shards s ON s.doc_id = x.doc_id""".stripMargin
+
+  /** `streaming_corpus_e2e_full`'s oracle: the live pipeline with the FULL
+    * production filter suite folded in. The engine side runs, per arriving
+    * micro-batch of the TRAIN split of the PII-augmented corpus (batch b =
+    * doc_id mod 3, in order): PII redaction at entry (all downstream text
+    * is the scrubbed text) → quality + langid filter → Gopher repetition
+    * thresholds → decontamination probe against the static test-split
+    * benchmark gram set → exact-dedup probe (keep-first by arrival order)
+    * → LSH probe-then-append → hash-gated shard → store append. This
+    * oracle recomputes the whole enlarged composition from raw documents:
+    * docs_red rebuilds the augmented-then-redacted text, every filter and
+    * every dedup hash runs over it, and the three-batch asymmetric LSH
+    * closure is unrolled exactly as in [[streamingCorpusE2eOracleSql]].
+    * Fragments are single-sourced: augSql/gramCte (PipeQueries), the
+    * repetition grams (repGramSql/repTopSql/repDupSql — shared with
+    * text_repetition), toksCte retargeted at docs_red, shCte/bands/
+    * quality/langid verbatim.
+    */
+  private[queries] lazy val streamingCorpusE2eFullOracleSql: String = {
+    val trainThr = math.round(0.8 * 4294967296.0)
+    val testThr = math.round(0.9 * 4294967296.0)
+    val aug = PipeQueries.augSql
+    def red(e: String) =
+      s"""regexp_replace(regexp_replace(regexp_replace($e,
+         |    '${TextOps.emailRe}', '<EMAIL>', 'g'),
+         |    '${TextOps.phoneRe}', '<PHONE>', 'g'),
+         |    '${TextOps.ipv4Re}', '<IP>', 'g')""".stripMargin
+    s"""WITH docs_red AS (
+       |  SELECT doc_id, ${red(s"($aug)")} AS text,
+       |    len(regexp_extract_all(($aug), '${TextOps.emailRe}'))
+       |      + len(regexp_extract_all(($aug), '${TextOps.phoneRe}'))
+       |      + len(regexp_extract_all(($aug), '${TextOps.ipv4Re}')) > 0 AS has_pii
+       |  FROM documents
+       |),
+       |${Q.toksCte.replace("FROM documents", "FROM docs_red")},
+       |$shCte, $minhashBandsCtes,
+       |hsp AS (SELECT doc_id, md5('$sampleSalt:' || CAST(doc_id AS VARCHAR)) AS m
+       |        FROM documents),
+       |spl AS (SELECT doc_id, $hex32Sql AS h32 FROM hsp),
+       |scores AS (
+       |  SELECT t.doc_id, t.text, t.toks,
+       |    CAST(len(t.toks) AS BIGINT) AS n_ws_tokens,
+       |    $qualitySql AS q_raw,
+       |    ${langs.map(l => s"CAST(len(list_filter(toks, x -> x IN ${inList(TextOps.stopwords(l))})) AS BIGINT) AS score_$l").mkString(",\n    ")}
+       |  FROM toks t JOIN spl ON spl.doc_id = t.doc_id AND spl.h32 < $trainThr
+       |),
+       |kq AS (
+       |  SELECT doc_id, text, toks, n_ws_tokens, q_raw, pred_lang FROM (
+       |    SELECT *, $predLangSql AS pred_lang FROM scores
+       |  ) WHERE pred_lang = 'en' AND q_raw >= 0.5e0
+       |),
+       |rg AS (
+       |  SELECT doc_id, text, toks, n_ws_tokens, q_raw, pred_lang,
+       |    CAST(len(text) AS DOUBLE) AS nc,
+       |    ${repGramSql(2)} AS rg2, ${repGramSql(3)} AS rg3,
+       |    ${repGramSql(4)} AS rg4, ${repGramSql(5)} AS rg5,
+       |    ${repGramSql(10)} AS rg10
+       |  FROM kq
+       |),
+       |keptr AS (
+       |  SELECT doc_id, text, toks, n_ws_tokens, q_raw, pred_lang FROM (
+       |    SELECT *, ${repTopSql("rg2")} AS top2, ${repTopSql("rg3")} AS top3,
+       |      ${repTopSql("rg4")} AS top4, ${repDupSql("rg5")} AS dup5,
+       |      ${repDupSql("rg10")} AS dup10
+       |    FROM rg
+       |  ) WHERE top2 / nc <= 0.20 AND top3 / nc <= 0.18 AND top4 / nc <= 0.16
+       |    AND dup5 / nc <= 0.15 AND dup10 / nc <= 0.10
+       |),
+       |${PipeQueries.gramCte(PipeQueries.contamN)},
+       |gd AS (SELECT DISTINCT doc_id, h FROM g2),
+       |ben AS (SELECT DISTINCT gd.h FROM gd JOIN spl ON spl.doc_id = gd.doc_id
+       |        WHERE spl.h32 >= $testThr),
+       |contam AS (SELECT DISTINCT gd.doc_id FROM gd JOIN ben ON ben.h = gd.h),
+       |kd AS (SELECT * FROM keptr
+       |       WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+       |exact AS (
+       |  SELECT doc_id, text, n_ws_tokens, q_raw, pred_lang FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY $normMd5Sql
+       |      ORDER BY doc_id % 3, doc_id) AS rn
+       |    FROM kd
+       |  ) WHERE rn = 1
+       |),
+       |cand AS (
+       |  SELECT DISTINCT d.doc_id AS id_d, b.doc_id AS id_b
+       |  FROM bands d
+       |  JOIN bands b ON b.band = d.band AND b.band_key = d.band_key
+       |    AND (b.doc_id % 3) < (d.doc_id % 3)
+       |  JOIN exact xd ON xd.doc_id = d.doc_id
+       |  JOIN exact xb ON xb.doc_id = b.doc_id
+       |),
+       |ver AS (
+       |  SELECT c.id_d, c.id_b FROM cand c
+       |  JOIN sh a ON a.doc_id = c.id_d
+       |  JOIN sh b ON b.doc_id = c.id_b
+       |  WHERE len(list_intersect(a.sh, b.sh)) / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= ${D(jaccThreshold)}
+       |),
+       |k0 AS (SELECT doc_id FROM exact WHERE doc_id % 3 = 0),
+       |k1 AS (SELECT doc_id FROM exact WHERE doc_id % 3 = 1
+       |       AND doc_id NOT IN (SELECT id_d FROM ver WHERE id_b % 3 = 0)),
+       |k2 AS (SELECT doc_id FROM exact WHERE doc_id % 3 = 2
+       |       AND doc_id NOT IN (
+       |         SELECT id_d FROM ver WHERE id_b IN (
+       |           SELECT doc_id FROM k0 UNION ALL SELECT doc_id FROM k1))),
+       |surv AS (SELECT doc_id FROM k0 UNION ALL SELECT doc_id FROM k1
+       |         UNION ALL SELECT doc_id FROM k2),
+       |shards AS (
+       |  SELECT doc_id, CAST(($hex32Sql) % ${LmQueries.nShards} AS INT) AS shard
+       |  FROM (SELECT doc_id, md5('${LmQueries.shardSalt}:' || CAST(doc_id AS VARCHAR)) AS m
+       |        FROM documents)
+       |)
+       |SELECT x.doc_id, s.shard, x.pred_lang, x.n_ws_tokens,
+       |  ${rd("x.q_raw")} AS quality_score,
+       |  r.has_pii, md5(x.text) AS redacted_md5
+       |FROM exact x
+       |JOIN surv v ON v.doc_id = x.doc_id
+       |JOIN shards s ON s.doc_id = x.doc_id
+       |JOIN docs_red r ON r.doc_id = x.doc_id""".stripMargin
+  }
 
   /** `dedup_incremental_store_delete`'s oracle: the incremental pairs
     * recomputed on the corpus WITHOUT the tombstoned docs — identical to
@@ -1323,17 +1458,7 @@ object DocQueries {
         |FROM hs""".stripMargin,
 
     "text_repetition" -> {
-      // positional n-gram list with duplicates, mirroring TextOps.shinglesAll
-      // (incl. the truncated final shingles and the empty-toks ⇒ [] case)
-      def gram(n: Int) =
-        s"""CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
-           |       ELSE list_transform(range(1, greatest(len(toks) - $n, 0) + 2),
-           |         i -> array_to_string(list_slice(toks, i, i + ${n - 1}), ' ')) END""".stripMargin
-      // max over distinct grams of count·len / Σ over count≥2 grams of count·len
-      def top(g: String) =
-        s"coalesce(list_max(list_transform(list_distinct($g), x -> len(x) * len(list_filter($g, y -> y = x)))), 0)"
-      def dup(g: String) =
-        s"coalesce(list_sum(list_transform(list_distinct($g), x -> CASE WHEN len(list_filter($g, y -> y = x)) >= 2 THEN len(x) * len(list_filter($g, y -> y = x)) ELSE 0 END)), 0)"
+      import DocQueries.{repGramSql => gram, repTopSql => top, repDupSql => dup}
       s"""WITH $toksCte,
          |g AS (
          |  SELECT doc_id, CAST(len(text) AS DOUBLE) AS nc,

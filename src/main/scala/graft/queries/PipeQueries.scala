@@ -14,7 +14,7 @@ import Q._
   */
 object PipeQueries {
 
-  private val contamN = 8 // word n-gram for eval-overlap (docs are 10-99 toks)
+  private[queries] val contamN = 8 // word n-gram for eval-overlap (docs are 10-99 toks)
   private val spanN = 13 // Lee et al. 2022 span length, in tokens
   private val spanMaxFrac = 0.3
   private val chunkSize = 64
@@ -42,7 +42,7 @@ object PipeQueries {
     * IPv4 per doc_id%5 class — making counts, the flag, and the redaction
     * hash all non-trivial while staying engine-reproducible.
     */
-  private def augText = concat(col("text"),
+  private[queries] def augText = concat(col("text"),
     when(col("doc_id") % 5 === 0,
       concat(lit(" contact user"), col("doc_id").cast("string"),
         lit("@example.com for details")))
@@ -166,7 +166,7 @@ object PipeQueries {
   }
 
   /** positional full n-gram hash CTE `g2(doc_id, pos, h)`. */
-  private def gramCte(n: Int): String =
+  private[queries] def gramCte(n: Int): String =
     s"""gr AS (
        |  SELECT doc_id, unnest(range(1, len(toks) - ${n - 2})) AS i, toks
        |  FROM toks WHERE len(toks) >= $n
@@ -203,7 +203,7 @@ object PipeQueries {
   /** PII injection mirror of [[augText]]. */
   // NOTE: no continuation line may START with `||` — stripMargin would eat
   // one pipe and leave a bitwise-or
-  private val augSql: String =
+  private[queries] val augSql: String =
     """text || CASE doc_id % 5
       |  WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com for details'
       |  WHEN 1 THEN ' call 555-' || lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0') ||

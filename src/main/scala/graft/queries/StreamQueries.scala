@@ -154,7 +154,7 @@ object StreamQueries {
     val trades = Trades.fromEvents(graft.Tables.events(s, dir))
       .select(col("ts"), col("id"), col("price"), col("qty"),
         lit(0L).as("symbol"))
-    val mid = trades.agg(expr("percentile_approx(ts, 0.5)")).head().getLong(0)
+    val mid = trades.agg(expr("cast(median(ts) as bigint)")).head().getLong(0)
     val tmp = new java.io.File(sys.props("java.io.tmpdir"), tmpName)
       .getAbsolutePath
     val p = new org.apache.hadoop.fs.Path(tmp)
@@ -185,7 +185,7 @@ object StreamQueries {
         Trades.fromEvents(graft.Tables.events(s, dir)))
       .select(col("ts"), col("id"), col("price"), col("qty"),
         col("side").cast("int").as("side"), lit(0L).as("symbol"))
-    val mid = sided.agg(expr("percentile_approx(ts, 0.5)")).head().getLong(0)
+    val mid = sided.agg(expr("cast(median(ts) as bigint)")).head().getLong(0)
     val tmp = new java.io.File(sys.props("java.io.tmpdir"), tmpName)
       .getAbsolutePath
     val p = new org.apache.hadoop.fs.Path(tmp)
@@ -214,7 +214,7 @@ object StreamQueries {
                                         flush: Boolean = false): DataFrame = {
     val trades = Trades.fromEvents(graft.Tables.events(s, dir))
       .select(col("ts"), col("id"), col("price"), col("qty"), col("symbol"))
-    val mid = trades.agg(expr("percentile_approx(ts, 0.5)")).head().getLong(0)
+    val mid = trades.agg(expr("cast(median(ts) as bigint)")).head().getLong(0)
     val tmp = new java.io.File(sys.props("java.io.tmpdir"), tmpName)
       .getAbsolutePath
     val p = new org.apache.hadoop.fs.Path(tmp)
@@ -242,7 +242,7 @@ object StreamQueries {
         Trades.fromEvents(graft.Tables.events(s, dir)), Seq("symbol"))
       .select(col("ts"), col("id"), col("price"), col("qty"),
         col("side").cast("int").as("side"), col("symbol"))
-    val mid = sided.agg(expr("percentile_approx(ts, 0.5)")).head().getLong(0)
+    val mid = sided.agg(expr("cast(median(ts) as bigint)")).head().getLong(0)
     val tmp = new java.io.File(sys.props("java.io.tmpdir"), tmpName)
       .getAbsolutePath
     val p = new org.apache.hadoop.fs.Path(tmp)
@@ -484,7 +484,7 @@ object StreamQueries {
     "streaming_store_ingest" -> ((s, dir) => {
       val trades = Trades.fromEvents(graft.Tables.events(s, dir))
         .select(col("ts"), col("id"), col("price"), col("qty"), col("symbol"))
-      val st = trades.agg(expr("percentile_approx(ts, 0.5)"), min(col("ts"))).head()
+      val st = trades.agg(expr("cast(median(ts) as bigint)"), min(col("ts"))).head()
       val (mid, minTs) = (st.getLong(0), st.getLong(1))
       val base = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_gate_stream_ingest_$runId").getAbsolutePath
@@ -523,7 +523,7 @@ object StreamQueries {
     "streaming_store_ingest_replay" -> ((s, dir) => {
       val trades = Trades.fromEvents(graft.Tables.events(s, dir))
         .select(col("ts"), col("id"), col("price"), col("qty"), col("symbol"))
-      val st = trades.agg(expr("percentile_approx(ts, 0.5)"), min(col("ts"))).head()
+      val st = trades.agg(expr("cast(median(ts) as bigint)"), min(col("ts"))).head()
       val (mid, minTs) = (st.getLong(0), st.getLong(1))
       val base = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_gate_stream_ingrep_$runId").getAbsolutePath
@@ -629,6 +629,72 @@ object StreamQueries {
       s.read.parquet(root + "/pairs")
         .select(col("id_a"), col("id_b"), col("n_common"),
           r6(col("jaccard")).as("jaccard"))
+    }),
+
+    // LIVE VECTOR INGEST against the STORED IVF index — the embedding twin
+    // of streaming_dedup_index_append: per arriving micro-batch, every
+    // vector PROBES the stored index for its top-k under the STORED
+    // codebook (the near-neighbor-check-on-ingest a production embedding
+    // store runs), then the batch APPENDS into the cell layout so the next
+    // batch sees it. Two delta batches (vec_id ≡ 0 / 5 mod 10); the index
+    // starts as the 80% base split with centroids trained on that split
+    // only. Parity is the asymmetric closure, asserted BIT-EXACTLY
+    // engine-side: batch-1 probes must equal the in-memory IVF over base,
+    // batch-2 over base ∪ batch-1, both under the stored codebook — a
+    // probe that sees its own batch, misses the previous append, or reads
+    // a drifted codebook flips a row to false. Scale shape: each probe
+    // reads only `cell IN (probes)` partitions (pruned scan), each append
+    // is new files in matching cell dirs — cost ∝ batch, never corpus.
+    "streaming_ann_ivf_append" -> ((s, dir) => {
+      import graft.ml.Similarity
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val base = e.where(pmod(col("vec_id"), lit(5)) =!= 0)
+      val b1 = e.where(pmod(col("vec_id"), lit(10)) === 0)
+      val b2 = e.where(pmod(col("vec_id"), lit(10)) === 5)
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_gate_saiva_$runId").getAbsolutePath
+      val pth = new org.apache.hadoop.fs.Path(root)
+      val fs = pth.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(pth)) fs.delete(pth, true)
+      val cents = Similarity.kmeansCentroids(base, "vec_id", "embedding",
+        nlist = 32, iters = 5)
+      Similarity.ivfIndexWrite(base, "vec_id", "embedding", cents,
+        root + "/idx")
+      val t0 = System.currentTimeMillis()
+      writeOneFile(b1, root + "/src", "a_b1", t0 - 40000)
+      writeOneFile(b2, root + "/src", "b_b2", t0 - 20000)
+      val onBatch: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+        Long) => Unit = { (b, _) =>
+        Similarity.ivfIndexTopK(s, root + "/idx", b, "vec_id", "embedding",
+            DocQueries.annK, nprobe = 16)
+          .write.mode("append").parquet(root + "/probes")
+        Similarity.ivfIndexAppend(b, "vec_id", "embedding", root + "/idx")
+      }
+      val q = s.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1).parquet(root + "/src/*")
+        .writeStream.foreachBatch(onBatch)
+        .option("checkpointLocation", root + "/chk")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // in-memory twins of the two probe points (stored codebook both):
+      // batch 1 saw base; batch 2 saw base ∪ batch 1
+      def canon(df: DataFrame, tag: String) =
+        df.select(col("query_id"), col("rank"), col("neighbor_id"),
+          r6(col("cos")).as("cos"), lit(1).as(tag))
+      val mem = Similarity.ivfTopK(b1, base, "vec_id", "embedding",
+          DocQueries.annK, nprobe = 16, centroids = cents)
+        .unionAll(Similarity.ivfTopK(b2, base.unionAll(b1), "vec_id",
+          "embedding", DocQueries.annK, nprobe = 16, centroids = cents))
+      canon(s.read.parquet(root + "/probes"), "__s")
+        .join(canon(mem, "__m"),
+          Seq("query_id", "rank", "neighbor_id", "cos"), "full")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("__s").isNotNull && col("__m").isNotNull, 1)
+            .otherwise(0)).as("both"))
+        .select(col("query_id"),
+          (col("n") === col("both")).as("live_append_matches_memory"))
     }),
 
     // THE LIVE DOCUMENT PIPELINE — the streaming twin of corpus_clean and
@@ -759,6 +825,141 @@ object StreamQueries {
           col("n_ws_tokens"), r6(col("quality_score")).as("quality_score"))
     }),
 
+    // THE LIVE DOCUMENT PIPELINE, FULL PRODUCTION FILTER SUITE — extends
+    // streaming_corpus_e2e with the three batch-only stages a real ingest
+    // runs per arriving micro-batch: PII redaction AT ENTRY (everything
+    // downstream — quality, langid, dedup hashes, shingles, storage —
+    // operates on the scrubbed text), Gopher repetition thresholds, and a
+    // decontamination probe against a STATIC held-out benchmark gram set
+    // (day-0 state, like the LSH index). The stream is the train split of
+    // the PII-augmented corpus in three batches (doc_id mod 3); the
+    // benchmark side is the test split. Oracle =
+    // streamingCorpusE2eFullOracleSql, which unrolls the whole enlarged
+    // composition from raw documents — any stage missing, reordered
+    // against a non-commuting stage, or run over the wrong text (raw vs
+    // redacted) shifts the survivor set or the redacted_md5 and fails the
+    // hash. Scale shape: stages 0-2 are per-row scan-stage expressions,
+    // the decon probe joins |batch| gram rows against a bounded bench set
+    // (AQE broadcasts it), and the dedup probes/appends keep the
+    // delta-scaled cost of the base gate.
+    "streaming_corpus_e2e_full" -> ((s, dir) => {
+      import DocQueries.{shingleN, minhashK, minhashBands}
+      import graft.text.TextOps
+      val name = s"graft_gate_sce2f_$runId"
+      val root = new java.io.File(sys.props("java.io.tmpdir"), name)
+        .getAbsolutePath
+      val pth = new org.apache.hadoop.fs.Path(root)
+      val fs = pth.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(pth)) fs.delete(pth, true)
+      // the corpus arrives PII-AUGMENTED (the synthetic docs carry no
+      // organic PII — same deterministic injection as pii_redact)
+      val aug = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), PipeQueries.augText.as("text"))
+      val sp = graft.ml.Sampling.splitAssign(aug, "doc_id",
+        DocQueries.sampleSalt, DocQueries.splitFractions)
+      val train = sp.where(col("split") === "train").select("doc_id", "text")
+      val test = sp.where(col("split") === "test").select("doc_id", "text")
+      // day-0 static state: the benchmark gram set (over REDACTED bench
+      // text — the probe compares post-redaction token streams on both
+      // sides), an empty band index, empty seen hashes, an empty store
+      graft.dedup.Substring.distinctGramHashes(
+          test.select(col("doc_id"), TextOps.redact(col("text")).as("text"))
+            .withColumn("toks", TextOps.wsTokens(col("text"))),
+          "doc_id", "toks", PipeQueries.contamN)
+        .select("h").distinct().write.parquet(root + "/bench")
+      graft.dedup.Dedup.writeLshIndex(
+        train.limit(0).withColumn("toks", TextOps.wsTokens(col("text"))),
+        "doc_id", "toks", shingleN, minhashK, minhashBands, name,
+        root + "/idx", buckets = 8)
+      train.limit(0).select(md5(col("text")).as("content_hash"))
+        .write.parquet(root + "/seen")
+      train.limit(0)
+        .select(col("doc_id"), col("text"), lit(false).as("has_pii"),
+          lit("").as("pred_lang"), lit(0L).as("n_ws_tokens"),
+          lit(0.0).as("quality_score"), lit(0).as("shard"))
+        .write.parquet(root + "/store")
+      val t0 = System.currentTimeMillis()
+      writeOneFile(train.where(pmod(col("doc_id"), lit(3)) === 0),
+        root + "/src", "a_b0", t0 - 60000)
+      writeOneFile(train.where(pmod(col("doc_id"), lit(3)) === 1),
+        root + "/src", "b_b1", t0 - 40000)
+      writeOneFile(train.where(pmod(col("doc_id"), lit(3)) === 2),
+        root + "/src", "c_b2", t0 - 20000)
+      val onBatch: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+        Long) => Unit = { (b, batchId) =>
+        // 0. PII redaction at entry — has_pii is detected on the raw text,
+        // then the batch's text IS the scrubbed text from here on
+        val red = b.select(col("doc_id"),
+          TextOps.redact(col("text")).as("text"),
+          // piiColumns(3) = the any-PII flag (counts, flag, md5 — §pii_redact)
+          TextOps.piiColumns(col("text"))(3))
+        // 1. quality + language id over the redacted text
+        val scored = red.select(
+          Seq(col("doc_id"), col("text"), col("has_pii")) ++
+            TextOps.qualityColumns(col("text")) ++
+            Seq(TextOps.langIdColumns(col("text")).last): _*)
+        val kept1 = scored
+          .where(col("pred_lang") === "en" && col("quality_score") >= 0.5)
+          .select("doc_id", "text", "has_pii", "pred_lang", "n_ws_tokens",
+            "quality_score")
+          .withColumn("toks", TextOps.wsTokens(col("text")))
+        // 2. Gopher repetition thresholds (per-row, scan-stage)
+        val kept2 = kept1
+          .where(TextOps.keepRepetition(col("text"), col("toks")))
+        // 3. decontamination probe against the static benchmark gram set
+        val bench = s.read.parquet(root + "/bench")
+        val contam = graft.dedup.Substring.distinctGramHashes(
+            kept2, "doc_id", "toks", PipeQueries.contamN)
+          .join(bench, Seq("h"), "left_semi")
+          .select("doc_id").distinct()
+        val kept = kept2.join(contam, Seq("doc_id"), "left_anti")
+        // 4. exact-dedup probe: keep-first inside the batch, then drop any
+        // hash already seen in an earlier batch
+        val ann = graft.dedup.Dedup.exactDupAnnotate(kept, "doc_id", "text")
+        val seen = s.read.parquet(root + "/seen")
+        val exSurv = ann.where(!col("is_dup"))
+          .join(seen, Seq("content_hash"), "left_anti")
+        // 5. LSH probe against the survivors-so-far index
+        s.catalog.refreshTable(name)
+        val prior = s.read.parquet(root + "/store")
+          .withColumn("toks", TextOps.wsTokens(col("text")))
+        val pairs = graft.dedup.Dedup.incrementalLshPairsFrom(
+          s.table(name), prior.select("doc_id", "toks"),
+          exSurv.select("doc_id", "toks"), "doc_id", "toks",
+          shingleN, minhashK, minhashBands, DocQueries.jaccThreshold)
+        // 6. keep/drop + hash-gated shard, STAGED to a batch-scoped path
+        // before any state append (the cache-invalidation bug class: the
+        // survivor plan reads the seen/store dirs this batch appends to)
+        exSurv
+          .join(pairs.select(col("id_a").as("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+          .withColumn("shard",
+            (graft.ml.Sampling.hash32(col("doc_id"), LmQueries.shardSalt)
+              % LmQueries.nShards).cast("int"))
+          .write.parquet(root + s"/stage/$batchId")
+        val surv = s.read.parquet(root + s"/stage/$batchId")
+        // 7. store append, then publish this batch's state for the next
+        surv.select("doc_id", "text", "has_pii", "pred_lang",
+            "n_ws_tokens", "quality_score", "shard")
+          .write.mode("append").parquet(root + "/store")
+        ann.select("content_hash").distinct()
+          .write.mode("append").parquet(root + "/seen")
+        graft.dedup.Dedup.appendLshIndex(surv.select("doc_id", "toks"),
+          "doc_id", "toks", shingleN, minhashK, minhashBands, name,
+          buckets = 8)
+      }
+      val q = s.readStream.schema(train.schema)
+        .option("maxFilesPerTrigger", 1).parquet(root + "/src/*")
+        .writeStream.foreachBatch(onBatch)
+        .option("checkpointLocation", root + "/chk")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(root + "/store")
+        .select(col("doc_id"), col("shard"), col("pred_lang"),
+          col("n_ws_tokens"), r6(col("quality_score")).as("quality_score"),
+          col("has_pii"), md5(col("text")).as("redacted_md5"))
+    }),
+
     // OUT-OF-ORDER arrival through the BUFFERED directional machine: the
     // late half of the trades arrives a whole micro-batch BEFORE the early
     // half (maximal cross-batch disorder — a real multi-source ingest never
@@ -774,7 +975,7 @@ object StreamQueries {
           Trades.fromEvents(graft.Tables.events(s, dir)))
         .select(col("ts"), col("id"), col("price"), col("qty"),
           col("side").cast("int").as("side"), lit(0L).as("symbol"))
-      val st = sided.agg(expr("percentile_approx(ts, 0.5)"),
+      val st = sided.agg(expr("cast(median(ts) as bigint)"),
         min(col("ts")), max(col("ts"))).head()
       val (mid, lo, hi) = (st.getLong(0), st.getLong(1), st.getLong(2))
       val tmp = new java.io.File(sys.props("java.io.tmpdir"),
@@ -853,7 +1054,7 @@ object StreamQueries {
       val trades = Trades.fromEvents(graft.Tables.events(s, dir))
         .select(col("ts"), col("id"), col("price"), col("qty"),
           lit(0L).as("symbol"))
-      val mid = trades.agg(expr("percentile_approx(ts, 0.5)")).head().getLong(0)
+      val mid = trades.agg(expr("cast(median(ts) as bigint)")).head().getLong(0)
       val base = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_gate_stream_restart_$runId").getAbsolutePath
       val srcDir = base + "/src"
@@ -905,7 +1106,7 @@ object StreamQueries {
       import s.implicits._
       val trades = Trades.fromEvents(graft.Tables.events(s, dir))
         .select(col("ts"), col("id"), col("price"), col("qty"), col("symbol"))
-      val mid = trades.agg(expr("percentile_approx(ts, 0.5)")).head().getLong(0)
+      val mid = trades.agg(expr("cast(median(ts) as bigint)")).head().getLong(0)
       val base = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_gate_stream_rescus_$runId").getAbsolutePath
       val srcDir = base + "/src"
@@ -955,7 +1156,7 @@ object StreamQueries {
           Trades.fromEvents(graft.Tables.events(s, dir)))
         .select(col("ts"), col("id"), col("price"), col("qty"),
           col("side").cast("int").as("side"), lit(0L).as("symbol"))
-      val mid = sided.agg(expr("percentile_approx(ts, 0.5)")).head().getLong(0)
+      val mid = sided.agg(expr("cast(median(ts) as bigint)")).head().getLong(0)
       val base = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_gate_stream_resrun_$runId").getAbsolutePath
       val srcDir = base + "/src"
@@ -989,6 +1190,90 @@ object StreamQueries {
           r6(col("high")).as("high"), r6(col("low")).as("low"),
           r6(col("close")).as("close"), r6(col("volume")).as("volume"),
           col("trades"))
+    }),
+
+    // RESTART-FROM-CHECKPOINT for the WATERMARK-BUFFER state class — the
+    // last streaming state shape without a restart proof: the buffered
+    // directional machine holds each open bar's RAW ROWS in state (not
+    // O(1) accumulators) plus an unexpired event-time timer, a different
+    // state-store restore path from the window-agg / lookahead / carry
+    // classes. Phase 1 drains the early half under a 2-hour watermark
+    // delay: every bar closing within 2h of the early half's end stays
+    // buffered (rows + timer checkpointed, an in-gate require proves the
+    // kill landed mid-buffer). Phase 2 starts a FRESH query on the same
+    // checkpoint: the restored row buffers must finalize against the
+    // restored prev-trade handoff — those bars' rows exist ONLY in the
+    // restored state, so a lost buffer, a reset timer, or a dropped
+    // prev-trade spread shifts their feature row and fails
+    // time_bars_directional_1h's hash (the oracle the live directional
+    // gates answer verbatim).
+    "streaming_restart_directional_buffered" -> ((s, dir) => {
+      import s.implicits._
+      val sided = Trades.withTickRuleSide(
+          Trades.fromEvents(graft.Tables.events(s, dir)))
+        .select(col("ts"), col("id"), col("price"), col("qty"),
+          col("side").cast("int").as("side"), lit(0L).as("symbol"))
+      val mid = sided.agg(expr("cast(median(ts) as bigint)")).head().getLong(0)
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_gate_stream_resdir_$runId").getAbsolutePath
+      val srcDir = base + "/src"
+      val p = new org.apache.hadoop.fs.Path(base)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      def runOnce(): Unit = {
+        val src = s.readStream.schema(sided.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(srcDir + "/*")
+          .as[StreamingBars.SidedSymIn]
+        val q = StreamingBars.directionalBufferedStream(src, 3600,
+            watermarkDelay = "2 hours").toDF()
+          .writeStream.format("parquet")
+          .option("path", base + "/out")
+          .option("checkpointLocation", base + "/chk")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val t0 = System.currentTimeMillis()
+      writeOneFile(sided.where(col("ts") <= mid), srcDir, "a_early",
+        t0 - 60000)
+      runOnce() // phase 1: trailing ~2h of bars stay buffered in state
+      val hourNs = 3600L * 1000000000L
+      val em1 = s.read.parquet(base + "/out")
+        .agg(count(lit(1)), coalesce(max(col("bar_ts")), lit(0L))).head()
+      val (n1, max1) = (em1.getLong(0), em1.getLong(1))
+      // the kill must land MID-BUFFER: bars emitted before it, AND the
+      // trailing delay-window bars still open (close above the watermark;
+      // +2e6 ns absorbs the watermark's ms-floor rounding)
+      require(n1 > 0, "restart gate degenerate: phase 1 emitted no bars")
+      require(max1 < mid - 2L * hourNs + 2000000L,
+        s"restart gate degenerate: phase 1 emitted bar_ts=$max1 past the " +
+          s"watermark mid-2h=${mid - 2L * hourNs} — nothing was buffered " +
+          "across the kill")
+      def sentinel(ns: Long, id: Long) =
+        s.range(1).select(lit(ns).as("ts"), lit(id).as("id"),
+          lit(1.0).as("price"), lit(1.0).as("qty"),
+          lit(0).as("side"), lit(0L).as("symbol"))
+      writeOneFile(sided.where(col("ts") > mid), srcDir, "b_late",
+        t0 - 40000)
+      writeOneFile(sentinel(sentinelNs, 9000000000L), srcDir, "c_s1",
+        t0 - 30000)
+      writeOneFile(sentinel(sentinelNs + 600000000000L, 9000000001L),
+        srcDir, "d_s2", t0 - 20000)
+      runOnce() // phase 2: fresh query — restored row buffers finalize
+      s.read.parquet(base + "/out")
+        .where(col("bar_ts") < sentinelNs)
+        .select(col("bar_ts"), col("ticks_buy"), col("ticks_sell"),
+          r6(col("volume_buy")).as("volume_buy"),
+          r6(col("volume_sell")).as("volume_sell"),
+          r6(col("dollars_buy")).as("dollars_buy"),
+          r6(col("dollars_sell")).as("dollars_sell"),
+          r6(col("mean_spread")).as("mean_spread"),
+          r6(col("max_spread")).as("max_spread"),
+          col("cum_ticks_min"), col("cum_ticks_max"),
+          r6(col("cum_volume_min")).as("cum_volume_min"),
+          r6(col("cum_volume_max")).as("cum_volume_max"),
+          r6(col("cum_dollars_min")).as("cum_dollars_min"),
+          r6(col("cum_dollars_max")).as("cum_dollars_max"))
     }),
 
     // Streaming TICK BARS through the per-symbol counter state machine:
@@ -1363,7 +1648,7 @@ object StreamQueries {
           Trades.fromEvents(graft.Tables.events(s, dir)), Seq("symbol"))
         .select(col("ts"), col("id"), col("price"), col("qty"),
           col("side").cast("int").as("side"), col("symbol"))
-      val st = sided.agg(expr("percentile_approx(ts, 0.5)"),
+      val st = sided.agg(expr("cast(median(ts) as bigint)"),
         min(col("ts")), max(col("ts"))).head()
       val (mid, lo, hi) = (st.getLong(0), st.getLong(1), st.getLong(2))
       val tmp = new java.io.File(sys.props("java.io.tmpdir"),
@@ -1505,7 +1790,7 @@ object StreamQueries {
       import s.implicits._
       val ticks = Trades.fromEvents(graft.Tables.events(s, dir))
         .select(col("ts"), col("id"), col("symbol"))
-      val mid = ticks.agg(expr("percentile_approx(ts, 0.5)")).head().getLong(0)
+      val mid = ticks.agg(expr("cast(median(ts) as bigint)")).head().getLong(0)
       val tmp = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_gate_stream_integ_$runId").getAbsolutePath
       val p = new org.apache.hadoop.fs.Path(tmp)
@@ -1554,6 +1839,8 @@ object StreamQueries {
       TradeQueries.oracles("time_bars_directional_1h"),
     "streaming_directional_unordered" ->
       TradeQueries.oracles("time_bars_directional_1h"),
+    "streaming_restart_directional_buffered" ->
+      TradeQueries.oracles("time_bars_directional_1h"),
     "streaming_directional_agg_1h" -> {
       val iv = 3600L * 1000000000L
       s"""WITH $tradesCte, $sidedCte
@@ -1577,8 +1864,15 @@ object StreamQueries {
       TradeQueries.oracles("store_readrange_prune"),
     "streaming_dedup_index_append" ->
       DocQueries.streamingIndexAppendOracleSql,
+    // engine-side bit-parity gate (same pattern as ann_topk_ivf_*): the
+    // oracle pins one all-true row per arriving delta vector
+    "streaming_ann_ivf_append" ->
+      """SELECT vec_id AS query_id, TRUE AS live_append_matches_memory
+        |FROM embeddings WHERE vec_id % 5 = 0""".stripMargin,
     "streaming_corpus_e2e" ->
       DocQueries.streamingCorpusE2eOracleSql,
+    "streaming_corpus_e2e_full" ->
+      DocQueries.streamingCorpusE2eFullOracleSql,
     "streaming_tick_bars_300" -> ScanQueries.oracles("tick_bars_300"),
     "streaming_volume_bars_2k" -> ScanQueries.oracles("volume_bars_2k"),
     "streaming_dollar_bars_200k" -> ScanQueries.oracles("dollar_bars_200k"),

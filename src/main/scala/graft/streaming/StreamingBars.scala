@@ -216,7 +216,10 @@ object StreamingBars {
     * state, so real rows arriving after a flush continue the series
     * correctly instead of absorbing a spurious log-return against the
     * heartbeat's placeholder price. Real data must stay below this bound
-    * (asserted per row).
+    * — a documented, UNCHECKED in-band contract: the marker IS the
+    * timestamp, so a violating real row is indistinguishable from a flush
+    * marker by construction and is silently treated as one. Callers that
+    * cannot guarantee the bound must range-check upstream at ingest.
     */
   val heartbeatNs = 4102444800000000000L
 
@@ -927,7 +930,10 @@ object StreamingBars {
           // would corrupt the fold — fail loudly instead.
           if (s0.hasPend && real.nonEmpty) {
             val (fTs, fId, _) = real.head
-            require(s0.pendTs < fTs || (s0.pendTs == fTs && s0.pendId <= fId),
+            // STRICT ordering: an exact (ts, id) duplicate of the pending
+            // row is a re-delivery — double-folding it would corrupt the
+            // sums silently, so it fails the contract too.
+            require(s0.pendTs < fTs || (s0.pendTs == fTs && s0.pendId < fId),
               s"cusumStream: out-of-order cross-batch input for symbol $symbol — " +
                 s"batch row (ts=$fTs, id=$fId) precedes pending row " +
                 s"(ts=${s0.pendTs}, id=${s0.pendId}); input must be " +

@@ -196,12 +196,37 @@ object TextOps {
     * Pure codegen'd expressions: the whole scrub runs inside the scan
     * stage, no UDF, no shuffle.
     */
-  def piiColumns(text: Column): Seq[Column] = {
-    val redacted = regexp_replace(
+  /** Gopher-style repetition keep flag (Rae et al. 2021 §A1.1), the same
+    * unrounded char-fraction thresholds the `text_repetition` gate pins:
+    * top-n-gram coverage (n=2,3,4) and duplicated-n-gram coverage
+    * (n=5,10), occurrence-weighted, over the text's char length. Every
+    * term is a per-row expression over the token array — the whole filter
+    * runs inside the scan stage, no shuffle.
+    */
+  def keepRepetition(text: Column, toks: Column): Column = {
+    val nc = length(text).cast("double")
+    def frac(n: Int, f: String) =
+      repetitionStats(shinglesAll(toks, n)).getField(f).cast("double") / nc
+    frac(2, "top") <= 0.20 && frac(3, "top") <= 0.18 &&
+      frac(4, "top") <= 0.16 && frac(5, "dup") <= 0.15 &&
+      frac(10, "dup") <= 0.10
+  }
+
+  /** The scrubbed text itself (emails → phones → IPs, same order as
+    * [[piiColumns]] — an IPv4-shaped fragment can only survive inside a
+    * wider email match, never the reverse). Exposed for pipelines whose
+    * downstream stages (dedup, shingling, storage) must run over the
+    * REDACTED text, not just hash it.
+    */
+  def redact(text: Column): Column =
+    regexp_replace(
       regexp_replace(
         regexp_replace(text, emailRe, "<EMAIL>"),
         phoneRe, "<PHONE>"),
       ipv4Re, "<IP>")
+
+  def piiColumns(text: Column): Seq[Column] = {
+    val redacted = redact(text)
     Seq(
       regexp_count(text, lit(emailRe)).cast("long").as("n_emails"),
       regexp_count(text, lit(phoneRe)).cast("long").as("n_phones"),

@@ -563,6 +563,25 @@ class DocSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components: driver tier AT its edge bound returns a distributed relation") {
+    // exactly nEdges == driverMaxEdges takes the driver union-find path
+    // (the <= bound); nEdges + 1 would not. The result must be RDD-backed,
+    // not a LocalRelation — near the real 2e6 bound a LocalRelation would
+    // embed ~4M tuples into every downstream plan tree.
+    val n = 50
+    val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
+    System.setProperty("spark.graft.cc.driverMaxEdges", (n - 1).toString)
+    try {
+      val out = Dedup.connectedComponents(edges)
+      assert(Dedup.lastCcRounds == 0, "expected the driver union-find tier")
+      val plan = out.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("LocalRelation"),
+        s"driver-tier CC result embedded as LocalRelation:\n$plan")
+      val comp = out.as[(Long, Long)].collect().toMap
+      assert((1 to n).forall(i => comp(i.toLong) == 1L))
+    } finally System.clearProperty("spark.graft.cc.driverMaxEdges")
+  }
+
   test("connected components: reliable-checkpoint mode matches localCheckpoint results") {
     // the cluster-durable path: labels go through Dataset.checkpoint into
     // a fault-tolerant dir instead of executor-local blocks — results must
