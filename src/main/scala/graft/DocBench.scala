@@ -79,11 +79,39 @@ object DocBench {
     */
   private def corpusE2eBatches(spark: SparkSession,
                                docs: org.apache.spark.sql.DataFrame,
-                               nBatches: Int): Long = {
+                               nBatches: Int,
+                               batchIdx: Option[org.apache.spark.sql.Column] = None,
+                               tag: String = "",
+                               fullSuite: Boolean = false): Long = {
+    // default arrival order: hash-uniform batches. batchIdx overrides it
+    // for adversarial-arrival cells (e.g. the mega-cluster concentrated in
+    // ONE batch) — the chain itself is identical either way.
+    // fullSuite = the streaming_corpus_e2e_full chain: only the 90% train
+    // split arrives (the held-out 10% is the static decontamination
+    // benchmark), and each batch adds PII redaction at entry, Gopher
+    // repetition thresholds, and the benchmark-gram probe before dedup.
+    val trainFrac = if (fullSuite) 0.9 else 1.0
     val salted = docs.withColumn("__h",
       graft.ml.Sampling.hash32(col("doc_id"), "live"))
-    val cut = (i: Int) => ((i.toDouble / nBatches) * 4294967296.0).toLong
-    val table = s"docbench_live_idx$nBatches"
+    val cut = (i: Int) =>
+      ((i.toDouble / nBatches) * trainFrac * 4294967296.0).toLong
+    val table = s"docbench_live_idx$nBatches$tag"
+    val benchDir = if (!fullSuite) null else {
+      // day-0 static state, staged once like the gate's /bench dir: the
+      // held-out split's distinct n-gram hashes over REDACTED text. The
+      // fixture's template mega-cluster spans both splits, so the probe
+      // REALLY fires: every arriving boiler doc overlaps the benchmark
+      // and dies at decon — boilerplate-vs-benchmark overlap at 10⁵ scale.
+      val d = java.nio.file.Files
+        .createTempDirectory("docbench_live_bench").toString
+      graft.dedup.Substring.distinctGramHashes(
+          salted.where(col("__h") >= cut(nBatches))
+            .select(col("doc_id"), TextOps.redact(col("text")).as("text"))
+            .withColumn("toks", TextOps.wsTokens(col("text"))),
+          "doc_id", "toks", graft.queries.PipeQueries.contamN)
+        .select("h").distinct().write.mode("overwrite").parquet(d)
+      d
+    }
     val dir = java.nio.file.Files
       .createTempDirectory("docbench_live_idx").toString
     Dedup.writeLshIndex(docs.limit(0).select("doc_id", "text", "toks"),
@@ -93,15 +121,34 @@ object DocBench {
     var seenH: org.apache.spark.sql.DataFrame = null
     var survivors = 0L
     for (i <- 1 to nBatches) {
-      val b = salted.where(col("__h") >= cut(i - 1) && col("__h") < cut(i))
-        .select("doc_id", "text", "toks")
+      val inBatch = batchIdx match {
+        case Some(bi) => bi === (i - 1)
+        case None => col("__h") >= cut(i - 1) && col("__h") < cut(i)
+      }
+      // full suite: PII redaction at entry — everything downstream
+      // (quality, langid, repetition, gram hashes, dedup) runs over the
+      // scrubbed text, exactly as in streaming_corpus_e2e_full
+      val b = if (!fullSuite) salted.where(inBatch).select("doc_id", "text", "toks")
+        else salted.where(inBatch)
+          .select(col("doc_id"), TextOps.redact(col("text")).as("text"))
+          .withColumn("toks", TextOps.wsTokens(col("text")))
       val scored = b.select(
         Seq(col("doc_id"), col("text"), col("toks")) ++
           TextOps.qualityColumns(col("text")) ++
           Seq(TextOps.langIdColumns(col("text")).last): _*)
-      val keptB = scored
+      val keptQ = scored
         .where(col("pred_lang") === "en" && col("quality_score") >= 0.5)
         .select("doc_id", "text", "toks")
+      val keptB = if (!fullSuite) keptQ else {
+        // Gopher repetition thresholds (per-row, scan-stage), then the
+        // decontamination probe against the staged benchmark gram set
+        val kr = keptQ.where(TextOps.keepRepetition(col("text"), col("toks")))
+        val contam = graft.dedup.Substring.distinctGramHashes(
+            kr, "doc_id", "toks", graft.queries.PipeQueries.contamN)
+          .join(spark.read.parquet(benchDir), Seq("h"), "left_semi")
+          .select("doc_id").distinct()
+        kr.join(contam, Seq("doc_id"), "left_anti")
+      }
       val ann = Dedup.exactDupAnnotate(keptB, "doc_id", "text")
         .where(!col("is_dup"))
       val exSurv = (if (seenH == null) ann
@@ -243,6 +290,31 @@ object DocBench {
         // 1.5M docs in 3 arriving batches — quality/langid → exact probe →
         // capped LSH probe-then-append → shard, per batch
         "corpus_e2e_live_3batches" -> (() => corpusE2eBatches(spark, docs, 3)),
+        // the FULL production filter suite live at 1.5M docs — the scale
+        // line for streaming_corpus_e2e_full: the 90% train split arrives
+        // in 3 batches, each running redact → quality/langid → repetition
+        // → benchmark-gram decon → exact probe → capped LSH
+        // probe-then-append → shard. The template mega-cluster spans both
+        // splits, so decon drops every arriving boiler doc (benchmark
+        // overlap at 10⁵ scale) BEFORE the LSH probe — the production
+        // interplay of the two skew defenses.
+        "corpus_e2e_live_full_3batches" -> (() => corpusE2eBatches(spark,
+          docs, 3, tag = "full", fullSuite = true)),
+        // ADVERSARIAL ARRIVAL ORDER: the ~12.5% template mega-cluster
+        // arrives concentrated in the FIRST batch (instead of hash-spread
+        // across all three). Batch 1 appends the mega-bucket's ~10⁵ band
+        // rows into the stored index, so batches 2 and 3 probe an index
+        // that CARRIES the mega-bucket — the capped probe (bb ≤ maxBucket)
+        // must exclude it and keep per-batch cost delta-scaled; an
+        // uncapped probe would join every later template-ish doc against
+        // 10⁵ index rows. Non-boiler docs keep the same hash split, so the
+        // cell is comparable to corpus_e2e_live_3batches above.
+        "corpus_e2e_live_hotbatch" -> (() => corpusE2eBatches(spark, docs, 3,
+          batchIdx = Some(
+            when(col("text").startsWith(DocFixture.template), lit(0))
+              .otherwise(floor(col("__h") / lit(((1.0 / 3) * 4294967296.0).toLong))
+                .cast("int"))),
+          tag = "hot")),
         "bm25_topk_fixture" -> (() =>
           graft.text.LangModel.bm25TopK(docs, "doc_id", "toks",
             Seq(1 -> "hash join merge", 2 -> "window agg stream",

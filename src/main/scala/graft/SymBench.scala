@@ -24,6 +24,10 @@ object SymBench {
   private val keyed = Seq(
     "f_rsi_wilder14_sym", "tbm_labels_sym", "label_weights_sym",
     "label_concurrency_sym", "time_bars_directional_sym",
+    // the skew-safe tier of the two keyed sweeps (reset-affine
+    // range-partitioned scan) — measured beside the codegen-window default
+    // so the two-tier gap is on record at every fixture scale
+    "label_weights_sym_safe", "label_concurrency_sym_safe",
     // the sequential keyed machines: per-symbol reset kernels on the
     // key-shuffled scan — parallelism IS the key dimension. One entry per
     // machine FAMILY (tick-imbalance, value-imbalance, tick-run,
@@ -51,7 +55,9 @@ object SymBench {
     val names = (singleSeries ++ keyed)
       .filter(n => subset.forall(_.contains(n)))
     def dirFor(name: String): String =
-      if (name.endsWith("_sym")) fixture.getOrElse(sfDir) else sfDir
+      if (name.endsWith("_sym") || name.endsWith("_sym_safe"))
+        fixture.getOrElse(sfDir)
+      else sfDir
 
     // shuffle-partition override for large fixtures: at 10^8 rows, cpus(32)
     // partitions means ~3M-row in-memory sorts per task × 32 concurrent —

@@ -14,7 +14,7 @@ import Q._
   */
 object PipeQueries {
 
-  private[queries] val contamN = 8 // word n-gram for eval-overlap (docs are 10-99 toks)
+  private[graft] val contamN = 8 // word n-gram for eval-overlap (docs are 10-99 toks)
   private val spanN = 13 // Lee et al. 2022 span length, in tokens
   private val spanMaxFrac = 0.3
   private val chunkSize = 64

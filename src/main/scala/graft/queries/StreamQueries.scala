@@ -697,6 +697,74 @@ object StreamQueries {
           (col("n") === col("both")).as("live_append_matches_memory"))
     }),
 
+    // REPLAY IDEMPOTENCE for the live vector ingest loop — the IVF twin of
+    // streaming_store_ingest_replay: the cell-layout index and the probes
+    // log are both append-mode parquet, so a crash-looping driver that
+    // re-ran a committed batch would DOUBLE-APPEND vectors (a duplicated
+    // index row silently inflates that neighbor's presence in every later
+    // top-k). After the full drain, a fresh query start on the same
+    // checkpoint must invoke foreachBatch for NOTHING. Asserted two ways:
+    // an in-gate decimal(38,0) xxhash fingerprint over (id, cell) + the
+    // probes log (double-appends can't cancel), and the gate's output —
+    // exactly ONE index row per corpus vector, which the oracle pins.
+    "streaming_ann_ivf_replay" -> ((s, dir) => {
+      import graft.ml.Similarity
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val base = e.where(pmod(col("vec_id"), lit(5)) =!= 0)
+      val b1 = e.where(pmod(col("vec_id"), lit(10)) === 0)
+      val b2 = e.where(pmod(col("vec_id"), lit(10)) === 5)
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_gate_saivr_$runId").getAbsolutePath
+      val pth = new org.apache.hadoop.fs.Path(root)
+      val fs = pth.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(pth)) fs.delete(pth, true)
+      val cents = Similarity.kmeansCentroids(base, "vec_id", "embedding",
+        nlist = 32, iters = 5)
+      Similarity.ivfIndexWrite(base, "vec_id", "embedding", cents,
+        root + "/idx")
+      val t0 = System.currentTimeMillis()
+      writeOneFile(b1, root + "/src", "a_b1", t0 - 40000)
+      writeOneFile(b2, root + "/src", "b_b2", t0 - 20000)
+      val onBatch: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+        Long) => Unit = { (b, _) =>
+        Similarity.ivfIndexTopK(s, root + "/idx", b, "vec_id", "embedding",
+            DocQueries.annK, nprobe = 16)
+          .write.mode("append").parquet(root + "/probes")
+        Similarity.ivfIndexAppend(b, "vec_id", "embedding", root + "/idx")
+      }
+      def runOnce(): Unit = {
+        val q = s.readStream.schema(e.schema)
+          .option("maxFilesPerTrigger", 1).parquet(root + "/src/*")
+          .writeStream.foreachBatch(onBatch)
+          .option("checkpointLocation", root + "/chk")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      runOnce()
+      def fp() = {
+        val idx = s.read.parquet(root + "/idx/cells")
+          .agg(count(lit(1)).as("n"),
+            sum(xxhash64(col("id"), col("cell")).cast("decimal(38,0)"))
+              .as("h")).head()
+        val pr = s.read.parquet(root + "/probes")
+          .agg(count(lit(1)).as("n"),
+            sum(xxhash64(col("query_id"), col("rank"), col("neighbor_id"))
+              .cast("decimal(38,0)")).as("h")).head()
+        (idx, pr)
+      }
+      val before = fp()
+      runOnce() // crash-loop restart: offset log covers both files
+      val after = fp()
+      require(before == after,
+        s"IVF live-ingest replay mutated the index or probes log " +
+          s"(before=$before, after=$after) — exactly-once across a " +
+          "restart is broken")
+      s.read.parquet(root + "/idx/cells")
+        .groupBy(col("id").as("vec_id"))
+        .agg(count(lit(1)).cast("int").as("n_index_rows"))
+    }),
+
     // THE LIVE DOCUMENT PIPELINE — the streaming twin of corpus_clean and
     // the document-side counterpart of pipeline_e2e: every arriving
     // micro-batch runs the FULL training-data ingest chain — quality +
@@ -1869,6 +1937,10 @@ object StreamQueries {
     "streaming_ann_ivf_append" ->
       """SELECT vec_id AS query_id, TRUE AS live_append_matches_memory
         |FROM embeddings WHERE vec_id % 5 = 0""".stripMargin,
+    // exactly one index row per corpus vector after the replay drain —
+    // a double-appended batch would flip its vectors to n_index_rows = 2
+    "streaming_ann_ivf_replay" ->
+      "SELECT vec_id, 1 AS n_index_rows FROM embeddings",
     "streaming_corpus_e2e" ->
       DocQueries.streamingCorpusE2eOracleSql,
     "streaming_corpus_e2e_full" ->
