@@ -72,8 +72,9 @@ object DocBench {
     * each runs quality + langid filter → exact-dedup probe against the
     * hashes ingested so far → CAPPED LSH probe against the survivors-so-
     * far index, then appends its own survivors' bands → hash-gated shard
-    * assignment. State (seen hashes, kept corpus) stays as persisted
-    * frames; the index is the stored bucketed table, so per-batch probe
+    * assignment. State (seen hashes, survivor store) lives in parquet
+    * dirs appended per batch and re-read by the next, exactly like the
+    * gate; the index is the stored bucketed table, so per-batch probe
     * cost is delta-scaled exactly like [[ingestBatches]]. Returns total
     * surviving docs.
     */
@@ -117,8 +118,20 @@ object DocBench {
     Dedup.writeLshIndex(docs.limit(0).select("doc_id", "text", "toks"),
       "doc_id", "toks", shingleN, minhashK, minhashBands, table, dir,
       buckets = 32)
-    var kept: org.apache.spark.sql.DataFrame = null
-    var seenH: org.apache.spark.sql.DataFrame = null
+    // state lives in PARQUET DIRS exactly like the gate (seen hashes,
+    // survivor store), appended per batch and re-READ by the next batch —
+    // not as cumulative lineage unions. A lineage union re-executes every
+    // PRIOR batch's full filter chain inside each later batch's probe
+    // (measured: the full-suite cell paid ~3× its per-batch chain cost),
+    // where the gate's discipline is cost ∝ delta: state reads are file
+    // scans. Survivors are STAGED to a batch-scoped path before any state
+    // append (the gate's cache-invalidation bug class).
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("docbench_live_state").toString
+    docs.limit(0).select(md5(col("text")).as("content_hash"))
+      .write.parquet(stateDir + "/seen")
+    docs.limit(0).select("doc_id", "text")
+      .write.parquet(stateDir + "/store")
     var survivors = 0L
     for (i <- 1 to nBatches) {
       val inBatch = batchIdx match {
@@ -151,28 +164,34 @@ object DocBench {
       }
       val ann = Dedup.exactDupAnnotate(keptB, "doc_id", "text")
         .where(!col("is_dup"))
-      val exSurv = (if (seenH == null) ann
-        else ann.join(seenH, Seq("content_hash"), "left_anti"))
+      val seen = spark.read.parquet(stateDir + "/seen")
+      val exSurv = ann.join(seen, Seq("content_hash"), "left_anti")
         .select("doc_id", "text", "toks", "content_hash")
+      val prior = spark.read.parquet(stateDir + "/store")
+        .withColumn("toks", TextOps.wsTokens(col("text")))
       val pairs = Dedup.incrementalLshPairsFrom(spark.table(table),
-        if (kept == null) b.limit(0) else kept,
-        exSurv.select("doc_id", "text", "toks"), "doc_id", "toks",
+        prior.select("doc_id", "toks"),
+        exSurv.select("doc_id", "toks"), "doc_id", "toks",
         shingleN, minhashK, minhashBands, threshold = 0.7,
         maxBucket = maxBucket)
-      val surv = exSurv
+      exSurv
         .join(pairs.select(col("id_a").as("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")
         .withColumn("shard",
           (graft.ml.Sampling.hash32(col("doc_id"), "s1") % 8).cast("int"))
-        .persist()
+        .select("doc_id", "text", "shard")
+        .write.parquet(stateDir + s"/stage/$i")
+      val surv = spark.read.parquet(stateDir + s"/stage/$i")
       survivors += surv.count()
-      Dedup.appendLshIndex(surv.select("doc_id", "toks"), "doc_id", "toks",
-        shingleN, minhashK, minhashBands, table, buckets = 32)
-      val newKept = surv.select("doc_id", "text", "toks")
-      kept = if (kept == null) newKept else kept.unionByName(newKept)
-      val newSeen = ann.select("content_hash").distinct()
-      seenH = if (seenH == null) newSeen else
-        seenH.unionByName(newSeen).distinct()
+      surv.select("doc_id", "text")
+        .write.mode("append").parquet(stateDir + "/store")
+      ann.select("content_hash").distinct()
+        .write.mode("append").parquet(stateDir + "/seen")
+      Dedup.appendLshIndex(
+        surv.withColumn("toks", TextOps.wsTokens(col("text")))
+          .select("doc_id", "toks"),
+        "doc_id", "toks", shingleN, minhashK, minhashBands, table,
+        buckets = 32)
     }
     survivors
   }
