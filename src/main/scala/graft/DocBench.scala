@@ -152,7 +152,7 @@ object DocBench {
       val keptQ = scored
         .where(col("pred_lang") === "en" && col("quality_score") >= 0.5)
         .select("doc_id", "text", "toks")
-      val keptB = if (!fullSuite) keptQ else {
+      val keptF = if (!fullSuite) keptQ else {
         // Gopher repetition thresholds (per-row, scan-stage), then the
         // decontamination probe against the staged benchmark gram set
         val kr = keptQ.where(TextOps.keepRepetition(col("text"), col("toks")))
@@ -162,6 +162,11 @@ object DocBench {
           .select("doc_id").distinct()
         kr.join(contam, Seq("doc_id"), "left_anti")
       }
+      // STAGE the filtered batch once (the gate's discipline): its subtree
+      // otherwise re-evaluates the per-row filter expressions ~4× per
+      // batch (exact probe, delta band rows, jaccard side, seen append)
+      keptF.write.mode("overwrite").parquet(stateDir + s"/fb/$i")
+      val keptB = spark.read.parquet(stateDir + s"/fb/$i")
       val ann = Dedup.exactDupAnnotate(keptB, "doc_id", "text")
         .where(!col("is_dup"))
       val seen = spark.read.parquet(stateDir + "/seen")
