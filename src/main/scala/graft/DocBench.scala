@@ -53,6 +53,7 @@ object DocBench {
       minhashK, minhashBands, table, dir, buckets = 32)
     var seen = base.select("doc_id", "text", "toks")
     var pairs = 0L
+    try {
     for (i <- 1 to nBatches) {
       val batch = salted
         .where(col("__h") >= cut(i - 1) && col("__h") < cut(i))
@@ -65,6 +66,7 @@ object DocBench {
       seen = seen.unionByName(batch)
     }
     pairs
+    } finally rmrf(spark, dir)
   }
 
   /** The FULL live corpus pipeline (the streaming_corpus_e2e chain) at
@@ -113,6 +115,12 @@ object DocBench {
         .select("h").distinct().write.mode("overwrite").parquet(d)
       d
     }
+    // day-0 companion bloom over the bench gram hashes (the gate's
+    // scan-stage decon pre-filter — only possible-hit rows pay the
+    // gram explode + exact semi-join; no false negatives)
+    val benchBloom = if (!fullSuite) null
+      else graft.dedup.Substring.gramHashBloom(
+        spark.read.parquet(benchDir), "h")
     val dir = java.nio.file.Files
       .createTempDirectory("docbench_live_idx").toString
     Dedup.writeLshIndex(docs.limit(0).select("doc_id", "text", "toks"),
@@ -130,9 +138,10 @@ object DocBench {
       .createTempDirectory("docbench_live_state").toString
     docs.limit(0).select(md5(col("text")).as("content_hash"))
       .write.parquet(stateDir + "/seen")
-    docs.limit(0).select("doc_id", "text")
+    docs.limit(0).select("doc_id", "text", "toks")
       .write.parquet(stateDir + "/store")
     var survivors = 0L
+    try {
     for (i <- 1 to nBatches) {
       val inBatch = batchIdx match {
         case Some(bi) => bi === (i - 1)
@@ -154,10 +163,14 @@ object DocBench {
         .select("doc_id", "text", "toks")
       val keptF = if (!fullSuite) keptQ else {
         // Gopher repetition thresholds (per-row, scan-stage), then the
-        // decontamination probe against the staged benchmark gram set
+        // BLOOM-BOUNDED decontamination probe: the scan-stage pre-filter
+        // clears provably-benchmark-free rows, only possible hits pay
+        // the gram explode + exact semi-join against the staged set
         val kr = keptQ.where(TextOps.keepRepetition(col("text"), col("toks")))
+        val maybe = kr.where(graft.dedup.Substring.mightContainGram(
+          col("toks"), graft.queries.PipeQueries.contamN, benchBloom))
         val contam = graft.dedup.Substring.distinctGramHashes(
-            kr, "doc_id", "toks", graft.queries.PipeQueries.contamN)
+            maybe, "doc_id", "toks", graft.queries.PipeQueries.contamN)
           .join(spark.read.parquet(benchDir), Seq("h"), "left_semi")
           .select("doc_id").distinct()
         kr.join(contam, Seq("doc_id"), "left_anti")
@@ -172,8 +185,9 @@ object DocBench {
       val seen = spark.read.parquet(stateDir + "/seen")
       val exSurv = ann.join(seen, Seq("content_hash"), "left_anti")
         .select("doc_id", "text", "toks", "content_hash")
+      // toks persisted at append time — the prior side is a column scan,
+      // never re-tokenized per batch
       val prior = spark.read.parquet(stateDir + "/store")
-        .withColumn("toks", TextOps.wsTokens(col("text")))
       val pairs = Dedup.incrementalLshPairsFrom(spark.table(table),
         prior.select("doc_id", "toks"),
         exSurv.select("doc_id", "toks"), "doc_id", "toks",
@@ -184,22 +198,36 @@ object DocBench {
           Seq("doc_id"), "left_anti")
         .withColumn("shard",
           (graft.ml.Sampling.hash32(col("doc_id"), "s1") % 8).cast("int"))
-        .select("doc_id", "text", "shard")
+        .select("doc_id", "text", "toks", "shard")
         .write.parquet(stateDir + s"/stage/$i")
       val surv = spark.read.parquet(stateDir + s"/stage/$i")
       survivors += surv.count()
-      surv.select("doc_id", "text")
+      surv.select("doc_id", "text", "toks")
         .write.mode("append").parquet(stateDir + "/store")
       ann.select("content_hash").distinct()
         .write.mode("append").parquet(stateDir + "/seen")
-      Dedup.appendLshIndex(
-        surv.withColumn("toks", TextOps.wsTokens(col("text")))
-          .select("doc_id", "toks"),
+      Dedup.appendLshIndex(surv.select("doc_id", "toks"),
         "doc_id", "toks", shingleN, minhashK, minhashBands, table,
         buckets = 32)
     }
     survivors
+    } finally {
+      // the state dirs hold full survivor-corpus text per cell — at 1.5M
+      // docs × 3 cells × 2 cpu configs that is multiple GB of /tmp per
+      // DocBench run if leaked
+      (Seq(stateDir, dir) ++ Option(benchDir)).foreach(rmrf(spark, _))
+    }
   }
+
+  /** Recursive temp-dir delete (best-effort — a bench cell must never
+    * fail on cleanup).
+    */
+  private def rmrf(spark: SparkSession, p: String): Unit =
+    try {
+      val pth = new org.apache.hadoop.fs.Path(p)
+      pth.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(pth, true)
+    } catch { case _: Throwable => () }
 
   def main(args: Array[String]): Unit = {
     val fixture = sys.env.getOrElse("SPARK_GRAFT_DOC_FIXTURE", "target/docfix")
@@ -333,11 +361,16 @@ object DocBench {
         // uncapped probe would join every later template-ish doc against
         // 10⁵ index rows. Non-boiler docs keep the same hash split, so the
         // cell is comparable to corpus_e2e_live_3batches above.
+        // the otherwise-branch CLAMPS to batch 2: 3 × floor(2^32/3) =
+        // 2^32 − 1 exactly, so the max salted hash would floor-divide to
+        // index 3 and silently never arrive — the base cell's cut(3) =
+        // 2^32 includes it, and the two cells must see the same corpus
         "corpus_e2e_live_hotbatch" -> (() => corpusE2eBatches(spark, docs, 3,
           batchIdx = Some(
             when(col("text").startsWith(DocFixture.template), lit(0))
-              .otherwise(floor(col("__h") / lit(((1.0 / 3) * 4294967296.0).toLong))
-                .cast("int"))),
+              .otherwise(least(
+                floor(col("__h") / lit(((1.0 / 3) * 4294967296.0).toLong)),
+                lit(2)).cast("int"))),
           tag = "hot")),
         "bm25_topk_fixture" -> (() =>
           graft.text.LangModel.bm25TopK(docs, "doc_id", "toks",

@@ -560,6 +560,9 @@ object Dedup {
       .persist(graft.Conf.storageLevel)
     val driverMax = sys.props.get("spark.graft.cc.driverMaxEdges")
       .map(_.toLong).getOrElse(2000000L)
+    val driverLocalMaxLabels =
+      sys.props.get("spark.graft.cc.localRelationMaxLabels")
+        .map(_.toInt).getOrElse(100000)
     val nEdges = eps.count()
     if (nEdges <= driverMax) {
       import spark.implicits._
@@ -584,11 +587,18 @@ object Dedup {
         math.max(16, es.length * 2))
       es.foreach { case (a, b) => verts(a) = (); verts(b) = () }
       Dedup.lastCcRounds = 0
-      // distribute the result: near the 2e6-edge bound the label set is
-      // ~4M tuples — as a LocalRelation it would ride EVERY downstream
-      // plan tree (tens of MB serialized per stage); as an RDD-backed
-      // Dataset it lives once on the executors like any other relation
+      // distribute the result, SIZED: below `driverLocalMaxLabels` the
+      // label set rides as a LocalRelation — a few hundred KB on the plan
+      // tree, and the planner keeps its EXACT size stats so the downstream
+      // labels join broadcasts for free (gate/bench-scale graphs are
+      // 10²-10⁵ labels). Near the 2e6-edge bound the set is ~4M tuples —
+      // tens of MB that would ride EVERY downstream serialized plan — so
+      // above the threshold it becomes an RDD-backed Dataset living once
+      // on the executors like any other relation.
       val pairs = verts.keysIterator.map(v => (v, find(v))).toArray
+      if (pairs.length <= driverLocalMaxLabels) {
+        return spark.createDataset(pairs.toIndexedSeq).toDF("id", "component")
+      }
       val nParts = math.min(32, 1 + pairs.length / 250000)
       return spark.createDataset(
           spark.sparkContext.parallelize(pairs.toIndexedSeq, nParts))

@@ -49,13 +49,19 @@ object Ingest {
 
   /** CSV rows → canonical trade schema: ns timestamps (unit inferred from
     * magnitude), explicit side, duplicate ids dropped keep-first.
+    * `checkHeartbeatBound = true` additionally raises a per-row error on
+    * any ts at/above the streaming flush-heartbeat floor (2100-01-01) —
+    * see [[graft.trades.Trades.requireBelowHeartbeat]].
     */
-  def canonicalize(csvTrades: DataFrame, symbol: Long = 0L): DataFrame =
-    Trades.dedupIds(Trades.toNanos(
+  def canonicalize(csvTrades: DataFrame, symbol: Long = 0L,
+                   checkHeartbeatBound: Boolean = false): DataFrame = {
+    val canon = Trades.dedupIds(Trades.toNanos(
       csvTrades
         .withColumn("side", when(col("is_buyer_maker"), -1).otherwise(1))
         .withColumn("symbol", lit(symbol))
         .drop("is_buyer_maker")))
+    if (checkHeartbeatBound) Trades.requireBelowHeartbeat(canon) else canon
+  }
 
   /** End-to-end: CSV dump(s) → canonical trades → month-partitioned store. */
   def ingest(spark: SparkSession, csvPath: String, storePath: String,

@@ -219,7 +219,11 @@ object StreamingBars {
     * — a documented, UNCHECKED in-band contract: the marker IS the
     * timestamp, so a violating real row is indistinguishable from a flush
     * marker by construction and is silently treated as one. Callers that
-    * cannot guarantee the bound must range-check upstream at ingest.
+    * cannot guarantee the bound must range-check upstream at ingest —
+    * [[graft.trades.Trades.requireBelowHeartbeat]] (also reachable via
+    * `Ingest.canonicalize(checkHeartbeatBound = true)`) is the engine's
+    * opt-in per-row check: one scan-stage comparison that turns a
+    * violating row into a loud job failure.
     */
   val heartbeatNs = 4102444800000000000L
 

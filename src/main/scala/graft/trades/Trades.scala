@@ -58,6 +58,27 @@ object Trades {
   def applyResolution(df: DataFrame, resNs: Long, tsCol: String = "ts"): DataFrame =
     df.withColumn(tsCol, expr(s"($tsCol div ${resNs}L) * ${resNs}L"))
 
+  /** OPT-IN loud enforcement of the streaming flush-heartbeat bound: any
+    * row with `ts >= StreamingBars.heartbeatNs` (2100-01-01 ns) raises a
+    * per-row error instead of being silently treated as a flush marker by
+    * the lookahead streaming machines. A scan-stage `raise_error` branch,
+    * not a driver-side check — it rides whole-stage codegen and costs one
+    * comparison per row; callers that cannot guarantee the bound opt in
+    * here (or via `Ingest.canonicalize(checkHeartbeatBound = true)`) and
+    * buy a job failure where the default contract is a silent swallow.
+    */
+  def requireBelowHeartbeat(trades: DataFrame,
+                            tsCol: String = "ts"): DataFrame =
+    trades.withColumn(tsCol,
+      when(col(tsCol) >= graft.streaming.StreamingBars.heartbeatNs,
+        raise_error(concat(
+          lit(s"trade $tsCol "), col(tsCol).cast("string"),
+          lit(" >= streaming heartbeat floor " +
+            s"${graft.streaming.StreamingBars.heartbeatNs} (2100-01-01): " +
+            "the row would be swallowed as a flush marker by lookahead " +
+            "streaming machines"))))
+        .otherwise(col(tsCol)))
+
   /** Drop duplicate trade ids keeping the first occurrence in (ts, id) order
     * — mirrors `_sort_trades` (data_model.py:294-324). Spark has no global
     * "keep first": expressed as a row_number over an id-partitioned window,

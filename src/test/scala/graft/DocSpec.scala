@@ -563,23 +563,37 @@ class DocSpec extends AnyFunSuite {
     }
   }
 
-  test("connected components: driver tier AT its edge bound returns a distributed relation") {
-    // exactly nEdges == driverMaxEdges takes the driver union-find path
-    // (the <= bound); nEdges + 1 would not. The result must be RDD-backed,
-    // not a LocalRelation — near the real 2e6 bound a LocalRelation would
-    // embed ~4M tuples into every downstream plan tree.
+  test("connected components: driver-tier result representation is SIZED at the label bound") {
+    // below `localRelationMaxLabels` the result is a LocalRelation (exact
+    // size stats → downstream labels join broadcasts for free); above it,
+    // RDD-backed — near the real 2e6-edge bound a LocalRelation would
+    // embed ~4M tuples into every downstream serialized plan tree. Pin
+    // BOTH representations at the bound: n labels with the threshold at n
+    // stays local (<=), threshold at n-1 goes distributed.
     val n = 50
     val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
     System.setProperty("spark.graft.cc.driverMaxEdges", (n - 1).toString)
     try {
-      val out = Dedup.connectedComponents(edges)
+      System.setProperty("spark.graft.cc.localRelationMaxLabels", n.toString)
+      val local = Dedup.connectedComponents(edges)
       assert(Dedup.lastCcRounds == 0, "expected the driver union-find tier")
-      val plan = out.queryExecution.optimizedPlan.toString
+      assert(local.queryExecution.optimizedPlan.toString.contains("LocalRelation"),
+        "small driver-tier CC result should be a LocalRelation (size stats)")
+      assert((1 to n).forall(i =>
+        local.as[(Long, Long)].collect().toMap.apply(i.toLong) == 1L))
+
+      System.setProperty("spark.graft.cc.localRelationMaxLabels", (n - 1).toString)
+      val dist = Dedup.connectedComponents(edges)
+      assert(Dedup.lastCcRounds == 0, "expected the driver union-find tier")
+      val plan = dist.queryExecution.optimizedPlan.toString
       assert(!plan.contains("LocalRelation"),
-        s"driver-tier CC result embedded as LocalRelation:\n$plan")
-      val comp = out.as[(Long, Long)].collect().toMap
+        s"over-bound driver-tier CC result embedded as LocalRelation:\n$plan")
+      val comp = dist.as[(Long, Long)].collect().toMap
       assert((1 to n).forall(i => comp(i.toLong) == 1L))
-    } finally System.clearProperty("spark.graft.cc.driverMaxEdges")
+    } finally {
+      System.clearProperty("spark.graft.cc.driverMaxEdges")
+      System.clearProperty("spark.graft.cc.localRelationMaxLabels")
+    }
   }
 
   test("connected components: reliable-checkpoint mode matches localCheckpoint results") {

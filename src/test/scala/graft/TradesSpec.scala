@@ -188,4 +188,32 @@ class TradesSpec extends AnyFunSuite {
     val swapped = ordered.updated(101, ordered(102)).updated(102, ordered(101))
     assert(!Trades.checkTimestampsOrder(df(swapped)).head().getBoolean(0))
   }
+
+  test("requireBelowHeartbeat: a year-2100 row fails loudly, clean rows pass") {
+    val hb = graft.streaming.StreamingBars.heartbeatNs
+    val bad = Seq((hb, 1L, 10.0, 1.0, 0L), (hb - 1L, 2L, 11.0, 1.0, 0L))
+      .toDF("ts", "id", "price", "qty", "symbol")
+    val ex = intercept[Exception] {
+      Trades.requireBelowHeartbeat(bad).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | "))
+    assert(rootMsg(ex).contains("heartbeat floor"),
+      s"expected the heartbeat-floor raise_error, got: ${rootMsg(ex)}")
+    // the flag-enabled Ingest path and the all-clean fast path
+    val ok = Trades.requireBelowHeartbeat(
+      Seq((hb - 1L, 1L, 10.0, 1.0, 0L)).toDF("ts", "id", "price", "qty", "symbol"))
+    assert(ok.collect().map(_.getLong(0)).toSeq == Seq(hb - 1L))
+    val csvish = Seq((1700000000000L, 1L, 10.0, 1.0, false),
+        (hb, 2L, 11.0, 1.0, false))
+      .toDF("ts", "id", "price", "qty", "is_buyer_maker")
+    val ex2 = intercept[Exception] {
+      graft.sources.Ingest.canonicalize(csvish, checkHeartbeatBound = true)
+        .collect()
+    }
+    assert(rootMsg(ex2).contains("heartbeat floor"))
+    // flag off: the same rows pass through (the documented default)
+    assert(graft.sources.Ingest.canonicalize(csvish).count() == 2L)
+  }
 }
