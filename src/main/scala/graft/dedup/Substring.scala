@@ -115,6 +115,47 @@ object Substring {
       .select(col(idCol), md5(col("g")).as("h"))
   }
 
+  /** Serialized bloom filter over `xxhash64(h)` of a BOUNDED gram-hash set
+    * (the decontamination benchmark — eval suites, not crawls). The bytes
+    * ride the probing plan as one constant (~1.2 MB per 10⁶ grams at 1%
+    * fpp), so [[mightContainGram]] can pre-filter rows in the scan stage
+    * without any join. Built with the public `stat.bloomFilter` so the
+    * insert hashing matches `BloomFilterMightContain.mightContainLong`.
+    */
+  def gramHashBloom(grams: DataFrame, hCol: String,
+                    fpp: Double = 0.01): Array[Byte] = {
+    val n = math.max(1L, grams.count())
+    val bf = grams.select(xxhash64(col(hCol)).as("x"))
+      .stat.bloomFilter("x", n, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Scan-stage decontamination PRE-FILTER: true iff ANY full n-gram of
+    * `toks` (a plain attribute — see [[TextOps.shinglesAll]]) MIGHT be in
+    * the benchmark bloom. False negatives are impossible (a bloom never
+    * misses an inserted key), so `!mightContainGram(...)` rows are
+    * provably clean and skip the exploded semi-join entirely; false
+    * positives just pay the exact probe. Gram hashing is xxhash64 OVER the
+    * same md5 text [[distinctGramHashes]] emits, so the bloom and the
+    * exact probe share one gram definition. The check is per-row array
+    * work inside the scan stage — no row explosion, no shuffle; the live
+    * pipeline's per-batch decon probe drops from corpus-gram-join cost to
+    * ~zero when (as in production) almost no arriving row overlaps the
+    * benchmark.
+    */
+  def mightContainGram(toks: Column, n: Int, bloom: Array[Byte]): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    val bloomLit = Literal.create(bloom,
+      org.apache.spark.sql.types.BinaryType)
+    def mc(v: Column): Column = GraftSqlBridge.column(
+      BloomFilterMightContain(bloomLit, GraftSqlBridge.expression(v)))
+    size(toks) >= n &&
+      exists(TextOps.shinglesAll(toks, n), g => mc(xxhash64(md5(g))))
+  }
+
   def contamination(corpus: DataFrame, bench: DataFrame, idCol: String,
                     toksCol: String, n: Int): DataFrame = {
     def distinctGrams(df: DataFrame): DataFrame =

@@ -665,10 +665,14 @@ object StreamQueries {
       writeOneFile(b1, root + "/src", "a_b1", t0 - 40000)
       writeOneFile(b2, root + "/src", "b_b2", t0 - 20000)
       val onBatch: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-        Long) => Unit = { (b, _) =>
+        Long) => Unit = { (b, batchId) =>
+        // probes log is BATCH-SCOPED overwrite — a mid-batch crash that
+        // replays this batch rewrites the identical partition instead of
+        // double-appending; the index append is idempotent only per
+        // COMMITTED batch (the replay gate's contract)
         Similarity.ivfIndexTopK(s, root + "/idx", b, "vec_id", "embedding",
             DocQueries.annK, nprobe = 16)
-          .write.mode("append").parquet(root + "/probes")
+          .write.mode("overwrite").parquet(root + s"/probes/batch=$batchId")
         Similarity.ivfIndexAppend(b, "vec_id", "embedding", root + "/idx")
       }
       val q = s.readStream.schema(e.schema)
@@ -697,13 +701,18 @@ object StreamQueries {
           (col("n") === col("both")).as("live_append_matches_memory"))
     }),
 
-    // REPLAY IDEMPOTENCE for the live vector ingest loop — the IVF twin of
-    // streaming_store_ingest_replay: the cell-layout index and the probes
-    // log are both append-mode parquet, so a crash-looping driver that
-    // re-ran a committed batch would DOUBLE-APPEND vectors (a duplicated
-    // index row silently inflates that neighbor's presence in every later
-    // top-k). After the full drain, a fresh query start on the same
-    // checkpoint must invoke foreachBatch for NOTHING. Asserted two ways:
+    // COMMITTED-BATCH REPLAY IDEMPOTENCE for the live vector ingest loop —
+    // the IVF twin of streaming_store_ingest_replay: the cell-layout index
+    // is append-mode parquet, so a crash-looping driver that re-ran a
+    // COMMITTED batch would DOUBLE-APPEND vectors (a duplicated index row
+    // silently inflates that neighbor's presence in every later top-k).
+    // After the full drain, a fresh query start on the same checkpoint
+    // must invoke foreachBatch for NOTHING — that is the property gated
+    // here. The probes log is batch-scoped overwrite, so a crash BETWEEN
+    // the two writes replays cleanly too; a crash after the index append
+    // but before the checkpoint commit remains the one double-append
+    // window (closing it needs a versioned cell manifest). Asserted two
+    // ways:
     // an in-gate decimal(38,0) xxhash fingerprint over (id, cell) + the
     // probes log (double-appends can't cancel), and the gate's output —
     // exactly ONE index row per corpus vector, which the oracle pins.
@@ -727,10 +736,10 @@ object StreamQueries {
       writeOneFile(b1, root + "/src", "a_b1", t0 - 40000)
       writeOneFile(b2, root + "/src", "b_b2", t0 - 20000)
       val onBatch: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-        Long) => Unit = { (b, _) =>
+        Long) => Unit = { (b, batchId) =>
         Similarity.ivfIndexTopK(s, root + "/idx", b, "vec_id", "embedding",
             DocQueries.annK, nprobe = 16)
-          .write.mode("append").parquet(root + "/probes")
+          .write.mode("overwrite").parquet(root + s"/probes/batch=$batchId")
         Similarity.ivfIndexAppend(b, "vec_id", "embedding", root + "/idx")
       }
       def runOnce(): Unit = {
@@ -800,7 +809,8 @@ object StreamQueries {
       docsAll.limit(0)
         .select(col("doc_id"), col("text"), lit("").as("pred_lang"),
           lit(0L).as("n_ws_tokens"), lit(0.0).as("quality_score"),
-          lit(0).as("shard"))
+          lit(0).as("shard"),
+          TextOps.wsTokens(col("text")).as("toks"))
         .write.parquet(root + "/store")
       val t0 = System.currentTimeMillis()
       writeOneFile(docsAll.where(pmod(col("doc_id"), lit(3)) === 0),
@@ -840,10 +850,11 @@ object StreamQueries {
           .join(seen, Seq("content_hash"), "left_anti")
           .withColumn("toks", TextOps.wsTokens(col("text")))
         // 3. LSH probe against the survivors-so-far index (bands from the
-        // stored bucketed table; jaccard verify reads only candidate docs)
+        // stored bucketed table; jaccard verify reads only candidate
+        // docs). The store persists toks at append time, so the prior
+        // side is a column scan — never re-tokenized per batch.
         s.catalog.refreshTable(name)
         val prior = s.read.parquet(root + "/store")
-          .withColumn("toks", TextOps.wsTokens(col("text")))
         val pairs = graft.dedup.Dedup.incrementalLshPairsFrom(
           s.table(name), prior.select("doc_id", "toks"),
           exSurv.select("doc_id", "toks"), "doc_id", "toks",
@@ -864,10 +875,11 @@ object StreamQueries {
               % LmQueries.nShards).cast("int"))
           .write.parquet(root + s"/stage/$batchId")
         val surv = s.read.parquet(root + s"/stage/$batchId")
-        // 5. store append (the survivors ARE the corpus), then publish
-        // this batch's state for the next one: seen hashes + index bands
+        // 5. store append (the survivors ARE the corpus; toks persisted
+        // for the next batch's LSH prior), then publish this batch's
+        // state for the next one: seen hashes + index bands
         surv.select("doc_id", "text", "pred_lang", "n_ws_tokens",
-            "quality_score", "shard")
+            "quality_score", "shard", "toks")
           .write.mode("append").parquet(root + "/store")
         ann.select("content_hash").distinct()
           .write.mode("append").parquet(root + "/seen")
@@ -918,10 +930,13 @@ object StreamQueries {
     // composition from raw documents — any stage missing, reordered
     // against a non-commuting stage, or run over the wrong text (raw vs
     // redacted) shifts the survivor set or the redacted_md5 and fails the
-    // hash. Scale shape: stages 0-2 are per-row scan-stage expressions,
-    // the decon probe joins |batch| gram rows against a bounded bench set
-    // (AQE broadcasts it), and the dedup probes/appends keep the
-    // delta-scaled cost of the base gate.
+    // hash. Scale shape: stages 0-2 are per-row scan-stage expressions;
+    // the decon probe is BLOOM-BOUNDED — a day-0 bloom of the bench gram
+    // hashes pre-filters rows in the scan stage (no false negatives), so
+    // only possible-hit rows pay the gram explode + exact semi-join; and
+    // the dedup probes/appends keep the delta-scaled cost of the base
+    // gate (the store persists toks, so the prior corpus is never
+    // re-tokenized per batch).
     "streaming_corpus_e2e_full" -> ((s, dir) => {
       import DocQueries.{shingleN, minhashK, minhashBands}
       import graft.text.TextOps
@@ -947,6 +962,13 @@ object StreamQueries {
             .withColumn("toks", TextOps.wsTokens(col("text"))),
           "doc_id", "toks", PipeQueries.contamN)
         .select("h").distinct().write.parquet(root + "/bench")
+      // day-0 companion to /bench: a bloom over the benchmark gram hashes
+      // — the per-batch decon probe pre-filters rows in the scan stage
+      // (no explode, no shuffle) and only possible-hit rows pay the exact
+      // exploded semi-join. Bloom misses are impossible, so the survivor
+      // set is bit-identical to the unfiltered probe.
+      val benchBloom = graft.dedup.Substring.gramHashBloom(
+        s.read.parquet(root + "/bench"), "h")
       graft.dedup.Dedup.writeLshIndex(
         train.limit(0).withColumn("toks", TextOps.wsTokens(col("text"))),
         "doc_id", "toks", shingleN, minhashK, minhashBands, name,
@@ -956,7 +978,8 @@ object StreamQueries {
       train.limit(0)
         .select(col("doc_id"), col("text"), lit(false).as("has_pii"),
           lit("").as("pred_lang"), lit(0L).as("n_ws_tokens"),
-          lit(0.0).as("quality_score"), lit(0).as("shard"))
+          lit(0.0).as("quality_score"), lit(0).as("shard"),
+          TextOps.wsTokens(col("text")).as("toks"))
         .write.parquet(root + "/store")
       val t0 = System.currentTimeMillis()
       writeOneFile(train.where(pmod(col("doc_id"), lit(3)) === 0),
@@ -986,10 +1009,15 @@ object StreamQueries {
         // 2. Gopher repetition thresholds (per-row, scan-stage)
         val kept2 = kept1
           .where(TextOps.keepRepetition(col("text"), col("toks")))
-        // 3. decontamination probe against the static benchmark gram set
+        // 3. decontamination probe against the static benchmark gram set,
+        // BLOOM-BOUNDED: the scan-stage pre-filter proves most rows have
+        // no possible benchmark overlap (no false negatives), so only the
+        // rare possible-hit rows pay the 8-gram explode + exact semi-join
         val bench = s.read.parquet(root + "/bench")
+        val maybe = kept2.where(graft.dedup.Substring.mightContainGram(
+          col("toks"), PipeQueries.contamN, benchBloom))
         val contam = graft.dedup.Substring.distinctGramHashes(
-            kept2, "doc_id", "toks", PipeQueries.contamN)
+            maybe, "doc_id", "toks", PipeQueries.contamN)
           .join(bench, Seq("h"), "left_semi")
           .select("doc_id").distinct()
         // STAGE the fully-filtered batch once (same discipline as the base
@@ -1008,10 +1036,13 @@ object StreamQueries {
         val seen = s.read.parquet(root + "/seen")
         val exSurv = ann.where(!col("is_dup"))
           .join(seen, Seq("content_hash"), "left_anti")
-        // 5. LSH probe against the survivors-so-far index
+        // 5. LSH probe against the survivors-so-far index. The store
+        // PERSISTS each survivor's token array once at append time, so
+        // the prior side is a column scan — the corpus-so-far is never
+        // re-tokenized per batch (measured as a real slice of the
+        // full-suite cell's 6.4× overhead at fixture scale)
         s.catalog.refreshTable(name)
         val prior = s.read.parquet(root + "/store")
-          .withColumn("toks", TextOps.wsTokens(col("text")))
         val pairs = graft.dedup.Dedup.incrementalLshPairsFrom(
           s.table(name), prior.select("doc_id", "toks"),
           exSurv.select("doc_id", "toks"), "doc_id", "toks",
@@ -1027,9 +1058,10 @@ object StreamQueries {
               % LmQueries.nShards).cast("int"))
           .write.parquet(root + s"/stage/$batchId")
         val surv = s.read.parquet(root + s"/stage/$batchId")
-        // 7. store append, then publish this batch's state for the next
+        // 7. store append (toks persisted — the next batch's LSH prior
+        // reads them instead of re-tokenizing), then publish state
         surv.select("doc_id", "text", "has_pii", "pred_lang",
-            "n_ws_tokens", "quality_score", "shard")
+            "n_ws_tokens", "quality_score", "shard", "toks")
           .write.mode("append").parquet(root + "/store")
         ann.select("content_hash").distinct()
           .write.mode("append").parquet(root + "/seen")

@@ -90,6 +90,39 @@ class PipeSpec extends AnyFunSuite {
     assert(out(3L) == ((0L, 0L, false)))
   }
 
+  test("gram bloom pre-filter: no false negatives; bloom-bounded probe = exact probe") {
+    // every truly-contaminated doc MUST pass mightContainGram (a bloom
+    // never misses an inserted key), so pre-filter→exact-probe yields the
+    // same contaminated set as the unfiltered probe — the property the
+    // live pipeline's bloom-bounded decon stage rests on
+    val n = 3
+    val corpus = withToks((1L to 60L).map { i =>
+      if (i % 7 == 0) (i, s"shared benchmark phrase alpha beta $i")
+      else (i, s"unique doc ${i}a ${i}b ${i}c ${i}d ${i}e")
+    }.toDF("doc_id", "text"))
+    val bench = withToks(Seq(
+      (100L, "shared benchmark phrase alpha beta gamma")).toDF("doc_id", "text"))
+    val benchHashes = Substring.distinctGramHashes(bench, "doc_id", "toks", n)
+      .select("h").distinct()
+    val bloom = Substring.gramHashBloom(benchHashes, "h")
+    val exact = Substring.contamination(corpus, bench, "doc_id", "toks", n)
+      .where(col("contaminated")).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(exact == (1L to 60L).filter(_ % 7 == 0).toSet)
+    val pre = corpus.where(
+      Substring.mightContainGram(col("toks"), n, bloom))
+    val preIds = pre.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exact.subsetOf(preIds), "bloom pre-filter dropped a true hit")
+    val bounded = Substring.distinctGramHashes(pre, "doc_id", "toks", n)
+      .join(benchHashes, Seq("h"), "left_semi")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(bounded == exact, "bloom-bounded probe diverged from exact probe")
+    // short docs (< n tokens) are provably clean and must not pass
+    val short = withToks(Seq((200L, "xy")).toDF("doc_id", "text"))
+    assert(short.where(Substring.mightContainGram(col("toks"), n, bloom))
+      .count() == 0L)
+  }
+
   test("chunks: stride windows with short final chunk; empty doc emits none") {
     val d = withToks(Seq(
       (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks
