@@ -85,6 +85,7 @@ object SkewBench {
       n
     }
 
+    val autoPicks = scala.collection.mutable.ListBuffer[String]()
     val runs = cpuList.map { cpus =>
       val spark = SparkSession.builder()
         .master(s"local[$cpus]")
@@ -132,13 +133,33 @@ object SkewBench {
           isMeta = false, partCols = Seq("symbol"))
           .withColumnRenamed("ret", "ewma")
       }
+      // the weights sweep ALONE through all three tier choices — the
+      // auto cell must land at min(win, safe) on BOTH fixtures (uniform:
+      // window tier wins; 75%-hot key: skew-safe wins). The auto probe's
+      // pick is recorded per cell (cells run in deterministic order).
+      def weightsSweep(tier: Option[Boolean])(t: DataFrame): DataFrame = {
+        val ev = t.where(col("id") % 29 === 0).select(
+          col("symbol"), col("ts").as("event_ts"), col("id").as("event_id"),
+          (col("ts") + lit(7200000000000L)).as("touch_ts"))
+        val out = graft.labels.Weights.eventWeights(t, ev, Seq("symbol"),
+            skewSafe = tier)
+          .withColumnRenamed("avg_uniqueness", "ewma")
+        if (tier.isEmpty) autoPicks += graft.labels.Weights.lastAutoSkewSafe
+          .map(s => if (s) "safe" else "window").getOrElse("?")
+        out
+      }
       val ops = sys.env.getOrElse("SPARK_GRAFT_SKEW_OPS", "ewma,tbm")
         .split(",").map(_.trim).toSet
       val layouts =
         (if (ops("ewma")) Seq("seq" -> (seqLayout _), "affine" -> (affineLayout _))
          else Nil) ++
         (if (ops("tbm")) Seq("tbm" -> (tbmChain _)) else Nil) ++
-        (if (ops("label")) Seq("label" -> (labelOnly _)) else Nil)
+        (if (ops("label")) Seq("label" -> (labelOnly _)) else Nil) ++
+        (if (ops("weights"))
+          Seq("wauto" -> (weightsSweep(None) _),
+            "wwin" -> (weightsSweep(Some(false)) _),
+            "wsafe" -> (weightsSweep(Some(true)) _))
+         else Nil)
 
       val cells = for {
         (kind, path) <- fixtures
@@ -166,6 +187,7 @@ object SkewBench {
       "\"" + cpus + "\":" + cells.map { case (k, v) => s"\"$k\":$v" }
         .mkString("{", ",", "}")
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"skew_scaling","sf":"$sfDir","copies":$copies,"heavy":$heavy,"rows":$rowsPerFixture,"reps":$reps,"runs":$runsJson}""")
+    val picksJson = autoPicks.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"skew_scaling","sf":"$sfDir","copies":$copies,"heavy":$heavy,"rows":$rowsPerFixture,"reps":$reps,"auto_picks":$picksJson,"runs":$runsJson}""")
   }
 }

@@ -12,6 +12,42 @@ import org.apache.spark.sql.types._
   */
 object Weights {
 
+  /** The tier the last auto-probed keyed sweep chose (None until a sweep
+    * with `skewSafe = None` runs) — bench harnesses read it to record
+    * which tier auto selection picked.
+    */
+  @volatile var lastAutoSkewSafe: Option[Boolean] = None
+
+  /** AUTO TIER SELECTION for the keyed sweeps. The default per-key-window
+    * tier serializes each key's stream on one task (measured 12.7–20.2×
+    * faster per row than the reset-affine scan at the 102M-row UNIFORM
+    * tier), while the skew-safe reset-affine scan parallelizes WITHIN a
+    * key (measured winner when one key carries ~75% of the volume —
+    * SkewBench). The engine has the deciding statistic at hand: one
+    * map-side-combined agg over the trades frame reads the hottest key's
+    * row count. If that key exceeds ~2 even partition shares, the window
+    * tier's critical path is ≥2× the balanced ideal and within-key
+    * parallelism wins; otherwise the codegen window tier's per-row
+    * advantage dominates. Callers that KNOW their skew can still force a
+    * tier with `skewSafe = Some(...)`.
+    */
+  private def autoSkewSafe(trades: DataFrame,
+                           partCols: Seq[String]): Boolean = {
+    val nParts = math.max(1, trades.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt)
+    val st = trades.groupBy(partCols.map(col): _*)
+      .agg(count(lit(1)).as("c"))
+      .agg(max("c").as("mx"), sum("c").as("n")).head()
+    val safe = !st.isNullAt(0) &&
+      st.getLong(0) > 2L * st.getLong(1) / nParts
+    lastAutoSkewSafe = Some(safe)
+    safe
+  }
+
+  private def resolveTier(trades: DataFrame, partCols: Seq[String],
+                          skewSafe: Option[Boolean]): Boolean =
+    skewSafe.getOrElse(partCols.nonEmpty && autoSkewSafe(trades, partCols))
+
   /** Per-trade concurrency: how many event intervals [event_ts, touch_ts]
     * (both ends inclusive, weights.py:34-38) cover each trade row.
     * Sweep-line: +1 at event_ts (before the trade marker at equal ts),
@@ -27,7 +63,7 @@ object Weights {
     */
   def concurrency(trades: DataFrame, labeled: DataFrame,
                   partCols: Seq[String] = Nil,
-                  skewSafe: Boolean = false): DataFrame = {
+                  skewSafe: Option[Boolean] = None): DataFrame = {
     // partCols (e.g. symbol) must be present on BOTH trades and labeled;
     // the sweep then partitions by it — shuffle-parallel across symbols
     // (empty = reference single-series order, which runs on the exact
@@ -37,13 +73,16 @@ object Weights {
     // KEYED TIERS: the default per-key WINDOW is whole-stage-codegen fast
     // but serializes each key's stream on one task — right for the common
     // many-roughly-even-keys corpus (measured ~5-20× faster per row than
-    // the scan closures at the 102M-row uniform tier). `skewSafe = true`
+    // the scan closures at the 102M-row uniform tier). `Some(true)`
     // switches to a reset-affine range-partitioned scan (the
     // Ewm.ewmaExact layout): a heavy-hitter key splits across partitions
     // and parallelizes WITHIN the key — the choice when one symbol
     // carries most of the volume (SkewBench's measured 19× class).
+    // `None` (default) AUTO-selects from a key-occupancy probe — see
+    // [[autoSkewSafe]].
     val pc = partCols.map(col)
-    if (partCols.nonEmpty && !skewSafe) {
+    val safe = resolveTier(trades, partCols, skewSafe)
+    if (partCols.nonEmpty && !safe) {
       val deltas =
         labeled.select(pc :+ col("event_ts").as("ts") :+ lit(0).as("ord") :+ lit(1L).as("d"): _*)
           .unionByName(labeled.select(
@@ -144,12 +183,13 @@ object Weights {
     */
   def eventWeights(trades: DataFrame, labeled: DataFrame,
                    partCols: Seq[String] = Nil,
-                   skewSafe: Boolean = false): DataFrame = {
+                   skewSafe: Option[Boolean] = None): DataFrame = {
     val pc = partCols.map(col)
     val nullL = lit(null).cast("long")
     val nullD = lit(null).cast("double")
     def at(kind: Int, c: String) = max(when(col("kind") === kind, col(c)))
-    if (partCols.nonEmpty && !skewSafe) {
+    val safe = resolveTier(trades, partCols, skewSafe)
+    if (partCols.nonEmpty && !safe) {
       // Default keyed tier — fully fused per-key WINDOW sweep: the
       // concurrency deltas, the previous-trade price (for log returns)
       // and all three prefix sums ride ONE (ts, ord, id) ordering —

@@ -138,7 +138,7 @@ object LabelQueries {
       val ev = t.where(col("id") % 37 === 0).select(
         col("symbol"), col("ts").as("event_ts"), col("id").as("event_id"),
         (col("ts") + lit(7200000000000L)).as("touch_ts"))
-      Weights.concurrency(t, ev, Seq("symbol"), skewSafe = true)
+      Weights.concurrency(t, ev, Seq("symbol"), skewSafe = Some(true))
         .select(col("symbol"), col("ts"), col("id"), col("concurrency"))
     }),
 
@@ -147,7 +147,7 @@ object LabelQueries {
       val ev = t.where(col("id") % 37 === 0).select(
         col("symbol"), col("ts").as("event_ts"), col("id").as("event_id"),
         (col("ts") + lit(7200000000000L)).as("touch_ts"))
-      Weights.eventWeights(t, ev, Seq("symbol"), skewSafe = true)
+      Weights.eventWeights(t, ev, Seq("symbol"), skewSafe = Some(true))
         .select(col("symbol"), col("event_id"), col("event_ts"), col("touch_ts"),
           r6(col("avg_uniqueness")).as("avg_uniqueness"),
           r6(col("return_attribution")).as("return_attribution"))

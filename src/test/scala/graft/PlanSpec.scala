@@ -178,15 +178,53 @@ class PlanSpec extends AnyFunSuite {
     // skew-safe tier: reset-affine range-partitioned scan — a heavy key
     // splits across partitions; no per-key window anywhere in the plan
     val ps = plan(graft.labels.Weights.eventWeights(t, ev, Seq("symbol"),
-      skewSafe = true))
+      skewSafe = Some(true)))
     assert(!ps.contains("Window"),
       s"skew-safe keyed sweep must not use a per-key window:\n$ps")
     assert(!ps.contains("SinglePartition"),
       s"skew-safe keyed sweep must not single-partition the stream:\n$ps")
     val pcs = plan(graft.labels.Weights.concurrency(t, ev, Seq("symbol"),
-      skewSafe = true))
+      skewSafe = Some(true)))
     assert(!pcs.contains("Window"),
       s"skew-safe keyed concurrency must not use a per-key window:\n$pcs")
+  }
+
+  test("keyed sweep AUTO tier: even keys pick the window tier, a hot key picks skew-safe") {
+    import spark.implicits._
+    // even keys across more partitions than keys → hottest key ≈ one
+    // even share → window tier
+    val even = symTrades(4000)
+    val evE = even.where(col("id") % 37 === 0).select(
+      col("symbol"), col("ts").as("event_ts"), col("id").as("event_id"),
+      (col("ts") + lit(1000000000L)).as("touch_ts"))
+    val pe = plan(graft.labels.Weights.eventWeights(even, evE, Seq("symbol")))
+    assert(graft.labels.Weights.lastAutoSkewSafe.contains(false),
+      "auto probe on even keys should pick the window tier")
+    assert(pe.contains("Window"), s"auto-even should be the window tier:\n$pe")
+    // one key carries ~90% of rows → hottest key ≫ 2 even shares →
+    // skew-safe tier; results must agree with the forced window tier
+    val hot = (0L until 4000L).map { i =>
+      val sym = if (i % 10 != 0) 7L else i % 4
+      (i * 1000000L, i, 100.0 + (i % 13) * 0.1, 1.0, sym)
+    }.toDF("ts", "id", "price", "qty", "symbol")
+    val evH = hot.where(col("id") % 37 === 0).select(
+      col("symbol"), col("ts").as("event_ts"), col("id").as("event_id"),
+      (col("ts") + lit(1000000000L)).as("touch_ts"))
+    val auto = graft.labels.Weights.eventWeights(hot, evH, Seq("symbol"))
+    val ph = plan(auto)
+    assert(graft.labels.Weights.lastAutoSkewSafe.contains(true),
+      "auto probe on a 90% hot key should pick the skew-safe tier")
+    assert(!ph.contains("Window"), s"auto-hot should be the scan tier:\n$ph")
+    val windowForced = graft.labels.Weights.eventWeights(hot, evH,
+      Seq("symbol"), skewSafe = Some(false))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("symbol"), col("event_id"),
+        round(col("avg_uniqueness"), 9).as("u"),
+        round(col("return_attribution"), 9).as("r"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSet
+    assert(canon(auto) == canon(windowForced),
+      "the two tiers must agree bit-for-bit under r9 rounding")
   }
 
   test("BPE encode: no forced broadcast; AQE broadcasts a small vocab") {
