@@ -99,28 +99,28 @@ object DocBench {
     val cut = (i: Int) =>
       ((i.toDouble / nBatches) * trainFrac * 4294967296.0).toLong
     val table = s"docbench_live_idx$nBatches$tag"
+    var benchBloom: Array[Byte] = null
     val benchDir = if (!fullSuite) null else {
       // day-0 static state, staged once like the gate's /bench dir: the
-      // held-out split's distinct n-gram hashes over REDACTED text. The
-      // fixture's template mega-cluster spans both splits, so the probe
-      // REALLY fires: every arriving boiler doc overlaps the benchmark
-      // and dies at decon — boilerplate-vs-benchmark overlap at 10⁵ scale.
+      // held-out split's distinct n-gram hashes over REDACTED text, plus
+      // the companion xx-gram bloom (the gate's scan-stage decon
+      // pre-filter — only possible-hit rows pay the gram explode + exact
+      // semi-join; no false negatives). The fixture's template
+      // mega-cluster spans both splits, so the probe REALLY fires: every
+      // arriving boiler doc overlaps the benchmark and dies at decon —
+      // boilerplate-vs-benchmark overlap at 10⁵ scale.
       val d = java.nio.file.Files
         .createTempDirectory("docbench_live_bench").toString
-      graft.dedup.Substring.distinctGramHashes(
-          salted.where(col("__h") >= cut(nBatches))
-            .select(col("doc_id"), TextOps.redact(col("text")).as("text"))
-            .withColumn("toks", TextOps.wsTokens(col("text"))),
+      val benchDocs = salted.where(col("__h") >= cut(nBatches))
+        .select(col("doc_id"), TextOps.redact(col("text")).as("text"))
+        .withColumn("toks", TextOps.wsTokens(col("text")))
+      graft.dedup.Substring.distinctGramHashes(benchDocs,
           "doc_id", "toks", graft.queries.PipeQueries.contamN)
         .select("h").distinct().write.mode("overwrite").parquet(d)
+      benchBloom = graft.dedup.Substring.gramXxBloom(benchDocs, "toks",
+        graft.queries.PipeQueries.contamN)
       d
     }
-    // day-0 companion bloom over the bench gram hashes (the gate's
-    // scan-stage decon pre-filter — only possible-hit rows pay the
-    // gram explode + exact semi-join; no false negatives)
-    val benchBloom = if (!fullSuite) null
-      else graft.dedup.Substring.gramHashBloom(
-        spark.read.parquet(benchDir), "h")
     val dir = java.nio.file.Files
       .createTempDirectory("docbench_live_idx").toString
     Dedup.writeLshIndex(docs.limit(0).select("doc_id", "text", "toks"),

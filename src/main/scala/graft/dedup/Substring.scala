@@ -115,35 +115,56 @@ object Substring {
       .select(col(idCol), md5(col("g")).as("h"))
   }
 
-  /** Serialized bloom filter over `xxhash64(h)` of a BOUNDED gram-hash set
-    * (the decontamination benchmark — eval suites, not crawls). The bytes
-    * ride the probing plan as one constant (~1.2 MB per 10⁶ grams at 1%
-    * fpp), so [[mightContainGram]] can pre-filter rows in the scan stage
-    * without any join. Built with the public `stat.bloomFilter` so the
-    * insert hashing matches `BloomFilterMightContain.mightContainLong`.
+  /** Positional full-n-gram hashes as an ARRAY column — `xxhash64` over
+    * each token SLICE, no string concatenation, no row explosion, no MD5:
+    * the cheapest per-gram identity Spark can compute (XxHash64 hashes an
+    * array's elements content-wise, and identical token sequences hash
+    * identically — the same gram identity as the concat'd-string md5 the
+    * exact probe uses, since wsTokens tokens cannot contain the join
+    * separator). `toks` must be a plain attribute (lambda-capture rule,
+    * see [[TextOps.shinglesAll]]).
     */
-  def gramHashBloom(grams: DataFrame, hCol: String,
-                    fpp: Double = 0.01): Array[Byte] = {
-    val n = math.max(1L, grams.count())
-    val bf = grams.select(xxhash64(col(hCol)).as("x"))
-      .stat.bloomFilter("x", n, fpp)
+  private def gramXxArray(toks: Column, n: Int): Column =
+    transform(sequence(lit(1), greatest(size(toks) - n, lit(0)) + 1),
+      i => xxhash64(slice(toks, i, lit(n))))
+
+  /** Serialized bloom filter over the xx-gram hashes of a BOUNDED
+    * benchmark corpus (eval suites, not crawls). The bytes ride the
+    * probing plan as one constant, so [[mightContainGram]] can pre-filter
+    * rows in the scan stage without any join. Bits are CAPPED at
+    * `maxBits` (default 2²⁶ = 8 MB, Spark's own runtime-bloom-filter
+    * default cap): the constant travels in every task binary of every
+    * stage that probes it, so an adversarially large "benchmark" trades
+    * pre-filter precision (fpp drifts up; false positives just pay the
+    * exact probe) for a bounded payload instead of an unbounded one.
+    * Built with the public `stat.bloomFilter` so the insert hashing
+    * matches `BloomFilterMightContain.mightContainLong`.
+    */
+  def gramXxBloom(bench: DataFrame, toksCol: String, n: Int,
+                  fpp: Double = 0.01, maxBits: Long = 1L << 26): Array[Byte] = {
+    val hashes = bench
+      .select(explode(gramXxArray(col(toksCol), n)).as("x")).distinct()
+      .persist(graft.Conf.storageLevel)
+    val cnt = math.max(1L, hashes.count())
+    val optimalBits = math.ceil(
+      -cnt * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val bf = hashes.stat.bloomFilter("x", cnt,
+      math.max(64L, math.min(optimalBits, maxBits)))
+    hashes.unpersist(blocking = false)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
     bos.toByteArray
   }
 
   /** Scan-stage decontamination PRE-FILTER: true iff ANY full n-gram of
-    * `toks` (a plain attribute — see [[TextOps.shinglesAll]]) MIGHT be in
-    * the benchmark bloom. False negatives are impossible (a bloom never
-    * misses an inserted key), so `!mightContainGram(...)` rows are
-    * provably clean and skip the exploded semi-join entirely; false
-    * positives just pay the exact probe. Gram hashing is xxhash64 OVER the
-    * same md5 text [[distinctGramHashes]] emits, so the bloom and the
-    * exact probe share one gram definition. The check is per-row array
-    * work inside the scan stage — no row explosion, no shuffle; the live
-    * pipeline's per-batch decon probe drops from corpus-gram-join cost to
-    * ~zero when (as in production) almost no arriving row overlaps the
-    * benchmark.
+    * `toks` (a plain attribute) MIGHT be in the benchmark bloom. False
+    * negatives are impossible (a bloom never misses an inserted key), so
+    * `!mightContainGram(...)` rows are provably clean and skip the
+    * exploded semi-join entirely; false positives just pay the exact
+    * probe. One xxhash64 per token slice per gram — no explosion, no
+    * shuffle, no digest allocation; the live pipeline's per-batch decon
+    * probe drops from corpus-gram-join cost to per-row hashing when (as
+    * in production) almost no arriving row overlaps the benchmark.
     */
   def mightContainGram(toks: Column, n: Int, bloom: Array[Byte]): Column = {
     import org.apache.spark.sql.GraftSqlBridge
@@ -152,8 +173,7 @@ object Substring {
       org.apache.spark.sql.types.BinaryType)
     def mc(v: Column): Column = GraftSqlBridge.column(
       BloomFilterMightContain(bloomLit, GraftSqlBridge.expression(v)))
-    size(toks) >= n &&
-      exists(TextOps.shinglesAll(toks, n), g => mc(xxhash64(md5(g))))
+    size(toks) >= n && exists(gramXxArray(toks, n), h => mc(h))
   }
 
   def contamination(corpus: DataFrame, bench: DataFrame, idCol: String,

@@ -567,6 +567,93 @@ object StreamQueries {
           r6(col("qty")).as("qty"), col("symbol"))
     }),
 
+    // COMPACTION RACING A LIVE WRITER — the store's versioned-swap gate
+    // (the LSH/IVF indexes already have theirs): two thirds of the trades
+    // drain into a month-partitioned store via foreachBatch appends, then
+    // Store.compactConcurrent snapshots EVERY month's file set and — in
+    // its post-snapshot window, before any rewrite or delete — the last
+    // third arrives and a full drain appends mid-compaction. The swap
+    // discipline (staged hidden files → journal commit → move in → delete
+    // exactly the snapshot) must leave the raced month with the appended
+    // batch intact and every pre-snapshot row exactly once; the in-gate
+    // require compares a full-store (count, Σxxhash) fingerprint against
+    // the direct batch expectation, so one lost or doubled row anywhere
+    // fails loudly (compact()'s whole-month dynamic overwrite would
+    // delete the raced file — its documented loss window, why the
+    // concurrent variant exists). A post-compaction replay
+    // start must then commit nothing (the offset log covers all three
+    // files), and the returned ranged read answers
+    // store_readrange_prune's oracle verbatim.
+    "streaming_store_compact_race" -> ((s, dir) => {
+      import graft.sources.Store
+      val trades = Trades.fromEvents(graft.Tables.events(s, dir))
+        .select(col("ts"), col("id"), col("price"), col("qty"), col("symbol"))
+      val st = trades.agg(
+        expr("cast(percentile(ts, 0.34) as bigint)"),
+        expr("cast(percentile(ts, 0.67) as bigint)"),
+        min(col("ts"))).head()
+      val (p33, p67, minTs) = (st.getLong(0), st.getLong(1), st.getLong(2))
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_gate_stream_cmprace_$runId").getAbsolutePath
+      val srcDir = base + "/src"
+      val pth = new org.apache.hadoop.fs.Path(base)
+      val fs = pth.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(pth)) fs.delete(pth, true)
+      val t0 = System.currentTimeMillis()
+      writeOneFile(trades.where(col("ts") <= p33), srcDir, "a_b0", t0 - 60000)
+      writeOneFile(trades.where(col("ts") > p33 && col("ts") <= p67),
+        srcDir, "b_b1", t0 - 40000)
+      val onBatch: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+        Long) => Unit = { (b, _) =>
+        Store.saveMonthly(b, base + "/store", "append")
+      }
+      def runOnce(): Unit = {
+        val q = s.readStream.schema(trades.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir + "/*")
+          .writeStream.foreachBatch(onBatch)
+          .option("checkpointLocation", base + "/chk")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      runOnce() // batches 1+2: shared months now hold two files each
+      val report = Store.compactConcurrent(s, base + "/store",
+        targetBytes = 1L << 40, months = None,
+        onAfterSnapshot = () => {
+          // the race: a live batch lands AFTER the snapshot, BEFORE the
+          // swap — its files are in no snapshot and must survive
+          writeOneFile(trades.where(col("ts") > p67), srcDir, "c_b2",
+            t0 - 20000)
+          runOnce()
+        })
+      require(report.where(col("files_after") < col("files_before"))
+          .count() > 0,
+        "compaction rewrote no month — the race gate tested nothing")
+      def storeFp() = s.read.parquet(base + "/store")
+        .agg(count(lit(1)).as("n"),
+          sum(xxhash64(col("ts"), col("id"), col("price"), col("qty"),
+            col("symbol"), col("month")).cast("decimal(38,0)")).as("h"))
+        .head()
+      val expected = trades
+        .withColumn("month", Store.monthCol("ts"))
+        .agg(count(lit(1)).as("n"),
+          sum(xxhash64(col("ts"), col("id"), col("price"), col("qty"),
+            col("symbol"), col("month")).cast("decimal(38,0)")).as("h"))
+        .head()
+      val after = storeFp()
+      require(after == expected,
+        s"compaction racing the live writer lost or doubled rows " +
+          s"(store=$after, expected=$expected)")
+      runOnce() // replay on the same checkpoint: must commit nothing
+      require(storeFp() == expected,
+        "post-compaction replay mutated the store — exactly-once across " +
+          "a restart is broken")
+      val dayNs = 86400L * 1000000000L
+      Store.readRange(s, base + "/store",
+          minTs + 7 * dayNs, minTs + 14 * dayNs)
+        .select(col("ts"), col("id"), r6(col("price")).as("price"),
+          r6(col("qty")).as("qty"), col("symbol"))
+    }),
+
     // LIVE INGEST DEDUP against the STORED band index — the full
     // production loop streaming_store_ingest + dedup_incremental_store
     // compose into at 100 TB: each arriving micro-batch first PROBES the
@@ -957,18 +1044,20 @@ object StreamQueries {
       // day-0 static state: the benchmark gram set (over REDACTED bench
       // text — the probe compares post-redaction token streams on both
       // sides), an empty band index, empty seen hashes, an empty store
-      graft.dedup.Substring.distinctGramHashes(
-          test.select(col("doc_id"), TextOps.redact(col("text")).as("text"))
-            .withColumn("toks", TextOps.wsTokens(col("text"))),
+      val benchDocs = test
+        .select(col("doc_id"), TextOps.redact(col("text")).as("text"))
+        .withColumn("toks", TextOps.wsTokens(col("text")))
+      graft.dedup.Substring.distinctGramHashes(benchDocs,
           "doc_id", "toks", PipeQueries.contamN)
         .select("h").distinct().write.parquet(root + "/bench")
-      // day-0 companion to /bench: a bloom over the benchmark gram hashes
-      // — the per-batch decon probe pre-filters rows in the scan stage
-      // (no explode, no shuffle) and only possible-hit rows pay the exact
-      // exploded semi-join. Bloom misses are impossible, so the survivor
-      // set is bit-identical to the unfiltered probe.
-      val benchBloom = graft.dedup.Substring.gramHashBloom(
-        s.read.parquet(root + "/bench"), "h")
+      // day-0 companion to /bench: a bloom over the benchmark's xx-gram
+      // hashes — the per-batch decon probe pre-filters rows in the scan
+      // stage (one xxhash64 per token slice; no explode, no shuffle) and
+      // only possible-hit rows pay the exact exploded semi-join. Bloom
+      // misses are impossible, so the survivor set is bit-identical to
+      // the unfiltered probe.
+      val benchBloom = graft.dedup.Substring.gramXxBloom(benchDocs,
+        "toks", PipeQueries.contamN)
       graft.dedup.Dedup.writeLshIndex(
         train.limit(0).withColumn("toks", TextOps.wsTokens(col("text"))),
         "doc_id", "toks", shingleN, minhashK, minhashBands, name,
@@ -1395,6 +1484,77 @@ object StreamQueries {
           r6(col("cum_volume_max")).as("cum_volume_max"),
           r6(col("cum_dollars_min")).as("cum_dollars_min"),
           r6(col("cum_dollars_max")).as("cum_dollars_max"))
+    }),
+
+    // RESTART-FROM-CHECKPOINT for the footprint-summary MACHINE — same
+    // watermark-buffer STATE CLASS as the directional machine but a
+    // different state payload: each open bar buffers raw rows whose
+    // finalization builds the full per-price-level grid (buy/sell volume
+    // and tick ladders) and only then computes the summary scalars
+    // (imbalance flags at the configured factor, COT level, max signed
+    // imbalance run, VP skew/gini). A restore that loses a buffered row,
+    // a timer, or replays rows out of order shifts the grid and flips a
+    // flag/ladder statistic — failing footprint_summary_1h's oracle,
+    // answered VERBATIM. Closes the watermark-buffer class PER-MACHINE,
+    // not just per-shape: the in-gate require proves the kill landed with
+    // the trailing 2h of bars still open in state.
+    "streaming_restart_footprint_summary" -> ((s, dir) => {
+      import s.implicits._
+      val sided = Trades.withTickRuleSide(
+          Trades.fromEvents(graft.Tables.events(s, dir)))
+        .select(col("ts"), col("id"), col("price"), col("qty"),
+          col("side").cast("int").as("side"), lit(0L).as("symbol"))
+      val mid = sided.agg(expr("cast(median(ts) as bigint)")).head().getLong(0)
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_gate_stream_resfp_$runId").getAbsolutePath
+      val srcDir = base + "/src"
+      val p = new org.apache.hadoop.fs.Path(base)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      def runOnce(): Unit = {
+        val src = s.readStream.schema(sided.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(srcDir + "/*")
+          .as[StreamingBars.SidedSymIn]
+        val q = StreamingBars.footprintSummaryStream(src, 3600, 0.01,
+            imbalanceFactor = 3.0, watermarkDelay = "2 hours").toDF()
+          .writeStream.format("parquet")
+          .option("path", base + "/out")
+          .option("checkpointLocation", base + "/chk")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val t0 = System.currentTimeMillis()
+      writeOneFile(sided.where(col("ts") <= mid), srcDir, "a_early",
+        t0 - 60000)
+      runOnce() // phase 1: trailing ~2h of bars stay buffered in state
+      val hourNs = 3600L * 1000000000L
+      val em1 = s.read.parquet(base + "/out")
+        .agg(count(lit(1)), coalesce(max(col("bar_ts")), lit(0L))).head()
+      val (n1, max1) = (em1.getLong(0), em1.getLong(1))
+      require(n1 > 0, "restart gate degenerate: phase 1 emitted no bars")
+      require(max1 < mid - 2L * hourNs + 2000000L,
+        s"restart gate degenerate: phase 1 emitted bar_ts=$max1 past the " +
+          s"watermark mid-2h=${mid - 2L * hourNs} — nothing was buffered " +
+          "across the kill")
+      def sentinel(ns: Long, id: Long) =
+        s.range(1).select(lit(ns).as("ts"), lit(id).as("id"),
+          lit(1.0).as("price"), lit(1.0).as("qty"),
+          lit(0).as("side"), lit(0L).as("symbol"))
+      writeOneFile(sided.where(col("ts") > mid), srcDir, "b_late",
+        t0 - 40000)
+      writeOneFile(sentinel(sentinelNs, 9000000000L), srcDir, "c_s1",
+        t0 - 30000)
+      writeOneFile(sentinel(sentinelNs + 600000000000L, 9000000001L),
+        srcDir, "d_s2", t0 - 20000)
+      runOnce() // phase 2: fresh query — restored buffers build the grids
+      s.read.parquet(base + "/out")
+        .where(col("bar_ts") < sentinelNs)
+        .select(col("bar_ts"),
+          col("buy_imbalances_sum"), col("sell_imbalances_sum"),
+          col("cot_price_level"), col("imb_max_run_signed"),
+          (r6(col("vp_skew")) + lit(0.0)).as("vp_skew"),
+          r6(col("vp_gini")).as("vp_gini"))
     }),
 
     // Streaming TICK BARS through the per-symbol counter state machine:
@@ -1976,12 +2136,16 @@ object StreamQueries {
     },
     "streaming_footprint_summary" ->
       FootprintQueries.oracles("footprint_summary_1h"),
+    "streaming_restart_footprint_summary" ->
+      FootprintQueries.oracles("footprint_summary_1h"),
     "streaming_footprint_levels" ->
       FootprintQueries.oracles("footprint_levels_1h"),
     "streaming_restart_bars_5m" -> streamBarsOracle,
     "streaming_store_ingest" ->
       TradeQueries.oracles("store_readrange_prune"),
     "streaming_store_ingest_replay" ->
+      TradeQueries.oracles("store_readrange_prune"),
+    "streaming_store_compact_race" ->
       TradeQueries.oracles("store_readrange_prune"),
     "streaming_dedup_index_append" ->
       DocQueries.streamingIndexAppendOracleSql,

@@ -200,6 +200,143 @@ object Store {
       .toDF("month", "files_before", "bytes", "files_after")
   }
 
+  /** RACE-SAFE month compaction for a store with a LIVE writer — the
+    * versioned-swap discipline [[compact]] lacks: [[compact]]'s dynamic
+    * partition overwrite is atomic per job but REWRITES THE WHOLE MONTH
+    * DIR, so a file appended by a concurrent ingest batch between
+    * compaction's read and its overwrite is silently deleted (data loss
+    * under exactly the race a production store runs all day). This
+    * variant never touches a file it did not snapshot:
+    *
+    *  1. snapshot the file sets of ALL selected months FIRST — anything a
+    *     live writer appends after this point is in no snapshot and is
+    *     therefore never rewritten or deleted;
+    *  2. per month over target: write the snapshot's rows compacted into
+    *     a hidden `_compact_tmp_<run>` staging dir (underscore-prefixed —
+    *     invisible to readers);
+    *  3. journal the swap (old file list + staging dir) to a hidden root
+    *     file — the COMMIT POINT, the same role the catalog rename plays
+    *     in [[graft.dedup.Dedup.compactLshIndex]]'s versioned swap;
+    *  4. move staged files into the month dir under run-unique names,
+    *     delete exactly the snapshot files, drop the journal.
+    *
+    * Every step after the journal is idempotent-completable:
+    * [[recoverCompaction]] (run automatically at entry) finishes moves and
+    * deletes from the journal after a crash, and removes pre-journal
+    * orphan staging dirs (whose months are untouched). Readers BETWEEN
+    * steps 3 and 4 can see a row twice (staged-in new file + not-yet-
+    * deleted old file): coordinate readers per month — the same
+    * reader-swap window compactLshIndex documents — or read behind the
+    * ingest's watermark. A live WRITER needs no coordination at all;
+    * that is the property the `streaming_store_compact_race` gate pins.
+    */
+  def compactConcurrent(spark: SparkSession, path: String,
+                        targetBytes: Long = 128L << 20,
+                        months: Option[Seq[String]] = None): DataFrame =
+    compactConcurrent(spark, path, targetBytes, months, () => ())
+
+  private[graft] def compactConcurrent(spark: SparkSession, path: String,
+                                       targetBytes: Long,
+                                       months: Option[Seq[String]],
+                                       onAfterSnapshot: () => Unit): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompaction(spark, path) // self-heal any crashed prior run
+    val monthDirs = fs.listStatus(root)
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("month="))
+      .filter(d => months.forall(_.contains(d.getPath.getName.stripPrefix("month="))))
+      .sortBy(_.getPath.getName)
+    // phase 1: snapshot every month's file set before touching anything
+    val snaps = monthDirs.map { d =>
+      val m = d.getPath.getName.stripPrefix("month=")
+      val files = fs.listStatus(d.getPath)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      (m, d.getPath, files)
+    }
+    onAfterSnapshot()
+    val report = snaps.map { case (m, monthDir, files) =>
+      val bytes = files.map(_.getLen).sum
+      val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      if (files.length > nOut) {
+        val runId = java.util.UUID.randomUUID().toString.take(8)
+        val tmp = new org.apache.hadoop.fs.Path(root, s"_compact_tmp_$runId")
+        spark.read.parquet(files.map(_.getPath.toString).toIndexedSeq: _*)
+          .repartition(nOut)
+          .write.option("compression", "zstd").parquet(tmp.toString)
+        // the journal IS the swap commit: month dir name, staging dir,
+        // then one absolute old-file path per line
+        val journal = new org.apache.hadoop.fs.Path(root,
+          s"_graft_compact_journal_$runId.txt")
+        val out = fs.create(journal, false)
+        out.write((Seq(monthDir.toString, tmp.toString) ++
+          files.map(_.getPath.toString)).mkString("\n").getBytes("UTF-8"))
+        out.close()
+        completeSwap(fs, journal)
+        (m, files.length, bytes, nOut)
+      } else (m, files.length, bytes, files.length)
+    }
+    spark.createDataFrame(report.toSeq)
+      .toDF("month", "files_before", "bytes", "files_after")
+  }
+
+  /** Idempotently finish a journaled swap: move remaining staged files
+    * into the month dir under run-unique names, delete the journaled old
+    * files that still exist, drop the staging dir and the journal.
+    */
+  private def completeSwap(fs: org.apache.hadoop.fs.FileSystem,
+                           journal: org.apache.hadoop.fs.Path): Unit = {
+    val in = fs.open(journal)
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = txt.split("\n").toSeq
+    val monthDir = new org.apache.hadoop.fs.Path(lines.head)
+    val tmp = new org.apache.hadoop.fs.Path(lines(1))
+    val oldFiles = lines.drop(2).filter(_.nonEmpty)
+      .map(new org.apache.hadoop.fs.Path(_))
+    val runId = journal.getName.stripPrefix("_graft_compact_journal_")
+      .stripSuffix(".txt")
+    if (fs.exists(tmp)) {
+      fs.listStatus(tmp).filter(f => f.isFile &&
+          f.getPath.getName.endsWith(".parquet")).foreach { f =>
+        val dest = new org.apache.hadoop.fs.Path(monthDir,
+          s"cmpct_${runId}_${f.getPath.getName}")
+        if (fs.exists(dest)) fs.delete(f.getPath, false) // already moved
+        else fs.rename(f.getPath, dest)
+      }
+      fs.delete(tmp, true)
+    }
+    oldFiles.foreach(p => if (fs.exists(p)) fs.delete(p, false))
+    fs.delete(journal, false)
+  }
+
+  /** Crash recovery for [[compactConcurrent]]: complete any journaled
+    * swap (the journal is the commit point — moves and deletes re-run
+    * idempotently), then drop orphan `_compact_tmp_*` staging dirs whose
+    * run never journaled (their months were never touched). Run
+    * automatically at every compactConcurrent entry; safe to call any
+    * time — a store with no leftovers is a no-op.
+    */
+  def recoverCompaction(spark: SparkSession, path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val entries = fs.listStatus(root)
+    entries.filter(f => f.isFile &&
+        f.getPath.getName.startsWith("_graft_compact_journal_"))
+      .foreach(j => completeSwap(fs, j.getPath))
+    val journaled = fs.listStatus(root)
+      .filter(f => f.isFile &&
+        f.getPath.getName.startsWith("_graft_compact_journal_"))
+      .map(_.getPath.getName.stripPrefix("_graft_compact_journal_")
+        .stripSuffix(".txt")).toSet
+    entries.filter(d => d.isDirectory &&
+        d.getPath.getName.startsWith("_compact_tmp_"))
+      .filter(d => !journaled.contains(
+        d.getPath.getName.stripPrefix("_compact_tmp_")))
+      .foreach(d => if (fs.exists(d.getPath)) fs.delete(d.getPath, true))
+  }
+
   /** Bucketed-by-key table layout — the co-located join/aggregate story at
     * 100 TB. Writing trades (and every derived table) bucketed by the symbol
     * key pins a hash distribution INTO the files: any later groupBy/join

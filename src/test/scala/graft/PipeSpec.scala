@@ -104,7 +104,7 @@ class PipeSpec extends AnyFunSuite {
       (100L, "shared benchmark phrase alpha beta gamma")).toDF("doc_id", "text"))
     val benchHashes = Substring.distinctGramHashes(bench, "doc_id", "toks", n)
       .select("h").distinct()
-    val bloom = Substring.gramHashBloom(benchHashes, "h")
+    val bloom = Substring.gramXxBloom(bench, "toks", n)
     val exact = Substring.contamination(corpus, bench, "doc_id", "toks", n)
       .where(col("contaminated")).select("doc_id").collect()
       .map(_.getLong(0)).toSet

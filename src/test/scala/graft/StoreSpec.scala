@@ -86,6 +86,67 @@ class StoreSpec extends AnyFunSuite {
     assert(report2.forall { case (fb, fa) => fb == 1 && fa == 1 })
   }
 
+  test("compactConcurrent: a file appended after the snapshot survives; rows stay exact") {
+    val dir = Files.createTempDirectory("store").toString
+    val t = tradesDf
+    // fragment the store with the first 4 of 5 slices
+    Store.saveMonthly(t.where(col("id") % 5 === 0), dir)
+    (1 to 3).foreach(k =>
+      Store.saveMonthly(t.where(col("id") % 5 === k), dir, mode = "append"))
+    // the race: the 5th slice lands AFTER the snapshot, BEFORE the swap
+    val report = Store.compactConcurrent(spark, dir, targetBytes = 1L << 40,
+      months = None,
+      onAfterSnapshot =
+        () => Store.saveMonthly(t.where(col("id") % 5 === 4), dir,
+          mode = "append"))
+    assert(report.where(col("files_after") < col("files_before")).count() > 0)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == t.count(), "raced append lost or doubled rows")
+    assert(back.orderBy("id").collect().map(_.getAs[Double]("price")).toSeq ==
+      t.orderBy("id").collect().map(_.getDouble(2)).toSeq)
+    // no staging dirs or journals left behind
+    val leftovers = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("_compact_tmp_") ||
+        f.getName.startsWith("_graft_compact_journal_"))
+    assert(leftovers.isEmpty, s"swap leftovers: ${leftovers.mkString(",")}")
+  }
+
+  test("compactConcurrent crash recovery: journaled swap completes, orphan staging is dropped") {
+    val dir = Files.createTempDirectory("store").toString
+    val t = tradesDf
+    Store.saveMonthly(t.where(col("id") % 2 === 0), dir)
+    Store.saveMonthly(t.where(col("id") % 2 === 1), dir, mode = "append")
+    val root = new java.io.File(dir)
+    val month = root.listFiles().filter(_.getName.startsWith("month="))
+      .map(_.getName).sorted.head
+    val monthDir = new java.io.File(root, month)
+    val oldFiles = monthDir.listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
+    assert(oldFiles.length == 2)
+    // hand-stage the month's compacted rows + journal, simulating a crash
+    // right after the journal write (= the swap's commit point)
+    val tmp = new java.io.File(root, "_compact_tmp_deadbeef")
+    spark.read.parquet(oldFiles.toIndexedSeq: _*).repartition(1)
+      .write.parquet(tmp.getAbsolutePath)
+    val journal = new java.io.File(root, "_graft_compact_journal_deadbeef.txt")
+    Files.writeString(journal.toPath,
+      (Seq(monthDir.getAbsolutePath, tmp.getAbsolutePath) ++ oldFiles)
+        .mkString("\n"))
+    // plus an ORPHAN staging dir from a run that never journaled
+    val orphan = new java.io.File(root, "_compact_tmp_0badf00d")
+    spark.read.parquet(oldFiles.head).limit(3)
+      .write.parquet(orphan.getAbsolutePath)
+    Store.recoverCompaction(spark, dir)
+    assert(!tmp.exists() && !journal.exists() && !orphan.exists())
+    assert(oldFiles.forall(p => !new java.io.File(p).exists()),
+      "journaled old files must be deleted by recovery")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == t.count(), "recovery lost or doubled rows")
+    // recovery is idempotent on a clean store
+    Store.recoverCompaction(spark, dir)
+    assert(spark.read.parquet(dir).count() == t.count())
+  }
+
   test("readRange prunes month partitions and pushes the ts filter") {
     val dir = Files.createTempDirectory("store").toString
     Store.saveMonthly(tradesDf, dir)
