@@ -19,27 +19,31 @@ object Weights {
   @volatile var lastAutoSkewSafe: Option[Boolean] = None
 
   /** AUTO TIER SELECTION for the keyed sweeps. The default per-key-window
-    * tier serializes each key's stream on one task (measured 12.7–20.2×
-    * faster per row than the reset-affine scan at the 102M-row UNIFORM
-    * tier), while the skew-safe reset-affine scan parallelizes WITHIN a
+    * tier serializes each key's stream on one task but is MEASURED
+    * 12.7–20.2× faster per row than the reset-affine scan (102M-row
+    * uniform tier, SYM_SCALING); the skew-safe scan parallelizes WITHIN a
     * key (measured winner when one key carries ~75% of the volume —
-    * SkewBench). The engine has the deciding statistic at hand: one
-    * map-side-combined agg over the trades frame reads the hottest key's
-    * row count. If that key exceeds ~2 even partition shares, the window
-    * tier's critical path is ≥2× the balanced ideal and within-key
-    * parallelism wins; otherwise the codegen window tier's per-row
-    * advantage dominates. Callers that KNOW their skew can still force a
-    * tier with `skewSafe = Some(...)`.
+    * SkewBench). Crossover model: window wall ≈ maxKeyRows × c_win,
+    * scan wall ≈ (totalRows / cores) × c_scan with c_scan/c_win ≈ 13–20,
+    * so the scan tier wins only once the hottest key exceeds ~13–20 even
+    * CORE shares — the probe uses the measured midpoint (factor 16,
+    * overridable via `spark.graft.weights.autoTierFactor`). The deciding
+    * statistic costs one map-side-combined agg over the trades frame
+    * (hottest key's row count vs an even share of defaultParallelism —
+    * the real resource, not the shuffle-partition setting). Callers that
+    * KNOW their skew can still force a tier with `skewSafe = Some(...)`.
     */
   private def autoSkewSafe(trades: DataFrame,
                            partCols: Seq[String]): Boolean = {
-    val nParts = math.max(1, trades.sparkSession.conf
-      .get("spark.sql.shuffle.partitions", "200").toInt)
+    val cores = math.max(1,
+      trades.sparkSession.sparkContext.defaultParallelism)
+    val factor = sys.props.get("spark.graft.weights.autoTierFactor")
+      .map(_.toLong).getOrElse(16L)
     val st = trades.groupBy(partCols.map(col): _*)
       .agg(count(lit(1)).as("c"))
       .agg(max("c").as("mx"), sum("c").as("n")).head()
     val safe = !st.isNullAt(0) &&
-      st.getLong(0) > 2L * st.getLong(1) / nParts
+      st.getLong(0) > factor * st.getLong(1) / cores
     lastAutoSkewSafe = Some(safe)
     safe
   }

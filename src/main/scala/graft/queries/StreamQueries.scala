@@ -1079,12 +1079,21 @@ object StreamQueries {
         root + "/src", "c_b2", t0 - 20000)
       val onBatch: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
         Long) => Unit = { (b, batchId) =>
-        // 0. PII redaction at entry — has_pii is detected on the raw text,
-        // then the batch's text IS the scrubbed text from here on
-        val red = b.select(col("doc_id"),
-          TextOps.redact(col("text")).as("text"),
-          // piiColumns(3) = the any-PII flag (counts, flag, md5 — §pii_redact)
-          TextOps.piiColumns(col("text"))(3))
+        // 0. PII redaction at entry — the batch's text IS the scrubbed
+        // text from here on, STAGED before any scoring: as a computed
+        // column, `redact(raw)` would be INLINED into every downstream
+        // quality/langid/HOF expression (HOF-bearing projections don't
+        // get codegen subexpression elimination), re-running the 3-regex
+        // scrub ~6-8x per row — measured ~2/3 of the fixture cell's
+        // stage-0 cost. Staging makes text a plain attribute: ONE redact
+        // per row. has_pii = "redaction changed the text" (no placeholder
+        // matches its own pattern, so inequality ⇔ some pattern matched —
+        // the same flag as piiColumns' count-based form, §pii_redact).
+        b.select(col("doc_id"),
+            TextOps.redact(col("text")).as("text"),
+            (TextOps.redact(col("text")) =!= col("text")).as("has_pii"))
+          .write.mode("overwrite").parquet(root + s"/fbr/$batchId")
+        val red = s.read.parquet(root + s"/fbr/$batchId")
         // 1. quality + language id over the redacted text
         val scored = red.select(
           Seq(col("doc_id"), col("text"), col("has_pii")) ++
@@ -1095,13 +1104,24 @@ object StreamQueries {
           .select("doc_id", "text", "has_pii", "pred_lang", "n_ws_tokens",
             "quality_score")
           .withColumn("toks", TextOps.wsTokens(col("text")))
-        // 2. Gopher repetition thresholds (per-row, scan-stage)
-        val kept2 = kept1
-          .where(TextOps.keepRepetition(col("text"), col("toks")))
+        // 2. Gopher repetition thresholds (per-row, scan-stage) — then
+        // STAGE the post-filter frame BEFORE the decon probe. The probe's
+        // contaminated-id set and the anti-join's left side both reference
+        // this subtree, and Spark re-executes an unpersisted subtree per
+        // appearance: without this stage the whole per-row chain (redact,
+        // quality, langid, the five Gopher shingle folds) ran TWICE per
+        // batch (measured ~40% of the full-suite cell at fixture scale).
+        // Inputs are the batch + static state only → overwrite-mode
+        // staging is replay-idempotent.
+        kept1.where(TextOps.keepRepetition(col("text"), col("toks")))
+          .write.mode("overwrite").parquet(root + s"/fb0/$batchId")
+        val kept2 = s.read.parquet(root + s"/fb0/$batchId")
         // 3. decontamination probe against the static benchmark gram set,
-        // BLOOM-BOUNDED: the scan-stage pre-filter proves most rows have
-        // no possible benchmark overlap (no false negatives), so only the
-        // rare possible-hit rows pay the 8-gram explode + exact semi-join
+        // BLOOM-BOUNDED: the scan-stage pre-filter proves rows without a
+        // possible benchmark overlap clean (no false negatives), so only
+        // possible-hit rows pay the 8-gram explode + exact semi-join —
+        // both reading the STAGED columnar toks, not the expression
+        // chain.
         val bench = s.read.parquet(root + "/bench")
         val maybe = kept2.where(graft.dedup.Substring.mightContainGram(
           col("toks"), PipeQueries.contamN, benchBloom))
@@ -1109,13 +1129,9 @@ object StreamQueries {
             maybe, "doc_id", "toks", PipeQueries.contamN)
           .join(bench, Seq("h"), "left_semi")
           .select("doc_id").distinct()
-        // STAGE the fully-filtered batch once (same discipline as the base
-        // gate): stages 0-3 are the expensive per-row expressions (redact,
-        // quality, langid, the five Gopher shingle folds, the 8-gram decon
-        // explosion) and the downstream plan would otherwise re-evaluate
-        // them ~4× per batch (exact probe, band rows, jaccard side, seen
-        // append). All inputs here are the batch + static bench — no
-        // appended state, so the stage is replay-idempotent (overwrite).
+        // stage 2: the fully-filtered batch (same discipline as the base
+        // gate) — the exact probe, band rows, jaccard side and seen
+        // append below would otherwise each re-read the decon anti-join
         kept2.join(contam, Seq("doc_id"), "left_anti")
           .write.mode("overwrite").parquet(root + s"/fb/$batchId")
         val kept = s.read.parquet(root + s"/fb/$batchId")

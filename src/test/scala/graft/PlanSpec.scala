@@ -201,8 +201,11 @@ class PlanSpec extends AnyFunSuite {
     assert(graft.labels.Weights.lastAutoSkewSafe.contains(false),
       "auto probe on even keys should pick the window tier")
     assert(pe.contains("Window"), s"auto-even should be the window tier:\n$pe")
-    // one key carries ~90% of rows → hottest key ≫ 2 even shares →
-    // skew-safe tier; results must agree with the forced window tier
+    // one key carries ~90% of rows. At the MEASURED crossover factor (16
+    // even core shares — the scan tier's 13-20x per-row penalty) a
+    // local[4] box can never prefer the scan tier (max key <= n < 4n),
+    // which is itself correct; lower the factor to 2 via the override to
+    // exercise the switch, and check tier parity on the same frame.
     val hot = (0L until 4000L).map { i =>
       val sym = if (i % 10 != 0) 7L else i % 4
       (i * 1000000L, i, 100.0 + (i % 13) * 0.1, 1.0, sym)
@@ -210,21 +213,28 @@ class PlanSpec extends AnyFunSuite {
     val evH = hot.where(col("id") % 37 === 0).select(
       col("symbol"), col("ts").as("event_ts"), col("id").as("event_id"),
       (col("ts") + lit(1000000000L)).as("touch_ts"))
-    val auto = graft.labels.Weights.eventWeights(hot, evH, Seq("symbol"))
-    val ph = plan(auto)
-    assert(graft.labels.Weights.lastAutoSkewSafe.contains(true),
-      "auto probe on a 90% hot key should pick the skew-safe tier")
-    assert(!ph.contains("Window"), s"auto-hot should be the scan tier:\n$ph")
-    val windowForced = graft.labels.Weights.eventWeights(hot, evH,
-      Seq("symbol"), skewSafe = Some(false))
-    def canon(df: org.apache.spark.sql.DataFrame) = df
-      .select(col("symbol"), col("event_id"),
-        round(col("avg_uniqueness"), 9).as("u"),
-        round(col("return_attribution"), 9).as("r"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
-        r.getDouble(3))).toSet
-    assert(canon(auto) == canon(windowForced),
-      "the two tiers must agree bit-for-bit under r9 rounding")
+    val atDefault = graft.labels.Weights.eventWeights(hot, evH, Seq("symbol"))
+    assert(graft.labels.Weights.lastAutoSkewSafe.contains(false),
+      "factor-16 on 4 cores can never prefer the scan tier (correctly)")
+    assert(plan(atDefault).contains("Window"))
+    System.setProperty("spark.graft.weights.autoTierFactor", "2")
+    try {
+      val auto = graft.labels.Weights.eventWeights(hot, evH, Seq("symbol"))
+      val ph = plan(auto)
+      assert(graft.labels.Weights.lastAutoSkewSafe.contains(true),
+        "auto probe on a 90% hot key at factor 2 should pick skew-safe")
+      assert(!ph.contains("Window"), s"auto-hot should be the scan tier:\n$ph")
+      val windowForced = graft.labels.Weights.eventWeights(hot, evH,
+        Seq("symbol"), skewSafe = Some(false))
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("symbol"), col("event_id"),
+          round(col("avg_uniqueness"), 9).as("u"),
+          round(col("return_attribution"), 9).as("r"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3))).toSet
+      assert(canon(auto) == canon(windowForced),
+        "the two tiers must agree bit-for-bit under r9 rounding")
+    } finally System.clearProperty("spark.graft.weights.autoTierFactor")
   }
 
   test("BPE encode: no forced broadcast; AQE broadcasts a small vocab") {
