@@ -18,27 +18,32 @@ object Weights {
     */
   @volatile var lastAutoSkewSafe: Option[Boolean] = None
 
-  /** AUTO TIER SELECTION for the keyed sweeps. The default per-key-window
-    * tier serializes each key's stream on one task but is MEASURED
-    * 12.7–20.2× faster per row than the reset-affine scan (102M-row
-    * uniform tier, SYM_SCALING); the skew-safe scan parallelizes WITHIN a
-    * key (measured winner when one key carries ~75% of the volume —
-    * SkewBench). Crossover model: window wall ≈ maxKeyRows × c_win,
-    * scan wall ≈ (totalRows / cores) × c_scan with c_scan/c_win ≈ 13–20,
-    * so the scan tier wins only once the hottest key exceeds ~13–20 even
-    * CORE shares — the probe uses the measured midpoint (factor 16,
-    * overridable via `spark.graft.weights.autoTierFactor`). The deciding
-    * statistic costs one map-side-combined agg over the trades frame
-    * (hottest key's row count vs an even share of defaultParallelism —
-    * the real resource, not the shuffle-partition setting). Callers that
-    * KNOW their skew can still force a tier with `skewSafe = Some(...)`.
+  /** AUTO TIER SELECTION for the keyed sweeps. Crossover model: the
+    * window tier's wall is its serialized hottest key, maxKeyRows ×
+    * c_win; the reset-affine scan's is (totalRows / cores) × c_scan.
+    * MEASURED constants (SYM_SCALING r11/r12): parallel window per
+    * row-per-core 15 µs at the 102M uniform tier (vs scan 250 µs — the
+    * 12.7–20.2× gap), and a SERIALIZED 2.5M-row hot key runs ≤3 µs/row
+    * (SkewBench r12 weights cells: under a 78%-on-one-key fixture the
+    * window tier still WINS, 7.5 s vs the scan's 11.7 — one long sorted
+    * run amortizes better than many small keys). c_scan/c_win(serialized)
+    * lands between ~16 and ~40 across the two tiers measured, so the
+    * scan only pays once the hottest key exceeds default-factor 48 even
+    * CORE shares — unreachable on a ≤48-core box (maxKey ≤ n), by
+    * MEASUREMENT the right call there, and exactly the regime a
+    * 1000-core cluster DOES reach (a >5%-of-corpus key). Override via
+    * `spark.graft.weights.autoTierFactor`; the probe costs one
+    * map-side-combined agg over the trades frame (hottest key's count vs
+    * an even share of defaultParallelism — the real resource, not the
+    * shuffle-partition setting). Callers that KNOW their skew can still
+    * force a tier with `skewSafe = Some(...)`.
     */
   private def autoSkewSafe(trades: DataFrame,
                            partCols: Seq[String]): Boolean = {
     val cores = math.max(1,
       trades.sparkSession.sparkContext.defaultParallelism)
     val factor = sys.props.get("spark.graft.weights.autoTierFactor")
-      .map(_.toLong).getOrElse(16L)
+      .map(_.toLong).getOrElse(48L)
     val st = trades.groupBy(partCols.map(col): _*)
       .agg(count(lit(1)).as("c"))
       .agg(max("c").as("mx"), sum("c").as("n")).head()

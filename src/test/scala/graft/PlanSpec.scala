@@ -201,11 +201,13 @@ class PlanSpec extends AnyFunSuite {
     assert(graft.labels.Weights.lastAutoSkewSafe.contains(false),
       "auto probe on even keys should pick the window tier")
     assert(pe.contains("Window"), s"auto-even should be the window tier:\n$pe")
-    // one key carries ~90% of rows. At the MEASURED crossover factor (16
-    // even core shares — the scan tier's 13-20x per-row penalty) a
-    // local[4] box can never prefer the scan tier (max key <= n < 4n),
-    // which is itself correct; lower the factor to 2 via the override to
-    // exercise the switch, and check tier parity on the same frame.
+    // one key carries ~90% of rows. At the MEASURED crossover factor (48
+    // even core shares — SkewBench r12: the window tier wins even a
+    // 78%-hot fixture at 32 cores, since one long sorted run amortizes
+    // to ~3us/row vs the scan's 119-250us/row-core) a local[4] box can
+    // never prefer the scan tier (max key <= n << 12n), which is itself
+    // correct; lower the factor to 2 via the override to exercise the
+    // switch, and check tier parity on the same frame.
     val hot = (0L until 4000L).map { i =>
       val sym = if (i % 10 != 0) 7L else i % 4
       (i * 1000000L, i, 100.0 + (i % 13) * 0.1, 1.0, sym)
