@@ -221,14 +221,15 @@ object Store {
     *     delete exactly the snapshot files, drop the journal.
     *
     * Every step after the journal is idempotent-completable:
-    * [[recoverCompaction]] (run automatically at entry) finishes moves and
-    * deletes from the journal after a crash, and removes pre-journal
-    * orphan staging dirs (whose months are untouched). Readers BETWEEN
-    * steps 3 and 4 can see a row twice (staged-in new file + not-yet-
-    * deleted old file): coordinate readers per month — the same
-    * reader-swap window compactLshIndex documents — or read behind the
-    * ingest's watermark. A live WRITER needs no coordination at all;
-    * that is the property the `streaming_store_compact_race` gate pins.
+    * [[recoverCompaction]] (run automatically at entry) finishes moves
+    * and deletes from either journal phase after a crash, and removes
+    * pre-journal orphan staging dirs (whose months are untouched). A
+    * PLAIN reader between the commit flip and the old-file deletes can
+    * see a row twice (moved-in new file + not-yet-deleted old file);
+    * [[readRangeConsistent]] is the journal-aware reader that is exact
+    * at every instant of the swap. A live WRITER needs no coordination
+    * at all; that is the property the `streaming_store_compact_race`
+    * gate pins.
     */
   def compactConcurrent(spark: SparkSession, path: String,
                         targetBytes: Long = 128L << 20,
@@ -263,8 +264,13 @@ object Store {
         spark.read.parquet(files.map(_.getPath.toString).toIndexedSeq: _*)
           .repartition(nOut)
           .write.option("compression", "zstd").parquet(tmp.toString)
-        // the journal IS the swap commit: month dir name, staging dir,
-        // then one absolute old-file path per line
+        // TWO-JOURNAL swap (intent → commit), so a journal-aware reader
+        // ([[readRangeConsistent]]) has an EXACT view at every instant:
+        // while the INTENT journal exists, moved-in `cmpct_<run>_*` files
+        // are invisible and the old files are the truth; the atomic
+        // rename to the COMMIT journal flips the view (new files in, the
+        // journaled old files out); journal deletion finalizes. Content:
+        // month dir name, staging dir, then one old-file path per line.
         val journal = new org.apache.hadoop.fs.Path(root,
           s"_graft_compact_journal_$runId.txt")
         val out = fs.create(journal, false)
@@ -279,35 +285,55 @@ object Store {
       .toDF("month", "files_before", "bytes", "files_after")
   }
 
-  /** Idempotently finish a journaled swap: move remaining staged files
-    * into the month dir under run-unique names, delete the journaled old
-    * files that still exist, drop the staging dir and the journal.
-    */
-  private def completeSwap(fs: org.apache.hadoop.fs.FileSystem,
-                           journal: org.apache.hadoop.fs.Path): Unit = {
+  private val intentPrefix = "_graft_compact_journal_"
+  private val commitPrefix = "_graft_compact_commit_"
+
+  private def readJournal(fs: org.apache.hadoop.fs.FileSystem,
+                          journal: org.apache.hadoop.fs.Path)
+      : (org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path, Seq[String]) = {
     val in = fs.open(journal)
     val txt =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val lines = txt.split("\n").toSeq
-    val monthDir = new org.apache.hadoop.fs.Path(lines.head)
-    val tmp = new org.apache.hadoop.fs.Path(lines(1))
-    val oldFiles = lines.drop(2).filter(_.nonEmpty)
-      .map(new org.apache.hadoop.fs.Path(_))
-    val runId = journal.getName.stripPrefix("_graft_compact_journal_")
-      .stripSuffix(".txt")
-    if (fs.exists(tmp)) {
-      fs.listStatus(tmp).filter(f => f.isFile &&
-          f.getPath.getName.endsWith(".parquet")).foreach { f =>
-        val dest = new org.apache.hadoop.fs.Path(monthDir,
-          s"cmpct_${runId}_${f.getPath.getName}")
-        if (fs.exists(dest)) fs.delete(f.getPath, false) // already moved
-        else fs.rename(f.getPath, dest)
+    (new org.apache.hadoop.fs.Path(lines.head),
+      new org.apache.hadoop.fs.Path(lines(1)),
+      lines.drop(2).filter(_.nonEmpty))
+  }
+
+  /** Idempotently drive a journaled swap to completion from either
+    * phase. INTENT phase: move remaining staged files into the month dir
+    * under run-unique names, drop the staging dir, then ATOMICALLY
+    * rename intent → commit (one-file rename — the reader-visible flip).
+    * COMMIT phase: delete the journaled old files that still exist, drop
+    * the journal.
+    */
+  private def completeSwap(fs: org.apache.hadoop.fs.FileSystem,
+                           journal: org.apache.hadoop.fs.Path): Unit = {
+    val name = journal.getName
+    if (name.startsWith(intentPrefix)) {
+      val runId = name.stripPrefix(intentPrefix).stripSuffix(".txt")
+      val (monthDir, tmp, _) = readJournal(fs, journal)
+      if (fs.exists(tmp)) {
+        fs.listStatus(tmp).filter(f => f.isFile &&
+            f.getPath.getName.endsWith(".parquet")).foreach { f =>
+          val dest = new org.apache.hadoop.fs.Path(monthDir,
+            s"cmpct_${runId}_${f.getPath.getName}")
+          if (fs.exists(dest)) fs.delete(f.getPath, false) // already moved
+          else fs.rename(f.getPath, dest)
+        }
+        fs.delete(tmp, true)
       }
-      fs.delete(tmp, true)
+      val commit = new org.apache.hadoop.fs.Path(journal.getParent,
+        s"$commitPrefix$runId.txt")
+      fs.rename(journal, commit)
+      completeSwap(fs, commit)
+    } else {
+      val (_, _, oldFiles) = readJournal(fs, journal)
+      oldFiles.map(new org.apache.hadoop.fs.Path(_))
+        .foreach(p => if (fs.exists(p)) fs.delete(p, false))
+      fs.delete(journal, false)
     }
-    oldFiles.foreach(p => if (fs.exists(p)) fs.delete(p, false))
-    fs.delete(journal, false)
   }
 
   /** Crash recovery for [[compactConcurrent]]: complete any journaled
@@ -323,18 +349,90 @@ object Store {
     if (!fs.exists(root)) return
     val entries = fs.listStatus(root)
     entries.filter(f => f.isFile &&
-        f.getPath.getName.startsWith("_graft_compact_journal_"))
+        (f.getPath.getName.startsWith(intentPrefix) ||
+          f.getPath.getName.startsWith(commitPrefix)))
       .foreach(j => completeSwap(fs, j.getPath))
     val journaled = fs.listStatus(root)
-      .filter(f => f.isFile &&
-        f.getPath.getName.startsWith("_graft_compact_journal_"))
-      .map(_.getPath.getName.stripPrefix("_graft_compact_journal_")
-        .stripSuffix(".txt")).toSet
+      .filter(f => f.isFile && f.getPath.getName.startsWith(intentPrefix))
+      .map(_.getPath.getName.stripPrefix(intentPrefix).stripSuffix(".txt"))
+      .toSet
     entries.filter(d => d.isDirectory &&
         d.getPath.getName.startsWith("_compact_tmp_"))
       .filter(d => !journaled.contains(
         d.getPath.getName.stripPrefix("_compact_tmp_")))
       .foreach(d => if (fs.exists(d.getPath)) fs.delete(d.getPath, true))
+  }
+
+  /** JOURNAL-AWARE consistent range read — exact at EVERY instant of a
+    * concurrent [[compactConcurrent]] swap, where a plain
+    * [[readRange]] sees duplicates between the commit flip and the
+    * old-file deletes. View rules, validated against a journal snapshot:
+    * a run in INTENT phase hides its `cmpct_<run>_*` files (old files
+    * are the truth); a run in COMMIT phase hides its journaled old files
+    * (the moved-in files are the truth). The journal set is re-listed
+    * after the file listing — if it changed (a flip or finalize landed
+    * mid-list), the snapshot is retried, so the applied rules always
+    * match the files actually listed. No journals (the overwhelmingly
+    * common case) delegates to [[readRange]]'s partition-discovery scan.
+    */
+  def readRangeConsistent(spark: SparkSession, path: String,
+                          fromNs: Long, toNs: Long,
+                          tsCol: String = "ts"): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def journalState(): Map[String, (String, Set[String])] =
+      fs.listStatus(root).filter(_.isFile).flatMap { f =>
+        val n = f.getPath.getName
+        if (n.startsWith(intentPrefix))
+          Some(n.stripPrefix(intentPrefix).stripSuffix(".txt") ->
+            ("intent", Set.empty[String]))
+        else if (n.startsWith(commitPrefix))
+          Some(n.stripPrefix(commitPrefix).stripSuffix(".txt") ->
+            ("commit", readJournal(fs, f.getPath)._3
+              // qualify for comparison with listStatus paths (which carry
+              // the fs scheme, e.g. file:/) regardless of how the writer
+              // spelled them in the journal
+              .map(s => fs.makeQualified(
+                new org.apache.hadoop.fs.Path(s)).toString).toSet))
+        else None
+      }.toMap
+    var state = journalState()
+    if (state.isEmpty) return readRange(spark, path, fromNs, toNs, tsCol)
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM")
+      .withZone(java.time.ZoneOffset.UTC)
+    val loMonth = fmt.format(java.time.Instant.ofEpochSecond(fromNs / 1000000000L))
+    val hiMonth = fmt.format(java.time.Instant.ofEpochSecond(toNs / 1000000000L))
+    var attempt = 0
+    var files: Seq[String] = Nil
+    var settled = false
+    while (!settled && attempt < 6) {
+      attempt += 1
+      val hiddenNew = state.collect {
+        case (run, ("intent", _)) => s"cmpct_${run}_" }.toSet
+      val hiddenOld = state.values.collect {
+        case ("commit", olds) => olds }.flatten.toSet
+      files = fs.listStatus(root)
+        .filter(d => d.isDirectory && d.getPath.getName.startsWith("month="))
+        .filter { d =>
+          val m = d.getPath.getName.stripPrefix("month=")
+          m >= loMonth && m <= hiMonth
+        }
+        .flatMap(d => fs.listStatus(d.getPath))
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .filter(f => !hiddenNew.exists(f.getPath.getName.startsWith))
+        .filter(f => !hiddenOld.contains(
+          fs.makeQualified(f.getPath).toString))
+        .map(_.getPath.toString).toIndexedSeq
+      val recheck = journalState()
+      if (recheck == state) settled = true else state = recheck
+    }
+    require(settled, s"readRangeConsistent: journal set kept changing " +
+      s"after $attempt snapshots — compaction churn outpaced the reader")
+    if (files.isEmpty)
+      return readRange(spark, path, fromNs, toNs, tsCol).where(lit(false))
+    spark.read.option("basePath", path).parquet(files: _*)
+      .where(col("month").between(loMonth, hiMonth))
+      .where(col(tsCol).between(fromNs, toNs))
   }
 
   /** Bucketed-by-key table layout — the co-located join/aggregate story at

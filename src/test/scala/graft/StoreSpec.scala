@@ -147,6 +147,57 @@ class StoreSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == t.count())
   }
 
+  test("readRangeConsistent is exact at BOTH swap phases; plain read duplicates mid-commit") {
+    val dir = Files.createTempDirectory("store").toString
+    val t = tradesDf
+    Store.saveMonthly(t.where(col("id") % 2 === 0), dir)
+    Store.saveMonthly(t.where(col("id") % 2 === 1), dir, mode = "append")
+    val root = new java.io.File(dir)
+    val month = root.listFiles().filter(_.getName.startsWith("month="))
+      .map(_.getName).sorted.head
+    val monthDir = new java.io.File(root, month)
+    val oldFiles = monthDir.listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
+    val full = spark.read.parquet(dir)
+    val (loNs, hiNs) = (full.agg(min("ts")).head().getLong(0),
+      full.agg(max("ts")).head().getLong(0))
+    val truth = t.count()
+    def consistent() = Store.readRangeConsistent(spark, dir, loNs, hiNs)
+    // hand-build a mid-swap state: staged compacted month + INTENT
+    // journal, with ONE staged file already moved in under cmpct_ name
+    val tmp = new java.io.File(root, "_compact_tmp_cafe01")
+    spark.read.parquet(oldFiles.toIndexedSeq: _*).repartition(2)
+      .write.parquet(tmp.getAbsolutePath)
+    val staged = tmp.listFiles().filter(_.getName.endsWith(".parquet"))
+    val journal = new java.io.File(root, "_graft_compact_journal_cafe01.txt")
+    Files.writeString(journal.toPath,
+      (Seq(monthDir.getAbsolutePath, tmp.getAbsolutePath) ++ oldFiles)
+        .mkString("\n"))
+    Files.move(staged.head.toPath,
+      new java.io.File(monthDir, s"cmpct_cafe01_${staged.head.getName}").toPath)
+    // INTENT phase: the moved-in cmpct file must be invisible
+    assert(consistent().count() == truth,
+      "intent-phase consistent read lost or doubled rows")
+    // finish the moves by hand, flip to COMMIT phase
+    tmp.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      Files.move(f.toPath,
+        new java.io.File(monthDir, s"cmpct_cafe01_${f.getName}").toPath)
+    }
+    Files.move(journal.toPath,
+      new java.io.File(root, "_graft_compact_commit_cafe01.txt").toPath)
+    // COMMIT phase: old files still on disk — a plain read sees the
+    // month twice, the journal-aware read is exact
+    assert(spark.read.parquet(dir).count() > truth,
+      "expected the plain read to see mid-commit duplicates")
+    assert(consistent().count() == truth,
+      "commit-phase consistent read lost or doubled rows")
+    // recovery finalizes; both readers agree again
+    Store.recoverCompaction(spark, dir)
+    assert(spark.read.parquet(dir).count() == truth)
+    assert(consistent().count() == truth)
+    assert(!new java.io.File(root, "_graft_compact_commit_cafe01.txt").exists())
+  }
+
   test("readRange prunes month partitions and pushes the ts filter") {
     val dir = Files.createTempDirectory("store").toString
     Store.saveMonthly(tradesDf, dir)
