@@ -121,6 +121,20 @@ class PipeSpec extends AnyFunSuite {
     val short = withToks(Seq((200L, "xy")).toDF("doc_id", "text"))
     assert(short.where(Substring.mightContainGram(col("toks"), n, bloom))
       .count() == 0L)
+    // the BIT CAP bounds the constant's payload (the task-binary story)
+    // and can NEVER introduce a false negative — only a higher fpp.
+    // fpp 1e-20 makes the optimal size exceed the 256-bit cap even for
+    // this tiny gram set, so the cap provably engages.
+    val wide = Substring.gramXxBloom(bench, "toks", n, fpp = 1e-20)
+    val capped = Substring.gramXxBloom(bench, "toks", n, fpp = 1e-20,
+      maxBits = 256L)
+    assert(capped.length < wide.length && capped.length < 200,
+      s"capped bloom should be ~32 bytes + header, got ${capped.length}")
+    val cappedPre = corpus.where(
+        Substring.mightContainGram(col("toks"), n, capped))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exact.subsetOf(cappedPre),
+      "bit-capped bloom pre-filter dropped a true hit")
   }
 
   test("chunks: stride windows with short final chunk; empty doc emits none") {
