@@ -154,7 +154,7 @@ object DocBench {
       // column, `redact(raw)` would be INLINED into every downstream
       // quality/langid/HOF expression (HOF-bearing projections don't get
       // codegen subexpression elimination), re-running the 3-regex scrub
-      // ~6-8x per row — measured ~19 s/batch of the fixture cell, ~2/3
+      // ~6-8x per row — measured ~26 s/batch of the fixture cell, ~70%
       // of its pre-fix stage-0 cost. Staging makes text/toks plain
       // attributes: one redact per row, one tokenization per row.
       val b = if (!fullSuite) salted.where(inBatch).select("doc_id", "text", "toks")
