@@ -111,10 +111,16 @@ object Bench {
       // ADAPTIVE REPS: a rep-to-rep spread beyond ~1.5x is co-tenant
       // noise, not the query (the calibrated noise bound min-of-2 was
       // sized for) — keep adding cold reps until the spread of the best
-      // two settles under 1.5x, capped at 4 total
-      while (times.length >= 2 && times.length < 4 &&
-          times.sorted.take(2).max / times.min > 1.5)
+      // two settles under 1.5x, capped at 4 total. The extra-ATTEMPT
+      // bound (not just successful-times bound) matters: a query that
+      // starts failing mid-run (disk full, OOM) returns None forever,
+      // `times` never grows, and an unbounded loop would hang the suite.
+      var extraAttempts = 0
+      while (times.length >= 2 && times.length < 4 && extraAttempts < 4 &&
+          times.sorted.take(2).max / times.min > 1.5) {
+        extraAttempts += 1
         rep().foreach(times += _)
+      }
       if (times.nonEmpty) {
         if (times.length >= 2)
           spreads += (name ->

@@ -85,7 +85,10 @@ object SkewBench {
       n
     }
 
-    val autoPicks = scala.collection.mutable.ListBuffer[String]()
+    // one auto-tier pick per wauto CELL, keyed "cpus_kind" (not an ordered
+    // list appended per rep — reps > 1 duplicated entries and broke the
+    // pick-to-cell attribution)
+    val autoPicks = scala.collection.mutable.LinkedHashMap[String, String]()
     val runs = cpuList.map { cpus =>
       val spark = SparkSession.builder()
         .master(s"local[$cpus]")
@@ -136,17 +139,16 @@ object SkewBench {
       // the weights sweep ALONE through all three tier choices — the
       // auto cell must land at min(win, safe) on BOTH fixtures (uniform:
       // window tier wins; 75%-hot key: skew-safe wins). The auto probe's
-      // pick is recorded per cell (cells run in deterministic order).
+      // pick is recorded ONCE per cell in the `cpus_kind`-keyed map below
+      // (recording inside this fn ran once per REP and misattributed
+      // picks to cells — r12 ADVICE).
       def weightsSweep(tier: Option[Boolean])(t: DataFrame): DataFrame = {
         val ev = t.where(col("id") % 29 === 0).select(
           col("symbol"), col("ts").as("event_ts"), col("id").as("event_id"),
           (col("ts") + lit(7200000000000L)).as("touch_ts"))
-        val out = graft.labels.Weights.eventWeights(t, ev, Seq("symbol"),
+        graft.labels.Weights.eventWeights(t, ev, Seq("symbol"),
             skewSafe = tier)
           .withColumnRenamed("avg_uniqueness", "ewma")
-        if (tier.isEmpty) autoPicks += graft.labels.Weights.lastAutoSkewSafe
-          .map(s => if (s) "safe" else "window").getOrElse("?")
-        out
       }
       val ops = sys.env.getOrElse("SPARK_GRAFT_SKEW_OPS", "ewma,tbm")
         .split(",").map(_.trim).toSet
@@ -175,6 +177,9 @@ object SkewBench {
           mk(t).select(count(col("ewma"))).first()
           (System.nanoTime() - t0) / 1e9
         }
+        if (layout == "wauto")
+          autoPicks += (s"${cpus}_$kind" -> graft.labels.Weights.lastAutoSkewSafe
+            .map(s => if (s) "safe" else "window").getOrElse("?"))
         s"${kind}_$layout" -> secs.min
       }
       // stop per iteration (like SymBench/StreamBench): getOrCreate would
@@ -187,7 +192,8 @@ object SkewBench {
       "\"" + cpus + "\":" + cells.map { case (k, v) => s"\"$k\":$v" }
         .mkString("{", ",", "}")
     }.mkString("{", ",", "}")
-    val picksJson = autoPicks.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val picksJson = autoPicks
+      .map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
     println(s"""{"metric":"skew_scaling","sf":"$sfDir","copies":$copies,"heavy":$heavy,"rows":$rowsPerFixture,"reps":$reps,"auto_picks":$picksJson,"runs":$runsJson}""")
   }
 }

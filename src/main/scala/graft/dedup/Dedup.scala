@@ -294,13 +294,24 @@ object Dedup {
     * historical index is appended per ingest batch ([[appendLshIndex]])
     * and the corpus text is never re-shingled.
     */
+  /** @param srcBatch when set, every band row carries a `src_batch`
+    *        column (day-0 convention: -1). A foreachBatch pipeline that
+    *        publishes with [[appendLshIndexIdempotent]] then probes
+    *        AS-OF with `where(src_batch < batchId)` — a scan-stage
+    *        predicate, no shuffle — so a replayed batch can never match
+    *        its own crash-published bands (self-jaccard = 1 would mark
+    *        every replayed doc a duplicate of itself).
+    */
   def writeLshIndex(base: DataFrame, idCol: String, toksCol: String,
                     shingleN: Int, k: Int, bands: Int,
-                    table: String, path: String, buckets: Int = 32): Unit =
+                    table: String, path: String, buckets: Int = 32,
+                    srcBatch: Option[Long] = None): Unit = {
+    val rows = lshBandRows(base, idCol, toksCol, shingleN, k, bands)
+      .withColumnRenamed("id", "base_id")
     graft.sources.Store.saveBucketed(
-      lshBandRows(base, idCol, toksCol, shingleN, k, bands)
-        .withColumnRenamed("id", "base_id"),
+      srcBatch.fold(rows)(b => rows.withColumn("src_batch", lit(b))),
       table, path, buckets, Seq("bucket"), Seq("bucket", "base_id"))
+  }
 
   /** Append one ingest batch's band rows to an EXISTING stored index —
     * the write-once/append-many lifecycle: each arriving batch first
@@ -324,6 +335,63 @@ object Dedup {
       .mode("append")
       .format("parquet")
       .saveAsTable(table)
+
+  /** REPLAY-IDEMPOTENT batch append into a stored band index — closes the
+    * one double-append window [[appendLshIndex]] leaves in a foreachBatch
+    * loop: plain append-mode `saveAsTable` re-appends the whole batch when
+    * a crash lands between the append and the checkpoint commit, silently
+    * duplicating band rows (a duplicated band inflates its doc into every
+    * later candidate set). Protocol, per batch:
+    *
+    *  1. STAGE the batch's band rows as a batch-scoped bucketed table
+    *     (same bucket spec — bucket ids depend only on the column hash
+    *     and count, so staged file names carry the right `_NNNNN` bucket
+    *     tags) — `saveBucketed` overwrites, so a replay re-stages
+    *     identically;
+    *  2. DELETE any `b<batchId>_*` files in the index dir — sweeps every
+    *     file a previous (crashed) publish of THIS batch moved in;
+    *  3. RENAME each staged file into the index dir under the
+    *     deterministic `b<batchId>_<stagedName>` prefix (Spark's bucket-id
+    *     filename parse anchors at the `_NNNNN` suffix, so the prefix is
+    *     transparent), then drop the staging table.
+    *
+    * A crash at ANY point replays to exactly one copy of the batch's
+    * bands: re-staging is overwrite, step 2 removes partial or complete
+    * prior publishes, step 3 re-moves the fresh staging. Single-writer
+    * (the foreachBatch loop) like every state publish in the pipeline;
+    * readers in OTHER batches see the flip at their `refreshTable`.
+    */
+  def appendLshIndexIdempotent(batch: DataFrame, idCol: String,
+                               toksCol: String, shingleN: Int, k: Int,
+                               bands: Int, table: String, indexPath: String,
+                               batchId: Long, buckets: Int = 32): Unit = {
+    val spark = batch.sparkSession
+    val stageTable = s"${table}__stage_b$batchId"
+    val stagePath = s"${indexPath}__stage_b$batchId"
+    // src_batch rides every published band row so probes can read AS-OF
+    // (see writeLshIndex's srcBatch doc); against a table created without
+    // the column it is ignored at read time (table schema wins)
+    graft.sources.Store.saveBucketed(
+      lshBandRows(batch, idCol, toksCol, shingleN, k, bands)
+        .withColumnRenamed("id", "base_id")
+        .withColumn("src_batch", lit(batchId)),
+      stageTable, stagePath, buckets, Seq("bucket"), Seq("bucket", "base_id"))
+    val idxP = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = idxP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(idxP)
+      .filter(f => f.isFile && f.getPath.getName.startsWith(s"b${batchId}_"))
+      .foreach(f => fs.delete(f.getPath, false))
+    val stageP = new org.apache.hadoop.fs.Path(stagePath)
+    fs.listStatus(stageP)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .foreach { f =>
+        fs.rename(f.getPath,
+          new org.apache.hadoop.fs.Path(idxP, s"b${batchId}_${f.getPath.getName}"))
+      }
+    spark.sql(s"DROP TABLE IF EXISTS $stageTable")
+    fs.delete(stageP, true)
+    spark.catalog.refreshTable(table)
+  }
 
   /** The stored index's tombstone table name — one per index table. */
   def lshTombstoneTable(table: String): String = s"${table}__tombstones"

@@ -161,18 +161,26 @@ object Store {
     * becomes its own bottleneck — listings, footer reads and task
     * scheduling all scale with it. Each month whose file count exceeds
     * ceil(bytes / targetBytes) is rewritten as exactly that many files;
-    * months already at-or-under target are left byte-identical. Dynamic
-    * partition overwrite replaces one month atomically per job, so a
-    * failure mid-compaction leaves every month either old or new, never
-    * mixed. The driver loop is bounded by the month count (the reference's
-    * own `process_all` iterates the same keys, bar/io.py:441-565).
+    * months already at-or-under target are left byte-identical.
+    *
+    * The DEFAULT path is the race-safe [[compactConcurrent]] — safe under
+    * live writers, which is the state a production store is in all day.
+    * `quiesced = true` opts into the whole-month dynamic-partition
+    * overwrite instead: one atomic job per month (every month either old
+    * or new after a crash, no journal machinery, no `cmpct_*` file
+    * names), but a file appended by a concurrent writer between the read
+    * and the overwrite is SILENTLY DELETED — only use it when no writer
+    * can race (the reference's own `process_all` runs quiesced the same
+    * way, bar/io.py:441-565).
     *
     * Returns one row per inspected month:
     * (month, files_before, bytes, files_after).
     */
   def compact(spark: SparkSession, path: String,
               targetBytes: Long = 128L << 20,
-              months: Option[Seq[String]] = None): DataFrame = {
+              months: Option[Seq[String]] = None,
+              quiesced: Boolean = false): DataFrame = {
+    if (!quiesced) return compactConcurrent(spark, path, targetBytes, months)
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val monthDirs = fs.listStatus(root)
@@ -224,12 +232,16 @@ object Store {
     * [[recoverCompaction]] (run automatically at entry) finishes moves
     * and deletes from either journal phase after a crash, and removes
     * pre-journal orphan staging dirs (whose months are untouched). A
-    * PLAIN reader between the commit flip and the old-file deletes can
-    * see a row twice (moved-in new file + not-yet-deleted old file);
-    * [[readRangeConsistent]] is the journal-aware reader that is exact
-    * at every instant of the swap. A live WRITER needs no coordination
-    * at all; that is the property the `streaming_store_compact_race`
-    * gate pins.
+    * PLAIN reader must not race a swap at all: its duplicate window
+    * opens at the FIRST staged file moved into the month dir (intent
+    * phase — moved-in `cmpct_*` files are visible to a plain
+    * `spark.read.parquet` while every old file still exists) and closes
+    * only at the last old-file delete. [[readRangeConsistent]] is the
+    * journal-aware reader that is exact at every instant of the swap
+    * (it hides `cmpct_*` files while the intent journal exists, and the
+    * journaled old files once the commit journal replaces it). A live
+    * WRITER needs no coordination at all; that is the property the
+    * `streaming_store_compact_race` gate pins.
     */
   def compactConcurrent(spark: SparkSession, path: String,
                         targetBytes: Long = 128L << 20,
@@ -264,20 +276,8 @@ object Store {
         spark.read.parquet(files.map(_.getPath.toString).toIndexedSeq: _*)
           .repartition(nOut)
           .write.option("compression", "zstd").parquet(tmp.toString)
-        // TWO-JOURNAL swap (intent → commit), so a journal-aware reader
-        // ([[readRangeConsistent]]) has an EXACT view at every instant:
-        // while the INTENT journal exists, moved-in `cmpct_<run>_*` files
-        // are invisible and the old files are the truth; the atomic
-        // rename to the COMMIT journal flips the view (new files in, the
-        // journaled old files out); journal deletion finalizes. Content:
-        // month dir name, staging dir, then one old-file path per line.
-        val journal = new org.apache.hadoop.fs.Path(root,
-          s"_graft_compact_journal_$runId.txt")
-        val out = fs.create(journal, false)
-        out.write((Seq(monthDir.toString, tmp.toString) ++
-          files.map(_.getPath.toString)).mkString("\n").getBytes("UTF-8"))
-        out.close()
-        completeSwap(fs, journal)
+        publishCompaction(fs, root, monthDir, tmp,
+          files.map(_.getPath.toString).toIndexedSeq, runId)
         (m, files.length, bytes, nOut)
       } else (m, files.length, bytes, files.length)
     }
@@ -287,6 +287,46 @@ object Store {
 
   private val intentPrefix = "_graft_compact_journal_"
   private val commitPrefix = "_graft_compact_commit_"
+  private val wipPrefix = "_graft_compact_wip_"
+
+  /** Journal-then-swap: the publish half of [[compactConcurrent]], from
+    * "staging dir is fully written" to "old files deleted". Split out so
+    * the fault-grid spec can drive it through a filesystem that fails
+    * after op k and prove [[recoverCompaction]] restores exactly-once
+    * content from EVERY interruption point.
+    *
+    * TWO-JOURNAL swap (intent → commit), so a journal-aware reader
+    * ([[readRangeConsistent]]) has an EXACT view at every instant: while
+    * the INTENT journal exists, moved-in `cmpct_<run>_*` files are
+    * invisible and the old files are the truth; the atomic rename to the
+    * COMMIT journal flips the view (new files in, the journaled old
+    * files out); journal deletion finalizes. Content: month dir name,
+    * staging dir, then one old-file path per line.
+    *
+    * The intent journal itself is created ATOMICALLY: written to a
+    * `_graft_compact_wip_*` temp name, then renamed into place — the
+    * rename is the commit point. A crash mid-write leaves a (possibly
+    * truncated) wip file that [[recoverCompaction]] deletes as
+    * pre-commit, never a journal that readJournal could misparse as a
+    * partial old-file list (which would commit a subset delete and leave
+    * permanent duplicate rows).
+    */
+  private[graft] def publishCompaction(fs: org.apache.hadoop.fs.FileSystem,
+                                       root: org.apache.hadoop.fs.Path,
+                                       monthDir: org.apache.hadoop.fs.Path,
+                                       tmp: org.apache.hadoop.fs.Path,
+                                       oldFiles: Seq[String],
+                                       runId: String): Unit = {
+    val wip = new org.apache.hadoop.fs.Path(root, s"$wipPrefix$runId.txt")
+    val out = fs.create(wip, false)
+    out.write((Seq(monthDir.toString, tmp.toString) ++ oldFiles)
+      .mkString("\n").getBytes("UTF-8"))
+    out.close()
+    val journal = new org.apache.hadoop.fs.Path(root,
+      s"$intentPrefix$runId.txt")
+    fs.rename(wip, journal)
+    completeSwap(fs, journal)
+  }
 
   private def readJournal(fs: org.apache.hadoop.fs.FileSystem,
                           journal: org.apache.hadoop.fs.Path)
@@ -308,8 +348,8 @@ object Store {
     * COMMIT phase: delete the journaled old files that still exist, drop
     * the journal.
     */
-  private def completeSwap(fs: org.apache.hadoop.fs.FileSystem,
-                           journal: org.apache.hadoop.fs.Path): Unit = {
+  private[graft] def completeSwap(fs: org.apache.hadoop.fs.FileSystem,
+                                  journal: org.apache.hadoop.fs.Path): Unit = {
     val name = journal.getName
     if (name.startsWith(intentPrefix)) {
       val runId = name.stripPrefix(intentPrefix).stripSuffix(".txt")
@@ -323,6 +363,23 @@ object Store {
           else fs.rename(f.getPath, dest)
         }
         fs.delete(tmp, true)
+      } else {
+        // staging vanished with NOTHING moved in: the compacted copy is
+        // gone (e.g. a recovery pass on another process raced this run
+        // and swept the staging dir before the journal landed). Flipping
+        // to commit would delete the ONLY remaining copy of the month's
+        // rows — ABORT instead: drop the journal, keep the old files;
+        // this compaction simply never happened. tmp-missing with SOME
+        // `cmpct_<run>_*` files present can only mean the moves all
+        // completed (tmp is deleted strictly after the last move), so
+        // that case falls through to the commit flip.
+        val moved = fs.exists(monthDir) && fs.listStatus(monthDir)
+          .exists(f => f.isFile &&
+            f.getPath.getName.startsWith(s"cmpct_${runId}_"))
+        if (!moved) {
+          fs.delete(journal, false)
+          return
+        }
       }
       val commit = new org.apache.hadoop.fs.Path(journal.getParent,
         s"$commitPrefix$runId.txt")
@@ -336,10 +393,13 @@ object Store {
     }
   }
 
-  /** Crash recovery for [[compactConcurrent]]: complete any journaled
-    * swap (the journal is the commit point — moves and deletes re-run
-    * idempotently), then drop orphan `_compact_tmp_*` staging dirs whose
-    * run never journaled (their months were never touched). Run
+  /** Crash recovery for [[compactConcurrent]]: delete pre-commit
+    * `_graft_compact_wip_*` journal drafts (possibly truncated — the
+    * atomic wip→intent rename never happened, so their months were never
+    * touched), complete any journaled swap (the journal is the commit
+    * point — moves and deletes re-run idempotently; a journal whose
+    * staging vanished un-moved ABORTS, keeping the old files), then drop
+    * orphan `_compact_tmp_*` staging dirs whose run never journaled. Run
     * automatically at every compactConcurrent entry; safe to call any
     * time — a store with no leftovers is a no-op.
     */
@@ -348,10 +408,12 @@ object Store {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
     val entries = fs.listStatus(root)
+    entries.filter(f => f.isFile && f.getPath.getName.startsWith(wipPrefix))
+      .foreach(w => fs.delete(w.getPath, false))
     entries.filter(f => f.isFile &&
         (f.getPath.getName.startsWith(intentPrefix) ||
           f.getPath.getName.startsWith(commitPrefix)))
-      .foreach(j => completeSwap(fs, j.getPath))
+      .foreach(j => if (fs.exists(j.getPath)) completeSwap(fs, j.getPath))
     val journaled = fs.listStatus(root)
       .filter(f => f.isFile && f.getPath.getName.startsWith(intentPrefix))
       .map(_.getPath.getName.stripPrefix(intentPrefix).stripSuffix(".txt"))
@@ -387,13 +449,18 @@ object Store {
           Some(n.stripPrefix(intentPrefix).stripSuffix(".txt") ->
             ("intent", Set.empty[String]))
         else if (n.startsWith(commitPrefix))
-          Some(n.stripPrefix(commitPrefix).stripSuffix(".txt") ->
+          // the compactor may FINALIZE (delete) a commit journal between
+          // our listStatus and this open — a vanished journal means its
+          // old files are already deleted, so skipping it is exact; the
+          // recheck loop below still retries because the state map changed
+          try Some(n.stripPrefix(commitPrefix).stripSuffix(".txt") ->
             ("commit", readJournal(fs, f.getPath)._3
               // qualify for comparison with listStatus paths (which carry
               // the fs scheme, e.g. file:/) regardless of how the writer
               // spelled them in the journal
               .map(s => fs.makeQualified(
                 new org.apache.hadoop.fs.Path(s)).toString).toSet))
+          catch { case _: java.io.FileNotFoundException => None }
         else None
       }.toMap
     var state = journalState()

@@ -198,6 +198,151 @@ class StoreSpec extends AnyFunSuite {
     assert(!new java.io.File(root, "_graft_compact_commit_cafe01.txt").exists())
   }
 
+  /** A FilterFileSystem that throws after `failAt` MUTATING ops (create /
+    * rename / delete — the crash-shaped operations; reads can't corrupt).
+    * failAt = MaxValue counts a clean run's op total.
+    */
+  private class FaultFs(underlying: org.apache.hadoop.fs.FileSystem,
+                        failAt: Int)
+      extends org.apache.hadoop.fs.FilterFileSystem(underlying) {
+    var ops = 0
+    private def tick(): Unit = {
+      ops += 1
+      if (ops >= failAt) throw new java.io.IOException(
+        s"injected fault at mutating op $ops")
+    }
+    override def create(f: org.apache.hadoop.fs.Path,
+        permission: org.apache.hadoop.fs.permission.FsPermission,
+        overwrite: Boolean, bufferSize: Int, replication: Short,
+        blockSize: Long,
+        progress: org.apache.hadoop.util.Progressable)
+        : org.apache.hadoop.fs.FSDataOutputStream = {
+      tick(); super.create(f, permission, overwrite, bufferSize,
+        replication, blockSize, progress)
+    }
+    override def rename(src: org.apache.hadoop.fs.Path,
+                        dst: org.apache.hadoop.fs.Path): Boolean = {
+      tick(); super.rename(src, dst)
+    }
+    override def delete(f: org.apache.hadoop.fs.Path,
+                        recursive: Boolean): Boolean = {
+      tick(); super.delete(f, recursive)
+    }
+  }
+
+  test("two-journal swap fault grid: recovery restores exact content from EVERY interruption point") {
+    // Property: interrupt publishCompaction (journal write → swap →
+    // finalize) after its k-th filesystem mutation for EVERY k, run
+    // recoverCompaction, and the store must hold exactly the original
+    // rows — never a lost old file, never a duplicated month. This pins
+    // the protocol exhaustively where the compact-race gate picks two
+    // hand-chosen kill points.
+    val proto = Files.createTempDirectory("faultproto").toString
+    val t = tradesDf
+    Store.saveMonthly(t.where(col("id") % 2 === 0), proto)
+    Store.saveMonthly(t.where(col("id") % 2 === 1), proto, mode = "append")
+    val protoRoot = new java.io.File(proto)
+    val monthName = protoRoot.listFiles()
+      .filter(_.getName.startsWith("month=")).map(_.getName).sorted.head
+    // pre-stage the compacted copy of that month once (the fault grid
+    // covers the PUBLISH protocol; staging itself is a plain overwrite)
+    val protoOld = new java.io.File(protoRoot, monthName).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).sorted
+    spark.read.parquet(new java.io.File(protoRoot, monthName).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+        .toIndexedSeq: _*)
+      .repartition(2)
+      .write.parquet(new java.io.File(protoRoot, "_compact_tmp_fau1t").toString)
+    val truth = t.count()
+    def cloneFixture(): java.io.File = {
+      val dst = Files.createTempDirectory("faultgrid").toFile
+      def cp(src: java.io.File, dest: java.io.File): Unit = {
+        if (src.isDirectory) {
+          dest.mkdirs()
+          src.listFiles().foreach(f => cp(f, new java.io.File(dest, f.getName)))
+        } else Files.copy(src.toPath, dest.toPath)
+      }
+      protoRoot.listFiles().foreach(f => cp(f, new java.io.File(dst, f.getName)))
+      dst
+    }
+    def runAt(failAt: Int): (Int, Boolean) = {
+      val dir = cloneFixture()
+      val rootP = new org.apache.hadoop.fs.Path(dir.toString)
+      val raw = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val fs = new FaultFs(raw, failAt)
+      val monthDir = new org.apache.hadoop.fs.Path(rootP, monthName)
+      val tmp = new org.apache.hadoop.fs.Path(rootP, "_compact_tmp_fau1t")
+      val olds = protoOld.map(n =>
+        new org.apache.hadoop.fs.Path(monthDir, n).toString).toIndexedSeq
+      val crashed =
+        try { Store.publishCompaction(fs, rootP, monthDir, tmp, olds, "fau1t"); false }
+        catch { case _: java.io.IOException => true }
+      Store.recoverCompaction(spark, dir.toString)
+      val back = spark.read.parquet(dir.toString)
+      assert(back.count() == truth,
+        s"fault at op $failAt: recovery lost or doubled rows")
+      assert(back.orderBy("id").collect().map(_.getAs[Double]("price")).toSeq ==
+        t.orderBy("id").collect().map(_.getDouble(2)).toSeq,
+        s"fault at op $failAt: recovered values differ")
+      val leftovers = dir.listFiles().filter(f =>
+        f.getName.startsWith("_compact_tmp_") ||
+          f.getName.startsWith("_graft_compact_"))
+      assert(leftovers.isEmpty,
+        s"fault at op $failAt: leftovers ${leftovers.map(_.getName).mkString(",")}")
+      (fs.ops, crashed)
+    }
+    val (totalOps, cleanCrashed) = runAt(Int.MaxValue)
+    assert(!cleanCrashed && totalOps >= 7,
+      s"clean publish should run ≥7 mutating ops, saw $totalOps")
+    (1 to totalOps).foreach { k =>
+      val (_, crashed) = runAt(k)
+      assert(crashed, s"op $k: expected the injected fault to fire")
+    }
+  }
+
+  test("swap abort guards: truncated wip draft and vanished staging both keep the old files") {
+    val dir = Files.createTempDirectory("store").toString
+    val t = tradesDf
+    Store.saveMonthly(t.where(col("id") % 2 === 0), dir)
+    Store.saveMonthly(t.where(col("id") % 2 === 1), dir, mode = "append")
+    val root = new java.io.File(dir)
+    val month = root.listFiles().filter(_.getName.startsWith("month="))
+      .map(_.getName).sorted.head
+    val monthDir = new java.io.File(root, month)
+    val oldFiles = monthDir.listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
+    val truth = t.count()
+    // 1. crash mid-journal-write: a TRUNCATED wip draft (would misparse as
+    // a partial old-file list if it were live) + its staging dir. Recovery
+    // must treat both as pre-commit: delete them, month untouched.
+    val tmp = new java.io.File(root, "_compact_tmp_w1p")
+    spark.read.parquet(oldFiles.toIndexedSeq: _*).repartition(1)
+      .write.parquet(tmp.getAbsolutePath)
+    val wip = new java.io.File(root, "_graft_compact_wip_w1p.txt")
+    Files.writeString(wip.toPath,
+      (Seq(monthDir.getAbsolutePath, tmp.getAbsolutePath) :+ oldFiles.head)
+        .mkString("\n").dropRight(7)) // truncated mid old-file line
+    Store.recoverCompaction(spark, dir)
+    assert(!wip.exists() && !tmp.exists())
+    assert(oldFiles.forall(p => new java.io.File(p).exists()),
+      "pre-commit recovery must leave the month untouched")
+    assert(spark.read.parquet(dir).count() == truth)
+    // 2. journaled run whose staging VANISHED with nothing moved in (a
+    // concurrent recovery swept the not-yet-journaled staging dir): the
+    // swap must ABORT — journal dropped, old files kept — not flip to
+    // commit and delete the only remaining copy of the rows.
+    val journal = new java.io.File(root, "_graft_compact_journal_gh0st.txt")
+    Files.writeString(journal.toPath,
+      (Seq(monthDir.getAbsolutePath,
+        new java.io.File(root, "_compact_tmp_gh0st").getAbsolutePath) ++
+        oldFiles).mkString("\n"))
+    Store.recoverCompaction(spark, dir)
+    assert(!journal.exists(), "aborted journal must be dropped")
+    assert(oldFiles.forall(p => new java.io.File(p).exists()),
+      "vanished-staging abort must keep the old files")
+    assert(spark.read.parquet(dir).count() == truth)
+  }
+
   test("readRange prunes month partitions and pushes the ts filter") {
     val dir = Files.createTempDirectory("store").toString
     Store.saveMonthly(tradesDf, dir)
