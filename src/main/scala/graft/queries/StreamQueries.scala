@@ -66,6 +66,342 @@ object StreamQueries {
     d.setLastModified(modTime)
   }
 
+  // ------------------------------------------------------------------
+  // The FULL-suite live corpus pipeline, shared by streaming_corpus_e2e_full
+  // and its crash-replay twin. State discipline (the last exactly-once hole,
+  // r12 verdict #1): all three state tables publish BATCH-SCOPED —
+  // store/seen through StateStore.publishBatch (overwrite of the batch's
+  // own partition), the band index through appendLshIndexIdempotent
+  // (staged bucketed publish under deterministic b<batch>_ names) — and all
+  // three probe AS-OF (StateStore.readBefore / src_batch < batchId), so a
+  // checkpoint-replayed batch recomputes a bit-identical survivor set and
+  // rewrites identical state over itself. A crash at ANY point between
+  // publishes replays to exactly-once content.
+  // ------------------------------------------------------------------
+
+  /** Day-0 state + source files for the full-suite pipeline: the
+    * PII-augmented corpus is split (train arrives in 3 micro-batches, the
+    * held-out test split is the static decon benchmark), the benchmark
+    * gram table + xx-gram bloom are staged, and the three state tables
+    * start empty (batch=-1 / empty bucketed index with src_batch).
+    * Returns (train schema, bench bloom bytes).
+    */
+  private def corpusFullDay0(s: SparkSession, dir: String, name: String,
+                             root: String)
+      : (org.apache.spark.sql.types.StructType, Array[Byte]) = {
+    import DocQueries.{shingleN, minhashK, minhashBands}
+    import graft.text.TextOps
+    val pth = new org.apache.hadoop.fs.Path(root)
+    val fs = pth.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(pth)) fs.delete(pth, true)
+    // the corpus arrives PII-AUGMENTED (the synthetic docs carry no
+    // organic PII — same deterministic injection as pii_redact)
+    val aug = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), PipeQueries.augText.as("text"))
+    val sp = graft.ml.Sampling.splitAssign(aug, "doc_id",
+      DocQueries.sampleSalt, DocQueries.splitFractions)
+    val train = sp.where(col("split") === "train").select("doc_id", "text")
+    val test = sp.where(col("split") === "test").select("doc_id", "text")
+    // day-0 static state: the benchmark gram set (over REDACTED bench
+    // text — the probe compares post-redaction token streams on both
+    // sides) and its companion bloom (scan-stage decon pre-filter; bloom
+    // misses are impossible, so the survivor set is bit-identical to the
+    // unfiltered probe)
+    val benchDocs = test
+      .select(col("doc_id"), TextOps.redact(col("text")).as("text"))
+      .withColumn("toks", TextOps.wsTokens(col("text")))
+    graft.dedup.Substring.distinctGramHashes(benchDocs,
+        "doc_id", "toks", PipeQueries.contamN)
+      .select("h").distinct().write.parquet(root + "/bench")
+    val benchBloom = graft.dedup.Substring.gramXxBloom(benchDocs,
+      "toks", PipeQueries.contamN)
+    graft.dedup.Dedup.writeLshIndex(
+      train.limit(0).withColumn("toks", TextOps.wsTokens(col("text"))),
+      "doc_id", "toks", shingleN, minhashK, minhashBands, name,
+      root + "/idx", buckets = 8, srcBatch = Some(-1L))
+    graft.sources.StateStore.publishBatch(
+      train.limit(0).select(md5(col("text")).as("content_hash")),
+      root + "/seen", -1L)
+    graft.sources.StateStore.publishBatch(
+      train.limit(0)
+        .select(col("doc_id"), col("text"), lit(false).as("has_pii"),
+          lit("").as("pred_lang"), lit(0L).as("n_ws_tokens"),
+          lit(0.0).as("quality_score"), lit(0).as("shard"),
+          TextOps.wsTokens(col("text")).as("toks")),
+      root + "/store", -1L)
+    val t0 = System.currentTimeMillis()
+    writeOneFile(train.where(pmod(col("doc_id"), lit(3)) === 0),
+      root + "/src", "a_b0", t0 - 60000)
+    writeOneFile(train.where(pmod(col("doc_id"), lit(3)) === 1),
+      root + "/src", "b_b1", t0 - 40000)
+    writeOneFile(train.where(pmod(col("doc_id"), lit(3)) === 2),
+      root + "/src", "c_b2", t0 - 20000)
+    (train.schema, benchBloom)
+  }
+
+  /** One micro-batch of the FULL production filter suite: redact at entry
+    * → quality + langid → Gopher repetition → bloom-bounded decon probe →
+    * exact-dedup probe → LSH probe → shard → publish (store, seen, index).
+    * Per-row expression staging points (fbr/fb0/fb/stage) are batch-scoped
+    * overwrites, so the whole body is replay-deterministic given the AS-OF
+    * state reads. `crashAtBatch` injects one crash between the seen
+    * publish and the index publish — the crash-replay gate's kill point.
+    */
+  private def corpusFullOnBatch(s: SparkSession, name: String, root: String,
+                                benchBloom: Array[Byte],
+                                crashAtBatch: Long = -1L)(
+      b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      batchId: Long): Unit = {
+    import DocQueries.{shingleN, minhashK, minhashBands}
+    import graft.text.TextOps
+    // 0. PII redaction at entry — STAGED before any scoring: as a
+    // computed column, `redact(raw)` would be INLINED into every
+    // downstream quality/langid/HOF expression (HOF-bearing projections
+    // get no codegen subexpression elimination), re-running the 3-regex
+    // scrub ~6-8x per row. has_pii = "redaction changed the text".
+    b.select(col("doc_id"),
+        TextOps.redact(col("text")).as("text"),
+        (TextOps.redact(col("text")) =!= col("text")).as("has_pii"))
+      .write.mode("overwrite").parquet(root + s"/fbr/$batchId")
+    val red = s.read.parquet(root + s"/fbr/$batchId")
+    // 1. quality + language id over the redacted text
+    val scored = red.select(
+      Seq(col("doc_id"), col("text"), col("has_pii")) ++
+        TextOps.qualityColumns(col("text")) ++
+        Seq(TextOps.langIdColumns(col("text")).last): _*)
+    val kept1 = scored
+      .where(col("pred_lang") === "en" && col("quality_score") >= 0.5)
+      .select("doc_id", "text", "has_pii", "pred_lang", "n_ws_tokens",
+        "quality_score")
+      .withColumn("toks", TextOps.wsTokens(col("text")))
+    // 2. Gopher repetition thresholds (per-row, scan-stage) — then STAGE
+    // the post-filter frame BEFORE the decon probe (the probe's
+    // contaminated-id set and the anti-join's left side both reference
+    // this subtree; an unpersisted subtree re-executes per appearance).
+    kept1.where(TextOps.keepRepetition(col("text"), col("toks")))
+      .write.mode("overwrite").parquet(root + s"/fb0/$batchId")
+    val kept2 = s.read.parquet(root + s"/fb0/$batchId")
+    // 3. decontamination probe against the static benchmark gram set,
+    // BLOOM-BOUNDED: only possible-hit rows pay the gram explode + exact
+    // semi-join — both reading the STAGED columnar toks.
+    val bench = s.read.parquet(root + "/bench")
+    val maybe = kept2.where(graft.dedup.Substring.mightContainGram(
+      col("toks"), PipeQueries.contamN, benchBloom))
+    val contam = graft.dedup.Substring.distinctGramHashes(
+        maybe, "doc_id", "toks", PipeQueries.contamN)
+      .join(bench, Seq("h"), "left_semi")
+      .select("doc_id").distinct()
+    kept2.join(contam, Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").parquet(root + s"/fb/$batchId")
+    val kept = s.read.parquet(root + s"/fb/$batchId")
+    // 4. exact-dedup probe: keep-first inside the batch, then drop any
+    // hash seen in an EARLIER batch — the AS-OF read is what keeps a
+    // replayed batch from seeing its own crash-published hashes (which
+    // would empty its survivor set)
+    val ann = graft.dedup.Dedup.exactDupAnnotate(kept, "doc_id", "text")
+    val seen = graft.sources.StateStore.readBefore(s, root + "/seen", batchId)
+    val exSurv = ann.where(!col("is_dup"))
+      .join(seen, Seq("content_hash"), "left_anti")
+    // 5. LSH probe against the survivors-so-far index, AS-OF via the
+    // src_batch scan predicate (a replayed batch matching its own bands
+    // would self-jaccard at 1.0 and drop every doc). The store persists
+    // toks, so the prior side is a column scan — never re-tokenized.
+    s.catalog.refreshTable(name)
+    val prior = graft.sources.StateStore.readBefore(s, root + "/store", batchId)
+    val pairs = graft.dedup.Dedup.incrementalLshPairsFrom(
+      s.table(name).where(col("src_batch") < batchId),
+      prior.select("doc_id", "toks"),
+      exSurv.select("doc_id", "toks"), "doc_id", "toks",
+      shingleN, minhashK, minhashBands, DocQueries.jaccThreshold)
+    // 6. keep/drop + hash-gated shard, STAGED to a batch-scoped path
+    // before any state publish (the survivor plan reads the state dirs
+    // this batch publishes to)
+    exSurv
+      .join(pairs.select(col("id_a").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .withColumn("shard",
+        (graft.ml.Sampling.hash32(col("doc_id"), LmQueries.shardSalt)
+          % LmQueries.nShards).cast("int"))
+      .write.mode("overwrite").parquet(root + s"/stage/$batchId")
+    val surv = s.read.parquet(root + s"/stage/$batchId")
+    // 7. publish state, each batch-scoped and replay-idempotent: store
+    // (toks persisted for the next batch's LSH prior), seen hashes, bands
+    graft.sources.StateStore.publishBatch(
+      surv.select("doc_id", "text", "has_pii", "pred_lang",
+        "n_ws_tokens", "quality_score", "shard", "toks"),
+      root + "/store", batchId)
+    graft.sources.StateStore.publishBatch(
+      ann.select("content_hash").distinct(), root + "/seen", batchId)
+    if (batchId == crashAtBatch)
+      throw new RuntimeException(
+        "injected crash between the seen publish and the index publish")
+    graft.dedup.Dedup.appendLshIndexIdempotent(surv.select("doc_id", "toks"),
+      "doc_id", "toks", shingleN, minhashK, minhashBands, name,
+      root + "/idx", batchId, buckets = 8)
+  }
+
+  /** Drain the full-suite pipeline's 3-batch source to completion. */
+  private def corpusFullDrain(s: SparkSession, name: String, root: String,
+                              schema: org.apache.spark.sql.types.StructType,
+                              benchBloom: Array[Byte],
+                              crashAtBatch: Long = -1L): Unit = {
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(root + "/src/*")
+      .writeStream
+      .foreachBatch(corpusFullOnBatch(s, name, root, benchBloom,
+        crashAtBatch) _)
+      .option("checkpointLocation", root + "/chk")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  /** The full-suite pipeline's gate output (shared oracle columns). */
+  private def corpusFullOut(s: SparkSession, root: String): DataFrame =
+    graft.sources.StateStore.read(s, root + "/store")
+      .select(col("doc_id"), col("shard"), col("pred_lang"),
+        col("n_ws_tokens"), r6(col("quality_score")).as("quality_score"),
+        col("has_pii"), md5(col("text")).as("redacted_md5"))
+
+  // ------------------------------------------------------------------
+  // The BASE live corpus pipeline (no redaction/repetition/decon stages),
+  // shared by streaming_corpus_e2e and the mid-drain state-compaction
+  // gate. Same exactly-once state discipline as the full suite.
+  // ------------------------------------------------------------------
+
+  /** Day-0 empty state + the 3-batch source for the base pipeline. */
+  private def corpusBaseDay0(s: SparkSession, dir: String, name: String,
+                             root: String)
+      : org.apache.spark.sql.types.StructType = {
+    import DocQueries.{shingleN, minhashK, minhashBands}
+    import graft.text.TextOps
+    val pth = new org.apache.hadoop.fs.Path(root)
+    val fs = pth.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(pth)) fs.delete(pth, true)
+    val docsAll = s.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    // day-0 state: an EMPTY stored band index (batch 1 probes nothing,
+    // publishes first), an empty seen-hash set, an empty survivors store
+    graft.dedup.Dedup.writeLshIndex(
+      docsAll.limit(0).withColumn("toks", TextOps.wsTokens(col("text"))),
+      "doc_id", "toks", shingleN, minhashK, minhashBands, name,
+      root + "/idx", buckets = 8, srcBatch = Some(-1L))
+    graft.sources.StateStore.publishBatch(
+      docsAll.limit(0).select(md5(col("text")).as("content_hash")),
+      root + "/seen", -1L)
+    graft.sources.StateStore.publishBatch(
+      docsAll.limit(0)
+        .select(col("doc_id"), col("text"), lit("").as("pred_lang"),
+          lit(0L).as("n_ws_tokens"), lit(0.0).as("quality_score"),
+          lit(0).as("shard"),
+          TextOps.wsTokens(col("text")).as("toks")),
+      root + "/store", -1L)
+    val t0 = System.currentTimeMillis()
+    writeOneFile(docsAll.where(pmod(col("doc_id"), lit(3)) === 0),
+      root + "/src", "a_b0", t0 - 60000)
+    writeOneFile(docsAll.where(pmod(col("doc_id"), lit(3)) === 1),
+      root + "/src", "b_b1", t0 - 40000)
+    writeOneFile(docsAll.where(pmod(col("doc_id"), lit(3)) === 2),
+      root + "/src", "c_b2", t0 - 20000)
+    docsAll.schema
+  }
+
+  /** One micro-batch of the base ingest chain: quality + langid → exact
+    * probe → LSH probe → shard → publish (store, seen, index), with
+    * batch-scoped publishes and AS-OF probes like the full suite.
+    * `compactAtBatch` runs the STATE COMPACTION lifecycle at that batch's
+    * entry — folding every committed batch partition of seen/store into
+    * one generation ([[graft.sources.StateStore.compact]]) before the
+    * batch's own probes read them: the file-count bound a long-running
+    * ingest needs, exercised mid-drain where it could corrupt survivors
+    * if the fold were not content-preserving or raced the open batch.
+    */
+  private def corpusBaseOnBatch(s: SparkSession, name: String, root: String,
+                                compactAtBatch: Long = -1L)(
+      b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      batchId: Long): Unit = {
+    import DocQueries.{shingleN, minhashK, minhashBands}
+    import graft.text.TextOps
+    if (batchId == compactAtBatch) {
+      // fold committed batches only (ids ≤ batchId-1 — their checkpoint
+      // commits are durable, so none can ever replay into the fold)
+      graft.sources.StateStore.compact(s, root + "/seen", batchId - 1)
+      graft.sources.StateStore.compact(s, root + "/store", batchId - 1)
+    }
+    // 1. cheap filters first: quality score + language id — then STAGE
+    // the filtered batch to a batch-scoped file and read it back (its
+    // subtree appears several times in one plan; an unpersisted subtree
+    // re-executes per appearance — measured ~4 filter-chain evaluations
+    // per batch). Overwrite mode: a crash-looped batch re-stages
+    // idempotently.
+    val scored = b.select(
+      Seq(col("doc_id"), col("text")) ++ TextOps.qualityColumns(col("text")) ++
+        Seq(TextOps.langIdColumns(col("text")).last): _*)
+    scored
+      .where(col("pred_lang") === "en" && col("quality_score") >= 0.5)
+      .select("doc_id", "text", "pred_lang", "n_ws_tokens", "quality_score")
+      .write.mode("overwrite").parquet(root + s"/fb/$batchId")
+    val kept = s.read.parquet(root + s"/fb/$batchId")
+    // 2. exact-dedup probe: keep-first inside the batch, then drop any
+    // hash seen in an EARLIER batch (AS-OF read — a replayed batch must
+    // not see its own crash-published hashes)
+    val ann = graft.dedup.Dedup.exactDupAnnotate(kept, "doc_id", "text")
+    val seen = graft.sources.StateStore.readBefore(s, root + "/seen", batchId)
+    val exSurv = ann.where(!col("is_dup"))
+      .join(seen, Seq("content_hash"), "left_anti")
+      .withColumn("toks", TextOps.wsTokens(col("text")))
+    // 3. LSH probe against the survivors-so-far index (bands from the
+    // stored bucketed table, AS-OF via src_batch; jaccard verify reads
+    // only candidate docs — the store persists toks, never re-tokenized)
+    s.catalog.refreshTable(name)
+    val prior = graft.sources.StateStore.readBefore(s, root + "/store", batchId)
+    val pairs = graft.dedup.Dedup.incrementalLshPairsFrom(
+      s.table(name).where(col("src_batch") < batchId),
+      prior.select("doc_id", "toks"),
+      exSurv.select("doc_id", "toks"), "doc_id", "toks",
+      shingleN, minhashK, minhashBands, DocQueries.jaccThreshold)
+    // 4. keep/drop + hash-gated shard assignment, STAGED to a
+    // batch-scoped path before any state publish (the survivor plan
+    // reads the state dirs this batch publishes to; a persist() here
+    // silently recomputes against the batch's OWN published hashes)
+    exSurv
+      .join(pairs.select(col("id_a").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .withColumn("shard",
+        (graft.ml.Sampling.hash32(col("doc_id"), LmQueries.shardSalt)
+          % LmQueries.nShards).cast("int"))
+      .write.mode("overwrite").parquet(root + s"/stage/$batchId")
+    val surv = s.read.parquet(root + s"/stage/$batchId")
+    // 5. publish state, batch-scoped and replay-idempotent
+    graft.sources.StateStore.publishBatch(
+      surv.select("doc_id", "text", "pred_lang", "n_ws_tokens",
+        "quality_score", "shard", "toks"),
+      root + "/store", batchId)
+    graft.sources.StateStore.publishBatch(
+      ann.select("content_hash").distinct(), root + "/seen", batchId)
+    graft.dedup.Dedup.appendLshIndexIdempotent(surv.select("doc_id", "toks"),
+      "doc_id", "toks", shingleN, minhashK, minhashBands, name,
+      root + "/idx", batchId, buckets = 8)
+  }
+
+  /** Drain the base pipeline's 3-batch source to completion. */
+  private def corpusBaseDrain(s: SparkSession, name: String, root: String,
+                              schema: org.apache.spark.sql.types.StructType,
+                              compactAtBatch: Long = -1L): Unit = {
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(root + "/src/*")
+      .writeStream
+      .foreachBatch(corpusBaseOnBatch(s, name, root, compactAtBatch) _)
+      .option("checkpointLocation", root + "/chk")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  /** The base pipeline's gate output (shared oracle columns). */
+  private def corpusBaseOut(s: SparkSession, root: String): DataFrame =
+    graft.sources.StateStore.read(s, root + "/store")
+      .select(col("doc_id"), col("shard"), col("pred_lang"),
+        col("n_ws_tokens"), r6(col("quality_score")).as("quality_score"))
+
   /** Canonical trades written to a fresh temp dir as (data, sentinel-1,
     * sentinel-2) parquet files with pinned modification times, returned
     * as a one-file-per-batch stream — the shared fixture for every
@@ -875,134 +1211,57 @@ object StreamQueries {
     // exact probe is a left-anti against a hash set that grows with the
     // KEPT corpus, and every append is an O(|batch|) file append.
     "streaming_corpus_e2e" -> ((s, dir) => {
-      import DocQueries.{shingleN, minhashK, minhashBands}
-      import graft.text.TextOps
       val name = s"graft_gate_sce2e_$runId"
       val root = new java.io.File(sys.props("java.io.tmpdir"), name)
         .getAbsolutePath
-      val pth = new org.apache.hadoop.fs.Path(root)
-      val fs = pth.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(pth)) fs.delete(pth, true)
-      val docsAll = s.read.parquet(s"$dir/documents.parquet")
-        .select("doc_id", "text")
-      // day-0 state: an EMPTY stored band index (batch 1 probes nothing,
-      // appends first), an empty seen-hash set, an empty survivors store
-      graft.dedup.Dedup.writeLshIndex(
-        docsAll.limit(0).withColumn("toks", TextOps.wsTokens(col("text"))),
-        "doc_id", "toks", shingleN, minhashK, minhashBands, name,
-        root + "/idx", buckets = 8)
-      docsAll.limit(0).select(md5(col("text")).as("content_hash"))
-        .write.parquet(root + "/seen")
-      docsAll.limit(0)
-        .select(col("doc_id"), col("text"), lit("").as("pred_lang"),
-          lit(0L).as("n_ws_tokens"), lit(0.0).as("quality_score"),
-          lit(0).as("shard"),
-          TextOps.wsTokens(col("text")).as("toks"))
-        .write.parquet(root + "/store")
-      val t0 = System.currentTimeMillis()
-      writeOneFile(docsAll.where(pmod(col("doc_id"), lit(3)) === 0),
-        root + "/src", "a_b0", t0 - 60000)
-      writeOneFile(docsAll.where(pmod(col("doc_id"), lit(3)) === 1),
-        root + "/src", "b_b1", t0 - 40000)
-      writeOneFile(docsAll.where(pmod(col("doc_id"), lit(3)) === 2),
-        root + "/src", "c_b2", t0 - 20000)
-      val onBatch: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-        Long) => Unit = { (b, batchId) =>
-        // 1. cheap filters first: quality score + language id — then STAGE
-        // the filtered batch to a batch-scoped file and read it back.
-        // Downstream, this frame's subtree appears several times in ONE
-        // plan (the exact anti-join probe, the delta band rows, and the
-        // jaccard-verify side all reference it; the seen-hash append
-        // re-evaluates it again) and Spark re-executes an unpersisted
-        // subtree per appearance — measured ~4 filter-chain evaluations
-        // per batch. Staging makes the per-row expressions run ONCE per
-        // batch; every probe reads columnar data (the bronze→silver
-        // handoff a production ingest materializes anyway). Overwrite
-        // mode: a crash-looped batch re-stages idempotently.
-        val scored = b.select(
-          Seq(col("doc_id"), col("text")) ++ TextOps.qualityColumns(col("text")) ++
-            Seq(TextOps.langIdColumns(col("text")).last): _*)
-        scored
-          .where(col("pred_lang") === "en" && col("quality_score") >= 0.5)
-          .select("doc_id", "text", "pred_lang", "n_ws_tokens", "quality_score")
-          .write.mode("overwrite").parquet(root + s"/fb/$batchId")
-        val kept = s.read.parquet(root + s"/fb/$batchId")
-        // 2. exact-dedup probe: keep-first inside the batch, then drop any
-        // hash already seen in an earlier batch (fresh read per batch —
-        // foreachBatch runs on a cloned session, so the OUTER session's
-        // relation/file-listing caches must not be reused)
-        val ann = graft.dedup.Dedup.exactDupAnnotate(kept, "doc_id", "text")
-        val seen = s.read.parquet(root + "/seen")
-        val exSurv = ann.where(!col("is_dup"))
-          .join(seen, Seq("content_hash"), "left_anti")
-          .withColumn("toks", TextOps.wsTokens(col("text")))
-        // 3. LSH probe against the survivors-so-far index (bands from the
-        // stored bucketed table; jaccard verify reads only candidate
-        // docs). The store persists toks at append time, so the prior
-        // side is a column scan — never re-tokenized per batch.
-        s.catalog.refreshTable(name)
-        val prior = s.read.parquet(root + "/store")
-        val pairs = graft.dedup.Dedup.incrementalLshPairsFrom(
-          s.table(name), prior.select("doc_id", "toks"),
-          exSurv.select("doc_id", "toks"), "doc_id", "toks",
-          shingleN, minhashK, minhashBands, DocQueries.jaccThreshold)
-        // 4. keep/drop + hash-gated shard assignment, STAGED to a
-        // batch-scoped path before any state append. The survivor plan
-        // reads the seen/store dirs this batch is about to append to, and
-        // Spark invalidates (and lazily re-evaluates) any cached plan
-        // that reads a just-written path — a persist() here silently
-        // recomputes against the batch's OWN published hashes and drops
-        // every row (measured: the index received zero bands). The
-        // staged file is the one evaluation; everything below reads it.
-        exSurv
-          .join(pairs.select(col("id_a").as("doc_id")).distinct(),
-            Seq("doc_id"), "left_anti")
-          .withColumn("shard",
-            (graft.ml.Sampling.hash32(col("doc_id"), LmQueries.shardSalt)
-              % LmQueries.nShards).cast("int"))
-          .write.parquet(root + s"/stage/$batchId")
-        val surv = s.read.parquet(root + s"/stage/$batchId")
-        // 5. store append (the survivors ARE the corpus; toks persisted
-        // for the next batch's LSH prior), then publish this batch's
-        // state for the next one: seen hashes + index bands
-        surv.select("doc_id", "text", "pred_lang", "n_ws_tokens",
-            "quality_score", "shard", "toks")
-          .write.mode("append").parquet(root + "/store")
-        ann.select("content_hash").distinct()
-          .write.mode("append").parquet(root + "/seen")
-        graft.dedup.Dedup.appendLshIndex(surv.select("doc_id", "toks"),
-          "doc_id", "toks", shingleN, minhashK, minhashBands, name,
-          buckets = 8)
-      }
-      def runOnce(): Unit = {
-        val q = s.readStream.schema(docsAll.schema)
-          .option("maxFilesPerTrigger", 1).parquet(root + "/src/*")
-          .writeStream.foreachBatch(onBatch)
-          .option("checkpointLocation", root + "/chk")
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-      }
-      runOnce()
+      val schema = corpusBaseDay0(s, dir, name, root)
+      corpusBaseDrain(s, name, root, schema)
       // replay idempotence, the crash-loop property: a fresh query start
       // on the same source + checkpoint after the full drain must invoke
       // foreachBatch for NOTHING — the offset log covers every file, so
-      // none of the three state appends (store, seen, index) may run
+      // none of the three state publishes (store, seen, index) may run
       // again. Fingerprint-asserted like streaming_store_ingest_replay.
-      def fp() = s.read.parquet(root + "/store")
+      def fp() = graft.sources.StateStore.read(s, root + "/store")
         .agg(count(lit(1)).as("n"),
           sum(xxhash64(col("doc_id"), col("shard"), col("pred_lang"),
             col("n_ws_tokens")).cast("decimal(38,0)")).as("h"))
         .head()
       val before = fp()
-      runOnce()
+      corpusBaseDrain(s, name, root, schema)
       val after = fp()
       require(before == after,
         s"corpus pipeline replay mutated the store (before=$before, " +
           s"after=$after) — exactly-once across a restart is broken")
-      s.read.parquet(root + "/store")
-        .select(col("doc_id"), col("shard"), col("pred_lang"),
-          col("n_ws_tokens"), r6(col("quality_score")).as("quality_score"))
+      corpusBaseOut(s, root)
     }),
+
+    // MID-DRAIN STATE COMPACTION of the live pipeline — the file-count
+    // lifecycle for per-batch append state (r12 verdict #3: the seen dir
+    // "grows unboundedly in file count — the store's bottleneck reborn in
+    // state dirs"): at batch 2's entry, every committed batch partition of
+    // the seen-hash set AND the survivors store is folded into one
+    // generation (StateStore.compact's journaled swap), and batch 2's own
+    // probes then read the folded state. The oracle is the base
+    // pipeline's text VERBATIM — a fold that dropped, duplicated or
+    // re-timed a hash/doc would shift batch 2+'s survivor set and fail
+    // the hash. Engine-side, the gate requires the fold actually
+    // happened: ≤2 partitions remain per state dir after the drain
+    // (generation + the open batch), with file counts bounded.
+    "streaming_corpus_state_compact" -> ((s, dir) => {
+      val name = s"graft_gate_sce2sc_$runId"
+      val root = new java.io.File(sys.props("java.io.tmpdir"), name)
+        .getAbsolutePath
+      val schema = corpusBaseDay0(s, dir, name, root)
+      corpusBaseDrain(s, name, root, schema, compactAtBatch = 2L)
+      Seq("/seen", "/store").foreach { st =>
+        val dirs = new java.io.File(root + st).listFiles()
+          .filter(_.getName.startsWith("batch=")).map(_.getName).sorted
+        require(dirs.length <= 2 && dirs.head == "batch=-2",
+          s"state compaction did not fold $st: ${dirs.mkString(",")}")
+      }
+      corpusBaseOut(s, root)
+    }),
+
 
     // THE LIVE DOCUMENT PIPELINE, FULL PRODUCTION FILTER SUITE — extends
     // streaming_corpus_e2e with the three batch-only stages a real ingest
@@ -1025,167 +1284,65 @@ object StreamQueries {
     // gate (the store persists toks, so the prior corpus is never
     // re-tokenized per batch).
     "streaming_corpus_e2e_full" -> ((s, dir) => {
-      import DocQueries.{shingleN, minhashK, minhashBands}
-      import graft.text.TextOps
       val name = s"graft_gate_sce2f_$runId"
       val root = new java.io.File(sys.props("java.io.tmpdir"), name)
         .getAbsolutePath
-      val pth = new org.apache.hadoop.fs.Path(root)
-      val fs = pth.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(pth)) fs.delete(pth, true)
-      // the corpus arrives PII-AUGMENTED (the synthetic docs carry no
-      // organic PII — same deterministic injection as pii_redact)
-      val aug = s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), PipeQueries.augText.as("text"))
-      val sp = graft.ml.Sampling.splitAssign(aug, "doc_id",
-        DocQueries.sampleSalt, DocQueries.splitFractions)
-      val train = sp.where(col("split") === "train").select("doc_id", "text")
-      val test = sp.where(col("split") === "test").select("doc_id", "text")
-      // day-0 static state: the benchmark gram set (over REDACTED bench
-      // text — the probe compares post-redaction token streams on both
-      // sides), an empty band index, empty seen hashes, an empty store
-      val benchDocs = test
-        .select(col("doc_id"), TextOps.redact(col("text")).as("text"))
-        .withColumn("toks", TextOps.wsTokens(col("text")))
-      graft.dedup.Substring.distinctGramHashes(benchDocs,
-          "doc_id", "toks", PipeQueries.contamN)
-        .select("h").distinct().write.parquet(root + "/bench")
-      // day-0 companion to /bench: a bloom over the benchmark's xx-gram
-      // hashes — the per-batch decon probe pre-filters rows in the scan
-      // stage (one xxhash64 per token slice; no explode, no shuffle) and
-      // only possible-hit rows pay the exact exploded semi-join. Bloom
-      // misses are impossible, so the survivor set is bit-identical to
-      // the unfiltered probe.
-      val benchBloom = graft.dedup.Substring.gramXxBloom(benchDocs,
-        "toks", PipeQueries.contamN)
-      graft.dedup.Dedup.writeLshIndex(
-        train.limit(0).withColumn("toks", TextOps.wsTokens(col("text"))),
-        "doc_id", "toks", shingleN, minhashK, minhashBands, name,
-        root + "/idx", buckets = 8)
-      train.limit(0).select(md5(col("text")).as("content_hash"))
-        .write.parquet(root + "/seen")
-      train.limit(0)
-        .select(col("doc_id"), col("text"), lit(false).as("has_pii"),
-          lit("").as("pred_lang"), lit(0L).as("n_ws_tokens"),
-          lit(0.0).as("quality_score"), lit(0).as("shard"),
-          TextOps.wsTokens(col("text")).as("toks"))
-        .write.parquet(root + "/store")
-      val t0 = System.currentTimeMillis()
-      writeOneFile(train.where(pmod(col("doc_id"), lit(3)) === 0),
-        root + "/src", "a_b0", t0 - 60000)
-      writeOneFile(train.where(pmod(col("doc_id"), lit(3)) === 1),
-        root + "/src", "b_b1", t0 - 40000)
-      writeOneFile(train.where(pmod(col("doc_id"), lit(3)) === 2),
-        root + "/src", "c_b2", t0 - 20000)
-      val onBatch: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-        Long) => Unit = { (b, batchId) =>
-        // 0. PII redaction at entry — the batch's text IS the scrubbed
-        // text from here on, STAGED before any scoring: as a computed
-        // column, `redact(raw)` would be INLINED into every downstream
-        // quality/langid/HOF expression (HOF-bearing projections don't
-        // get codegen subexpression elimination), re-running the 3-regex
-        // scrub ~6-8x per row — measured ~2/3 of the fixture cell's
-        // stage-0 cost. Staging makes text a plain attribute: ONE redact
-        // per row. has_pii = "redaction changed the text" (no placeholder
-        // matches its own pattern, so inequality ⇔ some pattern matched —
-        // the same flag as piiColumns' count-based form, §pii_redact).
-        b.select(col("doc_id"),
-            TextOps.redact(col("text")).as("text"),
-            (TextOps.redact(col("text")) =!= col("text")).as("has_pii"))
-          .write.mode("overwrite").parquet(root + s"/fbr/$batchId")
-        val red = s.read.parquet(root + s"/fbr/$batchId")
-        // 1. quality + language id over the redacted text
-        val scored = red.select(
-          Seq(col("doc_id"), col("text"), col("has_pii")) ++
-            TextOps.qualityColumns(col("text")) ++
-            Seq(TextOps.langIdColumns(col("text")).last): _*)
-        val kept1 = scored
-          .where(col("pred_lang") === "en" && col("quality_score") >= 0.5)
-          .select("doc_id", "text", "has_pii", "pred_lang", "n_ws_tokens",
-            "quality_score")
-          .withColumn("toks", TextOps.wsTokens(col("text")))
-        // 2. Gopher repetition thresholds (per-row, scan-stage) — then
-        // STAGE the post-filter frame BEFORE the decon probe. The probe's
-        // contaminated-id set and the anti-join's left side both reference
-        // this subtree, and Spark re-executes an unpersisted subtree per
-        // appearance: without this stage the whole per-row chain (redact,
-        // quality, langid, the five Gopher shingle folds) ran TWICE per
-        // batch (measured ~40% of the full-suite cell at fixture scale).
-        // Inputs are the batch + static state only → overwrite-mode
-        // staging is replay-idempotent.
-        kept1.where(TextOps.keepRepetition(col("text"), col("toks")))
-          .write.mode("overwrite").parquet(root + s"/fb0/$batchId")
-        val kept2 = s.read.parquet(root + s"/fb0/$batchId")
-        // 3. decontamination probe against the static benchmark gram set,
-        // BLOOM-BOUNDED: the scan-stage pre-filter proves rows without a
-        // possible benchmark overlap clean (no false negatives), so only
-        // possible-hit rows pay the 8-gram explode + exact semi-join —
-        // both reading the STAGED columnar toks, not the expression
-        // chain.
-        val bench = s.read.parquet(root + "/bench")
-        val maybe = kept2.where(graft.dedup.Substring.mightContainGram(
-          col("toks"), PipeQueries.contamN, benchBloom))
-        val contam = graft.dedup.Substring.distinctGramHashes(
-            maybe, "doc_id", "toks", PipeQueries.contamN)
-          .join(bench, Seq("h"), "left_semi")
-          .select("doc_id").distinct()
-        // stage 2: the fully-filtered batch (same discipline as the base
-        // gate) — the exact probe, band rows, jaccard side and seen
-        // append below would otherwise each re-read the decon anti-join
-        kept2.join(contam, Seq("doc_id"), "left_anti")
-          .write.mode("overwrite").parquet(root + s"/fb/$batchId")
-        val kept = s.read.parquet(root + s"/fb/$batchId")
-        // 4. exact-dedup probe: keep-first inside the batch, then drop any
-        // hash already seen in an earlier batch
-        val ann = graft.dedup.Dedup.exactDupAnnotate(kept, "doc_id", "text")
-        val seen = s.read.parquet(root + "/seen")
-        val exSurv = ann.where(!col("is_dup"))
-          .join(seen, Seq("content_hash"), "left_anti")
-        // 5. LSH probe against the survivors-so-far index. The store
-        // PERSISTS each survivor's token array once at append time, so
-        // the prior side is a column scan — the corpus-so-far is never
-        // re-tokenized per batch (measured as a real slice of the
-        // full-suite cell's 6.4× overhead at fixture scale)
-        s.catalog.refreshTable(name)
-        val prior = s.read.parquet(root + "/store")
-        val pairs = graft.dedup.Dedup.incrementalLshPairsFrom(
-          s.table(name), prior.select("doc_id", "toks"),
-          exSurv.select("doc_id", "toks"), "doc_id", "toks",
-          shingleN, minhashK, minhashBands, DocQueries.jaccThreshold)
-        // 6. keep/drop + hash-gated shard, STAGED to a batch-scoped path
-        // before any state append (the cache-invalidation bug class: the
-        // survivor plan reads the seen/store dirs this batch appends to)
-        exSurv
-          .join(pairs.select(col("id_a").as("doc_id")).distinct(),
-            Seq("doc_id"), "left_anti")
-          .withColumn("shard",
-            (graft.ml.Sampling.hash32(col("doc_id"), LmQueries.shardSalt)
-              % LmQueries.nShards).cast("int"))
-          .write.parquet(root + s"/stage/$batchId")
-        val surv = s.read.parquet(root + s"/stage/$batchId")
-        // 7. store append (toks persisted — the next batch's LSH prior
-        // reads them instead of re-tokenizing), then publish state
-        surv.select("doc_id", "text", "has_pii", "pred_lang",
-            "n_ws_tokens", "quality_score", "shard", "toks")
-          .write.mode("append").parquet(root + "/store")
-        ann.select("content_hash").distinct()
-          .write.mode("append").parquet(root + "/seen")
-        graft.dedup.Dedup.appendLshIndex(surv.select("doc_id", "toks"),
-          "doc_id", "toks", shingleN, minhashK, minhashBands, name,
-          buckets = 8)
-      }
-      val q = s.readStream.schema(train.schema)
-        .option("maxFilesPerTrigger", 1).parquet(root + "/src/*")
-        .writeStream.foreachBatch(onBatch)
-        .option("checkpointLocation", root + "/chk")
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      s.read.parquet(root + "/store")
-        .select(col("doc_id"), col("shard"), col("pred_lang"),
-          col("n_ws_tokens"), r6(col("quality_score")).as("quality_score"),
-          col("has_pii"), md5(col("text")).as("redacted_md5"))
+      val (schema, benchBloom) = corpusFullDay0(s, dir, name, root)
+      corpusFullDrain(s, name, root, schema, benchBloom)
+      corpusFullOut(s, root)
     }),
 
+    // MID-BATCH CRASH REPLAY of the full-suite live pipeline — the last
+    // exactly-once hole closed and gated: the pipeline commits THREE state
+    // publishes per batch (store, seen hashes, LSH band index); this gate
+    // kills the query between the seen publish and the index publish of
+    // batch 1, restarts on the same checkpoint (batch 1 replays in full,
+    // then batch 2 runs), and the final corpus must be bit-identical to an
+    // uninterrupted drain — which is exactly what the shared
+    // streamingCorpusE2eFullOracleSql recomputes from raw documents, so
+    // the DuckDB hash IS the uninterrupted truth. What makes it hold:
+    // batch-scoped overwrite publishes (a replay rewrites identical
+    // content over itself) + AS-OF probes (readBefore / src_batch <
+    // batchId — a replayed batch can never see its own crash-published
+    // state, which would otherwise empty its survivor set via self-dedup).
+    // Engine-side post-conditions pin the state tables the oracle can't
+    // see: no duplicated store doc, exactly `bands` index rows per
+    // survivor and none for non-survivors, no duplicated seen hash.
+    "streaming_corpus_e2e_crash_replay" -> ((s, dir) => {
+      import DocQueries.minhashBands
+      val name = s"graft_gate_sce2cr_$runId"
+      val root = new java.io.File(sys.props("java.io.tmpdir"), name)
+        .getAbsolutePath
+      val (schema, benchBloom) = corpusFullDay0(s, dir, name, root)
+      val crashed =
+        try { corpusFullDrain(s, name, root, schema, benchBloom,
+          crashAtBatch = 1L); false }
+        catch {
+          case _: org.apache.spark.sql.streaming.StreamingQueryException =>
+            true
+        }
+      require(crashed, "the injected mid-batch crash (between the seen " +
+        "publish and the index publish) did not fire")
+      // restart on the same checkpoint: batch 1 replays, then batch 2
+      corpusFullDrain(s, name, root, schema, benchBloom)
+      val store = graft.sources.StateStore.read(s, root + "/store")
+      val nDocs = store.count()
+      require(store.select("doc_id").distinct().count() == nDocs,
+        "crash replay duplicated store rows")
+      s.catalog.refreshTable(name)
+      val idxByDoc = s.table(name).groupBy("base_id")
+        .agg(count(lit(1)).as("n"))
+      require(idxByDoc.where(col("n") =!= minhashBands).count() == 0,
+        "crash replay duplicated or dropped band rows")
+      require(idxByDoc.count() == nDocs &&
+        idxByDoc.join(store.select(col("doc_id").as("base_id")),
+          Seq("base_id"), "left_anti").count() == 0,
+        "index doc set diverged from the store after crash replay")
+      val seen = graft.sources.StateStore.read(s, root + "/seen")
+      require(seen.count() == seen.distinct().count(),
+        "crash replay duplicated seen hashes")
+      corpusFullOut(s, root)
+    }),
     // OUT-OF-ORDER arrival through the BUFFERED directional machine: the
     // late half of the trades arrives a whole micro-batch BEFORE the early
     // half (maximal cross-batch disorder — a real multi-source ingest never
@@ -2176,7 +2333,16 @@ object StreamQueries {
       "SELECT vec_id, 1 AS n_index_rows FROM embeddings",
     "streaming_corpus_e2e" ->
       DocQueries.streamingCorpusE2eOracleSql,
+    // the state-compaction drain must land on the base pipeline's exact
+    // survivor set — the fold is content-preserving or this hash fails
+    "streaming_corpus_state_compact" ->
+      DocQueries.streamingCorpusE2eOracleSql,
     "streaming_corpus_e2e_full" ->
+      DocQueries.streamingCorpusE2eFullOracleSql,
+    // the crash-replayed drain must land on the UNINTERRUPTED pipeline's
+    // survivor set — the oracle recomputes it from raw documents, so the
+    // shared text IS the uninterrupted truth
+    "streaming_corpus_e2e_crash_replay" ->
       DocQueries.streamingCorpusE2eFullOracleSql,
     "streaming_tick_bars_300" -> ScanQueries.oracles("tick_bars_300"),
     "streaming_volume_bars_2k" -> ScanQueries.oracles("volume_bars_2k"),
