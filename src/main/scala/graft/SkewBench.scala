@@ -111,6 +111,14 @@ object SkewBench {
         }
       def affineLayout(t: DataFrame): DataFrame =
         graft.features.Ewm.ewmaExact(t, "price", span, keyCols = Seq("symbol"))
+      // the per-key codegen WINDOW tier (O(ewmaWindowK(span))/row HOF) and
+      // the auto tier that must land on min(win, affine) on both fixtures
+      def ewinLayout(t: DataFrame): DataFrame =
+        graft.features.Ewm.ewmaWindowedKeyed(t, "price", span,
+          keyCols = Seq("symbol"))
+      def eautoLayout(t: DataFrame): DataFrame =
+        graft.features.Ewm.ewmaKeyed(t, "price", span,
+          keyCols = Seq("symbol"))
       // the keyed TBM chain (tbm_labels_sym's event recipe + the
       // label_weights_sym sweep) — the engine's heaviest keyed consumer
       def tbmChain(t: DataFrame): DataFrame = {
@@ -125,15 +133,17 @@ object SkewBench {
           .withColumnRenamed("avg_uniqueness", "ewma") // shared count column
       }
       // label-only cell: attributes hot-key cost between the barrier walk
-      // (bucketed range join) and the weights sweep
-      def labelOnly(t: DataFrame): DataFrame = {
+      // (bucketed range join) and the weights sweep. Default = AUTO bucket
+      // subdivision (probe-derived, r12 verdict ask #7); `label8` forces
+      // the old constant 8 for the comparison.
+      def labelOnly(subdiv: Option[Int])(t: DataFrame): DataFrame = {
         val ev = t.where(col("id") % 29 === 0).select(
           col("symbol"), col("ts").as("event_ts"), col("id").as("event_id"),
           col("price").as("p0"),
           (lit(0.05) + (col("id") % 7).cast("double") * lit(0.01)).as("tgt"))
         graft.labels.TripleBarrier.label(t, ev, 2.0, 1.5,
           vertBarrierSec = 7 * 86400.0, minCloseSec = 0.0, minRet = 0.02,
-          isMeta = false, partCols = Seq("symbol"))
+          isMeta = false, partCols = Seq("symbol"), bucketSubdiv = subdiv)
           .withColumnRenamed("ret", "ewma")
       }
       // the weights sweep ALONE through all three tier choices — the
@@ -155,14 +165,27 @@ object SkewBench {
       val layouts =
         (if (ops("ewma")) Seq("seq" -> (seqLayout _), "affine" -> (affineLayout _))
          else Nil) ++
+        (if (ops("ewin")) Seq("ewin" -> (ewinLayout _)) else Nil) ++
+        (if (ops("eauto")) Seq("eauto" -> (eautoLayout _)) else Nil) ++
         (if (ops("tbm")) Seq("tbm" -> (tbmChain _)) else Nil) ++
-        (if (ops("label")) Seq("label" -> (labelOnly _)) else Nil) ++
+        (if (ops("label")) Seq("label" -> (labelOnly(None) _)) else Nil) ++
+        (if (ops("label8")) Seq("label8" -> (labelOnly(Some(8)) _)) else Nil) ++
         (if (ops("weights"))
           Seq("wauto" -> (weightsSweep(None) _),
             "wwin" -> (weightsSweep(Some(false)) _),
             "wsafe" -> (weightsSweep(Some(true)) _))
          else Nil)
 
+      // JIT/codegen WARMUP before any timed cell: the first heavy cell in
+      // a fresh session otherwise pays whole-stage codegen compilation +
+      // parquet reader init (measured ~14 s on the TBM cells — enough to
+      // invert a paired comparison). Each layout runs once on a 50k-row
+      // slice, untimed.
+      layouts.foreach { case (_, mk) =>
+        try mk(spark.read.parquet(fixtures.head._2).limit(50000))
+          .select(count(col("ewma"))).first()
+        catch { case _: Throwable => }
+      }
       val cells = for {
         (kind, path) <- fixtures
         (layout, mk) <- layouts
@@ -177,9 +200,10 @@ object SkewBench {
           mk(t).select(count(col("ewma"))).first()
           (System.nanoTime() - t0) / 1e9
         }
-        if (layout == "wauto")
-          autoPicks += (s"${cpus}_$kind" -> graft.labels.Weights.lastAutoSkewSafe
-            .map(s => if (s) "safe" else "window").getOrElse("?"))
+        if (layout == "wauto" || layout == "eauto")
+          autoPicks += (s"${cpus}_${kind}_$layout" ->
+            graft.labels.Weights.lastAutoSkewSafe
+              .map(s => if (s) "safe" else "window").getOrElse("?"))
         s"${kind}_$layout" -> secs.min
       }
       // stop per iteration (like SymBench/StreamBench): getOrCreate would

@@ -26,6 +26,52 @@ import org.apache.spark.sql.types._
   */
 object Scan {
 
+  /** Shared KEY-OCCUPANCY PROBE for auto-tier selection (Weights sweeps,
+    * EW keyed scans, the TBM bucket width): (hottest key's row count,
+    * total rows) from one map-side-combined aggregation — the
+    * |keys|-sized partial tables are the only shuffle payload.
+    *
+    * CACHED per (canonical plan, partCols, session): a chain that probes
+    * the same frame twice (label_weights_sym calls concurrency +
+    * eventWeights on one trades lineage) pays ONE probe pass — the
+    * measured 102M-tier auto-vs-forced delta in SYM_SCALING r12 was
+    * entirely the second probe. The cache keys on the ANALYZED plan's
+    * semantic hash, so two lineages that normalize to the same plan share
+    * an entry while any real change (filter, different table) misses.
+    * Bounded (128 entries, cleared wholesale) — probe results are cheap
+    * to recompute; staleness is impossible for immutable inputs and
+    * bounded by one probe for re-written paths (same trade-off as AQE
+    * statistics).
+    */
+  object SkewProbe {
+    @volatile var lastAutoSkewSafe: Option[Boolean] = None
+    /** Number of probe aggregations actually executed (cache misses) —
+      * spec hook for the one-probe-per-chain guarantee.
+      */
+    private[graft] val probeRuns = new java.util.concurrent.atomic.AtomicLong
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[(Int, Seq[String], Int), (Long, Long)]()
+
+    def occupancy(df: DataFrame, partCols: Seq[String]): (Long, Long) = {
+      val key = (df.queryExecution.analyzed.semanticHash(), partCols,
+        System.identityHashCode(df.sparkSession))
+      val hit = cache.get(key)
+      if (hit != null) return hit
+      probeRuns.incrementAndGet()
+      val st = df.groupBy(partCols.map(col): _*)
+        .agg(count(lit(1)).as("c"))
+        .agg(max("c").as("mx"), sum("c").as("n")).head()
+      val res =
+        if (st.isNullAt(0)) (0L, 0L) else (st.getLong(0), st.getLong(1))
+      if (cache.size >= 128) cache.clear()
+      cache.put(key, res)
+      res
+    }
+
+    /** Test/bench hook: drop every cached probe. */
+    def invalidate(): Unit = cache.clear()
+  }
+
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Layout a frame so each key's rows are contiguous and ordered: shuffle

@@ -35,12 +35,27 @@ object TripleBarrier {
     *                 end-of-data cutoff are evaluated per symbol (the
     *                 bucketed join keys on (symbol, bucket)); empty = the
     *                 reference's single-series semantics
+    * @param bucketSubdiv path-join bucket subdivision (bucket width =
+    *                 vert/subdiv — see the BUCKET SUBDIVISION comment).
+    *                 `Some(k)` forces it; `None` (default) AUTO-derives it
+    *                 from the same key-occupancy probe as the Weights
+    *                 sweeps: unkeyed runs keep the measured-good 8 (one
+    *                 series — within-series parallelism is always needed);
+    *                 keyed runs take clamp(⌈cores·hottestKeyShare⌉, 1, 8)
+    *                 — the hot-key task fan-out actually required — so an
+    *                 even-key corpus stops paying the 9× event-row
+    *                 duplication (subdiv 1 = 2 copies) while a
+    *                 75%-on-one-key fixture reproduces the measured-right
+    *                 subdiv 8. Pure fan-out parameter: results are
+    *                 invariant in it (each event still meets each
+    *                 in-window trade exactly once).
     */
   def label(trades: DataFrame, events: DataFrame,
             topMult: Double, botMult: Double,
             vertBarrierSec: Double, minCloseSec: Double = 0.0,
             minRet: Double = 0.0, isMeta: Boolean = false,
-            partCols: Seq[String] = Nil): DataFrame = {
+            partCols: Seq[String] = Nil,
+            bucketSubdiv: Option[Int] = None): DataFrame = {
     val vertNs = (vertBarrierSec * 1e9).toLong
     val minCloseNs = (minCloseSec * 1e9).toLong
     val pc = partCols.map(col)
@@ -75,7 +90,7 @@ object TripleBarrier {
     // hash/sort-merge, parallel) instead of a broadcast nested loop over
     // |events| × |trades|.
     //
-    // BUCKET SUBDIVISION (hot-key parallelism): bw = vert/8, not vert.
+    // BUCKET SUBDIVISION (hot-key parallelism): bw = vert/subdiv, not vert.
     // The join's per-key-group work is |trades in bucket| × |events
     // covering bucket| and a sort-merge join cannot split WITHIN one key
     // group (AQE skew handling splits partitions, and a single giant
@@ -84,14 +99,34 @@ object TripleBarrier {
     // entire barrier walk on ~vert-span/vert tasks (89.6 s flat from 8 to
     // 32 cores). Total pair work is invariant in bw (each event still
     // meets each in-window trade exactly once); subdividing only fans the
-    // same work out over ~8× more key groups, restoring core scaling.
-    // The cost is event-row duplication (9 copies instead of 2) on the
-    // side that is ~1/29 of the trades — noise in the shuffle.
+    // same work out over ~subdiv× more key groups, restoring core
+    // scaling. The cost is event-row duplication (subdiv+1 copies instead
+    // of 2) on the side that is ~1/29 of the trades — noise in the
+    // shuffle. The subdivision factor is probe-derived by default (see
+    // @param bucketSubdiv); the probe is the shared cached SkewProbe, so
+    // a chain that already tiered its sweeps pays nothing extra.
     // The trade side is renamed (__t_*) before the join so no column
     // reference is ambiguous — events derive from the same trades lineage,
     // and dataframe-tagged references (t("ts")) trip the ambiguous-self-join
     // detector once any shared fragment is cached elsewhere in the session.
-    val bw = math.max(1L, vertNs / 8)
+    val subdiv = bucketSubdiv.getOrElse {
+      if (partCols.isEmpty) 8
+      else {
+        val cores = math.max(1,
+          trades.sparkSession.sparkContext.defaultParallelism)
+        val (mx, n) = graft.features.Scan.SkewProbe.occupancy(trades, partCols)
+        // floor 8, never below: subdivision is nearly free (the duplicated
+        // side is ~1/29 of the trades) and MEASURED to help even on even
+        // keys (SKEW_SCALING r13: probe-derived subdiv 1 ran the uniform
+        // fixture at 25.0 s vs 15.5 s at 8 — finer groups balance better
+        // regardless of skew). The probe only ever scales UP, to
+        // ⌈cores·hottestKeyShare⌉ task fan-out for the hot key, capped 64.
+        if (n == 0L) 8
+        else math.min(64L, math.max(8L,
+          (mx * cores + n - 1) / n)).toInt
+      }
+    }
+    val bw = math.max(1L, vertNs / subdiv)
     val t = trades.select(pc :+ col("ts").as("__t_ts") :+ col("id").as("__t_id") :+
         col("price").as("__t_price"): _*)
       .withColumn("__b", expr(s"__t_ts DIV ${bw}L"))

@@ -16,7 +16,7 @@ object Weights {
     * with `skewSafe = None` runs) — bench harnesses read it to record
     * which tier auto selection picked.
     */
-  @volatile var lastAutoSkewSafe: Option[Boolean] = None
+  def lastAutoSkewSafe: Option[Boolean] = Scan.SkewProbe.lastAutoSkewSafe
 
   /** AUTO TIER SELECTION for the keyed sweeps. Crossover model: the
     * window tier's wall is its serialized hottest key, maxKeyRows ×
@@ -32,11 +32,12 @@ object Weights {
     * CORE shares — unreachable on a ≤48-core box (maxKey ≤ n), by
     * MEASUREMENT the right call there, and exactly the regime a
     * 1000-core cluster DOES reach (a >5%-of-corpus key). Override via
-    * `spark.graft.weights.autoTierFactor`; the probe costs one
-    * map-side-combined agg over the trades frame (hottest key's count vs
-    * an even share of defaultParallelism — the real resource, not the
-    * shuffle-partition setting). Callers that KNOW their skew can still
-    * force a tier with `skewSafe = Some(...)`.
+    * `spark.graft.weights.autoTierFactor`. The occupancy probe is CACHED
+    * per (plan, partCols, cores) — one chain calling
+    * concurrency + eventWeights on the same trades frame pays it ONCE
+    * (the whole 102M-tier auto-vs-forced delta in SYM_SCALING r12 was
+    * the second probe). Callers that KNOW their skew can still force a
+    * tier with `skewSafe = Some(...)`.
     */
   private def autoSkewSafe(trades: DataFrame,
                            partCols: Seq[String]): Boolean = {
@@ -44,12 +45,9 @@ object Weights {
       trades.sparkSession.sparkContext.defaultParallelism)
     val factor = sys.props.get("spark.graft.weights.autoTierFactor")
       .map(_.toLong).getOrElse(48L)
-    val st = trades.groupBy(partCols.map(col): _*)
-      .agg(count(lit(1)).as("c"))
-      .agg(max("c").as("mx"), sum("c").as("n")).head()
-    val safe = !st.isNullAt(0) &&
-      st.getLong(0) > factor * st.getLong(1) / cores
-    lastAutoSkewSafe = Some(safe)
+    val (mx, n) = Scan.SkewProbe.occupancy(trades, partCols)
+    val safe = mx > factor * n / cores
+    Scan.SkewProbe.lastAutoSkewSafe = Some(safe)
     safe
   }
 

@@ -77,13 +77,17 @@ object ScanQueries {
       Ewm.ewmaExact(trades(s, dir), "price", span)
         .select(col("ts"), col("id"), r6(col("ewma")).as("ewma"))),
 
-    // Per-symbol EWMA on ONE range-partitioned reset-affine scan (ordered
-    // by (symbol, ts, id), a=0 boundary coefficients annihilate the
-    // previous key's state) — the SKEW-IMMUNE keyed layout: a heavy-hitter
-    // symbol splits across range partitions and parallelizes WITHIN the
-    // key, where a per-key shuffle would serialize it on one task.
+    // Per-symbol EWMA through the AUTO keyed tier (Ewm.ewmaKeyed, None):
+    // the measured pick at production spans is the range-partitioned
+    // reset-affine scan (ordered by (symbol, ts, id), a=0 boundary
+    // coefficients annihilate the previous key's state) — the SKEW-IMMUNE
+    // layout: a heavy-hitter symbol splits across range partitions and
+    // parallelizes WITHIN the key, where a per-key layout serializes it
+    // on one task. The per-key window tier stays forced-only: its
+    // O(10.4·span)/row HOF fold measured 40-230× the scan at span 100
+    // (SKEW_SCALING r13).
     "ewma_sym_scan" -> ((s, dir) =>
-      Ewm.ewmaExact(trades(s, dir), "price", span, keyCols = Seq("symbol"))
+      Ewm.ewmaKeyed(trades(s, dir), "price", span, keyCols = Seq("symbol"))
         .select(col("symbol"), col("ts"), col("id"),
           r6(col("ewma")).as("ewma"))),
 

@@ -924,6 +924,10 @@ object StreamQueries {
       import graft.sources.Store
       val trades = Trades.fromEvents(graft.Tables.events(s, dir))
         .select(col("ts"), col("id"), col("price"), col("qty"), col("symbol"))
+      // EXACT percentile (not approx_percentile) — the r11 "exact medians
+      // everywhere" convention extended to a three-way split: median can't
+      // cut a stream into thirds, but the determinism requirement is the
+      // same, and `percentile` is the exact interpolating form.
       val st = trades.agg(
         expr("cast(percentile(ts, 0.34) as bigint)"),
         expr("cast(percentile(ts, 0.67) as bigint)"),

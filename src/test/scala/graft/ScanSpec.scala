@@ -334,6 +334,62 @@ class ScanSpec extends AnyFunSuite {
     }
   }
 
+  test("keyed ewma tiers agree: per-key window tier == reset-affine scan within truncation") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 400).map { i =>
+      val sym = if (i % 10 < 8) 0L else (i % 10 - 7).toLong
+      (1000000000L * (i + 1), i.toLong, 50.0 + rnd.nextDouble() * 100, 1.0, sym)
+    }
+    val t = rows.toDF("ts", "id", "price", "qty", "symbol")
+    for (span <- Seq(5, 20, 100)) {
+      val ex = Ewm.ewmaExact(t, "price", span, keyCols = Seq("symbol"))
+        .select("symbol", "ts", "ewma").as[(Long, Long, Double)].collect()
+        .map { case (s, ts, v) => (s, ts) -> v }.toMap
+      val win = Ewm.ewmaWindowedKeyed(t, "price", span,
+          keyCols = Seq("symbol"))
+        .select("symbol", "ts", "ewma").as[(Long, Long, Double)].collect()
+      assert(win.length == ex.size)
+      win.foreach { case (s, ts, g) =>
+        val e = ex((s, ts))
+        assert(math.abs(g - e) <= 1e-9 * math.max(1.0, math.abs(e)),
+          s"span=$span sym=$s ts=$ts window=$g exact=$e — ewmaWindowK " +
+            "truncation must stay below the 1e-6 oracle rounding")
+      }
+    }
+  }
+
+  test("ewmaKeyed auto tier: production spans take the scan; the occupancy probe runs once per (plan, keys)") {
+    val rnd = new scala.util.Random(13)
+    val even = (0 until 400).map { i =>
+      (1000000000L * (i + 1), i.toLong, 50.0 + rnd.nextDouble() * 100, 1.0,
+        (i % 8).toLong)
+    }.toDF("ts", "id", "price", "qty", "symbol")
+    Scan.SkewProbe.invalidate()
+    val base = Scan.SkewProbe.probeRuns.get()
+    // default: the O(10.4·span)/row window fold never beats the O(1)/row
+    // scan at any realistic span (SKEW_SCALING r13: 40-230× at span 100)
+    // — scan tier picked WITHOUT spending a probe
+    Ewm.ewmaKeyed(even, "price", 100, keyCols = Seq("symbol"))
+    assert(Scan.SkewProbe.lastAutoSkewSafe.contains(true),
+      "auto must take the reset-affine scan tier")
+    assert(Scan.SkewProbe.probeRuns.get() == base,
+      "the span cap must short-circuit before probing")
+    // with the override opened up: probe runs once, even keys pick the
+    // window tier...
+    System.setProperty("spark.graft.ewm.windowTierMaxSpan", "8")
+    try {
+      Ewm.ewmaKeyed(even, "price", 5, keyCols = Seq("symbol"))
+      assert(Scan.SkewProbe.lastAutoSkewSafe.contains(false),
+        "opened-up small span on even keys should take the window tier")
+      assert(Scan.SkewProbe.probeRuns.get() == base + 1)
+      // ...and a SECOND auto call on the same frame hits the probe cache
+      // (the label_weights_sym chain-shared-probe guarantee)
+      Ewm.ewmaKeyed(even, "price", 5, keyCols = Seq("symbol"))
+      assert(Scan.SkewProbe.probeRuns.get() == base + 1,
+        "second probe of the same (plan, keys) must hit the cache")
+    } finally System.clearProperty("spark.graft.ewm.windowTierMaxSpan")
+  }
+
   test("ewms exact scan matches reference recursion (volatility.py:9-69)") {
     val rnd = new scala.util.Random(7)
     val prices = Seq.fill(300)(50.0 + rnd.nextDouble() * 100)
