@@ -232,7 +232,9 @@ object DocBench {
       graft.sources.StateStore.publishBatch(
         surv.select("doc_id", "text", "toks"), stateDir + "/store", i)
       graft.sources.StateStore.publishBatch(
-        ann.select("content_hash").distinct(), stateDir + "/seen", i)
+        ann.select("content_hash").distinct()
+          .join(seen, Seq("content_hash"), "left_anti"),
+        stateDir + "/seen", i)
       Dedup.appendLshIndexIdempotent(surv.select("doc_id", "toks"),
         "doc_id", "toks", shingleN, minhashK, minhashBands, table, dir,
         batchId = i, buckets = 32)

@@ -230,8 +230,15 @@ object StreamQueries {
       surv.select("doc_id", "text", "has_pii", "pred_lang",
         "n_ws_tokens", "quality_score", "shard", "toks"),
       root + "/store", batchId)
+    // publish only the batch's UNSEEN hashes (anti-join against the same
+    // as-of read the probe used): seen then grows with the DISTINCT
+    // corpus, not with arrivals — the state-size property a 100 TB ingest
+    // needs — and "every hash has exactly one publishing batch" becomes a
+    // true global invariant the crash-replay gate can assert.
     graft.sources.StateStore.publishBatch(
-      ann.select("content_hash").distinct(), root + "/seen", batchId)
+      ann.select("content_hash").distinct()
+        .join(seen, Seq("content_hash"), "left_anti"),
+      root + "/seen", batchId)
     if (batchId == crashAtBatch)
       throw new RuntimeException(
         "injected crash between the seen publish and the index publish")
@@ -377,7 +384,9 @@ object StreamQueries {
         "quality_score", "shard", "toks"),
       root + "/store", batchId)
     graft.sources.StateStore.publishBatch(
-      ann.select("content_hash").distinct(), root + "/seen", batchId)
+      ann.select("content_hash").distinct()
+        .join(seen, Seq("content_hash"), "left_anti"),
+      root + "/seen", batchId)
     graft.dedup.Dedup.appendLshIndexIdempotent(surv.select("doc_id", "toks"),
       "doc_id", "toks", shingleN, minhashK, minhashBands, name,
       root + "/idx", batchId, buckets = 8)
