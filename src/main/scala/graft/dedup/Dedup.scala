@@ -385,7 +385,7 @@ object Dedup {
     fs.listStatus(stageP)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       .foreach { f =>
-        fs.rename(f.getPath,
+        graft.sources.StateStore.checkedRename(fs, f.getPath,
           new org.apache.hadoop.fs.Path(idxP, s"b${batchId}_${f.getPath.getName}"))
       }
     spark.sql(s"DROP TABLE IF EXISTS $stageTable")

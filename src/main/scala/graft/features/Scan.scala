@@ -49,12 +49,25 @@ object Scan {
       * spec hook for the one-probe-per-chain guarantee.
       */
     private[graft] val probeRuns = new java.util.concurrent.atomic.AtomicLong
-    private val cache =
-      new java.util.concurrent.ConcurrentHashMap[(Int, Seq[String], Int), (Long, Long)]()
+    // key: (semanticHash, full schema, partCols, session). semanticHash is
+    // a 32-bit Int — two live frames CAN collide (birthday bound ~2^16
+    // frames, but a probe cache hands a collision straight to tier
+    // selection, silently mis-tiering the victim). The schema is a free
+    // structural discriminator already on the driver (no extra scan):
+    // colliding frames with different columns — the overwhelmingly likely
+    // collision shape across operator families — now miss instead.
+    private[graft] val cache =
+      new java.util.concurrent.ConcurrentHashMap[
+        (Int, org.apache.spark.sql.types.StructType, Seq[String], Int),
+        (Long, Long)]()
+
+    private[graft] def cacheKey(df: DataFrame, partCols: Seq[String])
+        : (Int, org.apache.spark.sql.types.StructType, Seq[String], Int) =
+      (df.queryExecution.analyzed.semanticHash(), df.schema, partCols,
+        System.identityHashCode(df.sparkSession))
 
     def occupancy(df: DataFrame, partCols: Seq[String]): (Long, Long) = {
-      val key = (df.queryExecution.analyzed.semanticHash(), partCols,
-        System.identityHashCode(df.sparkSession))
+      val key = cacheKey(df, partCols)
       val hit = cache.get(key)
       if (hit != null) return hit
       probeRuns.incrementAndGet()

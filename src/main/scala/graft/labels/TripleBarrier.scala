@@ -28,6 +28,26 @@ import org.apache.spark.sql.functions._
   */
 object TripleBarrier {
 
+  /** Auto bucket-subdivision for the keyed path join:
+    * clamp(⌈cores·hottestKeyShare⌉, 8, 2·cores). Floor 8, never below:
+    * subdivision is nearly free (the duplicated side is ~1/29 of the
+    * trades) and MEASURED to help even on even keys (SKEW_SCALING r13:
+    * probe-derived subdiv 1 ran the uniform fixture at 25.0 s vs 15.5 s
+    * at 8 — finer groups balance better regardless of skew). The probe
+    * only ever scales UP, to ⌈cores·hottestKeyShare⌉ task fan-out for the
+    * hot key. The cap is 2·cores, NOT a constant (r13's min-64 cap
+    * re-serialized a >6.4%-hot key on a 1000-core cluster): since
+    * mx ≤ n, ⌈mx·cores/n⌉ ≤ cores, so the cap never binds on real probe
+    * output — it exists to bound the event-duplication cost (subdiv+1
+    * copies) against corrupted stats. At 32 cores every reachable value
+    * (≤ 32) is identical to the old clamp(·, 8, 64), so results and
+    * measured picks carry over unchanged.
+    */
+  private[graft] def autoBucketSubdiv(cores: Int, mx: Long, n: Long): Int =
+    if (n == 0L) 8
+    else math.min(math.max(8L, 2L * cores),
+      math.max(8L, (mx * cores + n - 1) / n)).toInt
+
   /** @param events (event_ts, event_id, p0, tgt[, eside]) — eside ∈ {-1,1}
     *               required when isMeta; must also carry `partCols` columns
     *               when those are given
@@ -41,12 +61,18 @@ object TripleBarrier {
     *                 from the same key-occupancy probe as the Weights
     *                 sweeps: unkeyed runs keep the measured-good 8 (one
     *                 series — within-series parallelism is always needed);
-    *                 keyed runs take clamp(⌈cores·hottestKeyShare⌉, 1, 8)
-    *                 — the hot-key task fan-out actually required — so an
-    *                 even-key corpus stops paying the 9× event-row
-    *                 duplication (subdiv 1 = 2 copies) while a
-    *                 75%-on-one-key fixture reproduces the measured-right
-    *                 subdiv 8. Pure fan-out parameter: results are
+    *                 keyed runs take clamp(⌈cores·hottestKeyShare⌉, 8,
+    *                 2·cores) — the floor 8 is measurement-backed (finer
+    *                 groups balance better even on even keys, SKEW_SCALING
+    *                 r13: subdiv 1 lost 25.0 vs 15.5 s), the scale-up term
+    *                 is the hot key's required task fan-out (probe-derived
+    *                 auto-25 beat constant-8 390.7 vs 518.7 s on the
+    *                 78%-hot fixture), and the cap tracks CORES — on a
+    *                 1000-core cluster a >6%-hot key may legitimately need
+    *                 hundreds of buckets, which a constant cap would
+    *                 re-serialize. ⌈cores·share⌉ ≤ cores by construction,
+    *                 so the 2·cores cap only guards pathological probe
+    *                 outputs. Pure fan-out parameter: results are
     *                 invariant in it (each event still meets each
     *                 in-window trade exactly once).
     */
@@ -115,15 +141,7 @@ object TripleBarrier {
         val cores = math.max(1,
           trades.sparkSession.sparkContext.defaultParallelism)
         val (mx, n) = graft.features.Scan.SkewProbe.occupancy(trades, partCols)
-        // floor 8, never below: subdivision is nearly free (the duplicated
-        // side is ~1/29 of the trades) and MEASURED to help even on even
-        // keys (SKEW_SCALING r13: probe-derived subdiv 1 ran the uniform
-        // fixture at 25.0 s vs 15.5 s at 8 — finer groups balance better
-        // regardless of skew). The probe only ever scales UP, to
-        // ⌈cores·hottestKeyShare⌉ task fan-out for the hot key, capped 64.
-        if (n == 0L) 8
-        else math.min(64L, math.max(8L,
-          (mx * cores + n - 1) / n)).toInt
+        autoBucketSubdiv(cores, mx, n)
       }
     }
     val bw = math.max(1L, vertNs / subdiv)

@@ -75,7 +75,10 @@ object StateStore {
     * with the layout's `batch` partition column dropped (state content is
     * an unordered set — which batch a row arrived in is not part of it).
     * Runs [[recover]] first so a crashed fold can never surface a
-    * half-swapped view.
+    * half-swapped view. CONTRACT: call after the stream has drained (or
+    * from inside foreachBatch use [[readBefore]]) — a read raced against
+    * a live publish can surface the in-flight batch's partially-written
+    * partition, which only the as-of read is specified to exclude.
     */
   def read(spark: SparkSession, root: String): DataFrame = {
     recover(spark, root)
@@ -129,22 +132,52 @@ object StateStore {
     spark.read.parquet(files.map(_.getPath.toString).toIndexedSeq: _*)
       .repartition(nOut)
       .write.option("compression", "zstd").parquet(tmp.toString)
-    // journal: target, tmp, then one folded-partition path per line —
-    // drafted to a wip name and renamed (atomic commit point)
     val target = new org.apache.hadoop.fs.Path(rootP, s"batch=$gen")
-    val wip = new org.apache.hadoop.fs.Path(rootP, s"$wipPrefix$runId.txt")
-    val out = fs.create(wip, false)
-    out.write((Seq(target.toString, tmp.toString) ++
-      fold.map(_._2.toString)).mkString("\n").getBytes("UTF-8"))
-    out.close()
-    val journal = new org.apache.hadoop.fs.Path(rootP,
-      s"$journalPrefix$runId.txt")
-    fs.rename(wip, journal)
-    completeFold(fs, journal)
+    publishFold(fs, rootP, target, tmp, fold.map(_._2.toString), runId)
     val after = fs.listStatus(target).count(f => f.isFile &&
       f.getPath.getName.endsWith(".parquet"))
     (fold.length, files.length, after)
   }
+
+  /** Journal-then-flip: the publish half of [[compact]], from "staging
+    * dir is fully written" to "folded partitions deleted". Split out (like
+    * [[Store.publishCompaction]]) so the fault-grid spec can drive it
+    * through a filesystem that fails after op k and prove [[recover]]
+    * restores exactly-once content from EVERY interruption point.
+    * Journal content: target generation dir, tmp dir, then one
+    * folded-partition path per line — drafted to a wip name and renamed
+    * (atomic commit point; a truncated draft is swept pre-commit).
+    */
+  private[graft] def publishFold(fs: org.apache.hadoop.fs.FileSystem,
+                                 rootP: org.apache.hadoop.fs.Path,
+                                 target: org.apache.hadoop.fs.Path,
+                                 tmp: org.apache.hadoop.fs.Path,
+                                 foldDirs: Seq[String],
+                                 runId: String): Unit = {
+    val wip = new org.apache.hadoop.fs.Path(rootP, s"$wipPrefix$runId.txt")
+    val out = fs.create(wip, false)
+    out.write((Seq(target.toString, tmp.toString) ++ foldDirs)
+      .mkString("\n").getBytes("UTF-8"))
+    out.close()
+    val journal = new org.apache.hadoop.fs.Path(rootP,
+      s"$journalPrefix$runId.txt")
+    checkedRename(fs, wip, journal)
+    completeFold(fs, journal)
+  }
+
+  /** HDFS-semantics rename: surfaces a `false` return (dest exists,
+    * src missing, …) as a descriptive IOException instead of letting the
+    * caller proceed against a nonexistent path and die of an unrelated
+    * FileNotFoundException later (recovery keeps state intact either way
+    * — this is about diagnosability). Local RawLocalFileSystem mostly
+    * throws on its own; HDFS returns false.
+    */
+  private[graft] def checkedRename(fs: org.apache.hadoop.fs.FileSystem,
+                                     src: org.apache.hadoop.fs.Path,
+                                     dst: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"rename failed: $src -> $dst " +
+        "(filesystem returned false; dest may exist or src may be missing)")
 
   /** Idempotently drive a journaled fold to completion: flip tmp → target
     * generation (a replay where the flip already happened drops the
@@ -152,6 +185,18 @@ object StateStore {
     * journal. The target is never in the fold set (generation ids
     * strictly decrease), so re-running the deletes can never eat the
     * folded content.
+    *
+    * ABORT GUARD (mirrors [[Store.completeSwap]]'s vanished-staging case):
+    * if the journaled tmp dir is missing AND the target generation was
+    * never created, the folded copy is GONE — e.g. another process's
+    * [[recover]] swept the pre-journal tmp in the race window between
+    * this run's staging write and its journal rename ([[read]] auto-runs
+    * recover, so any out-of-process reader can set this up). Falling
+    * through to the fold-dir deletes would destroy the ONLY copy of that
+    * state; instead the journal is dropped and the fold dirs kept — this
+    * compaction simply never happened. tmp-missing WITH the target
+    * present can only mean the flip already completed (tmp is renamed,
+    * not copied), so that case proceeds to the deletes as before.
     */
   private def completeFold(fs: org.apache.hadoop.fs.FileSystem,
                            journal: org.apache.hadoop.fs.Path): Unit = {
@@ -166,7 +211,10 @@ object StateStore {
       .map(new org.apache.hadoop.fs.Path(_))
     if (fs.exists(tmp)) {
       if (fs.exists(target)) fs.delete(tmp, true) // flip already happened
-      else fs.rename(tmp, target)
+      else checkedRename(fs, tmp, target)
+    } else if (!fs.exists(target)) {
+      fs.delete(journal, false) // ABORT: folded copy vanished un-flipped
+      return
     }
     foldDirs.foreach(p => if (fs.exists(p)) fs.delete(p, true))
     fs.delete(journal, false)

@@ -324,7 +324,7 @@ object Store {
     out.close()
     val journal = new org.apache.hadoop.fs.Path(root,
       s"$intentPrefix$runId.txt")
-    fs.rename(wip, journal)
+    StateStore.checkedRename(fs, wip, journal)
     completeSwap(fs, journal)
   }
 
@@ -360,7 +360,7 @@ object Store {
           val dest = new org.apache.hadoop.fs.Path(monthDir,
             s"cmpct_${runId}_${f.getPath.getName}")
           if (fs.exists(dest)) fs.delete(f.getPath, false) // already moved
-          else fs.rename(f.getPath, dest)
+          else StateStore.checkedRename(fs, f.getPath, dest)
         }
         fs.delete(tmp, true)
       } else {
@@ -383,7 +383,7 @@ object Store {
       }
       val commit = new org.apache.hadoop.fs.Path(journal.getParent,
         s"$commitPrefix$runId.txt")
-      fs.rename(journal, commit)
+      StateStore.checkedRename(fs, journal, commit)
       completeSwap(fs, commit)
     } else {
       val (_, _, oldFiles) = readJournal(fs, journal)

@@ -390,6 +390,42 @@ class ScanSpec extends AnyFunSuite {
     } finally System.clearProperty("spark.graft.ewm.windowTierMaxSpan")
   }
 
+  test("SkewProbe cache key: a semantic-hash collision under a different schema cannot poison the probe") {
+    val t = tradesDf(Seq.fill(100)(1.0))
+    Scan.SkewProbe.invalidate()
+    val key = Scan.SkewProbe.cacheKey(t, Seq("symbol"))
+    // forge the collision the 32-bit semanticHash allows: an entry with
+    // the SAME Int hash but another frame's schema — under the old
+    // (hash, partCols, session) key this would have been a silent HIT
+    // handing a foreign frame's occupancy to tier selection
+    val otherSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("x",
+        org.apache.spark.sql.types.LongType)))
+    Scan.SkewProbe.cache.put((key._1, otherSchema, key._3, key._4),
+      (999999L, 1L))
+    val base = Scan.SkewProbe.probeRuns.get()
+    val (mx, n) = Scan.SkewProbe.occupancy(t, Seq("symbol"))
+    assert(Scan.SkewProbe.probeRuns.get() == base + 1,
+      "a different-schema collision must MISS the cache")
+    assert(mx == 100L && n == 100L,
+      s"poisoned occupancy surfaced: ($mx, $n)")
+  }
+
+  test("TBM auto bucket subdiv: cap derives from cores (a constant 64 re-serializes hot keys on big clusters)") {
+    import graft.labels.TripleBarrier.autoBucketSubdiv
+    // at 32 cores every reachable value is ≤ 32, identical to the old
+    // clamp(·, 8, 64) — the r13 measured picks carry over unchanged
+    assert(autoBucketSubdiv(32, 1, 8) == 8) // even keys → floor 8
+    assert(autoBucketSubdiv(32, 78, 100) == 25) // 78%-hot → ⌈0.78·32⌉
+    assert(autoBucketSubdiv(32, 100, 100) == 32) // single-key corpus
+    // 1000 cores, 10%-hot key: the hot key's walk needs ~100-task
+    // fan-out; the old min(64, ·) would have re-serialized it
+    assert(autoBucketSubdiv(1000, 10, 100) == 100)
+    assert(autoBucketSubdiv(1000, 100, 100) == 1000) // ≤ 2·cores cap
+    assert(autoBucketSubdiv(4, 1, 2) == 8) // tiny cores: floor 8 holds
+    assert(autoBucketSubdiv(1000, 0, 0) == 8) // empty probe → default
+  }
+
   test("ewms exact scan matches reference recursion (volatility.py:9-69)") {
     val rnd = new scala.util.Random(7)
     val prices = Seq.fill(300)(50.0 + rnd.nextDouble() * 100)

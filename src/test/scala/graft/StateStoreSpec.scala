@@ -106,6 +106,102 @@ class StateStoreSpec extends AnyFunSuite {
     assert(fingerprint(StateStore.read(spark, root)) == truth)
   }
 
+  test("fold abort guard: vanished staging with no target keeps the fold dirs (the only copy)") {
+    // The race: another process's recover() (read() auto-runs it) sweeps
+    // this run's pre-journal tmp as an orphan, then the journal lands.
+    // completeFold must ABORT — drop the journal, keep the batch
+    // partitions — not fall through to the fold-dir deletes and destroy
+    // the only remaining copy of that state. Mirrors Store.completeSwap's
+    // vanished-staging case (which this same grid discipline surfaced).
+    val root = Files.createTempDirectory("state").toString
+    StateStore.publishBatch(delta(0, 5), root, 0)
+    StateStore.publishBatch(delta(1, 5), root, 1)
+    val truth = fingerprint(StateStore.read(spark, root))
+    val rootF = new java.io.File(root)
+    val folds = rootF.listFiles().filter(_.getName.startsWith("batch="))
+      .map(_.getAbsolutePath).sorted
+    // journal references a tmp that does NOT exist and a target that was
+    // never created
+    Files.writeString(
+      new java.io.File(rootF, "_graft_state_journal_gh0st.txt").toPath,
+      (Seq(new java.io.File(rootF, "batch=-2").getAbsolutePath,
+        new java.io.File(rootF, "_state_tmp_gh0st").getAbsolutePath) ++
+        folds).mkString("\n"))
+    StateStore.recover(spark, root)
+    val names = rootF.listFiles().map(_.getName).toSet
+    assert(!names.exists(_.startsWith("_graft_state_")),
+      "aborted journal must be dropped")
+    assert(names.contains("batch=0") && names.contains("batch=1"),
+      "abort must keep the folded partitions — they are the only copy")
+    assert(fingerprint(StateStore.read(spark, root)) == truth,
+      "state content must survive the aborted fold untouched")
+  }
+
+  test("fold fault grid: recovery restores exact content from EVERY interruption point") {
+    // Property (same grid as StoreSpec's two-journal swap, which found
+    // two real protocol bugs): interrupt publishFold (journal draft →
+    // atomic rename → flip → deletes) after its k-th filesystem mutation
+    // for EVERY k, run recover, and the state dir must hold exactly the
+    // original rows — never a lost partition, never a doubled fold.
+    val proto = Files.createTempDirectory("statefaultproto").toString
+    StateStore.publishBatch(delta(-1, 3), proto, -1)
+    (0 to 2).foreach(b => StateStore.publishBatch(delta(b, 4 + b), proto, b))
+    val protoRoot = new java.io.File(proto)
+    // truth BEFORE staging: read() auto-runs recover, which would sweep
+    // the not-yet-journaled staging tmp as an orphan (exactly the race
+    // the abort guard exists for — but here it would just gut the fixture)
+    val truth = fingerprint(StateStore.read(spark, proto))
+    // pre-stage the folded copy once (the grid covers the PUBLISH
+    // protocol; staging itself is a plain overwrite a crash just orphans)
+    spark.read.parquet(proto).drop("batch").repartition(1)
+      .write.parquet(new java.io.File(protoRoot, "_state_tmp_fau1t").toString)
+    val foldNames = protoRoot.listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).sorted
+    def cloneFixture(): java.io.File = {
+      val dst = Files.createTempDirectory("statefaultgrid").toFile
+      def cp(src: java.io.File, dest: java.io.File): Unit = {
+        if (src.isDirectory) {
+          dest.mkdirs()
+          src.listFiles().foreach(f => cp(f, new java.io.File(dest, f.getName)))
+        } else Files.copy(src.toPath, dest.toPath)
+      }
+      protoRoot.listFiles().foreach(f => cp(f, new java.io.File(dst, f.getName)))
+      dst
+    }
+    def runAt(failAt: Int): (Int, Boolean) = {
+      val dir = cloneFixture()
+      val rootP = new org.apache.hadoop.fs.Path(dir.toString)
+      val raw = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val fs = new FaultFs(raw, failAt)
+      val crashed =
+        try {
+          StateStore.publishFold(fs, rootP,
+            new org.apache.hadoop.fs.Path(rootP, "batch=-2"),
+            new org.apache.hadoop.fs.Path(rootP, "_state_tmp_fau1t"),
+            foldNames.map(n =>
+              new org.apache.hadoop.fs.Path(rootP, n).toString).toIndexedSeq,
+            "fau1t")
+          false
+        } catch { case _: java.io.IOException => true }
+      StateStore.recover(spark, dir.toString)
+      assert(fingerprint(StateStore.read(spark, dir.toString)) == truth,
+        s"fault at op $failAt: recovery lost or doubled state rows")
+      val leftovers = dir.listFiles().filter(f =>
+        f.getName.startsWith("_state_tmp_") ||
+          f.getName.startsWith("_graft_state_"))
+      assert(leftovers.isEmpty,
+        s"fault at op $failAt: leftovers ${leftovers.map(_.getName).mkString(",")}")
+      (fs.ops, crashed)
+    }
+    val (totalOps, cleanCrashed) = runAt(Int.MaxValue)
+    assert(!cleanCrashed && totalOps >= 6,
+      s"clean fold publish should run ≥6 mutating ops, saw $totalOps")
+    (1 to totalOps).foreach { k =>
+      val (_, crashed) = runAt(k)
+      assert(crashed, s"op $k: expected the injected fault to fire")
+    }
+  }
+
   test("appendLshIndexIdempotent: a replayed batch publish leaves the index byte-identical") {
     import graft.dedup.Dedup
     val dir = Files.createTempDirectory("lshidem").toString

@@ -198,37 +198,8 @@ class StoreSpec extends AnyFunSuite {
     assert(!new java.io.File(root, "_graft_compact_commit_cafe01.txt").exists())
   }
 
-  /** A FilterFileSystem that throws after `failAt` MUTATING ops (create /
-    * rename / delete — the crash-shaped operations; reads can't corrupt).
-    * failAt = MaxValue counts a clean run's op total.
-    */
-  private class FaultFs(underlying: org.apache.hadoop.fs.FileSystem,
-                        failAt: Int)
-      extends org.apache.hadoop.fs.FilterFileSystem(underlying) {
-    var ops = 0
-    private def tick(): Unit = {
-      ops += 1
-      if (ops >= failAt) throw new java.io.IOException(
-        s"injected fault at mutating op $ops")
-    }
-    override def create(f: org.apache.hadoop.fs.Path,
-        permission: org.apache.hadoop.fs.permission.FsPermission,
-        overwrite: Boolean, bufferSize: Int, replication: Short,
-        blockSize: Long,
-        progress: org.apache.hadoop.util.Progressable)
-        : org.apache.hadoop.fs.FSDataOutputStream = {
-      tick(); super.create(f, permission, overwrite, bufferSize,
-        replication, blockSize, progress)
-    }
-    override def rename(src: org.apache.hadoop.fs.Path,
-                        dst: org.apache.hadoop.fs.Path): Boolean = {
-      tick(); super.rename(src, dst)
-    }
-    override def delete(f: org.apache.hadoop.fs.Path,
-                        recursive: Boolean): Boolean = {
-      tick(); super.delete(f, recursive)
-    }
-  }
+  // FaultFs (the counting crash-injection filesystem) lives in
+  // FaultFs.scala, shared with StateStoreSpec's fold fault grid.
 
   test("two-journal swap fault grid: recovery restores exact content from EVERY interruption point") {
     // Property: interrupt publishCompaction (journal write → swap →
