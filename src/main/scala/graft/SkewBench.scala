@@ -170,6 +170,14 @@ object SkewBench {
         (if (ops("tbm")) Seq("tbm" -> (tbmChain _)) else Nil) ++
         (if (ops("label")) Seq("label" -> (labelOnly(None) _)) else Nil) ++
         (if (ops("label8")) Seq("label8" -> (labelOnly(Some(8)) _)) else Nil) ++
+        // the cores-derived cap question (r13 verdict #6): label64 is what
+        // the old constant cap allowed a high-core cluster; label100 is
+        // what the 2·cores cap permits at 128 cores on a 78%-hot key
+        // (⌈128·0.78⌉ = 100). Flat-or-better label100 on THIS box shows
+        // the added fan-out costs nothing; the structural win (hot-key
+        // de-serialization) needs the big cluster the cap now admits.
+        (if (ops("label64")) Seq("label64" -> (labelOnly(Some(64)) _)) else Nil) ++
+        (if (ops("label100")) Seq("label100" -> (labelOnly(Some(100)) _)) else Nil) ++
         (if (ops("weights"))
           Seq("wauto" -> (weightsSweep(None) _),
             "wwin" -> (weightsSweep(Some(false)) _),

@@ -393,6 +393,65 @@ object Dedup {
     spark.catalog.refreshTable(table)
   }
 
+  /** IN-STREAM committed-batch fold of a stored band index — the
+    * file-count lifecycle for [[appendLshIndexIdempotent]]'s per-batch
+    * publishes (r13 verdict #2: `b<batch>_*` files otherwise accumulate
+    * in the index dir forever — the listing/footer bottleneck
+    * [[graft.sources.StateStore.compact]] solves for state dirs, reborn
+    * in the index). Called at a batch's ENTRY inside foreachBatch with
+    * `uptoBatch = batchId - 1`: every batch ≤ that id has a durable
+    * checkpoint commit, so none can replay — folding their files can
+    * never race a replayed publish's delete-by-`b<id>_` sweep, and the
+    * `src_batch` column rides each ROW, so the folded rows keep
+    * answering the as-of probes (`src_batch < batchId` is a scan
+    * predicate on data, not a filename convention).
+    *
+    * Protocol: (1) re-bucket the foldable files (batch files with id ≤
+    * `uptoBatch`, plus prefix-less day-0 files and `cmpct_*` previous
+    * generations — all committed by construction) into a staging table
+    * with the index's own bucket spec — bucket ids depend only on the
+    * column hash and count, so staged files carry the right `_NNNNN`
+    * tags; (2) publish through [[graft.sources.Store.publishCompaction]]
+    * — the two-journal swap whose every-mutating-op fault grid is proven
+    * in StoreSpec — moving staged files in under `cmpct_<run>_` names
+    * (never collides with a `b<id>_` sweep) and deleting the folded
+    * originals. [[graft.sources.Store.recoverCompaction]] at entry
+    * self-heals any crashed prior fold before the batch's probes read.
+    * Single-writer like every state publish here.
+    *
+    * @return (foldedFiles, filesAfter) — (0, n) when fewer than
+    *         `minFiles` qualify.
+    */
+  def foldLshIndexBatches(spark: org.apache.spark.sql.SparkSession,
+                          table: String, indexPath: String, uptoBatch: Long,
+                          buckets: Int = 32, minFiles: Int = 8): (Int, Int) = {
+    graft.sources.Store.recoverCompaction(spark, indexPath)
+    val idxP = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = idxP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bPat = "^b(-?\\d+)_".r
+    def parquetFiles() = fs.listStatus(idxP)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val fold = parquetFiles().filter { f =>
+      bPat.findFirstMatchIn(f.getPath.getName) match {
+        case Some(m) => m.group(1).toLong <= uptoBatch
+        case None => true // day-0 write or a previous generation's cmpct_*
+      }
+    }
+    if (fold.length < minFiles) return (0, parquetFiles().length)
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val stagePath = s"$indexPath/_compact_tmp_$runId"
+    val stageTable = s"${table}__fold_stage"
+    graft.sources.Store.saveBucketed(
+      spark.read.parquet(fold.map(_.getPath.toString).toIndexedSeq: _*),
+      stageTable, stagePath, buckets, Seq("bucket"), Seq("bucket", "base_id"))
+    graft.sources.Store.publishCompaction(fs, idxP, idxP,
+      new org.apache.hadoop.fs.Path(stagePath),
+      fold.map(_.getPath.toString).toIndexedSeq, runId)
+    spark.sql(s"DROP TABLE IF EXISTS $stageTable")
+    spark.catalog.refreshTable(table)
+    (fold.length, parquetFiles().length)
+  }
+
   /** The stored index's tombstone table name — one per index table. */
   def lshTombstoneTable(table: String): String = s"${table}__tombstones"
 

@@ -426,6 +426,27 @@ object Similarity {
     if (fs.exists(p)) Some(spark.read.parquet(s"$dir/tombstones")) else None
   }
 
+  /** IN-STREAM committed-batch FILE fold for the live IVF ingest loop —
+    * the file-count lifecycle for [[ivfIndexAppend]]'s per-batch appends
+    * (r13 verdict #2's "same story for the IVF cell layout"): every
+    * arriving micro-batch lands one-file-per-touched-cell, so a
+    * long-running ingest grows the cell dirs' file count with ARRIVALS
+    * forever. Called at a batch's ENTRY inside foreachBatch: the files
+    * present then belong to batches whose checkpoint commits are durable
+    * (≤ batchId−1), so the fold only ever covers committed appends — it
+    * can never eat a batch that might still replay. Delegates to
+    * [[graft.sources.Store.compactPartitioned]]: per `cell=N` dir, the
+    * same two-journal swap the StoreSpec fault grid proves, with
+    * [[graft.sources.Store.recoverCompaction]] self-healing any crashed
+    * prior fold at entry. Distinct from [[ivfCompact]], which is the
+    * BATCH tombstone-rewrite (versioned dir swap) — this fold keeps the
+    * dir, the rows, and the probes' partition pruning untouched.
+    */
+  def ivfFoldCells(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   targetBytes: Long = 128L << 20): DataFrame =
+    graft.sources.Store.compactPartitioned(spark, s"$dir/cells", "cell=",
+      targetBytes)
+
   /** Fold tombstones into a physical rewrite: active rows land as a FRESH
     * partitioned index under `newDir` (same layout as [[ivfIndexWrite]],
     * centroids copied verbatim — the codebook is unchanged, only dead

@@ -139,13 +139,41 @@ object StreamQueries {
     (train.schema, benchBloom)
   }
 
+  /** GC the per-batch replay staging dirs (`root/<sub>/<id>`) for batches
+    * STRICTLY BEFORE `batchId` — called at every batch's entry. The
+    * staging points exist only so a replay of batch N is deterministic
+    * (each is rebuilt by overwrite inside N's own body); entering batch N
+    * proves batch N−1's checkpoint commit is durable, so no batch ≤ N−1
+    * can ever replay and its staging is dead weight. Without this the
+    * pipeline retains ~2-3× the arrival volume FOREVER (r13 verdict #1 —
+    * the storage twin of the state-dir file-count problem
+    * [[graft.sources.StateStore.compact]] solves). Batch N's own staging
+    * (a crashed prior attempt's) is deliberately kept: the replay
+    * overwrites it stage by stage.
+    */
+  private def gcReplayStaging(s: SparkSession, root: String,
+                              subs: Seq[String], batchId: Long): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    subs.foreach { sub =>
+      val p = new org.apache.hadoop.fs.Path(s"$root/$sub")
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p))
+        fs.listStatus(p).filter(_.isDirectory).foreach { d =>
+          val id = scala.util.Try(d.getPath.getName.toLong).toOption
+          if (id.exists(_ < batchId)) fs.delete(d.getPath, true)
+        }
+    }
+  }
+
   /** One micro-batch of the FULL production filter suite: redact at entry
     * → quality + langid → Gopher repetition → bloom-bounded decon probe →
     * exact-dedup probe → LSH probe → shard → publish (store, seen, index).
     * Per-row expression staging points (fbr/fb0/fb/stage) are batch-scoped
     * overwrites, so the whole body is replay-deterministic given the AS-OF
-    * state reads. `crashAtBatch` injects one crash between the seen
-    * publish and the index publish — the crash-replay gate's kill point.
+    * state reads; committed batches' staging is GC'd at entry
+    * ([[gcReplayStaging]]). `crashAtBatch` injects one crash between the
+    * seen publish and the index publish — the crash-replay gate's kill
+    * point.
     */
   private def corpusFullOnBatch(s: SparkSession, name: String, root: String,
                                 benchBloom: Array[Byte],
@@ -154,6 +182,7 @@ object StreamQueries {
       batchId: Long): Unit = {
     import DocQueries.{shingleN, minhashK, minhashBands}
     import graft.text.TextOps
+    gcReplayStaging(s, root, Seq("fbr", "fb0", "fb", "stage"), batchId)
     // 0. PII redaction at entry — STAGED before any scoring: as a
     // computed column, `redact(raw)` would be INLINED into every
     // downstream quality/langid/HOF expression (HOF-bearing projections
@@ -323,17 +352,29 @@ object StreamQueries {
     * if the fold were not content-preserving or raced the open batch.
     */
   private def corpusBaseOnBatch(s: SparkSession, name: String, root: String,
-                                compactAtBatch: Long = -1L)(
+                                compactAtBatch: Long = -1L,
+                                crashAtBatch: Long = -1L,
+                                foldIndexAtBatch: Long = -1L)(
       b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
       batchId: Long): Unit = {
     import DocQueries.{shingleN, minhashK, minhashBands}
     import graft.text.TextOps
+    gcReplayStaging(s, root, Seq("fb", "stage"), batchId)
     if (batchId == compactAtBatch) {
       // fold committed batches only (ids ≤ batchId-1 — their checkpoint
-      // commits are durable, so none can ever replay into the fold)
+      // commits are durable, so none can ever replay into the fold).
+      // Idempotent under replay: a crashed batch that already folded
+      // finds ONE generation partition ≤ batchId-1 and no-ops (< minDirs)
       graft.sources.StateStore.compact(s, root + "/seen", batchId - 1)
       graft.sources.StateStore.compact(s, root + "/store", batchId - 1)
     }
+    if (batchId == foldIndexAtBatch)
+      // committed-batch fold of the stored band index: only b<id>_ files
+      // with id ≤ batchId-1 (plus day-0/previous generations) — none can
+      // ever replay, so the fold can never race a replayed publish's
+      // delete-by-prefix sweep
+      graft.dedup.Dedup.foldLshIndexBatches(s, name, root + "/idx",
+        batchId - 1, buckets = 8, minFiles = 2)
     // 1. cheap filters first: quality score + language id — then STAGE
     // the filtered batch to a batch-scoped file and read it back (its
     // subtree appears several times in one plan; an unpersisted subtree
@@ -387,6 +428,9 @@ object StreamQueries {
       ann.select("content_hash").distinct()
         .join(seen, Seq("content_hash"), "left_anti"),
       root + "/seen", batchId)
+    if (batchId == crashAtBatch)
+      throw new RuntimeException(
+        "injected crash between the seen publish and the index publish")
     graft.dedup.Dedup.appendLshIndexIdempotent(surv.select("doc_id", "toks"),
       "doc_id", "toks", shingleN, minhashK, minhashBands, name,
       root + "/idx", batchId, buckets = 8)
@@ -395,11 +439,14 @@ object StreamQueries {
   /** Drain the base pipeline's 3-batch source to completion. */
   private def corpusBaseDrain(s: SparkSession, name: String, root: String,
                               schema: org.apache.spark.sql.types.StructType,
-                              compactAtBatch: Long = -1L): Unit = {
+                              compactAtBatch: Long = -1L,
+                              crashAtBatch: Long = -1L,
+                              foldIndexAtBatch: Long = -1L): Unit = {
     val q = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(root + "/src/*")
       .writeStream
-      .foreachBatch(corpusBaseOnBatch(s, name, root, compactAtBatch) _)
+      .foreachBatch(corpusBaseOnBatch(s, name, root, compactAtBatch,
+        crashAtBatch, foldIndexAtBatch) _)
       .option("checkpointLocation", root + "/chk")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
@@ -1137,6 +1184,76 @@ object StreamQueries {
           (col("n") === col("both")).as("live_append_matches_memory"))
     }),
 
+    // MID-DRAIN COMMITTED-BATCH FILE FOLD of the live IVF ingest — the
+    // cell-layout twin of streaming_corpus_index_fold (r13 verdict #2):
+    // every live append lands one-file-per-touched-cell, so a long-running
+    // ingest grows each cell dir's file count with arrivals forever. At
+    // batch 2's entry ivfFoldCells folds every committed file (the base
+    // write + batch 1's appends — durable by construction at that point)
+    // per cell through the fault-grid-proven journaled swap. The gate's
+    // output is the SAME bit-exact probe parity as streaming_ann_ivf_append
+    // — the fold moves bytes, not rows, so batch 2's probes over the
+    // folded cells must equal the in-memory twin — plus an engine-side
+    // requirement that the file count actually dropped.
+    "streaming_ann_ivf_fold" -> ((s, dir) => {
+      import graft.ml.Similarity
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val base = e.where(pmod(col("vec_id"), lit(5)) =!= 0)
+      val b1 = e.where(pmod(col("vec_id"), lit(10)) === 0)
+      val b2 = e.where(pmod(col("vec_id"), lit(10)) === 5)
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_gate_saivf_$runId").getAbsolutePath
+      val pth = new org.apache.hadoop.fs.Path(root)
+      val fs = pth.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(pth)) fs.delete(pth, true)
+      val cents = Similarity.kmeansCentroids(base, "vec_id", "embedding",
+        nlist = 32, iters = 5)
+      Similarity.ivfIndexWrite(base, "vec_id", "embedding", cents,
+        root + "/idx")
+      val t0 = System.currentTimeMillis()
+      writeOneFile(b1, root + "/src", "a_b1", t0 - 40000)
+      writeOneFile(b2, root + "/src", "b_b2", t0 - 20000)
+      val foldStats = new java.util.concurrent.atomic.AtomicLongArray(2)
+      val onBatch: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+        Long) => Unit = { (b, batchId) =>
+        if (batchId == 1L) {
+          val rep = Similarity.ivfFoldCells(s, root + "/idx")
+            .agg(sum("files_before"), sum("files_after")).head()
+          foldStats.set(0, rep.getLong(0)); foldStats.set(1, rep.getLong(1))
+        }
+        Similarity.ivfIndexTopK(s, root + "/idx", b, "vec_id", "embedding",
+            DocQueries.annK, nprobe = 16)
+          .write.mode("overwrite").parquet(root + s"/probes/batch=$batchId")
+        Similarity.ivfIndexAppend(b, "vec_id", "embedding", root + "/idx")
+      }
+      val q = s.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1).parquet(root + "/src/*")
+        .writeStream.foreachBatch(onBatch)
+        .option("checkpointLocation", root + "/chk")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      require(foldStats.get(0) > foldStats.get(1),
+        s"cell fold did not reduce the index file count " +
+          s"(${foldStats.get(0)} -> ${foldStats.get(1)})")
+      def canon(df: DataFrame, tag: String) =
+        df.select(col("query_id"), col("rank"), col("neighbor_id"),
+          r6(col("cos")).as("cos"), lit(1).as(tag))
+      val mem = Similarity.ivfTopK(b1, base, "vec_id", "embedding",
+          DocQueries.annK, nprobe = 16, centroids = cents)
+        .unionAll(Similarity.ivfTopK(b2, base.unionAll(b1), "vec_id",
+          "embedding", DocQueries.annK, nprobe = 16, centroids = cents))
+      canon(s.read.parquet(root + "/probes"), "__s")
+        .join(canon(mem, "__m"),
+          Seq("query_id", "rank", "neighbor_id", "cos"), "full")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("__s").isNotNull && col("__m").isNotNull, 1)
+            .otherwise(0)).as("both"))
+        .select(col("query_id"),
+          (col("n") === col("both")).as("live_fold_matches_memory"))
+    }),
+
     // COMMITTED-BATCH REPLAY IDEMPOTENCE for the live vector ingest loop —
     // the IVF twin of streaming_store_ingest_replay: the cell-layout index
     // is append-mode parquet, so a crash-looping driver that re-ran a
@@ -1275,6 +1392,85 @@ object StreamQueries {
       corpusBaseOut(s, root)
     }),
 
+    // MID-DRAIN COMMITTED-BATCH FOLD of the stored LSH band index — the
+    // file-count lifecycle for the THIRD state table (r13 verdict #2: the
+    // seen/store dirs got StateStore.compact, but appendLshIndexIdempotent
+    // lands b<batch>_ bucketed files in the index dir forever): at batch
+    // 2's entry every committed batch's band files (b0_/b1_ plus the
+    // day-0 write) fold into cmpct_ generation files through the
+    // fault-grid-proven two-journal swap, keeping src_batch per ROW so
+    // batch 2's as-of probe still excludes nothing it shouldn't. The
+    // oracle is the base pipeline's text VERBATIM — a fold that dropped,
+    // duplicated or re-timed a band row would shift batch 2's candidate
+    // pairs and fail the hash. Engine-side the gate requires the fold
+    // physically happened AND the open batch's own publish survived it.
+    "streaming_corpus_index_fold" -> ((s, dir) => {
+      val name = s"graft_gate_sceix_$runId"
+      val root = new java.io.File(sys.props("java.io.tmpdir"), name)
+        .getAbsolutePath
+      val schema = corpusBaseDay0(s, dir, name, root)
+      corpusBaseDrain(s, name, root, schema, foldIndexAtBatch = 2L)
+      val idxNames = new java.io.File(root + "/idx").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getName)
+      require(!idxNames.exists(n => n.startsWith("b0_") || n.startsWith("b1_")),
+        s"index fold left committed per-batch files: ${idxNames.mkString(",")}")
+      require(idxNames.exists(_.startsWith("cmpct_")),
+        "no generation files after the index fold")
+      require(idxNames.exists(_.startsWith("b2_")),
+        "the open batch's own publish vanished in the fold")
+      corpusBaseOut(s, root)
+    }),
+
+    // STATE COMPACTION × CRASH REPLAY, composed (r13 verdict #5: each was
+    // gated alone; the interaction — a replayed batch's as-of read
+    // spanning a folded GENERATION partition plus its own surviving batch
+    // partitions — was argued by construction but never executed): at
+    // batch 2's entry seen/store fold into batch=-2; the same batch is
+    // then killed between the seen publish and the index publish; the
+    // restart replays batch 2 on the compacted state (its entry re-runs
+    // the fold hook, which must no-op on a lone generation) and the final
+    // corpus must hash-match the uninterrupted base oracle. Engine-side:
+    // the state dirs stay folded, no store/seen duplicates, exactly
+    // `bands` index rows per survivor.
+    "streaming_corpus_compact_crash_replay" -> ((s, dir) => {
+      import DocQueries.minhashBands
+      val name = s"graft_gate_sccr_$runId"
+      val root = new java.io.File(sys.props("java.io.tmpdir"), name)
+        .getAbsolutePath
+      val schema = corpusBaseDay0(s, dir, name, root)
+      val crashed =
+        try { corpusBaseDrain(s, name, root, schema, compactAtBatch = 2L,
+          crashAtBatch = 2L); false }
+        catch {
+          case _: org.apache.spark.sql.streaming.StreamingQueryException =>
+            true
+        }
+      require(crashed, "the injected crash after the compacted batch's " +
+        "seen publish did not fire")
+      corpusBaseDrain(s, name, root, schema, compactAtBatch = 2L)
+      Seq("/seen", "/store").foreach { st =>
+        val dirs = new java.io.File(root + st).listFiles()
+          .filter(_.getName.startsWith("batch=")).map(_.getName).sorted
+        require(dirs.length <= 2 && dirs.head == "batch=-2",
+          s"replay un-folded $st: ${dirs.mkString(",")}")
+      }
+      val store = graft.sources.StateStore.read(s, root + "/store")
+      val nDocs = store.count()
+      require(store.select("doc_id").distinct().count() == nDocs,
+        "compact+crash replay duplicated store rows")
+      s.catalog.refreshTable(name)
+      val idxByDoc = s.table(name).groupBy("base_id")
+        .agg(count(lit(1)).as("n"))
+      require(idxByDoc.where(col("n") =!= minhashBands).count() == 0,
+        "compact+crash replay duplicated or dropped band rows")
+      require(idxByDoc.count() == nDocs,
+        "index doc set diverged from the store after compact+crash replay")
+      val seen = graft.sources.StateStore.read(s, root + "/seen")
+      require(seen.count() == seen.distinct().count(),
+        "compact+crash replay duplicated seen hashes")
+      corpusBaseOut(s, root)
+    }),
+
 
     // THE LIVE DOCUMENT PIPELINE, FULL PRODUCTION FILTER SUITE — extends
     // streaming_corpus_e2e with the three batch-only stages a real ingest
@@ -1302,6 +1498,16 @@ object StreamQueries {
         .getAbsolutePath
       val (schema, benchBloom) = corpusFullDay0(s, dir, name, root)
       corpusFullDrain(s, name, root, schema, benchBloom)
+      // replay-staging GC bound (r13 verdict #1): the per-batch staging
+      // points (fbr/fb0/fb/stage) retain ~2-3× arrival volume if never
+      // reclaimed; gcReplayStaging at each batch entry must leave at most
+      // the LAST batch's dirs after the drain
+      Seq("fbr", "fb0", "fb", "stage").foreach { sub =>
+        val dirs = new java.io.File(s"$root/$sub").listFiles()
+          .filter(_.isDirectory).map(_.getName)
+        require(dirs.length <= 1,
+          s"replay staging $sub not GC'd: ${dirs.mkString(",")}")
+      }
       corpusFullOut(s, root)
     }),
 
@@ -2340,6 +2546,10 @@ object StreamQueries {
     "streaming_ann_ivf_append" ->
       """SELECT vec_id AS query_id, TRUE AS live_append_matches_memory
         |FROM embeddings WHERE vec_id % 5 = 0""".stripMargin,
+    // probe parity must survive the mid-drain cell-file fold bit-exactly
+    "streaming_ann_ivf_fold" ->
+      """SELECT vec_id AS query_id, TRUE AS live_fold_matches_memory
+        |FROM embeddings WHERE vec_id % 5 = 0""".stripMargin,
     // exactly one index row per corpus vector after the replay drain —
     // a double-appended batch would flip its vectors to n_index_rows = 2
     "streaming_ann_ivf_replay" ->
@@ -2349,6 +2559,15 @@ object StreamQueries {
     // the state-compaction drain must land on the base pipeline's exact
     // survivor set — the fold is content-preserving or this hash fails
     "streaming_corpus_state_compact" ->
+      DocQueries.streamingCorpusE2eOracleSql,
+    // the index-folded drain must land on the base pipeline's exact
+    // survivor set — a band row lost/duplicated by the fold shifts batch
+    // 2's candidate pairs and fails this hash
+    "streaming_corpus_index_fold" ->
+      DocQueries.streamingCorpusE2eOracleSql,
+    // compaction composed with a mid-batch crash must still replay to the
+    // uninterrupted base pipeline's survivor set
+    "streaming_corpus_compact_crash_replay" ->
       DocQueries.streamingCorpusE2eOracleSql,
     "streaming_corpus_e2e_full" ->
       DocQueries.streamingCorpusE2eFullOracleSql,

@@ -248,20 +248,44 @@ object Store {
                         months: Option[Seq[String]] = None): DataFrame =
     compactConcurrent(spark, path, targetBytes, months, () => ())
 
+  /** [[compactConcurrent]] for ANY single-level hive-partitioned layout —
+    * the partition prefix parameterized (e.g. `cell=` for the IVF index's
+    * cell dirs, where per-batch live appends land one-file-per-cell-per-
+    * batch and the file count otherwise grows with ingest forever). Same
+    * journaled two-phase swap per partition dir, same
+    * [[recoverCompaction]] self-healing (the journal protocol never looks
+    * at the partition prefix). Safe at a foreachBatch entry: files
+    * present when batch N starts belong to batches ≤ N−1, whose
+    * checkpoint commits are durable — the fold only ever covers
+    * committed work.
+    */
+  def compactPartitioned(spark: SparkSession, path: String,
+                         partPrefix: String,
+                         targetBytes: Long = 128L << 20): DataFrame =
+    compactConcurrent(spark, path, targetBytes, None, () => (), partPrefix)
+
   private[graft] def compactConcurrent(spark: SparkSession, path: String,
                                        targetBytes: Long,
                                        months: Option[Seq[String]],
-                                       onAfterSnapshot: () => Unit): DataFrame = {
+                                       onAfterSnapshot: () => Unit): DataFrame =
+    compactConcurrent(spark, path, targetBytes, months, onAfterSnapshot,
+      "month=")
+
+  private[graft] def compactConcurrent(spark: SparkSession, path: String,
+                                       targetBytes: Long,
+                                       months: Option[Seq[String]],
+                                       onAfterSnapshot: () => Unit,
+                                       partPrefix: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverCompaction(spark, path) // self-heal any crashed prior run
     val monthDirs = fs.listStatus(root)
-      .filter(d => d.isDirectory && d.getPath.getName.startsWith("month="))
-      .filter(d => months.forall(_.contains(d.getPath.getName.stripPrefix("month="))))
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith(partPrefix))
+      .filter(d => months.forall(_.contains(d.getPath.getName.stripPrefix(partPrefix))))
       .sortBy(_.getPath.getName)
-    // phase 1: snapshot every month's file set before touching anything
+    // phase 1: snapshot every partition's file set before touching anything
     val snaps = monthDirs.map { d =>
-      val m = d.getPath.getName.stripPrefix("month=")
+      val m = d.getPath.getName.stripPrefix(partPrefix)
       val files = fs.listStatus(d.getPath)
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       (m, d.getPath, files)

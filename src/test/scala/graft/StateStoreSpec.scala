@@ -202,6 +202,66 @@ class StateStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("foldLshIndexBatches: committed batches fold content-exact; the open batch and its replay sweep survive") {
+    import graft.dedup.Dedup
+    val dir = Files.createTempDirectory("lshfold").toString
+    val name = "statespec_lsh_fold"
+    def docs(lo: Int, hi: Int): DataFrame =
+      (lo until hi).map { i =>
+        (i.toLong, (0 until 12).map(j => s"w${(i * 7 + j * 3) % 40}"))
+      }.toDF("doc_id", "toks")
+    Dedup.writeLshIndex(docs(0, 10), "doc_id", "toks",
+      shingleN = 3, k = 16, bands = 4, name, dir + "/idx", buckets = 4,
+      srcBatch = Some(-1L))
+    (1 to 3).foreach(b => Dedup.appendLshIndexIdempotent(
+      docs(b * 10, b * 10 + 10), "doc_id", "toks", shingleN = 3, k = 16,
+      bands = 4, name, dir + "/idx", batchId = b, buckets = 4))
+    def fp(): (Long, java.math.BigDecimal) = {
+      spark.catalog.refreshTable(name)
+      val r = spark.table(name).agg(count(lit(1)),
+        sum(xxhash64(col("base_id"), col("bucket"), col("src_batch"))
+          .cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    val truth = fp()
+    val idxDir = new java.io.File(dir + "/idx")
+    def names() = idxDir.listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName)
+    val before = names().length
+    // inside foreachBatch(3): batches ≤ 2 are committed
+    val (folded, after) = Dedup.foldLshIndexBatches(spark, name, dir + "/idx",
+      uptoBatch = 2, buckets = 4, minFiles = 2)
+    assert(folded >= 2 && after < before,
+      s"fold must shrink the file count ($before -> $after)")
+    assert(fp() == truth, "fold must preserve band rows exactly (incl. src_batch)")
+    val n = names()
+    assert(!n.exists(f => f.startsWith("b1_") || f.startsWith("b2_")),
+      s"committed batch files must fold away: ${n.mkString(",")}")
+    assert(n.exists(_.startsWith("cmpct_")) && n.exists(_.startsWith("b3_")),
+      s"expected generation + open-batch files, got: ${n.mkString(",")}")
+    // the OPEN batch's crash replay still lands exactly-once on the folded
+    // index: its delete-by-b3_ sweep cannot touch generation files
+    Dedup.appendLshIndexIdempotent(docs(30, 40), "doc_id", "toks",
+      shingleN = 3, k = 16, bands = 4, name, dir + "/idx", batchId = 3,
+      buckets = 4)
+    assert(fp() == truth, "open-batch replay over a folded index drifted")
+    // as-of probes still prune by src_batch (a data column, not a filename)
+    assert(spark.table(name).where(col("src_batch") < 3).count() ==
+      truth._1 - 10 * 4)
+    // bucket distribution survives the cmpct_ renames: bucket-keyed agg
+    // plans with zero Exchange on the stored side
+    val agg = spark.table(name).groupBy("bucket").agg(count(lit(1)).as("c"))
+    agg.collect()
+    assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+      "bucket distribution lost after the fold")
+    // a SECOND fold that also covers the (now committed) batch 3 folds
+    // generation + b3 into the next generation — the steady-state loop
+    val (folded2, after2) = Dedup.foldLshIndexBatches(spark, name,
+      dir + "/idx", uptoBatch = 3, buckets = 4, minFiles = 2)
+    assert(folded2 >= 2 && after2 <= after && fp() == truth)
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
+
   test("appendLshIndexIdempotent: a replayed batch publish leaves the index byte-identical") {
     import graft.dedup.Dedup
     val dir = Files.createTempDirectory("lshidem").toString
