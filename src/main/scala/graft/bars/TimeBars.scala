@@ -29,22 +29,29 @@ object TimeBars {
     // ts + ((iv - ts mod iv) mod iv)
     ts + pmod(lit(intervalNs) - pmod(ts, lit(intervalNs)), lit(intervalNs))
 
-  /** Fixed-width two-pass OHLCV core shared by time/event bars.
+  /** Single-pass OHLCV core shared by time/event bars.
     *
-    * Pass 1 is all fixed-width-buffer aggregates over the full trade stream
-    * (hash aggregation; `median` rides along as an ObjectHashAggregate
-    * buffer). Open/close need a (ts, id) tie-break — µs-quantized equal-ts
-    * trades exist — but a struct-keyed `min_by`/`max_by` buffer demotes the
-    * ENTIRE aggregation to SortAggregate (a full per-partition sort of all
-    * trades). Instead pass 2 re-joins only the rows sitting at each group's
-    * first/last timestamp (a handful per group; the group table broadcasts
-    * under AQE) and tie-breaks those with a plain long `id` key.
+    * ONE aggregation over the trade stream computes every per-bar column.
+    * Open/close need a (ts, id) tie-break — µs-quantized equal-ts trades
+    * exist — expressed as `min_by`/`max_by` keyed on `struct(ts, id)`:
+    * lexicographic struct ordering picks exactly "price of the lowest-id
+    * row at the group's first timestamp" / "... highest-id row at the last
+    * timestamp", the same rows the old two-pass (agg → boundary-row
+    * re-join → second agg) selected. The struct buffer does NOT demote the
+    * node: `median` is a TypedImperativeAggregate, so this aggregation
+    * plans as ObjectHashAggregate either way (r14 plan dumps:
+    * `plans/r14/tick_bars_300_{before,after}.txt` — 10 → 6 Exchanges, the
+    * boundary self-join gone). At scale this is one shuffle of group-width
+    * rows instead of a second full scan + join of the trade stream
+    * (optimization guide §2.4 "remove shuffles outright").
     */
   private[graft] def ohlcvTwoPass(t: DataFrame, g: Seq[String]): DataFrame = {
     val gc = g.map(col)
-    val agg = t.groupBy(gc: _*).agg(
+    t.groupBy(gc: _*).agg(
       min("ts").as("__fts"),
       max("ts").as("__lts"),
+      min_by(col("price"), struct(col("ts"), col("id"))).as("open"),
+      max_by(col("price"), struct(col("ts"), col("id"))).as("close"),
       max("price").as("high"),
       min("price").as("low"),
       sum("qty").as("volume"),
@@ -65,17 +72,7 @@ object TimeBars {
       // a long (the DuckDB mirror's sum(BIGINT) promotes to HUGEINT).
       (sum(floor(col("price") * col("qty") * lit(1e6) + lit(0.5)).cast("decimal(38,0)")).cast("double") /
         sum(floor(col("qty") * lit(1e6) + lit(0.5)).cast("decimal(38,0)")).cast("double")).as("vwap"))
-    val oc = t.join(agg.select(gc ++ Seq(col("__fts"), col("__lts")): _*), g)
-      .where(col("ts") === col("__fts") || col("ts") === col("__lts"))
-      .groupBy(gc: _*).agg(
-        // min_by/max_by ignore rows whose ordering expression is null, so
-        // each picks only among its own boundary-timestamp rows
-        min_by(when(col("ts") === col("__fts"), col("price")),
-               when(col("ts") === col("__fts"), col("id"))).as("open"),
-        max_by(when(col("ts") === col("__lts"), col("price")),
-               when(col("ts") === col("__lts"), col("id"))).as("close"))
     // __fts/__lts retained (first/last trade ts per group) — callers select
-    agg.join(oc, g)
   }
 
   /** OHLCV aggregation per bar. `fillEmpty` re-creates the reference's

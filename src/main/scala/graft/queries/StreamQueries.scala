@@ -543,9 +543,13 @@ object StreamQueries {
   private def splitTradeFileStream(s: SparkSession, dir: String,
                                    tmpName: String,
                                    flush: Boolean = false): DataFrame = {
+    // persisted: the median agg + both split writes (+ flush) each ACTION
+    // on this frame — without the persist the canonicalization re-scans
+    // the events parquet 3-4x (guide §1.2: remove repeated passes)
     val trades = Trades.fromEvents(graft.Tables.events(s, dir))
       .select(col("ts"), col("id"), col("price"), col("qty"),
         lit(0L).as("symbol"))
+      .persist(graft.Conf.storageLevel)
     val mid = trades.agg(expr("cast(median(ts) as bigint)")).head().getLong(0)
     val tmp = new java.io.File(sys.props("java.io.tmpdir"), tmpName)
       .getAbsolutePath
@@ -573,10 +577,13 @@ object StreamQueries {
     */
   private def splitSidedFileStream(s: SparkSession, dir: String,
                                    tmpName: String): DataFrame = {
+    // persisted: median + two split writes each re-run the tick-rule
+    // window (a full sort) without it — 3 passes folded to 1
     val sided = Trades.withTickRuleSide(
         Trades.fromEvents(graft.Tables.events(s, dir)))
       .select(col("ts"), col("id"), col("price"), col("qty"),
         col("side").cast("int").as("side"), lit(0L).as("symbol"))
+      .persist(graft.Conf.storageLevel)
     val mid = sided.agg(expr("cast(median(ts) as bigint)")).head().getLong(0)
     val tmp = new java.io.File(sys.props("java.io.tmpdir"), tmpName)
       .getAbsolutePath
@@ -604,8 +611,11 @@ object StreamQueries {
   private def splitKeyedTradeFileStream(s: SparkSession, dir: String,
                                         tmpName: String,
                                         flush: Boolean = false): DataFrame = {
+    // persisted: median + split writes (+ per-symbol flush distinct) =
+    // 3-4 actions over the same canonicalization
     val trades = Trades.fromEvents(graft.Tables.events(s, dir))
       .select(col("ts"), col("id"), col("price"), col("qty"), col("symbol"))
+      .persist(graft.Conf.storageLevel)
     val mid = trades.agg(expr("cast(median(ts) as bigint)")).head().getLong(0)
     val tmp = new java.io.File(sys.props("java.io.tmpdir"), tmpName)
       .getAbsolutePath
@@ -630,10 +640,13 @@ object StreamQueries {
   private def splitKeyedSidedFileStream(s: SparkSession, dir: String,
                                         tmpName: String,
                                         sentinels: Boolean = false): DataFrame = {
+    // persisted: median + both split writes each re-run the per-symbol
+    // tick-rule window (shuffle + sort) without it
     val sided = Trades.withTickRuleSide(
         Trades.fromEvents(graft.Tables.events(s, dir)), Seq("symbol"))
       .select(col("ts"), col("id"), col("price"), col("qty"),
         col("side").cast("int").as("side"), col("symbol"))
+      .persist(graft.Conf.storageLevel)
     val mid = sided.agg(expr("cast(median(ts) as bigint)")).head().getLong(0)
     val tmp = new java.io.File(sys.props("java.io.tmpdir"), tmpName)
       .getAbsolutePath
@@ -673,8 +686,19 @@ object StreamQueries {
         .select("ts", "id", "price", "qty"), Seq("ts", "id"))
     // fresh attribute ids: the downstream two-pass OHLCV self-joins this
     // frame, and a memory-sink View in the lineage trips analyzer
-    // reference-dedup ("conflicting references in Join")
-    s.createDataFrame(joined.rdd, joined.schema)
+    // reference-dedup ("conflicting references in Join").
+    // Persisted EAGERLY: completeBars scans this frame 3x (complete-flag
+    // agg + the OHLCV two-pass) and each scan would re-execute the RDD
+    // conversion AND the join (the plan shows 3-4 `Scan ExistingRDD`
+    // leaves over the same subtree — plans/r14/*_before.txt). The scans
+    // run as CONCURRENT broadcast/subquery futures, so a lazy persist is
+    // not enough — they all miss the in-flight cache and recompute
+    // (measured: three parallel ~1.4 s jobs at sf0.1); the count() below
+    // materializes the cache once before any of them start.
+    val fresh = s.createDataFrame(joined.rdd, joined.schema)
+      .persist(graft.Conf.storageLevel)
+    fresh.count()
+    fresh
   }
 
   /** [[withTradeData]] keeping the machine's symbol — shared by the keyed
@@ -687,7 +711,12 @@ object StreamQueries {
         col("bar_closed"))
       .join(Trades.fromEvents(graft.Tables.events(s, dir))
         .select("ts", "id", "price", "qty"), Seq("ts", "id"))
-    s.createDataFrame(joined.rdd, joined.schema)
+    // persisted eagerly for the same concurrent-3-scan reason as
+    // [[withTradeData]]
+    val fresh = s.createDataFrame(joined.rdd, joined.schema)
+      .persist(graft.Conf.storageLevel)
+    fresh.count()
+    fresh
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1577,6 +1606,7 @@ object StreamQueries {
           Trades.fromEvents(graft.Tables.events(s, dir)))
         .select(col("ts"), col("id"), col("price"), col("qty"),
           col("side").cast("int").as("side"), lit(0L).as("symbol"))
+        .persist(graft.Conf.storageLevel) // median + split writes: 3 passes -> 1
       val st = sided.agg(expr("cast(median(ts) as bigint)"),
         min(col("ts")), max(col("ts"))).head()
       val (mid, lo, hi) = (st.getLong(0), st.getLong(1), st.getLong(2))
@@ -1758,6 +1788,7 @@ object StreamQueries {
           Trades.fromEvents(graft.Tables.events(s, dir)))
         .select(col("ts"), col("id"), col("price"), col("qty"),
           col("side").cast("int").as("side"), lit(0L).as("symbol"))
+        .persist(graft.Conf.storageLevel) // median + split writes: 3 passes -> 1
       val mid = sided.agg(expr("cast(median(ts) as bigint)")).head().getLong(0)
       val base = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_gate_stream_resrun_$runId").getAbsolutePath
@@ -1815,6 +1846,7 @@ object StreamQueries {
           Trades.fromEvents(graft.Tables.events(s, dir)))
         .select(col("ts"), col("id"), col("price"), col("qty"),
           col("side").cast("int").as("side"), lit(0L).as("symbol"))
+        .persist(graft.Conf.storageLevel) // median + split writes: 3 passes -> 1
       val mid = sided.agg(expr("cast(median(ts) as bigint)")).head().getLong(0)
       val base = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_gate_stream_resdir_$runId").getAbsolutePath
@@ -1896,6 +1928,7 @@ object StreamQueries {
           Trades.fromEvents(graft.Tables.events(s, dir)))
         .select(col("ts"), col("id"), col("price"), col("qty"),
           col("side").cast("int").as("side"), lit(0L).as("symbol"))
+        .persist(graft.Conf.storageLevel) // median + split writes: 3 passes -> 1
       val mid = sided.agg(expr("cast(median(ts) as bigint)")).head().getLong(0)
       val base = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_gate_stream_resfp_$runId").getAbsolutePath
@@ -2321,6 +2354,7 @@ object StreamQueries {
           Trades.fromEvents(graft.Tables.events(s, dir)), Seq("symbol"))
         .select(col("ts"), col("id"), col("price"), col("qty"),
           col("side").cast("int").as("side"), col("symbol"))
+        .persist(graft.Conf.storageLevel) // median + split writes: 3 passes -> 1
       val st = sided.agg(expr("cast(median(ts) as bigint)"),
         min(col("ts")), max(col("ts"))).head()
       val (mid, lo, hi) = (st.getLong(0), st.getLong(1), st.getLong(2))
