@@ -289,11 +289,15 @@ object EventBars {
     */
   def completeBars(withIds: DataFrame, keyCols: Seq[String] = Nil): DataFrame = {
     val keys = keyCols :+ "bar_id"
-    val flagged = withIds.where(col("bar_id") >= 0)
-      .groupBy(keys.map(col): _*).agg(max(col("bar_closed")).as("__complete"))
+    // the complete flag (max(bar_closed)) rides the ONE per-bar OHLCV
+    // aggregation as an extra column instead of a second agg + re-join of
+    // the same stream (one Exchange instead of three — guide §2.4)
+    TimeBars.ohlcvTwoPass(withIds.where(col("bar_id") >= 0), keys,
+        extraAggs = Seq(max(col("bar_closed")).as("__complete")))
       .where(col("__complete"))
-    ohlcvByBarId(withIds.where(col("bar_id") >= 0), keyCols)
-      .join(flagged.select(keys.map(col): _*), keys)
+      .withColumn("bar_ts", col("__lts"))
+      .select((keyCols ++ Seq("bar_id", "bar_ts", "open", "high", "low",
+        "close", "volume", "trades", "median_trade_size", "vwap")).map(col): _*)
   }
 
   /** Symmetric CUSUM filter on log returns (sampling/filters.py:6-70 and

@@ -45,10 +45,10 @@ object TimeBars {
     * rows instead of a second full scan + join of the trade stream
     * (optimization guide §2.4 "remove shuffles outright").
     */
-  private[graft] def ohlcvTwoPass(t: DataFrame, g: Seq[String]): DataFrame = {
+  private[graft] def ohlcvTwoPass(t: DataFrame, g: Seq[String],
+                                  extraAggs: Seq[Column] = Nil): DataFrame = {
     val gc = g.map(col)
-    t.groupBy(gc: _*).agg(
-      min("ts").as("__fts"),
+    val aggs = Seq(
       max("ts").as("__lts"),
       min_by(col("price"), struct(col("ts"), col("id"))).as("open"),
       max_by(col("price"), struct(col("ts"), col("id"))).as("close"),
@@ -71,8 +71,10 @@ object TimeBars {
       // Footprints.summary — so no per-bar trade count can silently wrap
       // a long (the DuckDB mirror's sum(BIGINT) promotes to HUGEINT).
       (sum(floor(col("price") * col("qty") * lit(1e6) + lit(0.5)).cast("decimal(38,0)")).cast("double") /
-        sum(floor(col("qty") * lit(1e6) + lit(0.5)).cast("decimal(38,0)")).cast("double")).as("vwap"))
+        sum(floor(col("qty") * lit(1e6) + lit(0.5)).cast("decimal(38,0)")).cast("double")).as("vwap")
+    ) ++ extraAggs
     // __fts/__lts retained (first/last trade ts per group) — callers select
+    t.groupBy(gc: _*).agg(min("ts").as("__fts"), aggs: _*)
   }
 
   /** OHLCV aggregation per bar. `fillEmpty` re-creates the reference's

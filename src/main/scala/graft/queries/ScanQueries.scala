@@ -442,16 +442,15 @@ object ScanQueries {
     })
   )
 
-  private[queries] def keyedCompleteBars(ids: org.apache.spark.sql.DataFrame) = {
-    val complete = ids.groupBy("symbol", "bar_id")
-      .agg(max(col("bar_closed")).as("__closed")).where(col("__closed"))
-    EventBars.ohlcvByBarId(ids.where(col("bar_id") >= 0), Seq("symbol"))
-      .join(complete.select("symbol", "bar_id"), Seq("symbol", "bar_id"))
+  private[queries] def keyedCompleteBars(ids: org.apache.spark.sql.DataFrame) =
+    // one-pass: the complete flag rides EventBars.completeBars' single
+    // aggregation (the old second agg + re-join only differed on the
+    // bar_id = -1 group, which the >= 0 filter drops either way)
+    EventBars.completeBars(ids, Seq("symbol"))
       .select(col("symbol"), col("bar_id"), col("bar_ts"),
         r6(col("open")).as("open"), r6(col("high")).as("high"),
         r6(col("low")).as("low"), r6(col("close")).as("close"),
         r6(col("volume")).as("volume"), col("trades"))
-  }
 
   private def valueImbalanceQuery(dollar: Boolean, initB: Double): QueryFn =
     (s, dir) => {
