@@ -11,6 +11,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Spark 4.1 writes + awaits a companion checksum file for EVERY
+      // checkpoint/state file (ChecksumCheckpointFileManager) — profiled
+      // as the top task-block site across the streaming gates (thread
+      // samples: tasks parked in createWithChecksum's awaitResult). The
+      // engine's exactly-once story rests on rename-commit + replay
+      // gates, not on checksums, so default OFF; opt back in with
+      // SPARK_GRAFT_CHECKPOINT_CHECKSUM=true (scale-neutral either way).
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_CHECKPOINT_CHECKSUM", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JIT/codegen warmup (the reference's perf numbers are likewise

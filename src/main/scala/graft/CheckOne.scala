@@ -7,7 +7,8 @@ object CheckOne {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", sys.env.getOrElse("SPARK_GRAFT_CHECKPOINT_CHECKSUM", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args.tail.foreach { name =>
       val t0 = System.nanoTime()

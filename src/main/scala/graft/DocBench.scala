@@ -282,6 +282,7 @@ object DocBench {
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", sys.env.getOrElse("SPARK_GRAFT_CHECKPOINT_CHECKSUM", "false"))
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       def docs = spark.read.parquet(s"$fixture/documents.parquet")

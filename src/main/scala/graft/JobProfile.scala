@@ -15,6 +15,7 @@ object JobProfile {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", sys.env.getOrElse("SPARK_GRAFT_CHECKPOINT_CHECKSUM", "false"))
     val b = sys.env.get("GRAFT_PROFILE_CONF").map(_.split(";").toSeq)
       .getOrElse(Nil).map(_.split("=", 2)).filter(_.length == 2)
       .foldLeft(b0)((bb, kv) => bb.config(kv(0), kv(1)))

@@ -60,6 +60,7 @@ object StreamBench {
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", sys.env.getOrElse("SPARK_GRAFT_CHECKPOINT_CHECKSUM", "false"))
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       val base = graft.trades.Trades.fromEvents(Tables.events(spark, sfDir))
