@@ -329,6 +329,9 @@ object Dedup {
                      table: String, buckets: Int = 32): Unit =
     lshBandRows(batch, idCol, toksCol, shingleN, k, bands)
       .withColumnRenamed("id", "base_id")
+      // one file per bucket per append, not per (task × bucket) — same
+      // clustering rationale as Store.saveBucketed
+      .repartition(buckets, col("bucket"))
       .write
       .bucketBy(buckets, "bucket")
       .sortBy("bucket", "base_id")

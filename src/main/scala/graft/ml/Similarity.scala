@@ -374,6 +374,10 @@ object Similarity {
   def ivfIndexWrite(emb: DataFrame, idCol: String, vecCol: String,
                     centroids: Array[(Long, Array[Double])], dir: String): Unit = {
     assignCells(emb, idCol, vecCol, centroids)
+      // hash-cluster by cell before the partitioned write: one file per
+      // cell instead of one per (task × cell) — guide §6's hash
+      // distribution-mode; probe-side PartitionFilters pruning unchanged
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/cells")
     val spark = emb.sparkSession
@@ -403,6 +407,10 @@ object Similarity {
       .select(col("cell").cast("long"), col("cvec"))
       .as[(Long, Array[Double])].collect().sortBy(_._1)
     assignCells(emb, idCol, vecCol, cents)
+      // one file per touched cell per batch (same clustering rationale as
+      // ivfIndexWrite) — also what keeps the per-batch append cost and
+      // the fold's file-count growth ∝ touched cells, not tasks × cells
+      .repartition(col("cell"))
       .write.mode("append").partitionBy("cell")
       .parquet(s"$dir/cells")
   }

@@ -553,7 +553,14 @@ object Store {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
-    df.write
+    // hash-cluster on the bucket columns BEFORE the bucketed write: the
+    // writer otherwise emits one file per (task × bucket) — up to
+    // tasks·buckets tiny files per write, the many-small-files problem of
+    // guide §6 — while a same-hash repartition lands each bucket in one
+    // task → exactly one file per bucket (same rows per bucket either
+    // way; bucket assignment is the row hash, not the task)
+    df.repartition(buckets, bucketCols.map(col): _*)
+      .write
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(sortCols.head, sortCols.tail: _*)
       .option("path", path)
