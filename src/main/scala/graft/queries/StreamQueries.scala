@@ -98,8 +98,12 @@ object StreamQueries {
     // organic PII — same deterministic injection as pii_redact)
     val aug = s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), PipeQueries.augText.as("text"))
+    // persisted: train feeds 3 source writes, test feeds the bench gram
+    // table + bloom — 5 actions would otherwise re-run the PII
+    // augmentation + split hash per pass
     val sp = graft.ml.Sampling.splitAssign(aug, "doc_id",
       DocQueries.sampleSalt, DocQueries.splitFractions)
+      .persist(graft.Conf.storageLevel)
     val train = sp.where(col("split") === "train").select("doc_id", "text")
     val test = sp.where(col("split") === "test").select("doc_id", "text")
     // day-0 static state: the benchmark gram set (over REDACTED bench
@@ -313,8 +317,10 @@ object StreamQueries {
     val pth = new org.apache.hadoop.fs.Path(root)
     val fs = pth.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(pth)) fs.delete(pth, true)
+    // persisted: 3 source-split writes + day-0 schema probes re-read it
     val docsAll = s.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "text")
+      .persist(graft.Conf.storageLevel)
     // day-0 state: an EMPTY stored band index (batch 1 probes nothing,
     // publishes first), an empty seen-hash set, an empty survivors store
     graft.dedup.Dedup.writeLshIndex(
