@@ -6,22 +6,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // engine defaults (checksum-off, AQE advisory coalescing) live in
+    // Conf.engineDefaults so bench/verify/profilers always share them
+    val spark = Conf.engineDefaults(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // Spark 4.1 writes + awaits a companion checksum file for EVERY
-      // checkpoint/state file (ChecksumCheckpointFileManager) — profiled
-      // as the top task-block site across the streaming gates (thread
-      // samples: tasks parked in createWithChecksum's awaitResult). The
-      // engine's exactly-once story rests on rename-commit + replay
-      // gates, not on checksums, so default OFF; opt back in with
-      // SPARK_GRAFT_CHECKPOINT_CHECKSUM=true (scale-neutral either way).
-      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_CHECKPOINT_CHECKSUM", "false"))
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Conf.resolveStatePartitions(spark, sfDir)
     // JIT/codegen warmup (the reference's perf numbers are likewise
     // JIT-warm): touch each input table and exercise one shuffle + one
     // window so the first measured query isn't charged JVM startup.
@@ -145,14 +138,16 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration":$calibration,"rep_spreads":$spreadsJson,"failed":$failedJson}"""
-    println(json)
-    // the driver archives only a ~2000-char stdout TAIL; the full line
-    // above (~7 KB at 136 queries) can never fit it, which is why r5/r6's
-    // "parsed" came back null. Emit a compact summary as the LAST line —
-    // it fits any tail window; the complete per-query record is the line
-    // above plus the BENCH_LOCAL.json sidecar (committed to the repo).
+    // ORDER MATTERS (round-14 verdict #2): the driver parses the LAST
+    // stdout line, and for two rounds it parsed the compact summary —
+    // whose `queries` was replaced by a detail_file pointer — leaving
+    // PERF/scaling blind (n_common = 0). Print the summary FIRST and the
+    // full per-query JSON as the FINAL line so per-query comparison and
+    // the scaling block work again. The BENCH_LOCAL.json sidecar keeps
+    // carrying the complete record for humans and tail-truncated readers.
     val summary =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","calibration":$calibration,"failed":$failedJson,"detail_file":"BENCH_LOCAL.json"}"""
+    println(summary)
     // stdout gets truncated by callers that keep only a tail — persist the
     // complete line so every run's numbers stay machine-readable. The
     // DEFAULT path is the repo's benchmark of record: only a FULL-suite run
@@ -181,8 +176,9 @@ object Bench {
     }
     if (failed.nonEmpty)
       System.err.println(s"BENCH FAILURES: ${failed.sorted.mkString(", ")}")
-    // LAST stdout line on purpose — see the summary comment above
-    println(summary)
+    // LAST stdout line on purpose — the driver parses it; it must carry
+    // the per-query timings (see the order comment above)
+    println(json)
     spark.stop()
   }
 }

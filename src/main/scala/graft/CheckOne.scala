@@ -4,12 +4,11 @@ import org.apache.spark.sql.SparkSession
 object CheckOne {
   def main(args: Array[String]): Unit = {
     val sfDir = args.head
-    val spark = SparkSession.builder().master("local[32]")
+    val spark = Conf.engineDefaults(SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", sys.env.getOrElse("SPARK_GRAFT_CHECKPOINT_CHECKSUM", "false")).getOrCreate()
+      .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Conf.resolveStatePartitions(spark, sfDir)
     args.tail.foreach { name =>
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(name)(spark, sfDir).collect()

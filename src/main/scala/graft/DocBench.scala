@@ -277,12 +277,10 @@ object DocBench {
       .map(_.split(",").map(_.trim).toSet)
     var pairCounts = Map.empty[String, Long]
     val runs = cpuList.map { cpus =>
-      val spark = SparkSession.builder()
+      val spark = Conf.engineDefaults(SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", sys.env.getOrElse("SPARK_GRAFT_CHECKPOINT_CHECKSUM", "false"))
+        .config("spark.ui.enabled", "false"))
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       def docs = spark.read.parquet(s"$fixture/documents.parquet")

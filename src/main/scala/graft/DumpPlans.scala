@@ -14,11 +14,12 @@ object DumpPlans {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, suffix, names) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
+    val spark = Conf.engineDefaults(SparkSession.builder()
+      .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    Conf.resolveStatePartitions(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     names.split(",").map(_.trim).filter(_.nonEmpty).foreach { name =>
       try {

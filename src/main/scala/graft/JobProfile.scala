@@ -11,16 +11,15 @@ object JobProfile {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0); val name = args(1)
     val cpus = if (args.length > 2) args(2) else "32"
-    val b0 = SparkSession.builder().master(s"local[$cpus]")
+    val b0 = Conf.engineDefaults(SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", sys.env.getOrElse("SPARK_GRAFT_CHECKPOINT_CHECKSUM", "false"))
+      .config("spark.ui.enabled", "false"))
     val b = sys.env.get("GRAFT_PROFILE_CONF").map(_.split(";").toSeq)
       .getOrElse(Nil).map(_.split("=", 2)).filter(_.length == 2)
       .foldLeft(b0)((bb, kv) => bb.config(kv(0), kv(1)))
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Conf.resolveStatePartitions(spark, sfDir)
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
@@ -38,13 +37,16 @@ object JobProfile {
         val si = sc.stageInfo
         val wall = (for {a <- si.completionTime; b <- si.submissionTime}
           yield a - b).getOrElse(-1L)
-        if (wall > 400) {
+        if (wall > sys.env.getOrElse("GRAFT_PROFILE_STAGE_MS", "400").toInt) {
           val m = si.taskMetrics
           println(f"    stage ${si.stageId}%4d wall ${wall / 1e3}%6.2f s " +
             f"tasks ${si.numTasks}%4d exec ${m.executorRunTime / 1e3}%7.2f s " +
             f"cpu ${m.executorCpuTime / 1e9}%7.2f s " +
             f"gc ${m.jvmGCTime / 1e3}%5.2f s " +
             f"fetchWait ${m.shuffleReadMetrics.fetchWaitTime / 1e3}%5.2f s " +
+            f"spillMem ${m.memoryBytesSpilled >> 20}%4d MB " +
+            f"spillDisk ${m.diskBytesSpilled >> 20}%4d MB " +
+            f"peakExecMem ${m.peakExecutionMemory >> 20}%4d MB " +
             f"| ${si.name.take(60)}")
         }
       }

@@ -55,12 +55,10 @@ object StreamBench {
 
     // ---- build the fixture once (its own session; not part of any timing)
     val rows: Long = {
-      val spark = SparkSession.builder()
+      val spark = Conf.engineDefaults(SparkSession.builder()
         .master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", sys.env.getOrElse("SPARK_GRAFT_CHECKPOINT_CHECKSUM", "false"))
+        .config("spark.ui.enabled", "false"))
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       val base = graft.trades.Trades.fromEvents(Tables.events(spark, sfDir))
@@ -87,11 +85,10 @@ object StreamBench {
     var batches = Map.empty[String, Long]
     var emitted = Map.empty[String, Long]
     val runs = cpuList.map { cpus =>
-      val spark = SparkSession.builder()
+      val spark = Conf.engineDefaults(SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
+        .config("spark.ui.enabled", "false"))
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       import spark.implicits._

@@ -7,18 +7,15 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // same engine defaults as Bench (Conf.engineDefaults): verify must
+    // execute under the configuration the bench certifies
+    val spark = Conf.engineDefaults(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // same engine default as Bench: Spark 4.1's per-checkpoint-file
-      // checksum write+await is the measured top task-block in streaming
-      // gates; exactly-once is carried by rename-commit + replay gates
-      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_CHECKPOINT_CHECKSUM", "false"))
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Conf.resolveStatePartitions(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     // optional comma-separated subset for local iteration (driver runs all)
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
@@ -31,6 +28,14 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // per-query cache isolation, as Bench's resetState does between
+      // reps: ~40 gates persist fixture frames (r14 advice) and a single
+      // 228-query session would otherwise accumulate every one of them
+      // until ContextCleaner GC — memory pressure that lands on whichever
+      // query runs later
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -37,6 +37,27 @@ object StreamQueries {
   private[queries] val runId: String =
     java.util.UUID.randomUUID().toString.take(8)
 
+  /** Run `body` (a streaming start+drain) with `shuffle.partitions` pinned
+    * to the resolved streaming state partition count
+    * ([[graft.Conf.statePartitions]] — input-volume-derived, env-overridable)
+    * and restore the session value afterwards. AQE is disabled inside
+    * streaming plans, so without this every stateful operator inherits
+    * `shuffle.partitions = cpus` as its state-store partition count — 32
+    * state partitions → 32 delta files per store per micro-batch for a
+    * few-MB fixture (guide §2: scale partitioning to data, not the box).
+    * The value is constant within a gate (env + input fixed), so crash /
+    * restart gates re-open their checkpoints under the same partition
+    * count — the Structured Streaming invariant. foreachBatch bodies'
+    * delta-sized batch jobs run inside the same window and shuffle with
+    * the same data-proportionate width.
+    */
+  private[queries] def withStateParts[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, graft.Conf.statePartitions(s).toString)
+    try body finally s.conf.set(key, old)
+  }
+
   /** Drain a streaming frame to completion and return the sink table.
     * AvailableNow processes every file then stops; `maxFilesPerTrigger`
     * on the source (set by callers) controls batch granularity.
@@ -44,11 +65,13 @@ object StreamQueries {
   private def drain(df: DataFrame, qn: String): DataFrame = {
     val s = df.sparkSession
     s.catalog.dropTempView(qn)
-    val q = df.writeStream.format("memory").queryName(qn)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStateParts(s) {
+      val q = df.writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(qn)
   }
 
@@ -95,8 +118,14 @@ object StreamQueries {
     val fs = pth.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(pth)) fs.delete(pth, true)
     // the corpus arrives PII-AUGMENTED (the synthetic docs carry no
-    // organic PII — same deterministic injection as pii_redact)
+    // organic PII — same deterministic injection as pii_redact).
+    // repartitioned: the corpus is one parquet split, and the persisted
+    // frame inherits its partitioning — the bench-side redact + gram
+    // explode below would otherwise run single-task (profiled 1.9 s,
+    // guide §2.5 "one huge unsplittable file")
     val aug = s.read.parquet(s"$dir/documents.parquet")
+      .repartition(math.max(1, s.sparkContext.defaultParallelism),
+        col("doc_id"))
       .select(col("doc_id"), PipeQueries.augText.as("text"))
     // persisted: train feeds 3 source writes, test feeds the bench gram
     // table + bloom — 5 actions would otherwise re-run the PII
@@ -186,33 +215,57 @@ object StreamQueries {
       batchId: Long): Unit = {
     import DocQueries.{shingleN, minhashK, minhashBands}
     import graft.text.TextOps
-    gcReplayStaging(s, root, Seq("fbr", "fb0", "fb", "stage"), batchId)
-    // 0. PII redaction at entry — STAGED before any scoring: as a
-    // computed column, `redact(raw)` would be INLINED into every
-    // downstream quality/langid/HOF expression (HOF-bearing projections
-    // get no codegen subexpression elimination), re-running the 3-regex
-    // scrub ~6-8x per row. has_pii = "redaction changed the text".
-    b.select(col("doc_id"),
+    gcReplayStaging(s, root, Seq("fb0", "fb", "stage"), batchId)
+    // 0-2. PII redaction → quality + langid → Gopher repetition, ONE
+    // staged write (r15; was two: fbr then fb0). Two things changed, both
+    // guide §2:
+    //  - the micro-batch arrives as ONE file → one scan partition, so the
+    //    whole regex/HOF chain ran as a single task with 31 cores idle
+    //    (profiled: 2.1 s + 1.6 s single-task stages per batch). An
+    //    explicit deterministic repartition on doc_id spreads it; the
+    //    shuffled payload is just the batch's text — cheap vs the per-row
+    //    work it parallelizes (same rationale as lshBandRows).
+    //  - redact(raw) must not INLINE into the downstream quality/langid/
+    //    HOF expressions (no codegen subexpression elimination there —
+    //    the 3-regex scrub would re-run ~6-8x per row). The old code
+    //    paid a staging write+read (fbr) for that barrier; an EXCHANGE is
+    //    the same barrier for free: projections do not collapse across a
+    //    repartition, so `text` crosses the second shuffle materialized.
+    // has_pii = "redaction changed the text".
+    // the `|| __nd < 0` guards (always false: monotonically_increasing_id
+    // is non-negative; the column is dropped before the write) make each
+    // filter condition non-deterministic so PushDownPredicates cannot
+    // SUBSTITUTE the scoring tree through the projections and exchanges
+    // into the single-partition scan — without them the whole scrub/score
+    // tree lands in a Filter on the one scan task (profiled: 4.5 s
+    // single-task, 31 cores idle) and re-evaluates in the projection
+    // above (guide §4.4, applied at expression level; plan-verified:
+    // each expression now evaluates exactly once, post-exchange).
+    val par = math.max(1, s.sparkContext.defaultParallelism)
+    val red = b.repartition(par, col("doc_id"))
+      .select(col("doc_id"),
         TextOps.redact(col("text")).as("text"),
         (TextOps.redact(col("text")) =!= col("text")).as("has_pii"))
-      .write.mode("overwrite").parquet(root + s"/fbr/$batchId")
-    val red = s.read.parquet(root + s"/fbr/$batchId")
-    // 1. quality + language id over the redacted text
+      .repartition(par, col("doc_id"))
     val scored = red.select(
       Seq(col("doc_id"), col("text"), col("has_pii")) ++
         TextOps.qualityColumns(col("text")) ++
-        Seq(TextOps.langIdColumns(col("text")).last): _*)
-    val kept1 = scored
-      .where(col("pred_lang") === "en" && col("quality_score") >= 0.5)
+        Seq(TextOps.langIdColumns(col("text")).last,
+          monotonically_increasing_id().as("__nd")): _*)
+    scored
+      .where(col("pred_lang") === "en" && col("quality_score") >= 0.5 ||
+        col("__nd") < 0)
       .select("doc_id", "text", "has_pii", "pred_lang", "n_ws_tokens",
         "quality_score")
       .withColumn("toks", TextOps.wsTokens(col("text")))
-    // 2. Gopher repetition thresholds (per-row, scan-stage) — then STAGE
-    // the post-filter frame BEFORE the decon probe (the probe's
-    // contaminated-id set and the anti-join's left side both reference
-    // this subtree; an unpersisted subtree re-executes per appearance).
-    kept1.where(TextOps.keepRepetition(col("text"), col("toks")))
+      .withColumn("__nd", monotonically_increasing_id())
+      .where(TextOps.keepRepetition(col("text"), col("toks")) ||
+        col("__nd") < 0)
+      .drop("__nd")
       .write.mode("overwrite").parquet(root + s"/fb0/$batchId")
+    // staged: the decon probe's contaminated-id set and the anti-join's
+    // left side both reference this frame — an unpersisted subtree would
+    // re-execute the whole scrub/score chain per appearance
     val kept2 = s.read.parquet(root + s"/fb0/$batchId")
     // 3. decontamination probe against the static benchmark gram set,
     // BLOOM-BOUNDED: only possible-hit rows pay the gram explode + exact
@@ -224,14 +277,19 @@ object StreamQueries {
         maybe, "doc_id", "toks", PipeQueries.contamN)
       .join(bench, Seq("h"), "left_semi")
       .select("doc_id").distinct()
-    kept2.join(contam, Seq("doc_id"), "left_anti")
+    // the exact-dedup annotation rides the decon-stage write (r15, guide
+    // §1.2): `ann` is consumed by both the survivor chain and the seen
+    // publish — annotating at staging time computes the keep-first window
+    // once and both consumers read it back columnar (deterministic
+    // function of the batch, so replay semantics are unchanged)
+    graft.dedup.Dedup.exactDupAnnotate(
+        kept2.join(contam, Seq("doc_id"), "left_anti"), "doc_id", "text")
       .write.mode("overwrite").parquet(root + s"/fb/$batchId")
-    val kept = s.read.parquet(root + s"/fb/$batchId")
-    // 4. exact-dedup probe: keep-first inside the batch, then drop any
-    // hash seen in an EARLIER batch — the AS-OF read is what keeps a
-    // replayed batch from seeing its own crash-published hashes (which
-    // would empty its survivor set)
-    val ann = graft.dedup.Dedup.exactDupAnnotate(kept, "doc_id", "text")
+    // 4. exact-dedup probe: keep-first inside the batch (the staged
+    // annotation), then drop any hash seen in an EARLIER batch — the
+    // AS-OF read is what keeps a replayed batch from seeing its own
+    // crash-published hashes (which would empty its survivor set)
+    val ann = s.read.parquet(root + s"/fb/$batchId")
     val seen = graft.sources.StateStore.readBefore(s, root + "/seen", batchId)
     val exSurv = ann.where(!col("is_dup"))
       .join(seen, Seq("content_hash"), "left_anti")
@@ -285,6 +343,9 @@ object StreamQueries {
                               schema: org.apache.spark.sql.types.StructType,
                               benchBloom: Array[Byte],
                               crashAtBatch: Long = -1L): Unit = {
+    // NO withStateParts here: the pipeline has no Spark state store (its
+    // state is the custom StateStore dirs), and its per-batch bodies are
+    // CPU-heavy expression work that needs the cores (see corpusFullOnBatch)
     val q = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(root + "/src/*")
       .writeStream
@@ -386,23 +447,47 @@ object StreamQueries {
     // subtree appears several times in one plan; an unpersisted subtree
     // re-executes per appearance — measured ~4 filter-chain evaluations
     // per batch). Overwrite mode: a crash-looped batch re-stages
-    // idempotently.
-    val scored = b.select(
+    // idempotently. The exact-dedup annotation (content hash + keep-first
+    // window) and the tokenization RIDE THE SAME WRITE (r15, guide §1.2):
+    // `ann` is consumed twice per batch (survivor chain + the seen
+    // publish) and `toks` three times (LSH bands, jaccard verify, the
+    // survivor stage) — annotating at staging time computes the window
+    // and wsTokens once; every consumer reads them back columnar. Both
+    // are deterministic functions of the batch, so replay semantics are
+    // unchanged.
+    // the batch arrives as ONE file → one scan partition; an explicit
+    // deterministic repartition on doc_id spreads the per-row regex/HOF
+    // scoring over the cores (profiled: ~1.6 s single-task stage per
+    // batch otherwise — guide §2.5 "one huge unsplittable file"). toks
+    // is computed BEFORE the keep-first window so the tokenization runs
+    // in the parallel pre-shuffle projection, not on the window's
+    // (possibly coalesced) output.
+    // `|| __nd < 0` guard (always false; the explicit select drops the
+    // column): pins the quality/lang filter ABOVE this projection —
+    // otherwise PushDownPredicates substitutes the whole scoring tree
+    // into a Filter on the one scan task below the exchange and the
+    // projection re-evaluates it (see corpusFullOnBatch)
+    val par = math.max(1, s.sparkContext.defaultParallelism)
+    val scored = b.repartition(par, col("doc_id")).select(
       Seq(col("doc_id"), col("text")) ++ TextOps.qualityColumns(col("text")) ++
-        Seq(TextOps.langIdColumns(col("text")).last): _*)
-    scored
-      .where(col("pred_lang") === "en" && col("quality_score") >= 0.5)
-      .select("doc_id", "text", "pred_lang", "n_ws_tokens", "quality_score")
+        Seq(TextOps.langIdColumns(col("text")).last,
+          monotonically_increasing_id().as("__nd")): _*)
+    graft.dedup.Dedup.exactDupAnnotate(
+        scored
+          .where(col("pred_lang") === "en" && col("quality_score") >= 0.5 ||
+            col("__nd") < 0)
+          .select("doc_id", "text", "pred_lang", "n_ws_tokens",
+            "quality_score")
+          .withColumn("toks", TextOps.wsTokens(col("text"))),
+        "doc_id", "text")
       .write.mode("overwrite").parquet(root + s"/fb/$batchId")
-    val kept = s.read.parquet(root + s"/fb/$batchId")
-    // 2. exact-dedup probe: keep-first inside the batch, then drop any
-    // hash seen in an EARLIER batch (AS-OF read — a replayed batch must
-    // not see its own crash-published hashes)
-    val ann = graft.dedup.Dedup.exactDupAnnotate(kept, "doc_id", "text")
+    // 2. exact-dedup probe: keep-first inside the batch (the staged
+    // annotation), then drop any hash seen in an EARLIER batch (AS-OF
+    // read — a replayed batch must not see its own crash-published hashes)
+    val ann = s.read.parquet(root + s"/fb/$batchId")
     val seen = graft.sources.StateStore.readBefore(s, root + "/seen", batchId)
     val exSurv = ann.where(!col("is_dup"))
       .join(seen, Seq("content_hash"), "left_anti")
-      .withColumn("toks", TextOps.wsTokens(col("text")))
     // 3. LSH probe against the survivors-so-far index (bands from the
     // stored bucketed table, AS-OF via src_batch; jaccard verify reads
     // only candidate docs — the store persists toks, never re-tokenized)
@@ -448,6 +533,8 @@ object StreamQueries {
                               compactAtBatch: Long = -1L,
                               crashAtBatch: Long = -1L,
                               foldIndexAtBatch: Long = -1L): Unit = {
+    // no withStateParts: foreachBatch pipeline, no Spark state store —
+    // the per-batch bodies are CPU-heavy and need the cores
     val q = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(root + "/src/*")
       .writeStream
@@ -922,15 +1009,17 @@ object StreamQueries {
       val t0 = System.currentTimeMillis()
       writeOneFile(trades.where(col("ts") <= mid), srcDir, "a_early", t0 - 40000)
       writeOneFile(trades.where(col("ts") > mid), srcDir, "b_late", t0 - 20000)
-      val q = s.readStream.schema(trades.schema)
-        .option("maxFilesPerTrigger", 1).parquet(srcDir + "/*")
-        .withColumn("month", graft.sources.Store.monthCol("ts"))
-        .writeStream.format("parquet")
-        .partitionBy("month")
-        .option("path", base + "/store")
-        .option("checkpointLocation", base + "/chk")
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStateParts(s) {
+        val q = s.readStream.schema(trades.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir + "/*")
+          .withColumn("month", graft.sources.Store.monthCol("ts"))
+          .writeStream.format("parquet")
+          .partitionBy("month")
+          .option("path", base + "/store")
+          .option("checkpointLocation", base + "/chk")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       val dayNs = 86400L * 1000000000L
       graft.sources.Store.readRange(s, base + "/store",
           minTs + 7 * dayNs, minTs + 14 * dayNs)
@@ -961,7 +1050,7 @@ object StreamQueries {
       val t0 = System.currentTimeMillis()
       writeOneFile(trades.where(col("ts") <= mid), srcDir, "a_early", t0 - 40000)
       writeOneFile(trades.where(col("ts") > mid), srcDir, "b_late", t0 - 20000)
-      def runOnce(): Unit = {
+      def runOnce(): Unit = withStateParts(s) {
         val q = s.readStream.schema(trades.schema)
           .option("maxFilesPerTrigger", 1).parquet(srcDir + "/*")
           .withColumn("month", graft.sources.Store.monthCol("ts"))
@@ -1038,7 +1127,7 @@ object StreamQueries {
         Long) => Unit = { (b, _) =>
         Store.saveMonthly(b, base + "/store", "append")
       }
-      def runOnce(): Unit = {
+      def runOnce(): Unit = withStateParts(s) {
         val q = s.readStream.schema(trades.schema)
           .option("maxFilesPerTrigger", 1).parquet(srcDir + "/*")
           .writeStream.foreachBatch(onBatch)
@@ -1534,10 +1623,11 @@ object StreamQueries {
       val (schema, benchBloom) = corpusFullDay0(s, dir, name, root)
       corpusFullDrain(s, name, root, schema, benchBloom)
       // replay-staging GC bound (r13 verdict #1): the per-batch staging
-      // points (fbr/fb0/fb/stage) retain ~2-3× arrival volume if never
-      // reclaimed; gcReplayStaging at each batch entry must leave at most
-      // the LAST batch's dirs after the drain
-      Seq("fbr", "fb0", "fb", "stage").foreach { sub =>
+      // points (fb0/fb/stage; fbr folded into fb0's write in r15) retain
+      // ~2-3× arrival volume if never reclaimed; gcReplayStaging at each
+      // batch entry must leave at most the LAST batch's dirs after the
+      // drain
+      Seq("fb0", "fb", "stage").foreach { sub =>
         val dirs = new java.io.File(s"$root/$sub").listFiles()
           .filter(_.isDirectory).map(_.getName)
         require(dirs.length <= 1,
@@ -1699,7 +1789,7 @@ object StreamQueries {
       val p = new org.apache.hadoop.fs.Path(base)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
-      def runOnce(): Unit = {
+      def runOnce(): Unit = withStateParts(s) {
         val src = s.readStream.schema(trades.schema)
           .option("maxFilesPerTrigger", 1)
           .parquet(srcDir + "/*")
@@ -1751,7 +1841,7 @@ object StreamQueries {
       val p = new org.apache.hadoop.fs.Path(base)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
-      def runOnce(): Unit = {
+      def runOnce(): Unit = withStateParts(s) {
         val src = s.readStream.schema(trades.schema)
           .option("maxFilesPerTrigger", 1)
           .parquet(srcDir + "/*")
@@ -1802,7 +1892,7 @@ object StreamQueries {
       val p = new org.apache.hadoop.fs.Path(base)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
-      def runOnce(): Unit = {
+      def runOnce(): Unit = withStateParts(s) {
         val src = s.readStream.schema(sided.schema)
           .option("maxFilesPerTrigger", 1)
           .parquet(srcDir + "/*")
@@ -1860,7 +1950,7 @@ object StreamQueries {
       val p = new org.apache.hadoop.fs.Path(base)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
-      def runOnce(): Unit = {
+      def runOnce(): Unit = withStateParts(s) {
         val src = s.readStream.schema(sided.schema)
           .option("maxFilesPerTrigger", 1)
           .parquet(srcDir + "/*")
@@ -1942,7 +2032,7 @@ object StreamQueries {
       val p = new org.apache.hadoop.fs.Path(base)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
-      def runOnce(): Unit = {
+      def runOnce(): Unit = withStateParts(s) {
         val src = s.readStream.schema(sided.schema)
           .option("maxFilesPerTrigger", 1)
           .parquet(srcDir + "/*")
