@@ -15,17 +15,18 @@ object Conf {
     *    the measured top off-CPU block across the streaming gates;
     *    exactly-once rests on rename-commit + the replay gates). Opt back
     *    in with `SPARK_GRAFT_CHECKPOINT_CHECKSUM=true`.
-    *  - AQE partition coalescing honors the ADVISORY SIZE instead of the
-    *    parallelism floor (`parallelismFirst=false`, guide §2.2): with the
-    *    default `parallelismFirst=true`, `minPartitionNum` pins every
-    *    post-shuffle stage to `defaultParallelism` partitions, so a 100 KB
-    *    shuffle still schedules 32 reduce tasks on local[32] — pure fixed
-    *    cost at bench scale. Honoring the advisory size is SCALE-ADAPTIVE
-    *    by construction: a shuffle whose partitions already exceed the
-    *    advisory size (any real-scale shuffle) is left exactly as sized,
-    *    while tiny shuffles coalesce to the few tasks their bytes justify.
-    *    `SPARK_GRAFT_ADVISORY_PARTITION_BYTES` (default 64m) sets the
-    *    target; production clusters typically want 128-256m (guide §9).
+    *  - AQE partition coalescing KEEPS Spark's `parallelismFirst=true`
+    *    default, env-overridable. The r15 hypothesis (guide §2.2) was that
+    *    honoring the advisory size (`parallelismFirst=false`) would cut
+    *    the 32-task fixed cost of tiny post-shuffle stages; the measured
+    *    back-to-back A/B over 25 batch queries at 32 cpus said the
+    *    OPPOSITE — 18.4 s → 19.8 s (0.93×; worst: dedup_exact 0.65×,
+    *    trades_canonical 0.73×, q4_semi_anti 0.73×) — because at sf0.1
+    *    the post-shuffle operators still have real per-row work (windows,
+    *    sorts, joins) that a 1-task coalesced stage serializes for longer
+    *    than 32-task scheduling costs. Both knobs stay parameterized
+    *    (`SPARK_GRAFT_AQE_PARALLELISM_FIRST`,
+    *    `SPARK_GRAFT_ADVISORY_PARTITION_BYTES`) for cluster tuning.
     *
     * Returns the builder for chaining.
     */
@@ -34,7 +35,7 @@ object Conf {
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
         sys.env.getOrElse("SPARK_GRAFT_CHECKPOINT_CHECKSUM", "false"))
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"))
+        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"))
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "64m"))
 

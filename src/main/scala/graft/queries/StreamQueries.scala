@@ -58,6 +58,24 @@ object StreamQueries {
     try body finally s.conf.set(key, old)
   }
 
+  /** Run `body` with AQE partition coalescing honoring the ADVISORY SIZE
+    * (`parallelismFirst=false`) and restore afterwards — scoped to the
+    * foreachBatch pipeline drains, whose bodies run ~30 delta-sized batch
+    * jobs per micro-batch: there the 32-task post-shuffle stages are pure
+    * scheduling overhead (A/B at 32 cpus: corpus family ~1.2-1.5× faster
+    * with the advisory size; the same setting measured 0.93× on the tiny
+    * BATCH query family, which keeps Spark's parallelism-first default —
+    * see Conf.engineDefaults). Scale-adaptive: shuffles at or above the
+    * advisory size are untouched.
+    */
+  private def withBatchCoalesce[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    val old = s.conf.get(key)
+    s.conf.set(key,
+      sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"))
+    try body finally s.conf.set(key, old)
+  }
+
   /** Drain a streaming frame to completion and return the sink table.
     * AvailableNow processes every file then stops; `maxFilesPerTrigger`
     * on the source (set by callers) controls batch granularity.
@@ -345,15 +363,18 @@ object StreamQueries {
                               crashAtBatch: Long = -1L): Unit = {
     // NO withStateParts here: the pipeline has no Spark state store (its
     // state is the custom StateStore dirs), and its per-batch bodies are
-    // CPU-heavy expression work that needs the cores (see corpusFullOnBatch)
-    val q = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(root + "/src/*")
-      .writeStream
-      .foreachBatch(corpusFullOnBatch(s, name, root, benchBloom,
-        crashAtBatch) _)
-      .option("checkpointLocation", root + "/chk")
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    // CPU-heavy expression work that needs the cores (see corpusFullOnBatch);
+    // the delta-sized per-batch shuffles DO coalesce to their bytes
+    withBatchCoalesce(s) {
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(root + "/src/*")
+        .writeStream
+        .foreachBatch(corpusFullOnBatch(s, name, root, benchBloom,
+          crashAtBatch) _)
+        .option("checkpointLocation", root + "/chk")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
   }
 
   /** The full-suite pipeline's gate output (shared oracle columns). */
@@ -534,15 +555,18 @@ object StreamQueries {
                               crashAtBatch: Long = -1L,
                               foldIndexAtBatch: Long = -1L): Unit = {
     // no withStateParts: foreachBatch pipeline, no Spark state store —
-    // the per-batch bodies are CPU-heavy and need the cores
-    val q = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(root + "/src/*")
-      .writeStream
-      .foreachBatch(corpusBaseOnBatch(s, name, root, compactAtBatch,
-        crashAtBatch, foldIndexAtBatch) _)
-      .option("checkpointLocation", root + "/chk")
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    // the per-batch bodies are CPU-heavy and need the cores; the
+    // delta-sized per-batch shuffles DO coalesce to their bytes
+    withBatchCoalesce(s) {
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(root + "/src/*")
+        .writeStream
+        .foreachBatch(corpusBaseOnBatch(s, name, root, compactAtBatch,
+          crashAtBatch, foldIndexAtBatch) _)
+        .option("checkpointLocation", root + "/chk")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
   }
 
   /** The base pipeline's gate output (shared oracle columns). */
@@ -1227,12 +1251,14 @@ object StreamQueries {
         graft.dedup.Dedup.appendLshIndex(batch, "doc_id", "toks", shingleN,
           minhashK, minhashBands, name, buckets = 8)
       }
-      val q = s.readStream.schema(delta.schema)
-        .option("maxFilesPerTrigger", 1).parquet(root + "/src/*")
-        .writeStream.foreachBatch(onBatch)
-        .option("checkpointLocation", root + "/chk")
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withBatchCoalesce(s) {
+        val q = s.readStream.schema(delta.schema)
+          .option("maxFilesPerTrigger", 1).parquet(root + "/src/*")
+          .writeStream.foreachBatch(onBatch)
+          .option("checkpointLocation", root + "/chk")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.read.parquet(root + "/pairs")
         .select(col("id_a"), col("id_b"), col("n_common"),
           r6(col("jaccard")).as("jaccard"))
@@ -1282,12 +1308,14 @@ object StreamQueries {
           .write.mode("overwrite").parquet(root + s"/probes/batch=$batchId")
         Similarity.ivfIndexAppend(b, "vec_id", "embedding", root + "/idx")
       }
-      val q = s.readStream.schema(e.schema)
-        .option("maxFilesPerTrigger", 1).parquet(root + "/src/*")
-        .writeStream.foreachBatch(onBatch)
-        .option("checkpointLocation", root + "/chk")
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withBatchCoalesce(s) {
+        val q = s.readStream.schema(e.schema)
+          .option("maxFilesPerTrigger", 1).parquet(root + "/src/*")
+          .writeStream.foreachBatch(onBatch)
+          .option("checkpointLocation", root + "/chk")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       // in-memory twins of the two probe points (stored codebook both):
       // batch 1 saw base; batch 2 saw base ∪ batch 1
       def canon(df: DataFrame, tag: String) =
@@ -1351,12 +1379,14 @@ object StreamQueries {
           .write.mode("overwrite").parquet(root + s"/probes/batch=$batchId")
         Similarity.ivfIndexAppend(b, "vec_id", "embedding", root + "/idx")
       }
-      val q = s.readStream.schema(e.schema)
-        .option("maxFilesPerTrigger", 1).parquet(root + "/src/*")
-        .writeStream.foreachBatch(onBatch)
-        .option("checkpointLocation", root + "/chk")
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withBatchCoalesce(s) {
+        val q = s.readStream.schema(e.schema)
+          .option("maxFilesPerTrigger", 1).parquet(root + "/src/*")
+          .writeStream.foreachBatch(onBatch)
+          .option("checkpointLocation", root + "/chk")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       require(foldStats.get(0) > foldStats.get(1),
         s"cell fold did not reduce the index file count " +
           s"(${foldStats.get(0)} -> ${foldStats.get(1)})")
@@ -1419,7 +1449,7 @@ object StreamQueries {
           .write.mode("overwrite").parquet(root + s"/probes/batch=$batchId")
         Similarity.ivfIndexAppend(b, "vec_id", "embedding", root + "/idx")
       }
-      def runOnce(): Unit = {
+      def runOnce(): Unit = withBatchCoalesce(s) {
         val q = s.readStream.schema(e.schema)
           .option("maxFilesPerTrigger", 1).parquet(root + "/src/*")
           .writeStream.foreachBatch(onBatch)

@@ -310,4 +310,60 @@ class PlanSpec extends AnyFunSuite {
         s"TBM chain is not reading the bucketed layout:\n$pB")
     } finally spark.sql("DROP TABLE IF EXISTS planspec_tbm_bkt")
   }
+
+  test("nd-guarded filters stay above the scoring projection (no pushdown " +
+      "through the repartition barrier)") {
+    // The corpus pipelines' per-batch bodies rely on two plan properties
+    // (StreamQueries.corpusFullOnBatch): (1) projections do NOT collapse
+    // across a RepartitionByExpression, so an exchange is a materialization
+    // barrier for an expensive expression (redact must not inline into the
+    // downstream scoring), and (2) a filter whose condition carries an
+    // always-false non-deterministic `|| __nd < 0` guard is NOT pushed
+    // below the projection that computes its inputs — without the guard,
+    // PushDownPredicates substitutes the whole expression tree into a
+    // Filter at the single-partition scan. Pin both against Catalyst
+    // changes with the same shape the pipeline uses.
+    import graft.text.TextOps
+    val docs = (0 until 64).map(i => (i.toLong, s"some text $i with words"))
+      .toDF("doc_id", "text")
+    val scored = docs.repartition(4, col("doc_id"))
+      .select(col("doc_id"), TextOps.redact(col("text")).as("text"))
+      .repartition(4, col("doc_id"))
+      .select(
+        Seq(col("doc_id"), col("text")) ++ TextOps.qualityColumns(col("text")) ++
+          Seq(monotonically_increasing_id().as("__nd")): _*)
+      .where(col("quality_score") >= 0.5 || col("__nd") < 0)
+      .select("doc_id", "text", "quality_score")
+    val opt = scored.queryExecution.optimizedPlan
+    val filters = opt.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }
+    assert(filters.nonEmpty, s"no Filter survived:\n$opt")
+    // every Filter must sit ABOVE both repartitions: no Filter may have a
+    // scan (LocalRelation/LogicalRDD) as a descendant without an
+    // intervening RepartitionByExpression
+    filters.foreach { f =>
+      val hasRepartitionBelow = f.child.collect {
+        case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression => r
+      }.nonEmpty
+      assert(hasRepartitionBelow,
+        s"filter was pushed below the repartition barrier:\n$opt")
+      // and the substituted scoring tree must not appear in the condition:
+      // the condition references the COMPUTED column, not a re-derived
+      // redact/HOF tree over the raw text (`<EMAIL>` fingerprints redact;
+      // `lambdafunction` fingerprints the quality HOFs)
+      val cond = f.condition.toString
+      assert(!cond.contains("<EMAIL>") && !cond.contains("lambdafunction"),
+        s"scoring tree substituted into the filter condition:\n$cond")
+    }
+    // the redact projection must appear exactly once, below the second
+    // repartition (no inlining into the scoring projection above it)
+    val projTexts = opt.collect {
+      case pr: org.apache.spark.sql.catalyst.plans.logical.Project
+          if pr.projectList.exists(_.toString.contains("<EMAIL>")) => pr
+    }
+    assert(projTexts.length == 1,
+      s"redact should be computed in exactly one projection, found " +
+        s"${projTexts.length}:\n$opt")
+  }
 }
